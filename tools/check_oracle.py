@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Loads each <verifyOutDir>/<name> parquet (Spark result), runs the matching
+oracle SQL from oracle_sql.json in DuckDB over the sfDir parquet tables,
+canonicalizes both (columns sorted by name, rows sorted, values rendered),
+and reports exact match / mismatch per query.
+"""
+import sys, os, json, glob, math, datetime, decimal
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon_val(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return repr(float(v))
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_val(x) for x in v) + "]"
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(tuple(canon_val(r[i]) for i in order) for r in rows)
+    return [cols[i] for i in order], out
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        files = glob.glob(os.path.join(outdir, name, "*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark result parquet")
+            n_fail += 1
+            continue
+        got_rel = con.execute(
+            "SELECT * FROM read_parquet(?)", [files])
+        got_cols = [d[0] for d in got_rel.description]
+        got_rows = got_rel.fetchall()
+        try:
+            exp_rel = con.execute(oracle[name])
+            exp_cols = [d[0] for d in exp_rel.description]
+            exp_rows = exp_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            n_fail += 1
+            continue
+        gc, gr = canon(got_cols, got_rows)
+        ec, er = canon(exp_cols, exp_rows)
+        if gc != ec:
+            print(f"FAIL {name}: columns differ spark={gc} oracle={ec}")
+            n_fail += 1
+        elif gr != er:
+            n_fail += 1
+            print(f"FAIL {name}: rows differ (spark {len(gr)} vs oracle {len(er)})")
+            diff_g = [r for r in gr if r not in set(map(tuple, er))][:3]
+            diff_e = [r for r in er if r not in set(map(tuple, gr))][:3]
+            print(f"  cols: {gc}")
+            print(f"  spark-only: {diff_g}")
+            print(f"  oracle-only: {diff_e}")
+        else:
+            n_pass += 1
+            print(f"PASS {name} ({len(gr)} rows)")
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
