@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** IP helpers for the R3 projection (the reference renders `[]byte`
+  * addresses to strings at `main.go:133-139` via `net.IP(...).String()`)
+  * and CIDR predicates over the rendered form.
+  *
+  * Static, JVM-wide helpers — callable from interpreted eval AND from
+  * generated Java (whole-stage codegen) via the object's static forwarders.
+  */
+object IpUtil {
+  /** 4-byte → dotted quad; 16-byte → colon form (lowercase hex, no zero-run
+    * compression — deterministic; the reference's Go net.IP.String does
+    * compress, but nothing downstream depends on the compressed form).
+    */
+  def bytesToIpString(b: Array[Byte]): String =
+    if (b == null) null
+    else if (b.length == 4)
+      s"${b(0) & 0xff}.${b(1) & 0xff}.${b(2) & 0xff}.${b(3) & 0xff}"
+    else if (b.length == 16)
+      (0 until 8).map(i => f"${((b(2 * i) & 0xff) << 8) | (b(2 * i + 1) & 0xff)}%x")
+        .mkString(":")
+    else null
+
+  /** Dotted-quad string → unsigned 32-bit value in a long; -1 on malformed
+    * input (no allocation, single pass).
+    */
+  def ipv4ToLong(str: String): Long = {
+    if (str == null) return -1L
+    var acc = 0L
+    var octet = -1L
+    var parts = 0
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      if (c == '.') {
+        if (octet < 0 || parts >= 3) return -1L
+        acc = (acc << 8) | octet; octet = -1L; parts += 1
+      } else if (c >= '0' && c <= '9') {
+        octet = (if (octet < 0) 0L else octet) * 10 + (c - '0')
+        if (octet > 255) return -1L
+      } else return -1L
+      i += 1
+    }
+    if (octet < 0 || parts != 3) return -1L
+    (acc << 8) | octet
+  }
+
+  /** True iff dotted-quad `addr` lies inside `cidr` ("a.b.c.d/len"). */
+  def ipInCidr(addr: UTF8String, cidr: UTF8String): Boolean = {
+    if (addr == null || cidr == null) return false
+    val c = cidr.toString
+    val slash = c.indexOf('/')
+    if (slash < 0) return false
+    val base = ipv4ToLong(c.substring(0, slash))
+    val ip = ipv4ToLong(addr.toString)
+    if (base < 0 || ip < 0) return false
+    val len =
+      try c.substring(slash + 1).toInt
+      catch { case _: NumberFormatException => return false }
+    if (len < 0 || len > 32) return false
+    val mask = if (len == 0) 0L else (0xffffffffL << (32 - len)) & 0xffffffffL
+    (ip & mask) == (base & mask)
+  }
+}
+
+/** Codegen-capable CIDR-membership predicate `ip_in_cidr(addr, cidr)` — a
+  * native Catalyst Expression (SURVEY §7.3 upgrade path for the Q54 UDF):
+  * it stays inside whole-stage codegen instead of breaking the generated
+  * pipeline at a black-box Scala UDF, and null-propagates like a built-in.
+  */
+case class IpInCidr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "ip_in_cidr"
+
+  override protected def nullSafeEval(addr: Any, cidr: Any): Any =
+    IpUtil.ipInCidr(addr.asInstanceOf[UTF8String], cidr.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, c) => s"graft.functions.IpUtil.ipInCidr($a, $c)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object IpFunctions {
+  /** R3 projection UDF (`main.go:133`): flow address bytes → string. */
+  val bytesToIpString = udf((b: Array[Byte]) => IpUtil.bytesToIpString(b))
+
+  /** Long (low 32 bits) → 4 network-order bytes — synthesizes the
+    * reference's in-flight `[]byte` address form.
+    */
+  val longToIpBytes = udf((v: Long) => Array[Byte](
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte))
+
+  /** Column API for the codegen CIDR predicate. */
+  def ip_in_cidr(addr: Column, cidr: Column): Column =
+    Shim.column(IpInCidr(Shim.expression(addr), Shim.expression(cidr)))
+
+  /** SQL registration: `SELECT ip_in_cidr(src_addr, '10.0.0.0/8')`. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ip_in_cidr", exprs => IpInCidr(exprs.head, exprs(1)), "built-in")
+}

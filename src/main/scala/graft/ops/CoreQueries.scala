@@ -373,10 +373,10 @@ object CoreQueries {
       },
       Some("""SELECT o_orderkey, o_orderpriority,
         CAST(floor(o_totalprice/50000.0) AS BIGINT) AS price_bucket,
-        row_number() OVER (PARTITION BY o_orderpriority ORDER BY floor(o_totalprice/50000.0) DESC, o_orderkey) AS rn,
-        rank() OVER (PARTITION BY o_orderpriority ORDER BY floor(o_totalprice/50000.0) DESC) AS rnk,
-        dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY floor(o_totalprice/50000.0) DESC) AS drnk,
-        ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY floor(o_totalprice/50000.0) DESC, o_orderkey) AS quartile
+        CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY floor(o_totalprice/50000.0) DESC, o_orderkey) AS INTEGER) AS rn,
+        CAST(rank() OVER (PARTITION BY o_orderpriority ORDER BY floor(o_totalprice/50000.0) DESC) AS INTEGER) AS rnk,
+        CAST(dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY floor(o_totalprice/50000.0) DESC) AS INTEGER) AS drnk,
+        CAST(ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY floor(o_totalprice/50000.0) DESC, o_orderkey) AS INTEGER) AS quartile
         FROM orders""".stripMargin)),
 
     // Q30: lag/lead/first/last — inter-event gap per user (inter-flow gap
@@ -436,7 +436,7 @@ object CoreQueries {
           .filter(col("rn") <= 3)
           .select("c_mktsegment", "rn", "o_orderkey", "o_totalprice")
       },
-      Some("""SELECT c_mktsegment, rn, o_orderkey, o_totalprice FROM (
+      Some("""SELECT c_mktsegment, CAST(rn AS INTEGER) AS rn, o_orderkey, o_totalprice FROM (
         SELECT c_mktsegment, o_orderkey, o_totalprice,
           row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rn
         FROM orders JOIN customer ON o_custkey = c_custkey) WHERE rn <= 3""".stripMargin)),
