@@ -1,10 +1,187 @@
 package graft.ops
 
-import graft.Q
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-/** Flows-domain queries over a deterministic synthesized flow table
-  * (SURVEY §1.3 schema) + the UDF/UDAF/UDTF surface Q54–Q56.
+import graft.{Q, Tables}
+import graft.functions.{Aggregators, IpFunctions}
+
+/** Flows-domain queries over a deterministic synthesized flow table with the
+  * reference's 23-column schema (SURVEY §1.3, `main.go:45-77` /
+  * `create_tables.sql:3-33`), plus the UDF / UDAF / UDTF surface Q54–Q56.
+  *
+  * The driver fixtures carry no flows table, so one is derived from `events`
+  * with pure integer arithmetic — expressed identically in the Spark DSL and
+  * in the DuckDB oracle CTE, so every query below is exact-oracle-checkable.
+  * The IP-address columns are the interesting part: the Spark side renders
+  * them through the R3-parity UDF chain (`longToIpBytes` →
+  * `bytesToIpString`, the reference's `net.IP(...).String()` at
+  * `main.go:133-139`), while the oracle renders them with independent
+  * octet arithmetic — so the UDFs themselves are under oracle test.
   */
 object FlowQueries {
-  def defs: Seq[Q] = Seq()
+
+  /** Synthesized flows: one flow per event, all columns deterministic
+    * integer arithmetic over (event_id, user_id, ts, value).
+    */
+  def flows(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val eid = col("event_id")
+    val uid = col("user_id")
+    val srcIp = lit(167772160L) + pmod(uid * 7919L, lit(200L)) * 65536L +
+      pmod(eid * 31L, lit(250L)) * 256L + pmod(eid * 17L, lit(250L))
+    val dstIp = lit(3232235520L) + pmod(eid * 13L, lit(250L)) * 256L +
+      pmod(eid * 7L, lit(254L)) + 1L
+    ev.select(
+      (pmod(eid, lit(4L)) + 1L).cast(IntegerType).as("type"),
+      (unix_micros(col("ts")) / 1000000L).cast(LongType).as("time_received"),
+      eid.as("sequence_num"),
+      lit(1000L).as("sampling_rate"),
+      pmod(eid, lit(2L)).cast(IntegerType).as("flow_direction"),
+      IpFunctions.bytesToIpString(IpFunctions.longToIpBytes(srcIp)).as("src_addr"),
+      IpFunctions.bytesToIpString(IpFunctions.longToIpBytes(dstIp)).as("dst_addr"),
+      (round(col("value") * 100).cast(LongType) + 40L).as("bytes"),
+      (pmod(eid, lit(100L)) + 1L).as("packets"),
+      lit(2048).as("etype"),
+      when(pmod(eid, lit(10L)) < 6, 6).when(pmod(eid, lit(10L)) < 9, 17)
+        .otherwise(1).cast(IntegerType).as("proto"),
+      (lit(1024L) + pmod(uid * 7919L, lit(60000L))).cast(IntegerType).as("src_port"),
+      when(pmod(eid, lit(3L)) === 0, 443).when(pmod(eid, lit(3L)) === 1, 80)
+        .otherwise(53).cast(IntegerType).as("dst_port"),
+      pmod(eid * 5L, lit(64L)).cast(IntegerType).as("tcp_flags"),
+      col("value"))
+  }
+
+  /** DuckDB CTE computing the same flows table with independent arithmetic
+    * (notably: IP strings via octet math, not the Spark UDF).
+    */
+  private val FlowsCte: String =
+    """WITH flows AS (SELECT
+      CAST(event_id % 4 + 1 AS INTEGER) AS type,
+      epoch_us(ts) // 1000000 AS time_received,
+      event_id AS sequence_num,
+      CAST(1000 AS BIGINT) AS sampling_rate,
+      CAST(event_id % 2 AS INTEGER) AS flow_direction,
+      CAST(src_ip // 16777216 AS VARCHAR) || '.' || CAST((src_ip // 65536) % 256 AS VARCHAR) || '.' || CAST((src_ip // 256) % 256 AS VARCHAR) || '.' || CAST(src_ip % 256 AS VARCHAR) AS src_addr,
+      CAST(dst_ip // 16777216 AS VARCHAR) || '.' || CAST((dst_ip // 65536) % 256 AS VARCHAR) || '.' || CAST((dst_ip // 256) % 256 AS VARCHAR) || '.' || CAST(dst_ip % 256 AS VARCHAR) AS dst_addr,
+      CAST(round(value*100) AS BIGINT) + 40 AS bytes,
+      event_id % 100 + 1 AS packets,
+      CAST(2048 AS INTEGER) AS etype,
+      CAST(CASE WHEN event_id % 10 < 6 THEN 6 WHEN event_id % 10 < 9 THEN 17 ELSE 1 END AS INTEGER) AS proto,
+      CAST(1024 + (user_id * 7919) % 60000 AS INTEGER) AS src_port,
+      CAST(CASE event_id % 3 WHEN 0 THEN 443 WHEN 1 THEN 80 ELSE 53 END AS INTEGER) AS dst_port,
+      CAST((event_id * 5) % 64 AS INTEGER) AS tcp_flags,
+      src_ip, dst_ip, value
+    FROM (SELECT *,
+      167772160 + ((user_id * 7919) % 200) * 65536 + ((event_id * 31) % 250) * 256 + ((event_id * 17) % 250) AS src_ip,
+      3232235520 + ((event_id * 13) % 250) * 256 + ((event_id * 7) % 254) + 1 AS dst_ip
+    FROM events))"""
+
+  def defs: Seq[Q] = Seq(
+    // Q54: the R3 projection UDF chain under oracle test — every rendered
+    // address string must equal the oracle's independent octet arithmetic.
+    Q("q54_udf_ip",
+      (s, d) => flows(s, d)
+        .select("sequence_num", "src_addr", "dst_addr", "src_port", "dst_port"),
+      Some(s"$FlowsCte SELECT sequence_num, src_addr, dst_addr, src_port, dst_port FROM flows")),
+
+    // Q54b: the codegen-native CIDR predicate (Catalyst Expression with
+    // doGenCode, IpFunctions.IpInCidr) vs the oracle's integer range math.
+    Q("q54b_cidr_filter",
+      (s, d) => flows(s, d)
+        .filter(IpFunctions.ip_in_cidr(col("src_addr"), lit("10.64.0.0/10")))
+        .groupBy("proto").agg(count(lit(1)).as("n_flows"),
+          sum(col("bytes")).as("sum_bytes")),
+      Some(s"""$FlowsCte SELECT proto, count(*) AS n_flows,
+        CAST(SUM(bytes) AS BIGINT) AS sum_bytes FROM flows
+        WHERE src_ip // 4194304 = 171966464 // 4194304
+        GROUP BY proto""".stripMargin)),
+
+    // Q55: typed UDAF surface — BitOrAgg re-aggregates the per-flow OR of
+    // tcp_flags (`main.go:71` semantics) per protocol; WeightedAvgAgg is a
+    // packets-weighted mean of bytes with exact integer partials.
+    Q("q55_udaf_bitor",
+      (s, d) => flows(s, d).groupBy("proto").agg(
+        Aggregators.bit_or_agg(col("tcp_flags").cast(LongType)).as("flags_or"),
+        Aggregators.weighted_avg(col("bytes"), col("packets")).as("w_avg_bytes")),
+      Some(s"""$FlowsCte SELECT proto, bit_or(CAST(tcp_flags AS BIGINT)) AS flags_or,
+        CAST(SUM(bytes*packets) AS DOUBLE) / CAST(SUM(packets) AS DOUBLE) AS w_avg_bytes
+        FROM flows GROUP BY proto""".stripMargin)),
+
+    // Q56: generator / UDTF shape — expand each flow into per-packet-bucket
+    // rows (sequence + explode is Spark's idiomatic table function).
+    Q("q56_gen_explode",
+      (s, d) => flows(s, d)
+        .select(col("sequence_num"),
+          explode(sequence(lit(0L), pmod(col("packets"), lit(4L)))).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n")),
+      Some(s"$FlowsCte SELECT bucket, count(*) AS n FROM (SELECT sequence_num, unnest(generate_series(0, packets % 4)) AS bucket FROM flows) GROUP BY bucket")),
+
+    // Top talkers — the flows deployment's signature query (SURVEY §3.2):
+    // sampling-rate scale-up + hash agg + top-k, exactly the shape the
+    // reference's ClickHouse deployment exists to serve.
+    Q("qf1_top_talkers",
+      (s, d) => flows(s, d)
+        .groupBy("src_addr")
+        .agg(sum(col("bytes") * col("sampling_rate")).as("est_bytes"),
+          sum(col("packets") * col("sampling_rate")).as("est_packets"),
+          count(lit(1)).as("n_flows"))
+        .orderBy(col("est_bytes").desc, col("src_addr"))
+        .limit(10),
+      Some(s"""$FlowsCte SELECT src_addr,
+        CAST(SUM(bytes*sampling_rate) AS BIGINT) AS est_bytes,
+        CAST(SUM(packets*sampling_rate) AS BIGINT) AS est_packets,
+        count(*) AS n_flows FROM flows GROUP BY src_addr
+        ORDER BY est_bytes DESC, src_addr LIMIT 10""".stripMargin),
+      headline = true),
+
+    // Traffic matrix with time bucketing: per (proto, dst_port, minute).
+    Q("qf2_traffic_matrix",
+      (s, d) => flows(s, d)
+        .groupBy(col("proto"), col("dst_port"),
+          ((col("time_received") / 60L).cast(LongType) * 60L).as("minute"))
+        .agg(sum("bytes").as("sum_bytes"), count(lit(1)).as("n_flows"))
+        .filter(col("n_flows") > 2),
+      Some(s"""$FlowsCte SELECT proto, dst_port, (time_received // 60) * 60 AS minute,
+        CAST(SUM(bytes) AS BIGINT) AS sum_bytes, count(*) AS n_flows
+        FROM flows GROUP BY 1, 2, 3 HAVING count(*) > 2""".stripMargin)),
+
+    // Port-scan detection: sources touching many distinct destination
+    // (addr, port) pairs — count-distinct + HAVING shape.
+    Q("qf3_port_scan",
+      (s, d) => flows(s, d)
+        .groupBy("src_addr")
+        .agg(countDistinct(col("dst_addr"), col("dst_port")).as("fanout"),
+          countDistinct(col("dst_port")).as("n_ports"))
+        .filter(col("fanout") > 50),
+      Some(s"""$FlowsCte SELECT src_addr,
+        count(DISTINCT (dst_addr, dst_port)) AS fanout,
+        count(DISTINCT dst_port) AS n_ports
+        FROM flows GROUP BY src_addr HAVING count(DISTINCT (dst_addr, dst_port)) > 50""".stripMargin)),
+
+    // TCP-flag analysis: SYN-without-ACK flows per source (tcp_flags is the
+    // OR of flags over the flow, `main.go:71`; SYN=0x02, ACK=0x10).
+    Q("qf4_syn_no_ack",
+      (s, d) => flows(s, d)
+        .filter(col("proto") === 6 &&
+          col("tcp_flags").bitwiseAND(2) =!= 0 &&
+          col("tcp_flags").bitwiseAND(16) === 0)
+        .groupBy("src_addr").agg(count(lit(1)).as("n_syn_only"))
+        .filter(col("n_syn_only") >= 2),
+      Some(s"""$FlowsCte SELECT src_addr, count(*) AS n_syn_only FROM flows
+        WHERE proto = 6 AND (tcp_flags & 2) <> 0 AND (tcp_flags & 16) = 0
+        GROUP BY src_addr HAVING count(*) >= 2""".stripMargin)),
+
+    // Flow direction × protocol rollup with sampling-rate scale-up.
+    Q("qf5_direction_rollup",
+      (s, d) => flows(s, d)
+        .rollup("flow_direction", "proto")
+        .agg(sum(col("bytes") * col("sampling_rate")).as("est_bytes"),
+          grouping_id().as("gid")),
+      Some(s"""$FlowsCte SELECT flow_direction, proto,
+        CAST(SUM(bytes*sampling_rate) AS BIGINT) AS est_bytes,
+        CAST(GROUPING(flow_direction, proto) AS BIGINT) AS gid
+        FROM flows GROUP BY ROLLUP(flow_direction, proto)""".stripMargin))
+  )
 }
