@@ -1,8 +1,158 @@
 package graft.ext
 
-import graft.Q
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-/** SURVEY §2.3 X4: text analysis over `documents`. */
+import graft.{Q, Tables}
+
+/** SURVEY §2.3 X4: text analysis over `documents` — language ID, quality
+  * scoring, token counting, document fingerprinting, tf-idf term stats.
+  *
+  * The fixture corpus shares one ~31-token vocabulary across all `lang`
+  * labels (FIXTURES.md), so language ID cannot key on charset/stopwords;
+  * the operator is therefore the real statistical shape: learn per-language
+  * token-frequency profiles from the corpus and classify each document
+  * against them — all in exact integer arithmetic so the oracle matches
+  * bit-for-bit.
+  *
+  * Scale posture: everything is explode → groupBy with map-side combine;
+  * profiles are tiny (langs × vocab) and broadcast; no driver collect.
+  */
 object TextQueries {
-  def defs: Seq[Q] = Seq()
+
+  private def tokens: Column = split(col("text"), " ")
+
+  def defs: Seq[Q] = Seq(
+    // X4: corpus-profile language ID. score(doc, lang) = Σ_tok count_corpus
+    // (lang, tok) over the doc's token multiset (integer naive-Bayes-ish
+    // evidence); predict argmax with lang-asc tiebreak; emit per-lang
+    // confusion counts.
+    Q("x4_langid",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val docTok = docs.select(col("doc_id"), col("lang"), explode(tokens).as("tok"))
+        val profile = docTok.groupBy(col("lang").as("p_lang"), col("tok").as("p_tok"))
+          .agg(count(lit(1)).as("w"))
+        val scored = docTok.join(broadcast(profile), col("tok") === col("p_tok"))
+          .groupBy(col("doc_id"), col("lang"), col("p_lang"))
+          .agg(sum(col("w")).as("score"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("p_lang"))
+        scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .groupBy(col("lang"), col("p_lang").as("pred_lang"))
+          .agg(count(lit(1)).as("n_docs"))
+      },
+      Some("""WITH dt AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        profile AS (SELECT lang AS p_lang, tok AS p_tok, count(*) AS w FROM dt GROUP BY 1, 2),
+        scored AS (SELECT dt.doc_id, dt.lang, p.p_lang, CAST(SUM(p.w) AS BIGINT) AS score
+          FROM dt JOIN profile p ON dt.tok = p.p_tok GROUP BY 1, 2, 3),
+        pred AS (SELECT doc_id, lang, p_lang FROM
+          (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, p_lang) AS rn FROM scored)
+          WHERE rn = 1)
+        SELECT lang, p_lang AS pred_lang, count(*) AS n_docs FROM pred GROUP BY 1, 2""".stripMargin)),
+
+    // X4b: quality scoring — length stats, type-token ratio, stopword
+    // ratio, all exact (counts and ratios of integers).
+    Q("x4b_quality",
+      (s, d) => {
+        val t = tokens
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          col("n_chars"),
+          size(t).as("n_tokens"),
+          size(array_distinct(t)).as("n_types"),
+          (size(array_distinct(t)).cast(DoubleType) / size(t).cast(DoubleType))
+            .as("type_token_ratio"),
+          (length(col("text")).cast(DoubleType) / size(t).cast(DoubleType))
+            .as("avg_tok_span"),
+          (size(filter(t, x => x.isin("a", "the"))).cast(DoubleType) /
+            size(t).cast(DoubleType)).as("stopword_ratio"),
+          (size(t) >= 20 && size(array_distinct(t)) >= 10).as("passes_quality"))
+      },
+      Some("""SELECT doc_id, n_chars,
+        CAST(len(w) AS INTEGER) AS n_tokens,
+        CAST(len(list_distinct(w)) AS INTEGER) AS n_types,
+        CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS type_token_ratio,
+        CAST(length(text) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS avg_tok_span,
+        CAST(len(list_filter(w, x -> x IN ('a', 'the'))) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS stopword_ratio,
+        len(w) >= 20 AND len(list_distinct(w)) >= 10 AS passes_quality
+        FROM (SELECT *, string_split(text, ' ') AS w FROM documents)""".stripMargin)),
+
+    // X4c: token counting — whitespace tokens plus a BPE-ish regex
+    // segmentation (letter runs / digit runs / single other), the standard
+    // pre-tokenizer shape; same regex in both engines.
+    Q("x4c_token_count",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+          .as("bpe_ish_tokens"),
+        length(col("text")).as("n_chars_m"),
+        (length(col("text")).cast(DoubleType) /
+          size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+            .cast(DoubleType)).as("chars_per_token")),
+      Some("""SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+        CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER) AS bpe_ish_tokens,
+        CAST(length(text) AS INTEGER) AS n_chars_m,
+        CAST(length(text) AS DOUBLE) / CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS DOUBLE) AS chars_per_token
+        FROM documents""".stripMargin)),
+
+    // X4d: document fingerprinting — full-text digest plus a winnowing-style
+    // shingle fingerprint (lexicographic-min md5 over 3-token shingles; the
+    // min-over-window rolling-hash idiom with a content-defined
+    // representative); identical digests in both engines.
+    Q("x4d_fingerprint",
+      (s, d) => {
+        val w = tokens
+        val sh = when(size(w) >= 3,
+          transform(sequence(lit(1), size(w) - 2),
+            i => md5(concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
+          .otherwise(array(md5(col("text"))))
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          md5(col("text")).as("doc_md5"),
+          array_min(sh).as("min_shingle_fp"),
+          array_max(sh).as("max_shingle_fp"))
+      },
+      Some("""SELECT doc_id, md5(text) AS doc_md5,
+        list_min(sh) AS min_shingle_fp, list_max(sh) AS max_shingle_fp FROM
+        (SELECT doc_id, text,
+          CASE WHEN len(w) >= 3
+            THEN list_transform(generate_series(1, len(w)-2), i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+            ELSE [md5(text)] END AS sh
+         FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents))""".stripMargin)),
+
+    // X4e: tf-idf term statistics per language — rational idf (N/df as an
+    // exact integer-derived double) so scoring is engine-exact; top-3 terms
+    // per lang by (tf·N/df, term) with deterministic tiebreak.
+    Q("x4e_tfidf",
+      (s, d) => {
+        val docTok = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), explode(tokens).as("tok"))
+        val nDf = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+        val df = docTok.select(col("doc_id"), col("tok")).distinct()
+          .groupBy(col("tok").as("d_tok")).agg(count(lit(1)).as("df"))
+        val tf = docTok.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("tf"))
+        val scored = tf.join(broadcast(df), col("tok") === col("d_tok"))
+          .crossJoin(broadcast(nDf))
+          .select(col("lang"), col("tok"), col("tf"), col("df"),
+            (col("tf").cast(DoubleType) * col("n").cast(DoubleType) / col("df").cast(DoubleType))
+              .as("tfidf_rat"))
+        val w = Window.partitionBy(col("lang")).orderBy(col("tfidf_rat").desc, col("tok"))
+        scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .select(col("lang"), col("rn"), col("tok"), col("tf"), col("df"), col("tfidf_rat"))
+      },
+      Some("""WITH dt AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        n AS (SELECT count(*) AS n FROM documents),
+        df AS (SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM dt) GROUP BY tok),
+        tf AS (SELECT lang, tok, count(*) AS tf FROM dt GROUP BY 1, 2),
+        scored AS (SELECT lang, tf.tok, tf, df,
+          CAST(tf AS DOUBLE) * CAST(n.n AS DOUBLE) / CAST(df AS DOUBLE) AS tfidf_rat
+          FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n)
+        SELECT lang, CAST(rn AS INTEGER) AS rn, tok, tf, df, tfidf_rat FROM
+          (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY tfidf_rat DESC, tok) AS rn FROM scored)
+        WHERE rn <= 3""".stripMargin))
+  )
 }
