@@ -1,10 +1,158 @@
 package graft.ext
 
-import graft.Q
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-/** SURVEY §2.3 X5: multimodal (binary) columns carried through the
-  * relational surface.
+import graft.{Q, Tables}
+
+/** SURVEY §2.3 X5: multimodal columns — media carried as opaque `binary`
+  * with typed metadata, decode/feature-extract as per-partition batch
+  * operators.
+  *
+  * No real image/audio codecs exist in this container (and none may be
+  * added — BASELINE.json), so the DECODE step is a clearly-marked
+  * deterministic stub ([[Multimodal.stubDecode]]); everything around it —
+  * the binary column plumbing, the `mapPartitions` batch shape, the typed
+  * output schema (`ArrayType(FloatType)` features + scalar metadata), the
+  * partition-parallel execution — is real and under oracle test. Swapping
+  * the stub for a JNI/codec call changes no plan shape.
+  *
+  * The fixture has no binary column either, so bytes are synthesized by
+  * UTF-8-encoding `documents.text` (ASCII ⇒ byte i == char i, which is what
+  * lets DuckDB reproduce the "decode" arithmetic from the string side).
   */
 object MultimodalQueries {
-  def defs: Seq[Q] = Seq()
+
+  /** documents with a synthesized payload: the binary "media" column. */
+  private def media(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  def defs: Seq[Q] = Seq(
+    // X5: binary columns through the relational surface — length, digests,
+    // slicing, group-by over binary-derived values.
+    Q("x5_binary_meta",
+      (s, d) => media(s, d).select(
+        col("doc_id"),
+        length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("payload_md5"),
+        sha2(col("payload"), 256).as("payload_sha256"),
+        hex(substring(col("payload"), 1, 8)).as("head_hex")),
+      Some("""SELECT doc_id,
+        CAST(octet_length(text::BLOB) AS INTEGER) AS n_bytes,
+        md5(text) AS payload_md5,
+        sha256(text) AS payload_sha256,
+        upper(hex(substr(text, 1, 8)::BLOB)) AS head_hex
+        FROM documents""".stripMargin)),
+
+    // X5b: feature extraction via mapPartitions — the real batch-decode
+    // plumbing (imperative per-partition loop over byte arrays, typed
+    // output Dataset). The oracle reproduces the stub's arithmetic from
+    // the string side (ASCII payload ⇒ ord(char) == byte).
+    Q("x5b_decode_features",
+      (s, d) => Multimodal.decodeFeatures(media(s, d)),
+      Some("""SELECT doc_id,
+        CAST(1 + ord(substr(text, 1, 1)) % 64 AS INTEGER) AS width,
+        CAST(1 + ord(substr(text, 2, 1)) % 64 AS INTEGER) AS height,
+        CAST(list_sum(list_transform(generate_series(1, length(text)), i -> ord(substr(text, i, 1)))) AS DOUBLE)
+          / CAST(length(text) AS DOUBLE) AS mean_byte,
+        CAST(length(text) AS INTEGER) AS n_bytes
+        FROM documents""".stripMargin)),
+
+    // X5c: binary histogram features as ArrayType(FloatType) — the
+    // embedding-shaped output a downstream model consumes; exact rational
+    // values so the float array hash-matches.
+    Q("x5c_byte_histogram",
+      (s, d) => Multimodal.byteHistogram(media(s, d), bins = 8),
+      Some("""SELECT doc_id, list_transform(generate_series(0, 7),
+          b -> CAST(len(list_filter(codes, c -> c // 16 = b)) AS FLOAT) / CAST(length(text) AS FLOAT)) AS hist
+        FROM (SELECT doc_id, text,
+          list_transform(generate_series(1, length(text)), i -> ord(substr(text, i, 1))) AS codes
+        FROM documents)""".stripMargin)),
+
+    // X5d: multimodal columns carried through §2.2 operators — binary +
+    // embedding joined, grouped, aggregated (the "typed metadata travels
+    // with the blob" contract).
+    Q("x5d_multimodal_join",
+      (s, d) => {
+        val m = media(s, d)
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), size(col("embedding")).as("dim"))
+        m.join(e, col("doc_id") === col("vec_id"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("payload")).cast(LongType)).as("total_bytes"),
+            max(col("dim")).as("dim"),
+            countDistinct(md5(col("payload"))).as("n_distinct_payloads"))
+      },
+      Some("""SELECT label, count(*) AS n_docs,
+        CAST(SUM(octet_length(text::BLOB)) AS BIGINT) AS total_bytes,
+        max(dim) AS dim,
+        count(DISTINCT md5(text)) AS n_distinct_payloads
+        FROM documents JOIN
+          (SELECT vec_id, label, CAST(len(embedding) AS INTEGER) AS dim FROM embeddings)
+          ON doc_id = vec_id
+        GROUP BY label""".stripMargin))
+  )
+}
+
+/** The imperative multimodal kernels: per-partition batch "decode" over
+  * binary payloads. `mapPartitions` is the right physical shape here — one
+  * JVM-side loop per batch of rows, exactly where a real codec (libjpeg,
+  * ffmpeg frame sampling, …) would be invoked; executors process partitions
+  * in parallel, nothing touches the driver.
+  */
+object Multimodal {
+
+  final case class MediaFeature(doc_id: Long, width: Int, height: Int,
+      mean_byte: Double, n_bytes: Int)
+
+  /** STUB DECODE — deterministic fake standing in for a real image decode
+    * (no codecs in this container). Real plumbing, fake math: "dimensions"
+    * from the first two bytes, "mean pixel" = mean byte value.
+    */
+  def stubDecode(payload: Array[Byte]): (Int, Int, Double) = {
+    val w = 1 + (payload(0) & 0xff) % 64
+    val h = 1 + (payload(1) & 0xff) % 64
+    var sum = 0L
+    var i = 0
+    while (i < payload.length) { sum += (payload(i) & 0xff); i += 1 }
+    (w, h, sum.toDouble / payload.length.toDouble)
+  }
+
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val (w, h, mean) = stubDecode(payload)
+          MediaFeature(id, w, h, mean, payload.length)
+        }
+      }
+      .toDF()
+  }
+
+  /** Byte histogram as a float feature vector (exact rationals). */
+  def byteHistogram(media: DataFrame, bins: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val counts = new Array[Int](bins)
+          var i = 0
+          while (i < payload.length) {
+            val b = (payload(i) & 0xff) / 16
+            if (b < bins) counts(b) += 1
+            i += 1
+          }
+          (id, counts.map(c => c.toFloat / payload.length.toFloat))
+        }
+      }
+      .toDF("doc_id", "hist")
+  }
 }
