@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+/** Single source of truth for the flows schema — the reference declares it
+  * twice by hand (Go struct `main.go:45-77` vs DDL
+  * `initdb/create_tables.sql:3-33`, kept in sync by eyeball); here the
+  * case class and the StructType derive from one definition.
+  *
+  * Type map per SURVEY §1.3: ClickHouse UInt32 counters that can exceed
+  * Int.MaxValue (sequence_num, sampling_rate, fragment_id) and all UInt64s
+  * widen to Long; small enums stay Int; addresses are rendered strings
+  * (`main.go:133-139`).
+  */
+final case class FlowRecord(
+    `type`: Int,
+    time_received: Long,
+    sequence_num: Long,
+    sampling_rate: Long,
+    flow_direction: Int,
+    sampler_address: String,
+    time_flow_start: Long,
+    time_flow_end: Long,
+    bytes: Long,
+    packets: Long,
+    src_addr: String,
+    dst_addr: String,
+    etype: Int,
+    proto: Int,
+    src_port: Int,
+    dst_port: Int,
+    forwarding_status: Int,
+    tcp_flags: Int,
+    icmp_type: Int,
+    icmp_code: Int,
+    fragment_id: Long,
+    fragment_offset: Int)
+
+object FlowSchema {
+  val schema: StructType =
+    org.apache.spark.sql.catalyst.ScalaReflection
+      .schemaFor[FlowRecord].dataType.asInstanceOf[StructType]
+
+  /** Raw in-flight shape before the R3 projection: addresses still as
+    * network-order bytes, exactly what a goflow decoder emits
+    * (`FlowMessage` protobuf, `main.go:21`).
+    */
+  val rawSchema: StructType = StructType(schema.fields.map {
+    case StructField(n @ ("sampler_address" | "src_addr" | "dst_addr"), _, nl, m) =>
+      StructField(n, BinaryType, nl, m)
+    case f => f
+  })
+}

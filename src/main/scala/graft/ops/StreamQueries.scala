@@ -1,10 +1,215 @@
 package graft.ops
 
-import graft.Q
+import java.nio.file.Paths
 
-/** SURVEY §2.2 Q45–Q53: Structured Streaming surface, drained with
-  * Trigger.AvailableNow so results are oracle-comparable to batch SQL.
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.{Q, Tables}
+
+/** SURVEY §2.2 Q45–Q53: the Structured Streaming surface, drained with
+  * `Trigger.AvailableNow` into a memory sink so each result is a plain
+  * DataFrame the DuckDB oracle can hash against its batch equivalent —
+  * the incremental plan is what runs; the drain only bounds it.
+  *
+  * The streamed table is `events` read through a *file stream* source (the
+  * same parquet the batch oracle reads), so source admission, micro-batch
+  * planning, state stores, and sink commit are all genuinely exercised.
+  *
+  * Watermark note (Q49): with append-mode aggregation, only windows whose
+  * end ≤ final watermark (max event time − delay) are emitted on drain —
+  * the oracle encodes exactly that predicate, so late-data finalization
+  * semantics are under oracle test, not just smoke-tested.
   */
 object StreamQueries {
-  def defs: Seq[Q] = Seq()
+
+  private val tmpRoot = "/root/repo/target/graft-tmp"
+
+  /** events as a µs-timestamp stream (same nanos handling as
+    * [[graft.Tables.events]]).
+    */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = Paths.get(d, "events.parquet")
+    // file-stream sources monitor a directory; stage the fixture file into
+    // one (idempotent per scale factor)
+    val dir = Paths.get(tmpRoot, "stream_src", src.getParent.getFileName.toString)
+    val staged = dir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(staged)) {
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.copy(src, staged)
+    }
+    val path = staged.toString
+    val raw = s.read.parquet(path).schema // driver-side footer read only
+    s.readStream.schema(raw).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  /** Drain a streaming DataFrame to completion and return the result. */
+  private def drain(df: DataFrame, name: String, mode: String): DataFrame = {
+    val spark = df.sparkSession
+    val cp = s"$tmpRoot/cp/$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(cp).toFile)
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast(LongType)
+
+  def defs: Seq[Q] = Seq(
+    // Q45: micro-batch drain through the incremental planner — projection +
+    // filter + per-type counts (complete mode).
+    Q("q45_stream_drain",
+      (s, d) => drain(
+        eventsStream(s, d).filter(col("value") > 100.0)
+          .groupBy("event_type").agg(count(lit(1)).as("n"),
+            sum(cents(col("value"))).as("cents")),
+        "q45_sink", "complete"),
+      Some("SELECT event_type, count(*) AS n, CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents FROM events WHERE value > 100.0 GROUP BY event_type")),
+
+    // Q46: tumbling 1-minute event-time window (complete mode).
+    Q("q46_stream_tumbling",
+      (s, d) => drain(
+        eventsStream(s, d)
+          .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("cents")),
+        "q46_sink", "complete")
+        .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("cents"))
+        .filter(col("n") >= 2),
+      Some("""SELECT CAST(to_timestamp((epoch_us(ts) // 1000000) // 60 * 60) AS TIMESTAMP) AS w_start, event_type,
+        count(*) AS n, CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin)),
+
+    // Q47: sliding 10-minute window every 2 minutes — every event lands in
+    // 5 windows; oracle replicates via a 5-offset series join.
+    Q("q47_stream_sliding",
+      (s, d) => drain(
+        eventsStream(s, d)
+          .groupBy(window(col("ts"), "10 minutes", "2 minutes"))
+          .agg(count(lit(1)).as("n")),
+        "q47_sink", "complete")
+        .select(col("window.start").as("w_start"), col("n"))
+        .filter(col("n") >= 5),
+      Some("""SELECT w_start, count(*) AS n FROM (
+        SELECT CAST(to_timestamp((epoch_us(ts) // 1000000) // 120 * 120 - k.o) AS TIMESTAMP) AS w_start
+        FROM events CROSS JOIN (SELECT unnest(generate_series(0, 480, 120)) AS o) k
+        WHERE (epoch_us(ts) // 1000000) // 120 * 120 - k.o + 600 > epoch_us(ts) // 1000000)
+        GROUP BY 1 HAVING count(*) >= 5""".stripMargin)),
+
+    // Q48: session windows per user with a 12-hour gap; oracle sessionizes
+    // via lag + running sum (the batch formulation of the same operator).
+    Q("q48_stream_session",
+      (s, d) => drain(
+        eventsStream(s, d)
+          .groupBy(session_window(col("ts"), "12 hours"), col("user_id"))
+          .agg(count(lit(1)).as("n_events")),
+        "q48_sink", "complete")
+        .select(col("user_id"), col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"), col("n_events")),
+      Some("""WITH flagged AS (SELECT user_id, ts,
+          CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 43200000000 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS new_s
+        FROM events),
+        sess AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM flagged)
+        SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL 12 HOUR AS s_end, count(*) AS n_events
+        FROM sess GROUP BY user_id, sid""".stripMargin)),
+
+    // Q49: watermark + append-mode finalization — only windows closed by
+    // the terminal watermark (max ts − 30 min) are emitted; the oracle
+    // states that exact predicate.
+    Q("q49_stream_watermark",
+      (s, d) => drain(
+        eventsStream(s, d)
+          .withWatermark("ts", "30 minutes")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("n")),
+        "q49_sink", "append")
+        .select(col("window.start").as("w_start"), col("n")),
+      Some("""SELECT CAST(to_timestamp(w_start_s) AS TIMESTAMP) AS w_start, n FROM (
+          SELECT (epoch_us(ts) // 1000000) // 3600 * 3600 AS w_start_s, count(*) AS n
+          FROM events GROUP BY 1)
+        WHERE (w_start_s + 3600) * 1000000 <= (SELECT max(epoch_us(ts)) FROM events) - 1800000000""".stripMargin)),
+
+    // Q50: streaming dedup — input duplicated by self-union (R2 fan-in
+    // shape), dropDuplicates on the natural key inside the stream.
+    Q("q50_stream_dedup",
+      (s, d) => {
+        val ev = eventsStream(s, d)
+        drain(
+          ev.unionByName(ev).dropDuplicates("event_id")
+            .groupBy("event_type").agg(count(lit(1)).as("n")),
+          "q50_sink", "complete")
+      },
+      Some("SELECT event_type, count(DISTINCT event_id) AS n FROM events GROUP BY event_type")),
+
+    // Q51: arbitrary stateful op — per-user GroupState accumulating event
+    // count, value cents, and last event id (SYN-tracking shape from
+    // SURVEY Q51). One emission per user on drain.
+    Q("q51_stream_stateful",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val typed = eventsStream(s, d)
+          .select(col("user_id"), col("event_id"),
+            cents(col("value")).as("cents"))
+          .as[(Long, Long, Long)]
+        val updated = typed.groupByKey(_._1).mapGroupsWithState(
+          GroupStateTimeout.NoTimeout()) {
+            (uid: Long, rows: Iterator[(Long, Long, Long)], st: GroupState[(Long, Long, Long)]) =>
+              val prev = st.getOption.getOrElse((0L, 0L, -1L))
+              var (n, c, maxId) = prev
+              rows.foreach { r => n += 1; c += r._3; if (r._2 > maxId) maxId = r._2 }
+              st.update((n, c, maxId))
+              (uid, n, c, maxId)
+          }.toDF("user_id", "n_events", "cents", "max_event_id")
+        drain(updated, "q51_sink", "update")
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+        CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents,
+        max(event_id) AS max_event_id FROM events GROUP BY user_id""".stripMargin)),
+
+    // Q52: stream–static join — the stream enriched against a static dim
+    // (broadcast; the proto→name lookup shape).
+    Q("q52_stream_static_join",
+      (s, d) => {
+        val dim = s.createDataFrame(Seq(
+          ("click", 1L), ("view", 2L), ("signup", 10L), ("purchase", 50L), ("error", 0L)))
+          .toDF("et", "weight")
+        drain(
+          eventsStream(s, d).join(broadcast(dim), col("event_type") === col("et"))
+            .groupBy("event_type").agg(count(lit(1)).as("n"),
+              sum(col("weight")).as("weighted")),
+          "q52_sink", "complete")
+      },
+      Some("""SELECT event_type, count(*) AS n, CAST(SUM(weight) AS BIGINT) AS weighted
+        FROM events JOIN (VALUES ('click',1),('view',2),('signup',10),('purchase',50),('error',0)) AS d(et, weight)
+        ON event_type = et GROUP BY event_type""".stripMargin)),
+
+    // Q53: foreachBatch sink (R5 parity, `main.go:157-169`) — batches
+    // appended to parquet, result read back from the sink files.
+    Q("q53_foreachbatch_sink",
+      (s, d) => {
+        val out = s"$tmpRoot/q53_out"
+        val cp = s"$tmpRoot/cp/q53_sink"
+        org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(out).toFile)
+        org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(cp).toFile)
+        val q = eventsStream(s, d)
+          .select("event_id", "user_id", "event_type")
+          .writeStream
+          .option("checkpointLocation", cp)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(out)
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out)
+      },
+      Some("SELECT event_id, user_id, event_type FROM events"))
+  )
 }
