@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.IpUtil
+
+/** R3 projection helpers (`main.go:133-139` parity): rendering, parsing,
+  * CIDR membership — unit cases plus property round-trips.
+  */
+class IpUtilSpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def u(s: String): UTF8String = UTF8String.fromString(s)
+
+  test("bytesToIpString renders IPv4 dotted quad") {
+    assert(IpUtil.bytesToIpString(Array[Byte](10, 0, 0, 1)) == "10.0.0.1")
+    assert(IpUtil.bytesToIpString(Array[Byte](-1, -1, -1, -1)) == "255.255.255.255")
+  }
+
+  test("bytesToIpString renders IPv6 colon form") {
+    val b = new Array[Byte](16)
+    b(15) = 1
+    assert(IpUtil.bytesToIpString(b) == "0:0:0:0:0:0:0:1")
+  }
+
+  test("bytesToIpString rejects bad lengths and null") {
+    assert(IpUtil.bytesToIpString(null) == null)
+    assert(IpUtil.bytesToIpString(Array[Byte](1, 2, 3)) == null)
+  }
+
+  test("ipv4ToLong parses and rejects") {
+    assert(IpUtil.ipv4ToLong("10.0.0.1") == (10L << 24 | 1))
+    assert(IpUtil.ipv4ToLong("255.255.255.255") == 0xffffffffL)
+    assert(IpUtil.ipv4ToLong("256.0.0.1") == -1L)
+    assert(IpUtil.ipv4ToLong("1.2.3") == -1L)
+    assert(IpUtil.ipv4ToLong("1.2.3.4.5") == -1L)
+    assert(IpUtil.ipv4ToLong("a.b.c.d") == -1L)
+    assert(IpUtil.ipv4ToLong("") == -1L)
+    assert(IpUtil.ipv4ToLong(null) == -1L)
+  }
+
+  test("ipInCidr membership basics") {
+    assert(IpUtil.ipInCidr(u("10.1.2.3"), u("10.0.0.0/8")))
+    assert(!IpUtil.ipInCidr(u("11.1.2.3"), u("10.0.0.0/8")))
+    assert(IpUtil.ipInCidr(u("192.168.5.1"), u("192.168.0.0/16")))
+    assert(IpUtil.ipInCidr(u("1.2.3.4"), u("0.0.0.0/0")))
+    assert(IpUtil.ipInCidr(u("1.2.3.4"), u("1.2.3.4/32")))
+    assert(!IpUtil.ipInCidr(u("1.2.3.5"), u("1.2.3.4/32")))
+    assert(!IpUtil.ipInCidr(u("1.2.3.4"), u("bogus")))
+    assert(!IpUtil.ipInCidr(u("1.2.3.4"), u("1.2.3.4/33")))
+    assert(!IpUtil.ipInCidr(null, u("10.0.0.0/8")))
+  }
+
+  private val ipGen: Gen[Long] = Gen.chooseNum(0L, 0xffffffffL)
+
+  test("property: long -> bytes -> string -> long round-trips") {
+    check(Prop.forAll(ipGen) { v =>
+      val b = Array[Byte](
+        ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      IpUtil.ipv4ToLong(IpUtil.bytesToIpString(b)) == v
+    })
+  }
+
+  test("property: ipInCidr agrees with mask arithmetic") {
+    check(Prop.forAll(ipGen, ipGen, Gen.chooseNum(0, 32)) { (ip, base, len) =>
+      val mask = if (len == 0) 0L else (0xffffffffL << (32 - len)) & 0xffffffffL
+      val expected = (ip & mask) == (base & mask)
+      def s(v: Long) = s"${(v >> 24) & 0xff}.${(v >> 16) & 0xff}.${(v >> 8) & 0xff}.${v & 0xff}"
+      IpUtil.ipInCidr(u(s(ip)), u(s"${s(base)}/$len")) == expected
+    })
+  }
+}

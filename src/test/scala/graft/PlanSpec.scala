@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** §4.2 plan obligations: the declarative plans must actually produce the
+  * physical shapes the 100 TB posture relies on — pushdown, pruning,
+  * broadcast, partial aggregation, top-k, codegen.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def formatted(df: DataFrame): String = {
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("filter predicates push down to the parquet scan") {
+    val plan = formatted(Registry.queries("q08_filter_pred")(spark, sf))
+    assert(plan.contains("PushedFilters:"), plan)
+    assert(plan.contains("IsNotNull(o_orderstatus)") ||
+      plan.contains("EqualTo(o_orderstatus"), plan)
+  }
+
+  test("projection prunes the parquet read schema") {
+    val df = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val plan = formatted(df)
+    // ReadSchema carries only the two projected columns
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && read.contains("l_quantity"), read)
+    assert(!read.contains("l_extendedprice"), read)
+  }
+
+  test("small-dim joins broadcast (q13)") {
+    val plan = physical(Registry.queries("q13_join_broadcast")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("hash aggregation is partial+final (q20)") {
+    val plan = physical(Registry.queries("q20_agg_hash")(spark, sf))
+    assert(plan.contains("HashAggregate"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, "expected partial+final agg")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not global sort (q34)") {
+    val plan = physical(Registry.queries("q34_limit_topk")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("codegen CIDR predicate stays inside whole-stage codegen") {
+    val df = ops.FlowQueries.flows(spark, sf)
+      .filter(functions.IpFunctions.ip_in_cidr(col("src_addr"), lit("10.0.0.0/8")))
+    val plan = physical(df)
+    // the filter containing ip_in_cidr must carry the *(n) whole-stage-
+    // codegen marker, not run interpreted
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Filter ip_in_cidr") && l.contains("*(")), plan)
+  }
+
+  test("scalar queries run in a single codegen stage (no shuffle)") {
+    val df = Registry.queries("q07_project_cast")(spark, sf)
+    assert(!physical(df).contains("Exchange"), physical(df))
+  }
+
+  test("broadcast knn query does not shuffle the corpus side before top-k") {
+    val df = Registry.queries("x3_knn_brute")(spark, sf)
+    val plan = physical(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+  }
+}

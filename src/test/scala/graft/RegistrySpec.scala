@@ -1,0 +1,36 @@
+package graft
+
+/** t1 smoke (SURVEY §5.2): every registered capability runs end-to-end on
+  * sf0.001 and produces a sane result; registry invariants hold.
+  */
+class RegistrySpec extends SparkSpec {
+
+  test("registry names are unique and well-formed") {
+    val names = Registry.all.map(_.name)
+    assert(names.distinct.size == names.size)
+    assert(names.forall(_.matches("[a-z0-9_]+")))
+  }
+
+  test("every oracle has a matching query") {
+    assert(Registry.oracleSql.keySet.subsetOf(Registry.queries.keySet))
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  // Queries whose result can legitimately be empty at a given SF (threshold
+  // queries over small fixtures).
+  private val mayBeEmpty = Set("q15b_join_anti", "qf2_traffic_matrix",
+    "qf3_port_scan", "x2c_dedup_ngram", "x3b_cosine_pairs",
+    "q46_stream_tumbling", "q47_stream_sliding")
+
+  for (q <- Registry.all) {
+    test(s"smoke: ${q.name} runs at sf0.001") {
+      val df = q.fn(spark, sf)
+      assert(df.columns.nonEmpty)
+      val n = df.count()
+      if (!mayBeEmpty(q.name)) assert(n > 0, s"${q.name} returned 0 rows")
+    }
+  }
+}
