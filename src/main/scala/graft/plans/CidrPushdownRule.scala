@@ -1,0 +1,107 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{IpInCidr, IpUtil}
+
+/** Optimizer rule (SURVEY §4.2's single custom-rule candidate): rewrite
+  * `ip_in_cidr(addr, <literal cidr>)` into datasource-pushable predicates
+  * over the rendered dotted-quad string.
+  *
+  *   - octet-aligned prefixes (/8 /16 /24) become `StartsWith(addr, "p.")`
+  *     and /32 becomes `EqualTo` — both reach parquet as `PushedFilters`
+  *     (StringStartsWith / EqualTo), so row groups whose addr-column
+  *     min/max excludes the prefix are never read. /0 folds to
+  *     `IsNotNull` (the predicate's null-rejecting contract, not `true`).
+  *   - non-aligned prefix lengths become a pushed octet-aligned guard (the
+  *     enclosing /8·/16·/24 superset) AND an exact built-in-arithmetic
+  *     residual (split → cast → mask-compare) — pure codegen'd built-ins,
+  *     no custom expression left in the plan, and structurally incapable
+  *     of re-matching this rule (the optimizer batch runs to fixpoint).
+  *
+  * Domain contract: valid for addresses that are well-formed dotted quads
+  * or null — exactly what `normalize` (R3) produces. Malformed address
+  * strings (impossible from R3) would yield null instead of false under
+  * the rewrite; literal CIDRs that don't parse are left untouched.
+  */
+object CidrPushdown extends Rule[LogicalPlan] {
+
+  private def octets(base: Long, n: Int): String =
+    (0 until n).map(i => (base >> (24 - 8 * i)) & 0xff).mkString(".")
+
+  /** addr ("a.b.c.d") as a numeric value, in built-in expressions only. */
+  private def ipLongOf(addr: Expression): Expression = {
+    val parts = StringSplit(addr, Literal(UTF8String.fromString("\\."), StringType),
+      Literal(-1))
+    def oct(i: Int): Expression = Cast(GetArrayItem(parts, Literal(i)), LongType)
+    Add(Add(Add(
+      Multiply(oct(0), Literal(16777216L)),
+      Multiply(oct(1), Literal(65536L))),
+      Multiply(oct(2), Literal(256L))),
+      oct(3))
+  }
+
+  /** Pushable (possibly partial) rewrite of addr ∈ cidr; None = leave as-is. */
+  private def rewrite(addr: Expression, cidrStr: String): Option[Expression] = {
+    val slash = cidrStr.indexOf('/')
+    if (slash < 0) return None
+    val base = IpUtil.ipv4ToLong(cidrStr.substring(0, slash))
+    if (base < 0) return None
+    val len =
+      try cidrStr.substring(slash + 1).toInt
+      catch { case _: NumberFormatException => return None }
+    if (len < 0 || len > 32) return None
+    val mask = if (len == 0) 0L else (0xffffffffL << (32 - len)) & 0xffffffffL
+    val masked = base & mask
+    len match {
+      case 0 => Some(IsNotNull(addr))
+      case 32 => Some(EqualTo(addr, Literal(UTF8String.fromString(octets(masked, 4)),
+        org.apache.spark.sql.types.StringType)))
+      case l if l % 8 == 0 =>
+        val p = octets(masked, l / 8) + "."
+        Some(StartsWith(addr, Literal(UTF8String.fromString(p),
+          org.apache.spark.sql.types.StringType)))
+      case l =>
+        // pushed guard on the enclosing octet-aligned superset + exact
+        // built-in mask-compare residual
+        val residual = EqualTo(
+          BitwiseAnd(ipLongOf(addr), Literal(mask)), Literal(masked))
+        val alignedOctets = l / 8
+        if (alignedOctets == 0) Some(residual)
+        else {
+          val p = octets(masked, alignedOctets) + "."
+          Some(And(StartsWith(addr, Literal(UTF8String.fromString(p),
+            StringType)), residual))
+        }
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case e @ IpInCidr(addr, Literal(c: UTF8String, StringType)) if c != null =>
+      rewrite(addr, c.toString).getOrElse(e)
+  }
+}
+
+/** `SparkSessionExtensions` installer: optimizer rule + SQL function
+  * registration. Use with
+  * `SparkSession.builder.withExtensions(GraftExtensions.install)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = GraftExtensions.install(ext)
+}
+
+object GraftExtensions {
+  val install: SparkSessionExtensions => Unit = { ext =>
+    ext.injectOptimizerRule(_ => CidrPushdown)
+    ext.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("ip_in_cidr"),
+        new ExpressionInfo("graft.functions.IpInCidr", "ip_in_cidr"),
+        (exprs: Seq[Expression]) => IpInCidr(exprs.head, exprs(1))))
+  }
+}

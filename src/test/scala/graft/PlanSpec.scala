@@ -51,13 +51,47 @@ class PlanSpec extends SparkSpec {
   }
 
   test("codegen CIDR predicate stays inside whole-stage codegen") {
+    // non-literal cidr: CidrPushdown cannot apply, so the native expression
+    // itself runs — and must carry the *(n) whole-stage-codegen marker,
+    // not fall back to interpreted eval
     val df = ops.FlowQueries.flows(spark, sf)
-      .filter(functions.IpFunctions.ip_in_cidr(col("src_addr"), lit("10.0.0.0/8")))
+      .filter(functions.IpFunctions.ip_in_cidr(col("src_addr"),
+        concat(split(col("src_addr"), "\\.").getItem(0), lit(".0.0.0/8"))))
     val plan = physical(df)
-    // the filter containing ip_in_cidr must carry the *(n) whole-stage-
-    // codegen marker, not run interpreted
     assert(plan.linesIterator.exists(l =>
-      l.contains("Filter ip_in_cidr") && l.contains("*(")), plan)
+      l.contains("ip_in_cidr") && l.contains("Filter") && l.contains("*(")), plan)
+    // and an address is always inside its own /8
+    assert(df.count() == Tables.events(spark, sf).count())
+  }
+
+  test("CidrPushdown rewrites aligned literal CIDRs into pushed prefix filters") {
+    // materialize a flows parquet so there is a real scan to push into
+    val out = "/root/repo/target/graft-tmp/flows_pushdown"
+    ops.FlowQueries.flows(spark, sf).write.mode("overwrite").parquet(out)
+    val flows = spark.read.parquet(out)
+
+    val aligned = flows.filter(
+      functions.IpFunctions.ip_in_cidr(col("src_addr"), lit("10.64.0.0/16")))
+    val plan = formatted(aligned)
+    assert(plan.contains("StringStartsWith(src_addr,10.64.)"), plan)
+
+    // non-aligned: pushed octet guard + exact mask-compare residual built
+    // entirely from pushable/codegen built-ins
+    val ragged = flows.filter(
+      functions.IpFunctions.ip_in_cidr(col("src_addr"), lit("10.64.0.0/10")))
+    val rplan = formatted(ragged)
+    assert(rplan.contains("StringStartsWith(src_addr,10.)"), rplan)
+    assert(!rplan.contains("ip_in_cidr"), rplan) // fully rewritten to built-ins
+
+    // rewrites preserve semantics vs the raw expression via a UDF oracle
+    val rule = ops.FlowQueries.flows(spark, sf).filter(
+      functions.IpFunctions.ip_in_cidr(col("src_addr"), lit("10.64.0.0/10"))).count()
+    val direct = ops.FlowQueries.flows(spark, sf).filter(
+      udf((s: String, c: String) => functions.IpUtil.ipInCidr(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        org.apache.spark.unsafe.types.UTF8String.fromString(c)))
+        .apply(col("src_addr"), lit("10.64.0.0/10"))).count()
+    assert(rule == direct)
   }
 
   test("scalar queries run in a single codegen stage (no shuffle)") {
