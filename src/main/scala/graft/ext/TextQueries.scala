@@ -110,11 +110,15 @@ object TextQueries {
           transform(sequence(lit(1), size(w) - 2),
             i => md5(concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
           .otherwise(array(md5(col("text"))))
-        Tables.documents(s, d).select(
-          col("doc_id"),
-          md5(col("text")).as("doc_md5"),
-          array_min(sh).as("min_shingle_fp"),
-          array_max(sh).as("max_shingle_fp"))
+        // explode + agg rather than array_min/array_max over `sh`:
+        // CollapseProject would inline the shingle transform once per
+        // consumer, recomputing every md5 twice. Repartition fans the
+        // single-file fixture scan out to all cores for the md5 kernel.
+        Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), md5(col("text")).as("doc_md5"), explode(sh).as("fp"))
+          .groupBy("doc_id", "doc_md5")
+          .agg(min(col("fp")).as("min_shingle_fp"), max(col("fp")).as("max_shingle_fp"))
       },
       Some("""SELECT doc_id, md5(text) AS doc_md5,
         list_min(sh) AS min_shingle_fp, list_max(sh) AS max_shingle_fp FROM

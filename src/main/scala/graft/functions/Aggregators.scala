@@ -42,6 +42,28 @@ object Aggregators {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** Elementwise minimum over fixed-length long arrays — the MinHash
+    * signature combiner. One narrow agg column instead of k wide min()
+    * columns: the k-wide formulation makes whole-stage codegen emit a
+    * k-column aggregate whose Janino compilation dominates cold-start.
+    */
+  final class ElementwiseMinAgg(k: Int)
+      extends Aggregator[Array[Long], Array[Long], Array[Long]] {
+    override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
+    override def reduce(b: Array[Long], a: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < k) { if (a(i) < b(i)) b(i) = a(i); i += 1 }
+      b
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = reduce(x, y)
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
   val bit_or_agg = udaf(BitOrAgg)
   val weighted_avg = udaf(WeightedAvgAgg)
+  def elementwise_min(k: Int) = udaf(new ElementwiseMinAgg(k))
 }
