@@ -72,9 +72,20 @@ object CoreQueries {
       },
       Some("SELECT * FROM supplier")),
 
-    // Parquet sink + readback (Q5; R5-parity sink shape minus JDBC — no
-    // ClickHouse server exists in this environment, see streaming module for
-    // the foreachBatch sink).
+    // JDBC sink + readback (Q4; R5 parity `main.go:157-169`): identical
+    // writer code path as the production ClickHouse target, executed
+    // against embedded Derby (in the Spark distribution) since no
+    // ClickHouse server exists in this environment.
+    Q("q04_sink_jdbc",
+      (s, d) => {
+        val url = graft.sources.JdbcSink.derbyUrl(s"$tmpRoot/derby/q04")
+        val p = graft.sources.JdbcSink.props()
+        Tables.nation(s, d).write.mode("overwrite").jdbc(url, "nation_rt", p)
+        s.read.jdbc(url, "nation_rt", p)
+      },
+      Some("SELECT * FROM nation")),
+
+    // Parquet sink + readback (Q5; R5-parity sink shape for the lake path).
     Q("q05_sink_parquet",
       (s, d) => {
         val out = s"$tmpRoot/customer_roundtrip"
