@@ -173,6 +173,41 @@ object FlowQueries {
         WHERE proto = 6 AND (tcp_flags & 2) <> 0 AND (tcp_flags & 16) = 0
         GROUP BY src_addr HAVING count(*) >= 2""".stripMargin)),
 
+    // Skew-handled large×large join (100 TB posture): dst_port has 3 hot
+    // keys carrying ~all rows — a plain shuffle join puts each hot key on
+    // one reducer. Salting fans each hot key over 16 reducers: the left
+    // side gets a deterministic salt, the right side replicates per salt,
+    // the join key becomes (port, salt). Result is provably identical to
+    // the unsalted join — which is exactly what the oracle checks.
+    Q("qf6_salted_join",
+      (s, d) => {
+        val salts = 16
+        val f = flows(s, d).filter(col("proto") === 1) // bounded pair count
+        val left = f.select(col("dst_port"), col("bytes"),
+          pmod(col("sequence_num") * 2654435761L, lit(salts.toLong)).as("salt"))
+        val right = f.select(col("dst_port").as("r_port"), col("packets"))
+          .withColumn("salt", explode(sequence(lit(0L), lit(salts - 1L))))
+        left.join(right, col("dst_port") === col("r_port") && left("salt") === right("salt"))
+          .groupBy("dst_port")
+          .agg(count(lit(1)).as("n_pairs"), sum(col("bytes") + col("packets")).as("chk"))
+      },
+      Some(s"""$FlowsCte SELECT a.dst_port, count(*) AS n_pairs,
+        CAST(SUM(a.bytes + b.packets) AS BIGINT) AS chk
+        FROM flows a JOIN flows b ON a.dst_port = b.dst_port
+        WHERE a.proto = 1 AND b.proto = 1
+        GROUP BY a.dst_port""".stripMargin)),
+
+    // Q27b: percentile_approx under its declared tolerance vs the exact
+    // percentile (the Q23 self-tolerance pattern: the contract IS the
+    // bound, so the oracle row is engine-independent).
+    Q("q27b_approx_percentile",
+      (s, d) => flows(s, d).groupBy("proto").agg(
+        (abs(expr("approx_percentile(bytes, 0.5, 1000)") -
+          expr("percentile(bytes, 0.5)")).cast(DoubleType) /
+          expr("percentile(bytes, 0.5)").cast(DoubleType) <= 0.05)
+          .as("p50_within_5pct")),
+      Some(s"$FlowsCte SELECT proto, true AS p50_within_5pct FROM flows GROUP BY proto")),
+
     // Flow direction × protocol rollup with sampling-rate scale-up.
     Q("qf5_direction_rollup",
       (s, d) => flows(s, d)
