@@ -104,4 +104,33 @@ class PlanSpec extends SparkSpec {
     val plan = physical(df)
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("bucketed tables join without a shuffle (co-located join)") {
+    // the pre-partitioning strategy for repeated fact-fact joins at scale:
+    // bucket both sides on the join key at write time, and the join plans
+    // with zero Exchange on either side
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.orders(spark, sf).write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("orders_bkt")
+      Tables.lineitem(spark, sf).write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("lineitem_bkt")
+      val joined = spark.table("lineitem_bkt")
+        .join(spark.table("orders_bkt"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(sum("l_quantity").as("q"))
+      val plan = physical(joined)
+      val joinSubtree = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(!joinSubtree.contains("Exchange hashpartitioning"), plan)
+      assert(joined.count() > 0)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("ip_in_cidr is callable from SQL via injected function") {
+    val r = spark.sql(
+      "SELECT ip_in_cidr('10.1.2.3', '10.0.0.0/8') AS a, ip_in_cidr('11.1.2.3', '10.0.0.0/8') AS b")
+      .head()
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+  }
 }
