@@ -208,6 +208,23 @@ object FlowQueries {
           .as("p50_within_5pct")),
       Some(s"$FlowsCte SELECT proto, true AS p50_within_5pct FROM flows GROUP BY proto")),
 
+    // uint64 full-domain parity (SURVEY §1.3 caveat): ClickHouse UInt64
+    // counters can exceed Long.MaxValue; DECIMAL(20,0) is the lossless
+    // Spark carrier. Demonstrated by scaling bytes beyond the Long domain
+    // (value × 2^33 ≈ up to 2^79... kept within DECIMAL(20,0) ≈ 1e20) and
+    // aggregating in exact decimal arithmetic.
+    Q("qf7_uint64_decimal",
+      (s, d) => flows(s, d)
+        .select(col("proto"),
+          (col("bytes").cast(DecimalType(20, 0)) * lit(8589934592L)).as("big"))
+        .groupBy("proto")
+        .agg(sum(col("big")).cast(DecimalType(38, 0)).as("sum_big"),
+          max(col("big")).cast(DecimalType(20, 0)).as("max_big")),
+      Some(s"""$FlowsCte SELECT proto,
+        CAST(SUM(CAST(bytes AS DECIMAL(20,0)) * 8589934592) AS DECIMAL(38,0)) AS sum_big,
+        CAST(MAX(CAST(bytes AS DECIMAL(20,0)) * 8589934592) AS DECIMAL(20,0)) AS max_big
+        FROM flows GROUP BY proto""".stripMargin)),
+
     // Flow direction × protocol rollup with sampling-rate scale-up.
     Q("qf5_direction_rollup",
       (s, d) => flows(s, d)

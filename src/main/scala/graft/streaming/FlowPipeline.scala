@@ -109,12 +109,18 @@ object FlowPipeline {
     val rowsIn = new LongAdder
     val batches = new LongAdder
     @volatile var lastRowsPerSecond: Double = 0.0
+    /** Largest single micro-batch seen — the R4 batch-size invariant
+      * (`flowsBatch ≤ BatchSize`, `main.go:119-152`) is checkable as
+      * `maxBatchRows ≤ admission cap`.
+      */
+    @volatile var maxBatchRows: Long = 0L
 
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
       rowsIn.add(e.progress.numInputRows)
       batches.increment()
       lastRowsPerSecond = e.progress.inputRowsPerSecond
+      if (e.progress.numInputRows > maxBatchRows) maxBatchRows = e.progress.numInputRows
     }
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
   }

@@ -111,6 +111,11 @@ class PlanSpec extends SparkSpec {
     // with zero Exchange on either side
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
+      Seq("orders_bkt", "lineitem_bkt").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"/root/repo/target/graft-tmp/warehouse/$t"))
+      }
       Tables.orders(spark, sf).write.mode("overwrite")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable("orders_bkt")

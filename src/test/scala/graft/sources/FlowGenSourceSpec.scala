@@ -41,8 +41,11 @@ class FlowGenSourceSpec extends SparkSpec {
       val deadline = System.nanoTime() + 10_000_000_000L
       while (listener.rowsIn.sum() < 1000 && System.nanoTime() < deadline)
         Thread.sleep(50)
-      // 1000 rows / 100-row cap ⇒ at least 10 data batches (R4 count cap)
+      // 1000 rows / 100-row cap ⇒ at least 10 data batches, and no batch
+      // exceeds the admission cap (the R4 batch-size invariant:
+      // ∀ batches: rows ≤ BatchSize; every row lands in exactly one batch)
       assert(listener.batches.sum() >= 10, s"batches=${listener.batches.sum()}")
+      assert(listener.maxBatchRows <= 100, s"maxBatchRows=${listener.maxBatchRows}")
     } finally spark.streams.removeListener(listener)
   }
 
