@@ -118,6 +118,19 @@ object FlowQueries {
         .groupBy("bucket").agg(count(lit(1)).as("n")),
       Some(s"$FlowsCte SELECT bucket, count(*) AS n FROM (SELECT sequence_num, unnest(generate_series(0, packets % 4)) AS bucket FROM flows) GROUP BY bucket")),
 
+    // goflow2's alternative transport is NDJSON flow records; round-trip
+    // the flows table through JSON lines with an explicit read schema
+    // (Q3 on the flows shape) — the written files ARE the transport format.
+    Q("q03b_flows_ndjson",
+      (s, d) => {
+        val out = "/root/repo/target/graft-tmp/flows_ndjson"
+        val f = flows(s, d).select("sequence_num", "src_addr", "dst_addr",
+          "bytes", "packets", "proto", "dst_port")
+        f.write.mode("overwrite").json(out)
+        s.read.schema(f.schema).json(out)
+      },
+      Some(s"$FlowsCte SELECT sequence_num, src_addr, dst_addr, bytes, packets, proto, dst_port FROM flows")),
+
     // Top talkers — the flows deployment's signature query (SURVEY §3.2):
     // sampling-rate scale-up + hash agg + top-k, exactly the shape the
     // reference's ClickHouse deployment exists to serve.

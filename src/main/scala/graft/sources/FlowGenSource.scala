@@ -35,7 +35,9 @@ import graft.FlowSchema
   * failure regenerates identical rows, so the source is exactly-replayable
   * (stronger than the reference's at-most-once UDP).
   */
-class FlowGenSource extends TableProvider {
+class FlowGenSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "flowgen"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     FlowSchema.rawSchema
   override def getTable(schema: StructType, partitioning: Array[Transform],

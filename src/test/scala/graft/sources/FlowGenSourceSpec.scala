@@ -17,7 +17,7 @@ class FlowGenSourceSpec extends SparkSpec {
   private val tmp = "/root/repo/target/graft-tmp/flowgen-spec"
 
   private def readGen(total: Long, perBatch: Long) =
-    spark.readStream.format("graft.sources.FlowGenSource")
+    spark.readStream.format("flowgen") // short name via DataSourceRegister
       .option("totalRows", total).option("maxRowsPerBatch", perBatch)
       .load()
 
