@@ -21,8 +21,10 @@ final case class Q(
     headline: Boolean = false)
 
 object Registry {
-  /** All registered capabilities, in SURVEY §2 order. */
-  def all: Seq[Q] =
+  /** All registered capabilities, in SURVEY §2 order (pure + deterministic
+    * ⇒ built once).
+    */
+  lazy val all: Seq[Q] =
     ops.CoreQueries.defs ++
       ops.ScalarFnQueries.defs ++
       ops.FlowQueries.defs ++
@@ -32,11 +34,11 @@ object Registry {
       ext.TextQueries.defs ++
       ext.MultimodalQueries.defs
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
 
-  def oracleSql: Map[String, String] =
+  lazy val oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 
-  def headlines: Seq[Q] = all.filter(_.headline)
+  lazy val headlines: Seq[Q] = all.filter(_.headline)
 }

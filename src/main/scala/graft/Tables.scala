@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Fixture table access (TESTDATA.md): one parquet file per table under the
@@ -29,6 +29,15 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  /** ns → µs floor conversion of a long column named `ts`. Bare `ts div
+    * 1000` truncates toward zero (wrong for pre-1970 negative nanos);
+    * subtracting the positive modulus first makes the integral division a
+    * true floor. `/` would detour through double (loses exactness at ns
+    * magnitudes), hence SQL `div`.
+    */
+  def tsNanosToMicros: Column =
+    expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)")
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
     * ([PARQUET_TYPE_ILLEGAL]); read nanos as long and floor-convert to a
     * microsecond TimestampType — identical to how DuckDB/pyarrow surface
@@ -37,7 +46,7 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", tsNanosToMicros)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

@@ -111,8 +111,7 @@ object DedupQueries {
 
   /** 64-bit SimHash from shingle hashes: per bit, sign of Σ±1 votes. */
   private def simhash(s: SparkSession, d: String): DataFrame = {
-    val exploded = docShingles(s, d).select(col("doc_id"), xxhash64(col("sh")(0)).as("_seed"),
-      explode(col("sh")).as("s"))
+    val exploded = docShingles(s, d).select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
     // vote_i = +1 if bit i of h set else -1; aggregate votes, then pack sign bits
     val votes = (0 until 64).map(i =>
@@ -162,9 +161,11 @@ object DedupQueries {
     // LSH *recall* end-to-end, not just the verifier.
     Q("x2_dedup_minhash",
       (s, d) => verifyPairs(lshCandidates(minhashSigs(s, d)), docShingles(s, d), 0.8),
-      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') w FROM documents),
-        sets AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(w)-2,1)),
-          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) sh FROM t)
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') w, text FROM documents),
+        sets AS (SELECT doc_id, CASE WHEN len(w) >= 3
+          THEN list_distinct(list_transform(generate_series(1, len(w)-2),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+          ELSE [text] END sh FROM t)
         SELECT x.doc_id AS a, y.doc_id AS b,
           len(list_intersect(x.sh, y.sh))::DOUBLE /
             (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS j

@@ -39,12 +39,22 @@ object StreamQueries {
     val staged = dir.resolve("events.parquet")
     if (!java.nio.file.Files.exists(staged)) {
       java.nio.file.Files.createDirectories(dir)
-      java.nio.file.Files.copy(src, staged)
+      // copy to a temp name + atomic move: a killed run must not leave a
+      // truncated file that exists() would treat as valid forever after
+      val tmp = dir.resolve(s"events.parquet.tmp-${ProcessHandle.current().pid()}")
+      java.nio.file.Files.copy(src, tmp,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      try java.nio.file.Files.move(tmp, staged,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { // lost a benign race with a concurrent stager
+        case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.deleteIfExists(tmp)
+      }
     }
     val path = staged.toString
     val raw = s.read.parquet(path).schema // driver-side footer read only
     s.readStream.schema(raw).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", Tables.tsNanosToMicros)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
@@ -82,7 +92,7 @@ object StreamQueries {
         "q46_sink", "complete")
         .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("cents"))
         .filter(col("n") >= 2),
-      Some("""SELECT CAST(to_timestamp((epoch_us(ts) // 1000000) // 60 * 60) AS TIMESTAMP) AS w_start, event_type,
+      Some("""SELECT make_timestamp(((epoch_us(ts) // 1000000) // 60 * 60) * 1000000) AS w_start, event_type,
         count(*) AS n, CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
         FROM events GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin)),
 
@@ -97,7 +107,7 @@ object StreamQueries {
         .select(col("window.start").as("w_start"), col("n"))
         .filter(col("n") >= 5),
       Some("""SELECT w_start, count(*) AS n FROM (
-        SELECT CAST(to_timestamp((epoch_us(ts) // 1000000) // 120 * 120 - k.o) AS TIMESTAMP) AS w_start
+        SELECT make_timestamp(((epoch_us(ts) // 1000000) // 120 * 120 - k.o) * 1000000) AS w_start
         FROM events CROSS JOIN (SELECT unnest(generate_series(0, 480, 120)) AS o) k
         WHERE (epoch_us(ts) // 1000000) // 120 * 120 - k.o + 600 > epoch_us(ts) // 1000000)
         GROUP BY 1 HAVING count(*) >= 5""".stripMargin)),
@@ -130,7 +140,7 @@ object StreamQueries {
           .agg(count(lit(1)).as("n")),
         "q49_sink", "append")
         .select(col("window.start").as("w_start"), col("n")),
-      Some("""SELECT CAST(to_timestamp(w_start_s) AS TIMESTAMP) AS w_start, n FROM (
+      Some("""SELECT make_timestamp(w_start_s * 1000000) AS w_start, n FROM (
           SELECT (epoch_us(ts) // 1000000) // 3600 * 3600 AS w_start_s, count(*) AS n
           FROM events GROUP BY 1)
         WHERE (w_start_s + 3600) * 1000000 <= (SELECT max(epoch_us(ts)) FROM events) - 1800000000""".stripMargin)),

@@ -16,34 +16,50 @@ import graft.functions.{IpInCidr, IpUtil}
   *   - octet-aligned prefixes (/8 /16 /24) become `StartsWith(addr, "p.")`
   *     and /32 becomes `EqualTo` — both reach parquet as `PushedFilters`
   *     (StringStartsWith / EqualTo), so row groups whose addr-column
-  *     min/max excludes the prefix are never read. /0 folds to
-  *     `IsNotNull` (the predicate's null-rejecting contract, not `true`).
+  *     min/max excludes the prefix are never read;
   *   - non-aligned prefix lengths become a pushed octet-aligned guard (the
   *     enclosing /8·/16·/24 superset) AND an exact built-in-arithmetic
-  *     residual (split → cast → mask-compare) — pure codegen'd built-ins,
-  *     no custom expression left in the plan, and structurally incapable
-  *     of re-matching this rule (the optimizer batch runs to fixpoint).
+  *     residual (split → size-guard → TRY-cast → mask-compare) — pure
+  *     codegen'd built-ins, ANSI-safe on any string (IPv6 / malformed
+  *     inputs fall to false, never throw), and structurally incapable of
+  *     re-matching this rule (the optimizer batch runs to fixpoint);
+  *   - /0 is left unrewritten: `ip_in_cidr` is false for non-IPv4-parseable
+  *     addresses even under /0, which no pushable predicate expresses.
   *
-  * Domain contract: valid for addresses that are well-formed dotted quads
-  * or null — exactly what `normalize` (R3) produces. Malformed address
-  * strings (impossible from R3) would yield null instead of false under
-  * the rewrite; literal CIDRs that don't parse are left untouched.
+  * Domain note: the residual agrees with `ip_in_cidr` on well-formed
+  * dotted quads, null, IPv6 colon forms, and wrong-arity strings; the one
+  * divergence is a dotted quad with an out-of-range octet ("300.1.2.3" —
+  * impossible from the R3 renderer), which the arithmetic may accept where
+  * the strict parser rejects. Literal CIDRs that don't parse are left
+  * untouched.
   */
 object CidrPushdown extends Rule[LogicalPlan] {
 
   private def octets(base: Long, n: Int): String =
     (0 until n).map(i => (base >> (24 - 8 * i)) & 0xff).mkString(".")
 
-  /** addr ("a.b.c.d") as a numeric value, in built-in expressions only. */
-  private def ipLongOf(addr: Expression): Expression = {
+  /** Exact ANSI-safe residual: addr masked to `len` bits equals `masked`.
+    * Size guard short-circuits non-quad strings to false before any
+    * GetArrayItem runs; TRY-mode casts turn non-numeric octets into null
+    * (→ Coalesce false) instead of ANSI runtime errors. Null addr stays
+    * null, matching the original expression's null propagation.
+    */
+  private def maskCompare(addr: Expression, mask: Long, masked: Long): Expression = {
     val parts = StringSplit(addr, Literal(UTF8String.fromString("\\."), StringType),
       Literal(-1))
-    def oct(i: Int): Expression = Cast(GetArrayItem(parts, Literal(i)), LongType)
-    Add(Add(Add(
+    def oct(i: Int): Expression =
+      Cast(GetArrayItem(parts, Literal(i)), LongType, None, EvalMode.TRY)
+    val ipLong = Add(Add(Add(
       Multiply(oct(0), Literal(16777216L)),
       Multiply(oct(1), Literal(65536L))),
       Multiply(oct(2), Literal(256L))),
       oct(3))
+    val compare = And(
+      EqualTo(Size(parts), Literal(4)),
+      EqualTo(BitwiseAnd(ipLong, Literal(mask)), Literal(masked)))
+    If(IsNull(addr),
+      Literal(null, org.apache.spark.sql.types.BooleanType),
+      Coalesce(Seq(compare, Literal(false))))
   }
 
   /** Pushable (possibly partial) rewrite of addr ∈ cidr; None = leave as-is. */
@@ -59,18 +75,16 @@ object CidrPushdown extends Rule[LogicalPlan] {
     val mask = if (len == 0) 0L else (0xffffffffL << (32 - len)) & 0xffffffffL
     val masked = base & mask
     len match {
-      case 0 => Some(IsNotNull(addr))
+      case 0 => None // /0 still rejects non-IPv4 strings; nothing pushable
       case 32 => Some(EqualTo(addr, Literal(UTF8String.fromString(octets(masked, 4)),
-        org.apache.spark.sql.types.StringType)))
+        StringType)))
       case l if l % 8 == 0 =>
         val p = octets(masked, l / 8) + "."
-        Some(StartsWith(addr, Literal(UTF8String.fromString(p),
-          org.apache.spark.sql.types.StringType)))
+        Some(StartsWith(addr, Literal(UTF8String.fromString(p), StringType)))
       case l =>
         // pushed guard on the enclosing octet-aligned superset + exact
-        // built-in mask-compare residual
-        val residual = EqualTo(
-          BitwiseAnd(ipLongOf(addr), Literal(mask)), Literal(masked))
+        // ANSI-safe mask-compare residual
+        val residual = maskCompare(addr, mask, masked)
         val alignedOctets = l / 8
         if (alignedOctets == 0) Some(residual)
         else {

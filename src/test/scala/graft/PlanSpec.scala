@@ -83,6 +83,23 @@ class PlanSpec extends SparkSpec {
     assert(rplan.contains("StringStartsWith(src_addr,10.)"), rplan)
     assert(!rplan.contains("ip_in_cidr"), rplan) // fully rewritten to built-ins
 
+    // the rewrite must agree with ip_in_cidr on non-IPv4 strings too:
+    // IPv6 colon forms and wrong-arity strings are false (never an ANSI
+    // runtime error), nulls stay null, and /0 — which still rejects
+    // non-IPv4 addresses — is not rewritten at all
+    val weird = spark.createDataFrame(Seq(
+      Tuple1("10.64.1.2"), Tuple1("11.0.0.1"), Tuple1("0:0:0:0:0:0:0:1"),
+      Tuple1("10.64"), Tuple1(null.asInstanceOf[String])))
+      .toDF("src_addr")
+    val got = weird.select(
+      functions.IpFunctions.ip_in_cidr(col("src_addr"), lit("10.64.0.0/10")).as("in10"),
+      functions.IpFunctions.ip_in_cidr(col("src_addr"), lit("0.0.0.0/0")).as("in0"))
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1))))
+    assert(got.toSeq == Seq(
+      (Some(true), Some(true)), (Some(false), Some(true)),
+      (Some(false), Some(false)), (Some(false), Some(false)),
+      (None, None)))
+
     // rewrites preserve semantics vs the raw expression via a UDF oracle
     val rule = ops.FlowQueries.flows(spark, sf).filter(
       functions.IpFunctions.ip_in_cidr(col("src_addr"), lit("10.64.0.0/10"))).count()

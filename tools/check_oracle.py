@@ -26,7 +26,12 @@ def canon_val(v):
             return "NaN"
         return repr(v)
     if isinstance(v, decimal.Decimal):
-        return repr(float(v))
+        # exact decimal canon (collapsing to float would hide sub-ulp
+        # differences in the uint64/DECIMAL parity queries)
+        s = format(v, 'f')
+        if '.' in s:
+            s = s.rstrip('0').rstrip('.')
+        return s if s not in ('', '-') else '0'
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
@@ -46,6 +51,7 @@ def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
