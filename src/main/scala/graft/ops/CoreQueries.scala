@@ -239,6 +239,34 @@ object CoreQueries {
       },
       Some("""SELECT err_id, asof_purchase_id FROM (SELECT e.event_id AS err_id, p.event_id AS asof_purchase_id, row_number() OVER (PARTITION BY e.event_id ORDER BY p.ts DESC, p.event_id DESC) AS rn FROM events e JOIN events p ON p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts <= e.ts WHERE e.event_type = 'error') WHERE rn = 1""")),
 
+    // Q18b: interval-overlap join (flow overlaps maintenance window,
+    // SURVEY Q18): events inside inline time windows; small side broadcast
+    // so the fact side streams once through a BNLJ.
+    Q("q18b_interval_overlap",
+      (s, d) => {
+        val windows = s.createDataFrame(Seq(
+          ("w1", "2024-01-05 00:00:00", "2024-01-07 00:00:00"),
+          ("w2", "2024-01-15 12:00:00", "2024-01-16 00:00:00"),
+          ("w3", "2024-01-25 06:00:00", "2024-01-26 18:00:00")))
+          .toDF("w_name", "w_from", "w_to")
+          .select(col("w_name"), col("w_from").cast(TimestampType).as("w_from"),
+            col("w_to").cast(TimestampType).as("w_to"))
+        Tables.events(s, d)
+          .join(broadcast(windows),
+            col("ts") >= col("w_from") && col("ts") < col("w_to"))
+          .groupBy("w_name")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"))
+      },
+      Some("""SELECT w_name, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+        FROM events JOIN (VALUES
+          ('w1', TIMESTAMP '2024-01-05 00:00:00', TIMESTAMP '2024-01-07 00:00:00'),
+          ('w2', TIMESTAMP '2024-01-15 12:00:00', TIMESTAMP '2024-01-16 00:00:00'),
+          ('w3', TIMESTAMP '2024-01-25 06:00:00', TIMESTAMP '2024-01-26 18:00:00'))
+          AS w(w_name, w_from, w_to)
+        ON ts >= w_from AND ts < w_to
+        GROUP BY w_name""".stripMargin)),
+
     // Q19: self-join — ordered order pairs per customer.
     Q("q19_join_self",
       (s, d) => {
@@ -323,12 +351,19 @@ object CoreQueries {
         .agg(count(lit(1)).as("n")),
       Some("SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)")),
 
-    // Q25: collect_set, sorted for determinism, rendered as a string.
+    // Q25: collect_list + collect_set, both sorted for determinism.
     Q("q25_collect_list",
       (s, d) => Tables.lineitem(s, d).groupBy("l_returnflag").agg(
         concat_ws(",", sort_array(collect_set(col("l_linestatus")))).as("statuses"),
-        sort_array(collect_set(col("l_linestatus"))).as("status_arr")),
-      Some("SELECT l_returnflag, array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses, list_sort(list_distinct(list(l_linestatus))) AS status_arr FROM lineitem GROUP BY l_returnflag")),
+        sort_array(collect_set(col("l_linestatus"))).as("status_arr"),
+        sort_array(collect_list(col("l_linenumber"))).as("lines_multiset"),
+        size(collect_list(col("l_linenumber"))).as("n_collected")),
+      Some("""SELECT l_returnflag,
+        array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses,
+        list_sort(list_distinct(list(l_linestatus))) AS status_arr,
+        list_sort(list(l_linenumber)) AS lines_multiset,
+        CAST(len(list(l_linenumber)) AS INTEGER) AS n_collected
+        FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
     // Q26: conditional aggregation (sum/count over CASE).
     Q("q26_agg_conditional",
