@@ -496,6 +496,27 @@ object CoreQueries {
         .select("o_orderkey", "o_orderstatus", "o_totalprice"),
       Some("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders ORDER BY o_orderstatus ASC, o_totalprice DESC NULLS LAST, o_orderkey ASC")),
 
+    // Q33b: null ordering with real nulls (o_orderstatus='O' → null price),
+    // nulls-last under DESC on both engines; driver hashing is order-
+    // insensitive so the null placement is exercised via the rank column.
+    Q("q33b_sort_nulls",
+      (s, d) => {
+        val priced = Tables.orders(s, d)
+          .select(col("o_orderkey"),
+            when(col("o_orderstatus") === "O", lit(null).cast(DoubleType))
+              .otherwise(col("o_totalprice")).as("maybe_price"))
+        import org.apache.spark.sql.expressions.Window
+        priced.select(col("o_orderkey"), col("maybe_price"),
+          row_number().over(Window.orderBy(
+            col("maybe_price").desc_nulls_last, col("o_orderkey"))).as("rk"))
+          .filter(col("rk") <= 20 || col("maybe_price").isNull)
+      },
+      Some("""SELECT o_orderkey, maybe_price, CAST(rk AS INTEGER) AS rk FROM (
+        SELECT o_orderkey, maybe_price,
+          row_number() OVER (ORDER BY maybe_price DESC NULLS LAST, o_orderkey) AS rk
+        FROM (SELECT o_orderkey, CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice END AS maybe_price FROM orders))
+        WHERE rk <= 20 OR maybe_price IS NULL""".stripMargin)),
+
     // Q34: top-k (TakeOrderedAndProject — no global sort of the full table)
     // with unique tiebreak for a total order.
     Q("q34_limit_topk",

@@ -149,6 +149,26 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("partitioned writes prune partitions at the scan") {
+    val out = "/root/repo/target/graft-tmp/flows_part"
+    ops.FlowQueries.flows(spark, sf).write.mode("overwrite")
+      .partitionBy("proto").parquet(out)
+    val df = spark.read.parquet(out).filter(col("proto") === 6)
+      .select("sequence_num", "bytes")
+    val plan = formatted(df)
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("proto"), plan)
+    // only the proto=6 partition directory is scanned
+    val expected = ops.FlowQueries.flows(spark, sf).filter(col("proto") === 6).count()
+    assert(df.count() == expected)
+  }
+
+  test("joins run under adaptive query execution") {
+    val df = Registry.queries("q12_join_inner")(spark, sf)
+    assert(physical(df).contains("AdaptiveSparkPlan"),
+      physical(df).linesIterator.take(3).mkString("\n"))
+  }
+
   test("ip_in_cidr is callable from SQL via injected function") {
     val r = spark.sql(
       "SELECT ip_in_cidr('10.1.2.3', '10.0.0.0/8') AS a, ip_in_cidr('11.1.2.3', '10.0.0.0/8') AS b")
