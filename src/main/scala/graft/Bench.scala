@@ -51,7 +51,27 @@ object Bench {
       .mkString("{", ",", "}")
     val ok = results.filter(_._2 >= 0)
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total_all_queries","value":$total,"unit":"sec","n_queries":${ok.size},"queries":$qs,"sf":"$sfDir"}""")
+
+    // Ingest-path throughput (the reference's core function; its defaults
+    // imply a ≥1 000 flows/s design target, SURVEY §6): custom source →
+    // R3 normalize → sink, end to end.
+    val ingestRows = 2000000L
+    val cp = "/root/repo/target/graft-tmp/bench-ingest-cp"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cp))
+    val t0 = System.nanoTime()
+    val q = streaming.FlowPipeline.normalize(
+      spark.readStream.format("flowgen")
+        .option("totalRows", ingestRows)
+        .option("maxRowsPerBatch", 500000)
+        .option("numPartitions", cpus.toInt).load())
+      .writeStream.format("noop")
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val ingestSec = (System.nanoTime() - t0) / 1e9
+    val ingest = s"""{"rows":$ingestRows,"sec":$ingestSec,"rows_per_sec":${ingestRows / ingestSec}}"""
+
+    println(s"""{"metric":"total_all_queries","value":$total,"unit":"sec","n_queries":${ok.size},"ingest":$ingest,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -129,12 +129,16 @@ object SimilarityQueries {
             qcos(col("q_emb"), col("c_emb")).as("cos"))
         val wk = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
         val ivfTop = cand.withColumn("rank", row_number().over(wk)).filter(col("rank") <= 10)
-          .select(col("q_id"), col("c_id")).cache()
+          .select(col("q_id"), col("c_id"))
         val exactAll = bruteKnn(s, d, 8, 10).select(col("q_id"), col("c_id"))
-        val recall = ivfTop.join(exactAll, Seq("q_id", "c_id"), "left_semi")
-          .count().toDouble / 80.0
+        // fully lazy: recall computed in-plan (no driver-side action at
+        // query-build time)
+        val hits = ivfTop.join(exactAll, Seq("q_id", "c_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
         ivfTop.agg(count(lit(1)).as("n_results"))
-          .select(col("n_results"), lit(recall >= 0.15).as("recall_floor_ok"),
+          .crossJoin(hits)
+          .select(col("n_results"),
+            (col("n_hits").cast(DoubleType) / 80.0 >= 0.15).as("recall_floor_ok"),
             lit(3).as("nprobe"), lit(10).as("centroids"))
       },
       Some("SELECT 80 AS n_results, true AS recall_floor_ok, 3 AS nprobe, 10 AS centroids")),

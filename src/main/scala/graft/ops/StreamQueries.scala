@@ -183,6 +183,43 @@ object StreamQueries {
         CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents,
         max(event_id) AS max_event_id FROM events GROUP BY user_id""".stripMargin)),
 
+    // Q51b: the same stateful shape on Spark 4's transformWithState API
+    // (named ValueState on the RocksDB state store provider) over the
+    // synthesized flows stream; oracle = the equivalent batch filter+count.
+    Q("q51b_transform_with_state",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          // flows synthesis over the streamed events (same arithmetic as
+          // FlowQueries.flows, restricted to the two columns needed)
+          val eid = col("event_id")
+          val typed = eventsStream(s, d)
+            .select(
+              concat(lit("10."), pmod(col("user_id") * 7919L, lit(200L)).cast(StringType))
+                .as("src"),
+              pmod(eid * 5L, lit(64L)).cast(IntegerType).as("tcp_flags"))
+            .as[(String, Int)]
+          val tracked = typed.groupByKey(_._1)
+            .transformWithState(graft.streaming.SynTrackerProcessor,
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              org.apache.spark.sql.streaming.OutputMode.Update())
+            .toDF("src", "syn_only")
+          drain(tracked, "q51b_sink", "update")
+        } finally {
+          prev match {
+            case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+            case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+          }
+        }
+      },
+      Some("""SELECT '10.' || CAST((user_id * 7919) % 200 AS VARCHAR) AS src,
+        CAST(SUM(CASE WHEN ((event_id * 5) % 64 & 2) <> 0 AND ((event_id * 5) % 64 & 16) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS syn_only
+        FROM events GROUP BY 1""".stripMargin)),
+
     // Q52: stream–static join — the stream enriched against a static dim
     // (broadcast; the proto→name lookup shape).
     Q("q52_stream_static_join",

@@ -5,7 +5,7 @@ import java.nio.file.Paths
 import org.apache.commons.io.FileUtils
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
 
 import graft.SparkSpec
 
@@ -14,23 +14,6 @@ import graft.SparkSpec
   * `main.go:71`; SYN=0x02, ACK=0x10) with explicit ValueState, running on
   * the RocksDB state store provider.
   */
-object SynTracker extends StatefulProcessor[String, (String, Int), (String, Long)] {
-  @transient private var synCount: ValueState[Long] = _
-
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    synCount = getHandle.getValueState[Long]("synCount", Encoders.scalaLong, TTLConfig.NONE)
-
-  override def handleInputRows(key: String, rows: Iterator[(String, Int)],
-      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(String, Long)] = {
-    var c = if (synCount.exists()) synCount.get() else 0L
-    rows.foreach { case (_, flags) =>
-      if ((flags & 2) != 0 && (flags & 16) == 0) c += 1
-    }
-    synCount.update(c)
-    Iterator.single((key, c))
-  }
-}
-
 class TransformWithStateSpec extends SparkSpec {
 
   test("transformWithState tracks SYN-without-ACK per source across batches") {
@@ -44,7 +27,7 @@ class TransformWithStateSpec extends SparkSpec {
       val input = MemoryStream[(String, Int)]
       val tracked = input.toDS()
         .groupByKey(_._1)
-        .transformWithState(SynTracker, TimeMode.None(), OutputMode.Update())
+        .transformWithState(SynTrackerProcessor, TimeMode.None(), OutputMode.Update())
         .toDF("src", "syn_only")
       val q = tracked.writeStream.format("memory").queryName("tws_sink")
         .outputMode("update").option("checkpointLocation", cp).start()
