@@ -15,6 +15,14 @@ class RegistrySpec extends SparkSpec {
     assert(Registry.oracleSql.keySet.subsetOf(Registry.queries.keySet))
   }
 
+  test("every SURVEY §2.2 operator row Q1–Q56 is covered") {
+    val covered = Registry.all.map(_.name)
+      .flatMap(n => "^q(\\d+)".r.findFirstMatchIn(n).map(_.group(1).toInt))
+      .toSet
+    val missing = (1 to 56).filterNot(covered)
+    assert(missing.isEmpty, s"uncovered SURVEY rows: $missing")
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
