@@ -143,6 +143,55 @@ object SimilarityQueries {
       },
       Some("SELECT 80 AS n_results, true AS recall_floor_ok, 3 AS nprobe, 10 AS centroids")),
 
+    // X3e: distributed k-means (k=8, 2 assignment rounds with 1 centroid
+    // update between) — the coarse-quantizer-training step a real IVF
+    // index needs, expressed as iterative DataFrame ops: broadcast
+    // centroids, argmin assignment (squared distance in exact integer
+    // arithmetic over the quantized vectors, lexicographic (d, cid)
+    // tiebreak), posexplode + avg centroid update. The oracle unrolls the
+    // same two rounds in SQL — every distance, assignment, and updated
+    // centroid must agree bit-for-bit.
+    Q("x3e_kmeans",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), quant(col("embedding")).as("qe"))
+        def dist2(a: Column, b: Column): Column =
+          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+        def assign(cent: DataFrame): DataFrame =
+          e.crossJoin(broadcast(cent))
+            .select(col("vec_id"), col("qe"),
+              struct(dist2(col("qe"), col("c")).as("d"), col("cid")).as("dc"))
+            .groupBy("vec_id")
+            .agg(first(col("qe")).as("qe"), min(col("dc")).as("dc"))
+            .select(col("vec_id"), col("qe"),
+              col("dc.cid").as("cluster"), col("dc.d").as("d2"))
+        val init = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").cast(IntegerType).as("cid"), col("qe").as("c"))
+        val a1 = assign(init)
+        val updated = a1.select(col("cluster"), posexplode(col("qe")).as(Seq("pos", "v")))
+          .groupBy("cluster", "pos").agg(round(avg(col("v"))).cast(LongType).as("m"))
+          .groupBy("cluster").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+          .select(col("cluster").as("cid"), transform(col("pm"), p => p.getField("m")).as("c"))
+        assign(updated)
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n_members"), sum(col("d2")).as("inertia"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, ${sqlQuant("embedding")} AS qe FROM embeddings),
+        c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, qe AS c FROM e WHERE vec_id < 8),
+        a1 AS (SELECT vec_id, qe,
+          (SELECT c0.cid FROM c0 ORDER BY list_sum(list_transform(generate_series(1, len(qe)), i -> (qe[i]-c0.c[i])*(qe[i]-c0.c[i]))), c0.cid LIMIT 1) AS cluster
+          FROM e),
+        c1 AS (SELECT cluster AS cid, list(m ORDER BY pos) AS c FROM (
+          SELECT cluster, pos, CAST(round(avg(qe[pos])) AS BIGINT) AS m
+          FROM a1, generate_series(1, 64) AS g(pos) GROUP BY cluster, pos)
+          GROUP BY cluster),
+        a2 AS (SELECT vec_id,
+          (SELECT c1.cid FROM c1 ORDER BY list_sum(list_transform(generate_series(1, len(qe)), i -> (qe[i]-c1.c[i])*(qe[i]-c1.c[i]))), c1.cid LIMIT 1) AS cluster,
+          (SELECT list_sum(list_transform(generate_series(1, len(qe)), i -> (qe[i]-c1.c[i])*(qe[i]-c1.c[i]))) AS d FROM c1 ORDER BY d, c1.cid LIMIT 1) AS d2
+          FROM e)
+        SELECT cluster, count(*) AS n_members, CAST(SUM(d2) AS BIGINT) AS inertia
+        FROM a2 GROUP BY cluster""".stripMargin)),
+
     // X3d: kNN majority-vote label prediction over the exact top-10.
     Q("x3d_knn_classify",
       (s, d) => bruteKnn(s, d, nQueries = 8, k = 10)
