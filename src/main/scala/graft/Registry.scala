@@ -32,7 +32,8 @@ object Registry {
       ext.DedupQueries.defs ++
       ext.SimilarityQueries.defs ++
       ext.TextQueries.defs ++
-      ext.MultimodalQueries.defs
+      ext.MultimodalQueries.defs ++
+      ext.PipelineQueries.defs
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,82 @@
+package graft.ext
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Q, Tables}
+
+/** Training-data pipeline mechanics beyond SURVEY §2.3's X-rows: the
+  * split / pack / mixture operators every large-scale corpus build needs.
+  * All assignments are deterministic arithmetic (a multiplicative-hash
+  * bucket, not `rand()`), so runs are reproducible, re-runs of failed
+  * partitions produce identical rows, and the DuckDB oracle reproduces
+  * every assignment exactly.
+  */
+object PipelineQueries {
+
+  def defs: Seq[Q] = Seq(
+    // X6: stratified train/val/test split (80/10/10) via a deterministic
+    // bucket hash of the stable doc id; per-(split, lang) counts prove the
+    // stratification. At 100 TB this is a pure map — no shuffle at all
+    // until the audit aggregation.
+    Q("x6_split",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("bucket", pmod(col("doc_id") * 2654435761L, lit(100L)))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total")),
+      Some("""SELECT split, lang, count(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS n_chars_total FROM (
+          SELECT *, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+          FROM (SELECT *, (doc_id * 2654435761) % 100 AS b FROM documents))
+        GROUP BY split, lang""".stripMargin)),
+
+    // X6b: token-budget sequence packing — assign docs (in stable doc_id
+    // order) to consecutive packs of ≤4096 whitespace tokens via a running
+    // total; the streaming-packing formulation (contiguous, single window
+    // pass) rather than iterative bin-packing. Per-pack stats audit fill.
+    Q("x6b_pack",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+        val w = Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        toks
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .withColumn("pack_id", floor((col("cum") - col("n_tok")) / 4096L))
+          .groupBy("pack_id")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("pack_tokens"))
+          .filter(col("pack_id") < 10)
+      },
+      Some("""SELECT pack_id, count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS pack_tokens FROM (
+          SELECT doc_id, n_tok,
+            CAST(floor((SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok) / 4096.0) AS BIGINT) AS pack_id
+          FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok FROM documents))
+        WHERE pack_id < 10 GROUP BY pack_id""".stripMargin)),
+
+    // X6c: source-mixture audit — the per-source sampling-rate table a
+    // mixture-weighted corpus build starts from: doc share, token share,
+    // and the deterministic subsample that a 50% quota on the largest
+    // source would keep.
+    Q("x6c_mixture",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).as("n_tok"),
+            pmod(col("doc_id") * 2654435761L, lit(100L)).as("bucket"))
+        base.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(when(col("bucket") < 50, 1L).otherwise(0L)).as("n_kept_at_50pct"))
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        CAST(SUM(CASE WHEN (doc_id * 2654435761) % 100 < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_at_50pct
+        FROM (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok FROM documents)
+        GROUP BY source""".stripMargin))
+  )
+}
