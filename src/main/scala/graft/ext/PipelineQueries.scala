@@ -37,16 +37,29 @@ object PipelineQueries {
 
     // X6b: token-budget sequence packing — assign docs (in stable doc_id
     // order) to consecutive packs of ≤4096 whitespace tokens via a running
-    // total; the streaming-packing formulation (contiguous, single window
-    // pass) rather than iterative bin-packing. Per-pack stats audit fill.
+    // total; the streaming-packing formulation (contiguous, single pass)
+    // rather than iterative bin-packing.
+    //
+    // The running total is a DISTRIBUTED prefix sum, not a global
+    // Window.orderBy (which would funnel the whole corpus through one
+    // task): range-partition by doc_id, per-partition running totals, and
+    // a broadcast of the (tiny) per-partition offsets — identical result,
+    // every stage parallel.
     Q("x6b_pack",
       (s, d) => {
         val toks = Tables.documents(s, d)
           .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
-        val w = Window.orderBy(col("doc_id"))
+          .repartitionByRange(8, col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+        val wOff = Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = toks.groupBy("pid").agg(sum(col("n_tok")).as("psum"))
+          .withColumn("offset", coalesce(sum(col("psum")).over(wOff), lit(0L)))
+          .select("pid", "offset") // ≤ #partitions rows — broadcastable
+        val wLocal = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        toks
-          .withColumn("cum", sum(col("n_tok")).over(w))
+        toks.join(broadcast(offsets), "pid")
+          .withColumn("cum", sum(col("n_tok")).over(wLocal) + col("offset"))
           .withColumn("pack_id", floor((col("cum") - col("n_tok")) / 4096L))
           .groupBy("pack_id")
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("pack_tokens"))
