@@ -499,6 +499,9 @@ object CoreQueries {
     // Q33b: null ordering with real nulls (o_orderstatus='O' → null price),
     // nulls-last under DESC on both engines; driver hashing is order-
     // insensitive so the null placement is exercised via the rank column.
+    // (The unpartitioned window is a single-reducer total-order rank —
+    // inherent to the audit it demonstrates; at scale use partitioned
+    // ranks (q29/q32) or TakeOrderedAndProject (q34) instead.)
     Q("q33b_sort_nulls",
       (s, d) => {
         val priced = Tables.orders(s, d)
