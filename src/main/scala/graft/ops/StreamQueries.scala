@@ -220,6 +220,39 @@ object StreamQueries {
         CAST(SUM(CASE WHEN ((event_id * 5) % 64 & 2) <> 0 AND ((event_id * 5) % 64 & 16) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS syn_only
         FROM events GROUP BY 1""".stripMargin)),
 
+    // Q45b: the full custom-source ingest pipeline under oracle test —
+    // flowgen (MicroBatchStream + admission control) → R3 normalize →
+    // drain → audit aggregation. FlowGen's per-row arithmetic makes the
+    // distribution exact constants (proto := 6 if i%10<6, 17 if <9, else
+    // 1 over i = 0..9999), so the oracle is a literal VALUES table: the
+    // source, the admission loop, and the projection all have to be right
+    // for the counts to land.
+    Q("q45b_flowgen_ingest",
+      (s, d) => {
+        val raw = s.readStream.format("flowgen")
+          .option("totalRows", 10000L).option("maxRowsPerBatch", 1000L)
+          .option("numPartitions", 4).load()
+        drain(
+          graft.streaming.FlowPipeline.normalize(raw)
+            .groupBy("proto")
+            .agg(count(lit(1)).as("n_flows"),
+              // countDistinct is unsupported in streaming aggs
+              size(collect_set(col("dst_port"))).as("n_ports"),
+              sum(col("packets")).as("sum_packets")),
+          "q45b_sink", "complete")
+      },
+      // sum(packets) per proto: packets = 1 + i%64 over the residue class
+      // of each proto pattern (period lcm(10,64)=320; computed once,
+      // constant thereafter)
+      Some("""WITH gen AS (SELECT unnest(generate_series(0, 9999)) AS i),
+        f AS (SELECT CASE WHEN i % 10 < 6 THEN 6 WHEN i % 10 < 9 THEN 17 ELSE 1 END AS proto,
+          CASE i % 3 WHEN 0 THEN 443 WHEN 1 THEN 80 ELSE 53 END AS dst_port,
+          1 + i % 64 AS packets FROM gen)
+        SELECT proto, count(*) AS n_flows,
+          CAST(count(DISTINCT dst_port) AS INTEGER) AS n_ports,
+          CAST(SUM(packets) AS BIGINT) AS sum_packets
+        FROM f GROUP BY proto""".stripMargin)),
+
     // Q52: stream–static join — the stream enriched against a static dim
     // (broadcast; the proto→name lookup shape).
     Q("q52_stream_static_join",

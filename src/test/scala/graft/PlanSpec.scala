@@ -169,6 +169,17 @@ class PlanSpec extends SparkSpec {
       physical(df).linesIterator.take(3).mkString("\n"))
   }
 
+  test("scale-path queries never plan a cartesian product") {
+    // the LSH/banding designs exist precisely to avoid all-pairs joins;
+    // a plan regression to CartesianProduct would silently reintroduce
+    // O(n²) at scale
+    for (name <- Seq("x2_dedup_minhash", "x2b_dedup_simhash", "x4_langid",
+        "x4e_tfidf", "qf6_salted_join")) {
+      val plan = physical(Registry.queries(name)(spark, sf))
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
+    }
+  }
+
   test("ip_in_cidr is callable from SQL via injected function") {
     val r = spark.sql(
       "SELECT ip_in_cidr('10.1.2.3', '10.0.0.0/8') AS a, ip_in_cidr('11.1.2.3', '10.0.0.0/8') AS b")
