@@ -173,6 +173,49 @@ object DedupQueries {
         WHERE len(list_intersect(x.sh, y.sh))::DOUBLE /
             (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.8""".stripMargin)),
 
+    // X2d: dedup completion — near-dup PAIRS (from the MinHash path) →
+    // connected COMPONENTS → per-doc keep/drop verdict. Min-label
+    // propagation over the pair edges, 4 rounds of join + min-agg (the
+    // fixture's duplicate clusters are cliques, diameter 1; 4 rounds
+    // covers diameter 4 — at real scale swap in large-star/small-star for
+    // logarithmic convergence). The oracle computes the full transitive
+    // closure with a recursive CTE, so the propagation must actually have
+    // converged for the hash to match.
+    Q("x2d_dedup_components",
+      (s, d) => {
+        val pairs = verifyPairs(lshCandidates(minhashSigs(s, d)), docShingles(s, d), 0.8)
+          .select("a", "b")
+        val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+          .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+        var lab = Tables.documents(s, d)
+          .select(col("doc_id"), col("doc_id").as("label"))
+        for (_ <- 1 to 4) {
+          val viaNeighbor = edges
+            .join(lab.withColumnRenamed("doc_id", "dst"), "dst")
+            .select(col("src").as("doc_id"), col("label"))
+          lab = lab.unionByName(viaNeighbor)
+            .groupBy("doc_id").agg(min(col("label")).as("label"))
+        }
+        lab.select(col("doc_id"), col("label").as("component"),
+          (col("doc_id") === col("label")).as("keep"))
+      },
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, string_split(text,' ') w, text FROM documents),
+        sets AS (SELECT doc_id, CASE WHEN len(w) >= 3
+          THEN list_distinct(list_transform(generate_series(1, len(w)-2),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+          ELSE [text] END sh FROM t),
+        pairs AS (SELECT x.doc_id AS a, y.doc_id AS b
+          FROM sets x JOIN sets y ON x.doc_id < y.doc_id
+          WHERE len(list_intersect(x.sh, y.sh))::DOUBLE /
+            (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.8),
+        edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+        reach AS (
+          SELECT doc_id AS v, doc_id AS r FROM documents
+          UNION
+          SELECT e.dst AS v, reach.r FROM reach JOIN edges e ON e.src = reach.v)
+        SELECT v AS doc_id, min(r) AS component, v = min(r) AS keep
+        FROM reach GROUP BY v""".stripMargin)),
+
     // X2b: SimHash near-dedup — pigeonhole band join (4×16-bit chunks ⇒
     // exact for Hamming ≤ 3), then self-checked against the in-Spark
     // brute-force pair set; the declared contract is the equality itself.
