@@ -236,8 +236,11 @@ object DedupQueries {
         val only = lsh.exceptAll(bf).unionAll(bf.exceptAll(lsh))
         only.agg((count(lit(1)) === 0).as("lsh_equals_bruteforce"),
           lit(3).as("hamming_threshold"))
+          // non-vacuity: the equality must hold over a NON-empty pair set
+          // (profiled: 12 pairs ≤ Hamming 3 at sf0.01)
+          .crossJoin(bf.agg((count(lit(1)) > 0).as("found_pairs")))
       },
-      Some("SELECT true AS lsh_equals_bruteforce, 3 AS hamming_threshold")),
+      Some("SELECT true AS lsh_equals_bruteforce, 3 AS hamming_threshold, true AS found_pairs")),
 
     // X2c: character-12-gram Jaccard near-dedup, brute force with a length-
     // ratio blocking predicate (j ≥ τ ⇒ |A|/|B| ∈ [τ, 1/τ] — a provable
