@@ -204,7 +204,7 @@ object StreamQueries {
               pmod(eid * 5L, lit(64L)).cast(IntegerType).as("tcp_flags"))
             .as[(String, Int)]
           val tracked = typed.groupByKey(_._1)
-            .transformWithState(graft.streaming.SynTrackerProcessor,
+            .transformWithState(new graft.streaming.SynTrackerProcessor,
               org.apache.spark.sql.streaming.TimeMode.None(),
               org.apache.spark.sql.streaming.OutputMode.Update())
             .toDF("src", "syn_only")

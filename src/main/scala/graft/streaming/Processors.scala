@@ -8,8 +8,11 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   * store. SYN-without-ACK tracking per key — tcp_flags is the OR of all
   * flags over the flow (`main.go:71`), so SYN=0x02 set with ACK=0x10 clear
   * marks a flow that never completed the handshake.
+  *
+  * A class, not a singleton: the engine stores the per-query state handle
+  * on the processor instance, so each query needs its own.
   */
-object SynTrackerProcessor
+final class SynTrackerProcessor
     extends StatefulProcessor[String, (String, Int), (String, Long)] {
   @transient private var synCount: ValueState[Long] = _
 

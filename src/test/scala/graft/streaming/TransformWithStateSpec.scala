@@ -27,7 +27,7 @@ class TransformWithStateSpec extends SparkSpec {
       val input = MemoryStream[(String, Int)]
       val tracked = input.toDS()
         .groupByKey(_._1)
-        .transformWithState(SynTrackerProcessor, TimeMode.None(), OutputMode.Update())
+        .transformWithState(new SynTrackerProcessor, TimeMode.None(), OutputMode.Update())
         .toDF("src", "syn_only")
       val q = tracked.writeStream.format("memory").queryName("tws_sink")
         .outputMode("update").option("checkpointLocation", cp).start()
