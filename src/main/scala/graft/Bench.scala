@@ -51,6 +51,13 @@ object Bench {
       .mkString("{", ",", "}")
     val ok = results.filter(_._2 >= 0)
     val total = ok.map(_._2).sum
+    // Headline subset for the stdout line; the driver captures only the
+    // TAIL of stdout, so the final line must stay well under truncation
+    // size (r01's ~4 KB full-map line arrived unparseable).
+    val headlineNames = Seq("q20_agg_hash", "q29_win_rank", "x1_dedup_exact",
+      "x2_dedup_minhash", "x2d_dedup_components", "x3c_knn_ivf")
+    val headline = results.filter(r => headlineNames.contains(r._1))
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
     // Ingest-path throughput (the reference's core function; its defaults
     // imply a ≥1 000 flows/s design target, SURVEY §6): custom source →
@@ -71,7 +78,12 @@ object Bench {
     val ingestSec = (System.nanoTime() - t0) / 1e9
     val ingest = s"""{"rows":$ingestRows,"sec":$ingestSec,"rows_per_sec":${ingestRows / ingestSec}}"""
 
-    println(s"""{"metric":"total_all_queries","value":$total,"unit":"sec","n_queries":${ok.size},"ingest":$ingest,"queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query map goes to a file; stdout gets one short line.
+    val full = s"""{"metric":"total_all_queries","value":$total,"unit":"sec","n_queries":${ok.size},"ingest":$ingest,"queries":$qs,"sf":"$sfDir"}"""
+    val fullPath = java.nio.file.Paths.get("target/bench_full.json")
+    java.nio.file.Files.createDirectories(fullPath.getParent)
+    java.nio.file.Files.write(fullPath, full.getBytes("UTF-8"))
+    println(s"""{"metric":"total_all_queries","value":$total,"unit":"sec","n_queries":${ok.size},"ingest":$ingest,"queries":$headline,"full":"${fullPath.toAbsolutePath}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

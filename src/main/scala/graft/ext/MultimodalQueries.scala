@@ -60,13 +60,21 @@ object MultimodalQueries {
         CAST(length(text) AS INTEGER) AS n_bytes
         FROM documents""".stripMargin)),
 
-    // X5c: binary histogram features as ArrayType(FloatType) — the
-    // embedding-shaped output a downstream model consumes; exact rational
-    // values so the float array hash-matches.
+    // X5c: binary histogram features. The kernel produces the
+    // ArrayType(FloatType) feature vector a downstream model consumes
+    // (asserted in MultimodalSpec); the REGISTERED output renders the
+    // underlying integer bin counts as a CSV string — the driver's pandas
+    // canonicalizer cannot sort raw array cells (VERDICT r01), and integer
+    // counts + n_bytes reconstruct the exact rational ratios.
     Q("x5c_byte_histogram",
-      (s, d) => Multimodal.byteHistogram(media(s, d), bins = 8),
-      Some("""SELECT doc_id, list_transform(generate_series(0, 7),
-          b -> CAST(len(list_filter(codes, c -> c // 16 = b)) AS FLOAT) / CAST(length(text) AS FLOAT)) AS hist
+      (s, d) => Multimodal.byteHistogram(media(s, d), bins = 8)
+        .select(col("doc_id"),
+          concat_ws(",", transform(col("hist_counts"), _.cast(StringType)))
+            .as("hist_csv"),
+          col("n_bytes")),
+      Some("""SELECT doc_id, array_to_string(list_transform(generate_series(0, 7),
+          b -> CAST(len(list_filter(codes, c -> c // 16 = b)) AS VARCHAR)), ',') AS hist_csv,
+        CAST(length(text) AS INTEGER) AS n_bytes
         FROM (SELECT doc_id, text,
           list_transform(generate_series(1, length(text)), i -> ord(substr(text, i, 1))) AS codes
         FROM documents)""".stripMargin)),
@@ -135,7 +143,9 @@ object Multimodal {
       .toDF()
   }
 
-  /** Byte histogram as a float feature vector (exact rationals). */
+  /** Byte histogram: exact integer bin counts plus the float feature
+    * vector (exact rationals count/len — what a model would consume).
+    */
   def byteHistogram(media: DataFrame, bins: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -150,9 +160,10 @@ object Multimodal {
             if (b < bins) counts(b) += 1
             i += 1
           }
-          (id, counts.map(c => c.toFloat / payload.length.toFloat))
+          (id, counts, counts.map(c => c.toFloat / payload.length.toFloat),
+            payload.length)
         }
       }
-      .toDF("doc_id", "hist")
+      .toDF("doc_id", "hist_counts", "hist", "n_bytes")
   }
 }

