@@ -64,8 +64,8 @@ object DedupQueries {
     * 100 TB-safe formulation: map-side combine, only k longs per doc
     * cross the shuffle.
     */
-  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
-    val hashed = docShingles(s, d)
+  private def minhashSigs(sh: DataFrame): DataFrame = {
+    val hashed = sh
       // hash each shingle string exactly once (explode of the hashed array;
       // an attribute below the generator cannot be inlined into the
       // per-permutation lambda)
@@ -160,7 +160,12 @@ object DedupQueries {
     // τ=0.8. The oracle brute-forces all pairs in DuckDB, so this checks
     // LSH *recall* end-to-end, not just the verifier.
     Q("x2_dedup_minhash",
-      (s, d) => verifyPairs(lshCandidates(minhashSigs(s, d)), docShingles(s, d), 0.8),
+      (s, d) => {
+        // One shingling pass feeds BOTH the signature and the verify side
+        // (r01 bench: recomputing it doubled the dominant map cost).
+        val sh = docShingles(s, d).persist()
+        verifyPairs(lshCandidates(minhashSigs(sh)), sh, 0.8)
+      },
       Some("""WITH t AS (SELECT doc_id, string_split(text,' ') w, text FROM documents),
         sets AS (SELECT doc_id, CASE WHEN len(w) >= 3
           THEN list_distinct(list_transform(generate_series(1, len(w)-2),
@@ -183,8 +188,15 @@ object DedupQueries {
     // converged for the hash to match.
     Q("x2d_dedup_components",
       (s, d) => {
-        val pairs = verifyPairs(lshCandidates(minhashSigs(s, d)), docShingles(s, d), 0.8)
-          .select("a", "b")
+        val sh = docShingles(s, d).persist()
+        // The edge set is computed ONCE and persisted — without this the
+        // final plan re-embeds the whole MinHash/LSH/verify subplan per
+        // propagation round and lineage doubles per iteration (r01's
+        // worst bench entry). At 100 TB the edge list (two longs per
+        // near-dup pair) is tiny next to the corpus — persisting it is
+        // exactly what a production CC job does.
+        val pairs = verifyPairs(lshCandidates(minhashSigs(sh)), sh, 0.8)
+          .select("a", "b").persist()
         val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
           .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
         var lab = Tables.documents(s, d)
@@ -195,6 +207,10 @@ object DedupQueries {
             .select(col("src").as("doc_id"), col("label"))
           lab = lab.unionByName(viaNeighbor)
             .groupBy("doc_id").agg(min(col("label")).as("label"))
+            // truncate lineage each round: keeps every round's plan a
+            // constant-size join over materialized labels instead of a
+            // tree that doubles per iteration
+            .localCheckpoint()
         }
         lab.select(col("doc_id"), col("label").as("component"),
           (col("doc_id") === col("label")).as("keep"))

@@ -128,8 +128,10 @@ object SimilarityQueries {
           .select(col("q_id"), col("c_id"), col("label"),
             qcos(col("q_emb"), col("c_emb")).as("cos"))
         val wk = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+        // persisted: consumed twice below (n_results + the recall audit);
+        // without it the whole probe/scan subplan runs twice (r01 bench)
         val ivfTop = cand.withColumn("rank", row_number().over(wk)).filter(col("rank") <= 10)
-          .select(col("q_id"), col("c_id"))
+          .select(col("q_id"), col("c_id")).persist()
         val exactAll = bruteKnn(s, d, 8, 10).select(col("q_id"), col("c_id"))
         // fully lazy: recall computed in-plan (no driver-side action at
         // query-build time)
