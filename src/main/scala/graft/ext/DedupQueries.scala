@@ -125,6 +125,43 @@ object DedupQueries {
 
   private def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** The LAZY MinHash+LSH verified-pair plan plus its persisted shingle
+    * frame (caller must unpersist after materializing). Exposed
+    * package-private so PlanSpec can audit the un-checkpointed plan shape
+    * (no cartesian product) — the registered query materializes it eagerly
+    * and releases the cache before returning.
+    */
+  private[graft] def minhashPairsPlan(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val sh = docShingles(s, d).persist()
+    (verifyPairs(lshCandidates(minhashSigs(sh)), sh, 0.8), sh)
+  }
+
+  /** Lazy SimHash LSH≡brute-force equality plan plus its persisted simhash
+    * frame (caller unpersists) — same plan-audit rationale as
+    * [[minhashPairsPlan]].
+    */
+  private[graft] def simhashEqualityPlan(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val sh = simhash(s, d).persist()
+    val chunks = (0 until 4).map(c =>
+      struct(lit(c).as("chunk"), shiftright(col("sim"), c * 16).bitwiseAND(0xffffL).as("key")))
+    val buckets = sh.select(col("doc_id"), col("sim"), explode(array(chunks: _*)).as("bk"))
+      .select(col("doc_id"), col("sim"), col("bk.chunk").as("chunk"), col("bk.key").as("key"))
+    val lsh = buckets.as("x").join(buckets.as("y"), Seq("chunk", "key"))
+      .where(col("x.doc_id") < col("y.doc_id") &&
+        hamming(col("x.sim"), col("y.sim")) <= 3)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val bf = sh.as("p").join(sh.as("q"), col("p.doc_id") < col("q.doc_id"))
+      .where(hamming(col("p.sim"), col("q.sim")) <= 3)
+      .select(col("p.doc_id").as("a"), col("q.doc_id").as("b"))
+    val only = lsh.exceptAll(bf).unionAll(bf.exceptAll(lsh))
+    val res = only.agg((count(lit(1)) === 0).as("lsh_equals_bruteforce"),
+      lit(3).as("hamming_threshold"))
+      // non-vacuity: the equality must hold over a NON-empty pair set
+      // (profiled: 12 pairs ≤ Hamming 3 at sf0.01)
+      .crossJoin(bf.agg((count(lit(1)) > 0).as("found_pairs")))
+    (res, sh)
+  }
+
   def defs: Seq[Q] = Seq(
     // X1: exact dedup — group by text digest (documents bodies never
     // shuffle at scale; only the 32-byte digest + doc_id do). The fixture
@@ -162,9 +199,16 @@ object DedupQueries {
     Q("x2_dedup_minhash",
       (s, d) => {
         // One shingling pass feeds BOTH the signature and the verify side
-        // (r01 bench: recomputing it doubled the dominant map cost).
-        val sh = docShingles(s, d).persist()
-        verifyPairs(lshCandidates(minhashSigs(sh)), sh, 0.8)
+        // (r01 bench: recomputing it doubled the dominant map cost). The
+        // pair result is tiny (near-dup pairs only), so it is materialized
+        // eagerly (localCheckpoint) and the big cached shingle frame is
+        // released before returning — cached blocks must not outlive the
+        // query in a long-lived session (r02 bench: leaked storage degraded
+        // later unrelated queries).
+        val (pairs, sh) = minhashPairsPlan(s, d)
+        val res = pairs.localCheckpoint()
+        sh.unpersist()
+        res
       },
       Some("""WITH t AS (SELECT doc_id, string_split(text,' ') w, text FROM documents),
         sets AS (SELECT doc_id, CASE WHEN len(w) >= 3
@@ -209,9 +253,17 @@ object DedupQueries {
             .groupBy("doc_id").agg(min(col("label")).as("label"))
             // truncate lineage each round: keeps every round's plan a
             // constant-size join over materialized labels instead of a
-            // tree that doubles per iteration
+            // tree that doubles per iteration. Caveat: localCheckpoint is
+            // executor-local and non-reliable — on a real cluster with
+            // executor loss / dynamic allocation, use checkpoint() against
+            // a reliable checkpoint dir (or persist with replication) for
+            // the 100 TB path; the iteration shape is identical.
             .localCheckpoint()
         }
+        // labels are already materialized (localCheckpoint is eager), so the
+        // shingle/pair caches can be released before returning
+        sh.unpersist()
+        pairs.unpersist()
         lab.select(col("doc_id"), col("label").as("component"),
           (col("doc_id") === col("label")).as("keep"))
       },
@@ -237,24 +289,10 @@ object DedupQueries {
     // brute-force pair set; the declared contract is the equality itself.
     Q("x2b_dedup_simhash",
       (s, d) => {
-        val sh = simhash(s, d).cache()
-        val chunks = (0 until 4).map(c =>
-          struct(lit(c).as("chunk"), shiftright(col("sim"), c * 16).bitwiseAND(0xffffL).as("key")))
-        val buckets = sh.select(col("doc_id"), col("sim"), explode(array(chunks: _*)).as("bk"))
-          .select(col("doc_id"), col("sim"), col("bk.chunk").as("chunk"), col("bk.key").as("key"))
-        val lsh = buckets.as("x").join(buckets.as("y"), Seq("chunk", "key"))
-          .where(col("x.doc_id") < col("y.doc_id") &&
-            hamming(col("x.sim"), col("y.sim")) <= 3)
-          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-        val bf = sh.as("p").join(sh.as("q"), col("p.doc_id") < col("q.doc_id"))
-          .where(hamming(col("p.sim"), col("q.sim")) <= 3)
-          .select(col("p.doc_id").as("a"), col("q.doc_id").as("b"))
-        val only = lsh.exceptAll(bf).unionAll(bf.exceptAll(lsh))
-        only.agg((count(lit(1)) === 0).as("lsh_equals_bruteforce"),
-          lit(3).as("hamming_threshold"))
-          // non-vacuity: the equality must hold over a NON-empty pair set
-          // (profiled: 12 pairs ≤ Hamming 3 at sf0.01)
-          .crossJoin(bf.agg((count(lit(1)) > 0).as("found_pairs")))
+        val (eq, sh) = simhashEqualityPlan(s, d)
+        val res = eq.localCheckpoint() // 1 row; materialize so the cache can go
+        sh.unpersist()
+        res
       },
       Some("SELECT true AS lsh_equals_bruteforce, 3 AS hamming_threshold, true AS found_pairs")),
 

@@ -137,11 +137,14 @@ object SimilarityQueries {
         // query-build time)
         val hits = ivfTop.join(exactAll, Seq("q_id", "c_id"), "left_semi")
           .agg(count(lit(1)).as("n_hits"))
-        ivfTop.agg(count(lit(1)).as("n_results"))
+        val res = ivfTop.agg(count(lit(1)).as("n_results"))
           .crossJoin(hits)
           .select(col("n_results"),
             (col("n_hits").cast(DoubleType) / 80.0 >= 0.15).as("recall_floor_ok"),
             lit(3).as("nprobe"), lit(10).as("centroids"))
+          .localCheckpoint() // 1 row; release the probe-scan cache below
+        ivfTop.unpersist()
+        res
       },
       Some("SELECT 80 AS n_results, true AS recall_floor_ok, 3 AS nprobe, 10 AS centroids")),
 

@@ -16,35 +16,51 @@ import org.apache.spark.unsafe.types.UTF8String
   * generated Java (whole-stage codegen) via the object's static forwarders.
   */
 object IpUtil {
-  /** 4-byte → dotted quad; 16-byte → colon form (lowercase hex, no zero-run
-    * compression — deterministic; the reference's Go net.IP.String does
+  /** 4-byte → dotted quad; 16-byte v4-mapped (::ffff:a.b.c.d) → dotted quad
+    * of the low 4 bytes, like Go's `net.IP.String()` behind the reference's
+    * renderer (`main.go:133-139`) — NetFlow v9/IPFIX exporters routinely
+    * carry IPv4 in 16-byte fields this way; other 16-byte → colon form
+    * (lowercase hex, no zero-run compression — deterministic; Go does
     * compress, but nothing downstream depends on the compressed form).
     */
   def bytesToIpString(b: Array[Byte]): String =
     if (b == null) null
     else if (b.length == 4)
       s"${b(0) & 0xff}.${b(1) & 0xff}.${b(2) & 0xff}.${b(3) & 0xff}"
-    else if (b.length == 16)
-      (0 until 8).map(i => f"${((b(2 * i) & 0xff) << 8) | (b(2 * i + 1) & 0xff)}%x")
-        .mkString(":")
-    else null
+    else if (b.length == 16) {
+      var v4mapped = b(10) == -1 && b(11) == -1
+      var i = 0
+      while (v4mapped && i < 10) { v4mapped = b(i) == 0; i += 1 }
+      if (v4mapped)
+        s"${b(12) & 0xff}.${b(13) & 0xff}.${b(14) & 0xff}.${b(15) & 0xff}"
+      else
+        (0 until 8).map(i => f"${((b(2 * i) & 0xff) << 8) | (b(2 * i + 1) & 0xff)}%x")
+          .mkString(":")
+    } else null
 
-  /** Dotted-quad string → unsigned 32-bit value in a long; -1 on malformed
-    * input (no allocation, single pass).
+  /** Canonical dotted-quad string → unsigned 32-bit value in a long; -1 on
+    * malformed input (no allocation, single pass). Strict: octets with
+    * leading zeros ("010") are rejected, like Go's `net.ParseIP` (≥ 1.17)
+    * behind the reference's renderer — so the accepted language is exactly
+    * the output language of [[bytesToIpString]], which is what makes the
+    * CidrPushdown prefix rewrites provably exact.
     */
   def ipv4ToLong(str: String): Long = {
     if (str == null) return -1L
     var acc = 0L
     var octet = -1L
+    var digits = 0
     var parts = 0
     var i = 0
     while (i < str.length) {
       val c = str.charAt(i)
       if (c == '.') {
         if (octet < 0 || parts >= 3) return -1L
-        acc = (acc << 8) | octet; octet = -1L; parts += 1
+        acc = (acc << 8) | octet; octet = -1L; digits = 0; parts += 1
       } else if (c >= '0' && c <= '9') {
+        if (digits > 0 && octet == 0L) return -1L // leading zero
         octet = (if (octet < 0) 0L else octet) * 10 + (c - '0')
+        digits += 1
         if (octet > 255) return -1L
       } else return -1L
       i += 1

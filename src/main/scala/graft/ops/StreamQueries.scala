@@ -122,8 +122,11 @@ object StreamQueries {
         "q48_sink", "complete")
         .select(col("user_id"), col("session_window.start").as("s_start"),
           col("session_window.end").as("s_end"), col("n_events")),
+      // boundary: Spark's session window is [ts, ts+gap), so an event at
+      // exactly prev+gap starts a NEW session — the oracle must split on
+      // gap >= 12 h, not > (r02 latent bug: fixture had no exact-gap pair)
       Some("""WITH flagged AS (SELECT user_id, ts,
-          CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 43200000000 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS new_s
+          CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 43200000000 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS new_s
         FROM events),
         sess AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM flagged)
         SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL 12 HOUR AS s_end, count(*) AS n_events
@@ -146,16 +149,26 @@ object StreamQueries {
         WHERE (w_start_s + 3600) * 1000000 <= (SELECT max(epoch_us(ts)) FROM events) - 1800000000""".stripMargin)),
 
     // Q50: streaming dedup — input duplicated by self-union (R2 fan-in
-    // shape), dropDuplicates on the natural key inside the stream.
+    // shape), deduped with dropDuplicatesWithinWatermark: state for a key
+    // is dropped once the watermark passes its event time + delay, so state
+    // is BOUNDED (plain dropDuplicates keeps every key forever — a
+    // scale-killer on an unbounded 100 TB stream). Downstream windowed agg
+    // in append mode finalizes only watermark-closed windows, so the
+    // oracle encodes both the dedup and the watermark window predicate.
     Q("q50_stream_dedup",
       (s, d) => {
-        val ev = eventsStream(s, d)
+        val ev = eventsStream(s, d).withWatermark("ts", "30 minutes")
         drain(
-          ev.unionByName(ev).dropDuplicates("event_id")
-            .groupBy("event_type").agg(count(lit(1)).as("n")),
-          "q50_sink", "complete")
+          ev.unionByName(ev).dropDuplicatesWithinWatermark("event_id")
+            .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n")),
+          "q50_sink", "append")
+          .select(col("window.start").as("w_start"), col("n"))
       },
-      Some("SELECT event_type, count(DISTINCT event_id) AS n FROM events GROUP BY event_type")),
+      Some("""SELECT make_timestamp(w_start_s * 1000000) AS w_start, n FROM (
+          SELECT (epoch_us(ts) // 1000000) // 3600 * 3600 AS w_start_s,
+            count(DISTINCT event_id) AS n
+          FROM events GROUP BY 1)
+        WHERE (w_start_s + 3600) * 1000000 <= (SELECT max(epoch_us(ts)) FROM events) - 1800000000""".stripMargin)),
 
     // Q51: arbitrary stateful op — per-user GroupState accumulating event
     // count, value cents, and last event id (SYN-tracking shape from
@@ -177,7 +190,16 @@ object StreamQueries {
               st.update((n, c, maxId))
               (uid, n, c, maxId)
           }.toDF("user_id", "n_events", "cents", "max_event_id")
+        // An update-mode memory sink holds ONE ROW PER EMISSION: a key that
+        // appears in k micro-batches appears k times. The result is the
+        // LAST emission per key; all three tracked values are nondecreasing
+        // across batches, so max per key selects it regardless of how the
+        // source splits into batches (r02 latent bug: raw sink read assumed
+        // a single micro-batch).
         drain(updated, "q51_sink", "update")
+          .groupBy("user_id")
+          .agg(max(col("n_events")).as("n_events"), max(col("cents")).as("cents"),
+            max(col("max_event_id")).as("max_event_id"))
       },
       Some("""SELECT user_id, count(*) AS n_events,
         CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents,
@@ -208,7 +230,11 @@ object StreamQueries {
               org.apache.spark.sql.streaming.TimeMode.None(),
               org.apache.spark.sql.streaming.OutputMode.Update())
             .toDF("src", "syn_only")
+          // update-mode sink = one row per emission; syn_only is a running
+          // count (monotonic), so max per key = last emission (multi-batch
+          // safe, same reasoning as q51)
           drain(tracked, "q51b_sink", "update")
+            .groupBy("src").agg(max(col("syn_only")).as("syn_only"))
         } finally {
           prev match {
             case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)

@@ -13,35 +13,51 @@ import graft.functions.{IpInCidr, IpUtil}
   * `ip_in_cidr(addr, <literal cidr>)` into datasource-pushable predicates
   * over the rendered dotted-quad string.
   *
+  *   - /32 becomes `EqualTo(addr, canonical)` — exact on its own, because
+  *     [[IpUtil.ipv4ToLong]] accepts exactly the canonical rendering (no
+  *     leading zeros), so membership ⇔ string equality;
   *   - octet-aligned prefixes (/8 /16 /24) become `StartsWith(addr, "p.")`
-  *     and /32 becomes `EqualTo` — both reach parquet as `PushedFilters`
-  *     (StringStartsWith / EqualTo), so row groups whose addr-column
-  *     min/max excludes the prefix are never read;
+  *     AND a canonical-quad validity residual — StartsWith reaches parquet
+  *     as a `PushedFilters` StringStartsWith (row groups whose addr-column
+  *     min/max excludes the prefix are never read); the residual restores
+  *     exactness for strings like "10.300.1.2" / "10.1.2.3.4" that share
+  *     the prefix but are not valid addresses;
   *   - non-aligned prefix lengths become a pushed octet-aligned guard (the
   *     enclosing /8·/16·/24 superset) AND an exact built-in-arithmetic
-  *     residual (split → size-guard → TRY-cast → mask-compare) — pure
+  *     residual (canonical-quad RLIKE → TRY-cast → mask-compare) — pure
   *     codegen'd built-ins, ANSI-safe on any string (IPv6 / malformed
   *     inputs fall to false, never throw), and structurally incapable of
   *     re-matching this rule (the optimizer batch runs to fixpoint);
   *   - /0 is left unrewritten: `ip_in_cidr` is false for non-IPv4-parseable
   *     addresses even under /0, which no pushable predicate expresses.
   *
-  * Domain note: the residual agrees with `ip_in_cidr` on well-formed
-  * dotted quads, null, IPv6 colon forms, and wrong-arity strings; the one
-  * divergence is a dotted quad with an out-of-range octet ("300.1.2.3" —
-  * impossible from the R3 renderer), which the arithmetic may accept where
-  * the strict parser rejects. Literal CIDRs that don't parse are left
-  * untouched.
+  * Exactness: every rewrite agrees with `ip_in_cidr` on EVERY string —
+  * canonical quads, leading-zero quads ("010.1.2.3", rejected by both),
+  * out-of-range octets ("10.300.1.2"), wrong arity, IPv6 colon forms,
+  * null — asserted rule-on ≡ rule-off in PlanSpec. Both sides share one
+  * definition of "valid address": the canonical language emitted by the R3
+  * renderer and accepted by the strict parser. Literal CIDRs that don't
+  * parse are left untouched.
   */
 object CidrPushdown extends Rule[LogicalPlan] {
 
   private def octets(base: Long, n: Int): String =
     (0 until n).map(i => (base >> (24 - 8 * i)) & 0xff).mkString(".")
 
-  /** Exact ANSI-safe residual: addr masked to `len` bits equals `masked`.
-    * Size guard short-circuits non-quad strings to false before any
-    * GetArrayItem runs; TRY-mode casts turn non-numeric octets into null
-    * (→ Coalesce false) instead of ANSI runtime errors. Null addr stays
+  /** Canonical dotted-quad recognizer — the exact output language of the R3
+    * renderer and input language of [[IpUtil.ipv4ToLong]]: four 0–255
+    * octets, no leading zeros. Codegen'd RLike (the pattern is a literal, so
+    * the regex compiles once per task, not per row).
+    */
+  private def validQuad(addr: Expression): Expression = {
+    val oct = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    RLike(addr, Literal(UTF8String.fromString(s"^($oct\\.){3}$oct$$"), StringType))
+  }
+
+  /** Exact ANSI-safe residual: addr is a canonical quad AND masked to `len`
+    * bits equals `masked`. The validity conjunct guards the arithmetic
+    * (TRY-mode casts additionally turn any non-numeric octet into null →
+    * Coalesce false instead of an ANSI runtime error). Null addr stays
     * null, matching the original expression's null propagation.
     */
   private def maskCompare(addr: Expression, mask: Long, masked: Long): Expression = {
@@ -55,7 +71,7 @@ object CidrPushdown extends Rule[LogicalPlan] {
       Multiply(oct(2), Literal(256L))),
       oct(3))
     val compare = And(
-      EqualTo(Size(parts), Literal(4)),
+      validQuad(addr),
       EqualTo(BitwiseAnd(ipLong, Literal(mask)), Literal(masked)))
     If(IsNull(addr),
       Literal(null, org.apache.spark.sql.types.BooleanType),
@@ -79,8 +95,14 @@ object CidrPushdown extends Rule[LogicalPlan] {
       case 32 => Some(EqualTo(addr, Literal(UTF8String.fromString(octets(masked, 4)),
         StringType)))
       case l if l % 8 == 0 =>
+        // StartsWith is the pushed scan guard; the validity residual makes
+        // the conjunction exact (prefix-sharing non-addresses like
+        // "10.300.1.2" must stay false). Membership ⇔ canonical quad ∧
+        // literal "p." prefix, since canonical octets render with no
+        // leading zeros.
         val p = octets(masked, l / 8) + "."
-        Some(StartsWith(addr, Literal(UTF8String.fromString(p), StringType)))
+        Some(And(StartsWith(addr, Literal(UTF8String.fromString(p), StringType)),
+          validQuad(addr)))
       case l =>
         // pushed guard on the enclosing octet-aligned superset + exact
         // ANSI-safe mask-compare residual

@@ -30,6 +30,31 @@ class IpUtilSpec extends AnyFunSuite {
     assert(IpUtil.bytesToIpString(b) == "0:0:0:0:0:0:0:1")
   }
 
+  test("bytesToIpString renders v4-mapped IPv6 as dotted quad (Go parity)") {
+    val b = new Array[Byte](16)
+    b(10) = -1; b(11) = -1
+    b(12) = 10; b(13) = 1; b(14) = 2; b(15) = 3
+    assert(IpUtil.bytesToIpString(b) == "10.1.2.3")
+    // ...but only the exact ::ffff:0:0/96 prefix: any nonzero high byte or
+    // non-ff bytes 10-11 fall back to colon form
+    val c = b.clone(); c(0) = 1
+    assert(IpUtil.bytesToIpString(c) == "100:0:0:0:0:ffff:a01:203")
+    val e = b.clone(); e(11) = 0
+    assert(IpUtil.bytesToIpString(e) == "0:0:0:0:0:ff00:a01:203")
+  }
+
+  test("property: v4-mapped render equals the embedded IPv4 render") {
+    check(Prop.forAll(ipGen) { v =>
+      val q = Array[Byte](
+        ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      val mapped = new Array[Byte](16)
+      mapped(10) = -1; mapped(11) = -1
+      System.arraycopy(q, 0, mapped, 12, 4)
+      IpUtil.bytesToIpString(mapped) == IpUtil.bytesToIpString(q)
+    })
+  }
+
   test("bytesToIpString rejects bad lengths and null") {
     assert(IpUtil.bytesToIpString(null) == null)
     assert(IpUtil.bytesToIpString(Array[Byte](1, 2, 3)) == null)
@@ -38,12 +63,25 @@ class IpUtilSpec extends AnyFunSuite {
   test("ipv4ToLong parses and rejects") {
     assert(IpUtil.ipv4ToLong("10.0.0.1") == (10L << 24 | 1))
     assert(IpUtil.ipv4ToLong("255.255.255.255") == 0xffffffffL)
+    assert(IpUtil.ipv4ToLong("0.0.0.0") == 0L)
     assert(IpUtil.ipv4ToLong("256.0.0.1") == -1L)
     assert(IpUtil.ipv4ToLong("1.2.3") == -1L)
     assert(IpUtil.ipv4ToLong("1.2.3.4.5") == -1L)
     assert(IpUtil.ipv4ToLong("a.b.c.d") == -1L)
     assert(IpUtil.ipv4ToLong("") == -1L)
     assert(IpUtil.ipv4ToLong(null) == -1L)
+  }
+
+  test("ipv4ToLong is strict: canonical quads only (Go net.ParseIP parity)") {
+    // leading zeros rejected — the accepted language must equal the output
+    // language of bytesToIpString, which is what makes the CidrPushdown
+    // prefix rewrites exact
+    assert(IpUtil.ipv4ToLong("010.1.2.3") == -1L)
+    assert(IpUtil.ipv4ToLong("10.01.2.3") == -1L)
+    assert(IpUtil.ipv4ToLong("1.2.3.00") == -1L)
+    assert(IpUtil.ipv4ToLong("00.0.0.0") == -1L)
+    assert(IpUtil.ipv4ToLong("1.2.3.4 ") == -1L)
+    assert(IpUtil.ipv4ToLong(" 1.2.3.4") == -1L)
   }
 
   test("ipInCidr membership basics") {
