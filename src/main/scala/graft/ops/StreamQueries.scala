@@ -279,6 +279,88 @@ object StreamQueries {
           CAST(SUM(packets) AS BIGINT) AS sum_packets
         FROM f GROUP BY proto""".stripMargin)),
 
+    // Q45c: the REAL R1 path under oracle test — NetFlow v5 datagrams over
+    // a live loopback UDP socket → UdpFlowSource (DSv2 micro-batch stream,
+    // packet admission control) → NetFlowV5.decode on executors → R3
+    // normalize → memory sink → audit aggregation. Every packet field is a
+    // pure function of the global record index, so the oracle is closed-form
+    // DuckDB SQL: the wire encoding, the listener, the decode (including
+    // ICMP type*256+code unpack and uptime-relative time reconstruction),
+    // and the projection all have to be right for the sums to land. The
+    // sender blindly RE-SENDS the whole packet set until the sink reaches
+    // the expected count — (sender, flow_sequence) dedup in the source
+    // makes re-sends idempotent, so UDP loss cannot flake the result.
+    Q("q45c_udp_nfv5",
+      (s, d) => {
+        import graft.sources.{NetFlowV5, UdpFlowSource}
+        def rec(i: Int): NetFlowV5.Rec = {
+          val proto = if (i % 10 < 6) 6 else if (i % 10 < 9) 17 else 1
+          val dstPort =
+            if (proto == 1) (i % 3) * 256 + (i % 2)
+            else if (i % 3 == 0) 443 else if (i % 3 == 1) 80 else 53
+          NetFlowV5.Rec(
+            src = Array[Byte](10, ((i >> 16) & 0xff).toByte, ((i >> 8) & 0xff).toByte,
+              (i & 0xff).toByte),
+            dst = Array[Byte](-64, -88, ((i >> 8) & 0xff).toByte, (i & 0xff).toByte),
+            pkts = 1L + i % 64, octets = 100L + i % 1000,
+            firstMs = i * 10L, lastMs = i * 10L + 5L,
+            srcPort = 1000 + i % 50, dstPort = dstPort,
+            tcpFlags = if (proto == 6) 18 else 0, proto = proto)
+        }
+        // 20 packets x 25 records; flow_sequence = cumulative flow count,
+        // like a real v5 exporter
+        val packets = (0 until 20).map { p =>
+          NetFlowV5.encode(sysUptimeMs = 3600000L, unixSecs = 1700000000L,
+            unixNsecs = 0L, flowSequence = 25L * p, samplingInterval = 1000,
+            records = (25 * p until 25 * p + 25).map(rec))
+        }
+        val cp = s"$tmpRoot/cp/q45c_sink"
+        org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(cp).toFile)
+        val raw = s.readStream.format("nflv5-udp")
+          .option("name", "q45c").option("port", 0)
+          .option("maxPacketsPerBatch", 5).option("numPartitions", 4)
+          .option("dedupSequence", true).load()
+        val q = graft.streaming.FlowPipeline.normalize(raw)
+          .writeStream.format("memory").queryName("q45c_sink")
+          .outputMode("append").option("checkpointLocation", cp).start()
+        val sock = new java.net.DatagramSocket()
+        try {
+          val deadline = System.nanoTime() + 90_000_000_000L
+          var port = 0
+          while (port == 0 && System.nanoTime() < deadline) {
+            port = UdpFlowSource.boundPort("q45c").getOrElse(0)
+            if (port == 0) Thread.sleep(20)
+          }
+          require(port > 0, "UDP source never bound")
+          val addr = java.net.InetAddress.getByName("127.0.0.1")
+          while (s.table("q45c_sink").count() < 500 && System.nanoTime() < deadline) {
+            packets.foreach(b =>
+              sock.send(new java.net.DatagramPacket(b, b.length, addr, port)))
+            q.processAllAvailable()
+          }
+        } finally { sock.close(); q.stop() }
+        s.table("q45c_sink").groupBy("proto")
+          .agg(count(lit(1)).as("n_flows"), sum(col("packets")).as("sum_packets"),
+            sum(col("bytes")).as("sum_bytes"),
+            min(col("time_flow_start")).as("min_start"),
+            max(col("time_flow_end")).as("max_end"),
+            sum(col("icmp_type")).as("sum_icmp_type"),
+            sum(col("icmp_code")).as("sum_icmp_code"))
+      },
+      Some("""WITH gen AS (SELECT unnest(generate_series(0, 499)) AS i),
+        f AS (SELECT CASE WHEN i % 10 < 6 THEN 6 WHEN i % 10 < 9 THEN 17 ELSE 1 END AS proto,
+          1 + i % 64 AS packets, 100 + i % 1000 AS bytes,
+          (1699996400000 + i * 10) // 1000 AS t_start,
+          (1699996400005 + i * 10) // 1000 AS t_end,
+          CASE WHEN i % 10 = 9 THEN (i % 3) ELSE 0 END AS icmp_type,
+          CASE WHEN i % 10 = 9 THEN (i % 2) ELSE 0 END AS icmp_code FROM gen)
+        SELECT proto, count(*) AS n_flows, CAST(SUM(packets) AS BIGINT) AS sum_packets,
+          CAST(SUM(bytes) AS BIGINT) AS sum_bytes, CAST(min(t_start) AS BIGINT) AS min_start,
+          CAST(max(t_end) AS BIGINT) AS max_end,
+          CAST(SUM(icmp_type) AS BIGINT) AS sum_icmp_type,
+          CAST(SUM(icmp_code) AS BIGINT) AS sum_icmp_code
+        FROM f GROUP BY proto""".stripMargin)),
+
     // Q52: stream–static join — the stream enriched against a static dim
     // (broadcast; the proto→name lookup shape).
     Q("q52_stream_static_join",

@@ -1,0 +1,232 @@
+package graft.sources
+
+import java.net.{DatagramPacket, DatagramSocket, InetAddress}
+import java.util
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.LongAdder
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.FlowSchema
+
+/** R1 proper: a DataSourceV2 micro-batch source that LISTENS ON UDP for
+  * NetFlow v5 datagrams and decodes them into `FlowSchema.rawSchema` rows —
+  * the reference's entire ingest job (`nfl://` listener,
+  * `main.go:221-250`, goflow `StateNFLegacy.FlowRoutine`), Spark-native.
+  *
+  * Architecture (the same shape as Spark's own TextSocketMicroBatchStream):
+  * the stream object on the DRIVER owns the socket — one receiver thread
+  * appends raw datagrams to a buffer; micro-batch offsets are cumulative
+  * packet counts; `planInputPartitions` slices the buffered packets into
+  * `numPartitions` serialized chunks that executors DECODE in parallel
+  * (decode is the CPU-heavy part — the reference spreads it over `-workers`
+  * goroutines the same way, `main.go:35`). `commit(end)` trims the buffer,
+  * bounding driver memory by one batch plus arrivals.
+  *
+  * Scale posture: a UDP listener is inherently a single ingest point — the
+  * reference has exactly the same property, and NetFlow deployments scale
+  * by pointing exporters at different collector replicas. For the 100 TB
+  * batch path this source is not on the critical path (files/Kafka are);
+  * it exists for live-collector parity. Throughput ceiling is the driver
+  * NIC/thread, not Spark.
+  *
+  * Semantics: UDP is at-most-once by nature (reference: same). With
+  * `dedupSequence=true` the receiver drops datagrams whose
+  * (sender, flow_sequence) was already seen — an exporter that RE-SENDS
+  * packets (or a flaky path that duplicates them) then yields
+  * exactly-once *packet* admission, which makes test traffic replayable:
+  * senders can blindly re-send until the collector confirms receipt.
+  *
+  * Options: `port` (0 = ephemeral), `host` (default 127.0.0.1), `name`
+  * (key to look up the actually-bound port via [[UdpFlowSource.boundPort]]),
+  * `maxPacketsPerBatch` (admission cap, R4), `numPartitions` (decode
+  * parallelism), `dedupSequence` (see above).
+  *
+  * Malformed datagrams (wrong version, truncated) are counted in
+  * [[UdpFlowSource.dropped]] and skipped — the reference's decoder error
+  * path (goflow logs + drops, keeping the listener alive).
+  */
+class UdpFlowSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "nflv5-udp"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FlowSchema.rawSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = new UdpFlowTable
+}
+
+object UdpFlowSource {
+  /** name → actually-bound UDP port, registered when the stream starts
+    * (ephemeral ports are the only race-free way for a test/driver to bind).
+    */
+  private val bound = new ConcurrentHashMap[String, Int]()
+  def boundPort(name: String): Option[Int] = Option(bound.get(name)).filter(_ > 0)
+  private[sources] def register(name: String, port: Int): Unit = bound.put(name, port)
+  private[sources] def unregister(name: String): Unit = bound.remove(name)
+
+  /** Malformed-datagram counter (decoder error path, kept process-wide like
+    * the reference's Prometheus error counter).
+    */
+  val dropped = new LongAdder
+}
+
+final class UdpFlowTable extends Table with SupportsRead {
+  override def name(): String = "nflv5-udp"
+  override def schema(): StructType = FlowSchema.rawSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = FlowSchema.rawSchema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new UdpFlowStream(
+            options.getOrDefault("host", "127.0.0.1"),
+            options.getInt("port", 0),
+            options.getOrDefault("name", "default"),
+            options.getLong("maxPacketsPerBatch", 1000L),
+            options.getInt("numPartitions", 4),
+            options.getBoolean("dedupSequence", false))
+      }
+    }
+}
+
+/** Offset = cumulative count of admitted packets. */
+final case class UdpOffset(count: Long) extends Offset {
+  override def json(): String = count.toString
+}
+
+/** One decode task: a slice of raw datagrams (with sender addresses),
+  * serialized driver → executor.
+  */
+final case class UdpPacketsPartition(packets: Array[(Array[Byte], Array[Byte])])
+  extends InputPartition
+
+final class UdpFlowStream(host: String, port: Int, name: String,
+    maxPacketsPerBatch: Long, numParts: Int, dedupSequence: Boolean)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  // ---- receiver (driver side) ----
+  private val socket = new DatagramSocket(port, InetAddress.getByName(host))
+  socket.setReceiveBufferSize(8 * 1024 * 1024)
+  UdpFlowSource.register(name, socket.getLocalPort)
+
+  /** Buffered (packet, sender) pairs; `base` = offset of buffer head. */
+  private val buf = new ArrayBuffer[(Array[Byte], Array[Byte])]()
+  private var base = 0L
+  private val seen = new java.util.HashSet[(String, Long)]()
+  @volatile private var closed = false
+
+  private val receiver = new Thread(s"nflv5-udp-receiver-$name") {
+    override def run(): Unit = {
+      val recv = new Array[Byte](65536) // max UDP datagram
+      while (!closed) {
+        try {
+          val dp = new DatagramPacket(recv, recv.length)
+          socket.receive(dp)
+          val bytes = util.Arrays.copyOfRange(recv, 0, dp.getLength)
+          val sender = dp.getAddress.getAddress
+          if (acceptable(bytes, dp.getAddress.getHostAddress)) {
+            UdpFlowStream.this.synchronized { buf += ((bytes, sender)) }
+          }
+        } catch {
+          case _: java.net.SocketException if closed => // shutdown
+          case _: Exception if !closed => UdpFlowSource.dropped.increment()
+        }
+      }
+    }
+  }
+  receiver.setDaemon(true)
+  receiver.start()
+
+  /** Cheap header sniff on the receiver thread: version check (so garbage
+    * never occupies buffer) and, if enabled, (sender, flow_sequence) dedup.
+    * Full record validation happens on executors in the decode.
+    */
+  private def acceptable(bytes: Array[Byte], senderKey: String): Boolean = {
+    if (bytes.length < NetFlowV5.HeaderBytes ||
+        (((bytes(0) & 0xff) << 8) | (bytes(1) & 0xff)) != 5) {
+      UdpFlowSource.dropped.increment()
+      return false
+    }
+    if (!dedupSequence) return true
+    val seq = ((bytes(16) & 0xffL) << 24) | ((bytes(17) & 0xffL) << 16) |
+      ((bytes(18) & 0xffL) << 8) | (bytes(19) & 0xffL)
+    synchronized { seen.add((senderKey, seq)) }
+  }
+
+  // ---- micro-batch contract ----
+  override def initialOffset(): Offset = UdpOffset(0L)
+  override def deserializeOffset(json: String): Offset = UdpOffset(json.toLong)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxPacketsPerBatch)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[UdpOffset].count
+    val cap = limit match {
+      case m: ReadMaxRows => m.maxRows()
+      case _ => maxPacketsPerBatch
+    }
+    val received = synchronized { base + buf.length }
+    UdpOffset(math.min(received, s + cap))
+  }
+
+  override def reportLatestOffset(): Offset =
+    UdpOffset(synchronized { base + buf.length })
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[UdpOffset].count
+    val e = end.asInstanceOf[UdpOffset].count
+    if (e <= s) return Array.empty
+    val slice = synchronized {
+      buf.slice((s - base).toInt, (e - base).toInt).toArray
+    }
+    val n = math.max(1, math.min(numParts, slice.length))
+    (0 until n).map { p =>
+      UdpPacketsPartition(
+        slice.slice(slice.length * p / n, slice.length * (p + 1) / n))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val pkts = partition.asInstanceOf[UdpPacketsPartition].packets
+      new PartitionReader[InternalRow] {
+        private val rows = pkts.iterator.flatMap { case (bytes, sender) =>
+          try NetFlowV5.decode(bytes, sender).iterator.map(NetFlowV5.toInternalRow)
+          catch {
+            case _: IllegalArgumentException =>
+              UdpFlowSource.dropped.increment(); Iterator.empty
+          }
+        }
+        private var cur: InternalRow = _
+        override def next(): Boolean = { val h = rows.hasNext; if (h) cur = rows.next(); h }
+        override def get(): InternalRow = cur
+        override def close(): Unit = ()
+      }
+    }
+
+  /** Trim committed packets: bounds driver memory to in-flight batches. */
+  override def commit(end: Offset): Unit = synchronized {
+    val e = end.asInstanceOf[UdpOffset].count
+    if (e > base) { buf.remove(0, (e - base).toInt); base = e }
+  }
+
+  override def stop(): Unit = {
+    closed = true
+    UdpFlowSource.unregister(name)
+    socket.close()
+  }
+}

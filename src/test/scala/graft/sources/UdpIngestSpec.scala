@@ -1,0 +1,133 @@
+package graft.sources
+
+import java.net.{DatagramPacket, DatagramSocket, InetAddress}
+import java.nio.file.Paths
+
+import org.apache.commons.io.FileUtils
+import org.apache.spark.sql.functions._
+
+import graft.{FlowSchema, SparkSpec}
+import graft.sources.{NetFlowV5 => V5}
+
+/** R1 end-to-end: the NetFlow v5 wire codec and the UDP micro-batch source
+  * (`main.go:221-250` parity — datagrams in, flows rows out).
+  */
+class UdpIngestSpec extends SparkSpec {
+
+  /** Field-by-NAME view of an InternalRow under rawSchema — positional
+    * drift between the codec and the schema must fail loudly here.
+    */
+  private def byName(r: org.apache.spark.sql.catalyst.InternalRow): Map[String, Any] =
+    FlowSchema.rawSchema.fields.zipWithIndex.map { case (f, i) =>
+      f.name -> (f.dataType match {
+        case org.apache.spark.sql.types.IntegerType => r.getInt(i)
+        case org.apache.spark.sql.types.LongType => r.getLong(i)
+        case org.apache.spark.sql.types.BinaryType => r.getBinary(i)
+        case dt => throw new IllegalStateException(s"unexpected type $dt")
+      })
+    }.toMap
+
+  test("v5 codec round-trips encode -> decode -> toInternalRow by field name") {
+    val sampler = Array[Byte](127, 0, 0, 1)
+    val recs = Seq(
+      V5.Rec(Array[Byte](10, 1, 2, 3), Array[Byte](-64, -88, 0, 9),
+        pkts = 7, octets = 5000, firstMs = 1000, lastMs = 2000,
+        srcPort = 40000, dstPort = 443, tcpFlags = 18, proto = 6),
+      // ICMP: v5 packs type*256+code into dstport (type 3, code 1 -> 769)
+      V5.Rec(Array[Byte](10, 9, 9, 9), Array[Byte](10, 0, 0, 1),
+        pkts = 1, octets = 84, firstMs = 500, lastMs = 500,
+        srcPort = 0, dstPort = 3 * 256 + 1, tcpFlags = 0, proto = 1))
+    // header: uptime 10s, export at 1700000000.5s -> exportMs ...000500
+    val pkt = V5.encode(sysUptimeMs = 10000L, unixSecs = 1700000000L,
+      unixNsecs = 500000000L, flowSequence = 42L, samplingInterval = 512, records = recs)
+    assert(pkt.length == V5.HeaderBytes + 2 * V5.RecordBytes)
+
+    val flows = V5.decode(pkt, sampler)
+    assert(flows.size == 2)
+    val r0 = byName(V5.toInternalRow(flows(0)))
+    assert(r0("type") == 2) // NETFLOW_V5
+    assert(r0("time_received") == 1700000000L)
+    assert(r0("sequence_num") == 42L)
+    assert(r0("sampling_rate") == 512L)
+    assert(r0("sampler_address").asInstanceOf[Array[Byte]].sameElements(sampler))
+    // uptime-relative reconstruction: (exportMs - uptime + firstMs) / 1000
+    assert(r0("time_flow_start") == (1700000000500L - 10000L + 1000L) / 1000L)
+    assert(r0("time_flow_end") == (1700000000500L - 10000L + 2000L) / 1000L)
+    assert(r0("bytes") == 5000L && r0("packets") == 7L)
+    assert(r0("src_addr").asInstanceOf[Array[Byte]].sameElements(Array[Byte](10, 1, 2, 3)))
+    assert(r0("dst_addr").asInstanceOf[Array[Byte]].sameElements(Array[Byte](-64, -88, 0, 9)))
+    assert(r0("etype") == 0x800 && r0("proto") == 6)
+    assert(r0("src_port") == 40000 && r0("dst_port") == 443)
+    assert(r0("tcp_flags") == 18)
+    assert(r0("icmp_type") == 0 && r0("icmp_code") == 0)
+    assert(r0("forwarding_status") == 0 && r0("flow_direction") == 0)
+    assert(r0("fragment_id") == 0L && r0("fragment_offset") == 0)
+
+    val r1 = byName(V5.toInternalRow(flows(1)))
+    assert(r1("proto") == 1)
+    assert(r1("icmp_type") == 3 && r1("icmp_code") == 1) // unpacked
+    assert(r1("dst_port") == 769) // raw packed value preserved
+    assert(r1("time_flow_start") == r1("time_flow_end"))
+  }
+
+  test("decode rejects malformed datagrams") {
+    intercept[IllegalArgumentException](V5.decode(Array[Byte](1, 2, 3), Array[Byte](127, 0, 0, 1)))
+    // version != 5
+    val v9 = V5.encode(0, 0, 0, 0, 0, Nil); v9(1) = 9
+    intercept[IllegalArgumentException](V5.decode(v9, Array[Byte](127, 0, 0, 1)))
+    // count claims more records than the payload carries
+    val short = V5.encode(0, 0, 0, 0, 0, Nil); short(3) = 2
+    intercept[IllegalArgumentException](V5.decode(short, Array[Byte](127, 0, 0, 1)))
+  }
+
+  test("UDP datagrams stream-decode end to end and normalize to the flows shape") {
+    val cp = "/root/repo/target/graft-tmp/udp-spec/cp"
+    FileUtils.deleteQuietly(Paths.get(cp).toFile)
+    val raw = spark.readStream.format("nflv5-udp")
+      .option("name", "udp-spec").option("port", 0)
+      .option("maxPacketsPerBatch", 2).option("numPartitions", 2)
+      .option("dedupSequence", true).load()
+    val q = graft.streaming.FlowPipeline.normalize(raw)
+      .writeStream.format("memory").queryName("udp_spec_sink")
+      .outputMode("append").option("checkpointLocation", cp).start()
+    val sock = new DatagramSocket()
+    try {
+      val deadline = System.nanoTime() + 60_000_000_000L
+      var port = 0
+      while (port == 0 && System.nanoTime() < deadline) {
+        port = UdpFlowSource.boundPort("udp-spec").getOrElse(0)
+        if (port == 0) Thread.sleep(20)
+      }
+      assert(port > 0, "source never bound a UDP port")
+      val addr = InetAddress.getByName("127.0.0.1")
+      def send(b: Array[Byte]): Unit = sock.send(new DatagramPacket(b, b.length, addr, port))
+
+      val packets = (0 until 4).map { p =>
+        V5.encode(5000L, 1700000100L, 0L, 10L * p, 1000,
+          (0 until 3).map { r =>
+            val i = 3 * p + r
+            V5.Rec(Array[Byte](10, 0, 0, i.toByte), Array[Byte](-64, -88, 0, i.toByte),
+              pkts = i + 1L, octets = 100L + i, firstMs = i * 100L, lastMs = i * 100L,
+              srcPort = 1000 + i, dstPort = 53, tcpFlags = 0, proto = 17)
+          })
+      }
+      val droppedBefore = UdpFlowSource.dropped.sum()
+      send("not netflow at all".getBytes) // garbage: dropped, query survives
+      val expected = 4 * 3
+      while (spark.table("udp_spec_sink").count() < expected &&
+          System.nanoTime() < deadline) {
+        packets.foreach(send) // re-sends dedup by (sender, flow_sequence)
+        q.processAllAvailable()
+      }
+      val got = spark.table("udp_spec_sink")
+      assert(got.count() == expected, "re-sent duplicates must not inflate the count")
+      // normalized 23-column flows shape, addresses rendered
+      assert(got.schema.fieldNames.toSeq == FlowSchema.schema.fieldNames.toSeq)
+      assert(got.filter(col("src_addr").rlike("^10\\.0\\.0\\.[0-9]+$")).count() == expected)
+      assert(got.filter(col("sampler_address") === "127.0.0.1").count() == expected)
+      assert(got.agg(countDistinct("sequence_num")).head().getLong(0) == 4)
+      assert(got.agg(sum("packets")).head().getLong(0) == (1 to 12).sum)
+      assert(UdpFlowSource.dropped.sum() > droppedBefore)
+    } finally { sock.close(); q.stop() }
+  }
+}
