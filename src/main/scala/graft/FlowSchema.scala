@@ -41,6 +41,43 @@ object FlowSchema {
     org.apache.spark.sql.catalyst.ScalaReflection
       .schemaFor[FlowRecord].dataType.asInstanceOf[StructType]
 
+  /** The ClickHouse column type per field, in DDL order — the reference
+    * keeps this in a second hand-synced artifact
+    * (`initdb/create_tables.sql:3-33` vs the Go struct `main.go:45-77`);
+    * here it lives next to the one schema, [[graft.sources.ClickHouseDdl]]
+    * emits the DDL from it, and a golden-file test pins it to the
+    * reference byte-for-byte modulo whitespace. The Int/Long choice in
+    * [[FlowRecord]] follows SURVEY §1.3: unsigned CH types whose values
+    * can exceed Int.MaxValue (UInt64, and the UInt32 counters
+    * sequence_num/sampling_rate/fragment_id) widen to Long; small enums
+    * stay Int.
+    */
+  val chTypes: Seq[(String, String)] = Seq(
+    "type" -> "Int32",
+    "time_received" -> "UInt64",
+    "sequence_num" -> "UInt32",
+    "sampling_rate" -> "UInt64",
+    "flow_direction" -> "UInt32",
+    "sampler_address" -> "String",
+    "time_flow_start" -> "UInt64",
+    "time_flow_end" -> "UInt64",
+    "bytes" -> "UInt64",
+    "packets" -> "UInt64",
+    "src_addr" -> "String",
+    "dst_addr" -> "String",
+    "etype" -> "UInt32",
+    "proto" -> "UInt32",
+    "src_port" -> "UInt32",
+    "dst_port" -> "UInt32",
+    "forwarding_status" -> "UInt32",
+    "tcp_flags" -> "UInt32",
+    "icmp_type" -> "UInt32",
+    "icmp_code" -> "UInt32",
+    "fragment_id" -> "UInt32",
+    "fragment_offset" -> "UInt32")
+  require(chTypes.map(_._1) == schema.fieldNames.toSeq,
+    "chTypes must list exactly the schema fields in order")
+
   /** Raw in-flight shape before the R3 projection: addresses still as
     * network-order bytes, exactly what a goflow decoder emits
     * (`FlowMessage` protobuf, `main.go:21`).

@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.types._
+
+import graft.FlowSchema
+
+/** R5 DDL parity: emit the exact ClickHouse `flows` table the reference
+  * ships by hand (`initdb/create_tables.sql:1-35`), generated from the one
+  * [[FlowSchema]] definition — the reference maintains the Go struct and
+  * the DDL as two artifacts synced by eyeball; here the golden-file test
+  * (`ClickHouseDdlSpec`) pins the generated text to the reference file, so
+  * a schema edit that would desync them fails the build instead.
+  *
+  * `ENGINE = Null()` in the reference is a fan-out head: the raw insert
+  * table stores nothing, materialized views hanging off it do the real
+  * storage — the same shape as this engine's normalize → multiple-sink
+  * foreachBatch.
+  */
+object ClickHouseDdl {
+
+  /** The `CREATE TABLE flows` DDL text (reference parity modulo blank-line
+    * grouping).
+    */
+  def flowsDdl: String = {
+    val cols = FlowSchema.chTypes
+      .map { case (n, t) => s"    $n $t" }
+      .mkString(",\n")
+    s"""CREATE TABLE IF NOT EXISTS flows
+       |(
+       |$cols
+       |)
+       |ENGINE = Null();
+       |""".stripMargin
+  }
+
+  /** Spark-side type each ClickHouse type must land in (widening unsigned
+    * types per SURVEY §1.3) — asserted against [[FlowSchema.schema]] so the
+    * two views of the one definition cannot drift.
+    */
+  def compatibleSparkTypes(chType: String): Set[DataType] = chType match {
+    case "String" => Set(StringType)
+    case "Int32" => Set(IntegerType)
+    case "UInt64" => Set(LongType) // may exceed Int range: must widen
+    case "UInt32" => Set(IntegerType, LongType) // Long iff counter-like
+    case t => throw new IllegalArgumentException(s"unmapped ClickHouse type $t")
+  }
+}

@@ -36,10 +36,55 @@ object JdbcSink {
     p
   }
 
-  /** One micro-batch (or one batch DataFrame) → one set of batched INSERTs. */
+  /** One micro-batch (or one batch DataFrame) → one set of batched INSERTs.
+    * String columns are created as VARCHAR(255), not the dialect's default
+    * LOB type — Derby maps StringType to CLOB, which cannot be compared or
+    * filtered on the remote side (breaks the idempotent-append key probe);
+    * flow strings are rendered IPs, far under 255. Overflow would error,
+    * not truncate.
+    */
   def writeBatch(df: DataFrame, url: String, table: String,
-      connProps: Properties = props()): Unit =
-    df.write.mode("append").jdbc(url, table, connProps)
+      connProps: Properties = props()): Unit = {
+    val stringCols = df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .map(f => s"${f.name} VARCHAR(255)")
+    val w = df.write.mode("append")
+    (if (stringCols.isEmpty) w
+     else w.option("createTableColumnTypes", stringCols.mkString(", ")))
+      .jdbc(url, table, connProps)
+  }
+
+  /** At-least-once → effectively-once: before appending, anti-join the
+    * batch against the keys already in the target on the natural flow
+    * identity (sequence_num, sampler_address, time_received) — the key the
+    * scaladoc above promises (`main.go:158-172` parity note). A replayed
+    * micro-batch (foreachBatch retry after a sink failure) finds its keys
+    * present and inserts nothing.
+    *
+    * Scale posture: the existing-keys probe is NOT a full-table scan — the
+    * batch's [min, max] time_received range is pushed into the JDBC read
+    * (`PushedFilters` → WHERE on the remote, which any real target indexes
+    * or partitions by time), so the probe touches only the replay window.
+    * Correct under Spark's serial-foreachBatch execution (no concurrent
+    * writer of the same key range).
+    */
+  def idempotentAppend(batch: DataFrame, url: String, table: String,
+      keyCols: Seq[String] = Seq("sequence_num", "sampler_address", "time_received"),
+      connProps: Properties = props()): Unit = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val spark = batch.sparkSession
+    val existsAlready =
+      try { spark.read.jdbc(url, table, connProps).schema; true }
+      catch { case _: Exception => false } // first batch creates the table
+    if (!existsAlready) return writeBatch(batch, url, table, connProps)
+    val bounds = batch.agg(
+      min(col("time_received")).as("lo"), max(col("time_received")).as("hi")).head()
+    if (bounds.isNullAt(0)) return // empty batch
+    val existingKeys = spark.read.jdbc(url, table, connProps)
+      .filter(col("time_received").between(bounds.getLong(0), bounds.getLong(1)))
+      .select(keyCols.map(col): _*)
+    writeBatch(batch.join(existingKeys, keyCols, "left_anti"), url, table, connProps)
+  }
 
   /** R4+R5: streaming flows → JDBC, ProcessingTime trigger ≈ the
     * reference's 10 s batch-max-time.

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import java.net.InetSocketAddress
+
+import com.sun.net.httpserver.HttpServer
+
+/** R6 parity, the serving half: the reference exposes its counters over
+  * HTTP for Prometheus to scrape (`main.go:177-180`, promhttp handler on
+  * `-metrics.addr`/`-metrics.path`). In a production Spark deployment the
+  * same job falls to the built-in PrometheusServlet
+  * (`spark.ui.prometheus.enabled`) scraping driver/executor metrics; this
+  * dependency-free server completes the exact parity point for the
+  * pipeline-level counters [[FlowPipeline.MetricsListener]] accumulates,
+  * emitting the Prometheus text exposition format (v0.0.4 — what promhttp
+  * speaks).
+  *
+  * Port 0 = ephemeral; [[boundPort]] reports the actual bind for scrape
+  * config / tests.
+  */
+final class MetricsServer(listener: FlowPipeline.MetricsListener, port: Int = 0) {
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  private def body: String =
+    s"""# HELP graft_flows_rows_total Rows ingested across streaming queries.
+       |# TYPE graft_flows_rows_total counter
+       |graft_flows_rows_total ${listener.rowsIn.sum()}
+       |# HELP graft_flows_batches_total Micro-batches completed.
+       |# TYPE graft_flows_batches_total counter
+       |graft_flows_batches_total ${listener.batches.sum()}
+       |# HELP graft_decoder_dropped_total Malformed datagrams dropped by the NetFlow decoder.
+       |# TYPE graft_decoder_dropped_total counter
+       |graft_decoder_dropped_total ${graft.sources.UdpFlowSource.dropped.sum()}
+       |# HELP graft_flows_last_rows_per_second Input rate at the last progress event.
+       |# TYPE graft_flows_last_rows_per_second gauge
+       |graft_flows_last_rows_per_second ${listener.lastRowsPerSecond}
+       |# HELP graft_flows_max_batch_rows Largest single micro-batch admitted (R4 invariant).
+       |# TYPE graft_flows_max_batch_rows gauge
+       |graft_flows_max_batch_rows ${listener.maxBatchRows}
+       |""".stripMargin
+
+  server.createContext("/metrics", (exchange: com.sun.net.httpserver.HttpExchange) => {
+    val bytes = body.getBytes("UTF-8")
+    exchange.getResponseHeaders.add("Content-Type",
+      "text/plain; version=0.0.4; charset=utf-8")
+    exchange.sendResponseHeaders(200, bytes.length)
+    exchange.getResponseBody.write(bytes)
+    exchange.close()
+  })
+  server.setExecutor(null) // counters only: serve on the accept thread
+  server.start()
+
+  def boundPort: Int = server.getAddress.getPort
+  def stop(): Unit = server.stop(0)
+}

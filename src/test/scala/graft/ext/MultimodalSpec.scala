@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The multimodal decode kernels' typed outputs — in particular the
+  * ArrayType(FloatType) `hist` feature vector that the registered x5c
+  * query drops (the driver's canonicalizer can't hash raw arrays): its
+  * rationals count/len must reconstruct exactly from the integer counts,
+  * and the kernel plumbing must hold under empty-ish payload edges.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  private def media = {
+    import spark.implicits._
+    Seq(
+      (1L, "hello world".getBytes("UTF-8")),
+      (2L, Array[Byte](0, 16, 32, 127, -1, -16)), // bins 0,1,2,7 + top bins dropped to 8-bin range
+      (3L, Array.fill[Byte](256)(65)) // 'A' = 0x41 -> bin 4
+    ).toDF("doc_id", "payload")
+  }
+
+  test("byteHistogram: float hist is exactly counts/len and sums to coverage") {
+    val rows = Multimodal.byteHistogram(media, bins = 8)
+      .orderBy("doc_id").collect()
+    rows.foreach { r =>
+      val counts = r.getSeq[Int](1)
+      val hist = r.getSeq[Float](2)
+      val n = r.getInt(3)
+      assert(counts.length == 8 && hist.length == 8)
+      // the dropped-by-the-registry float vector IS counts/len, bit-exact
+      counts.zip(hist).foreach { case (c, f) =>
+        assert(f == c.toFloat / n.toFloat, s"doc ${r.getLong(0)}: $c/$n != $f")
+      }
+      assert(counts.sum <= n) // bytes >= 128 fall outside the 8 low bins
+    }
+    // doc 3: all 256 bytes are 'A' (0x41) -> bin 4 holds everything
+    val d3 = rows.find(_.getLong(0) == 3L).get
+    assert(d3.getSeq[Int](1) == Seq(0, 0, 0, 0, 256, 0, 0, 0))
+    assert(d3.getSeq[Float](2)(4) == 1.0f)
+  }
+
+  test("decodeFeatures: stub decode arithmetic matches a direct computation") {
+    val feats = Multimodal.decodeFeatures(media).orderBy("doc_id").collect()
+    val h = "hello world".getBytes("UTF-8")
+    val f1 = feats(0)
+    assert(f1.getInt(1) == 1 + (h(0) & 0xff) % 64) // width from byte 0
+    assert(f1.getInt(2) == 1 + (h(1) & 0xff) % 64) // height from byte 1
+    assert(f1.getDouble(3) == h.map(_ & 0xff).sum.toDouble / h.length)
+    assert(f1.getInt(4) == h.length)
+    // high bytes stay unsigned through the kernel
+    val f2 = feats(1)
+    assert(f2.getDouble(3) == (0 + 16 + 32 + 127 + 255 + 240).toDouble / 6)
+  }
+
+  test("kernels distribute: mapPartitions output matches per-row recompute at fixture scale") {
+    val df = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val viaKernel = Multimodal.byteHistogram(df, bins = 8)
+      .select(col("doc_id"), col("hist_counts"))
+    // cross-check against the same arithmetic expressed declaratively
+    val recompute = df.select(col("doc_id"),
+      transform(sequence(lit(0), lit(7)), b =>
+        aggregate(
+          transform(sequence(lit(1), length(col("payload"))),
+            i => when(floor(ascii(col("payload").cast("string").substr(i, lit(1))) / 16) === b, 1)
+              .otherwise(0)),
+          lit(0), (acc, v) => acc + v)).as("hist_sql"))
+    val joined = viaKernel.join(recompute, "doc_id")
+      .filter(not(col("hist_counts").cast("array<int>") === col("hist_sql").cast("array<int>")))
+    assert(joined.count() == 0)
+  }
+}

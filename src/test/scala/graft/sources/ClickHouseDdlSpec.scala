@@ -1,0 +1,37 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.FlowSchema
+
+/** Golden-file parity: the DDL generated from FlowSchema must equal the
+  * reference's hand-written `initdb/create_tables.sql` modulo whitespace,
+  * and the Spark schema must be a type-compatible widening of it.
+  */
+class ClickHouseDdlSpec extends AnyFunSuite {
+
+  private def tokens(s: String): Seq[String] =
+    s.split("\\s+").filter(_.nonEmpty).toSeq
+
+  test("generated flows DDL equals the reference DDL modulo whitespace") {
+    val ref = Files.readString(
+      Paths.get("/root/reference/initdb/create_tables.sql"))
+    assert(tokens(ClickHouseDdl.flowsDdl) == tokens(ref))
+  }
+
+  test("every ClickHouse column type maps to the Spark field type") {
+    val sparkTypes = FlowSchema.schema.fields.map(f => f.name -> f.dataType).toMap
+    FlowSchema.chTypes.foreach { case (name, chType) =>
+      assert(ClickHouseDdl.compatibleSparkTypes(chType).contains(sparkTypes(name)),
+        s"$name: $chType cannot land in ${sparkTypes(name)}")
+    }
+  }
+
+  test("UInt32 counters that can exceed Int range widen to Long") {
+    val sparkTypes = FlowSchema.schema.fields.map(f => f.name -> f.dataType).toMap
+    for (n <- Seq("sequence_num", "sampling_rate", "fragment_id"))
+      assert(sparkTypes(n) == org.apache.spark.sql.types.LongType, n)
+  }
+}

@@ -1,0 +1,141 @@
+package graft.streaming
+
+import java.nio.file.Paths
+
+import org.apache.commons.io.FileUtils
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+import graft.SparkSpec
+
+/** Streaming PLAN obligations (the §4.2 analogue for the incremental
+  * planner): watermark nodes must exist where state must age out, the
+  * stateful operators the registry queries rely on must actually appear in
+  * the executed streaming plan (visible via progress `stateOperators`),
+  * and update-mode sinks must be read as last-emission-per-key across
+  * MULTIPLE micro-batches — the q46–q51 shapes, on MemoryStream fixtures
+  * so batch boundaries are controlled.
+  */
+class StreamingPlanSpec extends SparkSpec {
+
+  private val tmp = "/root/repo/target/graft-tmp/streaming-plan-spec"
+
+  private def freshCp(name: String): String = {
+    val cp = s"$tmp/$name"
+    FileUtils.deleteQuietly(Paths.get(cp).toFile)
+    cp
+  }
+
+  test("watermark appears in the analyzed plan and bounds dedup/agg state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val deduped = input.toDF().toDF("ts", "id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+    // logical obligation: an EventTimeWatermark node guards the state
+    assert(deduped.queryExecution.analyzed.toString.contains("EventTimeWatermark"),
+      deduped.queryExecution.analyzed.toString)
+
+    val q = deduped.writeStream.format("memory").queryName("splan_dedup")
+      .outputMode("append").option("checkpointLocation", freshCp("dedup")).start()
+    try {
+      def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${10 + min / 60}%02d:${min % 60}%02d:00")
+      input.addData((t(0), 1L), (t(0), 1L), (t(5), 2L)) // dup in-batch
+      q.processAllAvailable()
+      input.addData((t(5), 2L), (t(300), 99L)) // dup across batches + closer
+      q.processAllAvailable()
+      val ops = q.lastProgress.stateOperators.map(_.operatorName).toSeq
+      // both stateful operators are in the executed plan, in order
+      assert(ops.contains("dedupeWithinWatermark"), ops.mkString(","))
+      assert(ops.exists(_.contains("stateStoreSave")), ops.mkString(","))
+      // watermark advanced past the first hour: window [10:00,11:00)
+      // finalized with both duplicates (in-batch AND cross-batch) dropped —
+      // 2 surviving rows, not 4
+      val out = spark.table("splan_dedup").collect()
+      assert(out.exists(_.getLong(1) == 2), out.mkString(";"))
+    } finally q.stop()
+  }
+
+  test("session window plans a session-window state operator (q48 shape)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val sess = input.toDF().toDF("ts", "uid")
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("uid"))
+      .agg(count(lit(1)).as("n"))
+    val q = sess.writeStream.format("memory").queryName("splan_sess")
+      .outputMode("append").option("checkpointLocation", freshCp("sess")).start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData((t("2024-01-01 10:00:00"), 1L), (t("2024-01-01 10:05:00"), 1L),
+        (t("2024-01-01 12:00:00"), 1L))
+      q.processAllAvailable()
+      val ops = q.lastProgress.stateOperators.map(_.operatorName).toSeq
+      assert(ops.exists(_.toLowerCase.contains("session")), ops.mkString(","))
+      assert(q.lastProgress.stateOperators.exists(_.numRowsTotal > 0))
+    } finally q.stop()
+  }
+
+  test("q51 shape emits per batch; last-emission read is correct over multiple batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long)] // (user, event, cents)
+    val updated = input.toDS().groupByKey(_._1).mapGroupsWithState(
+      GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Long, Long)], st: GroupState[(Long, Long, Long)]) =>
+          val prev = st.getOption.getOrElse((0L, 0L, -1L))
+          var (n, c, maxId) = prev
+          rows.foreach { r => n += 1; c += r._3; if (r._2 > maxId) maxId = r._2 }
+          st.update((n, c, maxId))
+          (uid, n, c, maxId)
+      }.toDF("user_id", "n_events", "cents", "max_event_id")
+    val q = updated.writeStream.format("memory").queryName("splan_state")
+      .outputMode("update").option("checkpointLocation", freshCp("state")).start()
+    try {
+      input.addData((1L, 10L, 5L), (2L, 11L, 7L))
+      q.processAllAvailable()
+      input.addData((1L, 12L, 3L)) // user 1 appears in a SECOND batch
+      q.processAllAvailable()
+      val ops = q.lastProgress.stateOperators.map(_.operatorName).toSeq
+      assert(ops.exists(_.contains("GroupsWithState")), ops.mkString(","))
+
+      val sink = spark.table("splan_state")
+      // raw sink holds one row per emission: user 1 twice (r02 bug class)
+      assert(sink.filter(col("user_id") === 1).count() == 2)
+      // the registry's last-emission read: max per key (values monotonic)
+      val last = sink.groupBy("user_id")
+        .agg(max("n_events").as("n"), max("cents").as("c"), max("max_event_id").as("m"))
+        .orderBy("user_id").collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(last == Seq((1L, 2L, 8L, 12L), (2L, 1L, 7L, 11L)), last)
+    } finally q.stop()
+  }
+
+  test("watermark-agg shape (q49): append emits only watermark-closed windows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val agg = input.toDF().toDF("ts", "v")
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+    assert(agg.queryExecution.analyzed.toString.contains("EventTimeWatermark"))
+    val q = agg.writeStream.format("memory").queryName("splan_wm")
+      .outputMode("append").option("checkpointLocation", freshCp("wm")).start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData((t("2024-01-01 10:10:00"), 1L), (t("2024-01-01 10:20:00"), 2L))
+      q.processAllAvailable()
+      // nothing can be final yet: watermark is 09:50
+      assert(spark.table("splan_wm").count() == 0)
+      input.addData((t("2024-01-01 11:40:00"), 3L)) // watermark -> 11:10 closes [10:00,11:00)
+      q.processAllAvailable()
+      val rows = spark.table("splan_wm").collect()
+      assert(rows.length == 1 && rows(0).getLong(1) == 2, rows.mkString(";"))
+      // state metrics expose rows dropped-by-watermark accounting surface
+      assert(q.lastProgress.stateOperators.nonEmpty)
+    } finally q.stop()
+  }
+}
