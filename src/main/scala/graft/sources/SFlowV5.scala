@@ -1,0 +1,240 @@
+package graft.sources
+
+import java.nio.ByteBuffer
+
+import scala.collection.mutable.ArrayBuffer
+
+/** sFlow v5 wire codec — the decoder behind the reference's `sflow://` UDP
+  * listener (`main.go:228-231`, goflow `StateSFlow`). sFlow differs from
+  * NetFlow structurally: the datagram carries SAMPLES, and each flow
+  * sample embeds the RAW PACKET HEADER of the sampled frame — so decoding
+  * a flow means dissecting Ethernet → (802.1Q) → IPv4/IPv6 → TCP/UDP/ICMP
+  * from the captured bytes, exactly what goflow's sflow producer does.
+  *
+  * Datagram (XDR, all u32 big-endian):
+  *   version=5, agentAddressType (1=v4: 4B, 2=v6: 16B), agentAddress,
+  *   subAgentId, sequence, uptimeMs, numSamples, then samples:
+  *     sampleType(u32: enterprise<<12|format), sampleLen(u32), body
+  *   flow sample (format 1): seq, sourceId, samplingRate, samplePool,
+  *     drops, input, output, numRecords
+  *   expanded flow sample (format 3): seq, sourceIdType, sourceIdIndex,
+  *     samplingRate, samplePool, drops, inputFormat, inputValue,
+  *     outputFormat, outputValue, numRecords
+  *   record: recordType(u32), recordLen(u32); raw packet header record
+  *     (format 1): headerProtocol(u32, 1=Ethernet), frameLength(u32),
+  *     stripped(u32), headerLen(u32), header bytes padded to 4
+  *
+  * FlowMessage mapping follows goflow: type=1 (SFLOW_5), bytes =
+  * frameLength, packets = 1 (each sample is one sampled frame),
+  * sequence_num = datagram sequence, sampling_rate from the sample, and —
+  * sFlow carries no export timestamp — time fields are the RECEIVE time,
+  * passed in by the caller so tests stay deterministic. Samples that are
+  * not flow samples, records that are not raw headers, and non-IP frames
+  * are skipped by length (counter samples are a different metrics surface).
+  */
+object SFlowV5 {
+
+  def decode(packet: Array[Byte], sampler: Array[Byte],
+      nowSecs: Long): Seq[NetFlowV5.RawFlow] = {
+    val bb = ByteBuffer.wrap(packet)
+    require(packet.length >= 28, s"short sFlow datagram: ${packet.length}")
+    val version = bb.getInt
+    require(version == 5, s"not sFlow v5: version=$version")
+    val agentType = bb.getInt
+    bb.position(bb.position() + (if (agentType == 2) 16 else 4)) // agent addr
+    bb.getInt // subAgentId
+    val sequence = bb.getInt & 0xffffffffL
+    bb.getInt // uptime
+    val numSamples = bb.getInt
+    val out = ArrayBuffer.empty[NetFlowV5.RawFlow]
+
+    var s = 0
+    while (s < numSamples && bb.remaining() >= 8) {
+      val sampleType = bb.getInt & 0xffffffffL
+      val sampleLen = bb.getInt
+      val sampleEnd = bb.position() + sampleLen
+      require(sampleLen >= 0 && sampleEnd <= packet.length,
+        s"malformed sample: len=$sampleLen")
+      val format = (sampleType & 0xfff).toInt
+      val enterprise = (sampleType >> 12).toInt
+      if (enterprise == 0 && (format == 1 || format == 3)) {
+        bb.getInt // sample sequence
+        if (format == 1) bb.getInt // sourceId
+        else { bb.getInt; bb.getInt } // sourceIdType, sourceIdIndex
+        val samplingRate = bb.getInt & 0xffffffffL
+        bb.getInt // samplePool
+        bb.getInt // drops
+        if (format == 1) { bb.getInt; bb.getInt } // input, output
+        else { bb.getInt; bb.getInt; bb.getInt; bb.getInt }
+        val numRecords = bb.getInt
+        var r = 0
+        while (r < numRecords && bb.position() + 8 <= sampleEnd) {
+          val recType = bb.getInt & 0xffffffffL
+          val recLen = bb.getInt
+          val recEnd = bb.position() + recLen
+          require(recLen >= 0 && recEnd <= sampleEnd, s"malformed record: len=$recLen")
+          if ((recType & 0xfff) == 1 && (recType >> 12) == 0 && recLen >= 16) {
+            val headerProtocol = bb.getInt
+            val frameLength = bb.getInt & 0xffffffffL
+            bb.getInt // stripped
+            val headerLen = bb.getInt
+            if (headerProtocol == 1 && bb.position() + headerLen <= recEnd) {
+              dissectEthernet(bb, bb.position(), headerLen, sampler, nowSecs,
+                sequence, samplingRate, frameLength).foreach(out += _)
+            }
+          }
+          bb.position(recEnd)
+          r += 1
+        }
+      }
+      bb.position(sampleEnd)
+      s += 1
+    }
+    out.toSeq
+  }
+
+  /** Ethernet frame dissection (802.1Q-aware) → one RawFlow if the frame
+    * carries IPv4/IPv6; None for ARP & friends (goflow skips those too).
+    */
+  private def dissectEthernet(bb: ByteBuffer, start: Int, headerLen: Int,
+      sampler: Array[Byte], nowSecs: Long, sequence: Long, samplingRate: Long,
+      frameLength: Long): Option[NetFlowV5.RawFlow] = {
+    def u8(off: Int): Int = bb.get(start + off) & 0xff
+    def u16(off: Int): Int = (u8(off) << 8) | u8(off + 1)
+    def bytesAt(off: Int, n: Int): Array[Byte] =
+      (0 until n).map(i => bb.get(start + off + i)).toArray
+    if (headerLen < 14) return None
+    var et = u16(12)
+    var l3 = 14
+    if (et == 0x8100 && headerLen >= 18) { et = u16(16); l3 = 18 } // VLAN tag
+
+    var proto = 0; var srcAddr: Array[Byte] = null; var dstAddr: Array[Byte] = null
+    var l4 = 0; var fragId = 0L; var fragOffset = 0
+    if (et == 0x800) { // IPv4
+      if (headerLen < l3 + 20) return None
+      val ihl = (u8(l3) & 0xf) * 4
+      proto = u8(l3 + 9)
+      fragId = u16(l3 + 4).toLong
+      fragOffset = ((u8(l3 + 6) & 0x1f) << 8) | u8(l3 + 7)
+      srcAddr = bytesAt(l3 + 12, 4); dstAddr = bytesAt(l3 + 16, 4)
+      l4 = l3 + ihl
+    } else if (et == 0x86dd) { // IPv6 (fixed header; ext headers skipped as goflow does)
+      if (headerLen < l3 + 40) return None
+      proto = u8(l3 + 6)
+      srcAddr = bytesAt(l3 + 8, 16); dstAddr = bytesAt(l3 + 24, 16)
+      l4 = l3 + 40
+    } else return None // non-IP frame
+
+    var srcPort = 0; var dstPort = 0; var tcpFlags = 0
+    var icmpType = 0; var icmpCode = 0
+    if ((proto == 6 || proto == 17) && headerLen >= l4 + 4) {
+      srcPort = u16(l4); dstPort = u16(l4 + 2)
+      if (proto == 6 && headerLen >= l4 + 14) tcpFlags = u8(l4 + 13) & 0x3f
+    } else if ((proto == 1 || proto == 58) && headerLen >= l4 + 2) {
+      icmpType = u8(l4); icmpCode = u8(l4 + 1)
+    }
+
+    Some(NetFlowV5.RawFlow(
+      `type` = 1, // goflow SFLOW_5
+      time_received = nowSecs,
+      sequence_num = sequence,
+      sampling_rate = samplingRate,
+      flow_direction = 0,
+      sampler_address = sampler,
+      time_flow_start = nowSecs, // sFlow samples carry no flow timestamps
+      time_flow_end = nowSecs,
+      bytes = frameLength,
+      packets = 1L,
+      src_addr = srcAddr,
+      dst_addr = dstAddr,
+      etype = et,
+      proto = proto,
+      src_port = srcPort,
+      dst_port = dstPort,
+      forwarding_status = 0,
+      tcp_flags = tcpFlags,
+      icmp_type = icmpType,
+      icmp_code = icmpCode,
+      fragment_id = fragId,
+      fragment_offset = fragOffset))
+  }
+
+  // ---- exporter-side encoders (tests + load generation) ----
+
+  /** Build an Ethernet+IPv4+TCP/UDP/ICMP header blob for a test sample. */
+  def ipv4Frame(src: Array[Byte], dst: Array[Byte], proto: Int,
+      srcPort: Int, dstPort: Int, tcpFlags: Int = 0, vlan: Boolean = false,
+      ipId: Int = 0): Array[Byte] = {
+    val buf = ArrayBuffer.empty[Byte]
+    buf ++= Array.fill[Byte](12)(0x02) // MACs
+    if (vlan) { buf ++= Array[Byte](0x81.toByte, 0, 0, 42) }
+    buf ++= Array[Byte](8, 0) // ethertype IPv4
+    val ip = new Array[Byte](20)
+    ip(0) = 0x45 // v4, ihl 5
+    ip(4) = ((ipId >> 8) & 0xff).toByte; ip(5) = (ipId & 0xff).toByte
+    ip(8) = 64 // ttl
+    ip(9) = proto.toByte
+    System.arraycopy(src, 0, ip, 12, 4)
+    System.arraycopy(dst, 0, ip, 16, 4)
+    buf ++= ip
+    proto match {
+      case 6 =>
+        val tcp = new Array[Byte](20)
+        tcp(0) = ((srcPort >> 8) & 0xff).toByte; tcp(1) = (srcPort & 0xff).toByte
+        tcp(2) = ((dstPort >> 8) & 0xff).toByte; tcp(3) = (dstPort & 0xff).toByte
+        tcp(12) = 0x50; tcp(13) = tcpFlags.toByte
+        buf ++= tcp
+      case 17 =>
+        val udp = new Array[Byte](8)
+        udp(0) = ((srcPort >> 8) & 0xff).toByte; udp(1) = (srcPort & 0xff).toByte
+        udp(2) = ((dstPort >> 8) & 0xff).toByte; udp(3) = (dstPort & 0xff).toByte
+        buf ++= udp
+      case 1 =>
+        buf ++= Array[Byte](srcPort.toByte, dstPort.toByte, 0, 0) // type, code
+      case _ =>
+    }
+    buf.toArray
+  }
+
+  /** Encode one sFlow v5 datagram of flow samples; each sample is
+    * (samplingRate, frameLength, headerBytes).
+    */
+  def encode(agent: Array[Byte], sequence: Long,
+      samples: Seq[(Long, Long, Array[Byte])], expanded: Boolean = false): Array[Byte] = {
+    def pad4(n: Int): Int = (4 - n % 4) % 4
+    val bodies = samples.map { case (rate, frameLen, header) =>
+      val recBody = 16 + header.length + pad4(header.length)
+      val sampleBody = (if (expanded) 44 else 32) + 8 + recBody
+      val bb = ByteBuffer.allocate(8 + sampleBody)
+      bb.putInt(if (expanded) 3 else 1) // flow sample (expanded) format
+      bb.putInt(sampleBody)
+      bb.putInt(1) // sample sequence
+      if (expanded) { bb.putInt(0); bb.putInt(5) } else bb.putInt(5) // sourceId
+      bb.putInt(rate.toInt)
+      bb.putInt(1000) // pool
+      bb.putInt(0) // drops
+      if (expanded) { bb.putInt(0); bb.putInt(1); bb.putInt(0); bb.putInt(2) }
+      else { bb.putInt(1); bb.putInt(2) } // input, output
+      bb.putInt(1) // numRecords
+      bb.putInt(1) // raw packet header record
+      bb.putInt(recBody)
+      bb.putInt(1) // headerProtocol ethernet
+      bb.putInt(frameLen.toInt)
+      bb.putInt(4) // stripped
+      bb.putInt(header.length)
+      bb.put(header)
+      bb.put(new Array[Byte](pad4(header.length)))
+      bb.array()
+    }
+    val bb = ByteBuffer.allocate(28 + bodies.map(_.length).sum)
+    bb.putInt(5) // sFlow version
+    bb.putInt(1) // agent address type IPv4
+    bb.put(agent)
+    bb.putInt(0) // subAgentId
+    bb.putInt(sequence.toInt)
+    bb.putInt(123456) // uptime
+    bb.putInt(samples.size)
+    bodies.foreach(bb.put)
+    bb.array()
+  }
+}

@@ -18,9 +18,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import graft.FlowSchema
 
 /** R1 proper: a DataSourceV2 micro-batch source that LISTENS ON UDP for
-  * NetFlow v5 datagrams and decodes them into `FlowSchema.rawSchema` rows —
-  * the reference's entire ingest job (`nfl://` listener,
-  * `main.go:221-250`, goflow `StateNFLegacy.FlowRoutine`), Spark-native.
+  * flow datagrams in all three of the reference's schemes — NetFlow v5
+  * ([[NetFlowV5]], `nfl://`), NetFlow v9/IPFIX ([[NetFlowV9]],
+  * `netflow://`, with receiver-side template learning), and sFlow v5
+  * ([[SFlowV5]], `sflow://`, raw-header dissection) — and decodes them
+  * into `FlowSchema.rawSchema` rows: the reference's entire ingest job
+  * (`main.go:221-250`, goflow's three FlowRoutine states), Spark-native.
+  * One port serves every version: the header version field dispatches
+  * (sFlow's u32 version reads as a leading zero u16, disjoint from
+  * NetFlow's u16 5/9/10).
   *
   * Architecture (the same shape as Spark's own TextSocketMicroBatchStream):
   * the stream object on the DRIVER owns the socket — one receiver thread
@@ -76,6 +82,12 @@ object UdpFlowSource {
     * the reference's Prometheus error counter).
     */
   val dropped = new LongAdder
+
+  /** v9/IPFIX data packets refused at admission because their template has
+    * not arrived yet (the exporter's periodic template re-send resolves
+    * this — RFC 3954 §5; goflow errors these the same way).
+    */
+  val templateMisses = new LongAdder
 }
 
 final class UdpFlowTable extends Table with SupportsRead {
@@ -104,10 +116,14 @@ final case class UdpOffset(count: Long) extends Offset {
   override def json(): String = count.toString
 }
 
-/** One decode task: a slice of raw datagrams (with sender addresses),
-  * serialized driver → executor.
+/** One decode task: a slice of raw datagrams (with sender addresses) plus
+  * the template snapshot current at planning time, serialized driver →
+  * executor. Templates are keyed (sender, sourceId, templateId) — a few
+  * hundred bytes even for a busy exporter fleet, negligible next to the
+  * packets.
   */
-final case class UdpPacketsPartition(packets: Array[(Array[Byte], Array[Byte])])
+final case class UdpPacketsPartition(packets: Array[(Array[Byte], Array[Byte])],
+    templates: Map[(String, Long, Int), NetFlowV9.Template])
   extends InputPartition
 
 final class UdpFlowStream(host: String, port: Int, name: String,
@@ -122,7 +138,10 @@ final class UdpFlowStream(host: String, port: Int, name: String,
   /** Buffered (packet, sender) pairs; `base` = offset of buffer head. */
   private val buf = new ArrayBuffer[(Array[Byte], Array[Byte])]()
   private var base = 0L
-  private val seen = new java.util.HashSet[(String, Long)]()
+  private val seen = new java.util.HashSet[(String, Int, Long)]()
+  /** v9/IPFIX templates learned on the receiver thread. */
+  private val templates =
+    scala.collection.mutable.Map.empty[(String, Long, Int), NetFlowV9.Template]
   @volatile private var closed = false
 
   private val receiver = new Thread(s"nflv5-udp-receiver-$name") {
@@ -147,20 +166,52 @@ final class UdpFlowStream(host: String, port: Int, name: String,
   receiver.setDaemon(true)
   receiver.start()
 
-  /** Cheap header sniff on the receiver thread: version check (so garbage
-    * never occupies buffer) and, if enabled, (sender, flow_sequence) dedup.
-    * Full record validation happens on executors in the decode.
+  /** Receiver-thread admission: version sniff (garbage never occupies
+    * buffer), v9/IPFIX template learning, refusal of data packets whose
+    * template is still unknown (the re-sent copy after the template lands
+    * is admitted — RFC 3954 §5 periodic template export), and, if enabled,
+    * (sender, version, sequence) dedup. Full record validation happens on
+    * executors in the decode.
     */
   private def acceptable(bytes: Array[Byte], senderKey: String): Boolean = {
-    if (bytes.length < NetFlowV5.HeaderBytes ||
-        (((bytes(0) & 0xff) << 8) | (bytes(1) & 0xff)) != 5) {
-      UdpFlowSource.dropped.increment()
-      return false
+    if (bytes.length < 16) { UdpFlowSource.dropped.increment(); return false }
+    val version = ((bytes(0) & 0xff) << 8) | (bytes(1) & 0xff)
+    def seqAt(off: Int): Long =
+      ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+        ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+    version match {
+      case 0 => // sFlow: version is a u32, so the first u16 reads 0
+        if (bytes.length < 28 ||
+            (((bytes(2) & 0xff) << 8) | (bytes(3) & 0xff)) != 5) {
+          UdpFlowSource.dropped.increment(); return false
+        }
+        // datagram sequence sits after the agent address (4B or 16B)
+        val agentLen = if (bytes(7) == 2) 16 else 4
+        !dedupSequence || synchronized { seen.add((senderKey, 0, seqAt(12 + agentLen))) }
+      case 5 =>
+        if (bytes.length < NetFlowV5.HeaderBytes) {
+          UdpFlowSource.dropped.increment(); return false
+        }
+        !dedupSequence || synchronized { seen.add((senderKey, 5, seqAt(16))) }
+      case 9 | 10 =>
+        try {
+          val learned = NetFlowV9.decodeTemplates(bytes)
+          val (sourceId, dataIds) = NetFlowV9.dataSetIds(bytes)
+          synchronized {
+            learned.foreach { case (sid, t) => templates((senderKey, sid, t.id)) = t }
+            if (!dataIds.forall(id => templates.contains((senderKey, sourceId, id)))) {
+              UdpFlowSource.templateMisses.increment()
+              false // refuse: the re-send (post-template) will be admitted
+            } else if (dataIds.isEmpty) {
+              true // template-only packet: idempotent, never deduped
+            } else !dedupSequence ||
+              seen.add((senderKey, version, seqAt(if (version == 9) 12 else 8)))
+          }
+        } catch {
+          case _: Exception => UdpFlowSource.dropped.increment(); false
+        }
+      case _ => UdpFlowSource.dropped.increment(); false
     }
-    if (!dedupSequence) return true
-    val seq = ((bytes(16) & 0xffL) << 24) | ((bytes(17) & 0xffL) << 16) |
-      ((bytes(18) & 0xffL) << 8) | (bytes(19) & 0xffL)
-    synchronized { seen.add((senderKey, seq)) }
   }
 
   // ---- micro-batch contract ----
@@ -190,23 +241,40 @@ final class UdpFlowStream(host: String, port: Int, name: String,
     val s = start.asInstanceOf[UdpOffset].count
     val e = end.asInstanceOf[UdpOffset].count
     if (e <= s) return Array.empty
-    val slice = synchronized {
-      buf.slice((s - base).toInt, (e - base).toInt).toArray
+    val (slice, tmpl) = synchronized {
+      (buf.slice((s - base).toInt, (e - base).toInt).toArray, templates.toMap)
     }
     val n = math.max(1, math.min(numParts, slice.length))
     (0 until n).map { p =>
       UdpPacketsPartition(
-        slice.slice(slice.length * p / n, slice.length * (p + 1) / n))
+        slice.slice(slice.length * p / n, slice.length * (p + 1) / n), tmpl)
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     (partition: InputPartition) => {
-      val pkts = partition.asInstanceOf[UdpPacketsPartition].packets
+      val part = partition.asInstanceOf[UdpPacketsPartition]
+      val pkts = part.packets
       new PartitionReader[InternalRow] {
         private val rows = pkts.iterator.flatMap { case (bytes, sender) =>
-          try NetFlowV5.decode(bytes, sender).iterator.map(NetFlowV5.toInternalRow)
-          catch {
+          try {
+            val version = ((bytes(0) & 0xff) << 8) | (bytes(1) & 0xff)
+            val flows =
+              if (version == 0) // sFlow u32 version marker
+                SFlowV5.decode(bytes, sender, System.currentTimeMillis() / 1000L)
+              else if (version == 5) NetFlowV5.decode(bytes, sender)
+              else {
+                // executor-side decode against the shipped template snapshot
+                val senderKey = graft.functions.IpUtil.bytesToIpString(sender)
+                val tmpl = part.templates.collect {
+                  case ((s, sid, tid), t) if s == senderKey => (sid, tid) -> t
+                }
+                val (fs, missed) = NetFlowV9.decode(bytes, sender, tmpl)
+                if (missed > 0) UdpFlowSource.templateMisses.add(missed)
+                fs
+              }
+            flows.iterator.map(NetFlowV5.toInternalRow)
+          } catch {
             case _: IllegalArgumentException =>
               UdpFlowSource.dropped.increment(); Iterator.empty
           }

@@ -1,0 +1,119 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{NetFlowV9 => V9}
+
+/** Template-based decode (RFC 3954 / RFC 7011): template learning, data
+  * decode against templates, uptime vs absolute time semantics, ICMP
+  * packing, IPv6 etype flip, unknown-IE skipping, padding, and the
+  * data-before-template drop path.
+  */
+class NetFlowV9Spec extends AnyFunSuite {
+
+  private val sampler = Array[Byte](127, 0, 0, 1)
+
+  private val v9Fields = Seq(
+    8 -> 4, 12 -> 4, 7 -> 2, 11 -> 2, 1 -> 4, 2 -> 4,
+    4 -> 1, 6 -> 1, 21 -> 4, 22 -> 4, 34 -> 4, 61 -> 1)
+
+  private def v9Record(srcIp: Long, dstIp: Long, sp: Int, dp: Int, by: Long,
+      pk: Long, proto: Int, flags: Int, last: Long, first: Long,
+      sampling: Long, dir: Int): Array[Byte] =
+    Array(V9.fieldBytes(srcIp, 4), V9.fieldBytes(dstIp, 4),
+      V9.fieldBytes(sp, 2), V9.fieldBytes(dp, 2), V9.fieldBytes(by, 4),
+      V9.fieldBytes(pk, 4), V9.fieldBytes(proto, 1), V9.fieldBytes(flags, 1),
+      V9.fieldBytes(last, 4), V9.fieldBytes(first, 4),
+      V9.fieldBytes(sampling, 4), V9.fieldBytes(dir, 1)).flatten.toArray
+
+  test("v9 template learning and data decode with uptime-relative times") {
+    val tpkt = V9.encodeTemplate(9, sourceId = 7, templateId = 300, v9Fields)
+    val learned = V9.decodeTemplates(tpkt)
+    assert(learned == Seq((7L, V9.Template(300, v9Fields))))
+    assert(learned.head._2.recordBytes == 35)
+
+    val rec = v9Record(0x0a010203L, 0xc0a80009L, 40000, 443, 5000, 7,
+      6, 18, last = 2000, first = 1000, sampling = 1000, dir = 1)
+    val dpkt = V9.encodeData(9, sourceId = 7, templateId = 300, Seq(rec),
+      sysUptimeMs = 20000L, unixSecs = 1700000000L, sequence = 5L)
+    val tmpl = Map((7L, 300) -> learned.head._2)
+    val (flows, missed) = V9.decode(dpkt, sampler, tmpl)
+    assert(missed == 0 && flows.size == 1)
+    val f = flows.head
+    assert(f.`type` == 3) // NETFLOW_V9
+    assert(f.time_received == 1700000000L && f.sequence_num == 5L)
+    assert(f.src_addr.sameElements(Array[Byte](10, 1, 2, 3)))
+    assert(f.dst_addr.sameElements(Array[Byte](-64, -88, 0, 9)))
+    assert(f.src_port == 40000 && f.dst_port == 443)
+    assert(f.bytes == 5000L && f.packets == 7L)
+    assert(f.proto == 6 && f.tcp_flags == 18)
+    assert(f.sampling_rate == 1000L && f.flow_direction == 1)
+    assert(f.etype == 0x800)
+    // v5-style reconstruction: (exportMs - uptime + rel) / 1000
+    assert(f.time_flow_start == (1700000000000L - 20000L + 1000L) / 1000L)
+    assert(f.time_flow_end == (1700000000000L - 20000L + 2000L) / 1000L)
+  }
+
+  test("ICMP packing decodes and unknown IEs are skipped by length") {
+    val fields = Seq(4 -> 1, 32 -> 2, 999 -> 3, 1 -> 4)
+    val t = V9.Template(301, fields)
+    val rec = Array(V9.fieldBytes(1, 1), V9.fieldBytes(3 * 256 + 1, 2),
+      Array[Byte](9, 9, 9), V9.fieldBytes(4242, 4)).flatten.toArray
+    val dpkt = V9.encodeData(9, 0, 301, Seq(rec), unixSecs = 1700000000L)
+    val (flows, _) = V9.decode(dpkt, sampler, Map((0L, 301) -> t))
+    val f = flows.head
+    assert(f.proto == 1 && f.icmp_type == 3 && f.icmp_code == 1)
+    assert(f.bytes == 4242L) // the junk IE did not shift later fields
+  }
+
+  test("IPFIX absolute millisecond times and IPv6 etype flip") {
+    val fields = Seq(27 -> 16, 28 -> 16, 152 -> 8, 153 -> 8, 1 -> 8, 2 -> 8, 4 -> 1)
+    val tpkt = V9.encodeTemplate(10, sourceId = 3, templateId = 400, fields)
+    val learned = V9.decodeTemplates(tpkt)
+    assert(learned.map(_._1) == Seq(3L) && learned.head._2.id == 400)
+
+    val src6 = Array.tabulate[Byte](16)(i => i.toByte)
+    val dst6 = Array.tabulate[Byte](16)(i => (15 - i).toByte)
+    val rec = Array(src6, dst6,
+      V9.fieldBytes(1700000123456L, 8), V9.fieldBytes(1700000125999L, 8),
+      V9.fieldBytes(987654321L, 8), V9.fieldBytes(1234L, 8),
+      V9.fieldBytes(17, 1)).flatten.toArray
+    val dpkt = V9.encodeData(10, sourceId = 3, templateId = 400, Seq(rec),
+      unixSecs = 1700000200L, sequence = 77L)
+    val (flows, _) = V9.decode(dpkt, sampler, Map((3L, 400) -> learned.head._2))
+    val f = flows.head
+    assert(f.`type` == 4) // IPFIX
+    assert(f.etype == 0x86dd)
+    assert(f.src_addr.sameElements(src6) && f.dst_addr.sameElements(dst6))
+    assert(f.time_flow_start == 1700000123L && f.time_flow_end == 1700000125L)
+    assert(f.bytes == 987654321L && f.packets == 1234L && f.proto == 17)
+    assert(f.time_received == 1700000200L && f.sequence_num == 77L)
+  }
+
+  test("multi-record data sets decode fully through 4-byte padding") {
+    // 6-byte records, 3 of them -> 22-byte set padded to 24; the decoder
+    // must take all 3 records and stop at the 2 padding bytes (records
+    // under 4 bytes would be wire-ambiguous with padding; RFC-realistic
+    // templates are always larger)
+    val fields = Seq(4 -> 1, 6 -> 1, 7 -> 2, 11 -> 2)
+    val t = V9.Template(302, fields)
+    val recs = (0 until 3).map(i =>
+      Array(V9.fieldBytes(6, 1), V9.fieldBytes(16, 1),
+        V9.fieldBytes(1000 + i, 2), V9.fieldBytes(53, 2)).flatten.toArray)
+    val dpkt = V9.encodeData(9, 0, 302, recs)
+    assert(dpkt.length % 4 == 0)
+    val (flows, _) = V9.decode(dpkt, sampler, Map((0L, 302) -> t))
+    assert(flows.map(_.src_port) == Seq(1000, 1001, 1002))
+    assert(flows.forall(f => f.dst_port == 53 && f.tcp_flags == 16))
+  }
+
+  test("data before template is dropped and counted, not misdecoded") {
+    val rec = v9Record(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 0)
+    val dpkt = V9.encodeData(9, sourceId = 7, templateId = 300, Seq(rec))
+    val (flows, missed) = V9.decode(dpkt, sampler, Map.empty)
+    assert(flows.isEmpty && missed == 1)
+    // and the admission sniff exposes what the receiver needs
+    assert(V9.dataSetIds(dpkt) == ((7L, Seq(300))))
+    assert(V9.dataSetIds(V9.encodeTemplate(9, 7, 300, v9Fields)) == ((7L, Nil)))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{SFlowV5 => SF}
+
+/** sFlow v5 decode: raw-header dissection across TCP/UDP/ICMP, VLAN tags,
+  * IPv6, expanded flow samples, and non-IP frame skipping.
+  */
+class SFlowV5Spec extends AnyFunSuite {
+
+  private val sampler = Array[Byte](127, 0, 0, 1)
+  private val agent = Array[Byte](10, 0, 0, 99)
+  private val now = 1700000600L
+
+  test("IPv4 TCP sample dissects addresses, ports and flags") {
+    val hdr = SF.ipv4Frame(Array[Byte](10, 1, 2, 3), Array[Byte](10, 9, 9, 9),
+      proto = 6, srcPort = 40000, dstPort = 443, tcpFlags = 18, ipId = 777)
+    val pkt = SF.encode(agent, sequence = 11L, Seq((4096L, 1518L, hdr)))
+    val flows = SF.decode(pkt, sampler, now)
+    assert(flows.size == 1)
+    val f = flows.head
+    assert(f.`type` == 1) // SFLOW_5
+    assert(f.time_received == now && f.time_flow_start == now && f.time_flow_end == now)
+    assert(f.sequence_num == 11L && f.sampling_rate == 4096L)
+    assert(f.bytes == 1518L && f.packets == 1L)
+    assert(f.src_addr.sameElements(Array[Byte](10, 1, 2, 3)))
+    assert(f.dst_addr.sameElements(Array[Byte](10, 9, 9, 9)))
+    assert(f.etype == 0x800 && f.proto == 6)
+    assert(f.src_port == 40000 && f.dst_port == 443 && f.tcp_flags == 18)
+    assert(f.fragment_id == 777L && f.fragment_offset == 0)
+    assert(f.sampler_address.sameElements(sampler))
+  }
+
+  test("802.1Q VLAN tag is stepped over; UDP ports decode") {
+    val hdr = SF.ipv4Frame(Array[Byte](10, 2, 0, 1), Array[Byte](10, 2, 0, 2),
+      proto = 17, srcPort = 5353, dstPort = 53, vlan = true)
+    val flows = SF.decode(SF.encode(agent, 12L, Seq((1000L, 200L, hdr))), sampler, now)
+    val f = flows.head
+    assert(f.etype == 0x800 && f.proto == 17)
+    assert(f.src_port == 5353 && f.dst_port == 53 && f.tcp_flags == 0)
+  }
+
+  test("ICMP type/code land in icmp fields, not ports") {
+    val hdr = SF.ipv4Frame(Array[Byte](10, 3, 0, 1), Array[Byte](10, 3, 0, 2),
+      proto = 1, srcPort = 3, dstPort = 1) // type 3, code 1
+    val f = SF.decode(SF.encode(agent, 13L, Seq((1L, 98L, hdr))), sampler, now).head
+    assert(f.proto == 1 && f.icmp_type == 3 && f.icmp_code == 1)
+    assert(f.src_port == 0 && f.dst_port == 0)
+  }
+
+  test("IPv6 frames dissect with etype 0x86dd") {
+    val src6 = Array.tabulate[Byte](16)(i => (0x20 + i).toByte)
+    val dst6 = Array.tabulate[Byte](16)(i => (0x30 + i).toByte)
+    val hdr = new Array[Byte](14 + 40 + 8)
+    hdr(12) = 0x86.toByte; hdr(13) = 0xdd.toByte // ethertype IPv6
+    hdr(14) = 0x60 // version 6
+    hdr(14 + 6) = 17 // next header UDP
+    System.arraycopy(src6, 0, hdr, 14 + 8, 16)
+    System.arraycopy(dst6, 0, hdr, 14 + 24, 16)
+    hdr(54) = 0x13; hdr(55) = 0x88.toByte // src port 5000
+    hdr(56) = 0; hdr(57) = 53 // dst port 53
+    val f = SF.decode(SF.encode(agent, 14L, Seq((10L, 1400L, hdr))), sampler, now).head
+    assert(f.etype == 0x86dd && f.proto == 17)
+    assert(f.src_addr.sameElements(src6) && f.dst_addr.sameElements(dst6))
+    assert(f.src_port == 5000 && f.dst_port == 53)
+  }
+
+  test("expanded flow samples (format 3) decode identically") {
+    val hdr = SF.ipv4Frame(Array[Byte](10, 4, 0, 1), Array[Byte](10, 4, 0, 2),
+      proto = 6, srcPort = 1234, dstPort = 80, tcpFlags = 2)
+    val f = SF.decode(SF.encode(agent, 15L, Seq((512L, 60L, hdr)), expanded = true),
+      sampler, now).head
+    assert(f.sampling_rate == 512L && f.src_port == 1234 && f.dst_port == 80)
+    assert(f.tcp_flags == 2)
+  }
+
+  test("non-IP frames and multi-sample datagrams") {
+    val arp = new Array[Byte](42)
+    arp(12) = 0x08; arp(13) = 0x06 // ethertype ARP
+    val tcp = SF.ipv4Frame(Array[Byte](10, 5, 0, 1), Array[Byte](10, 5, 0, 2),
+      proto = 6, srcPort = 1, dstPort = 2)
+    val pkt = SF.encode(agent, 16L, Seq((1L, 64L, arp), (1L, 64L, tcp), (1L, 64L, tcp)))
+    val flows = SF.decode(pkt, sampler, now)
+    assert(flows.size == 2) // ARP skipped, both TCP samples decoded
+    assert(flows.forall(_.proto == 6))
+  }
+
+  test("decode rejects malformed datagrams") {
+    intercept[IllegalArgumentException](SF.decode(Array[Byte](0, 0, 0, 5), sampler, now))
+    val bad = SF.encode(agent, 17L, Nil); bad(3) = 4 // version 4
+    intercept[IllegalArgumentException](SF.decode(bad, sampler, now))
+  }
+}

@@ -130,4 +130,91 @@ class UdpIngestSpec extends SparkSpec {
       assert(UdpFlowSource.dropped.sum() > droppedBefore)
     } finally { sock.close(); q.stop() }
   }
+
+  test("v5, v9 and IPFIX datagrams decode side by side on one port") {
+    import graft.sources.{NetFlowV9 => V9}
+    val cp = "/root/repo/target/graft-tmp/udp-spec/cp9"
+    FileUtils.deleteQuietly(Paths.get(cp).toFile)
+    val raw = spark.readStream.format("nflv5-udp")
+      .option("name", "udp-spec9").option("port", 0)
+      .option("numPartitions", 2).option("dedupSequence", true).load()
+    val q = graft.streaming.FlowPipeline.normalize(raw)
+      .writeStream.format("memory").queryName("udp_spec9_sink")
+      .outputMode("append").option("checkpointLocation", cp).start()
+    val sock = new DatagramSocket()
+    try {
+      val deadline = System.nanoTime() + 60_000_000_000L
+      var port = 0
+      while (port == 0 && System.nanoTime() < deadline) {
+        port = UdpFlowSource.boundPort("udp-spec9").getOrElse(0)
+        if (port == 0) Thread.sleep(20)
+      }
+      assert(port > 0)
+      val addr = InetAddress.getByName("127.0.0.1")
+      def send(b: Array[Byte]): Unit = sock.send(new DatagramPacket(b, b.length, addr, port))
+
+      val v9Fields = Seq(8 -> 4, 12 -> 4, 7 -> 2, 11 -> 2, 1 -> 4, 4 -> 1)
+      def v9Rec(i: Int): Array[Byte] =
+        Array(V9.fieldBytes(0x0a000000L + i, 4), V9.fieldBytes(0xc0a80001L, 4),
+          V9.fieldBytes(2000 + i, 2), V9.fieldBytes(443, 2),
+          V9.fieldBytes(100 + i, 4), V9.fieldBytes(6, 1)).flatten.toArray
+      val v9Template = V9.encodeTemplate(9, sourceId = 1, templateId = 310, v9Fields)
+      val v9Data = V9.encodeData(9, sourceId = 1, templateId = 310,
+        (0 until 4).map(v9Rec), sysUptimeMs = 1000L, unixSecs = 1700000300L,
+        sequence = 1L)
+      val ipfixFields = Seq(8 -> 4, 11 -> 2, 1 -> 8, 4 -> 1, 152 -> 8, 153 -> 8)
+      def ipfixRec(i: Int): Array[Byte] =
+        Array(V9.fieldBytes(0x0a010000L + i, 4), V9.fieldBytes(53, 2),
+          V9.fieldBytes(500 + i, 8), V9.fieldBytes(17, 1),
+          V9.fieldBytes(1700000400000L + i, 8),
+          V9.fieldBytes(1700000401000L + i, 8)).flatten.toArray
+      val ipfixTemplate = V9.encodeTemplate(10, sourceId = 2, templateId = 320, ipfixFields)
+      val ipfixData = V9.encodeData(10, sourceId = 2, templateId = 320,
+        (0 until 3).map(ipfixRec), unixSecs = 1700000400L, sequence = 2L)
+      val v5Packet = V5.encode(1000L, 1700000500L, 0L, 900L, 100,
+        Seq(V5.Rec(Array[Byte](10, 2, 0, 1), Array[Byte](10, 2, 0, 2),
+          pkts = 1, octets = 64, firstMs = 0, lastMs = 0,
+          srcPort = 1, dstPort = 2, tcpFlags = 0, proto = 6)))
+      val sflowPacket = SFlowV5.encode(Array[Byte](10, 0, 0, 99), 800L,
+        (0 until 2).map { i =>
+          (4096L, 1000L + i, SFlowV5.ipv4Frame(
+            Array[Byte](10, 7, 0, i.toByte), Array[Byte](10, 8, 0, 1),
+            proto = 6, srcPort = 30000 + i, dstPort = 22, tcpFlags = 16))
+        })
+
+      // data BEFORE template: refused at admission, counted, recoverable
+      val missesBefore = UdpFlowSource.templateMisses.sum()
+      send(v9Data)
+      val missDeadline = System.nanoTime() + 30_000_000_000L
+      while (UdpFlowSource.templateMisses.sum() == missesBefore &&
+          System.nanoTime() < missDeadline) Thread.sleep(20)
+      assert(UdpFlowSource.templateMisses.sum() > missesBefore)
+
+      val expected = 4 + 3 + 1 + 2
+      while (spark.table("udp_spec9_sink").count() < expected &&
+          System.nanoTime() < deadline) {
+        // template first in each volley; re-sends are deduped/idempotent
+        Seq(v9Template, ipfixTemplate, v9Data, ipfixData, v5Packet,
+          sflowPacket).foreach(send)
+        q.processAllAvailable()
+      }
+      val got = spark.table("udp_spec9_sink")
+      assert(got.count() == expected)
+      val byType = got.groupBy("type").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(byType == Map(1 -> 2L, 2 -> 1L, 3 -> 4L, 4 -> 3L), byType.toString)
+      // sFlow rows: dissected raw headers, rendered through normalize
+      assert(got.filter(col("type") === 1 && col("dst_addr") === "10.8.0.1" &&
+        col("dst_port") === 22 && col("tcp_flags") === 16 &&
+        col("sampling_rate") === 4096).count() == 2)
+      // v9 rows: rendered IPv4 + reconstructed times
+      assert(got.filter(col("type") === 3 && col("src_addr").startsWith("10.0.0.") &&
+        col("dst_addr") === "192.168.0.1" && col("dst_port") === 443).count() == 4)
+      // IPFIX rows: absolute ms -> seconds
+      assert(got.filter(col("type") === 4).agg(min("time_flow_start")).head().getLong(0)
+        == 1700000400L)
+      assert(got.filter(col("type") === 4 && col("time_flow_end") === 1700000401L)
+        .count() == 3)
+    } finally { sock.close(); q.stop() }
+  }
 }
