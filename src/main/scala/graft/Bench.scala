@@ -17,7 +17,8 @@ object Bench {
   private val quadraticBaselines = Set(
     "x2c_dedup_ngram",    // all-pairs char-ngram verification
     "x2b_dedup_simhash",  // self-check containing an all-pairs Hamming scan
-    "x3b_cosine_pairs")   // all-pairs cosine self-join
+    "x3b_cosine_pairs",   // all-pairs cosine self-join
+    "x2e_dedup_embed")    // recall audit contains an all-pairs cosine truth set
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -284,6 +284,88 @@ object DedupQueries {
         SELECT v AS doc_id, min(r) AS component, v = min(r) AS keep
         FROM reach GROUP BY v""".stripMargin)),
 
+    // X2f: connected components by ALTERNATING LARGE-STAR/SMALL-STAR
+    // contraction (Kiveris et al., "Connected Components in MapReduce and
+    // Beyond") — the production-scale CC x2d's comment points at: where
+    // min-label propagation needs O(diameter) rounds, star contraction
+    // converges in O(log n) rounds on any graph, each round two
+    // groupBy-min joins over the (tiny) edge list. Same near-dup edges and
+    // same recursive-CTE transitive-closure oracle as x2d, so BOTH
+    // iteration schemes are proven against the same ground truth.
+    //
+    //   large-star: per node u, m = min(N(u) ∪ {u}); edges (v, m) for
+    //     every neighbor v > u — strictly-larger neighbors re-hang off the
+    //     local minimum;
+    //   small-star: orient edges large→small; per node u,
+    //     m = min(N⁻(u) ∪ {u}); edges (v, m) for v ∈ N⁻(u) ∪ {u} — the
+    //     star flattens onto its minimum.
+    //
+    // Fixed point = disjoint stars centered at component minima; labels
+    // read off as min(self, neighbors). Convergence is DETECTED (edge-set
+    // equality), not assumed — the loop exits early the round nothing
+    // changes; localCheckpoint truncates lineage per round as in x2d.
+    Q("x2f_cc_star",
+      (s, d) => {
+        val sh = docShingles(s, d).persist()
+        val pairs = verifyPairs(lshCandidates(minhashSigs(sh)), sh, 0.8)
+          .select(col("a").as("u"), col("b").as("v")).localCheckpoint()
+        sh.unpersist()
+
+        def largeStar(e: DataFrame): DataFrame = {
+          val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+          val m = sym.groupBy("u").agg(min(col("v")).as("mv"))
+            .select(col("u"), least(col("mv"), col("u")).as("m"))
+          sym.join(m, "u").where(col("v") > col("u"))
+            .select(col("v").as("u"), col("m").as("v"))
+            .where(col("u") =!= col("v")).distinct()
+        }
+        def smallStar(e: DataFrame): DataFrame = {
+          val oriented = e.select(greatest(col("u"), col("v")).as("u"),
+            least(col("u"), col("v")).as("v"))
+          val m = oriented.groupBy("u").agg(min(col("v")).as("m"))
+          val rehung = oriented.join(m, "u")
+            .select(col("v").as("u"), col("m").as("v"))
+          val center = m.select(col("u"), col("m").as("v"))
+          rehung.unionByName(center)
+            .where(col("u") =!= col("v")).distinct()
+        }
+
+        var edges = pairs
+        var converged = false
+        var round = 0
+        while (!converged && round < 6) {
+          val next = smallStar(largeStar(edges)).localCheckpoint()
+          converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+          edges = next
+          round += 1
+        }
+
+        val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+        val neighborMin = sym.groupBy("u").agg(min(col("v")).as("nmin"))
+        Tables.documents(s, d).select(col("doc_id"))
+          .join(neighborMin.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("doc_id"), coalesce(col("nmin"), col("doc_id"))).as("component"))
+          .withColumn("keep", col("doc_id") === col("component"))
+      },
+      // identical ground truth to x2d: full transitive closure
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, string_split(text,' ') w, text FROM documents),
+        sets AS (SELECT doc_id, CASE WHEN len(w) >= 3
+          THEN list_distinct(list_transform(generate_series(1, len(w)-2),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+          ELSE [text] END sh FROM t),
+        pairs AS (SELECT x.doc_id AS a, y.doc_id AS b
+          FROM sets x JOIN sets y ON x.doc_id < y.doc_id
+          WHERE len(list_intersect(x.sh, y.sh))::DOUBLE /
+            (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.8),
+        edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+        reach AS (
+          SELECT doc_id AS v, doc_id AS r FROM documents
+          UNION
+          SELECT e.dst AS v, reach.r FROM reach JOIN edges e ON e.src = reach.v)
+        SELECT v AS doc_id, min(r) AS component, v = min(r) AS keep
+        FROM reach GROUP BY v""".stripMargin)),
+
     // X2b: SimHash near-dedup — pigeonhole band join (4×16-bit chunks ⇒
     // exact for Hamming ≤ 3), then self-checked against the in-Spark
     // brute-force pair set; the declared contract is the equality itself.

@@ -101,6 +101,67 @@ object SimilarityQueries {
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE ${sqlQcos("a.qe", "b.qe")} >= 0.4""".stripMargin)),
 
+    // X2e: embedding-cosine near-dedup, the SCALE PATH for what x3b does by
+    // brute force — random-hyperplane LSH (SimHash over embeddings):
+    // 16 deterministic ±1 hyperplanes (Rademacher via xxhash64) → 16-bit
+    // signature → 4 bands × 4 bits → candidates from band-bucket
+    // equi-join → exact quantized-cosine verification of candidates only.
+    // Oracled quantities: n_true_pairs is recomputed from scratch by
+    // DuckDB (brute force), and the LSH recall over those pairs must clear
+    // a floor. Honest numbers on THIS fixture: embeddings are random (max
+    // background cos ≈ 0.51), so τ=0.4 pairs sit near the LSH
+    // signal/noise boundary (P[bit agree] ≈ 0.63, P[≥1 band] ≈ 0.45); a
+    // real near-dup corpus (cos ≥ 0.95 ⇒ P[agree] ≥ 0.9, P[≥1 band]
+    // ≈ 0.97) gets near-total recall from the identical plan. The
+    // in-query brute-force truth audit makes this a quadratic BASELINE
+    // entry for bench purposes — the LSH half is the 100 TB shape.
+    Q("x2e_dedup_embed",
+      (s, d) => {
+        val dim = 64
+        val planes = 16
+        val e = Tables.embeddings(s, d).select(col("vec_id"), quant(col("embedding")).as("qe"))
+        // signature bit p = sign of the ±1-hyperplane dot product, with the
+        // plane entries derived from xxhash64(p, dim-index) — deterministic
+        // and engine-independent (only Spark evaluates it; DuckDB oracles
+        // the *truth set*, not the signatures)
+        def planeDot(p: Int): Column =
+          aggregate(
+            zip_with(col("qe"), sequence(lit(0), lit(dim - 1)),
+              (x, i) => when(xxhash64(lit(p), i).bitwiseAND(lit(1L)) === 1L, x)
+                .otherwise(-x)),
+            lit(0L), (acc, v) => acc + v)
+        val sig = (0 until planes)
+          .map(p => when(planeDot(p) >= 0, lit(1 << p)).otherwise(lit(0)))
+          .reduce(_ + _)
+        val sigs = e.select(col("vec_id"), col("qe"), sig.as("sig"))
+        val bandStructs = (0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * 4).bitwiseAND(lit(0xf)).as("key")))
+        val buckets = sigs.select(col("vec_id"), explode(array(bandStructs: _*)).as("bk"))
+          .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+        val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "key"))
+          .where(col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("a"), col("y.vec_id").as("b")).distinct()
+        val ea = e.select(col("vec_id").as("a"), col("qe").as("ea"))
+        val eb = e.select(col("vec_id").as("b"), col("qe").as("eb"))
+        val found = cand.join(ea, "a").join(eb, "b")
+          .where(qcos(col("ea"), col("eb")) >= 0.4)
+          .agg(count(lit(1)).as("n_found"))
+        val truth = ea.join(eb, col("a") < col("b"))
+          .where(qcos(col("ea"), col("eb")) >= 0.4)
+          .agg(count(lit(1)).as("n_true"))
+        truth.crossJoin(found).select(
+          col("n_true").as("n_true_pairs"),
+          (col("n_found").cast(DoubleType) >=
+            col("n_true").cast(DoubleType) * 0.1).as("recall_floor_ok"),
+          lit(planes).as("n_planes"), lit(4).as("n_bands"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, ${sqlQuant("embedding")} AS qe FROM embeddings)
+        SELECT CAST(count(*) AS BIGINT) AS n_true_pairs, true AS recall_floor_ok,
+          16 AS n_planes, 4 AS n_bands
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE ${sqlQcos("a.qe", "b.qe")} >= 0.4""".stripMargin)),
+
     // X3c: IVF-style ANN — coarse quantizer = per-label centroid; each
     // query probes nprobe=3 partitions and scans only those. Two declared
     // invariants, both engine-checkable: (1) the IVF result is EXACTLY the
