@@ -245,11 +245,17 @@ object DedupQueries {
           .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
         var lab = Tables.documents(s, d)
           .select(col("doc_id"), col("doc_id").as("label"))
-        for (_ <- 1 to 4) {
+        // iterate to a DETECTED fixed point (cap = 8 ⇒ diameter 8; the
+        // oracle's transitive closure fails the gate if the cap ever binds
+        // short of convergence — and x2f's star contraction is the
+        // O(log n)-round answer for genuinely deep graphs)
+        var converged = false
+        var round = 0
+        while (!converged && round < 8) {
           val viaNeighbor = edges
             .join(lab.withColumnRenamed("doc_id", "dst"), "dst")
             .select(col("src").as("doc_id"), col("label"))
-          lab = lab.unionByName(viaNeighbor)
+          val next = lab.unionByName(viaNeighbor)
             .groupBy("doc_id").agg(min(col("label")).as("label"))
             // truncate lineage each round: keeps every round's plan a
             // constant-size join over materialized labels instead of a
@@ -259,6 +265,9 @@ object DedupQueries {
             // a reliable checkpoint dir (or persist with replication) for
             // the 100 TB path; the iteration shape is identical.
             .localCheckpoint()
+          converged = next.exceptAll(lab).isEmpty
+          lab = next
+          round += 1
         }
         // labels are already materialized (localCheckpoint is eager), so the
         // shingle/pair caches can be released before returning

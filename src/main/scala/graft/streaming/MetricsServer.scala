@@ -28,9 +28,12 @@ final class MetricsServer(listener: FlowPipeline.MetricsListener, port: Int = 0)
        |# HELP graft_flows_batches_total Micro-batches completed.
        |# TYPE graft_flows_batches_total counter
        |graft_flows_batches_total ${listener.batches.sum()}
-       |# HELP graft_decoder_dropped_total Malformed datagrams dropped by the NetFlow decoder.
+       |# HELP graft_decoder_dropped_total Malformed datagrams dropped by the flow decoders.
        |# TYPE graft_decoder_dropped_total counter
        |graft_decoder_dropped_total ${graft.sources.UdpFlowSource.dropped.sum()}
+       |# HELP graft_decoder_template_misses_total v9/IPFIX data packets refused while their template was unknown.
+       |# TYPE graft_decoder_template_misses_total counter
+       |graft_decoder_template_misses_total ${graft.sources.UdpFlowSource.templateMisses.sum()}
        |# HELP graft_flows_last_rows_per_second Input rate at the last progress event.
        |# TYPE graft_flows_last_rows_per_second gauge
        |graft_flows_last_rows_per_second ${listener.lastRowsPerSecond}
