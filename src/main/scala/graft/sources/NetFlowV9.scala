@@ -40,7 +40,11 @@ import scala.collection.mutable.ArrayBuffer
   */
 object NetFlowV9 {
 
-  final case class Template(id: Int, fields: Seq[(Int, Int)]) {
+  /** `isOptions`: an options template (v9 set 1 / IPFIX set 3) — its data
+    * records carry exporter metadata (sampling rate, IE 34/305), not flows.
+    */
+  final case class Template(id: Int, fields: Seq[(Int, Int)],
+      isOptions: Boolean = false) {
     val recordBytes: Int = fields.map(_._2).sum
   }
 
@@ -58,14 +62,15 @@ object NetFlowV9 {
       if (version == 9) { bb.position(16); bb.getInt & 0xffffffffL }
       else { bb.position(12); bb.getInt & 0xffffffffL }
     val templateSetId = if (version == 9) 0 else 2
+    val optionsSetId = if (version == 9) 1 else 3
     var pos = headerLen
     while (pos + 4 <= packet.length) {
       bb.position(pos)
       val setId = bb.getShort & 0xffff
       val setLen = bb.getShort & 0xffff
       if (setLen < 4 || pos + setLen > packet.length) return out.toSeq // malformed tail
+      val end = pos + setLen
       if (setId == templateSetId) {
-        val end = pos + setLen
         while (bb.position() + 4 <= end) {
           val tid = bb.getShort & 0xffff
           val nf = bb.getShort & 0xffff
@@ -77,7 +82,90 @@ object NetFlowV9 {
               (fid & 0x7fff, flen)
             }
             out += ((sourceId, Template(tid, fields)))
-          } else bb.position(end) // options/padding: stop scanning this set
+          } else bb.position(end) // padding: stop scanning this set
+        }
+      } else if (setId == optionsSetId && version == 9 && pos + 10 <= end) {
+        // v9 options template: tid, scopeLen(bytes), optionLen(bytes),
+        // then scope pairs and option pairs
+        val tid = bb.getShort & 0xffff
+        val scopeLen = bb.getShort & 0xffff
+        val optionLen = bb.getShort & 0xffff
+        val nPairs = (scopeLen + optionLen) / 4
+        if (tid >= 256 && bb.position() + 4 * nPairs <= end) {
+          val fields = (0 until nPairs).map { i =>
+            val fid = bb.getShort & 0xffff
+            val flen = bb.getShort & 0xffff
+            // scope fields use a separate type space (1=System…); negate
+            // so they can never collide with flow IEs in the decoder
+            (if (i < scopeLen / 4) -fid else fid, flen)
+          }
+          out += ((sourceId, Template(tid, fields, isOptions = true)))
+        }
+      } else if (setId == optionsSetId && version == 10 && pos + 10 <= end) {
+        // IPFIX options template: tid, fieldCount, scopeFieldCount; scope
+        // fields lead
+        val tid = bb.getShort & 0xffff
+        val nf = bb.getShort & 0xffff
+        val nScope = bb.getShort & 0xffff
+        if (tid >= 256 && nf >= nScope) {
+          val fields = (0 until nf).flatMap { i =>
+            if (bb.position() + 4 > end) None
+            else {
+              val fid = bb.getShort & 0xffff
+              val flen = bb.getShort & 0xffff
+              if ((fid & 0x8000) != 0) bb.getInt // enterprise no.
+              Some((if (i < nScope) -(fid & 0x7fff) else fid & 0x7fff, flen))
+            }
+          }
+          if (fields.size == nf)
+            out += ((sourceId, Template(tid, fields, isOptions = true)))
+        }
+      }
+      pos += setLen
+    }
+    out.toSeq
+  }
+
+  /** Sampling-rate announcements carried in options DATA records
+    * (IE 34 samplingInterval / IE 305 samplingPacketInterval — how real
+    * v9/IPFIX exporters communicate the rate; goflow keeps the same
+    * per-source state). Returns (sourceId, rate) per announcement; runs on
+    * the receiver thread next to template learning.
+    */
+  def samplingFromOptions(packet: Array[Byte],
+      templates: Map[(Long, Int), Template]): Seq[(Long, Long)] = {
+    val bb = ByteBuffer.wrap(packet)
+    val version = bb.getShort & 0xffff
+    if (version != 9 && version != 10) return Nil
+    val headerLen = if (version == 9) 20 else 16
+    if (packet.length < headerLen) return Nil
+    bb.position(if (version == 9) 16 else 12)
+    val sourceId = bb.getInt & 0xffffffffL
+    val out = ArrayBuffer.empty[(Long, Long)]
+    var pos = headerLen
+    while (pos + 4 <= packet.length) {
+      bb.position(pos)
+      val setId = bb.getShort & 0xffff
+      val setLen = bb.getShort & 0xffff
+      if (setLen < 4 || pos + setLen > packet.length) return out.toSeq
+      if (setId >= 256) {
+        templates.get((sourceId, setId)).filter(_.isOptions).foreach { t =>
+          val end = pos + setLen
+          bb.position(pos + 4)
+          while (t.recordBytes > 0 && bb.position() + t.recordBytes <= end) {
+            var rate = -1L
+            t.fields.foreach { case (fid, flen) =>
+              val p = bb.position()
+              if (fid == 34 || fid == 305) {
+                var v = 0L
+                var i = 0
+                while (i < flen && i < 8) { v = (v << 8) | (bb.get(p + i) & 0xffL); i += 1 }
+                rate = v
+              }
+              bb.position(p + flen)
+            }
+            if (rate >= 0) out += ((sourceId, rate))
+          }
         }
       }
       pos += setLen
@@ -114,9 +202,13 @@ object NetFlowV9 {
 
   /** Decode the DATA sets of one v9/IPFIX datagram against the template
     * snapshot. Returns (flows, dataRecordsDroppedForMissingTemplate).
+    * `samplingDefaults` (sourceId → rate learned from options data) fills
+    * `sampling_rate` for records whose template carries no IE 34, the way
+    * goflow applies exporter-announced rates.
     */
   def decode(packet: Array[Byte], sampler: Array[Byte],
-      templates: Map[(Long, Int), Template]): (Seq[NetFlowV5.RawFlow], Int) = {
+      templates: Map[(Long, Int), Template],
+      samplingDefaults: Map[Long, Long] = Map.empty): (Seq[NetFlowV5.RawFlow], Int) = {
     val bb = ByteBuffer.wrap(packet)
     require(packet.length >= 16, s"short packet: ${packet.length}")
     val version = bb.getShort & 0xffff
@@ -152,11 +244,12 @@ object NetFlowV9 {
         s"malformed set at $pos: id=$setId len=$setLen")
       if (setId >= 256) {
         templates.get((sourceId, setId)) match {
+          case Some(t) if t.isOptions => // exporter metadata, not flows
           case Some(t) if t.recordBytes > 0 =>
             val end = pos + setLen
             while (bb.position() + t.recordBytes <= end) {
               flows += decodeRecord(bb, t, version, sampler, sysUptime, exportMs,
-                exportSecs, sequence)
+                exportSecs, sequence, samplingDefaults.getOrElse(sourceId, 0L))
             }
           case _ =>
             dropped += 1 // data set before its template: collector drops
@@ -169,7 +262,7 @@ object NetFlowV9 {
 
   private def decodeRecord(bb: ByteBuffer, t: Template, version: Int,
       sampler: Array[Byte], sysUptime: Long, exportMs: Long, exportSecs: Long,
-      sequence: Long): NetFlowV5.RawFlow = {
+      sequence: Long, samplingDefault: Long): NetFlowV5.RawFlow = {
     var bytes = 0L; var packets = 0L; var proto = 0; var tos = 0
     var tcpFlags = 0; var srcPort = 0; var dstPort = 0
     var srcAddr: Array[Byte] = Array[Byte](0, 0, 0, 0)
@@ -178,7 +271,7 @@ object NetFlowV9 {
     var firstUptimeMs = -1L; var lastUptimeMs = -1L
     var startMs = -1L; var endMs = -1L
     var icmpPacked = -1
-    var samplingRate = 0L
+    var samplingRate = samplingDefault // options-announced; IE 34 overrides
     var direction = 0
     var fragId = 0L; var fragOffset = 0
     var fwdStatus = 0
@@ -280,6 +373,36 @@ object NetFlowV9 {
     bb.putShort(templateId.toShort)
     bb.putShort(fields.size.toShort)
     fields.foreach { case (fid, flen) =>
+      bb.putShort(fid.toShort); bb.putShort(flen.toShort)
+    }
+    bb.array()
+  }
+
+  /** Encode a v9/IPFIX OPTIONS template packet (v9 set 1 / IPFIX set 3).
+    * Scope fields lead; both field lists use plain (ie, len) pairs.
+    */
+  def encodeOptionsTemplate(version: Int, sourceId: Long, templateId: Int,
+      scopeFields: Seq[(Int, Int)], optionFields: Seq[(Int, Int)],
+      unixSecs: Long = 0L, sequence: Long = 0L): Array[Byte] = {
+    require(version == 9 || version == 10)
+    val nPairs = scopeFields.size + optionFields.size
+    val body = 6 + 4 * nPairs
+    val pad = (4 - (4 + body) % 4) % 4
+    val headerLen = if (version == 9) 20 else 16
+    val bb = ByteBuffer.allocate(headerLen + 4 + body + pad)
+    writeHeader(bb, version, 1, 0L, unixSecs, sequence, sourceId,
+      headerLen + 4 + body + pad)
+    bb.putShort(if (version == 9) 1 else 3)
+    bb.putShort((4 + body + pad).toShort)
+    bb.putShort(templateId.toShort)
+    if (version == 9) {
+      bb.putShort((4 * scopeFields.size).toShort) // scope section bytes
+      bb.putShort((4 * optionFields.size).toShort) // option section bytes
+    } else {
+      bb.putShort(nPairs.toShort) // total field count
+      bb.putShort(scopeFields.size.toShort) // of which scope
+    }
+    (scopeFields ++ optionFields).foreach { case (fid, flen) =>
       bb.putShort(fid.toShort); bb.putShort(flen.toShort)
     }
     bb.array()

@@ -123,7 +123,8 @@ final case class UdpOffset(count: Long) extends Offset {
   * packets.
   */
 final case class UdpPacketsPartition(packets: Array[(Array[Byte], Array[Byte])],
-    templates: Map[(String, Long, Int), NetFlowV9.Template])
+    templates: Map[(String, Long, Int), NetFlowV9.Template],
+    samplingRates: Map[(String, Long), Long])
   extends InputPartition
 
 final class UdpFlowStream(host: String, port: Int, name: String,
@@ -142,6 +143,9 @@ final class UdpFlowStream(host: String, port: Int, name: String,
   /** v9/IPFIX templates learned on the receiver thread. */
   private val templates =
     scala.collection.mutable.Map.empty[(String, Long, Int), NetFlowV9.Template]
+  /** (sender, sourceId) → sampling rate announced via options data. */
+  private val samplingRates =
+    scala.collection.mutable.Map.empty[(String, Long), Long]
   @volatile private var closed = false
 
   private val receiver = new Thread(s"nflv5-udp-receiver-$name") {
@@ -199,6 +203,14 @@ final class UdpFlowStream(host: String, port: Int, name: String,
           val (sourceId, dataIds) = NetFlowV9.dataSetIds(bytes)
           synchronized {
             learned.foreach { case (sid, t) => templates((senderKey, sid, t.id)) = t }
+            // exporter-announced sampling rates (options data) are receiver
+            // state, like templates
+            val senderTmpl = templates.collect {
+              case ((s, sid, tid), t) if s == senderKey => (sid, tid) -> t
+            }.toMap
+            NetFlowV9.samplingFromOptions(bytes, senderTmpl).foreach {
+              case (sid, rate) => samplingRates((senderKey, sid)) = rate
+            }
             if (!dataIds.forall(id => templates.contains((senderKey, sourceId, id)))) {
               UdpFlowSource.templateMisses.increment()
               false // refuse: the re-send (post-template) will be admitted
@@ -241,13 +253,14 @@ final class UdpFlowStream(host: String, port: Int, name: String,
     val s = start.asInstanceOf[UdpOffset].count
     val e = end.asInstanceOf[UdpOffset].count
     if (e <= s) return Array.empty
-    val (slice, tmpl) = synchronized {
-      (buf.slice((s - base).toInt, (e - base).toInt).toArray, templates.toMap)
+    val (slice, tmpl, rates) = synchronized {
+      (buf.slice((s - base).toInt, (e - base).toInt).toArray,
+        templates.toMap, samplingRates.toMap)
     }
     val n = math.max(1, math.min(numParts, slice.length))
     (0 until n).map { p =>
       UdpPacketsPartition(
-        slice.slice(slice.length * p / n, slice.length * (p + 1) / n), tmpl)
+        slice.slice(slice.length * p / n, slice.length * (p + 1) / n), tmpl, rates)
     }.toArray
   }
 
@@ -269,7 +282,10 @@ final class UdpFlowStream(host: String, port: Int, name: String,
                 val tmpl = part.templates.collect {
                   case ((s, sid, tid), t) if s == senderKey => (sid, tid) -> t
                 }
-                val (fs, missed) = NetFlowV9.decode(bytes, sender, tmpl)
+                val rates = part.samplingRates.collect {
+                  case ((s, sid), r) if s == senderKey => sid -> r
+                }
+                val (fs, missed) = NetFlowV9.decode(bytes, sender, tmpl, rates)
                 if (missed > 0) UdpFlowSource.templateMisses.add(missed)
                 fs
               }

@@ -107,6 +107,51 @@ class NetFlowV9Spec extends AnyFunSuite {
     assert(flows.forall(f => f.dst_port == 53 && f.tcp_flags == 16))
   }
 
+  test("options templates parse and sampling announcements apply to flows") {
+    // v9 options template: scope = System(1), option = samplingInterval(34)
+    val otpkt = V9.encodeOptionsTemplate(9, sourceId = 7, templateId = 500,
+      scopeFields = Seq(1 -> 4), optionFields = Seq(34 -> 4))
+    val learned = V9.decodeTemplates(otpkt)
+    assert(learned == Seq((7L, V9.Template(500, Seq(-1 -> 4, 34 -> 4),
+      isOptions = true))))
+
+    // options DATA record: scope value + rate 2048
+    val orec = Array(V9.fieldBytes(1, 4), V9.fieldBytes(2048, 4)).flatten.toArray
+    val odata = V9.encodeData(9, sourceId = 7, templateId = 500, Seq(orec))
+    val tmpl = Map((7L, 500) -> learned.head._2)
+    assert(V9.samplingFromOptions(odata, tmpl) == Seq((7L, 2048L)))
+    // options data sets decode to ZERO flows (metadata, not traffic)
+    assert(V9.decode(odata, sampler, tmpl)._1.isEmpty)
+
+    // flows from a template WITHOUT IE 34 pick up the announced default...
+    val flowFields = Seq(8 -> 4, 1 -> 4, 4 -> 1)
+    val ft = V9.Template(501, flowFields)
+    val frec = Array(V9.fieldBytes(0x0a000001L, 4), V9.fieldBytes(100, 4),
+      V9.fieldBytes(6, 1)).flatten.toArray
+    val fdata = V9.encodeData(9, sourceId = 7, templateId = 501, Seq(frec))
+    val (flows, _) = V9.decode(fdata, sampler, tmpl + ((7L, 501) -> ft),
+      samplingDefaults = Map(7L -> 2048L))
+    assert(flows.head.sampling_rate == 2048L)
+    // ...and an explicit per-record IE 34 overrides the announcement
+    val (flows2, _) = V9.decode(
+      V9.encodeData(9, 7, 300, Seq(v9Record(1, 2, 3, 4, 5, 6, 7, 8, 9, 10,
+        sampling = 512, dir = 0))),
+      sampler, Map((7L, 300) -> V9.Template(300, v9Fields)),
+      samplingDefaults = Map(7L -> 2048L))
+    assert(flows2.head.sampling_rate == 512L)
+
+    // IPFIX options template (set 3, scope-count form) parses too
+    val o10 = V9.encodeOptionsTemplate(10, sourceId = 3, templateId = 600,
+      scopeFields = Seq(149 -> 4), optionFields = Seq(305 -> 8))
+    assert(V9.decodeTemplates(o10) == Seq((3L, V9.Template(600,
+      Seq(-149 -> 4, 305 -> 8), isOptions = true))))
+    val orec10 = Array(V9.fieldBytes(1, 4), V9.fieldBytes(4096, 8)).flatten.toArray
+    val odata10 = V9.encodeData(10, 3, 600, Seq(orec10))
+    assert(V9.samplingFromOptions(odata10,
+      Map((3L, 600) -> V9.Template(600, Seq(-149 -> 4, 305 -> 8), isOptions = true)))
+      == Seq((3L, 4096L)))
+  }
+
   test("data before template is dropped and counted, not misdecoded") {
     val rec = v9Record(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 0)
     val dpkt = V9.encodeData(9, sourceId = 7, templateId = 300, Seq(rec))
