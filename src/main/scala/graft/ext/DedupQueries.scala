@@ -41,6 +41,15 @@ object DedupQueries {
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), shingles(split(col("text"), " ")).as("sh"))
 
+  /** Eager lineage truncation for iterative plans: a RELIABLE checkpoint
+    * when the session has a checkpoint dir configured (survives executor
+    * loss / dynamic allocation on a real cluster — the 100 TB path), else
+    * executor-local (right for local bench; non-recoverable by design).
+    */
+  private def truncate(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
   /** Exact set Jaccard from two distinct-element array columns. */
   private def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))
@@ -255,16 +264,12 @@ object DedupQueries {
           val viaNeighbor = edges
             .join(lab.withColumnRenamed("doc_id", "dst"), "dst")
             .select(col("src").as("doc_id"), col("label"))
-          val next = lab.unionByName(viaNeighbor)
-            .groupBy("doc_id").agg(min(col("label")).as("label"))
+          val next = truncate(lab.unionByName(viaNeighbor)
+            .groupBy("doc_id").agg(min(col("label")).as("label")))
             // truncate lineage each round: keeps every round's plan a
             // constant-size join over materialized labels instead of a
-            // tree that doubles per iteration. Caveat: localCheckpoint is
-            // executor-local and non-reliable — on a real cluster with
-            // executor loss / dynamic allocation, use checkpoint() against
-            // a reliable checkpoint dir (or persist with replication) for
-            // the 100 TB path; the iteration shape is identical.
-            .localCheckpoint()
+            // tree that doubles per iteration (reliable checkpoint when a
+            // dir is configured — see truncate())
           converged = next.exceptAll(lab).isEmpty
           lab = next
           round += 1
@@ -317,7 +322,7 @@ object DedupQueries {
       (s, d) => {
         val sh = docShingles(s, d).persist()
         val pairs = verifyPairs(lshCandidates(minhashSigs(sh)), sh, 0.8)
-          .select(col("a").as("u"), col("b").as("v")).localCheckpoint()
+          .select(col("a").as("u"), col("b").as("v")).transform(truncate)
         sh.unpersist()
 
         def largeStar(e: DataFrame): DataFrame = {
@@ -343,7 +348,7 @@ object DedupQueries {
         var converged = false
         var round = 0
         while (!converged && round < 6) {
-          val next = smallStar(largeStar(edges)).localCheckpoint()
+          val next = truncate(smallStar(largeStar(edges)))
           converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
           edges = next
           round += 1
