@@ -79,6 +79,26 @@ object MultimodalQueries {
           list_transform(generate_series(1, length(text)), i -> ord(substr(text, i, 1))) AS codes
         FROM documents)""".stripMargin)),
 
+    // X5e: frame sampling — the every-Nth-frame extraction a video
+    // training pipeline runs before feature extraction (the brief's
+    // "frame-sample" op). The payload is treated as a stream of 16-byte
+    // frames; every 4th frame is sampled and summarized in one
+    // mapPartitions pass (the loop where ffmpeg frame decode would sit —
+    // same stub-math/real-plumbing contract as x5b). The oracle recomputes
+    // frame boundaries and sampled sums with independent substring
+    // arithmetic.
+    Q("x5e_frame_sample",
+      (s, d) => Multimodal.sampleFrames(media(s, d), frameBytes = 16, every = 4),
+      Some("""SELECT doc_id,
+        CAST((length(text) + 15) // 16 AS INTEGER) AS n_frames,
+        CAST(((length(text) + 15) // 16 + 3) // 4 AS INTEGER) AS n_sampled,
+        CAST(list_sum(list_transform(generate_series(0, (length(text) + 15) // 16 - 1, 4),
+          f -> list_sum(list_transform(generate_series(16*f + 1, least(16*f + 16, length(text))),
+            i -> ord(substr(text, i, 1)))))) AS BIGINT) AS sampled_bytes_sum,
+        CAST(list_sum(list_transform(generate_series(0, (length(text) + 15) // 16 - 1, 4),
+          f -> least(16*f + 16, length(text)) - 16*f)) AS BIGINT) AS sampled_bytes_n
+        FROM documents""".stripMargin)),
+
     // X5d: multimodal columns carried through §2.2 operators — binary +
     // embedding joined, grouped, aggregated (the "typed metadata travels
     // with the blob" contract).
@@ -141,6 +161,37 @@ object Multimodal {
         }
       }
       .toDF()
+  }
+
+  /** Frame sampling: split the payload into fixed-size frames, keep every
+    * `every`-th, summarize the kept bytes — one imperative pass per row,
+    * executor-parallel, zero driver involvement.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int, every: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val nFrames = (payload.length + frameBytes - 1) / frameBytes
+          var sum = 0L
+          var nBytes = 0L
+          var sampled = 0
+          var f = 0
+          while (f < nFrames) {
+            val from = f * frameBytes
+            val until = math.min(from + frameBytes, payload.length)
+            var i = from
+            while (i < until) { sum += (payload(i) & 0xff); i += 1 }
+            nBytes += until - from
+            sampled += 1
+            f += every
+          }
+          (id, nFrames, sampled, sum, nBytes)
+        }
+      }
+      .toDF("doc_id", "n_frames", "n_sampled", "sampled_bytes_sum", "sampled_bytes_n")
   }
 
   /** Byte histogram: exact integer bin counts plus the float feature

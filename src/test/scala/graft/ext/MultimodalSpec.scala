@@ -54,6 +54,24 @@ class MultimodalSpec extends SparkSpec {
     assert(f2.getDouble(3) == (0 + 16 + 32 + 127 + 255 + 240).toDouble / 6)
   }
 
+  test("sampleFrames: boundary frames and sampling stride are exact") {
+    import org.apache.spark.sql.Row
+    val rows = Multimodal.sampleFrames(media, frameBytes = 4, every = 2)
+      .orderBy("doc_id").collect()
+    // doc 1: "hello world" = 11 bytes -> frames [0,4) [4,8) [8,11) = 3
+    // frames; sampled 0 and 2 -> 4 + 3 = 7 bytes
+    val h = "hello world".getBytes("UTF-8")
+    val d1 = rows(0)
+    assert(d1 == Row(1L, 3, 2,
+      (h.take(4) ++ h.drop(8)).map(_ & 0xff).map(_.toLong).sum, 7L), d1)
+    // doc 2: 6 bytes -> frames [0,4) [4,6); sampled frame 0 only
+    val d2 = rows(1)
+    assert(d2.getInt(1) == 2 && d2.getInt(2) == 1 && d2.getLong(4) == 4L)
+    // doc 3: 256 bytes of 'A' -> 64 exact frames, 32 sampled, all bytes 65
+    val d3 = rows(2)
+    assert(d3 == Row(3L, 64, 32, 32L * 4 * 65, 128L), d3)
+  }
+
   test("kernels distribute: mapPartitions output matches per-row recompute at fixture scale") {
     val df = graft.Tables.documents(spark, sf)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
