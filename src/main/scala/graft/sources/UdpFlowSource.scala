@@ -139,6 +139,17 @@ final class UdpFlowStream(host: String, port: Int, name: String,
   /** Buffered (packet, sender) pairs; `base` = offset of buffer head. */
   private val buf = new ArrayBuffer[(Array[Byte], Array[Byte])]()
   private var base = 0L
+  /** Offsets persist across restarts (checkpointed by the engine) but a
+    * fresh stream's buffer starts at 0 — the first engine call after a
+    * checkpoint restart carries the committed offset, and the buffer head
+    * must be REBASED to it or the slice math would skip that many NEW
+    * packets (UDP is at-most-once: packets from before the restart are
+    * gone by definition, exactly like the reference's listener).
+    */
+  private var rebased = false
+  private def rebaseTo(start: Long): Unit = synchronized {
+    if (!rebased) { base = start; rebased = true }
+  }
   private val seen = new java.util.HashSet[(String, Int, Long)]()
   /** v9/IPFIX templates learned on the receiver thread. */
   private val templates =
@@ -238,6 +249,7 @@ final class UdpFlowStream(host: String, port: Int, name: String,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[UdpOffset].count
+    rebaseTo(s)
     val cap = limit match {
       case m: ReadMaxRows => m.maxRows()
       case _ => maxPacketsPerBatch
@@ -252,6 +264,7 @@ final class UdpFlowStream(host: String, port: Int, name: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[UdpOffset].count
     val e = end.asInstanceOf[UdpOffset].count
+    rebaseTo(s) // engine may replay the last uncommitted batch on restart
     if (e <= s) return Array.empty
     val (slice, tmpl, rates) = synchronized {
       (buf.slice((s - base).toInt, (e - base).toInt).toArray,
@@ -302,10 +315,15 @@ final class UdpFlowStream(host: String, port: Int, name: String,
       }
     }
 
-  /** Trim committed packets: bounds driver memory to in-flight batches. */
+  /** Trim committed packets: bounds driver memory to in-flight batches.
+    * Clamped: a replayed batch committed right after a restart can claim
+    * more packets than the fresh buffer holds.
+    */
   override def commit(end: Offset): Unit = synchronized {
     val e = end.asInstanceOf[UdpOffset].count
-    if (e > base) { buf.remove(0, (e - base).toInt); base = e }
+    val n = math.max(0, math.min((e - base).toInt, buf.length))
+    if (n > 0) buf.remove(0, n)
+    if (e > base) base = e
   }
 
   override def stop(): Unit = {

@@ -131,6 +131,62 @@ class UdpIngestSpec extends SparkSpec {
     } finally { sock.close(); q.stop() }
   }
 
+  test("restart from checkpoint resumes at the committed offset without skipping new packets") {
+    val tmp = "/root/repo/target/graft-tmp/udp-restart"
+    val cp = s"$tmp/cp"; val out = s"$tmp/out"
+    Seq(cp, out).foreach(p => FileUtils.deleteQuietly(Paths.get(p).toFile))
+
+    def mkPacket(seq: Long, port: Int): Array[Byte] =
+      V5.encode(1000L, 1700000800L, 0L, seq, 100,
+        Seq(V5.Rec(Array[Byte](10, 6, 0, seq.toByte), Array[Byte](10, 6, 0, 99),
+          pkts = 1, octets = 100, firstMs = 0, lastMs = 0,
+          srcPort = port, dstPort = 443, tcpFlags = 18, proto = 6)))
+
+    def runIncarnation(name: String, seqs: Seq[Long]): Unit = {
+      val raw = spark.readStream.format("nflv5-udp")
+        .option("name", name).option("port", 0)
+        .option("dedupSequence", true).load()
+      val q = graft.streaming.FlowPipeline.normalize(raw)
+        .writeStream
+        .option("checkpointLocation", cp)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .start()
+      val sock = new DatagramSocket()
+      try {
+        val deadline = System.nanoTime() + 60_000_000_000L
+        var port = 0
+        while (port == 0 && System.nanoTime() < deadline) {
+          port = UdpFlowSource.boundPort(name).getOrElse(0)
+          if (port == 0) Thread.sleep(20)
+        }
+        assert(port > 0)
+        val addr = InetAddress.getByName("127.0.0.1")
+        def sunk(): Long =
+          try spark.read.parquet(out).agg(countDistinct("sequence_num")).head().getLong(0)
+          catch { case _: Exception => 0L }
+        val target = seqs.max + 1
+        while (sunk() < target && System.nanoTime() < deadline) {
+          seqs.foreach(s => sock.send(
+            new DatagramPacket(mkPacket(s, port), mkPacket(s, port).length, addr, port)))
+          q.processAllAvailable()
+        }
+      } finally { sock.close(); q.stop() }
+    }
+
+    // incarnation 1 commits packets 0-1 into the checkpoint
+    runIncarnation("udp-restart-1", Seq(0L, 1L))
+    // incarnation 2 resumes from committed offset 2 with a FRESH buffer:
+    // without the rebase, the first 2 new packets would be skipped
+    runIncarnation("udp-restart-2", Seq(2L, 3L, 4L))
+
+    val got = spark.read.parquet(out)
+    assert(got.agg(countDistinct("sequence_num")).head().getLong(0) == 5)
+    assert(got.select("sequence_num").distinct().collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
   test("v5, v9 and IPFIX datagrams decode side by side on one port") {
     import graft.sources.{NetFlowV9 => V9}
     val cp = "/root/repo/target/graft-tmp/udp-spec/cp9"
