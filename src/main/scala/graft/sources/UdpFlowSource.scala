@@ -106,7 +106,8 @@ final class UdpFlowTable extends Table with SupportsRead {
             options.getOrDefault("name", "default"),
             options.getLong("maxPacketsPerBatch", 1000L),
             options.getInt("numPartitions", 4),
-            options.getBoolean("dedupSequence", false))
+            options.getBoolean("dedupSequence", false),
+            options.getInt("maxBufferedPackets", 1000000))
       }
     }
 }
@@ -128,7 +129,8 @@ final case class UdpPacketsPartition(packets: Array[(Array[Byte], Array[Byte])],
   extends InputPartition
 
 final class UdpFlowStream(host: String, port: Int, name: String,
-    maxPacketsPerBatch: Long, numParts: Int, dedupSequence: Boolean)
+    maxPacketsPerBatch: Long, numParts: Int, dedupSequence: Boolean,
+    maxBufferedPackets: Int = 1000000)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   // ---- receiver (driver side) ----
@@ -150,7 +152,17 @@ final class UdpFlowStream(host: String, port: Int, name: String,
   private def rebaseTo(start: Long): Unit = synchronized {
     if (!rebased) { base = start; rebased = true }
   }
-  private val seen = new java.util.HashSet[(String, Int, Long)]()
+  /** Bounded LRU (sender, version, sequence) set — dedup state must not
+    * grow without limit on an unbounded stream (the q50 lesson applied to
+    * the source): oldest entries age out past 4× the buffer bound, which
+    * covers any replay window a re-sending exporter would use.
+    */
+  private val seen = java.util.Collections.newSetFromMap(
+    new java.util.LinkedHashMap[(String, Int, Long), java.lang.Boolean]() {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int, Long), java.lang.Boolean]): Boolean =
+        size() > 4 * maxBufferedPackets
+    })
   /** v9/IPFIX templates learned on the receiver thread. */
   private val templates =
     scala.collection.mutable.Map.empty[(String, Long, Int), NetFlowV9.Template]
@@ -169,7 +181,12 @@ final class UdpFlowStream(host: String, port: Int, name: String,
           val bytes = util.Arrays.copyOfRange(recv, 0, dp.getLength)
           val sender = dp.getAddress.getAddress
           if (acceptable(bytes, dp.getAddress.getHostAddress)) {
-            UdpFlowStream.this.synchronized { buf += ((bytes, sender)) }
+            UdpFlowStream.this.synchronized {
+              // bounded buffer: when the engine can't keep up, drop like
+              // the kernel socket buffer would (at-most-once UDP; counted)
+              if (buf.length < maxBufferedPackets) buf += ((bytes, sender))
+              else UdpFlowSource.dropped.increment()
+            }
           }
         } catch {
           case _: java.net.SocketException if closed => // shutdown
