@@ -58,6 +58,42 @@ object StreamQueries {
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
+  /** Live-UDP drain harness shared by the q45c/d/e ingest oracles: start
+    * the nflv5-udp source with sequence dedup, blind-RE-SEND the packet
+    * set until the normalized sink holds `expectedRows` (idempotent, so
+    * UDP loss cannot flake), stop, return the sink table.
+    */
+  private def udpDrain(s: SparkSession, name: String,
+      packets: Seq[Array[Byte]], expectedRows: Long): DataFrame = {
+    val cp = s"$tmpRoot/cp/${name}_sink"
+    org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(cp).toFile)
+    val raw = s.readStream.format("nflv5-udp")
+      .option("name", name).option("port", 0)
+      .option("maxPacketsPerBatch", 5).option("numPartitions", 4)
+      .option("dedupSequence", true).load()
+    val q = graft.streaming.FlowPipeline.normalize(raw)
+      .writeStream.format("memory").queryName(s"${name}_sink")
+      .outputMode("append").option("checkpointLocation", cp).start()
+    val sock = new java.net.DatagramSocket()
+    try {
+      val deadline = System.nanoTime() + 90_000_000_000L
+      var port = 0
+      while (port == 0 && System.nanoTime() < deadline) {
+        port = graft.sources.UdpFlowSource.boundPort(name).getOrElse(0)
+        if (port == 0) Thread.sleep(20)
+      }
+      require(port > 0, "UDP source never bound")
+      val addr = java.net.InetAddress.getByName("127.0.0.1")
+      while (s.table(s"${name}_sink").count() < expectedRows &&
+          System.nanoTime() < deadline) {
+        packets.foreach(b =>
+          sock.send(new java.net.DatagramPacket(b, b.length, addr, port)))
+        q.processAllAvailable()
+      }
+    } finally { sock.close(); q.stop() }
+    s.table(s"${name}_sink")
+  }
+
   /** Drain a streaming DataFrame to completion and return the result. */
   private def drain(df: DataFrame, name: String, mode: String): DataFrame = {
     val spark = df.sparkSession
@@ -314,32 +350,7 @@ object StreamQueries {
             unixNsecs = 0L, flowSequence = 25L * p, samplingInterval = 1000,
             records = (25 * p until 25 * p + 25).map(rec))
         }
-        val cp = s"$tmpRoot/cp/q45c_sink"
-        org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(cp).toFile)
-        val raw = s.readStream.format("nflv5-udp")
-          .option("name", "q45c").option("port", 0)
-          .option("maxPacketsPerBatch", 5).option("numPartitions", 4)
-          .option("dedupSequence", true).load()
-        val q = graft.streaming.FlowPipeline.normalize(raw)
-          .writeStream.format("memory").queryName("q45c_sink")
-          .outputMode("append").option("checkpointLocation", cp).start()
-        val sock = new java.net.DatagramSocket()
-        try {
-          val deadline = System.nanoTime() + 90_000_000_000L
-          var port = 0
-          while (port == 0 && System.nanoTime() < deadline) {
-            port = UdpFlowSource.boundPort("q45c").getOrElse(0)
-            if (port == 0) Thread.sleep(20)
-          }
-          require(port > 0, "UDP source never bound")
-          val addr = java.net.InetAddress.getByName("127.0.0.1")
-          while (s.table("q45c_sink").count() < 500 && System.nanoTime() < deadline) {
-            packets.foreach(b =>
-              sock.send(new java.net.DatagramPacket(b, b.length, addr, port)))
-            q.processAllAvailable()
-          }
-        } finally { sock.close(); q.stop() }
-        s.table("q45c_sink").groupBy("proto")
+        udpDrain(s, "q45c", packets, 500).groupBy("proto")
           .agg(count(lit(1)).as("n_flows"), sum(col("packets")).as("sum_packets"),
             sum(col("bytes")).as("sum_bytes"),
             min(col("time_flow_start")).as("min_start"),
@@ -359,6 +370,107 @@ object StreamQueries {
           CAST(max(t_end) AS BIGINT) AS max_end,
           CAST(SUM(icmp_type) AS BIGINT) AS sum_icmp_type,
           CAST(SUM(icmp_code) AS BIGINT) AS sum_icmp_code
+        FROM f GROUP BY proto""".stripMargin)),
+
+    // Q45d: the TEMPLATE-BASED decode path under oracle test — one v9
+    // template packet + 10 data packets over live UDP; receiver-side
+    // template learning, executor decode, uptime-relative time
+    // reconstruction and the per-packet sequence numbering all have to be
+    // right for the closed-form oracle to land. Template packets are
+    // admission-idempotent, so the blind re-send loop converges even if
+    // the first template datagram is lost.
+    Q("q45d_udp_nfv9",
+      (s, d) => {
+        import graft.sources.NetFlowV9
+        val fields = Seq(8 -> 4, 12 -> 4, 7 -> 2, 11 -> 2, 1 -> 4, 2 -> 4,
+          4 -> 1, 6 -> 1, 21 -> 4, 22 -> 4, 34 -> 4, 61 -> 1)
+        def rec(i: Int): Array[Byte] = {
+          val proto = if (i % 10 < 6) 6 else if (i % 10 < 9) 17 else 1
+          val dstPort =
+            if (proto == 1) (i % 3) * 256 + (i % 2)
+            else if (i % 3 == 0) 443 else if (i % 3 == 1) 80 else 53
+          Seq(NetFlowV9.fieldBytes(0x0a000000L + i, 4),
+            NetFlowV9.fieldBytes(0xc0a80000L + i, 4),
+            NetFlowV9.fieldBytes(1000 + i % 50, 2),
+            NetFlowV9.fieldBytes(dstPort, 2),
+            NetFlowV9.fieldBytes(100 + i, 4),
+            NetFlowV9.fieldBytes(1 + i % 64, 4),
+            NetFlowV9.fieldBytes(proto, 1),
+            NetFlowV9.fieldBytes(if (proto == 6) 18 else 0, 1),
+            NetFlowV9.fieldBytes(i * 10 + 5, 4), // LAST_SWITCHED
+            NetFlowV9.fieldBytes(i * 10, 4), // FIRST_SWITCHED
+            NetFlowV9.fieldBytes(1000, 4),
+            NetFlowV9.fieldBytes(i % 2, 1)).flatten.toArray
+        }
+        val template = NetFlowV9.encodeTemplate(9, sourceId = 1, templateId = 330,
+          fields, sysUptimeMs = 3600000L, unixSecs = 1700001000L)
+        val data = (0 until 10).map { p =>
+          NetFlowV9.encodeData(9, sourceId = 1, templateId = 330,
+            (20 * p until 20 * p + 20).map(rec), sysUptimeMs = 3600000L,
+            unixSecs = 1700001000L, sequence = p.toLong)
+        }
+        udpDrain(s, "q45d", template +: data, 200).groupBy("proto")
+          .agg(count(lit(1)).as("n_flows"), sum(col("bytes")).as("sum_bytes"),
+            sum(col("packets")).as("sum_packets"),
+            min(col("time_flow_start")).as("min_start"),
+            max(col("time_flow_end")).as("max_end"),
+            sum(col("icmp_type")).as("sum_icmp_type"),
+            sum(col("flow_direction")).as("sum_dir"),
+            countDistinct(col("sequence_num")).as("n_seqs"))
+      },
+      Some("""WITH gen AS (SELECT unnest(generate_series(0, 199)) AS i),
+        f AS (SELECT CASE WHEN i % 10 < 6 THEN 6 WHEN i % 10 < 9 THEN 17 ELSE 1 END AS proto,
+          100 + i AS bytes, 1 + i % 64 AS packets,
+          (1699997400000 + i * 10) // 1000 AS t_start,
+          (1699997400005 + i * 10) // 1000 AS t_end,
+          CASE WHEN i % 10 = 9 THEN (i % 3) ELSE 0 END AS icmp_type,
+          i % 2 AS dir, i // 20 AS seq FROM gen)
+        SELECT proto, count(*) AS n_flows, CAST(SUM(bytes) AS BIGINT) AS sum_bytes,
+          CAST(SUM(packets) AS BIGINT) AS sum_packets,
+          CAST(min(t_start) AS BIGINT) AS min_start, CAST(max(t_end) AS BIGINT) AS max_end,
+          CAST(SUM(icmp_type) AS BIGINT) AS sum_icmp_type,
+          CAST(SUM(dir) AS BIGINT) AS sum_dir,
+          count(DISTINCT seq) AS n_seqs
+        FROM f GROUP BY proto""".stripMargin)),
+
+    // Q45e: the sFlow raw-header dissection path under oracle test — sFlow
+    // carries no flow timestamps (time fields are receive time), so the
+    // oracle covers the deterministic dissected fields only: per-proto
+    // counts, frame-byte sums, port ranges, distinct addresses.
+    Q("q45e_udp_sflow",
+      (s, d) => {
+        import graft.sources.SFlowV5
+        val datagrams = (0 until 8).map { dg =>
+          SFlowV5.encode(Array[Byte](10, 0, 0, 50), sequence = dg.toLong,
+            samples = (0 until 5).map { r =>
+              val i = 5 * dg + r
+              val proto = if (i % 2 == 0) 6 else 17
+              (1024L, 500L + i, SFlowV5.ipv4Frame(
+                Array[Byte](10, 9, ((i >> 8) & 0xff).toByte, (i & 0xff).toByte),
+                Array[Byte](10, 10, 0, 1), proto = proto,
+                srcPort = 1000 + i, dstPort = if (proto == 6) 443 else 53,
+                tcpFlags = if (proto == 6) 18 else 0))
+            })
+        }
+        udpDrain(s, "q45e", datagrams, 40).groupBy("proto")
+          .agg(count(lit(1)).as("n_flows"), sum(col("bytes")).as("sum_frame_bytes"),
+            sum(col("packets")).as("sum_packets"),
+            countDistinct(col("src_addr")).as("n_src"),
+            min(col("src_port")).as("min_sport"), max(col("src_port")).as("max_sport"),
+            sum(col("tcp_flags")).as("sum_flags"),
+            min(col("dst_port")).as("dst_port"))
+      },
+      Some("""WITH gen AS (SELECT unnest(generate_series(0, 39)) AS i),
+        f AS (SELECT i, CASE WHEN i % 2 = 0 THEN 6 ELSE 17 END AS proto,
+          500 + i AS bytes, 1000 + i AS sport,
+          CASE WHEN i % 2 = 0 THEN 18 ELSE 0 END AS flags,
+          CASE WHEN i % 2 = 0 THEN 443 ELSE 53 END AS dport FROM gen)
+        SELECT proto, count(*) AS n_flows, CAST(SUM(bytes) AS BIGINT) AS sum_frame_bytes,
+          CAST(count(*) AS BIGINT) AS sum_packets,
+          count(DISTINCT i) AS n_src,
+          CAST(min(sport) AS INTEGER) AS min_sport, CAST(max(sport) AS INTEGER) AS max_sport,
+          CAST(SUM(flags) AS BIGINT) AS sum_flags,
+          CAST(min(dport) AS INTEGER) AS dst_port
         FROM f GROUP BY proto""".stripMargin)),
 
     // Q52: stream–static join — the stream enriched against a static dim
