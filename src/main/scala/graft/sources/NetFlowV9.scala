@@ -81,7 +81,13 @@ object NetFlowV9 {
               if (version == 10 && (fid & 0x8000) != 0) bb.getInt // enterprise no.
               (fid & 0x7fff, flen)
             }
-            out += ((sourceId, Template(tid, fields)))
+            // IPFIX variable-length fields (len 65535) make records
+            // non-fixed-size; the flows schema carries none, so such
+            // templates are NOT stored — their data sets are then refused
+            // at admission (templateMisses), a visible state instead of a
+            // silent zero-record decode
+            if (fields.forall(_._2 != 65535))
+              out += ((sourceId, Template(tid, fields)))
           } else bb.position(end) // padding: stop scanning this set
         }
       } else if (setId == optionsSetId && version == 9 && pos + 10 <= end) {
