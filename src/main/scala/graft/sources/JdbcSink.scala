@@ -54,24 +54,31 @@ object JdbcSink {
       .jdbc(url, table, connProps)
   }
 
-  /** At-least-once → effectively-once: before appending, anti-join the
-    * batch against the keys already in the target on the natural flow
-    * identity (sequence_num, sampler_address, time_received) — the key the
-    * scaladoc above promises (`main.go:158-172` parity note). A replayed
-    * micro-batch (foreachBatch retry after a sink failure) finds its keys
-    * present and inserts nothing.
+  /** At-least-once → effectively-once: before appending, insert exactly the
+    * MULTISET DIFFERENCE batch − existing — each side gets an occurrence
+    * index (`row_number` partitioned by every column) and the batch
+    * anti-joins existing on (all columns, occurrence). A replayed
+    * micro-batch (foreachBatch retry after a sink failure) finds every row
+    * present and inserts nothing; a retry after a PARTIAL write (some JDBC
+    * partition transactions committed, others not) inserts only the
+    * never-written rows. The datagram key (sequence_num, sampler_address,
+    * time_received) alone is NOT enough for that second case: all records
+    * of one v5/v9 packet share it, so a key-level anti-join would discard
+    * a half-written packet's missing siblings (data loss).
     *
-    * Scale posture: the existing-keys probe is NOT a full-table scan — the
+    * Scale posture: the existing-rows probe is NOT a full-table scan — the
     * batch's [min, max] time_received range is pushed into the JDBC read
     * (`PushedFilters` → WHERE on the remote, which any real target indexes
     * or partitions by time), so the probe touches only the replay window.
     * Correct under Spark's serial-foreachBatch execution (no concurrent
-    * writer of the same key range).
+    * writer of the same key range). The occurrence window shuffles only
+    * batch-sized data, hashed on full rows (no skew: identical full rows
+    * are what the index disambiguates).
     */
   def idempotentAppend(batch: DataFrame, url: String, table: String,
-      keyCols: Seq[String] = Seq("sequence_num", "sampler_address", "time_received"),
       connProps: Properties = props()): Unit = {
-    import org.apache.spark.sql.functions.{col, max, min}
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, lit, max, min, row_number}
     val spark = batch.sparkSession
     val existsAlready =
       try { spark.read.jdbc(url, table, connProps).schema; true }
@@ -80,10 +87,17 @@ object JdbcSink {
     val bounds = batch.agg(
       min(col("time_received")).as("lo"), max(col("time_received")).as("hi")).head()
     if (bounds.isNullAt(0)) return // empty batch
-    val existingKeys = spark.read.jdbc(url, table, connProps)
+    val allCols = batch.columns.toSeq
+    def withOccurrence(df: DataFrame): DataFrame =
+      df.withColumn("__occurrence", row_number().over(
+        Window.partitionBy(allCols.map(col): _*).orderBy(lit(1))))
+    val existing = spark.read.jdbc(url, table, connProps)
       .filter(col("time_received").between(bounds.getLong(0), bounds.getLong(1)))
-      .select(keyCols.map(col): _*)
-    writeBatch(batch.join(existingKeys, keyCols, "left_anti"), url, table, connProps)
+      .select(allCols.map(col): _*)
+    val fresh = withOccurrence(batch)
+      .join(withOccurrence(existing), allCols :+ "__occurrence", "left_anti")
+      .drop("__occurrence")
+    writeBatch(fresh, url, table, connProps)
   }
 
   /** R4+R5: streaming flows → JDBC, ProcessingTime trigger ≈ the

@@ -71,23 +71,44 @@ object NetFlowV9 {
       if (setLen < 4 || pos + setLen > packet.length) return out.toSeq // malformed tail
       val end = pos + setLen
       if (setId == templateSetId) {
-        while (bb.position() + 4 <= end) {
+        var scanning = true
+        while (scanning && bb.position() + 4 <= end) {
           val tid = bb.getShort & 0xffff
           val nf = bb.getShort & 0xffff
-          if (tid >= 256 && nf > 0 && bb.position() + 4 * nf <= end) {
-            val fields = (0 until nf).map { _ =>
-              val fid = bb.getShort & 0xffff
-              val flen = bb.getShort & 0xffff
-              if (version == 10 && (fid & 0x8000) != 0) bb.getInt // enterprise no.
-              (fid & 0x7fff, flen)
+          if (tid >= 256 && nf > 0) {
+            // IPFIX enterprise-bit field specs are 8 bytes (the spec plus a
+            // 4-byte enterprise number), not 4 — so the boundary must be
+            // checked per field as bytes are consumed, not as 4*nf up
+            // front: an enterprise-heavy template would otherwise read
+            // specs from the NEXT set and silently learn a wrong layout
+            val fields = ArrayBuffer.empty[(Int, Int)]
+            var overrun = false
+            while (!overrun && fields.size < nf) {
+              if (bb.position() + 4 > end) overrun = true
+              else {
+                val fid = bb.getShort & 0xffff
+                val flen = bb.getShort & 0xffff
+                if (version == 10 && (fid & 0x8000) != 0) {
+                  if (bb.position() + 4 > end) overrun = true
+                  else bb.getInt // enterprise no. (skipped)
+                }
+                if (!overrun) fields += ((fid & 0x7fff, flen))
+              }
             }
-            // IPFIX variable-length fields (len 65535) make records
-            // non-fixed-size; the flows schema carries none, so such
-            // templates are NOT stored — their data sets are then refused
-            // at admission (templateMisses), a visible state instead of a
-            // silent zero-record decode
-            if (fields.forall(_._2 != 65535))
-              out += ((sourceId, Template(tid, fields)))
+            if (overrun) {
+              // malformed template record: discard it, count it, and stop
+              // scanning this set (the cursor is past trustworthy bytes)
+              UdpFlowSource.dropped.increment()
+              scanning = false
+            } else {
+              // IPFIX variable-length fields (len 65535) make records
+              // non-fixed-size; the flows schema carries none, so such
+              // templates are NOT stored — their data sets are then refused
+              // at admission (templateMisses), a visible state instead of a
+              // silent zero-record decode
+              if (fields.forall(_._2 != 65535))
+                out += ((sourceId, Template(tid, fields.toSeq)))
+            }
           } else bb.position(end) // padding: stop scanning this set
         }
       } else if (setId == optionsSetId && version == 9 && pos + 10 <= end) {
@@ -119,8 +140,12 @@ object NetFlowV9 {
             else {
               val fid = bb.getShort & 0xffff
               val flen = bb.getShort & 0xffff
-              if ((fid & 0x8000) != 0) bb.getInt // enterprise no.
-              Some((if (i < nScope) -(fid & 0x7fff) else fid & 0x7fff, flen))
+              // the enterprise number is 4 MORE bytes — bounds-check it too
+              if ((fid & 0x8000) != 0 && bb.position() + 4 > end) None
+              else {
+                if ((fid & 0x8000) != 0) bb.getInt // enterprise no.
+                Some((if (i < nScope) -(fid & 0x7fff) else fid & 0x7fff, flen))
+              }
             }
           }
           if (fields.size == nf)

@@ -152,15 +152,18 @@ final class UdpFlowStream(host: String, port: Int, name: String,
   private def rebaseTo(start: Long): Unit = synchronized {
     if (!rebased) { base = start; rebased = true }
   }
-  /** Bounded LRU (sender, version, sequence) set — dedup state must not
-    * grow without limit on an unbounded stream (the q50 lesson applied to
-    * the source): oldest entries age out past 4× the buffer bound, which
-    * covers any replay window a re-sending exporter would use.
+  /** Bounded LRU (sender, version, sourceId, sequence) set — dedup state
+    * must not grow without limit on an unbounded stream (the q50 lesson
+    * applied to the source): oldest entries age out past 4× the buffer
+    * bound, which covers any replay window a re-sending exporter would use.
+    * sourceId is in the key because RFC 3954 §5.1 / RFC 7011 §3.1 sequence
+    * numbers count per observation domain — two domains behind one exporter
+    * IP legitimately reuse sequences (0 for v5/sFlow, which have no domain).
     */
   private val seen = java.util.Collections.newSetFromMap(
-    new java.util.LinkedHashMap[(String, Int, Long), java.lang.Boolean]() {
+    new java.util.LinkedHashMap[(String, Int, Long, Long), java.lang.Boolean]() {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Int, Long), java.lang.Boolean]): Boolean =
+          e: java.util.Map.Entry[(String, Int, Long, Long), java.lang.Boolean]): Boolean =
         size() > 4 * maxBufferedPackets
     })
   /** v9/IPFIX templates learned on the receiver thread. */
@@ -180,12 +183,16 @@ final class UdpFlowStream(host: String, port: Int, name: String,
           socket.receive(dp)
           val bytes = util.Arrays.copyOfRange(recv, 0, dp.getLength)
           val sender = dp.getAddress.getAddress
-          if (acceptable(bytes, dp.getAddress.getHostAddress)) {
+          classify(bytes, dp.getAddress.getHostAddress).foreach { dedupKey =>
             UdpFlowStream.this.synchronized {
               // bounded buffer: when the engine can't keep up, drop like
-              // the kernel socket buffer would (at-most-once UDP; counted)
-              if (buf.length < maxBufferedPackets) buf += ((bytes, sender))
-              else UdpFlowSource.dropped.increment()
+              // the kernel socket buffer would (at-most-once UDP; counted).
+              // The dedup key is claimed ONLY on actual append — claiming it
+              // for a buffer-full drop would refuse every re-sent copy of
+              // that packet forever, wedging the blind-re-send contract.
+              if (buf.length >= maxBufferedPackets) UdpFlowSource.dropped.increment()
+              else if (dedupKey.forall(seen.add)) buf += ((bytes, sender))
+              // else: duplicate sequence — silently refused (replayable send)
             }
           }
         } catch {
@@ -201,30 +208,38 @@ final class UdpFlowStream(host: String, port: Int, name: String,
   /** Receiver-thread admission: version sniff (garbage never occupies
     * buffer), v9/IPFIX template learning, refusal of data packets whose
     * template is still unknown (the re-sent copy after the template lands
-    * is admitted — RFC 3954 §5 periodic template export), and, if enabled,
-    * (sender, version, sequence) dedup. Full record validation happens on
-    * executors in the decode.
+    * is admitted — RFC 3954 §5 periodic template export). Returns `None`
+    * when the datagram is refused (already counted), else the dedup key the
+    * receiver loop must claim at append time: `Some(None)` = admit without
+    * dedup (dedup off, or a template-only packet, which is idempotent);
+    * `Some(Some(k))` = admit iff `k` is unseen. The key is NOT claimed
+    * here — admission and the buffer-capacity check must be atomic, or a
+    * full-buffer drop leaves the sequence marked seen and the re-send is
+    * refused forever.
     */
-  private def acceptable(bytes: Array[Byte], senderKey: String): Boolean = {
-    if (bytes.length < 16) { UdpFlowSource.dropped.increment(); return false }
+  private def classify(bytes: Array[Byte],
+      senderKey: String): Option[Option[(String, Int, Long, Long)]] = {
+    if (bytes.length < 16) { UdpFlowSource.dropped.increment(); return None }
     val version = ((bytes(0) & 0xff) << 8) | (bytes(1) & 0xff)
     def seqAt(off: Int): Long =
       ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
         ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+    def key(v: Int, sourceId: Long, seq: Long): Option[(String, Int, Long, Long)] =
+      if (dedupSequence) Some((senderKey, v, sourceId, seq)) else None
     version match {
       case 0 => // sFlow: version is a u32, so the first u16 reads 0
         if (bytes.length < 28 ||
             (((bytes(2) & 0xff) << 8) | (bytes(3) & 0xff)) != 5) {
-          UdpFlowSource.dropped.increment(); return false
+          UdpFlowSource.dropped.increment(); return None
         }
         // datagram sequence sits after the agent address (4B or 16B)
         val agentLen = if (bytes(7) == 2) 16 else 4
-        !dedupSequence || synchronized { seen.add((senderKey, 0, seqAt(12 + agentLen))) }
+        Some(key(0, 0L, seqAt(12 + agentLen)))
       case 5 =>
         if (bytes.length < NetFlowV5.HeaderBytes) {
-          UdpFlowSource.dropped.increment(); return false
+          UdpFlowSource.dropped.increment(); return None
         }
-        !dedupSequence || synchronized { seen.add((senderKey, 5, seqAt(16))) }
+        Some(key(5, 0L, seqAt(16)))
       case 9 | 10 =>
         try {
           val learned = NetFlowV9.decodeTemplates(bytes)
@@ -241,16 +256,17 @@ final class UdpFlowStream(host: String, port: Int, name: String,
             }
             if (!dataIds.forall(id => templates.contains((senderKey, sourceId, id)))) {
               UdpFlowSource.templateMisses.increment()
-              false // refuse: the re-send (post-template) will be admitted
+              None // refuse: the re-send (post-template) will be admitted
             } else if (dataIds.isEmpty) {
-              true // template-only packet: idempotent, never deduped
-            } else !dedupSequence ||
-              seen.add((senderKey, version, seqAt(if (version == 9) 12 else 8)))
+              Some(None) // template-only packet: idempotent, never deduped
+            } else {
+              Some(key(version, sourceId, seqAt(if (version == 9) 12 else 8)))
+            }
           }
         } catch {
-          case _: Exception => UdpFlowSource.dropped.increment(); false
+          case _: Exception => UdpFlowSource.dropped.increment(); None
         }
-      case _ => UdpFlowSource.dropped.increment(); false
+      case _ => UdpFlowSource.dropped.increment(); None
     }
   }
 

@@ -45,21 +45,34 @@ object FlowCollector {
       numPartitions: Int = 4): Running = {
     val listener = new FlowPipeline.MetricsListener
     spark.streams.addListener(listener)
-    val server = new MetricsServer(listener, metricsPort)
-    val raw = spark.readStream.format("nflv5-udp")
-      .option("port", udpPort).option("name", name)
-      .option("maxPacketsPerBatch", maxPacketsPerBatch)
-      .option("numPartitions", numPartitions)
-      .load()
-    val q = FlowPipeline.start(FlowPipeline.normalize(raw), outDir, checkpoint,
-      batchMaxTime)
-    val deadline = System.nanoTime() + 30_000_000_000L
-    var port = 0
-    while (port == 0 && System.nanoTime() < deadline) {
-      port = UdpFlowSource.boundPort(name).getOrElse(0)
-      if (port == 0) Thread.sleep(20)
+    var server: MetricsServer = null
+    var q: StreamingQuery = null
+    // every failure past a resource acquisition must release what exists —
+    // a bind-wait timeout would otherwise leak the query, the listener and
+    // the metrics HTTP port with no handle left to stop them
+    try {
+      server = new MetricsServer(listener, metricsPort)
+      val raw = spark.readStream.format("nflv5-udp")
+        .option("port", udpPort).option("name", name)
+        .option("maxPacketsPerBatch", maxPacketsPerBatch)
+        .option("numPartitions", numPartitions)
+        .load()
+      q = FlowPipeline.start(FlowPipeline.normalize(raw), outDir, checkpoint,
+        batchMaxTime)
+      val deadline = System.nanoTime() + 30_000_000_000L
+      var port = 0
+      while (port == 0 && System.nanoTime() < deadline) {
+        port = UdpFlowSource.boundPort(name).getOrElse(0)
+        if (port == 0) Thread.sleep(20)
+      }
+      require(port > 0, "UDP listener failed to bind")
+      Running(q, listener, server, port)
+    } catch {
+      case e: Throwable =>
+        if (q != null) { try q.stop() catch { case _: Exception => () } }
+        spark.streams.removeListener(listener)
+        if (server != null) { try server.stop() catch { case _: Exception => () } }
+        throw e
     }
-    require(port > 0, "UDP listener failed to bind")
-    Running(q, listener, server, port)
   }
 }

@@ -7,8 +7,9 @@ import graft.SparkSpec
 
 /** R5 delivery-semantics parity: foreachBatch is at-least-once (a batch
   * whose sink write fails after partial commit is replayed whole);
-  * [[JdbcSink.idempotentAppend]] must make replays no-ops on the natural
-  * flow identity (sequence_num, sampler_address, time_received).
+  * [[JdbcSink.idempotentAppend]] must make replays insert exactly the
+  * multiset difference batch − existing — full replays are no-ops and
+  * partial-write retries recover only the missing rows.
   */
 class JdbcIdempotentSpec extends SparkSpec {
 
@@ -50,5 +51,42 @@ class JdbcIdempotentSpec extends SparkSpec {
       .agg(sum("bytes")).head().getLong(0)
     val src = flows.agg(sum("bytes")).head().getLong(0)
     assert(back == src)
+  }
+
+  test("retry after a PARTIAL write inserts the missing sibling rows of a packet") {
+    // ADVICE r3: all records of one datagram share the natural key
+    // (sequence_num, sampler_address, time_received) — a key-level
+    // anti-join would see the half-written packet's key present and
+    // silently drop its never-written siblings. The multiset-difference
+    // append must recover them, including a genuinely duplicated record.
+    val db = "/root/repo/target/graft-tmp/idem-derby-partial"
+    FileUtils.deleteQuietly(new java.io.File(db))
+    val url = JdbcSink.derbyUrl(db)
+    val table = "flows_partial"
+    import spark.implicits._
+
+    // one datagram, three records; two of them identical full rows
+    val batch = Seq(
+      (42L, "10.0.0.1", 1700L, 100L, 6),
+      (42L, "10.0.0.1", 1700L, 200L, 17),
+      (42L, "10.0.0.1", 1700L, 200L, 17))
+      .toDF("sequence_num", "sampler_address", "time_received", "bytes", "proto")
+
+    // simulate the partial failure: only one copy of the (200, 17) record
+    // committed before the sink died
+    JdbcSink.writeBatch(
+      batch.filter(col("proto") === 17).limit(1), url, table)
+
+    // foreachBatch replays the WHOLE batch
+    JdbcSink.idempotentAppend(batch, url, table)
+    def readBack() = spark.read.jdbc(url, table, JdbcSink.props())
+    assert(readBack().count() == 3, "missing siblings were not recovered")
+    assert(readBack().agg(sum("bytes")).head().getLong(0) == 500L)
+    assert(readBack().filter(col("proto") === 17).count() == 2,
+      "the duplicated record must keep both copies")
+
+    // a second replay is a no-op
+    JdbcSink.idempotentAppend(batch, url, table)
+    assert(readBack().count() == 3)
   }
 }

@@ -152,6 +152,65 @@ class NetFlowV9Spec extends AnyFunSuite {
       == Seq((3L, 4096L)))
   }
 
+  test("IPFIX enterprise-bit field specs are learned and bounds-checked per byte consumed") {
+    import java.nio.ByteBuffer
+    // hand-built IPFIX packet: enterprise specs are 8 bytes each, so the
+    // 4-bytes-per-field shortcut under-counts and must not be trusted
+    def ipfixTemplatePacket(sets: Seq[Array[Byte]]): Array[Byte] = {
+      val body = sets.map(_.length).sum
+      val bb = ByteBuffer.allocate(16 + body)
+      bb.putShort(10).putShort((16 + body).toShort).putInt(1700000000)
+        .putInt(1).putInt(3) // obs domain 3
+      sets.foreach(bb.put)
+      bb.array()
+    }
+    def set(setLen: Int)(write: ByteBuffer => Unit): Array[Byte] = {
+      val bb = ByteBuffer.allocate(setLen)
+      bb.putShort(2).putShort(setLen.toShort) // template set
+      write(bb)
+      bb.array()
+    }
+
+    // (a) a well-formed template with one enterprise field decodes to the
+    // right layout (enterprise number skipped, high bit cleared)
+    val good = ipfixTemplatePacket(Seq(set(4 + 4 + 8 + 4) { bb =>
+      bb.putShort(700).putShort(2)
+      bb.putShort((0x8000 | 8).toShort).putShort(4).putInt(9999) // enterprise
+      bb.putShort(1).putShort(4)
+    }))
+    assert(V9.decodeTemplates(good) == Seq((3L, V9.Template(700, Seq(8 -> 4, 1 -> 4)))))
+
+    // (b) a template whose enterprise bytes overrun its set boundary: the
+    // old 4*nf pre-check passes (2 fields, 8 spec bytes available) but the
+    // first enterprise spec eats all 8 — reading field 2 would cross into
+    // the NEXT set and learn a garbage layout from its bytes
+    val droppedBefore = UdpFlowSource.dropped.sum()
+    val overrun = ipfixTemplatePacket(Seq(
+      set(4 + 4 + 8) { bb => // room for 2 plain specs, declares 2 w/ enterprise
+        bb.putShort(701).putShort(2)
+        bb.putShort((0x8000 | 8).toShort).putShort(4).putInt(9999)
+      },
+      set(4 + 4 + 4) { bb => // the innocent neighbor set must still learn
+        bb.putShort(777).putShort(1)
+        bb.putShort(1).putShort(4)
+      }))
+    val learned = V9.decodeTemplates(overrun)
+    assert(!learned.exists(_._2.id == 701), s"overrunning template learned: $learned")
+    assert(learned == Seq((3L, V9.Template(777, Seq(1 -> 4)))))
+    assert(UdpFlowSource.dropped.sum() > droppedBefore, "overrun not counted")
+
+    // (c) same overrun shape in an OPTIONS template (set 3): refused, not
+    // learned from the neighbor's bytes
+    val optOverrun = ipfixTemplatePacket(Seq({
+      val bb = ByteBuffer.allocate(4 + 6 + 8)
+      bb.putShort(3).putShort((4 + 6 + 8).toShort)
+      bb.putShort(702).putShort(2).putShort(0) // 2 fields, 0 scope
+      bb.putShort((0x8000 | 34).toShort).putShort(4).putInt(9999)
+      bb.array()
+    }))
+    assert(V9.decodeTemplates(optOverrun).isEmpty)
+  }
+
   test("data before template is dropped and counted, not misdecoded") {
     val rec = v9Record(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 0)
     val dpkt = V9.encodeData(9, sourceId = 7, templateId = 300, Seq(rec))

@@ -187,6 +187,84 @@ class UdpIngestSpec extends SparkSpec {
       == Seq(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("a buffer-full drop does not claim the dedup key — the re-send is admitted") {
+    // ADVICE r3 (medium): claiming (sender, version, sequence) BEFORE the
+    // capacity check meant a packet dropped on a full buffer was refused
+    // forever on re-send, wedging the blind-re-send convergence contract
+    val stream = new UdpFlowStream("127.0.0.1", 0, "adm-buf", 10L, 1,
+      dedupSequence = true, maxBufferedPackets = 1)
+    val sock = new DatagramSocket()
+    try {
+      val port = UdpFlowSource.boundPort("adm-buf").get
+      val addr = InetAddress.getByName("127.0.0.1")
+      def pkt(seq: Long): Array[Byte] =
+        V5.encode(1000L, 1700000900L, 0L, seq, 100,
+          Seq(V5.Rec(Array[Byte](10, 5, 0, 1), Array[Byte](10, 5, 0, 2),
+            pkts = 1, octets = 64, firstMs = 0, lastMs = 0,
+            srcPort = 1, dstPort = 2, tcpFlags = 0, proto = 6)))
+      def send(b: Array[Byte]): Unit =
+        sock.send(new DatagramPacket(b, b.length, addr, port))
+      def buffered(): Long = stream.reportLatestOffset().asInstanceOf[UdpOffset].count
+      val deadline = System.nanoTime() + 30_000_000_000L
+      def awaitBuffered(n: Long): Unit = {
+        while (buffered() < n && System.nanoTime() < deadline) { Thread.sleep(10) }
+        assert(buffered() == n, s"expected $n admitted, got ${buffered()}")
+      }
+
+      send(pkt(1)); awaitBuffered(1) // fills the 1-packet buffer
+      val droppedBefore = UdpFlowSource.dropped.sum()
+      send(pkt(2)) // buffer full: dropped — and its sequence must stay unclaimed
+      while (UdpFlowSource.dropped.sum() == droppedBefore &&
+          System.nanoTime() < deadline) Thread.sleep(10)
+      assert(UdpFlowSource.dropped.sum() > droppedBefore)
+      assert(buffered() == 1)
+
+      stream.commit(UdpOffset(1L)) // engine consumed packet 1: buffer drains
+      send(pkt(2)) // the blind re-send of the dropped packet
+      awaitBuffered(2)
+    } finally { sock.close(); stream.stop() }
+  }
+
+  test("v9 sequence dedup is per observation domain, not per exporter IP") {
+    import graft.sources.{NetFlowV9 => V9}
+    // RFC 3954 §5.1: sequence numbers count per source_id — two domains
+    // behind one exporter IP legitimately reuse the same sequence
+    val stream = new UdpFlowStream("127.0.0.1", 0, "adm-sid", 10L, 1,
+      dedupSequence = true, maxBufferedPackets = 100)
+    val sock = new DatagramSocket()
+    try {
+      val port = UdpFlowSource.boundPort("adm-sid").get
+      val addr = InetAddress.getByName("127.0.0.1")
+      def send(b: Array[Byte]): Unit =
+        sock.send(new DatagramPacket(b, b.length, addr, port))
+      def buffered(): Long = stream.reportLatestOffset().asInstanceOf[UdpOffset].count
+      val deadline = System.nanoTime() + 30_000_000_000L
+      def awaitBuffered(n: Long): Unit = {
+        while (buffered() < n && System.nanoTime() < deadline) { Thread.sleep(10) }
+        assert(buffered() == n, s"expected $n admitted, got ${buffered()}")
+      }
+
+      val fields = Seq(8 -> 4, 1 -> 4, 4 -> 1)
+      def rec(i: Int): Array[Byte] =
+        Array(V9.fieldBytes(0x0a000000L + i, 4), V9.fieldBytes(100, 4),
+          V9.fieldBytes(6, 1)).flatten.toArray
+      send(V9.encodeTemplate(9, sourceId = 1, templateId = 310, fields))
+      send(V9.encodeTemplate(9, sourceId = 2, templateId = 310, fields))
+      awaitBuffered(2) // template-only packets, never deduped
+      // same sender, same sequence 100 — DIFFERENT source ids: both admitted
+      send(V9.encodeData(9, sourceId = 1, templateId = 310, Seq(rec(1)), sequence = 100L))
+      send(V9.encodeData(9, sourceId = 2, templateId = 310, Seq(rec(2)), sequence = 100L))
+      awaitBuffered(4)
+      // and a true duplicate (same source id, same sequence) IS refused:
+      // admit a tie-breaker after it and check the count skipped the dup
+      send(V9.encodeData(9, sourceId = 1, templateId = 310, Seq(rec(3)), sequence = 100L))
+      send(V9.encodeData(9, sourceId = 1, templateId = 310, Seq(rec(4)), sequence = 101L))
+      awaitBuffered(5)
+      Thread.sleep(200) // a wrongly-admitted duplicate would now surface as 6
+      assert(buffered() == 5)
+    } finally { sock.close(); stream.stop() }
+  }
+
   test("v5, v9 and IPFIX datagrams decode side by side on one port") {
     import graft.sources.{NetFlowV9 => V9}
     val cp = "/root/repo/target/graft-tmp/udp-spec/cp9"

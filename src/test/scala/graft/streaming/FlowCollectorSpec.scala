@@ -63,4 +63,27 @@ class FlowCollectorSpec extends SparkSpec {
       } finally conn.disconnect()
     } finally { sock.close(); c.stop(spark) }
   }
+
+  test("a failed start releases the query, listener and metrics port") {
+    // ADVICE r3: a failure after resources are acquired (here: an
+    // uncreatable checkpoint dir) used to leak the started query, the
+    // listener and the HTTP port with no handle to stop them
+    val activeBefore = spark.streams.active.length
+    val listenersBefore = spark.streams.listListeners().length
+    // grab a concrete free port so we can prove it is released
+    val probe = new java.net.ServerSocket(0)
+    val port = probe.getLocalPort
+    probe.close()
+
+    intercept[Exception] {
+      FlowCollector.start(spark, outDir = "/root/repo/target/graft-tmp/fc-fail",
+        checkpoint = "/proc/nonexistent/cp", name = "collector-fail",
+        metricsPort = port)
+    }
+    assert(spark.streams.active.length == activeBefore, "query leaked")
+    assert(spark.streams.listListeners().length == listenersBefore, "listener leaked")
+    // the metrics port must be bindable again
+    val rebind = new java.net.ServerSocket(port)
+    rebind.close()
+  }
 }
