@@ -57,8 +57,21 @@ object Bench {
     // size (r01's ~4 KB full-map line arrived unparseable).
     val headlineNames = Seq("q20_agg_hash", "q29_win_rank", "x1_dedup_exact",
       "x2_dedup_minhash", "x2d_dedup_components", "x3c_knn_ivf")
-    val headline = results.filter(r => headlineNames.contains(r._1))
-      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // Run-to-run variance on a shared box is ±40% (r03 recorded a 7× x2d
+    // outlier on byte-identical code) — report the MEDIAN of three runs for
+    // the headline set so one interfered run can't masquerade as a
+    // regression. The sum keeps single runs: it amortizes noise already.
+    val headlineRuns: Seq[(String, Seq[Double])] = headlineNames.map { n =>
+      val first = results.collectFirst { case (`n`, v) => v }.getOrElse(-1.0)
+      n -> (first +: Seq.fill(2)(run(n))).filter(_ >= 0).sorted
+    }
+    def median(xs: Seq[Double]): Double = if (xs.isEmpty) -1.0 else xs(xs.size / 2)
+    val headline = headlineRuns
+      .map { case (k, runs) => "\"" + k + "\":" + median(runs) }
+      .mkString("{", ",", "}")
+    val headlineAll = headlineRuns
+      .map { case (k, runs) => "\"" + k + "\":[" + runs.mkString(",") + "]" }
+      .mkString("{", ",", "}")
 
     // Ingest-path throughput (the reference's core function; its defaults
     // imply a ≥1 000 flows/s design target, SURVEY §6): custom source →
@@ -136,7 +149,7 @@ object Bench {
     }
 
     // Full per-query map goes to a file; stdout gets one short line.
-    val full = s"""{"metric":"total_all_queries","value":$total,"unit":"sec","n_queries":${ok.size},"ingest":$ingest,"udp_ingest":$udpIngest,"queries":$qs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total_all_queries","value":$total,"unit":"sec","n_queries":${ok.size},"ingest":$ingest,"udp_ingest":$udpIngest,"queries":$qs,"headline_runs":$headlineAll,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("target/bench_full.json")
     java.nio.file.Files.createDirectories(fullPath.getParent)
     java.nio.file.Files.write(fullPath, full.getBytes("UTF-8"))

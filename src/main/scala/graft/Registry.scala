@@ -33,7 +33,8 @@ object Registry {
       ext.SimilarityQueries.defs ++
       ext.TextQueries.defs ++
       ext.MultimodalQueries.defs ++
-      ext.PipelineQueries.defs
+      ext.PipelineQueries.defs ++
+      ext.DecontamQueries.defs
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -229,4 +229,31 @@ class PlanSpec extends SparkSpec {
       .head()
     assert(r.getBoolean(0) && !r.getBoolean(1))
   }
+
+  test("decontamination joins broadcast the eval grams, never sort-merge (x7)") {
+    val df = Registry.queries("x7_decontaminate")(spark, sf)
+    val plan = physical(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // semantics: a contaminated doc has matched grams, and vice versa
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val matched = r.getAs[Long]("n_matched")
+      val flag = r.getAs[Int]("contaminated")
+      assert((matched > 0) == (flag == 1), r.toString)
+      assert(matched <= r.getAs[Long]("n_grams"), r.toString)
+    }
+  }
+
+  test("repetition metrics bound top counts by totals (x7b)") {
+    val rows = Registry.queries("x7b_repetition")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("top_word_n") <= r.getAs[Long]("n_words"), r.toString)
+      assert(r.getAs[Long]("top_bigram_n") <= r.getAs[Long]("n_bigrams"), r.toString)
+      // a doc of n words has exactly n-1 bigrams
+      assert(r.getAs[Long]("n_bigrams") == r.getAs[Long]("n_words") - 1, r.toString)
+    }
+  }
 }
