@@ -159,7 +159,116 @@ object SFlowV5 {
       fragment_offset = fragOffset))
   }
 
+  /** Generic interface counters from an sFlow COUNTER sample (struct
+    * counter_record format 1 — the standard 88-byte if-counters block).
+    * Counter samples are the OTHER half of sFlow: periodic interface
+    * statistics next to the packet samples. They never become flows rows —
+    * goflow skips them — but a real collector surfaces them as metrics,
+    * so the receiver parses them into [[UdpFlowSource.ifCounters]] and the
+    * Prometheus endpoint exports them as gauges.
+    */
+  final case class IfCounters(ifIndex: Long, ifSpeed: Long, ifInOctets: Long,
+      ifInUcastPkts: Long, ifInErrors: Long, ifOutOctets: Long,
+      ifOutUcastPkts: Long, ifOutErrors: Long)
+
+  /** Parse the counter samples of one datagram. Returns (agentAddress,
+    * counters, hasFlowSamples) — the agent address is the metrics label (a
+    * sub-agent/proxy's datagrams carry the true agent, not the UDP
+    * sender); the flag lets the receiver refuse buffer admission for
+    * counters-only datagrams (they decode to zero rows; shipping them to
+    * executors would move bytes for nothing).
+    */
+  def decodeCounters(packet: Array[Byte]): (Array[Byte], Seq[IfCounters], Boolean) = {
+    val bb = ByteBuffer.wrap(packet)
+    if (packet.length < 28 || bb.getInt != 5) return (Array.empty, Nil, false)
+    val agentType = bb.getInt
+    val agentLen = if (agentType == 2) 16 else 4
+    val agent = (0 until agentLen).map(i => bb.get(8 + i)).toArray
+    bb.position(8 + agentLen)
+    bb.getInt; bb.getInt; bb.getInt // subAgent, sequence, uptime
+    val numSamples = bb.getInt
+    val out = ArrayBuffer.empty[IfCounters]
+    var hasFlow = false
+    var s = 0
+    while (s < numSamples && bb.remaining() >= 8) {
+      val sampleType = bb.getInt & 0xffffffffL
+      val sampleLen = bb.getInt
+      val sampleEnd = bb.position() + sampleLen
+      if (sampleLen < 0 || sampleEnd > packet.length) return (agent, out.toSeq, hasFlow)
+      val format = (sampleType & 0xfff).toInt
+      val enterprise = (sampleType >> 12).toInt
+      if (enterprise == 0 && (format == 1 || format == 3)) hasFlow = true
+      if (enterprise == 0 && (format == 2 || format == 4)) {
+        bb.getInt // sample sequence
+        if (format == 2) bb.getInt // sourceId
+        else { bb.getInt; bb.getInt } // sourceIdType, sourceIdIndex
+        val numRecords = bb.getInt
+        var r = 0
+        while (r < numRecords && bb.position() + 8 <= sampleEnd) {
+          val recType = bb.getInt & 0xffffffffL
+          val recLen = bb.getInt
+          val recEnd = bb.position() + recLen
+          if (recLen < 0 || recEnd > sampleEnd) return (agent, out.toSeq, hasFlow)
+          if ((recType & 0xfff) == 1 && (recType >> 12) == 0 && recLen >= 88) {
+            // struct if_counters (sFlow v5 §5): ifIndex u32@0, ifType u32@4,
+            // ifSpeed u64@8, ifDirection u32@16, ifStatus u32@20,
+            // ifInOctets u64@24, ifInUcastPkts u32@32, ifInErrors u32@48,
+            // ifOutOctets u64@56, ifOutUcastPkts u32@64, ifOutErrors u32@80
+            val p = bb.position()
+            def u32(off: Int): Long = bb.getInt(p + off) & 0xffffffffL
+            def u64(off: Int): Long = bb.getLong(p + off)
+            out += IfCounters(
+              ifIndex = u32(0), ifSpeed = u64(8),
+              ifInOctets = u64(24), ifInUcastPkts = u32(32), ifInErrors = u32(48),
+              ifOutOctets = u64(56), ifOutUcastPkts = u32(64), ifOutErrors = u32(80))
+          }
+          bb.position(recEnd)
+          r += 1
+        }
+      }
+      bb.position(sampleEnd)
+      s += 1
+    }
+    (agent, out.toSeq, hasFlow)
+  }
+
   // ---- exporter-side encoders (tests + load generation) ----
+
+  /** Encode an sFlow v5 datagram carrying one counter sample with the
+    * given generic-if-counters records (test/exporter side).
+    */
+  def encodeCounters(agent: Array[Byte], sequence: Long,
+      counters: Seq[IfCounters]): Array[Byte] = {
+    val recBody = 88
+    val sampleBody = 12 + counters.size * (8 + recBody)
+    val bb = ByteBuffer.allocate(28 + 8 + sampleBody)
+    bb.putInt(5); bb.putInt(1); bb.put(agent)
+    bb.putInt(0) // subAgentId
+    bb.putInt(sequence.toInt)
+    bb.putInt(123456) // uptime
+    bb.putInt(1) // one sample
+    bb.putInt(2) // counter sample format
+    bb.putInt(sampleBody)
+    bb.putInt(1) // sample sequence
+    bb.putInt(5) // sourceId
+    bb.putInt(counters.size)
+    counters.foreach { c =>
+      bb.putInt(1) // generic if-counters record
+      bb.putInt(recBody)
+      val p = bb.position()
+      bb.putInt(c.ifIndex.toInt).putInt(6 /*ifType ethernetCsmacd*/)
+      bb.putLong(c.ifSpeed)
+      bb.putInt(1 /*ifDirection full-duplex*/).putInt(3 /*ifStatus admin+oper up*/)
+      bb.putLong(c.ifInOctets).putInt(c.ifInUcastPkts.toInt)
+      bb.putInt(0).putInt(0).putInt(0) // multicast, broadcast, discards
+      bb.putInt(c.ifInErrors.toInt).putInt(0) // unknown protos
+      bb.putLong(c.ifOutOctets).putInt(c.ifOutUcastPkts.toInt)
+      bb.putInt(0).putInt(0).putInt(0) // multicast, broadcast, discards
+      bb.putInt(c.ifOutErrors.toInt).putInt(0) // promiscuous
+      bb.position(p + recBody)
+    }
+    bb.array()
+  }
 
   /** Build an Ethernet+IPv4+TCP/UDP/ICMP header blob for a test sample. */
   def ipv4Frame(src: Array[Byte], dst: Array[Byte], proto: Int,

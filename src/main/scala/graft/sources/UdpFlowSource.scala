@@ -88,6 +88,20 @@ object UdpFlowSource {
     * this — RFC 3954 §5; goflow errors these the same way).
     */
   val templateMisses = new LongAdder
+
+  /** Latest generic interface counters per (agent, ifIndex), parsed from
+    * sFlow COUNTER samples on the receiver thread (flows rows never carry
+    * them; Prometheus gauges do — [[graft.streaming.MetricsServer]]).
+    * Bounded LRU: a collector fleet sees thousands of interfaces, not
+    * unbounded ones, and stale interfaces age out.
+    */
+  val ifCounters: java.util.Map[(String, Long), SFlowV5.IfCounters] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long), SFlowV5.IfCounters](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long), SFlowV5.IfCounters]): Boolean =
+          size() > 65536
+      })
 }
 
 final class UdpFlowTable extends Table with SupportsRead {
@@ -232,9 +246,20 @@ final class UdpFlowStream(host: String, port: Int, name: String,
             (((bytes(2) & 0xff) << 8) | (bytes(3) & 0xff)) != 5) {
           UdpFlowSource.dropped.increment(); return None
         }
-        // datagram sequence sits after the agent address (4B or 16B)
-        val agentLen = if (bytes(7) == 2) 16 else 4
-        Some(key(0, 0L, seqAt(12 + agentLen)))
+        // counter samples are receiver state (→ Prometheus gauges), like
+        // templates; the scan is a cheap skip-by-length pass. Labeled by
+        // the AGENT address in the datagram, not the UDP sender — a
+        // sub-agent/proxy forwards for the true agent.
+        val (agentAddr, counters, hasFlowSamples) = SFlowV5.decodeCounters(bytes)
+        val agentKey = graft.functions.IpUtil.bytesToIpString(agentAddr)
+        counters.foreach(c => UdpFlowSource.ifCounters.put((agentKey, c.ifIndex), c))
+        if (counters.nonEmpty && !hasFlowSamples) {
+          None // counters-only datagram: fully consumed here, zero flows rows
+        } else {
+          // datagram sequence sits after the agent address (4B or 16B)
+          val agentLen = if (bytes(7) == 2) 16 else 4
+          Some(key(0, 0L, seqAt(12 + agentLen)))
+        }
       case 5 =>
         if (bytes.length < NetFlowV5.HeaderBytes) {
           UdpFlowSource.dropped.increment(); return None

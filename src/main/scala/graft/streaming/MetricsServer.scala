@@ -40,7 +40,38 @@ final class MetricsServer(listener: FlowPipeline.MetricsListener, port: Int = 0)
        |# HELP graft_flows_max_batch_rows Largest single micro-batch admitted (R4 invariant).
        |# TYPE graft_flows_max_batch_rows gauge
        |graft_flows_max_batch_rows ${listener.maxBatchRows}
-       |""".stripMargin
+       |$ifCounterBody""".stripMargin
+
+  /** sFlow generic interface counters (the non-flow half of sFlow),
+    * labeled by agent and ifIndex — what an operator points Grafana at
+    * next to the flows themselves.
+    */
+  private def ifCounterBody: String = {
+    val entries = {
+      val m = graft.sources.UdpFlowSource.ifCounters
+      m.synchronized { // LinkedHashMap iteration needs the map's own lock
+        import scala.jdk.CollectionConverters._
+        m.entrySet().asScala.map(e => (e.getKey, e.getValue)).toVector
+      }
+    }
+    if (entries.isEmpty) ""
+    else {
+      val gauges = Seq[(String, String, graft.sources.SFlowV5.IfCounters => Long)](
+        ("graft_sflow_if_in_octets", "Input octets on the interface.", _.ifInOctets),
+        ("graft_sflow_if_out_octets", "Output octets on the interface.", _.ifOutOctets),
+        ("graft_sflow_if_in_ucast_pkts", "Input unicast packets.", _.ifInUcastPkts),
+        ("graft_sflow_if_out_ucast_pkts", "Output unicast packets.", _.ifOutUcastPkts),
+        ("graft_sflow_if_in_errors", "Input errors.", _.ifInErrors),
+        ("graft_sflow_if_out_errors", "Output errors.", _.ifOutErrors))
+      gauges.map { case (name, help, get) =>
+        s"# HELP $name $help\n# TYPE $name gauge\n" +
+          entries.sortBy { case ((agent, idx), _) => (agent, idx) }
+            .map { case ((agent, idx), c) =>
+              s"""$name{agent="$agent",ifindex="$idx"} ${get(c)}"""
+            }.mkString("", "\n", "\n")
+      }.mkString
+    }
+  }
 
   server.createContext("/metrics", (exchange: com.sun.net.httpserver.HttpExchange) => {
     val bytes = body.getBytes("UTF-8")

@@ -91,4 +91,21 @@ class SFlowV5Spec extends AnyFunSuite {
     val bad = SF.encode(agent, 17L, Nil); bad(3) = 4 // version 4
     intercept[IllegalArgumentException](SF.decode(bad, sampler, now))
   }
+
+  test("counter samples round-trip by struct offset and never become flows") {
+    val c = SF.IfCounters(ifIndex = 3, ifSpeed = 10000000000L,
+      ifInOctets = 123456789L, ifInUcastPkts = 4242, ifInErrors = 7,
+      ifOutOctets = 987654321L, ifOutUcastPkts = 2424, ifOutErrors = 1)
+    val pkt = SF.encodeCounters(agent, 99L, Seq(c, c.copy(ifIndex = 4)))
+    val (agentGot, got, hasFlow) = SF.decodeCounters(pkt)
+    assert(agentGot.sameElements(agent))
+    assert(got == Seq(c, c.copy(ifIndex = 4)) && !hasFlow)
+    // counter datagrams decode to ZERO flows rows (metrics, not traffic)
+    assert(SF.decode(pkt, sampler, now).isEmpty)
+    // and a flow-sample datagram reports hasFlowSamples with no counters
+    val hdr = SF.ipv4Frame(Array[Byte](10, 9, 0, 1), Array[Byte](10, 9, 0, 2),
+      proto = 17, srcPort = 1, dstPort = 2)
+    val (_, none, hf) = SF.decodeCounters(SF.encode(agent, 100L, Seq((1L, 64L, hdr))))
+    assert(none.isEmpty && hf)
+  }
 }

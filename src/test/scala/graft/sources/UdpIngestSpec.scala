@@ -265,6 +265,36 @@ class UdpIngestSpec extends SparkSpec {
     } finally { sock.close(); stream.stop() }
   }
 
+  test("counters-only sFlow datagrams feed the interface registry, not the buffer") {
+    val stream = new UdpFlowStream("127.0.0.1", 0, "adm-cnt", 10L, 1,
+      dedupSequence = false, maxBufferedPackets = 100)
+    val sock = new DatagramSocket()
+    try {
+      val port = UdpFlowSource.boundPort("adm-cnt").get
+      val addr = InetAddress.getByName("127.0.0.1")
+      def send(b: Array[Byte]): Unit =
+        sock.send(new DatagramPacket(b, b.length, addr, port))
+      def buffered(): Long = stream.reportLatestOffset().asInstanceOf[UdpOffset].count
+      val deadline = System.nanoTime() + 30_000_000_000L
+
+      val agent = Array[Byte](10, 0, 0, 77)
+      val c = SFlowV5.IfCounters(5, 1000000000L, 111L, 11L, 0L, 222L, 22L, 1L)
+      send(SFlowV5.encodeCounters(agent, 1L, Seq(c)))
+      // keyed by the AGENT address in the datagram, not the UDP sender
+      while (!UdpFlowSource.ifCounters.containsKey(("10.0.0.77", 5L)) &&
+          System.nanoTime() < deadline) Thread.sleep(10)
+      assert(UdpFlowSource.ifCounters.get(("10.0.0.77", 5L)) == c)
+      assert(buffered() == 0, "counters-only datagram must not occupy the buffer")
+
+      // a flow-sample datagram from the same agent still buffers normally
+      val hdr = SFlowV5.ipv4Frame(Array[Byte](10, 9, 9, 1), Array[Byte](10, 9, 9, 2),
+        proto = 6, srcPort = 1, dstPort = 2)
+      send(SFlowV5.encode(agent, 2L, Seq((4L, 64L, hdr))))
+      while (buffered() < 1 && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(buffered() == 1)
+    } finally { sock.close(); stream.stop() }
+  }
+
   test("v5, v9 and IPFIX datagrams decode side by side on one port") {
     import graft.sources.{NetFlowV9 => V9}
     val cp = "/root/repo/target/graft-tmp/udp-spec/cp9"

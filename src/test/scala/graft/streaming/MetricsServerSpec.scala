@@ -62,4 +62,17 @@ class MetricsServerSpec extends SparkSpec {
       server.stop()
     }
   }
+
+  test("sFlow interface counters render as labeled gauges") {
+    val listener = new FlowPipeline.MetricsListener
+    val server = new MetricsServer(listener)
+    try {
+      graft.sources.UdpFlowSource.ifCounters.put(("10.0.0.9", 3L),
+        graft.sources.SFlowV5.IfCounters(3, 10000000000L, 777L, 7L, 0L, 888L, 8L, 2L))
+      val m = scrape(server.boundPort)
+      assert(m("""graft_sflow_if_in_octets{agent="10.0.0.9",ifindex="3"}""") == 777.0, m)
+      assert(m("""graft_sflow_if_out_octets{agent="10.0.0.9",ifindex="3"}""") == 888.0, m)
+      assert(m("""graft_sflow_if_out_errors{agent="10.0.0.9",ifindex="3"}""") == 2.0, m)
+    } finally server.stop()
+  }
 }
