@@ -99,6 +99,27 @@ object MultimodalQueries {
           f -> least(16*f + 16, length(text)) - 16*f)) AS BIGINT) AS sampled_bytes_n
         FROM documents""".stripMargin)),
 
+    // X5f: resize — the remaining kernel of the decode / feature-extract /
+    // resize / frame-sample quartet. The payload is treated as the w×h
+    // byte image the stub decode declares, nearest-neighbor-resampled to
+    // 8×8 in one mapPartitions pass (where a real resampler — stb_image,
+    // libvips — would sit). The oracle recomputes every sampled index from
+    // the string side; the full 64-pixel output crosses as CSV (exact
+    // integers; the driver's canonicalizer cannot sort raw array cells).
+    Q("x5f_resize",
+      (s, d) => Multimodal.resizeNearest(media(s, d), outW = 8, outH = 8),
+      Some("""SELECT doc_id, 8 AS out_w, 8 AS out_h,
+        array_to_string(list_transform(generate_series(0, 63), i ->
+          CAST(CASE WHEN ((i // 8) * h // 8) * w + ((i % 8) * w // 8) < length(text)
+            THEN ord(substr(text, ((i // 8) * h // 8) * w + ((i % 8) * w // 8) + 1, 1))
+            ELSE 0 END AS VARCHAR)), ',') AS resized_csv,
+        CAST(list_sum(list_transform(generate_series(0, 63), i ->
+          CASE WHEN ((i // 8) * h // 8) * w + ((i % 8) * w // 8) < length(text)
+            THEN ord(substr(text, ((i // 8) * h // 8) * w + ((i % 8) * w // 8) + 1, 1))
+            ELSE 0 END)) AS BIGINT) AS pixel_sum
+        FROM (SELECT doc_id, text, 1 + ord(substr(text, 1, 1)) % 64 AS w,
+          1 + ord(substr(text, 2, 1)) % 64 AS h FROM documents)""".stripMargin)),
+
     // X5d: multimodal columns carried through §2.2 operators — binary +
     // embedding joined, grouped, aggregated (the "typed metadata travels
     // with the blob" contract).
@@ -192,6 +213,41 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "n_frames", "n_sampled", "sampled_bytes_sum", "sampled_bytes_n")
+  }
+
+  /** Nearest-neighbor resize of the stub-declared w×h byte image to
+    * outW×outH — the batch-resize kernel of an image pipeline (stub
+    * geometry, real per-partition execution). Out-of-image samples read 0
+    * (payloads are shorter than w*h for large declared dims — the stub's
+    * honest padding rule, reproduced by the oracle).
+    */
+  def resizeNearest(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val w = 1 + (payload(0) & 0xff) % 64
+          val h = 1 + (payload(1) & 0xff) % 64
+          val out = new Array[Int](outW * outH)
+          var sum = 0L
+          var r = 0
+          while (r < outH) {
+            var c = 0
+            while (c < outW) {
+              val idx = (r * h / outH) * w + (c * w / outW)
+              val v = if (idx < payload.length) payload(idx) & 0xff else 0
+              out(r * outW + c) = v
+              sum += v
+              c += 1
+            }
+            r += 1
+          }
+          (id, outW, outH, out.mkString(","), sum)
+        }
+      }
+      .toDF("doc_id", "out_w", "out_h", "resized_csv", "pixel_sum")
   }
 
   /** Byte histogram: exact integer bin counts plus the float feature

@@ -291,8 +291,13 @@ object StreamQueries {
     // for the counts to land.
     Q("q45b_flowgen_ingest",
       (s, d) => {
+        // 4 micro-batches: enough to exercise multi-batch stateful agg +
+        // admission control (the per-batch size invariant itself is pinned
+        // in FlowGenSourceSpec); each complete-mode batch pays a fixed
+        // state-store + sink-rewrite cost, so 10k rows in 10 batches
+        // benched the overhead 10×, not the engine
         val raw = s.readStream.format("flowgen")
-          .option("totalRows", 10000L).option("maxRowsPerBatch", 1000L)
+          .option("totalRows", 10000L).option("maxRowsPerBatch", 2500L)
           .option("numPartitions", 4).load()
         drain(
           graft.streaming.FlowPipeline.normalize(raw)

@@ -72,6 +72,25 @@ class MultimodalSpec extends SparkSpec {
     assert(d3 == Row(3L, 64, 32, 32L * 4 * 65, 128L), d3)
   }
 
+  test("resize kernel samples nearest-neighbor indices with zero padding") {
+    import spark.implicits._
+    // payload "ab..." declares w = 1 + 'a'%64 = 34, h = 1 + 'b'%64 = 35;
+    // an 11-byte payload leaves most samples out of image -> 0
+    val df = Seq((1L, "hello world".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val r = Multimodal.resizeNearest(df, outW = 8, outH = 8).collect()(0)
+    assert(r.getInt(1) == 8 && r.getInt(2) == 8)
+    val vals = r.getString(3).split(",").map(_.toInt)
+    assert(vals.length == 64)
+    val payload = "hello world".getBytes("UTF-8")
+    val (w, h) = (1 + (payload(0) & 0xff) % 64, 1 + (payload(1) & 0xff) % 64)
+    val expect = for (rr <- 0 until 8; cc <- 0 until 8) yield {
+      val idx = (rr * h / 8) * w + (cc * w / 8)
+      if (idx < payload.length) payload(idx) & 0xff else 0
+    }
+    assert(vals.toSeq == expect)
+    assert(r.getLong(4) == expect.map(_.toLong).sum)
+  }
+
   test("kernels distribute: mapPartitions output matches per-row recompute at fixture scale") {
     val df = graft.Tables.documents(spark, sf)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
