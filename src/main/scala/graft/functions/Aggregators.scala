@@ -63,7 +63,59 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
+  final case class TopEntry(metric: Long, id: Long)
+
+  /** Bounded top-k-per-group accumulator — the SCALE path for top-N per
+    * group. The window formulation (q32) shuffles and sorts EVERY row of
+    * each group before discarding all but k; this aggregator's buffers cap
+    * at k entries, so with map-side partial aggregation only ≤ k rows per
+    * group per map task ever cross the shuffle — the per-group analogue of
+    * what TakeOrderedAndProject does for a global LIMIT+ORDER BY. The
+    * buffer keeps a strict total order (metric DESC, id ASC), so results
+    * are exact and deterministic under any partial-merge order, ties
+    * included.
+    *
+    * Buffer layout: packed (metric, id) pairs in a Long array — a flat
+    * primitive encoder, no per-entry object headers in the shuffle.
+    */
+  final class TopKAgg(k: Int)
+      extends Aggregator[TopEntry, Array[Long], Array[TopEntry]] {
+    require(k > 0)
+    override def zero: Array[Long] = Array.emptyLongArray
+    private def better(m1: Long, i1: Long, m2: Long, i2: Long): Boolean =
+      m1 > m2 || (m1 == m2 && i1 < i2)
+    private def insert(b: Array[Long], m: Long, id: Long): Array[Long] = {
+      val n = b.length / 2
+      if (n == k && !better(m, id, b(2 * (n - 1)), b(2 * n - 1))) return b
+      var pos = 0
+      while (pos < n && better(b(2 * pos), b(2 * pos + 1), m, id)) pos += 1
+      val outN = math.min(k, n + 1)
+      val out = new Array[Long](outN * 2)
+      System.arraycopy(b, 0, out, 0, pos * 2)
+      out(2 * pos) = m
+      out(2 * pos + 1) = id
+      val tail = math.min(n - pos, outN - pos - 1)
+      if (tail > 0) System.arraycopy(b, pos * 2, out, (pos + 1) * 2, tail * 2)
+      out
+    }
+    override def reduce(b: Array[Long], a: TopEntry): Array[Long] =
+      insert(b, a.metric, a.id)
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var r = x
+      var i = 0
+      while (i < y.length / 2) { r = insert(r, y(2 * i), y(2 * i + 1)); i += 1 }
+      r
+    }
+    override def finish(r: Array[Long]): Array[TopEntry] =
+      Array.tabulate(r.length / 2)(i => TopEntry(r(2 * i), r(2 * i + 1)))
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[TopEntry]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[TopEntry]]()
+  }
+
   val bit_or_agg = udaf(BitOrAgg)
   val weighted_avg = udaf(WeightedAvgAgg)
   def elementwise_min(k: Int) = udaf(new ElementwiseMinAgg(k))
+  def top_k(k: Int) = udaf(new TopKAgg(k))
 }

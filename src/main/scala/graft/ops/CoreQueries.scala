@@ -490,6 +490,34 @@ object CoreQueries {
           row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rn
         FROM orders JOIN customer ON o_custkey = c_custkey) WHERE rn <= 3""".stripMargin)),
 
+    // Q32b: top-N per group via the bounded-heap aggregator — the SCALE
+    // path beside q32's window formulation. Map-side partial aggregation
+    // ships ≤ k entries per group per task instead of sorting every row of
+    // the group through the shuffle ([[graft.functions.Aggregators.TopKAgg]]).
+    // Top-3 customers by order spend per nation, exploded back to rows;
+    // integer cents + (spend DESC, custkey ASC) total order ⇒ exact.
+    Q("q32b_topk_agg",
+      (s, d) => {
+        val spend = Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey"), col("c_custkey"))
+          .agg(sum(cents(col("o_totalprice"))).as("spend_cents"))
+        spend.groupBy("c_nationkey")
+          .agg(graft.functions.Aggregators.top_k(3)(
+            col("spend_cents"), col("c_custkey")).as("top"))
+          .select(col("c_nationkey"), posexplode(col("top")))
+          .select(col("c_nationkey"),
+            (col("pos") + 1).cast(IntegerType).as("rnk"),
+            col("col.id").as("c_custkey"),
+            col("col.metric").as("spend_cents"))
+      },
+      Some("""SELECT c_nationkey, CAST(rnk AS INTEGER) AS rnk, c_custkey, spend_cents FROM (
+        SELECT c_nationkey, c_custkey, spend_cents,
+          row_number() OVER (PARTITION BY c_nationkey ORDER BY spend_cents DESC, c_custkey) AS rnk
+        FROM (SELECT c_nationkey, c_custkey, CAST(SUM(round(o_totalprice * 100)) AS BIGINT) AS spend_cents
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY c_nationkey, c_custkey)) WHERE rnk <= 3""".stripMargin)),
+
     // ------------------------------------------- sort / limit / set ops
     // Q33: multi-key sort with null ordering (driver hash is order-
     // insensitive; sortedness itself is asserted in SortSpec).

@@ -230,6 +230,15 @@ class PlanSpec extends SparkSpec {
     assert(r.getBoolean(0) && !r.getBoolean(1))
   }
 
+  test("top-k aggregator plans with map-side partial aggregation (q32b)") {
+    val plan = physical(Registry.queries("q32b_topk_agg")(spark, sf))
+    // partial ObjectHashAggregate BEFORE the exchange: only <= k-entry
+    // buffers per group per task cross the shuffle, never the group's rows
+    assert(plan.contains("partial_topkagg"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("decontamination joins broadcast the eval grams, never sort-merge (x7)") {
     val df = Registry.queries("x7_decontaminate")(spark, sf)
     val plan = physical(df)
