@@ -495,6 +495,41 @@ object StreamQueries {
         FROM events JOIN (VALUES ('click',1),('view',2),('signup',10),('purchase',50),('error',0)) AS d(et, weight)
         ON event_type = et GROUP BY event_type""".stripMargin)),
 
+    // Q52b: STREAM-STREAM inner join — clicks correlated to the same
+    // user's purchases within 10 minutes of event time. Both sides carry
+    // watermarks and the join condition is an event-time RANGE, so the
+    // state store retains only the interval+watermark window per side —
+    // bounded state on an unbounded stream (the posture q50 establishes
+    // for dedup, applied to joins). Inner-join matches emit as they occur;
+    // an AvailableNow drain therefore equals the batch interval join the
+    // oracle runs.
+    Q("q52b_stream_stream_join",
+      (s, d) => {
+        val clicks = eventsStream(s, d)
+          .filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"))
+          .withWatermark("click_ts", "10 minutes")
+        val purchases = eventsStream(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+            col("value"))
+          .withWatermark("purchase_ts", "10 minutes")
+        val joined = clicks.join(purchases,
+          col("user_id") === col("p_user_id") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+        drain(joined.select(col("click_id"), col("purchase_id"),
+          col("user_id"), cents(col("value")).as("purchase_cents")),
+          "q52b_sink", "append")
+      },
+      Some("""SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
+        CAST(round(b.value * 100) AS BIGINT) AS purchase_cents
+        FROM events a JOIN events b ON a.user_id = b.user_id
+          AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+          AND a.event_type = 'click' AND b.event_type = 'purchase'""".stripMargin)),
+
     // Q53: foreachBatch sink (R5 parity, `main.go:157-169`) — batches
     // appended to parquet, result read back from the sink files.
     Q("q53_foreachbatch_sink",
