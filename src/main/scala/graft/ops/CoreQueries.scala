@@ -35,6 +35,24 @@ object CoreQueries {
 
   private val tmpRoot = "/root/repo/target/graft-tmp"
 
+  /** Write lineitem + orders into the warehouse bucketed (and sorted) by
+    * their join key — 8 buckets both sides, so a key-equi-join aligns
+    * bucket-for-bucket with no exchange. Package-private: PlanSpec audits
+    * the join plan this layout produces.
+    */
+  private[graft] def bucketedPair(s: SparkSession, d: String): Unit = {
+    def write(df: org.apache.spark.sql.DataFrame, key: String, name: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      // a table dir orphaned by a killed run blocks CREATE even after DROP
+      val loc = new java.io.File(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
+      org.apache.commons.io.FileUtils.deleteQuietly(loc)
+      df.write.mode("overwrite").bucketBy(8, key).sortBy(key).saveAsTable(name)
+    }
+    write(Tables.lineitem(s, d), "l_orderkey", "lineitem_bucketed")
+    write(Tables.orders(s, d), "o_orderkey", "orders_bucketed")
+  }
+
   def defs: Seq[Q] = Seq(
     // ---------------------------------------------------------- scans/sinks
     Q("q01_scan_parquet",
@@ -160,6 +178,28 @@ object CoreQueries {
         .agg(count(lit(1)).as("n_orders"),
           money(sum(cents(col("o_totalprice")))).as("total")),
       Some("SELECT c_mktsegment, count(*) AS n_orders, CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment")),
+
+    // Q12b: BUCKETED co-located join — the big-fact×big-fact scale
+    // technique the brief calls out: both sides written bucketed (and
+    // sorted) by the join key, so the join consumes the bucket layout
+    // directly and NO shuffle exchange appears on either side (pinned in
+    // PlanSpec). At 100 TB this turns every repeated key-join against the
+    // table into a scan-local merge — the shuffle is paid once at write
+    // time, not per query. Tables are rewritten per call (idempotent;
+    // staleness across fixtures is impossible by construction).
+    Q("q12b_join_bucketed",
+      (s, d) => {
+        bucketedPair(s, d)
+        s.table("lineitem_bucketed")
+          .join(s.table("orders_bucketed"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            money(sum(cents(col("l_extendedprice")))).as("total"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_items,
+        CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority""".stripMargin)),
 
     // Q13: explicit broadcast of small dims (nation 25 rows, region 5 rows) —
     // at 100 TB the fact side never shuffles for these joins.

@@ -230,6 +230,25 @@ class PlanSpec extends SparkSpec {
     assert(r.getBoolean(0) && !r.getBoolean(1))
   }
 
+  test("bucketed join consumes the bucket layout with no shuffle (q12b)") {
+    // at fixture scale the planner would broadcast instead (fine at 100 TB
+    // it wouldn't be an option for fact×fact) — force the shuffle-family
+    // join to audit the bucket alignment
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      ops.CoreQueries.bucketedPair(spark, sf)
+      val joined = spark.table("lineitem_bucketed")
+        .join(spark.table("orders_bucketed"), col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "o_orderpriority")
+      val plan = physical(joined)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      // the whole point: neither side re-shuffles — the bucketed write
+      // already paid the exchange once
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("top-k aggregator plans with map-side partial aggregation (q32b)") {
     val plan = physical(Registry.queries("q32b_topk_agg")(spark, sf))
     // partial ObjectHashAggregate BEFORE the exchange: only <= k-entry
