@@ -230,6 +230,54 @@ class PlanSpec extends SparkSpec {
     assert(r.getBoolean(0) && !r.getBoolean(1))
   }
 
+  test("partition pruning reaches the scan of a partitioned table") {
+    val dir = "/root/repo/target/graft-tmp/plan-partitioned"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    Tables.lineitem(spark, sf)
+      .write.partitionBy("l_returnflag").mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_quantity")
+    val plan = formatted(df)
+    // the partition filter must land in PartitionFilters (dir-level prune),
+    // NOT in PushedFilters (row-level evaluation over all dirs)
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("l_returnflag"), plan)
+    // and the pruned scan reads only the matching partition's rows
+    val expected = Tables.lineitem(spark, sf).filter(col("l_returnflag") === "R").count()
+    assert(df.count() == expected)
+  }
+
+  test("AQE splits skewed join partitions at runtime") {
+    // 95% of the fact side shares one key: with thresholds scaled to
+    // fixture size, adaptive execution must mark the join skew-handled
+    // instead of leaving one straggler task (the brief's "salting or AQE
+    // skew-join" — qf6 demonstrates salting, this pins the AQE path)
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.range(0, 200000).select(
+        when(col("id") % 20 < 19, 0L).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+      val dim = spark.range(0, 2000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = fact.join(dim, "k")
+      // collect() executes THIS queryExecution (a sink write would clone
+      // it, leaving this plan un-finalized)
+      assert(joined.collect().length > 150000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan.take(2000))
+      assert(plan.contains("skew=true"), plan.take(4000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed join consumes the bucket layout with no shuffle (q12b)") {
     // at fixture scale the planner would broadcast instead (fine at 100 TB
     // it wouldn't be an option for fact×fact) — force the shuffle-family
