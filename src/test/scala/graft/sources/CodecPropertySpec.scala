@@ -1,0 +1,95 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.sources.{NetFlowV5 => V5, NetFlowV9 => V9, SFlowV5 => SF}
+
+/** Property round-trips for the three wire codecs: arbitrary valid records
+  * must survive encode → decode byte-exactly. The fixed-vector specs pin
+  * the fiddly semantics (ICMP packing, uptime reconstruction); these pin
+  * the LAYOUT — field offsets, unsigned widths, padding — across the whole
+  * value space, where a single wrong offset corrupts silently.
+  */
+class CodecPropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(100), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val sampler = Array[Byte](127, 0, 0, 1)
+  private val ip4Gen: Gen[Array[Byte]] =
+    Gen.containerOfN[Array, Byte](4, Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+  private val u16Gen = Gen.chooseNum(0, 0xffff)
+  private val u32Gen = Gen.chooseNum(0L, 0xffffffffL)
+
+  test("property: v5 records round-trip encode -> decode") {
+    val recGen = for {
+      src <- ip4Gen; dst <- ip4Gen
+      pkts <- u32Gen; octets <- u32Gen
+      first <- u32Gen; last <- u32Gen
+      sp <- u16Gen; dp <- u16Gen
+      flags <- Gen.chooseNum(0, 255); proto <- Gen.chooseNum(0, 255)
+    } yield V5.Rec(src, dst, pkts, octets, first, last, sp, dp, flags, proto)
+    check(Prop.forAll(Gen.listOfN(3, recGen), u32Gen, u32Gen) { (recs, seq, uptime) =>
+      val pkt = V5.encode(uptime, 1700000000L, 0L, seq, 64, recs)
+      val flows = V5.decode(pkt, sampler)
+      flows.size == recs.size && flows.zip(recs).forall { case (f, r) =>
+        f.src_addr.sameElements(r.src) && f.dst_addr.sameElements(r.dst) &&
+          f.bytes == r.octets && f.packets == r.pkts &&
+          f.src_port == r.srcPort && f.dst_port == r.dstPort &&
+          f.proto == r.proto && f.sequence_num == seq
+      }
+    })
+  }
+
+  test("property: v9 uint fields of every width decode at the right offsets") {
+    // template with one field per width 1/2/4/8 for bytes (IE 1) plus
+    // ports — decode must slice exactly the declared lengths
+    check(Prop.forAll(u32Gen, u16Gen, u16Gen, Gen.chooseNum(1L, Long.MaxValue)) {
+      (by4, sp, dp, by8raw) =>
+        val by8 = by8raw & 0x7fffffffffffffffL
+        val fields = Seq(7 -> 2, 1 -> 8, 11 -> 2, 2 -> 4)
+        val rec = Array(V9.fieldBytes(sp, 2), V9.fieldBytes(by8, 8),
+          V9.fieldBytes(dp, 2), V9.fieldBytes(by4, 4)).flatten.toArray
+        val t = V9.Template(300, fields)
+        val dpkt = V9.encodeData(9, 0, 300, Seq(rec), unixSecs = 1700000000L)
+        val (flows, _) = V9.decode(dpkt, sampler, Map((0L, 300) -> t))
+        flows.size == 1 && flows.head.src_port == sp &&
+          flows.head.dst_port == dp && flows.head.bytes == by8 &&
+          flows.head.packets == by4
+    })
+  }
+
+  test("property: sFlow counter records round-trip by struct offset") {
+    val cGen = for {
+      idx <- u32Gen; speed <- Gen.chooseNum(0L, Long.MaxValue)
+      inO <- Gen.chooseNum(0L, Long.MaxValue); inP <- u32Gen; inE <- u32Gen
+      outO <- Gen.chooseNum(0L, Long.MaxValue); outP <- u32Gen; outE <- u32Gen
+    } yield SF.IfCounters(idx, speed, inO, inP, inE, outO, outP, outE)
+    check(Prop.forAll(Gen.listOfN(3, cGen), u32Gen) { (cs, seq) =>
+      val pkt = SF.encodeCounters(Array[Byte](10, 0, 0, 1), seq, cs)
+      val (agent, got, hasFlow) = SF.decodeCounters(pkt)
+      got == cs && !hasFlow && agent.sameElements(Array[Byte](10, 0, 0, 1))
+    })
+  }
+
+  test("property: sFlow TCP/UDP frames dissect src/dst/ports/flags") {
+    check(Prop.forAll(ip4Gen, ip4Gen, u16Gen, u16Gen,
+      Gen.chooseNum(0, 63), Gen.oneOf(6, 17), Gen.oneOf(true, false)) {
+      (src, dst, sp, dp, flags, proto, vlan) =>
+        val hdr = SF.ipv4Frame(src, dst, proto, sp, dp,
+          tcpFlags = flags, vlan = vlan)
+        val pkt = SF.encode(Array[Byte](10, 0, 0, 2), 1L, Seq((256L, 1500L, hdr)))
+        val flows = SF.decode(pkt, sampler, 1700000000L)
+        flows.size == 1 && {
+          val f = flows.head
+          f.src_addr.sameElements(src) && f.dst_addr.sameElements(dst) &&
+            f.src_port == sp && f.dst_port == dp && f.proto == proto &&
+            f.bytes == 1500L &&
+            (proto != 6 || f.tcp_flags == flags)
+        }
+    })
+  }
+}
