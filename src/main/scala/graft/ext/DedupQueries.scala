@@ -258,6 +258,13 @@ object DedupQueries {
         // oracle's transitive closure fails the gate if the cap ever binds
         // short of convergence — and x2f's star contraction is the
         // O(log n)-round answer for genuinely deep graphs)
+        // convergence certificate: labels only ever DECREASE (min over a
+        // superset including self) and the doc count is fixed, so equal
+        // label sums between rounds ⇔ identical labelings — one cheap agg
+        // over the materialized labels instead of an exceptAll shuffle
+        def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+          df.agg(sum(col("label"))).head().getLong(0)
+        var prevSum = labelSum(lab)
         var converged = false
         var round = 0
         while (!converged && round < 8) {
@@ -270,7 +277,9 @@ object DedupQueries {
             // constant-size join over materialized labels instead of a
             // tree that doubles per iteration (reliable checkpoint when a
             // dir is configured — see truncate())
-          converged = next.exceptAll(lab).isEmpty
+          val nextSum = labelSum(next)
+          converged = nextSum == prevSum
+          prevSum = nextSum
           lab = next
           round += 1
         }
@@ -344,12 +353,28 @@ object DedupQueries {
             .where(col("u") =!= col("v")).distinct()
         }
 
+        // convergence certificate: (edge count, XOR of per-edge xxhash64) —
+        // one agg per round instead of two exceptAll shuffles (bit_xor is
+        // order-independent and cannot overflow under ANSI). Star edge
+        // sets are not monotone, so this is a fingerprint, not a proof: a
+        // false "converged" needs the hashes of the symmetric difference
+        // of two consecutive equal-size edge sets to XOR to zero (~2^-64,
+        // and deterministic for given data — it cannot flake, only be
+        // wrong once per dataset, which the transitive-closure oracle
+        // would catch at the gate)
+        def sig(e: org.apache.spark.sql.DataFrame): (Long, Long) = {
+          val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+          (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+        }
         var edges = pairs
+        var prevSig = sig(edges)
         var converged = false
         var round = 0
         while (!converged && round < 6) {
           val next = truncate(smallStar(largeStar(edges)))
-          converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+          val nextSig = sig(next)
+          converged = nextSig == prevSig
+          prevSig = nextSig
           edges = next
           round += 1
         }
