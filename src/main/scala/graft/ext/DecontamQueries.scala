@@ -12,10 +12,10 @@ import graft.{Q, Tables}
   */
 object DecontamQueries {
 
-  /** The x6 deterministic split hash (multiplicative bucket of the stable
-    * doc id) — train = buckets [0,80), the held-out eval set = [90,100).
+  /** [[PipelineQueries.splitBucket]], shared so x7's train/eval can never
+    * desync from x6's split — train = buckets [0,80), eval = [90,100).
     */
-  private val bucket = pmod(col("doc_id") * 2654435761L, lit(100L))
+  private def bucket = PipelineQueries.splitBucket
 
   def defs: Seq[Q] = Seq(
     // X7: benchmark decontamination — flag train docs sharing any 8-token

@@ -262,8 +262,10 @@ object DedupQueries {
         // superset including self) and the doc count is fixed, so equal
         // label sums between rounds ⇔ identical labelings — one cheap agg
         // over the materialized labels instead of an exceptAll shuffle
-        def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-          df.agg(sum(col("label"))).head().getLong(0)
+        def labelSum(df: org.apache.spark.sql.DataFrame): Long = {
+          val r = df.agg(sum(col("label"))).head()
+          if (r.isNullAt(0)) 0L else r.getLong(0) // sum over zero rows is NULL
+        }
         var prevSum = labelSum(lab)
         var converged = false
         var round = 0

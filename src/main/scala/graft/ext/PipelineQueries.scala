@@ -15,6 +15,13 @@ import graft.{Q, Tables}
   */
 object PipelineQueries {
 
+  /** THE deterministic split hash (multiplicative bucket of the stable doc
+    * id, 100 buckets) — the single definition x6 splits and x7
+    * decontamination both derive from; its DuckDB mirror is
+    * `(doc_id * 2654435761) % 100` and must change in lockstep.
+    */
+  private[ext] def splitBucket = pmod(col("doc_id") * 2654435761L, lit(100L))
+
   def defs: Seq[Q] = Seq(
     // X6: stratified train/val/test split (80/10/10) via a deterministic
     // bucket hash of the stable doc id; per-(split, lang) counts prove the
@@ -22,7 +29,7 @@ object PipelineQueries {
     // until the audit aggregation.
     Q("x6_split",
       (s, d) => Tables.documents(s, d)
-        .withColumn("bucket", pmod(col("doc_id") * 2654435761L, lit(100L)))
+        .withColumn("bucket", splitBucket)
         .withColumn("split",
           when(col("bucket") < 80, "train")
             .when(col("bucket") < 90, "val")
@@ -80,7 +87,7 @@ object PipelineQueries {
         val base = Tables.documents(s, d)
           .select(col("doc_id"), col("source"),
             size(split(col("text"), " ")).as("n_tok"),
-            pmod(col("doc_id") * 2654435761L, lit(100L)).as("bucket"))
+            splitBucket.as("bucket"))
         base.groupBy("source").agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_tok")).as("n_tokens"),

@@ -78,25 +78,36 @@ object JdbcSink {
   def idempotentAppend(batch: DataFrame, url: String, table: String,
       connProps: Properties = props()): Unit = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{col, lit, max, min, row_number}
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, row_number}
     val spark = batch.sparkSession
     val existsAlready =
       try { spark.read.jdbc(url, table, connProps).schema; true }
       catch { case _: Exception => false } // first batch creates the table
     if (!existsAlready) return writeBatch(batch, url, table, connProps)
-    val bounds = batch.agg(
+    val bounds = batch.agg(count(lit(1)).as("n"),
       min(col("time_received")).as("lo"), max(col("time_received")).as("hi")).head()
-    if (bounds.isNullAt(0)) return // empty batch
+    if (bounds.getLong(0) == 0L) return // empty batch
     val allCols = batch.columns.toSeq
     def withOccurrence(df: DataFrame): DataFrame =
       df.withColumn("__occurrence", row_number().over(
         Window.partitionBy(allCols.map(col): _*).orderBy(lit(1))))
+    // null time_received rows (generic API; flows never produce them) must
+    // still be probed, or their existing copies would be invisible
+    val timeWindow =
+      if (bounds.isNullAt(1)) col("time_received").isNull
+      else col("time_received").between(bounds.getLong(1), bounds.getLong(2)) ||
+        col("time_received").isNull
     val existing = spark.read.jdbc(url, table, connProps)
-      .filter(col("time_received").between(bounds.getLong(0), bounds.getLong(1)))
+      .filter(timeWindow)
       .select(allCols.map(col): _*)
-    val fresh = withOccurrence(batch)
-      .join(withOccurrence(existing), allCols :+ "__occurrence", "left_anti")
-      .drop("__occurrence")
+    // null-SAFE equality on every column: a plain column join compiles to
+    // EqualTo, under which NULL never matches NULL — a null-bearing row
+    // would be re-inserted on every replay
+    val b = withOccurrence(batch).alias("b")
+    val e = withOccurrence(existing).alias("e")
+    val cond = (allCols :+ "__occurrence")
+      .map(c => col(s"b.$c") <=> col(s"e.$c")).reduce(_ && _)
+    val fresh = b.join(e, cond, "left_anti").drop("__occurrence")
     writeBatch(fresh, url, table, connProps)
   }
 

@@ -92,7 +92,12 @@ object NetFlowV9 {
                   if (bb.position() + 4 > end) overrun = true
                   else bb.getInt // enterprise no. (skipped)
                 }
-                if (!overrun) fields += ((fid & 0x7fff, flen))
+                // enterprise-bit fields keep the bit set: a vendor-private
+                // element (RFC 7011 §3.2) is NOT the same-numbered IANA IE —
+                // stripping the bit would decode vendor bytes as standard
+                // flow columns. With the bit kept, decodeRecord's IE match
+                // never fires and the field is skipped by length.
+                if (!overrun) fields += ((fid, flen))
               }
             }
             if (overrun) {
@@ -144,7 +149,9 @@ object NetFlowV9 {
               if ((fid & 0x8000) != 0 && bb.position() + 4 > end) None
               else {
                 if ((fid & 0x8000) != 0) bb.getInt // enterprise no.
-                Some((if (i < nScope) -(fid & 0x7fff) else fid & 0x7fff, flen))
+                // enterprise bit kept (vendor element ≠ IANA IE — see the
+                // flow-template path); scope fields negate as before
+                Some((if (i < nScope) -(fid & 0x7fff) else fid, flen))
               }
             }
           }

@@ -56,6 +56,7 @@ final class MetricsServer(listener: FlowPipeline.MetricsListener, port: Int = 0)
     }
     if (entries.isEmpty) ""
     else {
+      val sorted = entries.sortBy { case ((agent, idx), _) => (agent, idx) }
       val gauges = Seq[(String, String, graft.sources.SFlowV5.IfCounters => Long)](
         ("graft_sflow_if_in_octets", "Input octets on the interface.", _.ifInOctets),
         ("graft_sflow_if_out_octets", "Output octets on the interface.", _.ifOutOctets),
@@ -65,10 +66,9 @@ final class MetricsServer(listener: FlowPipeline.MetricsListener, port: Int = 0)
         ("graft_sflow_if_out_errors", "Output errors.", _.ifOutErrors))
       gauges.map { case (name, help, get) =>
         s"# HELP $name $help\n# TYPE $name gauge\n" +
-          entries.sortBy { case ((agent, idx), _) => (agent, idx) }
-            .map { case ((agent, idx), c) =>
-              s"""$name{agent="$agent",ifindex="$idx"} ${get(c)}"""
-            }.mkString("", "\n", "\n")
+          sorted.map { case ((agent, idx), c) =>
+            s"""$name{agent="$agent",ifindex="$idx"} ${get(c)}"""
+          }.mkString("", "\n", "\n")
       }.mkString
     }
   }

@@ -89,4 +89,26 @@ class JdbcIdempotentSpec extends SparkSpec {
     JdbcSink.idempotentAppend(batch, url, table)
     assert(readBack().count() == 3)
   }
+
+  test("null-bearing rows stay idempotent under replay") {
+    // plain column joins compile to EqualTo, under which NULL never equals
+    // NULL — a null-bearing row would be re-inserted on every replay; the
+    // multiset diff must use null-safe equality
+    val db = "/root/repo/target/graft-tmp/idem-derby-null"
+    FileUtils.deleteQuietly(new java.io.File(db))
+    val url = JdbcSink.derbyUrl(db)
+    val table = "flows_null"
+    import spark.implicits._
+    val batch = Seq(
+      (1L, "10.0.0.1", 1700L, Some(10L)),
+      (2L, "10.0.0.2", 1700L, None: Option[Long]), // NULL bytes
+      (3L, "10.0.0.3", 1700L, Some(30L)))
+      .toDF("sequence_num", "sampler_address", "time_received", "bytes")
+
+    JdbcSink.idempotentAppend(batch, url, table)
+    JdbcSink.idempotentAppend(batch, url, table) // full replay
+    val back = spark.read.jdbc(url, table, JdbcSink.props())
+    assert(back.count() == 3, "NULL-bearing row was re-inserted on replay")
+    assert(back.filter(col("bytes").isNull).count() == 1)
+  }
 }

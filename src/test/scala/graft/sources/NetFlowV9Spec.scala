@@ -172,13 +172,27 @@ class NetFlowV9Spec extends AnyFunSuite {
     }
 
     // (a) a well-formed template with one enterprise field decodes to the
-    // right layout (enterprise number skipped, high bit cleared)
+    // right layout: the enterprise number is skipped and the field KEEPS
+    // its enterprise bit — vendor element (9999, 8) is not IANA IE 8, so
+    // its bytes must be skipped at decode, never read as sourceIPv4Address
     val good = ipfixTemplatePacket(Seq(set(4 + 4 + 8 + 4) { bb =>
       bb.putShort(700).putShort(2)
       bb.putShort((0x8000 | 8).toShort).putShort(4).putInt(9999) // enterprise
       bb.putShort(1).putShort(4)
     }))
-    assert(V9.decodeTemplates(good) == Seq((3L, V9.Template(700, Seq(8 -> 4, 1 -> 4)))))
+    assert(V9.decodeTemplates(good) ==
+      Seq((3L, V9.Template(700, Seq((0x8000 | 8) -> 4, 1 -> 4)))))
+    // and the data decode skips the vendor field by length: bytes land in
+    // IE 1 (bytes), src_addr stays zero
+    val rec = Array(V9.fieldBytes(0x0a0b0c0dL, 4), V9.fieldBytes(777L, 4))
+      .flatten.toArray
+    val dpkt = V9.encodeData(10, sourceId = 3, templateId = 700, Seq(rec),
+      unixSecs = 1700000000L)
+    val (flows, _) = V9.decode(dpkt, Array[Byte](127, 0, 0, 1),
+      Map((3L, 700) -> V9.Template(700, Seq((0x8000 | 8) -> 4, 1 -> 4))))
+    assert(flows.head.bytes == 777L)
+    assert(flows.head.src_addr.sameElements(Array[Byte](0, 0, 0, 0)),
+      "vendor bytes decoded as sourceIPv4Address")
 
     // (b) a template whose enterprise bytes overrun its set boundary: the
     // old 4*nf pre-check passes (2 fields, 8 spec bytes available) but the
