@@ -140,7 +140,8 @@ object NetFlowV5 {
       tcpFlags: Int, proto: Int)
 
   def encode(sysUptimeMs: Long, unixSecs: Long, unixNsecs: Long,
-      flowSequence: Long, samplingInterval: Int, records: Seq[Rec]): Array[Byte] = {
+      flowSequence: Long, samplingInterval: Int, records: Seq[Rec],
+      engineType: Int = 0, engineId: Int = 0): Array[Byte] = {
     require(records.size <= 30, "v5 packets carry at most 30 records")
     val bb = ByteBuffer.allocate(HeaderBytes + records.size * RecordBytes)
     bb.putShort(5)
@@ -149,8 +150,8 @@ object NetFlowV5 {
     bb.putInt(unixSecs.toInt)
     bb.putInt(unixNsecs.toInt)
     bb.putInt(flowSequence.toInt)
-    bb.put(0.toByte) // engine_type
-    bb.put(0.toByte) // engine_id
+    bb.put(engineType.toByte)
+    bb.put(engineId.toByte)
     bb.putShort((samplingInterval & 0x3fff).toShort)
     records.foreach { r =>
       bb.put(r.src); bb.put(r.dst); bb.put(Array[Byte](0, 0, 0, 0)) // nexthop

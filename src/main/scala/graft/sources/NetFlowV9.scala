@@ -248,10 +248,15 @@ object NetFlowV9 {
       templates: Map[(Long, Int), Template],
       samplingDefaults: Map[Long, Long] = Map.empty): (Seq[NetFlowV5.RawFlow], Int) = {
     val bb = ByteBuffer.wrap(packet)
-    require(packet.length >= 16, s"short packet: ${packet.length}")
+    require(packet.length >= 2, s"short packet: ${packet.length}")
     val version = bb.getShort & 0xffff
     require(version == 9 || version == 10, s"not NetFlow v9/IPFIX: version=$version")
     val headerLen = if (version == 9) 20 else 16
+    // the v9 header is 20 bytes — requiring only 16 would let the sourceId
+    // read underflow (an unchecked exception the caller does not treat as
+    // a malformed-packet signal)
+    require(packet.length >= headerLen,
+      s"short v$version packet: ${packet.length} < $headerLen")
 
     var sysUptime = 0L
     var exportSecs = 0L

@@ -58,6 +58,13 @@ object SFlowV5 {
       val format = (sampleType & 0xfff).toInt
       val enterprise = (sampleType >> 12).toInt
       if (enterprise == 0 && (format == 1 || format == 3)) {
+        // the fixed flow-sample fields must fit the DECLARED sample length
+        // (32B plain / 44B expanded) — a short tail sample would otherwise
+        // underflow with an exception the caller does not treat as
+        // malformed input
+        val fixed = if (format == 1) 32 else 44
+        require(sampleLen >= fixed,
+          s"short flow sample: len=$sampleLen < $fixed")
         bb.getInt // sample sequence
         if (format == 1) bb.getInt // sourceId
         else { bb.getInt; bb.getInt } // sourceIdType, sourceIdIndex
@@ -309,7 +316,8 @@ object SFlowV5 {
     * (samplingRate, frameLength, headerBytes).
     */
   def encode(agent: Array[Byte], sequence: Long,
-      samples: Seq[(Long, Long, Array[Byte])], expanded: Boolean = false): Array[Byte] = {
+      samples: Seq[(Long, Long, Array[Byte])], expanded: Boolean = false,
+      subAgentId: Long = 0L): Array[Byte] = {
     def pad4(n: Int): Int = (4 - n % 4) % 4
     val bodies = samples.map { case (rate, frameLen, header) =>
       val recBody = 16 + header.length + pad4(header.length)
@@ -339,7 +347,7 @@ object SFlowV5 {
     bb.putInt(5) // sFlow version
     bb.putInt(1) // agent address type IPv4
     bb.put(agent)
-    bb.putInt(0) // subAgentId
+    bb.putInt(subAgentId.toInt)
     bb.putInt(sequence.toInt)
     bb.putInt(123456) // uptime
     bb.putInt(samples.size)

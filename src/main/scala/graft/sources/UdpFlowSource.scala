@@ -46,10 +46,24 @@ import graft.FlowSchema
   *
   * Semantics: UDP is at-most-once by nature (reference: same). With
   * `dedupSequence=true` the receiver drops datagrams whose
-  * (sender, flow_sequence) was already seen — an exporter that RE-SENDS
-  * packets (or a flaky path that duplicates them) then yields
-  * exactly-once *packet* admission, which makes test traffic replayable:
-  * senders can blindly re-send until the collector confirms receipt.
+  * (sender, version, domain, sequence) was already seen — an exporter
+  * that RE-SENDS packets (or a flaky path that duplicates them) then gets
+  * once-per-process-lifetime *packet* admission, which makes test traffic
+  * replayable: senders can blindly re-send until the collector confirms
+  * receipt. Honest limits of that claim: the seen set is in-memory (a
+  * driver restart forgets it — re-sends spanning a restart can be
+  * re-admitted), and an exporter REBOOT that resets its sequence counter
+  * will have its first packets refused as false duplicates until the old
+  * entries age out of the LRU — production exporters don't re-send, so
+  * the option defaults to off and exists for replayable test traffic.
+  *
+  * Restart semantics: offsets are cumulative admitted-packet counts and
+  * identify data only within one process lifetime. A batch replayed from
+  * the checkpoint after a restart is served EMPTY — the datagrams it
+  * named are gone (at-most-once), and refilling the old offset range with
+  * NEW packets would hand a batchId-keyed idempotent sink fresh data
+  * under an already-delivered batchId, which it would silently discard.
+  * New packets always enter at offsets after the replayed range.
   *
   * Options: `port` (0 = ephemeral), `host` (default 127.0.0.1), `name`
   * (key to look up the actually-bound port via [[UdpFlowSource.boundPort]]),
@@ -133,13 +147,13 @@ final case class UdpOffset(count: Long) extends Offset {
 
 /** One decode task: a slice of raw datagrams (with sender addresses) plus
   * the template snapshot current at planning time, serialized driver →
-  * executor. Templates are keyed (sender, sourceId, templateId) — a few
-  * hundred bytes even for a busy exporter fleet, negligible next to the
-  * packets.
+  * executor. Templates are keyed sender → (sourceId, templateId) so the
+  * per-packet executor lookup is one map hit, not a scan — a few hundred
+  * bytes even for a busy exporter fleet, negligible next to the packets.
   */
 final case class UdpPacketsPartition(packets: Array[(Array[Byte], Array[Byte])],
-    templates: Map[(String, Long, Int), NetFlowV9.Template],
-    samplingRates: Map[(String, Long), Long])
+    templates: Map[String, Map[(Long, Int), NetFlowV9.Template]],
+    samplingRates: Map[String, Map[Long, Long]])
   extends InputPartition
 
 final class UdpFlowStream(host: String, port: Int, name: String,
@@ -156,11 +170,12 @@ final class UdpFlowStream(host: String, port: Int, name: String,
   private val buf = new ArrayBuffer[(Array[Byte], Array[Byte])]()
   private var base = 0L
   /** Offsets persist across restarts (checkpointed by the engine) but a
-    * fresh stream's buffer starts at 0 — the first engine call after a
-    * checkpoint restart carries the committed offset, and the buffer head
-    * must be REBASED to it or the slice math would skip that many NEW
-    * packets (UDP is at-most-once: packets from before the restart are
-    * gone by definition, exactly like the reference's listener).
+    * fresh stream's buffer starts at 0 — the FIRST engine call after a
+    * checkpoint restart rebases the buffer head: to the committed offset
+    * (latestOffset path — new packets continue the numbering), or to the
+    * END of a replayed uncommitted range (planInputPartitions path — the
+    * replay is served empty, see there). Without the rebase the slice
+    * math would silently skip that many NEW packets.
     */
   private var rebased = false
   private def rebaseTo(start: Long): Unit = synchronized {
@@ -180,13 +195,31 @@ final class UdpFlowStream(host: String, port: Int, name: String,
           e: java.util.Map.Entry[(String, Int, Long, Long), java.lang.Boolean]): Boolean =
         size() > 4 * maxBufferedPackets
     })
-  /** v9/IPFIX templates learned on the receiver thread. */
+  /** v9/IPFIX templates learned on the receiver thread, keyed per sender
+    * (immutable inner maps: per-packet admission reads are one lookup, and
+    * the planning snapshot copies only the outer map).
+    */
   private val templates =
-    scala.collection.mutable.Map.empty[(String, Long, Int), NetFlowV9.Template]
-  /** (sender, sourceId) → sampling rate announced via options data. */
+    scala.collection.mutable.Map.empty[String, Map[(Long, Int), NetFlowV9.Template]]
+  /** sender → (sourceId → sampling rate announced via options data). */
   private val samplingRates =
-    scala.collection.mutable.Map.empty[(String, Long), Long]
+    scala.collection.mutable.Map.empty[String, Map[Long, Long]]
   @volatile private var closed = false
+
+  /** Executor-side decode counters. The static [[UdpFlowSource.dropped]] /
+    * [[UdpFlowSource.templateMisses]] adders live in the DRIVER JVM — an
+    * executor incrementing its own static would be invisible to /metrics
+    * on a real cluster, so the reader reports through accumulators and
+    * [[commit]] folds the deltas into the driver-side counters.
+    */
+  private val execDropped =
+    org.apache.spark.sql.SparkSession.active.sparkContext
+      .longAccumulator(s"graft.udp.decode.dropped.$name")
+  private val execMisses =
+    org.apache.spark.sql.SparkSession.active.sparkContext
+      .longAccumulator(s"graft.udp.decode.templateMisses.$name")
+  private var syncedExecDropped = 0L
+  private var syncedExecMisses = 0L
 
   private val receiver = new Thread(s"nflv5-udp-receiver-$name") {
     override def run(): Unit = {
@@ -197,7 +230,10 @@ final class UdpFlowStream(host: String, port: Int, name: String,
           socket.receive(dp)
           val bytes = util.Arrays.copyOfRange(recv, 0, dp.getLength)
           val sender = dp.getAddress.getAddress
-          classify(bytes, dp.getAddress.getHostAddress).foreach { dedupKey =>
+          // the SAME rendering executors use for template lookup —
+          // getHostAddress would carry a '%zone' suffix for scoped IPv6
+          // senders and the executor's key would never match
+          classify(bytes, graft.functions.IpUtil.bytesToIpString(sender)).foreach { dedupKey =>
             UdpFlowStream.this.synchronized {
               // bounded buffer: when the engine can't keep up, drop like
               // the kernel socket buffer would (at-most-once UDP; counted).
@@ -256,30 +292,46 @@ final class UdpFlowStream(host: String, port: Int, name: String,
         if (counters.nonEmpty && !hasFlowSamples) {
           None // counters-only datagram: fully consumed here, zero flows rows
         } else {
-          // datagram sequence sits after the agent address (4B or 16B)
+          // datagram sequence counts PER SUB-AGENT (sFlow v5 §3.5.1) and
+          // sits after the agent address (4B or 16B), preceded by the
+          // subAgentId — two line cards behind one chassis IP legitimately
+          // reuse sequences, so the sub-agent id is the domain slot
           val agentLen = if (bytes(7) == 2) 16 else 4
-          Some(key(0, 0L, seqAt(12 + agentLen)))
+          Some(key(0, seqAt(8 + agentLen), seqAt(12 + agentLen)))
         }
       case 5 =>
         if (bytes.length < NetFlowV5.HeaderBytes) {
           UdpFlowSource.dropped.increment(); return None
         }
-        Some(key(5, 0L, seqAt(16)))
+        // flow_sequence counts per engine: (engine_type, engine_id) at
+        // bytes 20-21 is the v5 domain
+        val engine = (((bytes(20) & 0xffL) << 8) | (bytes(21) & 0xffL))
+        Some(key(5, engine, seqAt(16)))
       case 9 | 10 =>
         try {
           val learned = NetFlowV9.decodeTemplates(bytes)
           val (sourceId, dataIds) = NetFlowV9.dataSetIds(bytes)
           synchronized {
-            learned.foreach { case (sid, t) => templates((senderKey, sid, t.id)) = t }
-            // exporter-announced sampling rates (options data) are receiver
-            // state, like templates
-            val senderTmpl = templates.collect {
-              case ((s, sid, tid), t) if s == senderKey => (sid, tid) -> t
-            }.toMap
-            NetFlowV9.samplingFromOptions(bytes, senderTmpl).foreach {
-              case (sid, rate) => samplingRates((senderKey, sid)) = rate
+            val senderTmpl = {
+              val cur = templates.getOrElse(senderKey, Map.empty)
+              if (learned.isEmpty) cur
+              else {
+                val upd = cur ++ learned.map { case (sid, t) => (sid, t.id) -> t }
+                templates(senderKey) = upd
+                upd
+              }
             }
-            if (!dataIds.forall(id => templates.contains((senderKey, sourceId, id)))) {
+            // exporter-announced sampling rates (options data) are receiver
+            // state, like templates; only data-carrying packets can hold
+            // options data, so the scan is skipped for template-only ones
+            if (dataIds.nonEmpty) {
+              NetFlowV9.samplingFromOptions(bytes, senderTmpl).foreach {
+                case (sid, rate) =>
+                  samplingRates(senderKey) =
+                    samplingRates.getOrElse(senderKey, Map.empty) + (sid -> rate)
+              }
+            }
+            if (!dataIds.forall(id => senderTmpl.contains((sourceId, id)))) {
               UdpFlowSource.templateMisses.increment()
               None // refuse: the re-send (post-template) will be admitted
             } else if (dataIds.isEmpty) {
@@ -322,12 +374,19 @@ final class UdpFlowStream(host: String, port: Int, name: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[UdpOffset].count
     val e = end.asInstanceOf[UdpOffset].count
-    rebaseTo(s) // engine may replay the last uncommitted batch on restart
+    // Replay of the last uncommitted batch after a restart: the datagrams
+    // that range named are GONE (at-most-once UDP) — rebase the fresh
+    // buffer head to the END of the range so the replay is served EMPTY.
+    // Refilling it with new packets would relabel never-delivered data
+    // into an already-delivered batchId, which a batchId-keyed idempotent
+    // sink would then silently discard (see class scaladoc).
+    rebaseTo(e)
     if (e <= s) return Array.empty
     val (slice, tmpl, rates) = synchronized {
       (buf.slice((s - base).toInt, (e - base).toInt).toArray,
         templates.toMap, samplingRates.toMap)
     }
+    if (slice.isEmpty) return Array.empty
     val n = math.max(1, math.min(numParts, slice.length))
     (0 until n).map { p =>
       UdpPacketsPartition(
@@ -335,7 +394,11 @@ final class UdpFlowStream(host: String, port: Int, name: String,
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // captured into the serialized factory: executors report decode-path
+    // counters through these, never through their own JVM's statics
+    val drops = execDropped
+    val misses = execMisses
     (partition: InputPartition) => {
       val part = partition.asInstanceOf[UdpPacketsPartition]
       val pkts = part.packets
@@ -350,20 +413,20 @@ final class UdpFlowStream(host: String, port: Int, name: String,
               else {
                 // executor-side decode against the shipped template snapshot
                 val senderKey = graft.functions.IpUtil.bytesToIpString(sender)
-                val tmpl = part.templates.collect {
-                  case ((s, sid, tid), t) if s == senderKey => (sid, tid) -> t
-                }
-                val rates = part.samplingRates.collect {
-                  case ((s, sid), r) if s == senderKey => sid -> r
-                }
+                val tmpl = part.templates.getOrElse(senderKey, Map.empty)
+                val rates = part.samplingRates.getOrElse(senderKey, Map.empty)
                 val (fs, missed) = NetFlowV9.decode(bytes, sender, tmpl, rates)
-                if (missed > 0) UdpFlowSource.templateMisses.add(missed)
+                if (missed > 0) misses.add(missed)
                 fs
               }
             flows.iterator.map(NetFlowV5.toInternalRow)
           } catch {
-            case _: IllegalArgumentException =>
-              UdpFlowSource.dropped.increment(); Iterator.empty
+            // ANY per-packet decode failure must drop the packet, never the
+            // task: an uncaught exception here fails every task retry
+            // identically (same serialized partition) and kills the whole
+            // streaming query — a single crafted datagram as remote DoS
+            case scala.util.control.NonFatal(_) =>
+              drops.add(1); Iterator.empty
           }
         }
         private var cur: InternalRow = _
@@ -372,16 +435,27 @@ final class UdpFlowStream(host: String, port: Int, name: String,
         override def close(): Unit = ()
       }
     }
+  }
 
   /** Trim committed packets: bounds driver memory to in-flight batches.
     * Clamped: a replayed batch committed right after a restart can claim
-    * more packets than the fresh buffer holds.
+    * more packets than the fresh buffer holds. Also folds the deltas of
+    * the executor-side decode accumulators into the driver-wide counters
+    * /metrics serves (accumulator values are driver-readable here).
     */
   override def commit(end: Offset): Unit = synchronized {
     val e = end.asInstanceOf[UdpOffset].count
     val n = math.max(0, math.min((e - base).toInt, buf.length))
     if (n > 0) buf.remove(0, n)
     if (e > base) base = e
+    val d = execDropped.value
+    if (d > syncedExecDropped) {
+      UdpFlowSource.dropped.add(d - syncedExecDropped); syncedExecDropped = d
+    }
+    val m = execMisses.value
+    if (m > syncedExecMisses) {
+      UdpFlowSource.templateMisses.add(m - syncedExecMisses); syncedExecMisses = m
+    }
   }
 
   override def stop(): Unit = {

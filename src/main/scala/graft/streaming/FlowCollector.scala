@@ -62,6 +62,14 @@ object FlowCollector {
       val deadline = System.nanoTime() + 30_000_000_000L
       var port = 0
       while (port == 0 && System.nanoTime() < deadline) {
+        // a query that died at startup (port in use, bad checkpoint) will
+        // never register a port — surface ITS error now instead of
+        // spinning 30 s and masking it with a misleading bind message
+        if (!q.isActive) throw q.exception
+          .map(e => new IllegalStateException(
+            "collector query failed during startup", e))
+          .getOrElse(new IllegalStateException(
+            "collector query stopped during startup"))
         port = UdpFlowSource.boundPort(name).getOrElse(0)
         if (port == 0) Thread.sleep(20)
       }

@@ -225,6 +225,15 @@ class NetFlowV9Spec extends AnyFunSuite {
     assert(V9.decodeTemplates(optOverrun).isEmpty)
   }
 
+  test("short v9 packets fail with IllegalArgumentException, not underflow") {
+    // 16-byte packet starting 0x0009: the v9 header is 20 bytes — the old
+    // require(>=16) let the sourceId read underflow with an exception the
+    // UDP reader does not treat as malformed input (it killed the task)
+    val short = Array[Byte](0, 9) ++ new Array[Byte](14)
+    intercept[IllegalArgumentException](
+      V9.decode(short, sampler, Map.empty))
+  }
+
   test("data before template is dropped and counted, not misdecoded") {
     val rec = v9Record(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 0)
     val dpkt = V9.encodeData(9, sourceId = 7, templateId = 300, Seq(rec))

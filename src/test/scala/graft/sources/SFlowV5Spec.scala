@@ -92,6 +92,16 @@ class SFlowV5Spec extends AnyFunSuite {
     intercept[IllegalArgumentException](SF.decode(bad, sampler, now))
   }
 
+  test("a flow sample shorter than its fixed fields is rejected, not underflowed") {
+    // valid 28-byte header + sample declaring len=4: the fixed flow-sample
+    // fields need 32 bytes — reading them would underflow past packet end
+    val bb = java.nio.ByteBuffer.allocate(40)
+    bb.putInt(5).putInt(1).put(agent).putInt(0) // header: v5, v4 agent, subAgent
+    bb.putInt(7).putInt(123).putInt(1) // sequence, uptime, numSamples=1
+    bb.putInt(1).putInt(4).putInt(0) // flow sample, len=4, 4 body bytes
+    intercept[IllegalArgumentException](SF.decode(bb.array(), sampler, now))
+  }
+
   test("counter samples round-trip by struct offset and never become flows") {
     val c = SF.IfCounters(ifIndex = 3, ifSpeed = 10000000000L,
       ifInOctets = 123456789L, ifInUcastPkts = 4242, ifInErrors = 7,

@@ -262,6 +262,26 @@ class UdpIngestSpec extends SparkSpec {
       awaitBuffered(5)
       Thread.sleep(200) // a wrongly-admitted duplicate would now surface as 6
       assert(buffered() == 5)
+
+      // sFlow: datagram sequences count PER SUB-AGENT — two line cards
+      // behind one chassis IP reuse the same sequence legitimately
+      val hdr = SFlowV5.ipv4Frame(Array[Byte](10, 1, 1, 1), Array[Byte](10, 1, 1, 2),
+        proto = 6, srcPort = 1, dstPort = 2)
+      send(SFlowV5.encode(Array[Byte](10, 0, 0, 50), 500L, Seq((4L, 64L, hdr)),
+        subAgentId = 0L))
+      send(SFlowV5.encode(Array[Byte](10, 0, 0, 50), 500L, Seq((4L, 64L, hdr)),
+        subAgentId = 1L))
+      awaitBuffered(7)
+
+      // v5: flow_sequence counts per (engine_type, engine_id)
+      def v5pkt(seq: Long, engId: Int): Array[Byte] =
+        graft.sources.NetFlowV5.encode(1000L, 1700000900L, 0L, seq, 100,
+          Seq(graft.sources.NetFlowV5.Rec(Array[Byte](10, 2, 2, 1),
+            Array[Byte](10, 2, 2, 2), pkts = 1, octets = 64, firstMs = 0,
+            lastMs = 0, srcPort = 1, dstPort = 2, tcpFlags = 0, proto = 6)),
+          engineId = engId)
+      send(v5pkt(600L, 0)); send(v5pkt(600L, 1))
+      awaitBuffered(9)
     } finally { sock.close(); stream.stop() }
   }
 
@@ -345,6 +365,20 @@ class UdpIngestSpec extends SparkSpec {
             Array[Byte](10, 7, 0, i.toByte), Array[Byte](10, 8, 0, 1),
             proto = 6, srcPort = 30000 + i, dstPort = 22, tcpFlags = 16))
         })
+
+      // malformed-but-admitted shapes must be dropped at decode, never
+      // kill the task (DoS hardening): a 16-byte 0x0009 packet passes the
+      // admission sniff as template-only, and a short-sample sFlow packet
+      // passes because the counter scan skips flow-sample bodies
+      send(Array[Byte](0, 9) ++ new Array[Byte](14))
+      val shortSample = {
+        val bb = java.nio.ByteBuffer.allocate(40)
+        bb.putInt(5).putInt(1).put(Array[Byte](10, 0, 0, 66)).putInt(0)
+        bb.putInt(7).putInt(123).putInt(1)
+        bb.putInt(1).putInt(4).putInt(0)
+        bb.array()
+      }
+      send(shortSample)
 
       // data BEFORE template: refused at admission, counted, recoverable
       val missesBefore = UdpFlowSource.templateMisses.sum()
