@@ -2,10 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.functions.udf
 import org.apache.spark.sql.graftshim.Shim
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** IP helpers for the R3 projection (the reference renders `[]byte`
@@ -85,6 +86,72 @@ object IpUtil {
     val mask = if (len == 0) 0L else (0xffffffffL << (32 - len)) & 0xffffffffL
     (ip & mask) == (base & mask)
   }
+
+  /** [[bytesToIpString]] in UTF8String form — the codegen entry point for
+    * [[graft.functions.IpRender]] (null for unrenderable lengths).
+    */
+  def renderIp(b: Array[Byte]): UTF8String =
+    UTF8String.fromString(bytesToIpString(b))
+
+  /** Low 32 bits of a long → 4 network-order bytes (the reference's
+    * in-flight `[]byte` address form) — codegen entry point for
+    * [[graft.functions.IpToBytes]].
+    */
+  def ipBytes(v: Long): Array[Byte] = Array[Byte](
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+}
+
+/** Codegen-native IP renderer `ip_render(bytes)` — the R3 projection's hot
+  * expression (`main.go:133-139`: three renderings per row at ingest rate).
+  * As a Catalyst Expression it keeps the whole normalize projection inside
+  * one WholeStageCodegen span; the Scala-UDF form ([[IpFunctions
+  * .bytesToIpString]]) remains only as the declared Q54 UDF-surface demo.
+  * Returns null for byte lengths other than 4/16 (and for null input).
+  */
+case class IpRender(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "ip_render"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ip_render requires BINARY input, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(b: Any): Any =
+    IpUtil.renderIp(b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => s"""
+      ${ev.value} = graft.functions.IpUtil.renderIp($b);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen-native `ip_to_bytes(long)` — synthesizes the in-flight 4-byte
+  * address form from an unsigned-32-in-long value; pairs with [[IpRender]]
+  * so the R3-parity chain is expressible without leaving codegen.
+  */
+case class IpToBytes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "ip_to_bytes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ip_to_bytes requires BIGINT input, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(v: Any): Any =
+    IpUtil.ipBytes(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.IpUtil.ipBytes($v)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Codegen-capable CIDR-membership predicate `ip_in_cidr(addr, cidr)` — a
@@ -122,6 +189,14 @@ object IpFunctions {
   /** Column API for the codegen CIDR predicate. */
   def ip_in_cidr(addr: Column, cidr: Column): Column =
     Shim.column(IpInCidr(Shim.expression(addr), Shim.expression(cidr)))
+
+  /** Column API for the codegen IP renderer (native [[IpRender]]). */
+  def ip_render(bytes: Column): Column =
+    Shim.column(IpRender(Shim.expression(bytes)))
+
+  /** Column API for the codegen long→bytes address synthesizer. */
+  def ip_to_bytes(v: Column): Column =
+    Shim.column(IpToBytes(Shim.expression(v)))
 
   /** SQL registration: `SELECT ip_in_cidr(src_addr, '10.0.0.0/8')`. */
   def register(spark: SparkSession): Unit =

@@ -24,8 +24,16 @@ object FlowQueries {
 
   /** Synthesized flows: one flow per event, all columns deterministic
     * integer arithmetic over (event_id, user_id, ts, value).
+    *
+    * Address rendering defaults to the codegen-native
+    * [[graft.functions.IpRender]]/[[graft.functions.IpToBytes]] chain (one
+    * WholeStageCodegen span); `udfRender = true` switches to the Scala-UDF
+    * chain — q54's declared UDF surface, under the same oracle.
     */
-  def flows(s: SparkSession, d: String): DataFrame = {
+  def flows(s: SparkSession, d: String, udfRender: Boolean = false): DataFrame = {
+    val render: Column => Column =
+      if (udfRender) c => IpFunctions.bytesToIpString(IpFunctions.longToIpBytes(c))
+      else c => IpFunctions.ip_render(IpFunctions.ip_to_bytes(c))
     val ev = Tables.events(s, d)
     val eid = col("event_id")
     val uid = col("user_id")
@@ -39,8 +47,8 @@ object FlowQueries {
       eid.as("sequence_num"),
       lit(1000L).as("sampling_rate"),
       pmod(eid, lit(2L)).cast(IntegerType).as("flow_direction"),
-      IpFunctions.bytesToIpString(IpFunctions.longToIpBytes(srcIp)).as("src_addr"),
-      IpFunctions.bytesToIpString(IpFunctions.longToIpBytes(dstIp)).as("dst_addr"),
+      render(srcIp).as("src_addr"),
+      render(dstIp).as("dst_addr"),
       (round(col("value") * 100).cast(LongType) + 40L).as("bytes"),
       (pmod(eid, lit(100L)) + 1L).as("packets"),
       lit(2048).as("etype"),
@@ -82,6 +90,15 @@ object FlowQueries {
     // Q54: the R3 projection UDF chain under oracle test — every rendered
     // address string must equal the oracle's independent octet arithmetic.
     Q("q54_udf_ip",
+      (s, d) => flows(s, d, udfRender = true)
+        .select("sequence_num", "src_addr", "dst_addr", "src_port", "dst_port"),
+      Some(s"$FlowsCte SELECT sequence_num, src_addr, dst_addr, src_port, dst_port FROM flows")),
+
+    // Q54c: the codegen-NATIVE renderer chain (IpToBytes → IpRender) under
+    // the identical oracle — proves UDF path ≡ native path ≡ independent
+    // octet arithmetic, and keeps the hot normalize expression oracle-tested
+    // in batch as well as through the q45c/d/e ingest paths.
+    Q("q54c_native_ip",
       (s, d) => flows(s, d)
         .select("sequence_num", "src_addr", "dst_addr", "src_port", "dst_port"),
       Some(s"$FlowsCte SELECT sequence_num, src_addr, dst_addr, src_port, dst_port FROM flows")),

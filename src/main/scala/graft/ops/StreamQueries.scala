@@ -94,15 +94,32 @@ object StreamQueries {
     s.table(s"${name}_sink")
   }
 
-  /** Drain a streaming DataFrame to completion and return the result. */
-  private def drain(df: DataFrame, name: String, mode: String): DataFrame = {
+  /** Drain a streaming DataFrame to completion and return the result.
+    *
+    * Stateful operators allocate one state store PER shuffle partition PER
+    * stateful sub-operator (a stream-stream join holds four per partition),
+    * and every micro-batch commits every store to the checkpoint — so the
+    * partition count is a sizing knob for state, not just for shuffle
+    * width. It is pinned at first run by the checkpoint, which is exactly
+    * how production sizes it: choose the state parallelism for the
+    * workload's key cardinality (here: user_id/event_type scale keys —
+    * 8 covers the fixture; a 1000-executor deployment would set it to the
+    * cluster's core count when creating the checkpoint). The session-wide
+    * setting is restored before returning.
+    */
+  private def drain(df: DataFrame, name: String, mode: String,
+      statePartitions: Int = 8): DataFrame = {
     val spark = df.sparkSession
     val cp = s"$tmpRoot/cp/$name"
     org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(cp).toFile)
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).option("checkpointLocation", cp)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     df.sparkSession.table(name)
   }
 

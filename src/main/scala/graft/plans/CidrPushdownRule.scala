@@ -139,5 +139,13 @@ object GraftExtensions {
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("ip_in_cidr"),
         new ExpressionInfo("graft.functions.IpInCidr", "ip_in_cidr"),
         (exprs: Seq[Expression]) => IpInCidr(exprs.head, exprs(1))))
+    ext.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("ip_render"),
+        new ExpressionInfo("graft.functions.IpRender", "ip_render"),
+        (exprs: Seq[Expression]) => graft.functions.IpRender(exprs.head)))
+    ext.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("ip_to_bytes"),
+        new ExpressionInfo("graft.functions.IpToBytes", "ip_to_bytes"),
+        (exprs: Seq[Expression]) => graft.functions.IpToBytes(exprs.head)))
   }
 }

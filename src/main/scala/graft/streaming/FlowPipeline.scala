@@ -37,12 +37,13 @@ import graft.functions.IpFunctions
 object FlowPipeline {
 
   /** R3: raw decoded flow (byte-array addresses) → the 23-column flows row.
-    * Everything except the 3 address renderings is a cast-only projection,
-    * so the whole select stays in whole-stage codegen around one UDF call
-    * per address column.
+    * The 3 address renderings are the codegen-native [[graft.functions
+    * .IpRender]] expression, so the entire projection compiles into ONE
+    * WholeStageCodegen span — no Scala-UDF serde boundary on the path that
+    * runs at ingest rate (asserted in PlanSpec).
     */
   def normalize(raw: DataFrame): DataFrame = {
-    val ip = IpFunctions.bytesToIpString
+    val ip = IpFunctions.ip_render _
     raw.select(
       col("type").cast("int").as("type"),
       col("time_received").cast("long").as("time_received"),

@@ -10,7 +10,7 @@ import graft.functions.IpUtil
 /** R3 projection helpers (`main.go:133-139` parity): rendering, parsing,
   * CIDR membership — unit cases plus property round-trips.
   */
-class IpUtilSpec extends AnyFunSuite {
+class IpUtilSpec extends SparkSpec {
 
   private def check(p: Prop): Unit = {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
@@ -113,6 +113,41 @@ class IpUtilSpec extends AnyFunSuite {
       val expected = (ip & mask) == (base & mask)
       def s(v: Long) = s"${(v >> 24) & 0xff}.${(v >> 16) & 0xff}.${(v >> 8) & 0xff}.${v & 0xff}"
       IpUtil.ipInCidr(u(s(ip)), u(s"${s(base)}/$len")) == expected
+    })
+  }
+
+  test("IpRender expression matches bytesToIpString under codegen") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases: Seq[Array[Byte]] = Seq(
+      Array[Byte](10, 0, 0, 1),
+      Array[Byte](-1, -1, -1, -1),
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, 0, 0, 0, -1, -1, 10, 1, 2, 3), // v4-mapped
+      (0 until 16).map(i => i.toByte).toArray, // plain v6
+      Array[Byte](1, 2, 3), // bad length → null
+      null)
+    val got = cases.toDF("b")
+      .select(graft.functions.IpFunctions.ip_render(col("b")).as("s"))
+      .collect().map(r => Option(r.getString(0)))
+    val want = cases.map(b => Option(IpUtil.bytesToIpString(b)))
+    assert(got.toSeq == want)
+  }
+
+  test("ip_render / ip_to_bytes are callable from SQL via injected functions") {
+    val r = spark.sql(
+      "SELECT ip_render(ip_to_bytes(CAST(167772161 AS BIGINT))) AS a, ip_render(CAST(NULL AS BINARY)) AS n")
+      .head()
+    assert(r.getString(0) == "10.0.0.1")
+    assert(r.isNullAt(1))
+  }
+
+  test("property: IpToBytes ≡ ipBytes and round-trips through IpRender") {
+    check(Prop.forAll(ipGen) { v =>
+      val b = IpUtil.ipBytes(v)
+      java.util.Arrays.equals(b, Array[Byte](
+        ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)) &&
+        IpUtil.ipv4ToLong(IpUtil.renderIp(b).toString) == v
     })
   }
 }

@@ -332,4 +332,32 @@ class PlanSpec extends SparkSpec {
       assert(r.getAs[Long]("n_bigrams") == r.getAs[Long]("n_words") - 1, r.toString)
     }
   }
+
+  test("normalize projection is one codegen span with no Scala UDF") {
+    // the R3 hot path: batch plan over the raw schema must compile the
+    // whole 23-column projection (incl. the 3 ip_render calls) into a
+    // single WholeStageCodegen span — a Scala UDF would appear as a
+    // non-codegen ScalaUDF/"UDF(" node and break the span. A parquet
+    // scan (not a LocalRelation, which the optimizer would collapse the
+    // Project into) makes the plan the real file-backed one.
+    val out = "/root/repo/target/graft-tmp/raw_flows_planspec"
+    spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      FlowSchema.rawSchema).write.mode("overwrite").parquet(out)
+    val df = streaming.FlowPipeline.normalize(spark.read.parquet(out))
+    val plan = physical(df)
+    assert(!plan.contains("UDF"), plan)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(1) Project") && l.contains("ip_render")), plan)
+    // exactly one codegen stage: the projection never leaves stage 1
+    assert(!plan.contains("*(2)"), plan)
+  }
+
+  test("native ip chain matches the UDF chain row-for-row (q54c ≡ q54)") {
+    val native = ops.FlowQueries.flows(spark, sf)
+      .select("sequence_num", "src_addr", "dst_addr")
+    val viaUdf = ops.FlowQueries.flows(spark, sf, udfRender = true)
+      .select("sequence_num", "src_addr", "dst_addr")
+    assert(native.exceptAll(viaUdf).isEmpty && viaUdf.exceptAll(native).isEmpty)
+  }
 }
