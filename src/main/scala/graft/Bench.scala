@@ -46,6 +46,19 @@ object Bench {
     // warmup: JIT + codegen + FS caches on two representative shapes
     run("q01_scan_parquet"); run("q20_agg_hash")
 
+    // Profile mode: `runMain graft.Bench <query>...` times the named
+    // queries twice each (cold + warm) and exits — the dev loop for
+    // investigating a single entry without paying for the full sweep.
+    if (args.nonEmpty) {
+      args.foreach { n =>
+        (1 to 2).foreach { i =>
+          println(f"[profile] $n%-30s run$i ${run(n)}%8.2f s")
+        }
+      }
+      spark.stop()
+      return
+    }
+
     val names = Registry.all.map(_.name).filterNot(quadraticBaselines)
     val results = names.map(n => n -> run(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
