@@ -114,6 +114,50 @@ class StreamingPlanSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join plans a symmetric hash join with bounded state (q52b shape)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val buys = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val c = clicks.toDF().toDF("click_ts", "user_id", "click_id")
+      .withWatermark("click_ts", "10 minutes")
+    val b = buys.toDF().toDF("buy_ts", "b_user_id", "buy_id")
+      .withWatermark("buy_ts", "10 minutes")
+    val joined = c.join(b,
+      col("user_id") === col("b_user_id") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+    // both watermarks survive analysis — the state-cleanup precondition
+    assert("EventTimeWatermark".r
+      .findAllIn(joined.queryExecution.analyzed.toString).size == 2)
+    val q = joined.writeStream.format("memory").queryName("splan_ssj")
+      .outputMode("append").option("checkpointLocation", freshCp("ssj")).start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      clicks.addData((t("2024-01-01 10:00:00"), 1L, 100L))
+      buys.addData((t("2024-01-01 10:05:00"), 1L, 200L)) // in range
+      buys.addData((t("2024-01-01 10:30:00"), 1L, 201L)) // outside 10 min
+      q.processAllAvailable()
+      val ops = q.lastProgress.stateOperators.map(_.operatorName).toSeq
+      assert(ops.exists(_.contains("symmetricHashJoin")), ops.mkString(","))
+      // the interval condition held: exactly the in-range pair emitted
+      val rows = spark.table("splan_ssj").select("click_id", "buy_id").collect()
+      assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((100L, 200L)),
+        rows.mkString(";"))
+      // watermark advance evicts expired join state rather than growing it
+      // forever: push both watermarks far past the buffered rows and check
+      // the state-store row count came back down
+      clicks.addData((t("2024-01-01 13:00:00"), 9L, 900L))
+      buys.addData((t("2024-01-01 13:00:00"), 8L, 800L))
+      q.processAllAvailable()
+      clicks.addData((t("2024-01-01 14:00:00"), 9L, 901L))
+      buys.addData((t("2024-01-01 14:00:00"), 8L, 801L))
+      q.processAllAvailable()
+      val join = q.lastProgress.stateOperators.find(_.operatorName.contains("symmetricHashJoin")).get
+      assert(join.numRowsRemoved > 0, s"expected watermark eviction, total=${join.numRowsTotal}")
+    } finally q.stop()
+  }
+
   test("watermark-agg shape (q49): append emits only watermark-closed windows") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
