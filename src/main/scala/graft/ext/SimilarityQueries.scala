@@ -258,6 +258,108 @@ object SimilarityQueries {
         SELECT cluster, count(*) AS n_members, CAST(SUM(d2) AS BIGINT) AS inertia
         FROM a2 GROUP BY cluster""".stripMargin)),
 
+    // X3f: product-quantization ANN (the IVF-ADC compression half of a
+    // FAISS-style index): 64-d vectors split into M=8 subspaces of 8 dims,
+    // each subvector replaced by the nearest of K=16 codewords — 64 longs
+    // compressed to 8 nibbles (4 B/vector at byte packing). Queries score
+    // candidates WITHOUT touching raw corpus vectors: per (subspace,
+    // codeword) partial dot products form a tiny lookup table (asymmetric
+    // distance computation), and approx_dot = Σ_s table[s, code(v,s)].
+    //
+    // Scale posture (100 TB): the codebook (M×K×8 longs) and the per-query
+    // ADC tables (M×K longs per query) broadcast; code assignment is one
+    // map-side broadcast-argmin pass over the corpus; scoring joins the
+    // (vec, subspace, code) table against the broadcast ADC table and
+    // partial-aggregates — the corpus raw vectors are read ONCE at index
+    // build and never again at query time. Deterministic codebook
+    // (subvectors of vec_id < 16) keeps the whole computation — codes, ADC
+    // tables, approx scores, ranking — bit-exact under the DuckDB oracle;
+    // swapping in x3e's trained k-means centroids changes recall, not shape.
+    Q("x3f_pq_adc",
+      (s, d) => {
+        val M = 8; val subDim = 8; val K = 16
+        val e = Tables.embeddings(s, d).select(col("vec_id"), quant(col("embedding")).as("qe"))
+        // (vec_id, s, sv): the s-th 8-dim subvector of each vector
+        val sub = e.select(col("vec_id"), explode(sequence(lit(0), lit(M - 1))).as("s"),
+            col("qe"))
+          .select(col("vec_id"), col("s"),
+            slice(col("qe"), col("s") * subDim + 1, lit(subDim)).as("sv"))
+        // codebook: subvectors of the first K vectors (deterministic init)
+        val cb = sub.filter(col("vec_id") < K)
+          .select(col("s"), col("vec_id").cast(IntegerType).as("k"), col("sv").as("cv"))
+        def dist2(a: Column, b: Column): Column =
+          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+        // code assignment: argmin codeword per (vector, subspace) —
+        // broadcast-argmin, map-side except the (vec_id, s) regroup
+        val codes = sub.join(broadcast(cb), "s")
+          .select(col("vec_id"), col("s"), struct(dist2(col("sv"), col("cv")).as("d2"),
+            col("k")).as("dk"))
+          .groupBy("vec_id", "s").agg(min(col("dk")).getField("k").as("code"))
+        // per-query ADC lookup tables: partial dot of each query subvector
+        // with each codeword (M×K rows per query — broadcastable)
+        val pd = sub.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("s"), col("sv").as("q_sv"))
+          .join(broadcast(cb), "s")
+          .select(col("q_id"), col("s"), col("k"), qdot(col("q_sv"), col("cv")).as("pdot"))
+        // exact norms ride with the index (standard PQ practice: norms are
+        // stored per vector; only the direction is quantized)
+        val norms = e.select(col("vec_id"), qdot(col("qe"), col("qe")).as("n2"))
+        val adots = codes.join(broadcast(pd),
+            codes("s") === pd("s") && codes("code") === pd("k"))
+          .groupBy(col("q_id"), col("vec_id").as("c_id"))
+          .agg(sum(col("pdot")).as("adot"))
+        val scored = adots.filter(col("c_id") =!= col("q_id"))
+          .join(norms.select(col("vec_id").as("q_id"), col("n2").as("qn2")), "q_id")
+          .join(norms.select(col("vec_id").as("c_id"), col("n2").as("cn2")), "c_id")
+          .select(col("q_id"), col("c_id"),
+            (col("adot").cast(DoubleType) /
+              (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("cn2").cast(DoubleType))))
+              .as("approx_cos"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("approx_cos").desc, col("c_id"))
+        val top = scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        // recall annotation: is the ADC pick in the EXACT top-5?
+        val exact = bruteKnn(s, d, nQueries = 8, k = 5)
+          .select(col("q_id"), col("c_id"), lit(true).as("hit"))
+        top.join(exact, Seq("q_id", "c_id"), "left")
+          .select(col("q_id"), col("rank"), col("c_id"), col("approx_cos"),
+            coalesce(col("hit"), lit(false)).as("in_exact_top5"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, ${sqlQuant("embedding")} AS qe FROM embeddings),
+        sub AS (SELECT vec_id, s, list_slice(qe, s*8+1, s*8+8) AS sv
+          FROM e, unnest(generate_series(0, 7)) AS t(s)),
+        cb AS (SELECT s, CAST(vec_id AS INTEGER) AS k, sv AS cv FROM sub WHERE vec_id < 16),
+        sub2 AS (SELECT vec_id, s AS cs, sv AS csv FROM sub),
+        codes AS (SELECT vec_id, cs,
+          -- len(csv) (= 8) outside the lambda: DuckDB binds a correlated
+          -- column into a lambda only if it also occurs outside one
+          (SELECT cb.k FROM cb WHERE cb.s = cs
+           ORDER BY list_sum(list_transform(generate_series(1, len(csv)),
+             i -> (csv[i]-cb.cv[i])*(csv[i]-cb.cv[i]))), cb.k LIMIT 1) AS code
+          FROM sub2),
+        pd AS (SELECT q.vec_id AS q_id, cb.s, cb.k,
+            list_sum(list_transform(generate_series(1, 8), i -> q.sv[i]*cb.cv[i])) AS pdot
+          FROM sub q JOIN cb ON q.s = cb.s WHERE q.vec_id < 8),
+        norms AS (SELECT vec_id, ${sqlQdot("qe", "qe")} AS n2 FROM e),
+        adots AS (SELECT pd.q_id, c.vec_id AS c_id, SUM(pd.pdot) AS adot
+          FROM codes c JOIN pd ON pd.s = c.cs AND pd.k = c.code GROUP BY 1, 2),
+        scored AS (SELECT q_id, c_id,
+            CAST(adot AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE))) AS approx_cos
+          FROM adots JOIN norms qn ON qn.vec_id = adots.q_id
+            JOIN norms cn ON cn.vec_id = adots.c_id
+          WHERE c_id <> q_id),
+        top AS (SELECT * FROM (SELECT *, row_number() OVER
+            (PARTITION BY q_id ORDER BY approx_cos DESC, c_id) AS rank FROM scored)
+          WHERE rank <= 5),
+        ex AS (SELECT q_id, c_id, true AS hit FROM
+          (SELECT q_id, c_id, row_number() OVER
+             (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+           FROM (SELECT q.vec_id AS q_id, c.vec_id AS c_id, ${sqlQcos("q.qe", "c.qe")} AS cos
+                 FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id <> q.vec_id))
+          WHERE rank <= 5)
+        SELECT top.q_id, CAST(top.rank AS INTEGER) AS rank, top.c_id, top.approx_cos,
+          coalesce(ex.hit, false) AS in_exact_top5
+        FROM top LEFT JOIN ex ON top.q_id = ex.q_id AND top.c_id = ex.c_id""".stripMargin)),
+
     // X3d: kNN majority-vote label prediction over the exact top-10.
     Q("x3d_knn_classify",
       (s, d) => bruteKnn(s, d, nQueries = 8, k = 10)

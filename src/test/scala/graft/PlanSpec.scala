@@ -173,7 +173,7 @@ class PlanSpec extends SparkSpec {
     // the LSH/banding designs exist precisely to avoid all-pairs joins;
     // a plan regression to CartesianProduct would silently reintroduce
     // O(n²) at scale
-    for (name <- Seq("x4_langid", "x4e_tfidf", "qf6_salted_join")) {
+    for (name <- Seq("x4_langid", "x4e_tfidf", "qf6_salted_join", "x3f_pq_adc")) {
       val plan = physical(Registry.queries(name)(spark, sf))
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
     }
