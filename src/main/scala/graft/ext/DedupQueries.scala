@@ -64,16 +64,28 @@ object DedupQueries {
   private val Bands = 16
   private val Rows = 4
 
-  /** MinHash signature per doc: explode shingles, hash each shingle string
-    * ONCE, then derive the k permutations by re-hashing the fixed-width
-    * long with the permutation index — k constant-cost long hashes per
-    * row instead of k variable-length string hashes. (The classic affine
-    * `a_i·h + b_i mod 2^64` family needs wrapping multiply, which ANSI
-    * mode rejects.) One min() partial agg per permutation is the
-    * 100 TB-safe formulation: map-side combine, only k longs per doc
-    * cross the shuffle.
+  /** MinHash signature per doc — the codegen-native per-row kernel
+    * ([[graft.functions.MinHashSig]]): each shingle string is hashed once,
+    * the k permutations derive by re-hashing the fixed-width long with the
+    * permutation index, and the elementwise min accumulates in a tight
+    * loop. (The classic affine `a_i·h + b_i mod 2^64` family needs
+    * wrapping multiply, which ANSI mode rejects.) Signatures never touch a
+    * shuffle: the LSH band join downstream is the first exchange — one
+    * stage less than [[minhashSigsAgg]], whose bit-identical output
+    * KernelSpec pins.
     */
-  private def minhashSigs(sh: DataFrame): DataFrame = {
+  private def minhashSigs(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"),
+      graft.functions.Kernels.minhash_sig(col("sh"), MinhashK).as("sig"))
+
+  /** The pure-DataFrame formulation the kernel replaced (and the parity
+    * baseline KernelSpec checks it against): explode shingles, hash each
+    * string once, derive the k permutations per exploded row, combine with
+    * one elementwise-min partial agg — map-side combine, only k longs per
+    * doc cross the shuffle. Still the right shape where a custom
+    * Expression is off the table.
+    */
+  private[graft] def minhashSigsAgg(sh: DataFrame): DataFrame = {
     val hashed = sh
       // hash each shingle string exactly once (explode of the hashed array;
       // an attribute below the generator cannot be inlined into the
@@ -85,6 +97,10 @@ object DedupQueries {
     hashed.groupBy("doc_id")
       .agg(graft.functions.Aggregators.elementwise_min(MinhashK)(col("hs")).as("sig"))
   }
+
+  /** [[docShingles]] exposed for KernelSpec's kernel-vs-agg parity check. */
+  private[graft] def shinglesFor(s: SparkSession, d: String): DataFrame =
+    docShingles(s, d)
 
   /** LSH candidate pairs (a < b) from band-bucket equi-self-join. A pair
     * must collide in ≥ 2 of the 16 bands: at the background similarity

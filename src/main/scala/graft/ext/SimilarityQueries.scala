@@ -29,11 +29,15 @@ object SimilarityQueries {
   private def quant(a: Column): Column =
     transform(a, x => round(x.cast(DoubleType) * 1048576d).cast(LongType))
 
-  /** Exact integer dot product (left-to-right, but integer addition is
-    * associative — order-independent by construction).
+  /** Exact integer dot product — the codegen-native kernel
+    * ([[graft.functions.LongVecDot]]); integer addition is associative, so
+    * the result is order-independent and bit-identical to the
+    * `aggregate(zip_with(...))` formulation it replaced (KernelSpec pins
+    * that equality — higher-order lambdas interpret per element, and this
+    * sits in every per-candidate inner loop of the x3 family).
     */
   private def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.Kernels.long_vec_dot(a, b)
 
   private def qcos(a: Column, b: Column): Column =
     qdot(a, b).cast(DoubleType) /
@@ -222,7 +226,7 @@ object SimilarityQueries {
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), quant(col("embedding")).as("qe"))
         def dist2(a: Column, b: Column): Column =
-          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+          graft.functions.Kernels.long_vec_dist2(a, b)
         def assign(cent: DataFrame): DataFrame =
           e.crossJoin(broadcast(cent))
             .select(col("vec_id"), col("qe"),
@@ -288,7 +292,7 @@ object SimilarityQueries {
         val cb = sub.filter(col("vec_id") < K)
           .select(col("s"), col("vec_id").cast(IntegerType).as("k"), col("sv").as("cv"))
         def dist2(a: Column, b: Column): Column =
-          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+          graft.functions.Kernels.long_vec_dist2(a, b)
         // code assignment: argmin codeword per (vector, subspace) —
         // broadcast-argmin, map-side except the (vec_id, s) regroup
         val codes = sub.join(broadcast(cb), "s")

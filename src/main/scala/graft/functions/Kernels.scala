@@ -1,0 +1,202 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Codegen-native kernels for the hot integer-vector and MinHash paths.
+  *
+  * Spark's higher-order functions (`aggregate`, `zip_with`, `transform`)
+  * interpret their lambda per element per row — correct, but the quantized
+  * dot products (x3 similarity family) and MinHash signatures (x2 dedup
+  * family) sit in per-row inner loops over 64-element arrays, where lambda
+  * interpretation dominates. These Expressions evaluate the same integer
+  * arithmetic in a tight JVM loop and stay inside whole-stage codegen via a
+  * static kernel call — SURVEY §7.3's "graduate hot scalar paths to native
+  * Expressions" step, same pattern as [[IpRender]]/[[IpInCidr]].
+  *
+  * Parity contract: results are BIT-IDENTICAL to the higher-order-function
+  * formulations they replace (exact integer arithmetic; same null
+  * semantics: null array, length mismatch, or null element → null result —
+  * what `aggregate(zip_with(...))` yields on those inputs), pinned by
+  * KernelSpec. The DuckDB oracles never see signatures or partial dots, but
+  * the downstream pair/top-k results they DO hash are unchanged.
+  */
+object VecKernel {
+  /** Σ a(i)·b(i) into out(0); false = null result (shape/null mismatch). */
+  def dotInto(a: ArrayData, b: ArrayData, out: Array[Long]): Boolean = {
+    val n = a.numElements()
+    if (b.numElements() != n) return false
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return false
+      s += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    out(0) = s
+    true
+  }
+
+  /** Σ (a(i)−b(i))² into out(0); false = null result. */
+  def dist2Into(a: ArrayData, b: ArrayData, out: Array[Long]): Boolean = {
+    val n = a.numElements()
+    if (b.numElements() != n) return false
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return false
+      val d = a.getLong(i) - b.getLong(i)
+      s += d * d
+      i += 1
+    }
+    out(0) = s
+    true
+  }
+
+  /** k-permutation MinHash signature of a string array, replicating the
+    * composed built-in hashes exactly: h = xxhash64(shingle) (seed 42, as
+    * `functions.xxhash64`), permutation p_i = xxhash64(h, i) =
+    * hashInt(i, hashLong(h, 42)) — so kernel signatures equal the explode +
+    * elementwise-min formulation ([[graft.ext.DedupQueries.minhashSigsAgg]])
+    * element for element. Null shingles are skipped (the shingler never
+    * emits them); an all-null/empty array yields Long.MaxValue sentinels.
+    */
+  def minhashSig(sh: ArrayData, k: Int): ArrayData = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = sh.numElements()
+    var j = 0
+    while (j < n) {
+      if (!sh.isNullAt(j)) {
+        val h = XXH64.hashUTF8String(sh.getUTF8String(j), 42L)
+        val base = XXH64.hashLong(h, 42L)
+        var i = 0
+        while (i < k) {
+          val p = XXH64.hashInt(i, base)
+          if (p < sig(i)) sig(i) = p
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+}
+
+/** `long_vec_dot(a, b)` — exact integer dot product over two BIGINT arrays. */
+case class LongVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true // null on shape/null-element mismatch
+  override def prettyName: String = "long_vec_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType.isInstanceOf[ArrayType]) &&
+        Seq(left, right).forall(_.dataType.asInstanceOf[ArrayType].elementType == LongType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<BIGINT> inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val out = new Array[Long](1)
+    if (VecKernel.dotInto(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], out)) out(0)
+    else null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val buf = ctx.addMutableState("long[]", "dotBuf", v => s"$v = new long[1];")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if (graft.functions.VecKernel.dotInto($a, $b, $buf)) {
+        ${ev.value} = $buf[0];
+      } else {
+        ${ev.isNull} = true;
+      }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `long_vec_dist2(a, b)` — exact integer squared Euclidean distance. */
+case class LongVecDist2(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "long_vec_dist2"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType.isInstanceOf[ArrayType]) &&
+        Seq(left, right).forall(_.dataType.asInstanceOf[ArrayType].elementType == LongType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<BIGINT> inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val out = new Array[Long](1)
+    if (VecKernel.dist2Into(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], out)) out(0)
+    else null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val buf = ctx.addMutableState("long[]", "dist2Buf", v => s"$v = new long[1];")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if (graft.functions.VecKernel.dist2Into($a, $b, $buf)) {
+        ${ev.value} = $buf[0];
+      } else {
+        ${ev.isNull} = true;
+      }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `minhash_sig(shingles)` — the per-row 64-permutation MinHash signature.
+  * Replaces an explode → 64-hash transform → shuffled elementwise-min
+  * aggregation with a single map-side expression: signatures never touch a
+  * shuffle at all (the LSH band join downstream is the first exchange).
+  */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if k > 0 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING> input and k > 0, got " +
+        s"${child.dataType.simpleString}, k=$k")
+  }
+
+  override protected def nullSafeEval(sh: Any): Any =
+    VecKernel.minhashSig(sh.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, sh => s"graft.functions.VecKernel.minhashSig($sh, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Kernels {
+  /** Column API: exact integer dot product of two ARRAY<BIGINT> columns. */
+  def long_vec_dot(a: Column, b: Column): Column =
+    Shim.column(LongVecDot(Shim.expression(a), Shim.expression(b)))
+
+  /** Column API: exact integer squared distance of two ARRAY<BIGINT> columns. */
+  def long_vec_dist2(a: Column, b: Column): Column =
+    Shim.column(LongVecDist2(Shim.expression(a), Shim.expression(b)))
+
+  /** Column API: k-permutation MinHash signature of an ARRAY<STRING> column. */
+  def minhash_sig(shingles: Column, k: Int): Column =
+    Shim.column(MinHashSig(Shim.expression(shingles), k))
+}
