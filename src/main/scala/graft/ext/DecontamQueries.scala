@@ -106,6 +106,56 @@ object DecontamQueries {
           CAST(coalesce(top_bigram_n, 0) * 5 > coalesce(n_bigrams, 0) AS INTEGER) AS repetitive
         FROM wagg LEFT JOIN bagg USING (doc_id)""".stripMargin)),
 
+    // X7c: FUZZY benchmark decontamination — x7 catches verbatim 8-gram
+    // overlap; this catches NEAR-duplicate contamination (reworded or
+    // lightly-edited eval material) with the same MinHash+LSH machinery as
+    // x2, applied ACROSS the split: eval-side band buckets join against
+    // train-side buckets, candidates colliding in ≥ 2 of 16 bands are
+    // verified by exact shingle Jaccard at τ = 0.8. The oracle brute-forces
+    // every train×eval pair in DuckDB, so LSH recall across the split is
+    // end-to-end under test.
+    //
+    // Scale posture (100 TB): eval sets are benchmark-sized — their band
+    // buckets BROADCAST, so the train side streams once through a map-side
+    // join; nothing quadratic in the corpus. Signatures come from the
+    // per-row minhash_sig kernel (no signature shuffle at all).
+    Q("x7c_decontam_fuzzy",
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .withColumn("bucket", bucket)
+          .select(col("doc_id"), col("bucket"),
+            DedupQueries.shingleSet(split(col("text"), " ")).as("sh"))
+          .persist()
+        val sigs = DedupQueries.sigsOf(sh.select("doc_id", "sh"))
+          .join(sh.select("doc_id", "bucket"), "doc_id")
+        val trainB = DedupQueries.lshBuckets(sigs.filter(col("bucket") < 80))
+        val evalB = DedupQueries.lshBuckets(sigs.filter(col("bucket") >= 90))
+        val cand = trainB.as("t")
+          .join(broadcast(evalB.as("e")), Seq("band", "key"))
+          .groupBy(col("t.doc_id").as("a"), col("e.doc_id").as("b"))
+          .agg(count(lit(1)).as("n_bands"))
+          .filter(col("n_bands") >= 2)
+          .select("a", "b")
+        val res = DedupQueries.verifyPairs(cand, sh.select("doc_id", "sh"), 0.8)
+          .select(col("a").as("train_doc"), col("b").as("eval_doc"), col("j"))
+          .localCheckpoint()
+        sh.unpersist()
+        res
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') w, text FROM documents),
+        sets AS (SELECT doc_id, CASE WHEN len(w) >= 3
+          THEN list_distinct(list_transform(generate_series(1, len(w)-2),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+          ELSE [text] END sh FROM t),
+        sb AS (SELECT doc_id, sh, (doc_id * 2654435761) % 100 AS bucket FROM sets)
+        SELECT x.doc_id AS train_doc, y.doc_id AS eval_doc,
+          len(list_intersect(x.sh, y.sh))::DOUBLE /
+            (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS j
+        FROM sb x JOIN sb y ON x.bucket < 80 AND y.bucket >= 90
+        WHERE len(list_intersect(x.sh, y.sh))::DOUBLE /
+            (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.8""".stripMargin)),
+
     // X8: PII detection + redaction — the regex scrub (emails, phone
     // numbers, IPv4 addresses) a training corpus runs before release.
     //

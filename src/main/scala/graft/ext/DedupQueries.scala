@@ -24,8 +24,11 @@ import graft.{Q, Tables}
   */
 object DedupQueries {
 
-  /** 3-token shingles, distinct, as a set column. */
-  private def shingles(w: Column): Column =
+  /** 3-token shingles, distinct, as a set column (shared with
+    * [[DecontamQueries]]'s fuzzy-contamination scrub so the two can never
+    * disagree on what a shingle is).
+    */
+  private[ext] def shingleSet(w: Column): Column =
     when(size(w) >= 3,
       array_distinct(transform(sequence(lit(1), size(w) - 2),
         i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
@@ -36,10 +39,10 @@ object DedupQueries {
     * explicit fan-out (at real scale the source already has thousands of
     * splits and this repartition is a no-op to remove).
     */
-  private def docShingles(s: SparkSession, d: String): DataFrame =
+  private[ext] def docShingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), shingles(split(col("text"), " ")).as("sh"))
+      .select(col("doc_id"), shingleSet(split(col("text"), " ")).as("sh"))
 
   /** Eager lineage truncation for iterative plans: a RELIABLE checkpoint
     * when the session has a checkpoint dir configured (survives executor
@@ -109,14 +112,25 @@ object DedupQueries {
     * P[< 2 collisions] ≈ 1e-15 — exact verification cost collapses with
     * no recall loss in the data's similarity gap.
     */
-  private def lshCandidates(sigs: DataFrame): DataFrame = {
+  /** (doc_id, band, key) LSH band buckets of a (doc_id, sig) frame —
+    * shared by the self-join candidates here and the train×eval cross
+    * candidates in [[DecontamQueries]].
+    */
+  private[ext] def lshBuckets(sigs: DataFrame): DataFrame = {
     val bandStructs = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(slice(col("sig"), b * Rows + 1, Rows), lit(b)).as("key"))
     }
-    val buckets = sigs
+    sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** [[minhashSigs]] over a (doc_id, sh) frame, for ext collaborators. */
+  private[ext] def sigsOf(sh: DataFrame): DataFrame = minhashSigs(sh)
+
+  private def lshCandidates(sigs: DataFrame): DataFrame = {
+    val buckets = lshBuckets(sigs)
     buckets.as("x").join(buckets.as("y"), Seq("band", "key"))
       .where(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -126,7 +140,7 @@ object DedupQueries {
   }
 
   /** Brute-force verified pairs at threshold τ over a pair source. */
-  private def verifyPairs(cand: DataFrame, sets: DataFrame, tau: Double): DataFrame = {
+  private[ext] def verifyPairs(cand: DataFrame, sets: DataFrame, tau: Double): DataFrame = {
     val la = sets.select(col("doc_id").as("a"), col("sh").as("sha"))
     val lb = sets.select(col("doc_id").as("b"), col("sh").as("shb"))
     cand.join(la, "a").join(lb, "b")
