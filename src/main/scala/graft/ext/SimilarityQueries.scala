@@ -25,9 +25,14 @@ import graft.{Q, Tables}
   */
 object SimilarityQueries {
 
-  /** float array → fixed-point BIGINT array at 2^20 resolution. */
+  /** float array → fixed-point BIGINT array at 2^20 resolution — the
+    * codegen-native kernel ([[graft.functions.FloatVecQuant]]; a
+    * higher-order `transform` here would break codegen for every project
+    * at the head of every similarity query). KernelSpec pins bit-equality
+    * with the transform formulation, half-way rounding cases included.
+    */
   private def quant(a: Column): Column =
-    transform(a, x => round(x.cast(DoubleType) * 1048576d).cast(LongType))
+    graft.functions.Kernels.float_vec_quant(a)
 
   /** Exact integer dot product — the codegen-native kernel
     * ([[graft.functions.LongVecDot]]); integer addition is associative, so

@@ -58,6 +58,28 @@ object VecKernel {
     true
   }
 
+  /** Float array → fixed-point BIGINT at 2^20, replicating
+    * `round(x.cast(double) * 1048576, 0).cast(long)` per element: float →
+    * double widening (exact), double multiply, BigDecimal.valueOf HALF_UP
+    * round (Spark's `Round` path for doubles), double → long cast. Null
+    * element → null result; non-finite input throws like an ANSI cast.
+    */
+  def quantize(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val d = a.getFloat(i).toDouble * 1048576d
+      if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d))
+        throw new ArithmeticException(s"float_vec_quant: non-finite value $d")
+      out(i) = java.math.BigDecimal.valueOf(d)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** k-permutation MinHash signature of a string array, replicating the
     * composed built-in hashes exactly: h = xxhash64(shingle) (seed 42, as
     * `functions.xxhash64`), permutation p_i = xxhash64(h, i) =
@@ -85,6 +107,42 @@ object VecKernel {
     }
     new GenericArrayData(sig)
   }
+}
+
+/** `float_vec_quant(a)` — float array → fixed-point BIGINT array at 2^20
+  * resolution, the quantization at the head of every similarity query.
+  * Replicates `transform(a, x => round(x.cast(double) * 1048576).cast(long))`
+  * bit-for-bit: [[VecKernel.quantize]] rounds via BigDecimal HALF_UP, the
+  * same path Spark's `Round` takes for doubles (pinned by KernelSpec,
+  * including half-way cases). As a native Expression the whole
+  * scan → quantize → dot pipeline stays inside one codegen stage (a
+  * higher-order `transform` in the project is CodegenFallback and breaks
+  * the stage). Divergence from the lambda form, by declaration: a null
+  * ELEMENT nulls the whole result (the array type is containsNull=false);
+  * the fixture schema carries no null elements.
+  */
+case class FloatVecQuant(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "float_vec_quant"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT> input, got ${child.dataType.simpleString}")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecKernel.quantize(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = graft.functions.VecKernel.quantize($a);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** `long_vec_dot(a, b)` — exact integer dot product over two BIGINT arrays. */
@@ -188,6 +246,10 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 }
 
 object Kernels {
+  /** Column API: fixed-point 2^20 quantization of an ARRAY<FLOAT> column. */
+  def float_vec_quant(a: Column): Column =
+    Shim.column(FloatVecQuant(Shim.expression(a)))
+
   /** Column API: exact integer dot product of two ARRAY<BIGINT> columns. */
   def long_vec_dot(a: Column, b: Column): Column =
     Shim.column(LongVecDot(Shim.expression(a), Shim.expression(b)))

@@ -147,5 +147,27 @@ object GraftExtensions {
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("ip_to_bytes"),
         new ExpressionInfo("graft.functions.IpToBytes", "ip_to_bytes"),
         (exprs: Seq[Expression]) => graft.functions.IpToBytes(exprs.head)))
+    // vector/MinHash kernels on the SQL surface too (Column API: Kernels._)
+    ext.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("float_vec_quant"),
+        new ExpressionInfo("graft.functions.FloatVecQuant", "float_vec_quant"),
+        (exprs: Seq[Expression]) => graft.functions.FloatVecQuant(exprs.head)))
+    ext.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("long_vec_dot"),
+        new ExpressionInfo("graft.functions.LongVecDot", "long_vec_dot"),
+        (exprs: Seq[Expression]) => graft.functions.LongVecDot(exprs.head, exprs(1))))
+    ext.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("long_vec_dist2"),
+        new ExpressionInfo("graft.functions.LongVecDist2", "long_vec_dist2"),
+        (exprs: Seq[Expression]) => graft.functions.LongVecDist2(exprs.head, exprs(1))))
+    ext.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig"),
+        new ExpressionInfo("graft.functions.MinHashSig", "minhash_sig"),
+        (exprs: Seq[Expression]) => graft.functions.MinHashSig(exprs.head,
+          exprs(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _) => k
+            case other => throw new IllegalArgumentException(
+              s"minhash_sig(shingles, k): k must be an INT literal, got $other")
+          })))
   }
 }

@@ -67,6 +67,37 @@ class KernelSpec extends SparkSpec {
     vals.foreach { r => assert(r.isNullAt(0) && r.isNullAt(1), r.toString) }
   }
 
+  test("float_vec_quant equals the transform formulation, half-way cases included") {
+    import spark.implicits._
+    val fixture = Tables.embeddings(spark, sf).select(col("embedding").as("a"))
+    // adversarial values: exact halves at the 2^20 grid (x*1048576 = n+0.5),
+    // negatives, zero, denormal-ish smalls
+    val edge = Seq(
+      Seq(0.5f / 1048576f, -0.5f / 1048576f, 1.5f / 1048576f, -1.5f / 1048576f),
+      Seq(0f, -0f, 1e-30f, -1e-30f, 0.9999999f, -0.9999999f)).toDF("a")
+    for (df <- Seq(fixture, edge)) {
+      val bad = df.select(
+        Kernels.float_vec_quant(col("a")).as("k"),
+        transform(col("a"), x => round(x.cast(DoubleType) * 1048576d).cast(LongType)).as("t"))
+        .filter(!(col("k") <=> col("t")))
+      assert(bad.count() == 0, bad.collect().mkString(";"))
+    }
+  }
+
+  test("kernels are callable from SQL via GraftExtensions") {
+    Tables.embeddings(spark, sf).createOrReplaceTempView("ks_emb")
+    val r = spark.sql("""
+      SELECT long_vec_dot(q, q) AS n2,
+             long_vec_dist2(q, q) AS z,
+             minhash_sig(array('a b c', 'd e f'), 4) AS sig
+      FROM (SELECT float_vec_quant(embedding) AS q FROM ks_emb LIMIT 3)""").collect()
+    assert(r.length == 3)
+    r.foreach { row =>
+      assert(row.getLong(0) > 0 && row.getLong(1) == 0)
+      assert(row.getSeq[Long](2).length == 4)
+    }
+  }
+
   test("minhash_sig equals the explode + elementwise-min agg formulation on fixture docs") {
     val sh = ext.DedupQueries.shinglesFor(spark, sf)
     val kernel = sh.select(col("doc_id"), Kernels.minhash_sig(col("sh"), 64).as("sig"))
