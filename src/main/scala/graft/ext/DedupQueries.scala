@@ -148,9 +148,21 @@ object DedupQueries {
       .filter(col("j") >= tau)
   }
 
-  /** 64-bit SimHash from shingle hashes: per bit, sign of Σ±1 votes. */
-  private def simhash(s: SparkSession, d: String): DataFrame = {
-    val exploded = docShingles(s, d).select(col("doc_id"), explode(col("sh")).as("s"))
+  /** 64-bit SimHash (per bit, sign of Σ±1 votes) — the codegen-native
+    * per-row kernel ([[graft.functions.SimHashSig]]); like [[minhashSigs]],
+    * signatures never cross a shuffle. KernelSpec pins bit-equality with
+    * [[simhashAgg]].
+    */
+  private def simhash(s: SparkSession, d: String): DataFrame =
+    docShingles(s, d).select(col("doc_id"),
+      graft.functions.Kernels.simhash_sig(col("sh")).as("sim"))
+
+  /** The pure-DataFrame SimHash the kernel replaced (KernelSpec's parity
+    * baseline): explode shingle hashes, 64 vote-sum columns with map-side
+    * combine, pack sign bits.
+    */
+  private[graft] def simhashAgg(sh: DataFrame): DataFrame = {
+    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
     // vote_i = +1 if bit i of h set else -1; aggregate votes, then pack sign bits
     val votes = (0 until 64).map(i =>

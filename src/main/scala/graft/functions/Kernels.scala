@@ -80,6 +80,35 @@ object VecKernel {
     new GenericArrayData(out)
   }
 
+  /** 64-bit SimHash of a string array, replicating the vote formulation
+    * exactly: per shingle h = xxhash64(shingle) (seed 42); per bit i the
+    * vote is +1 if bit i of h is set else −1; output bit i is set iff the
+    * vote total is > 0. Null shingles are skipped.
+    */
+  def simhash64(sh: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = sh.numElements()
+    var j = 0
+    while (j < n) {
+      if (!sh.isNullAt(j)) {
+        val h = XXH64.hashUTF8String(sh.getUTF8String(j), 42L)
+        var i = 0
+        while (i < 64) {
+          votes(i) += (((h >>> i) & 1L).toInt << 1) - 1
+          i += 1
+        }
+      }
+      j += 1
+    }
+    var sim = 0L
+    var i = 0
+    while (i < 64) {
+      if (votes(i) > 0) sim |= 1L << i
+      i += 1
+    }
+    sim
+  }
+
   /** k-permutation MinHash signature of a string array, replicating the
     * composed built-in hashes exactly: h = xxhash64(shingle) (seed 42, as
     * `functions.xxhash64`), permutation p_i = xxhash64(h, i) =
@@ -245,6 +274,31 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `simhash_sig(shingles)` — the per-row 64-bit SimHash. Replaces an
+  * explode → 64 vote-sum columns → bit-pack aggregation with a single
+  * map-side expression (same no-signature-shuffle rationale as
+  * [[MinHashSig]]).
+  */
+case class SimHashSig(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING> input, got ${child.dataType.simpleString}")
+  }
+
+  override protected def nullSafeEval(sh: Any): Any =
+    VecKernel.simhash64(sh.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, sh => s"graft.functions.VecKernel.simhash64($sh)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object Kernels {
   /** Column API: fixed-point 2^20 quantization of an ARRAY<FLOAT> column. */
   def float_vec_quant(a: Column): Column =
@@ -261,4 +315,8 @@ object Kernels {
   /** Column API: k-permutation MinHash signature of an ARRAY<STRING> column. */
   def minhash_sig(shingles: Column, k: Int): Column =
     Shim.column(MinHashSig(Shim.expression(shingles), k))
+
+  /** Column API: 64-bit SimHash of an ARRAY<STRING> column. */
+  def simhash_sig(shingles: Column): Column =
+    Shim.column(SimHashSig(Shim.expression(shingles)))
 }

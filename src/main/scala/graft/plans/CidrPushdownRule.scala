@@ -161,6 +161,10 @@ object GraftExtensions {
         new ExpressionInfo("graft.functions.LongVecDist2", "long_vec_dist2"),
         (exprs: Seq[Expression]) => graft.functions.LongVecDist2(exprs.head, exprs(1))))
     ext.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("simhash_sig"),
+        new ExpressionInfo("graft.functions.SimHashSig", "simhash_sig"),
+        (exprs: Seq[Expression]) => graft.functions.SimHashSig(exprs.head)))
+    ext.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig"),
         new ExpressionInfo("graft.functions.MinHashSig", "minhash_sig"),
         (exprs: Seq[Expression]) => graft.functions.MinHashSig(exprs.head,

@@ -108,6 +108,16 @@ class KernelSpec extends SparkSpec {
     assert(kernel.count() == agg.count() && kernel.count() > 0)
   }
 
+  test("simhash_sig equals the 64-vote-column agg formulation on fixture docs") {
+    val sh = ext.DedupQueries.shinglesFor(spark, sf)
+    val kernel = sh.select(col("doc_id"), Kernels.simhash_sig(col("sh")).as("sim"))
+    val agg = ext.DedupQueries.simhashAgg(sh)
+    val joined = kernel.as("k").join(agg.as("a"), "doc_id")
+      .filter(!(col("k.sim") <=> col("a.sim")))
+    assert(joined.count() == 0)
+    assert(kernel.count() == agg.count() && kernel.count() > 0)
+  }
+
   test("kernels stay inside whole-stage codegen") {
     // inputs built from codegen-supported constructors (array/split) — a
     // higher-order `transform` in the same project would itself fall back
