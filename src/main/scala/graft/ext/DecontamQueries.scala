@@ -1,7 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.sql.types.StringType
 
 import graft.{Q, Tables}
 
@@ -127,8 +127,10 @@ object DecontamQueries {
           .select(col("doc_id"), col("bucket"),
             DedupQueries.shingleSet(split(col("text"), " ")).as("sh"))
           .persist()
-        val sigs = DedupQueries.sigsOf(sh.select("doc_id", "sh"))
-          .join(sh.select("doc_id", "bucket"), "doc_id")
+        // sigsOf passes bucket through (per-row kernel ⇒ pure select) — no
+        // re-join; the broadcast band join below is the plan's first and
+        // only exchange after the persisted shingling
+        val sigs = DedupQueries.sigsOf(sh)
         val trainB = DedupQueries.lshBuckets(sigs.filter(col("bucket") < 80))
         val evalB = DedupQueries.lshBuckets(sigs.filter(col("bucket") >= 90))
         val cand = trainB.as("t")

@@ -77,9 +77,7 @@ object DedupQueries {
     * stage less than [[minhashSigsAgg]], whose bit-identical output
     * KernelSpec pins.
     */
-  private def minhashSigs(sh: DataFrame): DataFrame =
-    sh.select(col("doc_id"),
-      graft.functions.Kernels.minhash_sig(col("sh"), MinhashK).as("sig"))
+  private def minhashSigs(sh: DataFrame): DataFrame = sigsOf(sh)
 
   /** The pure-DataFrame formulation the kernel replaced (and the parity
     * baseline KernelSpec checks it against): explode shingles, hash each
@@ -105,13 +103,6 @@ object DedupQueries {
   private[graft] def shinglesFor(s: SparkSession, d: String): DataFrame =
     docShingles(s, d)
 
-  /** LSH candidate pairs (a < b) from band-bucket equi-self-join. A pair
-    * must collide in ≥ 2 of the 16 bands: at the background similarity
-    * (j ≤ 0.3) that cuts candidates ~18× vs ≥ 1 band (P: 0.7% vs 12%),
-    * while at the planted-dup level (j ≥ 0.97, per-band p = j⁴ ≈ 0.89)
-    * P[< 2 collisions] ≈ 1e-15 — exact verification cost collapses with
-    * no recall loss in the data's similarity gap.
-    */
   /** (doc_id, band, key) LSH band buckets of a (doc_id, sig) frame —
     * shared by the self-join candidates here and the train×eval cross
     * candidates in [[DecontamQueries]].
@@ -126,9 +117,21 @@ object DedupQueries {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
-  /** [[minhashSigs]] over a (doc_id, sh) frame, for ext collaborators. */
-  private[ext] def sigsOf(sh: DataFrame): DataFrame = minhashSigs(sh)
+  /** [[minhashSigs]] with every non-`sh` column passed through (the kernel
+    * is a per-row expression, so this stays a pure select) — lets ext
+    * collaborators carry labels like the split bucket alongside the
+    * signature without a re-join.
+    */
+  private[ext] def sigsOf(sh: DataFrame): DataFrame =
+    sh.select(sh.columns.filterNot(_ == "sh").map(col) :+
+      graft.functions.Kernels.minhash_sig(col("sh"), MinhashK).as("sig"): _*)
 
+  /** Candidate pairs (a < b) colliding in ≥ 2 of the 16 bands: at the
+    * background similarity (j ≤ 0.3) that cuts candidates ~18× vs ≥ 1 band
+    * (P: 0.7% vs 12%), while at the planted-dup level (j ≥ 0.97, per-band
+    * p = j⁴ ≈ 0.89) P[< 2 collisions] ≈ 1e-15 — exact verification cost
+    * collapses with no recall loss in the data's similarity gap.
+    */
   private def lshCandidates(sigs: DataFrame): DataFrame = {
     val buckets = lshBuckets(sigs)
     buckets.as("x").join(buckets.as("y"), Seq("band", "key"))

@@ -27,7 +27,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * the downstream pair/top-k results they DO hash are unchanged.
   */
 object VecKernel {
-  /** Σ a(i)·b(i) into out(0); false = null result (shape/null mismatch). */
+  /** Σ a(i)·b(i) into out(0); false = null result (shape/null mismatch).
+    * Overflow THROWS (exact arithmetic), like the ANSI-mode lambda
+    * formulation — a silent wrap would be a wrong answer on the public
+    * SQL surface.
+    */
   def dotInto(a: ArrayData, b: ArrayData, out: Array[Long]): Boolean = {
     val n = a.numElements()
     if (b.numElements() != n) return false
@@ -35,14 +39,14 @@ object VecKernel {
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return false
-      s += a.getLong(i) * b.getLong(i)
+      s = Math.addExact(s, Math.multiplyExact(a.getLong(i), b.getLong(i)))
       i += 1
     }
     out(0) = s
     true
   }
 
-  /** Σ (a(i)−b(i))² into out(0); false = null result. */
+  /** Σ (a(i)−b(i))² into out(0); false = null result; overflow throws. */
   def dist2Into(a: ArrayData, b: ArrayData, out: Array[Long]): Boolean = {
     val n = a.numElements()
     if (b.numElements() != n) return false
@@ -50,8 +54,8 @@ object VecKernel {
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return false
-      val d = a.getLong(i) - b.getLong(i)
-      s += d * d
+      val d = Math.subtractExact(a.getLong(i), b.getLong(i))
+      s = Math.addExact(s, Math.multiplyExact(d, d))
       i += 1
     }
     out(0) = s
@@ -83,20 +87,21 @@ object VecKernel {
   /** 64-bit SimHash of a string array, replicating the vote formulation
     * exactly: per shingle h = xxhash64(shingle) (seed 42); per bit i the
     * vote is +1 if bit i of h is set else −1; output bit i is set iff the
-    * vote total is > 0. Null shingles are skipped.
+    * vote total is > 0. A null shingle votes as h = 42 — exactly what
+    * `xxhash64(null)` (= the untouched seed) contributes in the agg form.
     */
   def simhash64(sh: ArrayData): Long = {
     val votes = new Array[Int](64)
     val n = sh.numElements()
     var j = 0
     while (j < n) {
-      if (!sh.isNullAt(j)) {
-        val h = XXH64.hashUTF8String(sh.getUTF8String(j), 42L)
-        var i = 0
-        while (i < 64) {
-          votes(i) += (((h >>> i) & 1L).toInt << 1) - 1
-          i += 1
-        }
+      // null shingle: xxhash64(null) leaves the seed untouched, so the agg
+      // formulation hashes it as 42 — vote the same way, not skip
+      val h = if (sh.isNullAt(j)) 42L else XXH64.hashUTF8String(sh.getUTF8String(j), 42L)
+      var i = 0
+      while (i < 64) {
+        votes(i) += (((h >>> i) & 1L).toInt << 1) - 1
+        i += 1
       }
       j += 1
     }
@@ -114,23 +119,24 @@ object VecKernel {
     * `functions.xxhash64`), permutation p_i = xxhash64(h, i) =
     * hashInt(i, hashLong(h, 42)) — so kernel signatures equal the explode +
     * elementwise-min formulation ([[graft.ext.DedupQueries.minhashSigsAgg]])
-    * element for element. Null shingles are skipped (the shingler never
-    * emits them); an all-null/empty array yields Long.MaxValue sentinels.
+    * element for element — including null shingles, which fold as h = 42
+    * (`xxhash64(null)` = the untouched seed) rather than being skipped.
+    * An empty array yields Long.MaxValue sentinels.
     */
   def minhashSig(sh: ArrayData, k: Int): ArrayData = {
     val sig = Array.fill(k)(Long.MaxValue)
     val n = sh.numElements()
     var j = 0
     while (j < n) {
-      if (!sh.isNullAt(j)) {
-        val h = XXH64.hashUTF8String(sh.getUTF8String(j), 42L)
-        val base = XXH64.hashLong(h, 42L)
-        var i = 0
-        while (i < k) {
-          val p = XXH64.hashInt(i, base)
-          if (p < sig(i)) sig(i) = p
-          i += 1
-        }
+      // null shingle: xxhash64(null) = the seed (42) in the agg
+      // formulation's transform — fold the same value, not skip
+      val h = if (sh.isNullAt(j)) 42L else XXH64.hashUTF8String(sh.getUTF8String(j), 42L)
+      val base = XXH64.hashLong(h, 42L)
+      var i = 0
+      while (i < k) {
+        val p = XXH64.hashInt(i, base)
+        if (p < sig(i)) sig(i) = p
+        i += 1
       }
       j += 1
     }
@@ -152,6 +158,7 @@ object VecKernel {
   */
 case class FloatVecQuant(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // null on a null ELEMENT, even if child is non-null
   override def prettyName: String = "float_vec_quant"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

@@ -152,14 +152,23 @@ object GraftExtensions {
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("float_vec_quant"),
         new ExpressionInfo("graft.functions.FloatVecQuant", "float_vec_quant"),
         (exprs: Seq[Expression]) => graft.functions.FloatVecQuant(exprs.head)))
+    def arity(name: String, n: Int, exprs: Seq[Expression]): Unit =
+      if (exprs.length != n) throw new IllegalArgumentException(
+        s"$name requires $n arguments, got ${exprs.length}")
     ext.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("long_vec_dot"),
         new ExpressionInfo("graft.functions.LongVecDot", "long_vec_dot"),
-        (exprs: Seq[Expression]) => graft.functions.LongVecDot(exprs.head, exprs(1))))
+        (exprs: Seq[Expression]) => {
+          arity("long_vec_dot", 2, exprs)
+          graft.functions.LongVecDot(exprs.head, exprs(1))
+        }))
     ext.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("long_vec_dist2"),
         new ExpressionInfo("graft.functions.LongVecDist2", "long_vec_dist2"),
-        (exprs: Seq[Expression]) => graft.functions.LongVecDist2(exprs.head, exprs(1))))
+        (exprs: Seq[Expression]) => {
+          arity("long_vec_dist2", 2, exprs)
+          graft.functions.LongVecDist2(exprs.head, exprs(1))
+        }))
     ext.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("simhash_sig"),
         new ExpressionInfo("graft.functions.SimHashSig", "simhash_sig"),
@@ -167,11 +176,14 @@ object GraftExtensions {
     ext.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig"),
         new ExpressionInfo("graft.functions.MinHashSig", "minhash_sig"),
-        (exprs: Seq[Expression]) => graft.functions.MinHashSig(exprs.head,
-          exprs(1) match {
-            case org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _) => k
-            case other => throw new IllegalArgumentException(
-              s"minhash_sig(shingles, k): k must be an INT literal, got $other")
-          })))
+        (exprs: Seq[Expression]) => {
+          arity("minhash_sig", 2, exprs)
+          graft.functions.MinHashSig(exprs.head,
+            exprs(1) match {
+              case org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _) => k
+              case other => throw new IllegalArgumentException(
+                s"minhash_sig(shingles, k): k must be an INT literal, got $other")
+            })
+        }))
   }
 }

@@ -108,6 +108,23 @@ class KernelSpec extends SparkSpec {
     assert(kernel.count() == agg.count() && kernel.count() > 0)
   }
 
+  test("minhash_sig/simhash_sig match the agg formulations on null shingles too") {
+    import spark.implicits._
+    // a null element folds as xxhash64(null) = the untouched seed (42) in
+    // the agg formulations — the kernels must vote/fold identically
+    val sh = Seq(
+      (1L, Seq[String]("a b c", null, "d e f")),
+      (2L, Seq[String](null, null))).toDF("doc_id", "sh")
+    val mh = sh.select(col("doc_id"), Kernels.minhash_sig(col("sh"), 64).as("sig"))
+      .as("k").join(ext.DedupQueries.minhashSigsAgg(sh).as("a"), "doc_id")
+      .filter(!(col("k.sig") <=> col("a.sig")))
+    assert(mh.count() == 0)
+    val si = sh.select(col("doc_id"), Kernels.simhash_sig(col("sh")).as("sim"))
+      .as("k").join(ext.DedupQueries.simhashAgg(sh).as("a"), "doc_id")
+      .filter(!(col("k.sim") <=> col("a.sim")))
+    assert(si.count() == 0)
+  }
+
   test("simhash_sig equals the 64-vote-column agg formulation on fixture docs") {
     val sh = ext.DedupQueries.shinglesFor(spark, sf)
     val kernel = sh.select(col("doc_id"), Kernels.simhash_sig(col("sh")).as("sim"))
