@@ -19,6 +19,36 @@ object DecontamQueries {
     */
   private def bucket = PipelineQueries.splitBucket
 
+  /** The LAZY x7c train×eval fuzzy-contamination plan plus its persisted
+    * shingle frame (caller unpersists after materializing) — exposed
+    * package-private so PlanSpec can audit the un-checkpointed plan shape
+    * (broadcast band join, no cartesian), same pattern as
+    * [[DedupQueries.minhashPairsPlan]]. sigsOf passes bucket through (the
+    * signature kernel is per-row ⇒ a pure select), so the broadcast band
+    * join is the plan's first exchange after the persisted shingling.
+    */
+  private[graft] def fuzzyPairsPlan(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val sh = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("bucket", bucket)
+      .select(col("doc_id"), col("bucket"),
+        DedupQueries.shingleSet(split(col("text"), " ")).as("sh"))
+      .persist()
+    val sigs = DedupQueries.sigsOf(sh)
+    val trainB = DedupQueries.lshBuckets(sigs.filter(col("bucket") < 80))
+    val evalB = DedupQueries.lshBuckets(sigs.filter(col("bucket") >= 90))
+    val cand = trainB.as("t")
+      .join(broadcast(evalB.as("e")), Seq("band", "key"))
+      .groupBy(col("t.doc_id").as("a"), col("e.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_bands"))
+      .filter(col("n_bands") >= 2)
+      .select("a", "b")
+    val pairs = DedupQueries.verifyPairs(cand, sh.select("doc_id", "sh"), 0.8)
+      .select(col("a").as("train_doc"), col("b").as("eval_doc"), col("j"))
+    (pairs, sh)
+  }
+
   def defs: Seq[Q] = Seq(
     // X7: benchmark decontamination — flag train docs sharing any 8-token
     // gram with the eval split (the GPT-3/Llama n-gram-collision scrub).
@@ -121,27 +151,8 @@ object DecontamQueries {
     // per-row minhash_sig kernel (no signature shuffle at all).
     Q("x7c_decontam_fuzzy",
       (s, d) => {
-        val sh = Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
-          .withColumn("bucket", bucket)
-          .select(col("doc_id"), col("bucket"),
-            DedupQueries.shingleSet(split(col("text"), " ")).as("sh"))
-          .persist()
-        // sigsOf passes bucket through (per-row kernel ⇒ pure select) — no
-        // re-join; the broadcast band join below is the plan's first and
-        // only exchange after the persisted shingling
-        val sigs = DedupQueries.sigsOf(sh)
-        val trainB = DedupQueries.lshBuckets(sigs.filter(col("bucket") < 80))
-        val evalB = DedupQueries.lshBuckets(sigs.filter(col("bucket") >= 90))
-        val cand = trainB.as("t")
-          .join(broadcast(evalB.as("e")), Seq("band", "key"))
-          .groupBy(col("t.doc_id").as("a"), col("e.doc_id").as("b"))
-          .agg(count(lit(1)).as("n_bands"))
-          .filter(col("n_bands") >= 2)
-          .select("a", "b")
-        val res = DedupQueries.verifyPairs(cand, sh.select("doc_id", "sh"), 0.8)
-          .select(col("a").as("train_doc"), col("b").as("eval_doc"), col("j"))
-          .localCheckpoint()
+        val (pairs, sh) = fuzzyPairsPlan(s, d)
+        val res = pairs.localCheckpoint() // tiny; release the cache below
         sh.unpersist()
         res
       },

@@ -182,6 +182,14 @@ class PlanSpec extends SparkSpec {
     val (x2, sh2) = ext.DedupQueries.minhashPairsPlan(spark, sf)
     try assert(!physical(x2).contains("CartesianProduct"), physical(x2))
     finally sh2.unpersist()
+    // x7c also checkpoints eagerly — audit its lazy plan: broadcast band
+    // join, no cartesian
+    val (x7c, sh7c) = ext.DecontamQueries.fuzzyPairsPlan(spark, sf)
+    try {
+      val p = physical(x7c)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(p.contains("BroadcastHashJoin"), p)
+    } finally sh7c.unpersist()
     val (x2b, sh2b) = ext.DedupQueries.simhashEqualityPlan(spark, sf)
     // the 1-row agg-result crossJoin at the root is declared; the LSH/brute
     // PAIR joins below it must not be cartesian
