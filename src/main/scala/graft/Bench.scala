@@ -79,7 +79,7 @@ object Bench {
     // TAIL of stdout, so the final line must stay well under truncation
     // size (r01's ~4 KB full-map line arrived unparseable).
     val headlineNames = Seq("q20_agg_hash", "q29_win_rank", "x1_dedup_exact",
-      "x2_dedup_minhash", "x2d_dedup_components", "x3c_knn_ivf")
+      "x2_dedup_minhash", "x2d_dedup_components", "x3c_knn_ivf", "x3f_pq_adc")
     // The headline set reports the MEDIAN of three observations (the
     // min-of-2 sweep value plus two fresh runs) so one interfered run
     // can't masquerade as a regression in the driver-facing line.

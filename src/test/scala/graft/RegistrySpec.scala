@@ -23,6 +23,14 @@ class RegistrySpec extends SparkSpec {
     assert(missing.isEmpty, s"uncovered SURVEY rows: $missing")
   }
 
+  test("every extension family X1–X8 is covered") {
+    val covered = Registry.all.map(_.name)
+      .flatMap(n => "^x(\\d+)".r.findFirstMatchIn(n).map(_.group(1).toInt))
+      .toSet
+    val missing = (1 to 8).filterNot(covered)
+    assert(missing.isEmpty, s"uncovered extension families: $missing")
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
