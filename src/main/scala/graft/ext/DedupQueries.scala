@@ -470,14 +470,25 @@ object DedupQueries {
     Q("x2c_dedup_ngram",
       (s, d) => {
         val n = 12
+        // Grams are SORTED once per doc so the per-pair intersection is the
+        // merge-scan kernel (one O(|A|+|B|) pass) instead of array_intersect
+        // (two hash-set builds per pair). The stream side is repartitioned to
+        // every core: the fixture arrives as ONE file split, and a broadcast
+        // nested-loop join inherits the stream side's partitioning — without
+        // the fan-out the whole quadratic verification runs in a single task.
         val docs = Tables.documents(s, d).select(col("doc_id"),
-          array_distinct(transform(sequence(lit(1), greatest(length(col("text")) - (n - 1), lit(1))),
-            i => col("text").substr(i, lit(n)))).as("g"))
+          array_sort(array_distinct(transform(
+            sequence(lit(1), greatest(length(col("text")) - (n - 1), lit(1))),
+            i => col("text").substr(i, lit(n))))).as("g"))
         val la = docs.select(col("doc_id").as("a"), col("g").as("ga"), size(col("g")).as("na"))
+          .repartition(s.sparkContext.defaultParallelism)
         val lb = docs.select(col("doc_id").as("b"), col("g").as("gb"), size(col("g")).as("nb"))
-        la.join(lb, col("a") < col("b") &&
+        la.join(broadcast(lb), col("a") < col("b") &&
             col("na") * 10 >= col("nb") * 8 && col("nb") * 10 >= col("na") * 8)
-          .select(col("a"), col("b"), jaccard(col("ga"), col("gb")).as("j"))
+          .withColumn("inter",
+            graft.functions.Kernels.sorted_intersect_size(col("ga"), col("gb")))
+          .select(col("a"), col("b"), (col("inter").cast(DoubleType) /
+            (col("na") + col("nb") - col("inter")).cast(DoubleType)).as("j"))
           .filter(col("j") >= 0.8)
       },
       Some("""WITH g AS (SELECT doc_id, list_distinct(list_transform(
@@ -489,6 +500,68 @@ object DedupQueries {
         FROM g x JOIN g y ON x.doc_id < y.doc_id
           AND len(x.g) * 10 >= len(y.g) * 8 AND len(y.g) * 10 >= len(x.g) * 8
         WHERE len(list_intersect(x.g, y.g))::DOUBLE /
-            (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) >= 0.8""".stripMargin))
+            (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) >= 0.8""".stripMargin)),
+
+    // X2g: repeated-span detection — the exact-substring-dedup shape
+    // (Lee et al., "Deduplicating Training Data Makes Language Models
+    // Better"): hash every 8-token sliding window, find windows occurring
+    // in MORE THAN ONE document, report per-doc how much of it is
+    // cross-corpus duplicated text. The full suffix-array construction is
+    // replaced by the distributed-native formulation: window-hash explode →
+    // groupBy(hash) — one shuffle keyed on content hashes (uniform by
+    // construction, no skew), partial-agg combines map-side, and the
+    // per-doc rollup joins back on the same key. Docs shorter than the
+    // window survive via the left join (0 windows, not dropped).
+    Q("x2g_span_dedup",
+      (s, d) => {
+        // Window hashing is the per-row `window_md5` kernel (one native
+        // pass; the HOF formulation re-tokenized the doc per window — see
+        // the kernel scaladoc) over a fanned-out scan. The exploded
+        // (doc_id, h) frame is persisted because it feeds two consumers
+        // (global counts + the per-doc rollup join) and would otherwise be
+        // recomputed per consumer. The groupBy(h) keeps map-side partial
+        // aggregation, which is the skew-robust shape when a boilerplate
+        // window explodes to millions of copies at corpus scale (a
+        // window-function count over h would funnel every copy of a hot
+        // hash through one task).
+        val docHash = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+            explode_outer(
+              graft.functions.Kernels.window_md5(split(col("text"), " "), 8))
+              .as("h"))
+          .persist()
+        val byHash = docHash.filter(col("h").isNotNull)
+          .groupBy("h").agg(count(lit(1)).as("docs_with"))
+        // explode_OUTER keeps sub-window docs as a null-h row, so one
+        // left join + count(h) covers them (0 windows) with no second
+        // scan branch or per-doc re-join
+        val res = docHash.join(byHash, Seq("h"), "left_outer")
+          .groupBy("doc_id")
+          .agg(count(col("h")).as("n_windows"),
+            sum(when(col("docs_with") > 1, 1L).otherwise(0L)).as("n_shared"))
+          .select(col("doc_id"), col("n_windows"),
+            coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+            (coalesce(col("n_shared"), lit(0L)) > 0).as("has_dup_span"))
+          .localCheckpoint() // one row per doc; eager so the cache can go
+        docHash.unpersist()
+        res
+      },
+      Some("""WITH docs AS (SELECT doc_id,
+          CASE WHEN len(string_split(text, ' ')) >= 8
+            THEN list_distinct(list_transform(
+              generate_series(1, len(string_split(text, ' ')) - 7),
+              i -> md5(array_to_string(list_slice(string_split(text, ' '), i, i + 7), ' '))))
+            ELSE [] END AS hs FROM documents),
+        dh AS (SELECT doc_id, unnest(hs) AS h FROM docs),
+        byhash AS (SELECT h, count(*) AS docs_with FROM dh GROUP BY h),
+        perdoc AS (SELECT doc_id, count(*) AS n_windows,
+            SUM(CASE WHEN docs_with > 1 THEN 1 ELSE 0 END) AS n_shared
+          FROM dh JOIN byhash USING (h) GROUP BY doc_id)
+        SELECT d.doc_id,
+          CAST(coalesce(p.n_windows, 0) AS BIGINT) AS n_windows,
+          CAST(coalesce(p.n_shared, 0) AS BIGINT) AS n_shared,
+          coalesce(p.n_shared, 0) > 0 AS has_dup_span
+        FROM docs d LEFT JOIN perdoc p ON d.doc_id = p.doc_id""".stripMargin))
   )
 }

@@ -97,6 +97,59 @@ object PipelineQueries {
         CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
         CAST(SUM(CASE WHEN (doc_id * 2654435761) % 100 < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_at_50pct
         FROM (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok FROM documents)
-        GROUP BY source""".stripMargin))
+        GROUP BY source""".stripMargin)),
+
+    // X6d: deterministic stratified Bernoulli sampling — the reproducible
+    // alternative to `rand() < p`: keep a doc iff the hex prefix of
+    // md5(doc_id) falls under a per-stratum threshold. Re-running a failed
+    // partition (or the whole job) selects the IDENTICAL sample, and the
+    // rate is exact-in-expectation per stratum with no coordination.
+    // At 100 TB this is a pure map-side filter — no shuffle, no state,
+    // and the md5 is codegen'd per row; thresholds '4000'/'2000' out of
+    // 0x10000 give 25% / 12.5% strata.
+    Q("x6d_hash_sample",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("h", substring(md5(col("doc_id").cast(StringType)), 1, 4))
+        .withColumn("threshold",
+          when(substring(col("source"), 4, 10).cast(IntegerType) % 2 === 0,
+            "4000").otherwise("2000"))
+        .filter(col("h") < col("threshold"))
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars")),
+      Some("""SELECT doc_id, source, lang, n_chars FROM (
+          SELECT *, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h,
+            CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+              THEN '4000' ELSE '2000' END AS threshold
+          FROM documents)
+        WHERE h < threshold""".stripMargin)),
+
+    // X6e: RAG-style chunking — explode each document into overlapping
+    // token windows (32 tokens, stride 24), carrying offsets so a chunk
+    // maps back to its span. Pure flatMap (explode), zero shuffle; chunk
+    // identity is the md5 of the joined tokens so downstream chunk-level
+    // dedup/embedding joins have a stable key.
+    Q("x6e_chunk",
+      (s, d) => {
+        val w = split(col("text"), " ")
+        Tables.documents(s, d)
+          .select(col("doc_id"), w.as("w"))
+          .select(col("doc_id"), col("w"),
+            explode(sequence(lit(1), size(col("w")), lit(24))).as("start_tok"))
+          .select(
+            col("doc_id"),
+            ((col("start_tok") - 1) / 24 + 1).cast(LongType).as("chunk_idx"),
+            col("start_tok").cast(LongType),
+            least(lit(32), size(col("w")) - col("start_tok") + 1)
+              .cast(LongType).as("n_tok"),
+            md5(concat_ws(" ", slice(col("w"), col("start_tok"), lit(32))))
+              .as("chunk_md5"))
+      },
+      Some("""SELECT doc_id,
+          CAST((start_tok - 1) / 24 + 1 AS BIGINT) AS chunk_idx,
+          CAST(start_tok AS BIGINT) AS start_tok,
+          CAST(least(32, len(w) - start_tok + 1) AS BIGINT) AS n_tok,
+          md5(array_to_string(list_slice(w, start_tok, start_tok + 31), ' ')) AS chunk_md5
+        FROM (SELECT doc_id, string_split(text, ' ') AS w,
+                unnest(generate_series(1, len(string_split(text, ' ')), 24)) AS start_tok
+              FROM documents)""".stripMargin))
   )
 }

@@ -106,12 +106,15 @@ object TextQueries {
     Q("x4d_fingerprint",
       (s, d) => {
         val w = tokens
+        // 3-token shingle digests via the native window_md5 kernel (the
+        // HOF transform re-tokenized the doc per shingle — kernel scaladoc);
+        // min/max are insensitive to its distinct-ness. Short docs keep the
+        // whole-text fallback digest.
         val sh = when(size(w) >= 3,
-          transform(sequence(lit(1), size(w) - 2),
-            i => md5(concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
+          graft.functions.Kernels.window_md5(w, 3))
           .otherwise(array(md5(col("text"))))
         // explode + agg rather than array_min/array_max over `sh`:
-        // CollapseProject would inline the shingle transform once per
+        // CollapseProject would inline the shingle expression once per
         // consumer, recomputing every md5 twice. Repartition fans the
         // single-file fixture scan out to all cores for the md5 kernel.
         Tables.documents(s, d)
@@ -157,6 +160,74 @@ object TextQueries {
           FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n)
         SELECT lang, CAST(rn AS INTEGER) AS rn, tok, tf, df, tfidf_rat FROM
           (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY tfidf_rat DESC, tok) AS rn FROM scored)
-        WHERE rn <= 3""".stripMargin))
+        WHERE rn <= 3""".stripMargin)),
+
+    // X4f: BM25 retrieval — score every document against a fixed query-term
+    // set and return the top-10. Uses the RATIONAL idf (N-df+0.5)/(df+0.5)
+    // (the log-free Robertson-Sparck-Jones core) so, like x4e, every scalar
+    // is a fixed-order IEEE-double expression both engines evaluate
+    // identically — no transcendental whose last ulp could differ.
+    //
+    // Scale posture: term frequencies come from `filter()` over the token
+    // array (pure per-row map, no explode/shuffle); corpus stats (N, avgdl,
+    // per-term df) are ONE tiny global aggregate broadcast back via
+    // crossJoin; top-10 is TakeOrderedAndProject (per-partition heaps, no
+    // global sort). The whole query is one scan + one 1-row exchange.
+    Q("x4f_bm25", bm25Fn, Some(bm25Sql))
   )
+
+  private val bm25Terms = Seq("spark", "merge", "vector", "customer")
+
+  /** One term's BM25 contribution, k1=1.2 b=0.75 — parenthesization is
+    * mirrored character-for-character in [[bm25Sql]]; change in lockstep.
+    */
+  private def bm25Contrib(tf: Column, df: Column, n: Column, dl: Column,
+      avgdl: Column): Column =
+    (((n - df).cast(DoubleType) + lit(0.5)) / (df.cast(DoubleType) + lit(0.5))) *
+      ((tf.cast(DoubleType) * lit(2.2)) /
+        (tf.cast(DoubleType) +
+          (lit(1.2) * (lit(0.25) + (lit(0.75) * (dl.cast(DoubleType) / avgdl))))))
+
+  private def bm25Fn: (SparkSession, String) => DataFrame = (s, d) => {
+    val w = split(col("text"), " ")
+    val base = Tables.documents(s, d).select(
+      col("doc_id") +: size(w).as("dl") +:
+        bm25Terms.zipWithIndex.map { case (t, i) =>
+          size(filter(w, x => x === lit(t))).as(s"tf$i") }: _*)
+    val stats = base.agg(
+      count(lit(1)).as("n"),
+      sum(col("dl")).as("sumdl") +:
+        bm25Terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+      .withColumn("avgdl",
+        col("sumdl").cast(DoubleType) / col("n").cast(DoubleType))
+    val score = bm25Terms.indices.map(i =>
+      bm25Contrib(col(s"tf$i"), col(s"df$i"), col("n"), col("dl"),
+        col("avgdl"))).reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  private def bm25Sql: String = {
+    val tfs = bm25Terms.zipWithIndex
+      .map { case (t, i) => s"len(list_filter(w, x -> x = '$t')) AS tf$i" }
+      .mkString(", ")
+    val dfs = bm25Terms.indices
+      .map(i => s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(", ")
+    val contribs = bm25Terms.indices.map(i =>
+      s"(((CAST(n - df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5)) * " +
+        s"((CAST(tf$i AS DOUBLE) * 2.2) / (CAST(tf$i AS DOUBLE) + " +
+        s"(1.2 * (0.25 + (0.75 * (CAST(dl AS DOUBLE) / avgdl)))))))")
+      .mkString(" + ")
+    s"""WITH base AS (SELECT doc_id, len(w) AS dl, $tfs
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      stats AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl, $dfs,
+        CAST(SUM(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM base)
+      SELECT doc_id, $contribs AS score
+      FROM base CROSS JOIN stats
+      ORDER BY score DESC, doc_id LIMIT 10"""
+  }
 }

@@ -142,6 +142,85 @@ object VecKernel {
     }
     new GenericArrayData(sig)
   }
+
+  /** Distinct md5 hex digests of every n-token sliding window, replicating
+    * `array_distinct(transform(sequence(1, size(w)-n+1), i =>
+    * md5(concat_ws(" ", slice(w, i, n)))))` bit-for-bit — including
+    * concat_ws's null-element skipping — in ONE pass over the token bytes.
+    * The HOF formulation is interpreted per element and, worse, any
+    * projection alias for the token array collapses INTO the lambda body,
+    * so each window re-tokenizes the document; per-doc cost goes quadratic
+    * in practice. Short inputs (< n tokens) yield an empty array.
+    */
+  def windowMd5(w: ArrayData, n: Int): ArrayData = {
+    val cnt = w.numElements()
+    if (cnt < n) return new GenericArrayData(new Array[Any](0))
+    // token bytes materialized once; null tokens are SKIPPED by concat_ws
+    // (no separator either), so pre-filter exactly like the join would
+    val toks = new Array[Array[Byte]](cnt)
+    var i = 0
+    while (i < cnt) {
+      toks(i) = if (w.isNullAt(i)) null else w.getUTF8String(i).getBytes
+      i += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]
+    val hex = "0123456789abcdef".getBytes
+    i = 0
+    while (i <= cnt - n) {
+      md.reset()
+      var first = true
+      var j = i
+      while (j < i + n) {
+        if (toks(j) != null) {
+          if (!first) md.update(' '.toByte)
+          md.update(toks(j))
+          first = false
+        }
+        j += 1
+      }
+      val dig = md.digest()
+      val out = new Array[Byte](32)
+      var k = 0
+      while (k < 16) {
+        out(2 * k) = hex((dig(k) >> 4) & 0xf)
+        out(2 * k + 1) = hex(dig(k) & 0xf)
+        k += 1
+      }
+      seen.add(org.apache.spark.unsafe.types.UTF8String.fromBytes(out))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  /** |a ∩ b| of two SORTED-ascending distinct string arrays via a merge
+    * scan — O(|a|+|b|) direct byte compares, no per-call hash-set build
+    * (which is what `size(array_intersect(a, b))` pays twice per pair in
+    * the all-pairs verification joins). Nulls follow `array_sort` order
+    * (last) and match each other once, exactly as `array_intersect` counts
+    * a null∩null element.
+    */
+  def sortedIntersectSize(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val an = a.isNullAt(i)
+      val bn = b.isNullAt(j)
+      if (an && bn) { c += 1; i += 1; j += 1 }
+      else if (an) j += 1 // nulls sort last: b(j) < every remaining a
+      else if (bn) i += 1
+      else {
+        val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
+    }
+    c
+  }
 }
 
 /** `float_vec_quant(a)` — float array → fixed-point BIGINT array at 2^20
@@ -306,6 +385,71 @@ case class SimHashSig(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `window_md5(tokens, n)` — distinct md5 hex digests of every n-token
+  * sliding window, the span-dedup signature (x2g / the Lee-et-al
+  * exact-substring shape). One native pass per row; see
+  * [[VecKernel.windowMd5]] for why the HOF formulation it replaces was
+  * effectively quadratic per document.
+  */
+case class WindowMd5(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "window_md5"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n > 0 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING> input and n > 0, got " +
+        s"${child.dataType.simpleString}, n=$n")
+  }
+
+  override protected def nullSafeEval(w: Any): Any =
+    VecKernel.windowMd5(w.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, w => s"graft.functions.VecKernel.windowMd5($w, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `sorted_intersect_size(a, b)` — intersection cardinality of two
+  * sorted-ascending distinct string arrays (merge scan). The all-pairs
+  * similarity verifiers (x2c brute-force Jaccard and the LSH recall
+  * audits) evaluate set intersections once per CANDIDATE PAIR — a hash-set
+  * array_intersect there allocates and rehashes both arrays per pair,
+  * where the merge scan is a single pass of pointer compares over data
+  * each side sorted exactly once. Contract: inputs must be
+  * `array_sort(array_distinct(...))`-shaped or the count is undefined;
+  * equals `size(array_intersect(a, b))` on such inputs (KernelSpec).
+  */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "sorted_intersect_size"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<STRING> inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecKernel.sortedIntersectSize(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VecKernel.sortedIntersectSize($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object Kernels {
   /** Column API: fixed-point 2^20 quantization of an ARRAY<FLOAT> column. */
   def float_vec_quant(a: Column): Column =
@@ -326,4 +470,16 @@ object Kernels {
   /** Column API: 64-bit SimHash of an ARRAY<STRING> column. */
   def simhash_sig(shingles: Column): Column =
     Shim.column(SimHashSig(Shim.expression(shingles)))
+
+  /** Column API: merge-scan |a ∩ b| of two sorted distinct ARRAY<STRING>
+    * columns.
+    */
+  def sorted_intersect_size(a: Column, b: Column): Column =
+    Shim.column(SortedIntersectSize(Shim.expression(a), Shim.expression(b)))
+
+  /** Column API: distinct md5 hex digests of every n-token sliding window
+    * of an ARRAY<STRING> column.
+    */
+  def window_md5(tokens: Column, n: Int): Column =
+    Shim.column(WindowMd5(Shim.expression(tokens), n))
 }

@@ -185,5 +185,24 @@ object GraftExtensions {
                 s"minhash_sig(shingles, k): k must be an INT literal, got $other")
             })
         }))
+    ext.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("window_md5"),
+        new ExpressionInfo("graft.functions.WindowMd5", "window_md5"),
+        (exprs: Seq[Expression]) => {
+          arity("window_md5", 2, exprs)
+          graft.functions.WindowMd5(exprs.head,
+            exprs(1) match {
+              case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) => n
+              case other => throw new IllegalArgumentException(
+                s"window_md5(tokens, n): n must be an INT literal, got $other")
+            })
+        }))
+    ext.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_intersect_size"),
+        new ExpressionInfo("graft.functions.SortedIntersectSize", "sorted_intersect_size"),
+        (exprs: Seq[Expression]) => {
+          arity("sorted_intersect_size", 2, exprs)
+          graft.functions.SortedIntersectSize(exprs.head, exprs(1))
+        }))
   }
 }

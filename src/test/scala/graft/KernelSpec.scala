@@ -159,4 +159,56 @@ class KernelSpec extends SparkSpec {
     assert(sigLine.trim.startsWith("*("), s"minhash_sig outside codegen:\n$sigPlan")
     assert(sigDf.count() > 0)
   }
+
+  test("window_md5 equals the array_distinct(transform(md5(concat_ws(slice)))) formulation") {
+    val w = split(col("text"), " ")
+    val hof = when(size(w) >= 8,
+      array_distinct(transform(sequence(lit(1), size(w) - 7),
+        i => md5(concat_ws(" ", slice(w, i, lit(8)))))))
+      .otherwise(array().cast("array<string>"))
+    val mismatch = Tables.documents(spark, sf)
+      .select(Kernels.window_md5(split(col("text"), " "), 8).as("k"), hof.as("ref"))
+      .filter(!(col("k") <=> col("ref")))
+    assert(mismatch.count() == 0)
+    // short input, null tokens (concat_ws skips them), and n=1
+    val edge = spark.sql(
+      """SELECT window_md5(array('a','b'), 8) AS short,
+                window_md5(array('a', CAST(NULL AS STRING), 'b'), 3) AS withnull,
+                md5('a b') AS refnull,
+                window_md5(array('x','x'), 1) AS dedup
+      """).head()
+    assert(edge.getSeq[String](0).isEmpty)
+    assert(edge.getSeq[String](1) == Seq(edge.getString(2)))
+    assert(edge.getSeq[String](3).length == 1)
+  }
+
+  test("sorted_intersect_size equals size(array_intersect) on sorted distinct arrays") {
+    // fixture-derived pairs: char-12-gram sets of consecutive docs — the
+    // exact input shape x2c feeds the kernel
+    val grams = array_sort(array_distinct(transform(
+      sequence(lit(1), greatest(length(col("text")) - 11, lit(1))),
+      i => col("text").substr(i, lit(12)))))
+    val docs = Tables.documents(spark, sf).limit(40)
+      .select(col("doc_id"), grams.as("g"))
+    val pairs = docs.select(col("doc_id").as("a"), col("g").as("ga"))
+      .crossJoin(docs.select(col("doc_id").as("b"), col("g").as("gb")))
+      .filter(col("a") < col("b"))
+    val mismatch = pairs.select(
+        Kernels.sorted_intersect_size(col("ga"), col("gb")).as("k"),
+        size(array_intersect(col("ga"), col("gb"))).as("ref"))
+      .filter(col("k") =!= col("ref"))
+    assert(mismatch.count() == 0)
+    // edge cases incl nulls-last ordering and null∩null matching once
+    val edge = spark.sql(
+      """SELECT sorted_intersect_size(array('a','b','c'), array('b','c','d')) AS s1,
+                sorted_intersect_size(CAST(array() AS ARRAY<STRING>), array('x')) AS s2,
+                sorted_intersect_size(array('a', CAST(NULL AS STRING)),
+                                      array('a', CAST(NULL AS STRING))) AS s3,
+                size(array_intersect(array('a', CAST(NULL AS STRING)),
+                                     array('a', CAST(NULL AS STRING)))) AS ref3
+      """).head()
+    assert(edge.getInt(0) == 2)
+    assert(edge.getInt(1) == 0)
+    assert(edge.getInt(2) == edge.getInt(3))
+  }
 }
