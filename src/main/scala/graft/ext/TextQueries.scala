@@ -138,18 +138,28 @@ object TextQueries {
       (s, d) => {
         val docTok = Tables.documents(s, d)
           .select(col("doc_id"), col("lang"), explode(tokens).as("tok"))
+        // ONE shuffle builds the (lang, doc, tok) count cube; tf and df are
+        // tiny re-aggregations of it. The direct formulation evaluated the
+        // explode three times (tf, df-distinct, and the distinct's own
+        // shuffle) — at corpus scale that is three passes over every token.
+        // A doc has exactly one lang, so cube rows ARE the distinct
+        // (doc, tok) pairs and df = row count per tok.
+        val cube = docTok.groupBy(col("lang"), col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("c")).persist()
         val nDf = Tables.documents(s, d).agg(count(lit(1)).as("n"))
-        val df = docTok.select(col("doc_id"), col("tok")).distinct()
-          .groupBy(col("tok").as("d_tok")).agg(count(lit(1)).as("df"))
-        val tf = docTok.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("tf"))
+        val df = cube.groupBy(col("tok").as("d_tok")).agg(count(lit(1)).as("df"))
+        val tf = cube.groupBy(col("lang"), col("tok")).agg(sum(col("c")).as("tf"))
         val scored = tf.join(broadcast(df), col("tok") === col("d_tok"))
           .crossJoin(broadcast(nDf))
           .select(col("lang"), col("tok"), col("tf"), col("df"),
             (col("tf").cast(DoubleType) * col("n").cast(DoubleType) / col("df").cast(DoubleType))
               .as("tfidf_rat"))
         val w = Window.partitionBy(col("lang")).orderBy(col("tfidf_rat").desc, col("tok"))
-        scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        val res = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
           .select(col("lang"), col("rn"), col("tok"), col("tf"), col("df"), col("tfidf_rat"))
+          .localCheckpoint() // 3 rows per lang; eager so the cache can go
+        cube.unpersist()
+        res
       },
       Some("""WITH dt AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
         n AS (SELECT count(*) AS n FROM documents),

@@ -368,4 +368,37 @@ class PlanSpec extends SparkSpec {
       .select("sequence_num", "src_addr", "dst_addr")
     assert(native.exceptAll(viaUdf).isEmpty && viaUdf.exceptAll(native).isEmpty)
   }
+
+  test("hash sampling and chunking are map-only plans (x6d, x6e)") {
+    // deterministic sampling is a scan + filter and chunking a scan +
+    // generate: one stage, zero Exchange — the shapes that stay embarrassing-
+    // parallel at any corpus size
+    for (q <- Seq("x6d_hash_sample", "x6e_chunk")) {
+      val plan = physical(Registry.queries(q)(spark, sf))
+      assert(!plan.contains("Exchange"), s"$q shuffles:\n$plan")
+    }
+    // and the sample filter evaluates inside a codegen stage
+    val p = physical(Registry.queries("x6d_hash_sample")(spark, sf))
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("Filter")), p)
+  }
+
+  test("bm25 broadcasts the one-row stats side and plans top-k (x4f)") {
+    val plan = physical(Registry.queries("x4f_bm25")(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("window_md5 kernel stays inside whole-stage codegen (x2g shape)") {
+    val df = Tables.documents(spark, sf).select(
+        graft.functions.Kernels.window_md5(split(col("text"), " "), 8).as("hs"))
+      .select(explode(col("hs")).as("h"))
+    val plan = physical(df)
+    val line = plan.linesIterator
+      .find(l => l.contains("window_md5") && l.contains("Project")).getOrElse("")
+    // the evaluating Project carries the *(n) codegen marker (possibly
+    // behind tree-drawing prefixes) — the kernel did not fall back
+    assert(line.contains("*("), s"window_md5 outside codegen:\n$plan")
+  }
 }
