@@ -307,6 +307,24 @@ object CoreQueries {
         ON ts >= w_from AND ts < w_to
         GROUP BY w_name""".stripMargin)),
 
+    // Q18c: the SAME as-of semantics as q18, through the custom sort-merge
+    // operator (plans/AsOfJoin.scala: LogicalPlan + Strategy + SparkPlan
+    // via SparkSessionExtensions) under the IDENTICAL oracle. The
+    // compositional q18 materializes every qualifying (error, purchase)
+    // pair before row_number() keeps one — per-key quadratic at scale; the
+    // operator streams both sorted sides once (sort-merge-join cost shape).
+    Q("q18c_asof_native",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val err = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("user_id").as("u"), col("ts").as("err_ts"))
+        val pur = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pur_id"), col("user_id").as("pu"), col("ts").as("pur_ts"))
+        graft.plans.AsOf.join(err, pur, "u", "pu", "err_ts", "pur_ts", "pur_id")
+          .select(col("err_id"), col("pur_id").as("asof_purchase_id"))
+      },
+      Some("""SELECT err_id, asof_purchase_id FROM (SELECT e.event_id AS err_id, p.event_id AS asof_purchase_id, row_number() OVER (PARTITION BY e.event_id ORDER BY p.ts DESC, p.event_id DESC) AS rn FROM events e JOIN events p ON p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts <= e.ts WHERE e.event_type = 'error') WHERE rn = 1""")),
+
     // Q19: self-join — ordered order pairs per customer.
     Q("q19_join_self",
       (s, d) => {

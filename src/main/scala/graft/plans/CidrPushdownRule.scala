@@ -135,6 +135,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   val install: SparkSessionExtensions => Unit = { ext =>
     ext.injectOptimizerRule(_ => CidrPushdown)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("ip_in_cidr"),
         new ExpressionInfo("graft.functions.IpInCidr", "ip_in_cidr"),

@@ -1,16 +1,28 @@
 package org.apache.spark.sql.graftshim
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Column ⇄ Expression bridge. Spark 4 made this conversion `private[sql]`
-  * (`org.apache.spark.sql.classic.ExpressionUtils`); extension libraries
-  * that define native Catalyst expressions reach it from a subpackage of
-  * `org.apache.spark.sql` — the standard pattern used by Spark-ecosystem
-  * projects. Nothing else in this repo lives outside the `graft` namespace.
+/** Column ⇄ Expression and DataFrame ⇄ LogicalPlan bridges. Spark 4 made
+  * these conversions `private[sql]` (`org.apache.spark.sql.classic.*`);
+  * extension libraries that define native Catalyst expressions or logical
+  * operators reach them from a subpackage of `org.apache.spark.sql` — the
+  * standard pattern used by Spark-ecosystem projects. Nothing else in this
+  * repo lives outside the `graft` namespace.
   */
 object Shim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrap a (resolved or unresolved) logical plan as a DataFrame. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The analyzed logical plan backing a DataFrame (the plan its resolved
+    * column attributes reference).
+    */
+  def plan(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
 }
