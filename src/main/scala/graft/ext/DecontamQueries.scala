@@ -30,10 +30,15 @@ object DecontamQueries {
   private[graft] def fuzzyPairsPlan(s: org.apache.spark.sql.SparkSession,
       d: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val sh = Tables.documents(s, d)
+      // tokens materialized BEFORE the exchange, shingles after — the
+      // docShingles CollapseProject barrier (see there): adjacent projects
+      // would inline the split into the shingle lambda, re-tokenizing the
+      // doc per shingle
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
       .repartition(s.sparkContext.defaultParallelism)
       .withColumn("bucket", bucket)
       .select(col("doc_id"), col("bucket"),
-        DedupQueries.shingleSet(split(col("text"), " ")).as("sh"))
+        DedupQueries.shingleSet(col("w")).as("sh"))
       .persist()
     val sigs = DedupQueries.sigsOf(sh)
     val trainB = DedupQueries.lshBuckets(sigs.filter(col("bucket") < 80))
@@ -68,12 +73,18 @@ object DecontamQueries {
           .withColumn("bucket", bucket)
           .withColumn("w", split(col("text"), " "))
           .where(size(col("w")) >= 8) // sequence(1, size-7) needs size >= 8
+        // gram identity = window_md5 digest (one native pass per row; the
+        // HOF transform re-tokenized the doc per gram — kernel scaladoc).
+        // Only per-doc COUNTS leave this query, so digest keys match the
+        // oracle's raw-string counts exactly (distinct strings ⇒ distinct
+        // md5s on any real corpus), and the 32-hex key also narrows the
+        // broadcast the way the production xxhash64 variant would. The
+        // kernel dedups per doc, so (doc_id, gram) needs no distinct
+        // shuffle on the train side.
         val grams = docs.select(col("doc_id"), col("bucket"),
-          explode(expr(
-            "transform(sequence(1, size(w) - 7), i -> concat_ws(' ', slice(w, i, 8)))"))
-            .as("gram"))
+          explode(graft.functions.Kernels.window_md5(col("w"), 8)).as("gram"))
         val train = grams.where(col("bucket") < 80)
-          .select("doc_id", "gram").distinct()
+          .select("doc_id", "gram")
         val evalGrams = grams.where(col("bucket") >= 90)
           .select("gram").distinct().withColumn("hit", lit(1))
         train.join(broadcast(evalGrams), Seq("gram"), "left")
@@ -108,10 +119,14 @@ object DecontamQueries {
           .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
         val wAgg = wc.groupBy("doc_id")
           .agg(sum("c").as("n_words"), max("c").as("top_word_n"))
+        // bigram identity = non-dedup window_md5 digests (multiplicity kept
+        // for the frequency counts; only counts leave the query, so digest
+        // keys group exactly like the raw bigram strings — and the kernel
+        // avoids the HOF lambda's per-bigram re-tokenization)
         val bc = docs.where(size(col("w")) >= 2)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, size(w) - 1), i -> concat_ws(' ', slice(w, i, 2)))"))
-            .as("bg"))
+          .select(col("doc_id"),
+            explode(graft.functions.Kernels.window_md5(col("w"), 2, dedup = false))
+              .as("bg"))
           .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
         val bAgg = bc.groupBy("doc_id")
           .agg(sum("c").as("n_bigrams"), max("c").as("top_bigram_n"))

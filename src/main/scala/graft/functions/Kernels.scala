@@ -143,16 +143,18 @@ object VecKernel {
     new GenericArrayData(sig)
   }
 
-  /** Distinct md5 hex digests of every n-token sliding window, replicating
-    * `array_distinct(transform(sequence(1, size(w)-n+1), i =>
-    * md5(concat_ws(" ", slice(w, i, n)))))` bit-for-bit — including
-    * concat_ws's null-element skipping — in ONE pass over the token bytes.
-    * The HOF formulation is interpreted per element and, worse, any
-    * projection alias for the token array collapses INTO the lambda body,
-    * so each window re-tokenizes the document; per-doc cost goes quadratic
-    * in practice. Short inputs (< n tokens) yield an empty array.
+  /** Md5 hex digests of every n-token sliding window, replicating
+    * `transform(sequence(1, size(w)-n+1), i =>
+    * md5(concat_ws(" ", slice(w, i, n))))` bit-for-bit — including
+    * concat_ws's null-element skipping — in ONE pass over the token bytes;
+    * with `dedup` the result is `array_distinct` of that (first-occurrence
+    * order). The HOF formulation is interpreted per element and, worse,
+    * any projection alias for the token array collapses INTO the lambda
+    * body, so each window re-tokenizes the document; per-doc cost goes
+    * quadratic in practice. Short inputs (< n tokens) yield an empty
+    * array.
     */
-  def windowMd5(w: ArrayData, n: Int): ArrayData = {
+  def windowMd5(w: ArrayData, n: Int, dedup: Boolean): ArrayData = {
     val cnt = w.numElements()
     if (cnt < n) return new GenericArrayData(new Array[Any](0))
     // token bytes materialized once; null tokens are SKIPPED by concat_ws
@@ -165,6 +167,7 @@ object VecKernel {
     }
     val md = java.security.MessageDigest.getInstance("MD5")
     val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]
+    val all = new scala.collection.mutable.ArrayBuffer[org.apache.spark.unsafe.types.UTF8String]
     val hex = "0123456789abcdef".getBytes
     i = 0
     while (i <= cnt - n) {
@@ -187,10 +190,12 @@ object VecKernel {
         out(2 * k + 1) = hex(dig(k) & 0xf)
         k += 1
       }
-      seen.add(org.apache.spark.unsafe.types.UTF8String.fromBytes(out))
+      val digest = org.apache.spark.unsafe.types.UTF8String.fromBytes(out)
+      if (dedup) seen.add(digest) else all += digest
       i += 1
     }
-    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+    if (dedup) new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+    else new GenericArrayData(all.toArray[AnyRef].asInstanceOf[Array[Any]])
   }
 
   /** |a ∩ b| of two SORTED-ascending distinct string arrays via a merge
@@ -391,7 +396,8 @@ case class SimHashSig(child: Expression) extends UnaryExpression {
   * [[VecKernel.windowMd5]] for why the HOF formulation it replaces was
   * effectively quadratic per document.
   */
-case class WindowMd5(child: Expression, n: Int) extends UnaryExpression {
+case class WindowMd5(child: Expression, n: Int, dedup: Boolean = true)
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "window_md5"
 
@@ -403,10 +409,11 @@ case class WindowMd5(child: Expression, n: Int) extends UnaryExpression {
   }
 
   override protected def nullSafeEval(w: Any): Any =
-    VecKernel.windowMd5(w.asInstanceOf[ArrayData], n)
+    VecKernel.windowMd5(w.asInstanceOf[ArrayData], n, dedup)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, w => s"graft.functions.VecKernel.windowMd5($w, $n)")
+    defineCodeGen(ctx, ev,
+      w => s"graft.functions.VecKernel.windowMd5($w, $n, $dedup)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -477,9 +484,10 @@ object Kernels {
   def sorted_intersect_size(a: Column, b: Column): Column =
     Shim.column(SortedIntersectSize(Shim.expression(a), Shim.expression(b)))
 
-  /** Column API: distinct md5 hex digests of every n-token sliding window
-    * of an ARRAY<STRING> column.
+  /** Column API: md5 hex digests of every n-token sliding window of an
+    * ARRAY<STRING> column (distinct by default; `dedup = false` keeps
+    * per-window multiplicity for frequency counting).
     */
-  def window_md5(tokens: Column, n: Int): Column =
-    Shim.column(WindowMd5(Shim.expression(tokens), n))
+  def window_md5(tokens: Column, n: Int, dedup: Boolean = true): Column =
+    Shim.column(WindowMd5(Shim.expression(tokens), n, dedup))
 }

@@ -108,4 +108,41 @@ class KernelPropertySpec extends AnyFunSuite {
         got.sameElements(ref)
     })
   }
+
+  // tiny-alphabet tokens so windows collide often (dedup paths exercised)
+  private val tokGen = Gen.oneOf("a", "b", "ab", "", "x y")
+  private val toksGen: Gen[List[String]] =
+    Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n, tokGen))
+
+  private def utf8(xs: List[String]) =
+    new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+
+  test("property: windowMd5 equals the join+md5 reference, both modes") {
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map(b => f"$b%02x").mkString
+    }
+    check(Prop.forAll(toksGen, Gen.chooseNum(1, 9)) { (toks: List[String], n: Int) =>
+      val refAll =
+        if (toks.length < n) Nil
+        else (0 to toks.length - n).map(i => md5hex(toks.slice(i, i + n).mkString(" ")))
+      val all = VecKernel.windowMd5(utf8(toks), n, dedup = false)
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType).map(_.toString)
+      val ded = VecKernel.windowMd5(utf8(toks), n, dedup = true)
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType).map(_.toString)
+      all.sameElements(refAll) && ded.sameElements(refAll.distinct)
+    })
+  }
+
+  test("property: sortedIntersectSize equals the set-intersection size") {
+    val setGen = Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumStr.map(_.take(4))))
+    check(Prop.forAll(setGen, setGen) { (a: List[String], b: List[String]) =>
+      val sa = a.distinct.sorted
+      val sb = b.distinct.sorted
+      val got = VecKernel.sortedIntersectSize(utf8(sa), utf8(sb))
+      got == sa.toSet.intersect(sb.toSet).size
+    })
+  }
 }
