@@ -30,12 +30,11 @@ object DecontamQueries {
   private[graft] def fuzzyPairsPlan(s: org.apache.spark.sql.SparkSession,
       d: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val sh = Tables.documents(s, d)
-      // tokens materialized BEFORE the exchange, shingles after — the
-      // docShingles CollapseProject barrier (see there): adjacent projects
-      // would inline the split into the shingle lambda, re-tokenizing the
-      // doc per shingle
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
       .repartition(s.sparkContext.defaultParallelism)
+      // tokens aliased in their own projection so the shingle lambda
+      // references an attribute, not an embedded re-evaluated split —
+      // see the docShingles comment
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
       .withColumn("bucket", bucket)
       .select(col("doc_id"), col("bucket"),
         DedupQueries.shingleSet(col("w")).as("sh"))

@@ -41,15 +41,16 @@ object DedupQueries {
     */
   private[ext] def docShingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      // tokens are MATERIALIZED before the repartition so the shingle
-      // lambda below references a shuffled attribute: with the projections
-      // adjacent, CollapseProject inlines the split into the lambda body
-      // and every shingle re-tokenizes the whole document (the window_md5
-      // scaladoc pathology — here the shingles must stay raw strings for
-      // the MinHash kernel, so the fix is the exchange barrier, not the
-      // digest kernel)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
       .repartition(s.sparkContext.defaultParallelism)
+      // tokens are ALIASED in their own projection so the shingle lambda
+      // references an attribute: passing the raw `split(...)` expression
+      // into shingleSet embeds it at every reference site INCLUDING the
+      // lambda body, and every shingle then re-tokenizes the whole
+      // document (the window_md5 scaladoc pathology — here shingles must
+      // stay raw strings for the MinHash kernel, so the fix is the alias).
+      // CollapseProject keeps the split projection: the alias is non-cheap
+      // and referenced more than once (pinned in PlanSpec).
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), shingleSet(col("w")).as("sh"))
 
   /** Eager lineage truncation for iterative plans: a RELIABLE checkpoint

@@ -390,6 +390,19 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("shingle tokenization evaluates once per row, never inside the lambda") {
+    // the split must survive as its OWN projection (CollapseProject's
+    // non-cheap multi-reference guard): if it collapses into the shingle
+    // lambda body, every shingle re-tokenizes the whole document
+    val plan = ext.DedupQueries.shinglesFor(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    val splits = "split\\(text".r.findAllIn(plan).length
+    assert(splits == 1, s"split evaluated $splits times:\n$plan")
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("lambdafunction") && l.contains("split(text")),
+      s"split inlined into lambda:\n$plan")
+  }
+
   test("window_md5 kernel stays inside whole-stage codegen (x2g shape)") {
     val df = Tables.documents(spark, sf).select(
         graft.functions.Kernels.window_md5(split(col("text"), " "), 8).as("hs"))
