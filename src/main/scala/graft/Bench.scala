@@ -115,10 +115,17 @@ object Bench {
     val ingest = s"""{"rows":$ingestRows,"sec":$ingestSec,"rows_per_sec":${ingestRows / ingestSec}}"""
 
     // Live-UDP ingest throughput — the reference's actual workload
-    // (`main.go:221-268`): v5 datagrams blasted over loopback for ~2 s,
-    // decoded and normalized through the real listener. UDP at full blast
-    // DROPS (kernel + bounded buffer, at-most-once like the reference);
+    // (`main.go:221-268`): v5 datagrams blasted over loopback, decoded and
+    // normalized through the real listener. UDP at full blast DROPS
+    // (kernel + bounded buffer, at-most-once like the reference);
     // received-rows/s plus the loss fraction is the honest pair.
+    //
+    // Variance protection (same reasoning as the query sweeps): a FIXED
+    // packet budget — not a wall-clock window, whose row count scales with
+    // whatever else the box is doing — measured twice on one running
+    // stream, best sweep reported; send time (sender-limited) and drain
+    // time (decode-limited) are reported separately so the two phases
+    // can't masquerade as each other across rounds.
     val udpIngest = {
       val listener = new streaming.FlowPipeline.MetricsListener
       spark.streams.addListener(listener)
@@ -140,30 +147,42 @@ object Bench {
           if (port == 0) Thread.sleep(10)
         }
         require(port > 0, "bench UDP source never bound")
-        val sock = new java.net.DatagramSocket()
-        val addr = java.net.InetAddress.getByName("127.0.0.1")
         val recs = (0 until 30).map(i => sources.NetFlowV5.Rec(
           Array[Byte](10, 0, 0, i.toByte), Array[Byte](10, 0, 1, 1),
           pkts = 1, octets = 500, firstMs = 0, lastMs = 0,
           srcPort = 1000 + i, dstPort = 443, tcpFlags = 18, proto = 6))
-        var sent = 0L
-        val u0 = System.nanoTime()
-        try {
-          var seq = 0L
-          while (System.nanoTime() - u0 < 2_000_000_000L) {
-            var i = 0
-            while (i < 100) {
-              val pkt = sources.NetFlowV5.encode(1000L, 1700002000L, 0L, seq, 100, recs)
-              sock.send(new java.net.DatagramPacket(pkt, pkt.length, addr, port))
-              sent += 30; seq += 1; i += 1
+        val budgetPackets = 20000L // × 30 recs = 600 k rows per sweep
+        var seq = 0L
+        // (rows, sent, sendSec, drainSec)
+        def sweep(): (Long, Long, Double, Double) = {
+          val before = listener.rowsIn.sum()
+          val sock = new java.net.DatagramSocket()
+          val addr = java.net.InetAddress.getByName("127.0.0.1")
+          var sent = 0L
+          val u0 = System.nanoTime()
+          try {
+            var p = 0L
+            while (p < budgetPackets) {
+              var i = 0
+              while (i < 100 && p < budgetPackets) {
+                val pkt = sources.NetFlowV5.encode(1000L, 1700002000L, 0L, seq, 100, recs)
+                sock.send(new java.net.DatagramPacket(pkt, pkt.length, addr, port))
+                sent += 30; seq += 1; p += 1; i += 1
+              }
+              Thread.sleep(1) // yield: receiver thread shares the core budget
             }
-            Thread.sleep(1) // yield: receiver thread shares the core budget
-          }
-        } finally sock.close()
-        q.processAllAvailable()
-        val uSec = (System.nanoTime() - u0) / 1e9
-        val got = listener.rowsIn.sum()
-        s"""{"rows":$got,"sent":$sent,"sec":$uSec,"rows_per_sec":${got / uSec},"loss":${1.0 - got.toDouble / sent}}"""
+          } finally sock.close()
+          val sendSec = (System.nanoTime() - u0) / 1e9
+          q.processAllAvailable()
+          val drainSec = (System.nanoTime() - u0) / 1e9 - sendSec
+          (listener.rowsIn.sum() - before, sent, sendSec, drainSec)
+        }
+        val best = Seq(sweep(), sweep()).maxBy {
+          case (rows, _, sendSec, drainSec) => rows.toDouble / (sendSec + drainSec)
+        }
+        val (got, sent, sendSec, drainSec) = best
+        val uSec = sendSec + drainSec
+        s"""{"rows":$got,"sent":$sent,"sec":$uSec,"send_sec":$sendSec,"drain_sec":$drainSec,"rows_per_sec":${got / uSec},"loss":${1.0 - got.toDouble / sent},"sweeps":2}"""
       } finally {
         q.stop()
         spark.streams.removeListener(listener)

@@ -220,34 +220,22 @@ object SimilarityQueries {
 
     // X3e: distributed k-means (k=8, 2 assignment rounds with 1 centroid
     // update between) — the coarse-quantizer-training step a real IVF
-    // index needs, expressed as iterative DataFrame ops: broadcast
-    // centroids, argmin assignment (squared distance in exact integer
-    // arithmetic over the quantized vectors, lexicographic (d, cid)
-    // tiebreak), posexplode + avg centroid update. The oracle unrolls the
-    // same two rounds in SQL — every distance, assignment, and updated
-    // centroid must agree bit-for-bit.
+    // index needs: broadcast-argmin assignment + elementwise vector-sum
+    // Aggregator centroid update (ONE array per row through the map-side
+    // combine — see [[KMeans]] for the 100 TB argument; the posexplode
+    // formulation this replaced amplified the shuffle 64×). The oracle
+    // unrolls the same two rounds in SQL — every distance, assignment, and
+    // updated centroid must agree bit-for-bit. The iterate-to-convergence
+    // path over the same assign/update is `KMeans.train` (KMeansSpec);
+    // this 2-round unroll stays the oracle-checkable regression query.
     Q("x3e_kmeans",
       (s, d) => {
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), quant(col("embedding")).as("qe"))
-        def dist2(a: Column, b: Column): Column =
-          graft.functions.Kernels.long_vec_dist2(a, b)
-        def assign(cent: DataFrame): DataFrame =
-          e.crossJoin(broadcast(cent))
-            .select(col("vec_id"), col("qe"),
-              struct(dist2(col("qe"), col("c")).as("d"), col("cid")).as("dc"))
-            .groupBy("vec_id")
-            .agg(first(col("qe")).as("qe"), min(col("dc")).as("dc"))
-            .select(col("vec_id"), col("qe"),
-              col("dc.cid").as("cluster"), col("dc.d").as("d2"))
         val init = e.filter(col("vec_id") < 8)
           .select(col("vec_id").cast(IntegerType).as("cid"), col("qe").as("c"))
-        val a1 = assign(init)
-        val updated = a1.select(col("cluster"), posexplode(col("qe")).as(Seq("pos", "v")))
-          .groupBy("cluster", "pos").agg(round(avg(col("v"))).cast(LongType).as("m"))
-          .groupBy("cluster").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-          .select(col("cluster").as("cid"), transform(col("pm"), p => p.getField("m")).as("c"))
-        assign(updated)
+        val a1 = KMeans.assign(e, init)
+        KMeans.assign(e, KMeans.update(a1, 64))
           .groupBy("cluster")
           .agg(count(lit(1)).as("n_members"), sum(col("d2")).as("inertia"))
       },

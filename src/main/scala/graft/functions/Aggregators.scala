@@ -63,6 +63,33 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
+  /** Elementwise sum + count over fixed-length long arrays — the k-means
+    * centroid-update combiner. Buffer = dim sums followed by one count
+    * slot. One array per row crosses the map-side combine instead of the
+    * posexplode formulation's dim (cluster, pos, v) rows — a dim× cut in
+    * shuffle rows for the same exact integer sums.
+    */
+  final class ElementwiseSumCountAgg(dim: Int)
+      extends Aggregator[Array[Long], Array[Long], Array[Long]] {
+    override def zero: Array[Long] = new Array[Long](dim + 1)
+    override def reduce(b: Array[Long], a: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < dim) { b(i) += a(i); i += 1 }
+      b(dim) += 1L
+      b
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i <= dim) { x(i) += y(i); i += 1 }
+      x
+    }
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
   final case class TopEntry(metric: Long, id: Long)
 
   /** Bounded top-k-per-group accumulator — the SCALE path for top-N per
@@ -117,5 +144,6 @@ object Aggregators {
   val bit_or_agg = udaf(BitOrAgg)
   val weighted_avg = udaf(WeightedAvgAgg)
   def elementwise_min(k: Int) = udaf(new ElementwiseMinAgg(k))
+  def elementwise_sum_count(dim: Int) = udaf(new ElementwiseSumCountAgg(dim))
   def top_k(k: Int) = udaf(new TopKAgg(k))
 }

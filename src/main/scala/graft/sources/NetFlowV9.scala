@@ -42,10 +42,20 @@ object NetFlowV9 {
 
   /** `isOptions`: an options template (v9 set 1 / IPFIX set 3) — its data
     * records carry exporter metadata (sampling rate, IE 34/305), not flows.
+    *
+    * A declared field length of 65535 marks an IPFIX variable-length IE
+    * (RFC 7011 §7): each record carries the actual length inline (1 byte,
+    * or 0xFF + u16), so records are self-describing and non-fixed-size.
+    * `minRecordBytes` is the smallest possible record (fixed fields + 1
+    * length-prefix byte per varlen field) — the record-loop admission
+    * bound; any trailing bytes smaller than it are set padding.
     */
   final case class Template(id: Int, fields: Seq[(Int, Int)],
       isOptions: Boolean = false) {
     val recordBytes: Int = fields.map(_._2).sum
+    val hasVarlen: Boolean = fields.exists(_._2 == 65535)
+    val minRecordBytes: Int =
+      fields.map(f => if (f._2 == 65535) 1 else f._2).sum
   }
 
   /** Templates learned from one datagram: (sourceId/obsDomain, templateId)
@@ -106,12 +116,13 @@ object NetFlowV9 {
               UdpFlowSource.dropped.increment()
               scanning = false
             } else {
-              // IPFIX variable-length fields (len 65535) make records
-              // non-fixed-size; the flows schema carries none, so such
-              // templates are NOT stored — their data sets are then refused
-              // at admission (templateMisses), a visible state instead of a
-              // silent zero-record decode
-              if (fields.forall(_._2 != 65535))
+              // IPFIX variable-length fields (len 65535) are legal and
+              // learned (RFC 7011 §7 — decode reads the per-record length
+              // prefix); v9 has no varlen encoding (RFC 3954), so a v9
+              // template declaring 65535 is malformed and NOT stored — its
+              // data sets are then refused at admission (templateMisses),
+              // a visible state instead of a silent zero-record decode
+              if (version == 10 || fields.forall(_._2 != 65535))
                 out += ((sourceId, Template(tid, fields.toSeq)))
             }
           } else bb.position(end) // padding: stop scanning this set
@@ -288,11 +299,20 @@ object NetFlowV9 {
       if (setId >= 256) {
         templates.get((sourceId, setId)) match {
           case Some(t) if t.isOptions => // exporter metadata, not flows
-          case Some(t) if t.recordBytes > 0 =>
+          case Some(t) if t.minRecordBytes > 0 =>
             val end = pos + setLen
-            while (bb.position() + t.recordBytes <= end) {
-              flows += decodeRecord(bb, t, version, sampler, sysUptime, exportMs,
-                exportSecs, sequence, samplingDefaults.getOrElse(sourceId, 0L))
+            // varlen records are self-sizing: the loop admits on the
+            // MINIMUM record size (rest is padding, RFC 7011 §3.3.1) and
+            // decodeRecord returns null on a length prefix that overruns
+            // the set — a malformed record poisons the rest of the set
+            // (the cursor is no longer trustworthy), so stop and count
+            var cont = true
+            while (cont && bb.position() + t.minRecordBytes <= end) {
+              val f = decodeRecord(bb, t, end, version, sampler, sysUptime,
+                exportMs, exportSecs, sequence,
+                samplingDefaults.getOrElse(sourceId, 0L))
+              if (f == null) { cont = false; dropped += 1 }
+              else flows += f
             }
           case _ =>
             dropped += 1 // data set before its template: collector drops
@@ -303,7 +323,15 @@ object NetFlowV9 {
     (flows.toSeq, dropped)
   }
 
-  private def decodeRecord(bb: ByteBuffer, t: Template, version: Int,
+  /** Decode one data record at the buffer cursor; advances the cursor past
+    * the record. Returns null if a variable-length field's length prefix
+    * runs past `end` (malformed record — caller abandons the set). Mapped
+    * IEs that arrive varlen-encoded still decode (uint caps at 8 bytes,
+    * addresses check the ACTUAL length); unmapped varlen fields skip by
+    * their inline length, same as unknown fixed fields skip by declared
+    * length.
+    */
+  private def decodeRecord(bb: ByteBuffer, t: Template, setEnd: Int, version: Int,
       sampler: Array[Byte], sysUptime: Long, exportMs: Long, exportSecs: Long,
       sequence: Long, samplingDefault: Long): NetFlowV5.RawFlow = {
     var bytes = 0L; var packets = 0L; var proto = 0; var tos = 0
@@ -319,8 +347,26 @@ object NetFlowV9 {
     var fragId = 0L; var fragOffset = 0
     var fwdStatus = 0
 
-    t.fields.foreach { case (fid, flen) =>
-      val p = bb.position()
+    var malformed = false
+    val fieldIt = t.fields.iterator
+    while (!malformed && fieldIt.hasNext) {
+      val (fid, declLen) = fieldIt.next()
+      var p = bb.position()
+      var flen = declLen
+      if (declLen == 65535) {
+        // RFC 7011 §7: actual length in 1 byte; 0xFF escapes to a u16
+        if (p + 1 > setEnd) malformed = true
+        else {
+          val l0 = bb.get(p) & 0xff
+          if (l0 < 255) { flen = l0; p += 1 }
+          else if (p + 3 > setEnd) malformed = true
+          else { flen = ((bb.get(p + 1) & 0xff) << 8) | (bb.get(p + 2) & 0xff); p += 3 }
+        }
+      }
+      // a fixed field can also overrun once varlen fields precede it —
+      // record sizes are no longer loop-guaranteed, so bound every field
+      if (!malformed && p + flen > setEnd) malformed = true
+      if (!malformed) {
       def uint(): Long = {
         var v = 0L
         var i = 0
@@ -358,7 +404,9 @@ object NetFlowV9 {
         case _ => // unknown IE: skip by length
       }
       bb.position(p + flen)
+      }
     }
+    if (malformed) return null
 
     // v9 uptime-relative reconstruction (v5 arithmetic); absolute IPFIX
     // timestamps win when present
@@ -491,4 +539,13 @@ object NetFlowV9 {
   /** Big-endian unsigned value as `len` bytes (record-building helper). */
   def fieldBytes(v: Long, len: Int): Array[Byte] =
     (0 until len).map(i => ((v >> (8 * (len - 1 - i))) & 0xff).toByte).toArray
+
+  /** RFC 7011 §7 variable-length encoding of `value` for a field declared
+    * with length 65535: 1-byte length for < 255 bytes, else 0xFF + u16.
+    */
+  def varlenBytes(value: Array[Byte]): Array[Byte] = {
+    require(value.length <= 0xffff)
+    if (value.length < 255) (value.length.toByte) +: value
+    else Array[Byte](-1, (value.length >> 8).toByte, value.length.toByte) ++ value
+  }
 }

@@ -90,6 +90,70 @@ class NetFlowV9Spec extends AnyFunSuite {
     assert(f.time_received == 1700000200L && f.sequence_num == 77L)
   }
 
+  test("IPFIX variable-length IEs decode: records self-size, mapped fields after them stay aligned") {
+    // app-name-style varlen string IE (96) between mapped fixed fields —
+    // the goflow-parity case the refusal used to break (RFC 7011 §7)
+    val fields = Seq(8 -> 4, 96 -> 65535, 7 -> 2, 371 -> 65535, 1 -> 4)
+    val tpkt = V9.encodeTemplate(10, sourceId = 5, templateId = 500, fields)
+    val learned = V9.decodeTemplates(tpkt)
+    assert(learned.size == 1, "varlen template must be learned, not refused")
+    val t = learned.head._2
+    assert(t.hasVarlen && t.minRecordBytes == 4 + 1 + 2 + 1 + 4)
+
+    // two records with DIFFERENT varlen payload sizes in one set
+    def rec(ip: Long, name: String, port: Int, user: String, by: Long) =
+      Array(V9.fieldBytes(ip, 4), V9.varlenBytes(name.getBytes("UTF-8")),
+        V9.fieldBytes(port, 2), V9.varlenBytes(user.getBytes("UTF-8")),
+        V9.fieldBytes(by, 4)).flatten.toArray
+    val dpkt = V9.encodeData(10, sourceId = 5, templateId = 500,
+      Seq(rec(0x0a000001L, "https", 443, "alice", 111),
+        rec(0x0a000002L, "dns-long-application-name", 53, "", 222)),
+      unixSecs = 1700000000L)
+    val (flows, missed) = V9.decode(dpkt, sampler, Map((5L, 500) -> t))
+    assert(missed == 0 && flows.size == 2)
+    assert(flows(0).src_port == 443 && flows(0).bytes == 111L)
+    assert(flows(1).src_port == 53 && flows(1).bytes == 222L)
+    assert(flows(0).src_addr.sameElements(Array[Byte](10, 0, 0, 1)))
+    assert(flows(1).src_addr.sameElements(Array[Byte](10, 0, 0, 2)))
+  }
+
+  test("IPFIX varlen long form (0xFF + u16) and empty values decode") {
+    val fields = Seq(96 -> 65535, 7 -> 2)
+    val t = V9.decodeTemplates(
+      V9.encodeTemplate(10, 5, 501, fields)).head._2
+    val big = Array.fill[Byte](300)('x'.toByte) // forces the 3-byte prefix
+    assert(V9.varlenBytes(big).take(3).sameElements(
+      Array[Byte](-1, (300 >> 8).toByte, (300 & 0xff).toByte)))
+    val recs = Seq(
+      (V9.varlenBytes(big) ++ V9.fieldBytes(8080, 2)),
+      (V9.varlenBytes(Array.emptyByteArray) ++ V9.fieldBytes(9090, 2)))
+    val dpkt = V9.encodeData(10, 5, 501, recs)
+    val (flows, missed) = V9.decode(dpkt, sampler, Map((5L, 501) -> t))
+    assert(missed == 0 && flows.map(_.src_port) == Seq(8080, 9090))
+  }
+
+  test("a varlen length prefix overrunning the set abandons the set, counted once") {
+    val fields = Seq(96 -> 65535, 7 -> 2)
+    val t = V9.decodeTemplates(
+      V9.encodeTemplate(10, 5, 502, fields)).head._2
+    // claims 200 bytes of payload but carries 4 — the decoder must not
+    // read past the set or loop; one counted drop, no flows
+    val bogus = Array[Byte](200.toByte, 1, 2, 3, 4)
+    val dpkt = V9.encodeData(10, 5, 502, Seq(bogus))
+    val (flows, droppedCnt) = V9.decode(dpkt, sampler, Map((5L, 502) -> t))
+    assert(flows.isEmpty && droppedCnt == 1)
+    // a good record BEFORE the bogus one still decodes
+    val good = V9.varlenBytes("ok".getBytes("UTF-8")) ++ V9.fieldBytes(7070, 2)
+    val dpkt2 = V9.encodeData(10, 5, 502, Seq(good, bogus))
+    val (flows2, dropped2) = V9.decode(dpkt2, sampler, Map((5L, 502) -> t))
+    assert(flows2.map(_.src_port) == Seq(7070) && dropped2 == 1)
+  }
+
+  test("v9 templates declaring 65535 stay refused (no varlen in RFC 3954)") {
+    val tpkt = V9.encodeTemplate(9, 5, 503, Seq(96 -> 65535, 7 -> 2))
+    assert(V9.decodeTemplates(tpkt).isEmpty)
+  }
+
   test("multi-record data sets decode fully through 4-byte padding") {
     // 6-byte records, 3 of them -> 22-byte set padded to 24; the decoder
     // must take all 3 records and stop at the 2 padding bytes (records
