@@ -341,6 +341,23 @@ object CoreQueries {
       },
       Some("""SELECT err_id, asof_purchase_id FROM (SELECT e.event_id AS err_id, p.event_id AS asof_purchase_id, row_number() OVER (PARTITION BY e.event_id ORDER BY p.ts DESC, p.event_id DESC) AS rn FROM events e JOIN events p ON p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts <= e.ts WHERE e.event_type = 'error') WHERE rn = 1""")),
 
+    // Q18d: LEFT-OUTER as-of through the same operator — every error event
+    // survives, unmatched ones with a null purchase (the enrichment shape:
+    // "last purchase before this error, if any"). Oracle is the LEFT-join
+    // + row_number()=1 composition; unmatched groups carry exactly one
+    // all-null right row, so rn=1 keeps them.
+    Q("q18d_asof_outer",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val err = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("user_id").as("u"), col("ts").as("err_ts"))
+        val pur = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pur_id"), col("user_id").as("pu"), col("ts").as("pur_ts"))
+        graft.plans.AsOf.leftJoin(err, pur, "u", "pu", "err_ts", "pur_ts", "pur_id")
+          .select(col("err_id"), col("pur_id").as("asof_purchase_id"))
+      },
+      Some("""SELECT err_id, asof_purchase_id FROM (SELECT e.event_id AS err_id, p.event_id AS asof_purchase_id, row_number() OVER (PARTITION BY e.event_id ORDER BY p.ts DESC, p.event_id DESC) AS rn FROM events e LEFT JOIN events p ON p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts <= e.ts WHERE e.event_type = 'error') WHERE rn = 1""")),
+
     // Q19: self-join — ordered order pairs per customer.
     Q("q19_join_self",
       (s, d) => {

@@ -3,22 +3,26 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeMap, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graftshim.Shim
 import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** AS-OF JOIN as a first-class operator — the whole custom-operator ladder
-  * (SURVEY §4 preference (c)): a logical node, a planner [[SparkStrategy]],
-  * and a sort-merge [[SparkPlan]], injected via `SparkSessionExtensions`
-  * ([[GraftExtensions]]).
+  * (SURVEY §4 preference (c)): a logical node, a resolution [[Rule]], a
+  * planner [[SparkStrategy]], and a sort-merge [[SparkPlan]], injected via
+  * `SparkSessionExtensions` ([[GraftExtensions]]), reachable from both the
+  * DataFrame API ([[AsOf.join]]) and SQL (`asof_join(...)` table function).
   *
   * Semantics (inner as-of): for each left row, the single right row with
   * the same key and the greatest `(rightTime, rightTie)` among rows with
   * `rightTime <= leftTime`; left rows with no qualifying right row are
-  * dropped. This is exactly the reference shape `q18_join_asof` computes as
+  * dropped. The left-outer variant keeps them, right columns null — the
+  * telemetry-enrichment shape ("last config change before this flow, if
+  * any"). This is exactly the reference shape `q18_join_asof` computes as
   * range-join + per-key `row_number() = 1` (`ops/CoreQueries.scala` Q18,
   * after reference query patterns over ClickHouse `flows` — see
   * `/root/reference/initdb/create_tables.sql:1-33` for the time-keyed
@@ -32,35 +36,103 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * best match) beyond the iterators.
   *
   * Scope, by declaration: key/time/tie expressions must be Long-backed
-  * (BIGINT or TIMESTAMP — both stored as a long), nulls never match
-  * (null-keyed/timed left rows drop, right rows are skipped), and the
-  * operator plans only through [[AsOf.join]] (no SQL syntax surface).
+  * (BIGINT or TIMESTAMP — both stored as a long) and nulls never match
+  * (null-keyed/timed left rows drop under inner, null-pad under left
+  * outer; right rows with null key/time are skipped).
   */
 final case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    rightTie: Expression) extends BinaryNode {
+    rightTie: Expression, leftOuter: Boolean = false) extends BinaryNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    left.output ++ (if (leftOuter) right.output.map(_.withNullability(true))
+                    else right.output)
 
+  // duplicate exprIds across sides stay UNRESOLVED: Spark's
+  // DeduplicateRelations never fires for a custom node, and
+  // UnsafeProjection would silently bind each duplicate to its first
+  // occurrence (right columns returning left values). AsOfDeduplicateRight
+  // re-aliases the right side during analysis; if it cannot (expressions
+  // not yet resolved), analysis fails on the unresolved operator rather
+  // than producing wrong results.
   override lazy val resolved: Boolean = childrenResolved &&
     Seq(leftKey, rightKey, leftTime, rightTime, rightTie).forall { e =>
       e.resolved && (e.dataType == LongType || e.dataType == TimestampType)
-    }
+    } && left.outputSet.intersect(right.outputSet).isEmpty
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
     copy(left = newLeft, right = newRight)
 }
 
+/** Analysis-time exprId dedup for [[AsOfJoin]] (the custom-node analogue
+  * of DeduplicateRelations): a self-join, or any join whose sides share
+  * lineage, puts the same exprIds in both outputs — re-alias every right
+  * column with fresh exprIds and remap the right-side key/time/tie onto
+  * them. Injected as a resolution rule so BOTH entry surfaces (DataFrame
+  * API and the `asof_join` SQL table function) pass through it.
+  */
+object AsOfDeduplicateRight extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // Case A: both outputs still overlap (DeduplicateRelations has not —
+    // or cannot — re-instance the right side): re-alias every right column
+    // with fresh exprIds and remap the right-side expressions onto them.
+    case j @ AsOfJoin(l, r, _, rk, _, rt, tie, _)
+        if j.childrenResolved && j.expressions.forall(_.resolved) &&
+          l.outputSet.intersect(r.outputSet).nonEmpty =>
+      val aliases = r.output.map(a => Alias(a, a.name)())
+      val mapping = AttributeMap(r.output.zip(aliases.map(_.toAttribute)))
+      def remap(e: Expression): Expression = e.transform {
+        case a: Attribute => mapping.getOrElse(a, a)
+      }
+      j.copy(right = Project(aliases, r),
+        rightKey = remap(rk), rightTime = remap(rt), rightTie = remap(tie))
+
+    // Case B: Spark's DeduplicateRelations re-instanced the right subtree
+    // (it handles conflicting leaf relations for ANY node) but knows
+    // nothing of this node's expressions — rightKey/rightTime/rightTie
+    // still carry the PRE-dedup exprIds. Remap each stale reference onto
+    // the right output attribute with the same (unique) name: on the
+    // DataFrame API path those expressions were resolved against the right
+    // side by construction, so the name is faithful; anything that stays
+    // stale falls through to the planner's side-containment error.
+    case j @ AsOfJoin(l, r, _, rk, _, rt, tie, _)
+        if j.childrenResolved && j.expressions.forall(_.resolved) &&
+          l.outputSet.intersect(r.outputSet).isEmpty &&
+          !Seq(rk, rt, tie).forall(_.references.subsetOf(r.outputSet)) &&
+          Seq(rk, rt, tie).exists(_.references.subsetOf(l.outputSet)) =>
+      val byName = r.output.groupBy(_.name)
+      def remap(e: Expression): Expression = e.transform {
+        case a: Attribute if !r.outputSet.contains(a) && l.outputSet.contains(a) =>
+          byName.get(a.name) match {
+            case Some(Seq(only)) => only
+            case _ => a
+          }
+      }
+      val repaired = j.copy(rightKey = remap(rk), rightTime = remap(rt),
+        rightTie = remap(tie))
+      if (repaired != j) repaired else j
+  }
+}
+
 /** Plans [[AsOfJoin]] as [[AsOfJoinExec]]; injected via
-  * `injectPlannerStrategy`.
+  * `injectPlannerStrategy`. Side containment is validated here with a
+  * clear error — the SQL surface resolves key names against both children,
+  * so a key accidentally naming a column of the OTHER side must fail
+  * loudly, not at BindReferences depth.
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tie) =>
-      AsOfJoinExec(lk, rk, lt, rt, tie, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tie, leftOuter) =>
+      def contained(what: String, e: Expression, side: LogicalPlan): Unit =
+        require(e.references.subsetOf(side.outputSet),
+          s"asof_join: $what (${e.sql}) must reference only its own side's columns")
+      contained("left key", lk, l); contained("left time", lt, l)
+      contained("right key", rk, r); contained("right time", rt, r)
+      contained("right tie", tie, r)
+      AsOfJoinExec(lk, rk, lt, rt, tie, leftOuter, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -75,10 +147,12 @@ object AsOfJoinStrategy extends SparkStrategy {
 final case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    rightTie: Expression,
+    rightTie: Expression, leftOuter: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    left.output ++ (if (leftOuter) right.output.map(_.withNullability(true))
+                    else right.output)
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKey :: Nil) ::
@@ -100,11 +174,26 @@ final case class AsOfJoinExec(
     val rt = BindReferences.bindReference(rightTime, right.output)
     val schema = output
     val leftOut = left.output
-    val rightOut = right.output
-    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+    // the projection's input schema must declare right columns nullable
+    // under left-outer — a non-nullable input attr lets codegen skip the
+    // null check and read garbage from the all-null pad row
+    val rightOut =
+      if (leftOuter) right.output.map(_.withNullability(true)) else right.output
+    val outer = leftOuter
+    val lRdd = left.execute()
+    val rRdd = right.execute()
+    // EnsureRequirements aligns partition counts when it plans BOTH
+    // exchanges, but a child whose existing partitioning already satisfies
+    // the distribution with a different count (e.g. a bucketed scan) would
+    // zip wrong rows together — fail loudly, never join across keys
+    require(lRdd.getNumPartitions == rRdd.getNumPartitions,
+      s"AsOfJoinExec children must be co-partitioned: left has " +
+        s"${lRdd.getNumPartitions} partitions, right has ${rRdd.getNumPartitions}")
+    lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
       new Iterator[InternalRow] {
         private val joined = new JoinedRow
         private val resultProj = UnsafeProjection.create(schema, leftOut ++ rightOut)
+        private val nullRight = new GenericInternalRow(rightOut.length)
         private val rBuf = rIter.buffered
         // state: best (= last consumed, thanks to the (time, tie) sort)
         // right row for the current key — O(1) beyond the iterators
@@ -145,7 +234,13 @@ final case class AsOfJoinExec(
               }
               if (matchRow != null && matchKey == key)
                 nextOut = resultProj(joined(l, matchRow))
-            } // null key/time: inner semantics — left row drops
+              else if (outer)
+                nextOut = resultProj(joined(l, nullRight))
+            } else if (outer) {
+              // null key/time: SQL outer semantics — the left row survives
+              // unmatched (a null never equals anything)
+              nextOut = resultProj(joined(l, nullRight))
+            } // inner: left row drops
           }
         }
 
@@ -168,18 +263,77 @@ final case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
+/** SQL surface: `asof_join(left, right, lk, rk, lt, rt, tie[, left_outer])`
+  * as a table-valued function (injected via `injectTableFunction`) —
+  * `spark.sql` users reach the operator without touching the DataFrame
+  * API:
+  *
+  * {{{
+  * SELECT * FROM asof_join('errors', 'purchases',
+  *   'u', 'pu', 'err_ts', 'pur_ts', 'pur_id')
+  * }}}
+  *
+  * Table args name temp views / tables (dotted names allowed); key args
+  * are column names resolved by the analyzer against the named side's
+  * output (qualified `view.col` allowed). Joining a view to ITSELF needs
+  * two distinctly-named views — the same name twice makes every key
+  * reference ambiguous, which the analyzer reports as such.
+  */
+object AsOfSql {
+  import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.types.{BooleanType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def str(e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, StringType) if s != null => s.toString
+    case other => throw new IllegalArgumentException(
+      s"asof_join: $what must be a STRING literal, got ${other.sql}")
+  }
+
+  def build(exprs: Seq[Expression]): LogicalPlan = {
+    if (exprs.length != 7 && exprs.length != 8)
+      throw new IllegalArgumentException(
+        "asof_join(left_table, right_table, left_key, right_key, left_time, " +
+          s"right_time, right_tie[, left_outer]) takes 7 or 8 arguments, got ${exprs.length}")
+    val leftOuter = exprs.length == 8 && (exprs(7) match {
+      case Literal(b: Boolean, BooleanType) => b
+      case other => throw new IllegalArgumentException(
+        s"asof_join: left_outer must be a BOOLEAN literal, got ${other.sql}")
+    })
+    def rel(e: Expression, what: String): LogicalPlan =
+      UnresolvedRelation(str(e, what).split('.').toIndexedSeq)
+    def attr(e: Expression, what: String): Expression =
+      UnresolvedAttribute.quotedString(str(e, what))
+    AsOfJoin(rel(exprs(0), "left_table"), rel(exprs(1), "right_table"),
+      attr(exprs(2), "left_key"), attr(exprs(3), "right_key"),
+      attr(exprs(4), "left_time"), attr(exprs(5), "right_time"),
+      attr(exprs(6), "right_tie"), leftOuter)
+  }
+}
+
 /** DataFrame API for the as-of join (column names resolve against each
-  * side, so key/time/tie can't accidentally bind across sides).
+  * side, so key/time/tie can't accidentally bind across sides). Sides
+  * sharing lineage (self-joins included) are safe: analysis re-aliases the
+  * right side via [[AsOfDeduplicateRight]].
   */
 object AsOf {
   def join(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      rightTie: String): DataFrame = {
+      rightTie: String, leftOuter: Boolean = false): DataFrame = {
     def e(c: Column): Expression = Shim.expression(c)
     Shim.ofRows(left.sparkSession,
       AsOfJoin(Shim.plan(left), Shim.plan(right),
         e(left(leftKey)), e(right(rightKey)),
-        e(left(leftTime)), e(right(rightTime)), e(right(rightTie))))
+        e(left(leftTime)), e(right(rightTime)), e(right(rightTie)), leftOuter))
   }
+
+  /** Left-outer as-of: unmatched left rows survive with null right columns. */
+  def leftJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightTie: String): DataFrame =
+    join(left, right, leftKey, rightKey, leftTime, rightTime, rightTie,
+      leftOuter = true)
 }

@@ -136,6 +136,13 @@ object GraftExtensions {
   val install: SparkSessionExtensions => Unit = { ext =>
     ext.injectOptimizerRule(_ => CidrPushdown)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectResolutionRule(_ => AsOfDeduplicateRight)
+    // SQL surface for the as-of operator: a table-valued function, so
+    // spark.sql users reach AsOfJoinExec without the DataFrame API
+    ext.injectTableFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("asof_join"),
+        new ExpressionInfo("graft.plans.AsOfJoin", "asof_join"),
+        (exprs: Seq[Expression]) => AsOfSql.build(exprs)))
     ext.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("ip_in_cidr"),
         new ExpressionInfo("graft.functions.IpInCidr", "ip_in_cidr"),

@@ -79,4 +79,116 @@ class AsOfJoinSpec extends SparkSpec {
     val b = Registry.queries("q18_join_asof")(spark, sf)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  private def fixtureSides() = {
+    val ev = Tables.events(spark, sf)
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id").as("u"), col("ts").as("err_ts"))
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pur_id"), col("user_id").as("pu"), col("ts").as("pur_ts"))
+    (err, pur)
+  }
+
+  test("left-outer asof keeps unmatched and null-keyed left rows with null right columns") {
+    import spark.implicits._
+    val err = Seq((1L, 10L, 5L), (2L, 10L, 1L), (3L, 99L, 5L))
+      .toDF("err_id", "u", "err_ts")
+      .union(spark.sql(
+        "SELECT * FROM VALUES (4L, CAST(NULL AS BIGINT), 5L) AS t(err_id, u, err_ts)"))
+    val pur = Seq((100L, 10L, 3L), (101L, 10L, 2L)).toDF("pur_id", "pu", "pur_ts")
+    val out = plans.AsOf.leftJoin(err, pur, "u", "pu", "err_ts", "pur_ts", "pur_id")
+      .select(col("err_id"), col("pur_id")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    // err 1: best purchase at ts<=5 is 100; err 2: none at ts<=1; err 3:
+    // keyless; err 4: null key — outer keeps all four
+    assert(out == Set((1L, 100L), (2L, -1L), (3L, -1L), (4L, -1L)))
+    // and equals the compositional left-join formulation on the fixture
+    val (ferr, fpur) = fixtureSides()
+    val a = plans.AsOf.leftJoin(ferr, fpur, "u", "pu", "err_ts", "pur_ts", "pur_id")
+      .select(col("err_id"), col("pur_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("err_id"))
+      .orderBy(col("pur_ts").desc, col("pur_id").desc)
+    val b = ferr.join(fpur, col("u") === col("pu") && col("pur_ts") <= col("err_ts"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("err_id"), col("pur_id"))
+    assert(a.count() >= viaWindow(ferr, fpur).count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("self-join with shared lineage dedups exprIds: right columns carry right values") {
+    // ADVICE r06: without dedup, UnsafeProjection binds duplicate exprIds
+    // to their first occurrence and right columns silently return LEFT
+    // values. Join a frame to ITSELF with no fresh aliases.
+    import spark.implicits._
+    val t = Seq((10L, 1L, 7L), (10L, 2L, 8L), (20L, 5L, 9L)).toDF("k", "t", "v")
+    val joined = plans.AsOf.join(t, t, "k", "k", "t", "t", "v")
+    // schema: k,t,v,k,t,v — compare positionally
+    val rows = joined.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    // left (10,1,7) matches right (10,1,7); left (10,2,8) matches the
+    // LATEST right at t<=2 which is (10,2,8) itself; (20,5,9) matches itself
+    assert(rows == Set(
+      (10L, 1L, 7L, 10L, 1L, 7L),
+      (10L, 2L, 8L, 10L, 2L, 8L),
+      (20L, 5L, 9L, 20L, 5L, 9L)))
+    // the broken binding would have made this vacuously true — prove the
+    // right side can DIFFER by shifting left times back so earlier right
+    // rows win
+    val l2 = t.select(col("k"), (col("t") + 0L).as("t"), (col("v") + 100L).as("v"))
+    val j2 = plans.AsOf.join(l2, t, "k", "k", "t", "t", "v").collect().map(r =>
+      (r.getLong(2), r.getLong(5))).toSet
+    assert(j2 == Set((107L, 7L), (108L, 8L), (109L, 9L))) // left v ≠ right v
+  }
+
+  test("SQL surface: asof_join table function plans AsOfJoinExec and matches the API") {
+    val (err, pur) = fixtureSides()
+    err.createOrReplaceTempView("asof_sql_err")
+    pur.createOrReplaceTempView("asof_sql_pur")
+    val viaSql = spark.sql(
+      "SELECT err_id, pur_id FROM asof_join('asof_sql_err', 'asof_sql_pur', " +
+        "'u', 'pu', 'err_ts', 'pur_ts', 'pur_id')")
+    assert(viaSql.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    val viaApi = viaOperator(err, pur)
+    assert(viaSql.count() > 0)
+    assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
+    // left-outer via the 8th argument
+    val outerSql = spark.sql(
+      "SELECT err_id, pur_id FROM asof_join('asof_sql_err', 'asof_sql_pur', " +
+        "'u', 'pu', 'err_ts', 'pur_ts', 'pur_id', true)")
+    val outerApi = plans.AsOf.leftJoin(err, pur, "u", "pu", "err_ts", "pur_ts", "pur_id")
+      .select(col("err_id"), col("pur_id"))
+    assert(outerSql.exceptAll(outerApi).isEmpty && outerApi.exceptAll(outerSql).isEmpty)
+  }
+
+  test("a key naming the wrong side's column fails with a clear error") {
+    val (err, pur) = fixtureSides()
+    err.createOrReplaceTempView("asof_sql_err")
+    pur.createOrReplaceTempView("asof_sql_pur")
+    val e = intercept[Exception] {
+      // left_key names a RIGHT column: resolves (one children-wide
+      // namespace on the SQL path) but must be rejected at planning
+      spark.sql("SELECT * FROM asof_join('asof_sql_err', 'asof_sql_pur', " +
+        "'pu', 'pu', 'err_ts', 'pur_ts', 'pur_id')").collect()
+    }
+    assert(e.getMessage.contains("own side"), e.getMessage)
+  }
+
+  test("bucketed left against unbucketed right co-partitions (no zip error, same rows)") {
+    // a bucketed scan satisfies ClusteredDistribution with ITS OWN
+    // partition count — EnsureRequirements must still align the right
+    // side, and the exec's guard makes any future mismatch loud
+    val (err, pur) = fixtureSides()
+    spark.sql("DROP TABLE IF EXISTS asof_err_bucketed")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "asof_err_bucketed")
+    org.apache.commons.io.FileUtils.deleteQuietly(loc)
+    err.write.bucketBy(6, "u").sortBy("u").saveAsTable("asof_err_bucketed")
+    val bErr = spark.table("asof_err_bucketed")
+    val a = plans.AsOf.join(bErr, pur, "u", "pu", "err_ts", "pur_ts", "pur_id")
+      .select(col("err_id"), col("pur_id"))
+    val b = viaWindow(err, pur)
+    assert(a.count() > 0)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }
