@@ -199,20 +199,35 @@ object DedupQueries {
     (verifyPairs(lshCandidates(minhashSigs(sh)), sh, 0.8), sh)
   }
 
-  /** Lazy SimHash LSH≡brute-force equality plan plus its persisted simhash
-    * frame (caller unpersists) — same plan-audit rationale as
-    * [[minhashPairsPlan]].
+  /** SimHash pigeonhole LSH pairs at Hamming ≤ 3 over a (doc_id, sim)
+    * frame: any two signatures within Hamming 3 agree EXACTLY on ≥ 1 of
+    * the 4 16-bit chunks (4 chunks, ≤ 3 differing bits — pigeonhole), so
+    * the chunk equi-join is a lossless candidate generator, verified by
+    * the cheap per-pair bit_count. Shared by the registered x2b query and
+    * LshAuditSpec's brute-force equality proof.
     */
-  private[graft] def simhashEqualityPlan(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val sh = simhash(s, d).persist()
+  private[ext] def simhashLshPairs(sh: DataFrame): DataFrame = {
     val chunks = (0 until 4).map(c =>
       struct(lit(c).as("chunk"), shiftright(col("sim"), c * 16).bitwiseAND(0xffffL).as("key")))
     val buckets = sh.select(col("doc_id"), col("sim"), explode(array(chunks: _*)).as("bk"))
       .select(col("doc_id"), col("sim"), col("bk.chunk").as("chunk"), col("bk.key").as("key"))
-    val lsh = buckets.as("x").join(buckets.as("y"), Seq("chunk", "key"))
+    buckets.as("x").join(buckets.as("y"), Seq("chunk", "key"))
       .where(col("x.doc_id") < col("y.doc_id") &&
         hamming(col("x.sim"), col("y.sim")) <= 3)
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+  }
+
+  /** [[simhash]] exposed for LshAuditSpec. */
+  private[ext] def simhashFor(s: SparkSession, d: String): DataFrame = simhash(s, d)
+
+  /** Lazy SimHash LSH≡brute-force equality plan plus its persisted simhash
+    * frame (caller unpersists) — the pigeonhole-exactness proof, driven by
+    * LshAuditSpec (the registered x2b carries only the LSH half; benching
+    * the all-pairs side would measure the oracle, not the engine).
+    */
+  private[graft] def simhashEqualityPlan(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val sh = simhash(s, d).persist()
+    val lsh = simhashLshPairs(sh)
     val bf = sh.as("p").join(sh.as("q"), col("p.doc_id") < col("q.doc_id"))
       .where(hamming(col("p.sim"), col("q.sim")) <= 3)
       .select(col("p.doc_id").as("a"), col("q.doc_id").as("b"))
@@ -462,16 +477,21 @@ object DedupQueries {
         FROM reach GROUP BY v""".stripMargin)),
 
     // X2b: SimHash near-dedup — pigeonhole band join (4×16-bit chunks ⇒
-    // exact for Hamming ≤ 3), then self-checked against the in-Spark
-    // brute-force pair set; the declared contract is the equality itself.
+    // exact for Hamming ≤ 3). The registered plan is LSH-ONLY (no
+    // all-pairs join anywhere — pinned in PlanSpec's cartesian audit);
+    // the LSH ≡ brute-force equality that used to ride inside this query
+    // is proven in LshAuditSpec via [[simhashEqualityPlan]]. Signatures
+    // are xxhash64-derived, which DuckDB cannot replay, so the oracle
+    // checks the data-dependent doc count plus the found-pairs contract
+    // the audit spec guarantees (profiled: 12 pairs at sf0.01).
     Q("x2b_dedup_simhash",
       (s, d) => {
-        val (eq, sh) = simhashEqualityPlan(s, d)
-        val res = eq.localCheckpoint() // 1 row; materialize so the cache can go
-        sh.unpersist()
-        res
+        val sh = simhash(s, d)
+        simhashLshPairs(sh)
+          .agg((count(lit(1)) > 0).as("found_pairs"), lit(3).as("hamming_threshold"))
+          .crossJoin(sh.agg(count(lit(1)).as("n_docs_signed")))
       },
-      Some("SELECT true AS lsh_equals_bruteforce, 3 AS hamming_threshold, true AS found_pairs")),
+      Some("SELECT true AS found_pairs, 3 AS hamming_threshold, (SELECT count(*) FROM documents) AS n_docs_signed")),
 
     // X2c: character-12-gram Jaccard near-dedup, brute force with a length-
     // ratio blocking predicate (j ≥ τ ⇒ |A|/|B| ∈ [τ, 1/τ] — a provable

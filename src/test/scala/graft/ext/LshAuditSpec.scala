@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{SparkSpec, Tables}
+
+/** The quadratic truth audits that used to ride INSIDE the registered
+  * x2b/x2e queries (r6) live here now: the registered plans carry only the
+  * LSH scale path (pinned cartesian-free in PlanSpec), and this spec pays
+  * the all-pairs cost once, against the fixture, where benching never
+  * sees it.
+  */
+class LshAuditSpec extends SparkSpec {
+
+  test("x2b pigeonhole LSH equals brute force at Hamming <= 3, non-vacuously") {
+    val (eq, sh) = DedupQueries.simhashEqualityPlan(spark, sf)
+    try {
+      val row = eq.head()
+      assert(row.getBoolean(0), "LSH pair set != brute-force pair set")
+      assert(row.getInt(1) == 3)
+      assert(row.getBoolean(2), "no pairs at Hamming <= 3 — equality is vacuous")
+    } finally sh.unpersist()
+  }
+
+  test("x2e LSH pairs are a subset of the brute-force truth set with non-trivial recall") {
+    val quant = (c: org.apache.spark.sql.Column) =>
+      transform(c, x => round(x.cast(DoubleType) * 1048576d).cast(LongType))
+    def qdot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.Kernels.long_vec_dot(a, b)
+    def qcos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      qdot(a, b).cast(DoubleType) /
+        (sqrt(qdot(a, a).cast(DoubleType)) * sqrt(qdot(b, b).cast(DoubleType)))
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), quant(col("embedding")).as("qe"))
+    val ea = e.select(col("vec_id").as("a"), col("qe").as("ea"))
+    val eb = e.select(col("vec_id").as("b"), col("qe").as("eb"))
+    val truth = ea.join(eb, col("a") < col("b"))
+      .where(qcos(col("ea"), col("eb")) >= 0.4)
+      .select(col("a"), col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = graft.Registry.queries("x2e_dedup_embed")(spark, sf)
+      .select(col("a"), col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification makes every emitted pair TRUE — soundness is exact
+    assert(found.subsetOf(truth), s"LSH emitted non-pairs: ${found.diff(truth).take(5)}")
+    // recall floor: random embeddings at the τ=0.4 signal/noise boundary
+    // give P[>=1 band] ≈ 0.45 per true pair — 10% is a conservative floor
+    // whenever the truth set is big enough to measure
+    if (truth.size >= 10)
+      assert(found.size.toDouble / truth.size >= 0.1,
+        s"recall ${found.size}/${truth.size} under floor")
+    else assert(truth.nonEmpty || found.isEmpty)
+  }
+
+  test("x2e signature planes are the frozen seed-42 Rademacher set") {
+    // the oracle SQL embeds these as literals — a drifting generator would
+    // desync Spark and DuckDB silently at the gate, so freeze a prefix
+    val p = SimilarityQueries.LshPlanes
+    assert(p.length == 16 && p.forall(_.length == 64))
+    assert(p.forall(_.forall(v => v == 1L || v == -1L)))
+    // determinism across invocations of the generator (java.util.Random's
+    // LCG is part of its spec, so this also pins cross-JVM stability)
+    val rnd = new java.util.Random(42)
+    val regen = IndexedSeq.fill(16)(Seq.fill(64)(if (rnd.nextBoolean()) 1L else -1L))
+    assert(regen == p)
+    // not degenerate: roughly balanced signs per plane
+    assert(p.forall(pl => math.abs(pl.sum) < 40))
+  }
+}
