@@ -511,8 +511,16 @@ object DedupQueries {
             i => col("text").substr(i, lit(n))))).as("g"))
         val la = docs.select(col("doc_id").as("a"), col("g").as("ga"), size(col("g")).as("na"))
           .repartition(s.sparkContext.defaultParallelism)
-        val lb = docs.select(col("doc_id").as("b"), col("g").as("gb"), size(col("g")).as("nb"))
-        la.join(broadcast(lb), col("a") < col("b") &&
+        val lb0 = docs.select(col("doc_id").as("b"), col("g").as("gb"), size(col("g")).as("nb"))
+        // broadcast only while the gram table is provably small (optimizer
+        // size estimate ≤ 256 MB): this query is the quadratic ORACLE
+        // baseline, but pinning an unbounded corpus as a build-side
+        // broadcast would OOM the driver long before the all-pairs cost
+        // bites — at scale it degrades to a plain (still quadratic,
+        // still length-blocked) join instead (ADVICE r06)
+        val lb = if (lb0.queryExecution.optimizedPlan.stats.sizeInBytes
+            <= BigInt(256L << 20)) broadcast(lb0) else lb0
+        la.join(lb, col("a") < col("b") &&
             col("na") * 10 >= col("nb") * 8 && col("nb") * 10 >= col("na") * 8)
           .withColumn("inter",
             graft.functions.Kernels.sorted_intersect_size(col("ga"), col("gb")))

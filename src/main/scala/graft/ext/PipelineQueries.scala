@@ -111,7 +111,10 @@ object PipelineQueries {
       (s, d) => Tables.documents(s, d)
         .withColumn("h", substring(md5(col("doc_id").cast(StringType)), 1, 4))
         .withColumn("threshold",
-          when(substring(col("source"), 4, 10).cast(IntegerType) % 2 === 0,
+          // substring to END of string (length Int.MaxValue), mirroring the
+          // oracle's substr(source, 4) exactly — a fixed 10-char cap would
+          // diverge on longer suffixes (ADVICE r06)
+          when(substring(col("source"), 4, Int.MaxValue).cast(IntegerType) % 2 === 0,
             "4000").otherwise("2000"))
         .filter(col("h") < col("threshold"))
         .select(col("doc_id"), col("source"), col("lang"), col("n_chars")),

@@ -187,23 +187,35 @@ object GraftExtensions {
         (exprs: Seq[Expression]) => {
           arity("minhash_sig", 2, exprs)
           graft.functions.MinHashSig(exprs.head,
-            exprs(1) match {
-              case org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _) => k
-              case other => throw new IllegalArgumentException(
-                s"minhash_sig(shingles, k): k must be an INT literal, got $other")
-            })
+            intLit("minhash_sig(shingles, k)", "k", exprs(1)))
         }))
+    // any integral literal works for a width argument (an explicit
+    // BIGINT/SMALLINT literal like 8L used to be rejected confusingly)
+    def intLit(name: String, arg: String, e: Expression): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) => n
+      case org.apache.spark.sql.catalyst.expressions.Literal(n: Short, _) => n.toInt
+      case org.apache.spark.sql.catalyst.expressions.Literal(n: Byte, _) => n.toInt
+      case org.apache.spark.sql.catalyst.expressions.Literal(n: Long, _)
+          if n.isValidInt => n.toInt
+      case other => throw new IllegalArgumentException(
+        s"$name: $arg must be an integer literal, got $other")
+    }
     ext.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("window_md5"),
         new ExpressionInfo("graft.functions.WindowMd5", "window_md5"),
         (exprs: Seq[Expression]) => {
-          arity("window_md5", 2, exprs)
+          // optional 3rd arg: dedup (default true) — the Scala API's
+          // dedup=false mode (x7b's bigram totals) is SQL-reachable too
+          if (exprs.length != 2 && exprs.length != 3)
+            throw new IllegalArgumentException(
+              s"window_md5(tokens, n[, dedup]) takes 2 or 3 arguments, got ${exprs.length}")
+          val dedup = exprs.length < 3 || (exprs(2) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(b: Boolean, _) => b
+            case other => throw new IllegalArgumentException(
+              s"window_md5: dedup must be a BOOLEAN literal, got $other")
+          })
           graft.functions.WindowMd5(exprs.head,
-            exprs(1) match {
-              case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) => n
-              case other => throw new IllegalArgumentException(
-                s"window_md5(tokens, n): n must be an INT literal, got $other")
-            })
+            intLit("window_md5(tokens, n[, dedup])", "n", exprs(1)), dedup)
         }))
     ext.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_intersect_size"),

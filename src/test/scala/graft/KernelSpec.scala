@@ -98,6 +98,22 @@ class KernelSpec extends SparkSpec {
     }
   }
 
+  test("window_md5 SQL surface takes integral-literal widths and the 3-arg dedup form") {
+    // ADVICE r06: 8L used to be rejected; dedup=false was Scala-API-only
+    val r = spark.sql("""
+      SELECT size(window_md5(array('a','b','a','b','a'), 2L)) AS dedup_n,
+             size(window_md5(array('a','b','a','b','a'), 2S, false)) AS raw_n,
+             window_md5(array('a','b','a','b','a'), 2) AS dedup_w,
+             window_md5(array('a','b','a','b','a'), 2, false) AS raw_w
+    """).head()
+    assert(r.getInt(0) == 2) // distinct windows: ab, ba
+    assert(r.getInt(1) == 4) // all windows: ab, ba, ab, ba
+    assert(r.getSeq[String](3).toSet == r.getSeq[String](2).toSet)
+    val bad = intercept[Exception](spark.sql(
+      "SELECT window_md5(array('a'), 2, 'yes')").collect())
+    assert(bad.getMessage.contains("BOOLEAN"), bad.getMessage)
+  }
+
   test("minhash_sig equals the explode + elementwise-min agg formulation on fixture docs") {
     val sh = ext.DedupQueries.shinglesFor(spark, sf)
     val kernel = sh.select(col("doc_id"), Kernels.minhash_sig(col("sh"), 64).as("sig"))
