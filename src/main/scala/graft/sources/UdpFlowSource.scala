@@ -458,6 +458,12 @@ final class UdpFlowStream(host: String, port: Int, name: String,
     }
   }
 
+  /** Test-only visibility (UdpChaosSpec): the two receiver-side state
+    * structures whose declared bounds the saturation test asserts.
+    */
+  private[sources] def bufferedCount: Int = synchronized(buf.length)
+  private[sources] def seenSize: Int = synchronized(seen.size)
+
   override def stop(): Unit = {
     closed = true
     UdpFlowSource.unregister(name)
