@@ -486,10 +486,12 @@ object DedupQueries {
     // the audit spec guarantees (profiled: 12 pairs at sf0.01).
     Q("x2b_dedup_simhash",
       (s, d) => {
-        val sh = simhash(s, d)
-        simhashLshPairs(sh)
+        simhashLshPairs(simhash(s, d))
           .agg((count(lit(1)) > 0).as("found_pairs"), lit(3).as("hamming_threshold"))
-          .crossJoin(sh.agg(count(lit(1)).as("n_docs_signed")))
+          // one signature row per document, so the signed-doc count is the
+          // document count — counting the cheap scan instead of re-running
+          // the whole shingle+SimHash pipeline a second time
+          .crossJoin(Tables.documents(s, d).agg(count(lit(1)).as("n_docs_signed")))
       },
       Some("SELECT true AS found_pairs, 3 AS hamming_threshold, (SELECT count(*) FROM documents) AS n_docs_signed")),
 

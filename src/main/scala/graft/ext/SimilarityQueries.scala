@@ -191,11 +191,18 @@ object SimilarityQueries {
       (s, d) => {
         val e = Tables.embeddings(s, d).select(col("vec_id"), quant(col("embedding")).as("qe"),
           col("label"))
-        val cent = e.select(col("label"), posexplode(col("qe")).as(Seq("pos", "v")))
-          .groupBy("label", "pos").agg(avg(col("v")).as("m"))
-          .groupBy("label").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        // per-label centroids via the elementwise vector-sum Aggregator
+        // (one array per row through the map-side combine — the same 64×
+        // shuffle-row cut as the x3e k-means update; round(sum/count) is
+        // bit-identical to the round(avg(v)) posexplode formulation it
+        // replaced, pinned in KMeansSpec)
+        val sc = graft.functions.Aggregators.elementwise_sum_count(64)
+        val cent = e.groupBy(col("label"))
+          .agg(sc(col("qe")).as("sc"))
           .select(col("label").as("cl"),
-            transform(col("pm"), p => round(p.getField("m")).cast(LongType)).as("c_emb"))
+            transform(slice(col("sc"), 1, 64),
+              x => round(x.cast(DoubleType) /
+                element_at(col("sc"), 65).cast(DoubleType)).cast(LongType)).as("c_emb"))
         val q = e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("qe").as("q_emb"))
         val wq = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cl"))
         val probes = q.crossJoin(broadcast(cent))
