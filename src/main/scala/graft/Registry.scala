@@ -34,7 +34,8 @@ object Registry {
       ext.TextQueries.defs ++
       ext.MultimodalQueries.defs ++
       ext.PipelineQueries.defs ++
-      ext.DecontamQueries.defs
+      ext.DecontamQueries.defs ++
+      ext.LayoutQueries.defs
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

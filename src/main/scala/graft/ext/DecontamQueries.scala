@@ -183,6 +183,64 @@ object DecontamQueries {
         WHERE len(list_intersect(x.sh, y.sh))::DOUBLE /
             (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.8""".stripMargin)),
 
+    // X7d: bloom-prefiltered decontamination — same answer as x7, computed
+    // the way a 100 TB run would: build a bloom filter over the eval
+    // split's distinct 8-gram digests (Spark's own BloomFilterAggregate —
+    // a real distributed aggregate with partial/merge, fetched to the
+    // driver as ONE binary blob, the identical round-trip Spark's
+    // InjectRuntimeFilter subquery performs), then probe it as a codegen
+    // filter on the train side and exact-confirm only the survivors.
+    //
+    // Why this beats x7's shape at scale: x7 broadcasts the full distinct
+    // eval-gram table (tens of bytes per gram); the bloom is ~1.2
+    // bytes/gram at 1% FPP, and the confirm join's train input shrinks
+    // from EVERY train gram to (true hits + ~1% FP) — so when the eval
+    // set outgrows the broadcast threshold the join degrades to a shuffle
+    // of almost nothing instead of a shuffle of the corpus. Bloom has no
+    // false negatives and the confirm join removes false positives, so
+    // the result is EXACT — the oracle is x7's own SQL. Per-doc totals
+    // come from size(gs) before any explode (no row-amplified count).
+    Q("x7d_decontam_bloom",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("bucket", bucket)
+          .withColumn("w", split(col("text"), " "))
+          .where(size(col("w")) >= 8)
+          .select(col("doc_id"), col("bucket"),
+            graft.functions.Kernels.window_md5(col("w"), 8).as("gs"))
+        val evalGrams = docs.where(col("bucket") >= 90)
+          .select(explode(col("gs")).as("gram")).distinct()
+        // xxhash64 on build and probe sides alike; sizing constants fit the
+        // fixture — production derives estItems from approx_count_distinct
+        val bloomBytes = evalGrams
+          .agg(graft.functions.Bloom
+            .bloomAgg(xxhash64(col("gram")), 1L << 20, 1L << 23).as("bf"))
+          .head.getAs[Array[Byte]](0)
+        val train = docs.where(col("bucket") < 80)
+        val totals = train.select(col("doc_id"),
+          size(col("gs")).cast("long").as("n_grams"))
+        val matched =
+          if (bloomBytes == null) // empty eval split ⇒ nothing contaminated
+            totals.limit(0).select(col("doc_id"), col("n_grams").as("n_matched"))
+          else train.select(col("doc_id"), explode(col("gs")).as("gram"))
+            .where(graft.functions.Bloom.mightContain(bloomBytes, xxhash64(col("gram"))))
+            .join(evalGrams, Seq("gram")) // exact confirm: drops bloom FPs
+            .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
+        totals.join(matched, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_matched"))
+          .withColumn("contaminated", (col("n_matched") > 0).cast("int"))
+      },
+      Some("""WITH w AS (SELECT doc_id, (doc_id * 2654435761) % 100 AS bucket,
+            string_split(text, ' ') AS words FROM documents),
+        g AS (SELECT doc_id, bucket, array_to_string(words[i:i+7], ' ') AS gram
+              FROM w, unnest(range(1, len(words) - 6)) AS t(i)),
+        train AS (SELECT DISTINCT doc_id, gram FROM g WHERE bucket < 80),
+        ev AS (SELECT DISTINCT gram FROM g WHERE bucket >= 90)
+        SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+          CAST(SUM(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+          CAST(SUM(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) > 0 AS INTEGER) AS contaminated
+        FROM train t LEFT JOIN ev e USING (gram) GROUP BY t.doc_id""".stripMargin)),
+
     // X8: PII detection + redaction — the regex scrub (emails, phone
     // numbers, IPv4 addresses) a training corpus runs before release.
     //

@@ -125,6 +125,41 @@ object PipelineQueries {
           FROM documents)
         WHERE h < threshold""".stripMargin)),
 
+    // X6f: per-source document cap — "at most k docs per domain", the
+    // quota every web-corpus build applies so one giant domain can't
+    // dominate the mixture. Selection is deterministic: each doc gets an
+    // arithmetic LCG rank of its stable id (reproducible across runs and
+    // engines — same reasoning as x6d's hash threshold), and the k
+    // lowest-ranked docs per source survive.
+    //
+    // 100 TB posture: the row_number()-window formulation (the oracle)
+    // sorts every group's full row set; here the bounded-heap top-k
+    // Aggregator (q32b's kernel) carries AT MOST k (metric, id) pairs per
+    // group through the map-side combine — the shuffle is k rows per
+    // (source × input partition) instead of one row per document, and no
+    // sort ever materializes. Negated rank turns the max-heap into the
+    // k-smallest selection; ties (impossible here — the LCG is injective
+    // below its modulus, but the contract matters for other metrics) break
+    // toward the smaller doc_id on both sides.
+    Q("x6f_group_cap",
+      (s, d) => {
+        val ranked = Tables.documents(s, d).select(col("source"), col("doc_id"),
+          pmod(col("doc_id") * 1103515245L + 12345L, lit(2147483647L)).as("rank"))
+        ranked.groupBy("source")
+          .agg(graft.functions.Aggregators.top_k(5)(
+            -col("rank"), col("doc_id")).as("kept"))
+          .select(col("source"), explode(col("kept")).as("e"))
+          .select(col("source"), col("e.id").as("doc_id"),
+            (-col("e.metric")).as("rank"))
+      },
+      Some("""SELECT source, doc_id, rank FROM (
+          SELECT source, doc_id, rank,
+            row_number() OVER (PARTITION BY source ORDER BY rank, doc_id) AS rn
+          FROM (SELECT source, doc_id,
+                  (doc_id * 1103515245 + 12345) % 2147483647 AS rank
+                FROM documents))
+        WHERE rn <= 5""".stripMargin)),
+
     // X6e: RAG-style chunking — explode each document into overlapping
     // token windows (32 tokens, stride 24), carrying offsets so a chunk
     // maps back to its span. Pure flatMap (explode), zero shuffle; chunk

@@ -183,7 +183,41 @@ object TextQueries {
     // per-term df) are ONE tiny global aggregate broadcast back via
     // crossJoin; top-10 is TakeOrderedAndProject (per-partition heaps, no
     // global sort). The whole query is one scan + one 1-row exchange.
-    Q("x4f_bm25", bm25Fn, Some(bm25Sql))
+    Q("x4f_bm25", bm25Fn, Some(bm25Sql)),
+
+    // X4g: vocabulary-diversity scoring — per-doc token count, distinct
+    // token count, type-token ratio, and Shannon entropy of the token
+    // distribution, via the one-pass token_stats kernel. The oracle
+    // computes the same statistics the row-amplified way (unnest → two
+    // GROUP BYs): at corpus scale that shape shuffles one row per token
+    // TWICE; the kernel is a pure map — zero shuffle, whole-stage codegen
+    // (plan pinned in PlanSpec, kernel ≡ explode parity in KernelSpec).
+    //
+    // Float parity: ttr is a single IEEE division of two exact integers
+    // (engine-identical); entropy sums c·log2(c) in engine-specific order,
+    // so it ships as round(H·10⁴) BIGINT per the Registry float rules.
+    Q("x4g_entropy",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          graft.functions.Kernels.token_stats(col("text")).as("st"))
+        .select(col("doc_id"), col("lang"),
+          col("st.n_tok").as("n_tok"),
+          col("st.n_distinct").as("n_distinct"),
+          (col("st.n_distinct").cast(DoubleType) /
+            col("st.n_tok").cast(DoubleType)).as("ttr"),
+          round(col("st.entropy") * 10000).cast(LongType).as("entropy_e4")),
+      Some("""WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+              FROM documents),
+        cnt AS (SELECT doc_id, lang, t, CAST(count(*) AS DOUBLE) AS c
+                FROM tok GROUP BY 1, 2, 3),
+        agg AS (SELECT doc_id, lang, SUM(c) AS n, COUNT(*) AS nd,
+                  SUM(c * log2(c)) AS s
+                FROM cnt GROUP BY 1, 2)
+        SELECT doc_id, lang, CAST(n AS BIGINT) AS n_tok,
+          CAST(nd AS BIGINT) AS n_distinct,
+          CAST(nd AS DOUBLE) / CAST(n AS DOUBLE) AS ttr,
+          CAST(round((log2(n) - s / n) * 10000) AS BIGINT) AS entropy_e4
+        FROM agg""".stripMargin))
   )
 
   private val bm25Terms = Seq("spark", "merge", "vector", "customer")

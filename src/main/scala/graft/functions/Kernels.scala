@@ -205,6 +205,75 @@ object VecKernel {
     * (last) and match each other once, exactly as `array_intersect` counts
     * a null∩null element.
     */
+  private val Log2 = math.log(2.0)
+
+  /** One-pass token statistics of a raw text column: token count, distinct
+    * token count, and Shannon entropy (bits) of the token distribution —
+    * the vocabulary-diversity quality signal. Tokenization replicates
+    * `split(text, " ")` exactly (single-space boundaries; empty tokens
+    * from leading/consecutive/trailing spaces are KEPT, matching both
+    * Spark's regex split with limit -1 and DuckDB's string_split), so the
+    * counts agree byte-for-byte with the explode/groupBy formulation this
+    * kernel replaces — which shuffles one row PER TOKEN per document
+    * through two aggregations, versus zero shuffle here.
+    *
+    * Entropy = log2(n) − (Σ c·log2(c))/n, with log2 = ln/ln2 (Spark's own
+    * `log2` semantics). The Σ order follows hash-map iteration; engines
+    * summing in other orders differ by ulps, so oracles must compare at a
+    * rounded precision (x4g ships round(H·10⁴) as BIGINT).
+    */
+  def tokenStats(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    val counts = new java.util.HashMap[String, Integer]()
+    val len = str.length
+    var n = 0L
+    var start = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || str.charAt(i) == ' ') {
+        val tok = str.substring(start, i)
+        val prev = counts.get(tok)
+        counts.put(tok, if (prev == null) 1 else prev + 1)
+        n += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    var sum = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().toDouble
+      sum += c * (math.log(c) / Log2)
+    }
+    val h = math.log(n.toDouble) / Log2 - sum / n
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, counts.size.toLong, h))
+  }
+
+  /** Morton / Z-order bit interleave of the low 31 bits of two nonnegative
+    * longs: x occupies the even output bits, y the odd — so sorting by the
+    * result clusters rows that are close in BOTH dimensions (the multi-
+    * column data-layout trick behind Delta's OPTIMIZE ZORDER and Hudi's
+    * space-filling-curve clustering). 2×31 bits keeps the result strictly
+    * positive, so z-order and unsigned bit order agree.
+    *
+    * Magic-mask bit spreading (5 shift+mask steps per coordinate) instead
+    * of a 31-iteration loop — this sits in the per-row layout path of a
+    * full-corpus rewrite.
+    */
+  private def spreadBits(v: Long): Long = {
+    var x = v & 0x7fffffffL
+    x = (x | (x << 16)) & 0x0000ffff0000ffffL
+    x = (x | (x << 8)) & 0x00ff00ff00ff00ffL
+    x = (x | (x << 4)) & 0x0f0f0f0f0f0f0f0fL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
+  def interleaveBits(x: Long, y: Long): Long =
+    spreadBits(x) | (spreadBits(y) << 1)
+
   def sortedIntersectSize(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements()
     val nb = b.numElements()
@@ -457,6 +526,77 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `token_stats(text)` — STRUCT<n_tok BIGINT, n_distinct BIGINT, entropy
+  * DOUBLE> of the space-token distribution, one native pass per document
+  * (see [[VecKernel.tokenStats]]). The explode/groupBy formulation it
+  * replaces amplifies every document into one row per token and shuffles
+  * them twice; this is a pure map inside whole-stage codegen.
+  */
+case class TokenStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_tok", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_distinct", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("entropy",
+      org.apache.spark.sql.types.DoubleType, nullable = false)))
+  override def prettyName: String = "token_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${child.dataType.simpleString}")
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    VecKernel.tokenStats(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.VecKernel.tokenStats($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `interleave_bits(x, y)` — Morton/Z-order code of two nonnegative BIGINT
+  * coordinates (low 31 bits each; see [[VecKernel.interleaveBits]]).
+  * Inputs outside [0, 2³¹) are NULL — a silent mask would reorder large
+  * keys arbitrarily, which for a layout key is a wrong answer, not a
+  * convenience.
+  */
+case class InterleaveBits(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true // null on out-of-range input
+  override def prettyName: String = "interleave_bits"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two BIGINT inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+
+  private def inRange(v: Long): Boolean = v >= 0L && v <= 0x7fffffffL
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Long]
+    val y = b.asInstanceOf[Long]
+    if (inRange(x) && inRange(y)) VecKernel.interleaveBits(x, y) else null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if (($a | $b) >= 0L && $a <= 2147483647L && $b <= 2147483647L) {
+        ${ev.value} = graft.functions.VecKernel.interleaveBits($a, $b);
+      } else {
+        ${ev.isNull} = true;
+      }
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object Kernels {
   /** Column API: fixed-point 2^20 quantization of an ARRAY<FLOAT> column. */
   def float_vec_quant(a: Column): Column =
@@ -490,4 +630,16 @@ object Kernels {
     */
   def window_md5(tokens: Column, n: Int, dedup: Boolean = true): Column =
     Shim.column(WindowMd5(Shim.expression(tokens), n, dedup))
+
+  /** Column API: one-pass token count / distinct count / Shannon entropy
+    * of a STRING column's space-token distribution.
+    */
+  def token_stats(text: Column): Column =
+    Shim.column(TokenStats(Shim.expression(text)))
+
+  /** Column API: Morton/Z-order interleave of two nonnegative BIGINT
+    * columns (low 31 bits each); null outside [0, 2³¹).
+    */
+  def interleave_bits(x: Column, y: Column): Column =
+    Shim.column(InterleaveBits(Shim.expression(x), Shim.expression(y)))
 }

@@ -218,6 +218,20 @@ object GraftExtensions {
             intLit("window_md5(tokens, n[, dedup])", "n", exprs(1)), dedup)
         }))
     ext.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("token_stats"),
+        new ExpressionInfo("graft.functions.TokenStats", "token_stats"),
+        (exprs: Seq[Expression]) => {
+          arity("token_stats", 1, exprs)
+          graft.functions.TokenStats(exprs.head)
+        }))
+    ext.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("interleave_bits"),
+        new ExpressionInfo("graft.functions.InterleaveBits", "interleave_bits"),
+        (exprs: Seq[Expression]) => {
+          arity("interleave_bits", 2, exprs)
+          graft.functions.InterleaveBits(exprs.head, exprs(1))
+        }))
+    ext.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_intersect_size"),
         new ExpressionInfo("graft.functions.SortedIntersectSize", "sorted_intersect_size"),
         (exprs: Seq[Expression]) => {

@@ -176,6 +176,61 @@ class KernelSpec extends SparkSpec {
     assert(sigDf.count() > 0)
   }
 
+  test("token_stats equals the explode/groupBy formulation; entropy within float noise") {
+    val exploded = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_tok"), count(lit(1)).as("n_distinct"),
+        (log2(sum("c")) -
+          sum(col("c").cast(DoubleType) * log2(col("c"))) / sum("c"))
+          .as("entropy"))
+    val kerneled = Tables.documents(spark, sf)
+      .select(col("doc_id"), Kernels.token_stats(col("text")).as("st"))
+      .select(col("doc_id"), col("st.n_tok").as("k_tok"),
+        col("st.n_distinct").as("k_distinct"), col("st.entropy").as("k_entropy"))
+    val joined = exploded.join(kerneled, "doc_id")
+    assert(joined.filter(col("n_tok") =!= col("k_tok") ||
+      col("n_distinct") =!= col("k_distinct")).count() == 0)
+    // summation order differs (hash map vs agg order) ⇒ ulp-level only
+    assert(joined.filter(abs(col("entropy") - col("k_entropy")) > 1e-9).count() == 0)
+    // empty tokens are KEPT, matching split(text, ' ') with limit -1
+    val edge = spark.sql(
+      """SELECT token_stats(' a  a') AS st, token_stats('') AS e""").head()
+    val st = edge.getStruct(0)
+    assert(st.getLong(0) == 4L && st.getLong(1) == 2L) // ['', 'a', '', 'a']
+    val e = edge.getStruct(1)
+    assert(e.getLong(0) == 1L && e.getLong(1) == 1L && e.getDouble(2) == 0.0)
+  }
+
+  test("interleave_bits equals the per-bit SQL formulation; range contract holds") {
+    // parity vs an aggregate-over-bits formulation of the same Morton code,
+    // on coordinates wide enough to exercise all 31 input bits
+    val xs = spark.range(0, 2000)
+      .select((col("id") * 1103515L % 2147483647L).as("x"),
+        (col("id") * 2654435761L % 2147483647L).as("y"))
+    val mismatch = xs.select(
+      Kernels.interleave_bits(col("x"), col("y")).as("k"),
+      expr("""aggregate(sequence(0, 30), 0L, (acc, i) ->
+        acc + shiftleft((x >> i) & 1, 2 * i) + shiftleft((y >> i) & 1, 2 * i + 1))""").as("s"))
+      .filter(col("k") =!= col("s")).count()
+    assert(mismatch == 0)
+    // known values, SQL surface, and the out-of-range → null contract
+    val r = spark.sql(
+      """SELECT interleave_bits(3L, 1L) AS a, interleave_bits(0L, 0L) AS b,
+         interleave_bits(-1L, 5L) AS c, interleave_bits(2147483648L, 0L) AS d""").head()
+    assert(r.getLong(0) == 7L && r.getLong(1) == 0L)
+    assert(r.isNullAt(2) && r.isNullAt(3))
+    // z-order bit ordering: interleaving preserves per-dimension monotonicity
+    // along each axis (y fixed, x grows ⇒ z grows; and vice versa)
+    val axis = spark.range(1, 1000).select(
+      (Kernels.interleave_bits(col("id"), lit(7L)) >
+        Kernels.interleave_bits(col("id") - 1, lit(7L))).as("mx"),
+      (Kernels.interleave_bits(lit(7L), col("id")) >
+        Kernels.interleave_bits(lit(7L), col("id") - 1)).as("my"))
+    assert(axis.filter(!col("mx") || !col("my")).count() == 0)
+  }
+
   test("window_md5 equals the array_distinct(transform(md5(concat_ws(slice)))) formulation") {
     val w = split(col("text"), " ")
     val hof = when(size(w) >= 8,

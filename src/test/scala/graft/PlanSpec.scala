@@ -197,6 +197,13 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), p)
       assert(p.contains("BroadcastHashJoin"), p)
     } finally sh7c.unpersist()
+    // x7d: the train side must pass through the codegen bloom probe before
+    // the exact-confirm join (the whole point of the operator), and the
+    // confirm join must not be a cartesian
+    val x7d = Registry.queries("x7d_decontam_bloom")(spark, sf)
+    val p7d = physical(x7d)
+    assert(p7d.contains("might_contain"), p7d)
+    assert(!p7d.contains("CartesianProduct"), p7d)
     val (x2b, sh2b) = ext.DedupQueries.simhashEqualityPlan(spark, sf)
     // the 1-row agg-result crossJoin at the root is declared; the LSH/brute
     // PAIR joins below it must not be cartesian
@@ -319,6 +326,27 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_topkagg"), plan)
     assert(plan.contains("ObjectHashAggregate"), plan)
     assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("group cap ships bounded top-k buffers, never a per-group sort (x6f)") {
+    val plan = physical(Registry.queries("x6f_group_cap")(spark, sf))
+    // the scale argument: <= k (metric,id) pairs per group per task cross
+    // the shuffle (partial ObjectHashAggregate), and no window/sort of the
+    // group's rows ever plans
+    assert(plan.contains("partial_topkagg"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Sort ["), plan)
+  }
+
+  test("zorder layout audit is map + small agg — no global sort, stats broadcast (x9)") {
+    val plan = physical(Registry.queries("x9_zorder")(spark, sf))
+    // interleave runs as the codegen kernel over a broadcast 1-row bounds
+    // side; the only exchanges are for the 16-row file-stats aggregations
+    assert(plan.contains("interleave_bits"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
   }
 
   test("decontamination joins broadcast the eval grams, never sort-merge (x7)") {
