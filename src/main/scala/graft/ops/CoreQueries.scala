@@ -358,6 +358,60 @@ object CoreQueries {
       },
       Some("""SELECT err_id, asof_purchase_id FROM (SELECT e.event_id AS err_id, p.event_id AS asof_purchase_id, row_number() OVER (PARTITION BY e.event_id ORDER BY p.ts DESC, p.event_id DESC) AS rn FROM events e LEFT JOIN events p ON p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts <= e.ts WHERE e.event_type = 'error') WHERE rn = 1""")),
 
+    // Q18e: FORWARD as-of through the operator — for each error, the FIRST
+    // purchase at or after it ("next purchase after this error"): argmin by
+    // (ts, id) among rows with p.ts >= e.ts, same merge pass as backward
+    // (the forward candidate is a peek at the unconsumed head, O(1) state).
+    Q("q18e_asof_forward",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val err = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("user_id").as("u"), col("ts").as("err_ts"))
+        val pur = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pur_id"), col("user_id").as("pu"), col("ts").as("pur_ts"))
+        graft.plans.AsOf.join(err, pur, "u", "pu", "err_ts", "pur_ts", "pur_id",
+            direction = "forward")
+          .select(col("err_id"), col("pur_id").as("next_purchase_id"))
+      },
+      Some("""SELECT err_id, next_purchase_id FROM (SELECT e.event_id AS err_id, p.event_id AS next_purchase_id, row_number() OVER (PARTITION BY e.event_id ORDER BY p.ts ASC, p.event_id ASC) AS rn FROM events e JOIN events p ON p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts >= e.ts WHERE e.event_type = 'error') WHERE rn = 1""")),
+
+    // Q18f: backward as-of with a TOLERANCE — the last purchase within 7
+    // days before the error; staler matches are discarded (left-outer, so
+    // the error survives with a null purchase — the "recent context if any"
+    // enrichment shape). Tolerance is in the time column's own unit:
+    // micros for TIMESTAMP, 7 days = 604_800_000_000.
+    Q("q18f_asof_tolerance",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val err = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("user_id").as("u"), col("ts").as("err_ts"))
+        val pur = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pur_id"), col("user_id").as("pu"), col("ts").as("pur_ts"))
+        graft.plans.AsOf.join(err, pur, "u", "pu", "err_ts", "pur_ts", "pur_id",
+            leftOuter = true, tolerance = 7L * 24L * 3600L * 1000000L)
+          .select(col("err_id"), col("pur_id").as("recent_purchase_id"))
+      },
+      Some("""SELECT err_id, recent_purchase_id FROM (SELECT e.event_id AS err_id, p.event_id AS recent_purchase_id, row_number() OVER (PARTITION BY e.event_id ORDER BY p.ts DESC, p.event_id DESC) AS rn FROM events e LEFT JOIN events p ON p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts <= e.ts AND p.ts >= e.ts - INTERVAL 7 DAY WHERE e.event_type = 'error') WHERE rn = 1""")),
+
+    // Q18g: NEAREST as-of — whichever of the backward and forward matches
+    // is closer in time, ties toward backward. The oracle ranks ALL same-
+    // key purchases by (|Δt|, side, ±id): side+distance uniquely determine
+    // the timestamp, so the per-side tie order (backward takes the max id,
+    // forward the min — matching the operator's (time, tie) sort) completes
+    // a total order whose global minimum is exactly the operator's choice.
+    Q("q18g_asof_nearest",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val err = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("user_id").as("u"), col("ts").as("err_ts"))
+        val pur = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pur_id"), col("user_id").as("pu"), col("ts").as("pur_ts"))
+        graft.plans.AsOf.join(err, pur, "u", "pu", "err_ts", "pur_ts", "pur_id",
+            direction = "nearest")
+          .select(col("err_id"), col("pur_id").as("nearest_purchase_id"))
+      },
+      Some("""SELECT err_id, nearest_purchase_id FROM (SELECT e.event_id AS err_id, p.event_id AS nearest_purchase_id, row_number() OVER (PARTITION BY e.event_id ORDER BY abs(epoch_us(p.ts) - epoch_us(e.ts)) ASC, CASE WHEN p.ts <= e.ts THEN 0 ELSE 1 END ASC, CASE WHEN p.ts <= e.ts THEN -p.event_id ELSE p.event_id END ASC) AS rn FROM events e JOIN events p ON p.user_id = e.user_id AND p.event_type = 'purchase' WHERE e.event_type = 'error') WHERE rn = 1""")),
+
     // Q19: self-join — ordered order pairs per customer.
     Q("q19_join_self",
       (s, d) => {

@@ -17,16 +17,28 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * `SparkSessionExtensions` ([[GraftExtensions]]), reachable from both the
   * DataFrame API ([[AsOf.join]]) and SQL (`asof_join(...)` table function).
   *
-  * Semantics (inner as-of): for each left row, the single right row with
-  * the same key and the greatest `(rightTime, rightTie)` among rows with
-  * `rightTime <= leftTime`; left rows with no qualifying right row are
-  * dropped. The left-outer variant keeps them, right columns null — the
-  * telemetry-enrichment shape ("last config change before this flow, if
-  * any"). This is exactly the reference shape `q18_join_asof` computes as
-  * range-join + per-key `row_number() = 1` (`ops/CoreQueries.scala` Q18,
-  * after reference query patterns over ClickHouse `flows` — see
-  * `/root/reference/initdb/create_tables.sql:1-33` for the time-keyed
-  * schema such joins run over).
+  * Semantics (inner as-of, `direction = "backward"`): for each left row,
+  * the single right row with the same key and the greatest `(rightTime,
+  * rightTie)` among rows with `rightTime <= leftTime`; left rows with no
+  * qualifying right row are dropped. The left-outer variant keeps them,
+  * right columns null — the telemetry-enrichment shape ("last config
+  * change before this flow, if any"). This is exactly the reference shape
+  * `q18_join_asof` computes as range-join + per-key `row_number() = 1`
+  * (`ops/CoreQueries.scala` Q18, after reference query patterns over
+  * ClickHouse `flows` — see `/root/reference/initdb/create_tables.sql:1-33`
+  * for the time-keyed schema such joins run over).
+  *
+  * `direction = "forward"` flips the inequality: the single right row with
+  * the LEAST `(rightTime, rightTie)` among rows with `rightTime >=
+  * leftTime` ("next deploy after this error"). `direction = "nearest"`
+  * takes whichever of the backward and forward matches is closer in time,
+  * ties broken toward backward. An optional `tolerance` (a non-negative
+  * long, in the time column's own unit — microseconds for TIMESTAMP)
+  * bounds `|leftTime - rightTime|`; matches farther than the tolerance are
+  * discarded (the row then drops under inner / null-pads under left
+  * outer). All three directions run in the same single merge pass with
+  * O(1) state: forward needs only a peek at the not-yet-consumed head,
+  * nearest combines that peek with backward's one-row state.
   *
   * WHY an operator: the compositional plan materializes EVERY qualifying
   * (left, right) pair before the window discards all but one — per-key
@@ -44,7 +56,9 @@ final case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    rightTie: Expression, leftOuter: Boolean = false) extends BinaryNode {
+    rightTie: Expression, leftOuter: Boolean = false,
+    direction: String = AsOfJoin.Backward,
+    tolerance: Long = AsOfJoin.NoTolerance) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ (if (leftOuter) right.output.map(_.withNullability(true))
@@ -67,6 +81,20 @@ final case class AsOfJoin(
     copy(left = newLeft, right = newRight)
 }
 
+object AsOfJoin {
+  val Backward = "backward"
+  val Forward = "forward"
+  val Nearest = "nearest"
+  val Directions: Set[String] = Set(Backward, Forward, Nearest)
+  /** Sentinel: any negative tolerance means "unbounded". */
+  val NoTolerance: Long = -1L
+
+  def validateDirection(direction: String): Unit =
+    require(Directions.contains(direction),
+      s"asof_join: direction must be one of ${Directions.mkString("'", "', '", "'")}, " +
+        s"got '$direction'")
+}
+
 /** Analysis-time exprId dedup for [[AsOfJoin]] (the custom-node analogue
   * of DeduplicateRelations): a self-join, or any join whose sides share
   * lineage, puts the same exprIds in both outputs — re-alias every right
@@ -79,7 +107,7 @@ object AsOfDeduplicateRight extends Rule[LogicalPlan] {
     // Case A: both outputs still overlap (DeduplicateRelations has not —
     // or cannot — re-instance the right side): re-alias every right column
     // with fresh exprIds and remap the right-side expressions onto them.
-    case j @ AsOfJoin(l, r, _, rk, _, rt, tie, _)
+    case j @ AsOfJoin(l, r, _, rk, _, rt, tie, _, _, _)
         if j.childrenResolved && j.expressions.forall(_.resolved) &&
           l.outputSet.intersect(r.outputSet).nonEmpty =>
       val aliases = r.output.map(a => Alias(a, a.name)())
@@ -98,7 +126,7 @@ object AsOfDeduplicateRight extends Rule[LogicalPlan] {
     // DataFrame API path those expressions were resolved against the right
     // side by construction, so the name is faithful; anything that stays
     // stale falls through to the planner's side-containment error.
-    case j @ AsOfJoin(l, r, _, rk, _, rt, tie, _)
+    case j @ AsOfJoin(l, r, _, rk, _, rt, tie, _, _, _)
         if j.childrenResolved && j.expressions.forall(_.resolved) &&
           l.outputSet.intersect(r.outputSet).isEmpty &&
           !Seq(rk, rt, tie).forall(_.references.subsetOf(r.outputSet)) &&
@@ -125,14 +153,16 @@ object AsOfDeduplicateRight extends Rule[LogicalPlan] {
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tie, leftOuter) =>
+    case AsOfJoin(l, r, lk, rk, lt, rt, tie, leftOuter, direction, tolerance) =>
       def contained(what: String, e: Expression, side: LogicalPlan): Unit =
         require(e.references.subsetOf(side.outputSet),
           s"asof_join: $what (${e.sql}) must reference only its own side's columns")
       contained("left key", lk, l); contained("left time", lt, l)
       contained("right key", rk, r); contained("right time", rt, r)
       contained("right tie", tie, r)
-      AsOfJoinExec(lk, rk, lt, rt, tie, leftOuter, planLater(l), planLater(r)) :: Nil
+      AsOfJoin.validateDirection(direction)
+      AsOfJoinExec(lk, rk, lt, rt, tie, leftOuter, direction, tolerance,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -148,6 +178,7 @@ final case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
     rightTie: Expression, leftOuter: Boolean,
+    direction: String, tolerance: Long,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -180,6 +211,13 @@ final case class AsOfJoinExec(
     val rightOut =
       if (leftOuter) right.output.map(_.withNullability(true)) else right.output
     val outer = leftOuter
+    // 0 = backward, 1 = forward, 2 = nearest — primitive compare in the loop
+    val dir = direction match {
+      case AsOfJoin.Backward => 0
+      case AsOfJoin.Forward => 1
+      case AsOfJoin.Nearest => 2
+    }
+    val tol = tolerance
     val lRdd = left.execute()
     val rRdd = right.execute()
     // EnsureRequirements aligns partition counts when it plans BOTH
@@ -195,10 +233,12 @@ final case class AsOfJoinExec(
         private val resultProj = UnsafeProjection.create(schema, leftOut ++ rightOut)
         private val nullRight = new GenericInternalRow(rightOut.length)
         private val rBuf = rIter.buffered
-        // state: best (= last consumed, thanks to the (time, tie) sort)
-        // right row for the current key — O(1) beyond the iterators
+        // state: best backward (= last consumed, thanks to the (time, tie)
+        // sort) right row for the current key — O(1) beyond the iterators.
+        // Forward candidates are never consumed, only peeked at rBuf.head.
         private var matchRow: InternalRow = null
         private var matchKey: Long = 0L
+        private var matchTime: Long = 0L
         private var nextOut: InternalRow = null
 
         private def evalLong(e: Expression, row: InternalRow): java.lang.Long =
@@ -217,9 +257,14 @@ final case class AsOfJoinExec(
               val key = lkV.longValue()
               val time = ltV.longValue()
               if (matchRow != null && matchKey != key) matchRow = null
-              // consume right rows that are (a) behind the current key or
-              // (b) at the key with time <= left time — (b)'s LAST row is
-              // the argmax by (time, tie) among qualifiers, the as-of match
+              // consume right rows that can no longer match this or any
+              // later left row (left times only grow within a key):
+              //  - behind the current key, or at the key strictly before
+              //    the left time (forward: those satisfy rt < time <= any
+              //    later left time, so they never qualify again);
+              //  - backward/nearest additionally consume rows at the key
+              //    with rt <= time, keeping the LAST as state — the argmax
+              //    by (time, tie) among backward qualifiers
               var scanning = true
               while (scanning && rBuf.hasNext) {
                 val r = rBuf.head
@@ -227,13 +272,40 @@ final case class AsOfJoinExec(
                 val rtV = evalLong(rt, r)
                 if (rkV == null || rtV == null) rBuf.next() // never matches
                 else if (rkV.longValue() < key) rBuf.next()
-                else if (rkV.longValue() == key && rtV.longValue() <= time) {
+                else if (rkV.longValue() > key) scanning = false
+                else if (dir == 1) {
+                  if (rtV.longValue() < time) rBuf.next() else scanning = false
+                } else if (rtV.longValue() <= time) {
+                  matchTime = rtV.longValue()
                   matchRow = rBuf.next().copy()
                   matchKey = key
                 } else scanning = false
               }
-              if (matchRow != null && matchKey == key)
-                nextOut = resultProj(joined(l, matchRow))
+              // backward candidate: the consumed state, within tolerance
+              val backOk = dir != 1 && matchRow != null && matchKey == key &&
+                (tol < 0L || time - matchTime <= tol)
+              // forward candidate: the unconsumed head — at this key it has
+              // rt >= time (forward) / rt > time (nearest) by construction
+              var fwdRow: InternalRow = null
+              var fwdTime = 0L
+              if (dir != 0 && rBuf.hasNext) {
+                val r = rBuf.head
+                val rkV = evalLong(rk, r)
+                val rtV = evalLong(rt, r)
+                if (rkV != null && rtV != null && rkV.longValue() == key &&
+                    (tol < 0L || rtV.longValue() - time <= tol)) {
+                  fwdRow = r
+                  fwdTime = rtV.longValue()
+                }
+              }
+              val chosen: InternalRow =
+                if (dir == 0) { if (backOk) matchRow else null }
+                else if (dir == 1) fwdRow
+                else if (backOk && (fwdRow == null || time - matchTime <= fwdTime - time))
+                  matchRow
+                else fwdRow
+              if (chosen != null)
+                nextOut = resultProj(joined(l, chosen))
               else if (outer)
                 nextOut = resultProj(joined(l, nullRight))
             } else if (outer) {
@@ -263,10 +335,10 @@ final case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
-/** SQL surface: `asof_join(left, right, lk, rk, lt, rt, tie[, left_outer])`
-  * as a table-valued function (injected via `injectTableFunction`) —
-  * `spark.sql` users reach the operator without touching the DataFrame
-  * API:
+/** SQL surface: `asof_join(left, right, lk, rk, lt, rt, tie[, left_outer
+  * [, direction[, tolerance]]])` as a table-valued function (injected via
+  * `injectTableFunction`) — `spark.sql` users reach the operator without
+  * touching the DataFrame API:
   *
   * {{{
   * SELECT * FROM asof_join('errors', 'purchases',
@@ -282,7 +354,7 @@ final case class AsOfJoinExec(
 object AsOfSql {
   import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
   import org.apache.spark.sql.catalyst.expressions.Literal
-  import org.apache.spark.sql.types.{BooleanType, StringType}
+  import org.apache.spark.sql.types.{BooleanType, ByteType, IntegerType, ShortType, StringType}
   import org.apache.spark.unsafe.types.UTF8String
 
   private def str(e: Expression, what: String): String = e match {
@@ -292,15 +364,32 @@ object AsOfSql {
   }
 
   def build(exprs: Seq[Expression]): LogicalPlan = {
-    if (exprs.length != 7 && exprs.length != 8)
+    if (exprs.length < 7 || exprs.length > 10)
       throw new IllegalArgumentException(
         "asof_join(left_table, right_table, left_key, right_key, left_time, " +
-          s"right_time, right_tie[, left_outer]) takes 7 or 8 arguments, got ${exprs.length}")
-    val leftOuter = exprs.length == 8 && (exprs(7) match {
+          "right_time, right_tie[, left_outer[, direction[, tolerance]]]) " +
+          s"takes 7 to 10 arguments, got ${exprs.length}")
+    val leftOuter = exprs.length >= 8 && (exprs(7) match {
       case Literal(b: Boolean, BooleanType) => b
       case other => throw new IllegalArgumentException(
         s"asof_join: left_outer must be a BOOLEAN literal, got ${other.sql}")
     })
+    val direction =
+      if (exprs.length >= 9) str(exprs(8), "direction") else AsOfJoin.Backward
+    AsOfJoin.validateDirection(direction)
+    val tolerance = if (exprs.length < 10) AsOfJoin.NoTolerance else {
+      val t = exprs(9) match {
+        // any integral literal — a bare `604800000000` parses as BIGINT
+        case Literal(v: Long, LongType) => v
+        case Literal(v: Int, IntegerType) => v.toLong
+        case Literal(v: Short, ShortType) => v.toLong
+        case Literal(v: Byte, ByteType) => v.toLong
+        case other => throw new IllegalArgumentException(
+          s"asof_join: tolerance must be an integral literal, got ${other.sql}")
+      }
+      require(t >= 0L, s"asof_join: tolerance must be non-negative, got $t")
+      t
+    }
     def rel(e: Expression, what: String): LogicalPlan =
       UnresolvedRelation(str(e, what).split('.').toIndexedSeq)
     def attr(e: Expression, what: String): Expression =
@@ -308,7 +397,7 @@ object AsOfSql {
     AsOfJoin(rel(exprs(0), "left_table"), rel(exprs(1), "right_table"),
       attr(exprs(2), "left_key"), attr(exprs(3), "right_key"),
       attr(exprs(4), "left_time"), attr(exprs(5), "right_time"),
-      attr(exprs(6), "right_tie"), leftOuter)
+      attr(exprs(6), "right_tie"), leftOuter, direction, tolerance)
   }
 }
 
@@ -318,15 +407,22 @@ object AsOfSql {
   * right side via [[AsOfDeduplicateRight]].
   */
 object AsOf {
+  /** @param direction "backward" (default), "forward", or "nearest"
+    * @param tolerance max `|leftTime - rightTime|` in the time column's own
+    *        unit (micros for TIMESTAMP); negative = unbounded (default) */
   def join(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      rightTie: String, leftOuter: Boolean = false): DataFrame = {
+      rightTie: String, leftOuter: Boolean = false,
+      direction: String = AsOfJoin.Backward,
+      tolerance: Long = AsOfJoin.NoTolerance): DataFrame = {
+    AsOfJoin.validateDirection(direction)
     def e(c: Column): Expression = Shim.expression(c)
     Shim.ofRows(left.sparkSession,
       AsOfJoin(Shim.plan(left), Shim.plan(right),
         e(left(leftKey)), e(right(rightKey)),
-        e(left(leftTime)), e(right(rightTime)), e(right(rightTie)), leftOuter))
+        e(left(leftTime)), e(right(rightTime)), e(right(rightTie)), leftOuter,
+        direction, tolerance))
   }
 
   /** Left-outer as-of: unmatched left rows survive with null right columns. */

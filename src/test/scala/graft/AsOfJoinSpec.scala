@@ -174,6 +174,142 @@ class AsOfJoinSpec extends SparkSpec {
     assert(e.getMessage.contains("own side"), e.getMessage)
   }
 
+  // window formulations of the direction/tolerance variants — the ground
+  // truth the operator must equal row-for-row
+  private def viaWindowForward(err: org.apache.spark.sql.DataFrame,
+      pur: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("err_id"))
+      .orderBy(col("pur_ts").asc, col("pur_id").asc)
+    err.join(pur, col("u") === col("pu") && col("pur_ts") >= col("err_ts"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("err_id"), col("pur_id"))
+  }
+
+  private def viaWindowNearest(err: org.apache.spark.sql.DataFrame,
+      pur: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val back = col("pur_ts") <= col("err_ts")
+    // micros, matching the operator's comparison unit (cast-to-long is
+    // seconds and would blur sub-second distances into false ties)
+    val w = Window.partitionBy(col("err_id")).orderBy(
+      abs(unix_micros(col("pur_ts")) - unix_micros(col("err_ts"))).asc,
+      when(back, 0).otherwise(1).asc,
+      when(back, -col("pur_id")).otherwise(col("pur_id")).asc)
+    err.join(pur, col("u") === col("pu"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("err_id"), col("pur_id"))
+  }
+
+  test("forward asof equals the window formulation on fixture and adversarial data") {
+    import spark.implicits._
+    val (ferr, fpur) = fixtureSides()
+    val a = plans.AsOf.join(ferr, fpur, "u", "pu", "err_ts", "pur_ts", "pur_id",
+      direction = "forward").select(col("err_id"), col("pur_id"))
+    val b = viaWindowForward(ferr, fpur)
+    assert(a.count() > 0)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // adversarial: dense ties, equal left/right times, matchless keys
+    val err = (1L to 400L).map(i => (i, i % 20, (i * 7) % 50)).toDF("err_id", "u", "err_ts")
+    val pur = (1L to 300L).map(i => (1000L + i, i % 20, (i * 11) % 50)).toDF("pur_id", "pu", "pur_ts")
+    val a2 = plans.AsOf.join(err, pur, "u", "pu", "err_ts", "pur_ts", "pur_id",
+      direction = "forward").select(col("err_id"), col("pur_id"))
+    val b2 = viaWindowForward(err, pur)
+    assert(a2.count() > 0)
+    assert(a2.exceptAll(b2).isEmpty && b2.exceptAll(a2).isEmpty)
+  }
+
+  test("nearest asof equals the window formulation; equidistant ties go backward") {
+    import spark.implicits._
+    val (ferr, fpur) = fixtureSides()
+    val a = plans.AsOf.join(ferr, fpur, "u", "pu", "err_ts", "pur_ts", "pur_id",
+      direction = "nearest").select(col("err_id"), col("pur_id"))
+    val b = viaWindowNearest(ferr, fpur)
+    assert(a.count() > 0)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // hand-built equidistant tie: purchases at t=3 and t=7 around an error
+    // at t=5 — backward (100) must win over forward (101)
+    val err = Seq((1L, 10L, 5L)).toDF("err_id", "u", "err_ts")
+    val pur = Seq((100L, 10L, 3L), (101L, 10L, 7L)).toDF("pur_id", "pu", "pur_ts")
+    val got = plans.AsOf.join(err, pur, "u", "pu", "err_ts", "pur_ts", "pur_id",
+      direction = "nearest").select(col("pur_id")).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(100L))
+    // and the forward row wins when it is strictly closer
+    val pur2 = Seq((100L, 10L, 2L), (101L, 10L, 7L)).toDF("pur_id", "pu", "pur_ts")
+    val got2 = plans.AsOf.join(err, pur2, "u", "pu", "err_ts", "pur_ts", "pur_id",
+      direction = "nearest").select(col("pur_id")).collect().map(_.getLong(0)).toSeq
+    assert(got2 == Seq(101L))
+  }
+
+  test("tolerance bounds the match in every direction; boundary is inclusive") {
+    import spark.implicits._
+    val err = Seq((1L, 10L, 100L), (2L, 10L, 200L)).toDF("err_id", "u", "err_ts")
+    val pur = Seq((50L, 10L, 90L), (51L, 10L, 195L)).toDF("pur_id", "pu", "pur_ts")
+    def run(dir: String, tol: Long, outer: Boolean = false) =
+      plans.AsOf.join(err, pur, "u", "pu", "err_ts", "pur_ts", "pur_id",
+        leftOuter = outer, direction = dir, tolerance = tol)
+        .select(col("err_id"), col("pur_id")).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    // backward, tol=10: err1 matches 90 (Δ=10, inclusive); err2 matches 195
+    assert(run("backward", 10L) == Set((1L, 50L), (2L, 51L)))
+    // backward, tol=9: err1's only candidate is Δ=10 — dropped inner,
+    // null-padded outer; err2 still matches (Δ=5)
+    assert(run("backward", 9L) == Set((2L, 51L)))
+    assert(run("backward", 9L, outer = true) == Set((1L, -1L), (2L, 51L)))
+    // forward, tol=94: err1 → 195 (Δ=95) is out; err2 has no later purchase
+    assert(run("forward", 95L) == Set((1L, 51L)))
+    assert(run("forward", 94L) == Set.empty[(Long, Long)])
+    // nearest, tol=9: err1's backward (Δ=10) is out of tolerance, so the
+    // forward row at Δ=95 is also out — no match; err2 keeps Δ=5
+    assert(run("nearest", 9L) == Set((2L, 51L)))
+    // nearest, tol=95: err1 takes forward 195 only if backward is out —
+    // backward Δ=10 is in tolerance and closer, so it wins
+    assert(run("nearest", 95L) == Set((1L, 50L), (2L, 51L)))
+  }
+
+  test("SQL surface passes direction and tolerance through") {
+    val (err, pur) = fixtureSides()
+    err.createOrReplaceTempView("asof_sql_err")
+    pur.createOrReplaceTempView("asof_sql_pur")
+    val viaSql = spark.sql(
+      "SELECT err_id, pur_id FROM asof_join('asof_sql_err', 'asof_sql_pur', " +
+        "'u', 'pu', 'err_ts', 'pur_ts', 'pur_id', false, 'forward')")
+    val viaApi = plans.AsOf.join(err, pur, "u", "pu", "err_ts", "pur_ts", "pur_id",
+      direction = "forward").select(col("err_id"), col("pur_id"))
+    assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
+    // an unknown direction fails fast with the accepted values in the error
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM asof_join('asof_sql_err', 'asof_sql_pur', " +
+        "'u', 'pu', 'err_ts', 'pur_ts', 'pur_id', false, 'sideways')").collect()
+    }
+    assert(e.getMessage.contains("direction"), e.getMessage)
+    // tolerance as the 10th argument (micros) limits matches like the API
+    val tolSql = spark.sql(
+      "SELECT err_id, pur_id FROM asof_join('asof_sql_err', 'asof_sql_pur', " +
+        "'u', 'pu', 'err_ts', 'pur_ts', 'pur_id', false, 'backward', 604800000000)")
+    val tolApi = plans.AsOf.join(err, pur, "u", "pu", "err_ts", "pur_ts", "pur_id",
+      tolerance = 604800000000L).select(col("err_id"), col("pur_id"))
+    assert(tolSql.exceptAll(tolApi).isEmpty && tolApi.exceptAll(tolSql).isEmpty)
+  }
+
+  test("registered q18e/q18f/q18g run and match their window formulations") {
+    val (ferr, fpur) = fixtureSides()
+    val fwd = Registry.queries("q18e_asof_forward")(spark, sf)
+    val fwdRef = viaWindowForward(ferr, fpur)
+      .withColumnRenamed("pur_id", "next_purchase_id")
+    assert(fwd.exceptAll(fwdRef).isEmpty && fwdRef.exceptAll(fwd).isEmpty)
+    val near = Registry.queries("q18g_asof_nearest")(spark, sf)
+    val nearRef = viaWindowNearest(ferr, fpur)
+      .withColumnRenamed("pur_id", "nearest_purchase_id")
+    assert(near.exceptAll(nearRef).isEmpty && nearRef.exceptAll(near).isEmpty)
+    // tolerance query: every error survives (left outer), matched subset
+    // equals the tolerance-filtered window formulation
+    val tol = Registry.queries("q18f_asof_tolerance")(spark, sf)
+    assert(tol.count() == ferr.count())
+  }
+
   test("bucketed left against unbucketed right co-partitions (no zip error, same rows)") {
     // a bucketed scan satisfies ClusteredDistribution with ITS OWN
     // partition count — EnsureRequirements must still align the right
