@@ -217,7 +217,66 @@ object TextQueries {
           CAST(nd AS BIGINT) AS n_distinct,
           CAST(nd AS DOUBLE) / CAST(n AS DOUBLE) AS ttr,
           CAST(round((log2(n) - s / n) * 10000) AS BIGINT) AS entropy_e4
-        FROM agg""".stripMargin))
+        FROM agg""".stripMargin)),
+
+    // X4h: perplexity quality filter — the CCNet/Gopher shape: train an
+    // add-k bigram LM on the corpus ITSELF (k = 0.5, vocab = all distinct
+    // tokens), score every doc by mean bits per bigram (-Σ occ·log2 p / Σ
+    // occ where p(w2|w1) = (c(w1,w2)+k)/(c(w1)+k·V)), flag the
+    // high-perplexity tail. c(w1) is the bigram-table marginal (doc-final
+    // tokens excluded), so Σ_w2 c(w1,w2) = c(w1) — a proper conditional.
+    //
+    // 100 TB posture: token-level rows only ever cross KEYED shuffles
+    // (bigram counts, the w1 marginal, per-doc re-aggregation), each with
+    // map-side partial aggregation; the LM stays a DISTRIBUTED table
+    // joined on its bigram key — never broadcast (at corpus scale the
+    // bigram table is itself huge). The only broadcast is the 1-row vocab
+    // size. Per the float rules, bits are compared at round(·1e4); the
+    // outlier flag derives from the already-rounded value.
+    Q("x4h_perplexity",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val w = tokens
+        val n = size(w)
+        val bg = docs.select(col("doc_id"),
+          explode(zip_with(slice(w, lit(1), n - 1), slice(w, lit(2), n - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("z"))
+          .select(col("doc_id"), col("z.w1").as("w1"), col("z.w2").as("w2"))
+        val uni = bg.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+        val bgc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+        val vocab = docs.select(explode(w).as("t"))
+          .agg(countDistinct(col("t")).as("v"))
+        val lp = bgc.join(uni, Seq("w1")).crossJoin(broadcast(vocab))
+          .select(col("w1"), col("w2"),
+            log2((col("cb").cast(DoubleType) + lit(0.5)) /
+              (col("cu").cast(DoubleType) + lit(0.5) * col("v").cast(DoubleType)))
+              .as("logp"))
+        val docbg = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
+          .agg(count(lit(1)).as("occ"))
+        docbg.join(lp, Seq("w1", "w2"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("occ")).as("n_bigrams"),
+            ((sum(col("occ").cast(DoubleType) * col("logp")) * lit(-1.0)) /
+              sum(col("occ")).cast(DoubleType)).as("bits"))
+          .select(col("doc_id"), col("n_bigrams"),
+            round(col("bits") * 10000).cast(LongType).as("bits_e4"),
+            (round(col("bits") * 10000).cast(LongType) > lit(50000L)).as("is_outlier"))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        bg AS (SELECT doc_id, z[1] AS w1, z[2] AS w2
+               FROM (SELECT doc_id, unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS z FROM d)),
+        uni AS (SELECT w1, count(*) AS cu FROM bg GROUP BY 1),
+        vocab AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(w) AS t FROM d)),
+        lp AS (SELECT w1, w2, log2((CAST(cb AS DOUBLE) + 0.5) / (CAST(cu AS DOUBLE) + 0.5 * CAST((SELECT v FROM vocab) AS DOUBLE))) AS logp
+               FROM (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2) JOIN uni USING (w1)),
+        docbg AS (SELECT doc_id, w1, w2, count(*) AS occ FROM bg GROUP BY 1, 2, 3),
+        sc AS (SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS n_bigrams,
+                 (-SUM(CAST(occ AS DOUBLE) * logp)) / CAST(SUM(occ) AS DOUBLE) AS bits
+               FROM docbg JOIN lp USING (w1, w2) GROUP BY 1)
+        SELECT doc_id, n_bigrams,
+          CAST(round(bits * 10000) AS BIGINT) AS bits_e4,
+          CAST(round(bits * 10000) AS BIGINT) > 50000 AS is_outlier
+        FROM sc""".stripMargin))
   )
 
   private val bm25Terms = Seq("spark", "merge", "vector", "customer")

@@ -173,8 +173,8 @@ class PlanSpec extends SparkSpec {
     // the LSH/banding designs exist precisely to avoid all-pairs joins;
     // a plan regression to CartesianProduct would silently reintroduce
     // O(n²) at scale
-    for (name <- Seq("x4_langid", "x4e_tfidf", "qf6_salted_join", "x3f_pq_adc",
-        "x2b_dedup_simhash", "x2e_dedup_embed")) {
+    for (name <- Seq("x4_langid", "x4e_tfidf", "x4h_perplexity", "qf6_salted_join",
+        "x3f_pq_adc", "x2b_dedup_simhash", "x2e_dedup_embed")) {
       val plan = physical(Registry.queries(name)(spark, sf))
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
       // r7: the registered x2b/x2e plans are LSH-only — a BNLJ would mean
