@@ -211,7 +211,13 @@ object DedupQueries {
       struct(lit(c).as("chunk"), shiftright(col("sim"), c * 16).bitwiseAND(0xffffL).as("key")))
     val buckets = sh.select(col("doc_id"), col("sim"), explode(array(chunks: _*)).as("bk"))
       .select(col("doc_id"), col("sim"), col("bk.chunk").as("chunk"), col("bk.key").as("key"))
-    buckets.as("x").join(buckets.as("y"), Seq("chunk", "key"))
+    // force a SHUFFLE join for the self-join: both sides then plan the
+    // IDENTICAL (chunk, key) exchange and ReuseExchange computes the
+    // simhash kernel ONCE (AQE's broadcast pick evaluated the kernel twice
+    // — and broadcasting a corpus-sized bucket table is wrong at scale
+    // anyway; the tuples crossing the shuffle are 4×28 bytes per doc,
+    // bodies never move)
+    buckets.as("x").join(buckets.as("y").hint("shuffle_hash"), Seq("chunk", "key"))
       .where(col("x.doc_id") < col("y.doc_id") &&
         hamming(col("x.sim"), col("y.sim")) <= 3)
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
