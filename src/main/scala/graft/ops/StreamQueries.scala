@@ -547,6 +547,44 @@ object StreamQueries {
           AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
           AND a.event_type = 'click' AND b.event_type = 'purchase'""".stripMargin)),
 
+    // Q52c: streaming AS-OF enrichment — the telemetry-production shape
+    // ("attach the most recent purchase before each error, as errors
+    // stream in"): micro-batches of the error stream each pass through the
+    // custom sort-merge as-of operator (plans/AsOfJoin.scala) against the
+    // static purchase table inside foreachBatch. As-of matching is
+    // per-left-row against the full right side, so the result is
+    // deterministic under ANY micro-batch partitioning of the left stream
+    // — exactly why the operator composes with streaming for free.
+    // Left-outer keeps unmatched errors (row count = error count, batch-
+    // invariant); oracle is q18d's LEFT-join window formulation.
+    Q("q52c_stream_asof_enrich",
+      (s, d) => {
+        val out = s"$tmpRoot/q52c_out"
+        val cp = s"$tmpRoot/cp/q52c_sink"
+        org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(out).toFile)
+        org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(cp).toFile)
+        val pur = Tables.events(s, d).filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pur_id"), col("user_id").as("pu"),
+            col("ts").as("pur_ts"))
+        val q = eventsStream(s, d)
+          .filter(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("user_id").as("u"),
+            col("ts").as("err_ts"))
+          .writeStream
+          .option("checkpointLocation", cp)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            graft.plans.AsOf.leftJoin(batch, pur,
+                "u", "pu", "err_ts", "pur_ts", "pur_id")
+              .select(col("err_id"), col("pur_id").as("asof_purchase_id"))
+              .write.mode("append").parquet(out)
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out)
+      },
+      Some("""SELECT err_id, asof_purchase_id FROM (SELECT e.event_id AS err_id, p.event_id AS asof_purchase_id, row_number() OVER (PARTITION BY e.event_id ORDER BY p.ts DESC, p.event_id DESC) AS rn FROM events e LEFT JOIN events p ON p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts <= e.ts WHERE e.event_type = 'error') WHERE rn = 1""")),
+
     // Q53: foreachBatch sink (R5 parity, `main.go:157-169`) — batches
     // appended to parquet, result read back from the sink files.
     Q("q53_foreachbatch_sink",
