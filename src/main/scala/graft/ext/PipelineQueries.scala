@@ -188,6 +188,48 @@ object PipelineQueries {
           md5(array_to_string(list_slice(w, start_tok, start_tok + 31), ' ')) AS chunk_md5
         FROM (SELECT doc_id, string_split(text, ' ') AS w,
                 unnest(generate_series(1, len(string_split(text, ' ')), 24)) AS start_tok
-              FROM documents)""".stripMargin))
+              FROM documents)""".stripMargin)),
+
+    // X6g: byte-budget shard packing — assign docs, in stable doc_id
+    // order, to export shards of ~10 KB (a doc starts a new shard when the
+    // running total would cross the budget boundary; shard_id = start
+    // offset DIV budget). The oracle computes the global running sum with
+    // ONE window — a single-task plan at scale; the engine computes the
+    // SAME sum as a two-phase distributed prefix sum: per-range-partition
+    // local cumsums (parallel windows keyed by partition id), plus a
+    // P-row offset table (the only serial step — P rows, not N) broadcast
+    // back. Range partitioning preserves global doc_id order, so the
+    // result is partition-count-invariant — sampling-dependent range
+    // BOUNDARIES cannot change any cum value.
+    Q("x6g_shard_pack",
+      (s, d) => {
+        val budget = 10000L
+        val parts = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars").cast(LongType).as("sz"))
+          .repartitionByRange(8, col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+        val local = parts.withColumn("local_cum",
+          sum(col("sz")).over(
+            Window.partitionBy(col("pid")).orderBy(col("doc_id"))))
+        val offsets = local.groupBy(col("pid")).agg(sum(col("sz")).as("ptotal"))
+          .withColumn("offset",
+            coalesce(sum(col("ptotal")).over(Window.orderBy(col("pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("pid"), col("offset"))
+        local.join(broadcast(offsets), Seq("pid"))
+          .withColumn("cum", col("offset") + col("local_cum"))
+          .select(col("doc_id"), col("sz"),
+            expr(s"(cum - sz) DIV $budget").as("shard_id"))
+          .groupBy(col("shard_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("sz")).as("shard_bytes"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      },
+      Some("""SELECT CAST((cum - sz) // 10000 AS BIGINT) AS shard_id, count(*) AS n_docs,
+          CAST(SUM(sz) AS BIGINT) AS shard_bytes,
+          min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM (SELECT doc_id, CAST(n_chars AS BIGINT) AS sz,
+                SUM(CAST(n_chars AS BIGINT)) OVER (ORDER BY doc_id) AS cum
+              FROM documents)
+        GROUP BY 1""".stripMargin))
   )
 }
