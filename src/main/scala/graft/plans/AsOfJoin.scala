@@ -198,6 +198,32 @@ final case class AsOfJoinExec(
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
   override def outputPartitioning = left.outputPartitioning
 
+  /** Per-row long extraction without boxing for the common bound-attribute
+    * case; generic expressions fall back to one `eval` per row, stashed so
+    * `get` never re-evaluates. Contract: `isNull(r)` then `get(r)` on the
+    * SAME row, single-threaded — instantiate per partition.
+    */
+  private abstract class LongAcc extends Serializable {
+    def isNull(r: InternalRow): Boolean
+    def get(r: InternalRow): Long
+  }
+
+  private def longAcc(e: Expression): LongAcc = e match {
+    case b: org.apache.spark.sql.catalyst.expressions.BoundReference =>
+      new LongAcc {
+        override def isNull(r: InternalRow): Boolean = r.isNullAt(b.ordinal)
+        override def get(r: InternalRow): Long = r.getLong(b.ordinal)
+      }
+    case other => new LongAcc {
+      private[this] var v: java.lang.Long = null
+      override def isNull(r: InternalRow): Boolean = {
+        v = other.eval(r).asInstanceOf[java.lang.Long]
+        v == null
+      }
+      override def get(r: InternalRow): Long = v.longValue()
+    }
+  }
+
   protected override def doExecute(): RDD[InternalRow] = {
     val lk = BindReferences.bindReference(leftKey, left.output)
     val lt = BindReferences.bindReference(leftTime, left.output)
@@ -233,6 +259,12 @@ final case class AsOfJoinExec(
         private val resultProj = UnsafeProjection.create(schema, leftOut ++ rightOut)
         private val nullRight = new GenericInternalRow(rightOut.length)
         private val rBuf = rIter.buffered
+        // per-partition primitive accessors — zero boxing on the
+        // bound-attribute fast path, one eval per row otherwise
+        private val lkA = longAcc(lk)
+        private val ltA = longAcc(lt)
+        private val rkA = longAcc(rk)
+        private val rtA = longAcc(rt)
         // state: best backward (= last consumed, thanks to the (time, tie)
         // sort) right row for the current key — O(1) beyond the iterators.
         // Forward candidates are never consumed, only peeked at rBuf.head.
@@ -241,9 +273,6 @@ final case class AsOfJoinExec(
         private var matchTime: Long = 0L
         private var nextOut: InternalRow = null
 
-        private def evalLong(e: Expression, row: InternalRow): java.lang.Long =
-          e.eval(row).asInstanceOf[java.lang.Long]
-
         // resultProj reuses one UnsafeRow buffer, so the NEXT match may only
         // be computed after the consumer is done with the current row —
         // advance lazily from hasNext/next, never eagerly after emitting
@@ -251,11 +280,9 @@ final case class AsOfJoinExec(
         private def advance(): Unit = {
           while (nextOut == null && lIter.hasNext) {
             val l = lIter.next()
-            val lkV = evalLong(lk, l)
-            val ltV = evalLong(lt, l)
-            if (lkV != null && ltV != null) {
-              val key = lkV.longValue()
-              val time = ltV.longValue()
+            if (!lkA.isNull(l) && !ltA.isNull(l)) {
+              val key = lkA.get(l)
+              val time = ltA.get(l)
               if (matchRow != null && matchKey != key) matchRow = null
               // consume right rows that can no longer match this or any
               // later left row (left times only grow within a key):
@@ -268,18 +295,22 @@ final case class AsOfJoinExec(
               var scanning = true
               while (scanning && rBuf.hasNext) {
                 val r = rBuf.head
-                val rkV = evalLong(rk, r)
-                val rtV = evalLong(rt, r)
-                if (rkV == null || rtV == null) rBuf.next() // never matches
-                else if (rkV.longValue() < key) rBuf.next()
-                else if (rkV.longValue() > key) scanning = false
-                else if (dir == 1) {
-                  if (rtV.longValue() < time) rBuf.next() else scanning = false
-                } else if (rtV.longValue() <= time) {
-                  matchTime = rtV.longValue()
-                  matchRow = rBuf.next().copy()
-                  matchKey = key
-                } else scanning = false
+                if (rkA.isNull(r) || rtA.isNull(r)) rBuf.next() // never matches
+                else {
+                  val rKey = rkA.get(r)
+                  if (rKey < key) rBuf.next()
+                  else if (rKey > key) scanning = false
+                  else {
+                    val rTime = rtA.get(r)
+                    if (dir == 1) {
+                      if (rTime < time) rBuf.next() else scanning = false
+                    } else if (rTime <= time) {
+                      matchTime = rTime
+                      matchRow = rBuf.next().copy()
+                      matchKey = key
+                    } else scanning = false
+                  }
+                }
               }
               // backward candidate: the consumed state, within tolerance
               val backOk = dir != 1 && matchRow != null && matchKey == key &&
@@ -290,12 +321,10 @@ final case class AsOfJoinExec(
               var fwdTime = 0L
               if (dir != 0 && rBuf.hasNext) {
                 val r = rBuf.head
-                val rkV = evalLong(rk, r)
-                val rtV = evalLong(rt, r)
-                if (rkV != null && rtV != null && rkV.longValue() == key &&
-                    (tol < 0L || rtV.longValue() - time <= tol)) {
+                if (!rkA.isNull(r) && !rtA.isNull(r) && rkA.get(r) == key &&
+                    (tol < 0L || rtA.get(r) - time <= tol)) {
                   fwdRow = r
-                  fwdTime = rtV.longValue()
+                  fwdTime = rtA.get(r)
                 }
               }
               val chosen: InternalRow =
