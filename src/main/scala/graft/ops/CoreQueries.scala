@@ -496,6 +496,33 @@ object CoreQueries {
         .agg(count(lit(1)).as("n")),
       Some("SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)")),
 
+    // Q24c: PIVOT — long-to-wide reshaping with an EXPLICIT value list, so
+    // the plan is a single hash aggregate (pivot without values adds a
+    // distinct-discovery job — a full extra pass at scale).
+    Q("q24c_pivot",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast(LongType)))
+        .select(col("l_returnflag"), col("F").as("qty_f"), col("O").as("qty_o")),
+      Some("""SELECT l_returnflag,
+        CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_f,
+        CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_o
+        FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // Q24d: UNPIVOT (melt) — wide-to-long, the inverse reshaping; a pure
+    // per-row flatMap (no shuffle). Metrics are cast to one type up front
+    // (unpivot requires it) and the oracle is the UNION ALL formulation.
+    Q("q24d_unpivot",
+      (s, d) => Tables.part(s, d)
+        .select(col("p_partkey"), col("p_size").cast(LongType).as("p_size"),
+          length(col("p_name")).cast(LongType).as("name_len"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_size"), col("name_len")), "metric", "value"),
+      Some("""SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS BIGINT) AS value FROM part
+        UNION ALL
+        SELECT p_partkey, 'name_len' AS metric, CAST(length(p_name) AS BIGINT) AS value FROM part""".stripMargin)),
+
     // Q25: collect_list + collect_set, both sorted for determinism. The
     // collected arrays are rendered as CSV strings at the output boundary:
     // the driver's pandas canonicalizer cannot sort raw array cells
