@@ -523,6 +523,24 @@ object CoreQueries {
         UNION ALL
         SELECT p_partkey, 'name_len' AS metric, CAST(length(p_name) AS BIGINT) AS value FROM part""".stripMargin)),
 
+    // Q24e: GROUPING SETS — the general form rollup/cube specialize;
+    // grouping() flags disambiguate "NULL because aggregated away" from a
+    // genuinely NULL key. Identical SQL text runs on both engines.
+    Q("q24e_grouping_sets",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+        s.sql("""SELECT o_orderstatus, o_orderpriority,
+          grouping(o_orderstatus) AS g_status,
+          grouping(o_orderpriority) AS g_prio, count(*) AS n
+          FROM orders_gs
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+        grouping(o_orderstatus) AS g_status,
+        grouping(o_orderpriority) AS g_prio, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)),
+
     // Q25: collect_list + collect_set, both sorted for determinism. The
     // collected arrays are rendered as CSV strings at the output boundary:
     // the driver's pandas canonicalizer cannot sort raw array cells

@@ -238,6 +238,23 @@ object FlowQueries {
           .as("p50_within_5pct")),
       Some(s"$FlowsCte SELECT proto, true AS p50_within_5pct FROM flows GROUP BY proto")),
 
+    // Q27c: EXACT percentile (Spark `percentile` ≡ DuckDB `quantile_cont`,
+    // both the (n-1)·p linear-interpolation definition). Exact percentile
+    // aggregates a per-value count map, so it is scale-safe only on
+    // BOUNDED-cardinality domains (packet/byte counters here); unbounded
+    // domains take q27b's sketch. Interpolated doubles compared at
+    // round(·1e4) per the float rules.
+    Q("q27c_exact_percentile",
+      (s, d) => flows(s, d).groupBy("proto").agg(
+        round(expr("percentile(bytes, 0.5)") * 10000).cast(LongType).as("p50_e4"),
+        round(expr("percentile(bytes, 0.9)") * 10000).cast(LongType).as("p90_e4"),
+        round(expr("percentile(bytes, 0.99)") * 10000).cast(LongType).as("p99_e4")),
+      Some(s"""$FlowsCte SELECT proto,
+        CAST(round(quantile_cont(bytes, 0.5) * 10000) AS BIGINT) AS p50_e4,
+        CAST(round(quantile_cont(bytes, 0.9) * 10000) AS BIGINT) AS p90_e4,
+        CAST(round(quantile_cont(bytes, 0.99) * 10000) AS BIGINT) AS p99_e4
+        FROM flows GROUP BY proto""".stripMargin)),
+
     // uint64 full-domain parity (SURVEY §1.3 caveat): ClickHouse UInt64
     // counters can exceed Long.MaxValue; DECIMAL(20,0) is the lossless
     // Spark carrier. Demonstrated by scaling bytes beyond the Long domain
