@@ -230,6 +230,43 @@ object PipelineQueries {
         FROM (SELECT doc_id, CAST(n_chars AS BIGINT) AS sz,
                 SUM(CAST(n_chars AS BIGINT)) OVER (ORDER BY doc_id) AS cum
               FROM documents)
+        GROUP BY 1""".stripMargin)),
+
+    // X6h: corpus snapshot diff — the incremental-build primitive: compare
+    // two corpus versions by (doc_id, content digest) and classify every
+    // doc added / removed / changed / unchanged. Only 32-byte digests and
+    // ids cross the shuffle (bodies never move), a full-outer digest join
+    // at corpus scale. Snapshots are derived deterministically from the
+    // fixture: "old" lacks the doc_id%10==3 docs and carries a truncated
+    // body for doc_id%10==7; "new" is the corpus as-is.
+    Q("x6h_corpus_diff",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val newS = docs.select(col("doc_id"), md5(col("text")).as("dg"))
+        val oldS = docs.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+          .select(col("doc_id"),
+            md5(when(pmod(col("doc_id"), lit(10)) === 7,
+              substring(col("text"), 1, 40)).otherwise(col("text"))).as("dg"))
+        oldS.select(col("doc_id"), col("dg").as("old_dg"))
+          .join(newS.select(col("doc_id"), col("dg").as("new_dg")),
+            Seq("doc_id"), "full_outer")
+          .select(
+            when(col("old_dg").isNull, "added")
+              .when(col("new_dg").isNull, "removed")
+              .when(col("old_dg") =!= col("new_dg"), "changed")
+              .otherwise("unchanged").as("change_type"))
+          .groupBy("change_type").agg(count(lit(1)).as("n_docs"))
+      },
+      Some("""WITH news AS (SELECT doc_id, md5(text) AS new_dg FROM documents),
+        olds AS (SELECT doc_id,
+            md5(CASE WHEN doc_id % 10 = 7 THEN substr(text, 1, 40) ELSE text END) AS old_dg
+          FROM documents WHERE doc_id % 10 <> 3)
+        SELECT change_type, count(*) AS n_docs FROM (
+          SELECT CASE WHEN old_dg IS NULL THEN 'added'
+                      WHEN new_dg IS NULL THEN 'removed'
+                      WHEN old_dg <> new_dg THEN 'changed'
+                      ELSE 'unchanged' END AS change_type
+          FROM olds FULL OUTER JOIN news USING (doc_id))
         GROUP BY 1""".stripMargin))
   )
 }
