@@ -373,6 +373,85 @@ object SimilarityQueries {
           coalesce(ex.hit, false) AS in_exact_top5
         FROM top LEFT JOIN ex ON top.q_id = ex.q_id AND top.c_id = ex.c_id""".stripMargin)),
 
+    // X3g: SQ8 scalar-quantization ANN — the third compression flavor
+    // beside IVF (x3c, scan pruning) and PQ (x3f, subspace codebooks):
+    // per-dimension affine int8 codes, 8× smaller than the raw vectors,
+    // scored by dequantized cosine. 100 TB posture: the per-dim min/max
+    // stats are a 64-row aggregate broadcast back as ONE row of arrays;
+    // codes are computed map-side; queries scan only codes. Every
+    // quantize/dequantize step is INTEGER arithmetic so both engines
+    // reproduce it bit-for-bit — the dequantized value is kept at
+    // (2^20/1024)-scale via an offset-then-downshift (the +2^28 offset
+    // makes the dividend non-negative, where Spark's truncating DIV and
+    // DuckDB's flooring // agree), keeping the 64-dim dot inside BIGINT.
+    Q("x3g_sq8",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), quant(col("embedding")).as("qe"))
+        val dims = e.select(posexplode(col("qe")).as(Seq("pos", "v")))
+          .groupBy("pos").agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+        val arrs = dims
+          .agg(sort_array(collect_list(struct(col("pos"), col("lo"), col("hi")))).as("t"))
+          .select(transform(col("t"), x => x.getField("lo")).as("lo_arr"),
+            transform(col("t"), x => x.getField("hi")).as("hi_arr"))
+        val codes = e.crossJoin(broadcast(arrs)).select(col("vec_id"),
+          expr("""transform(sequence(1, 64), i ->
+              CASE WHEN element_at(hi_arr, i) = element_at(lo_arr, i) THEN 0L
+              ELSE ((element_at(qe, i) - element_at(lo_arr, i)) * 255L)
+                DIV (element_at(hi_arr, i) - element_at(lo_arr, i)) END)""")
+            .as("q8"),
+          col("lo_arr"), col("hi_arr"))
+        val deq = codes.select(col("vec_id"),
+          expr("""transform(sequence(1, 64), i ->
+              ((element_at(lo_arr, i) * 255L
+                + element_at(q8, i) * (element_at(hi_arr, i) - element_at(lo_arr, i))
+                + 268435456L) DIV 1024L) - 262144L)""").as("c"))
+        val qs = deq.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("c").as("qc"))
+        val scored = deq.select(col("vec_id").as("c_id"), col("c").as("cc"))
+          .join(broadcast(qs), col("c_id") =!= col("q_id"))
+          .select(col("q_id"), col("c_id"),
+            (qdot(col("cc"), col("qc")).cast(DoubleType) /
+              (sqrt(qdot(col("cc"), col("cc")).cast(DoubleType)) *
+                sqrt(qdot(col("qc"), col("qc")).cast(DoubleType))))
+              .as("approx_cos"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("approx_cos").desc, col("c_id"))
+        val top = scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        val exact = bruteKnn(s, d, nQueries = 8, k = 5)
+          .select(col("q_id"), col("c_id"), lit(true).as("hit"))
+        top.join(exact, Seq("q_id", "c_id"), "left")
+          .select(col("q_id"), col("rank"), col("c_id"), col("approx_cos"),
+            coalesce(col("hit"), lit(false)).as("in_exact_top5"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, ${sqlQuant("embedding")} AS qe FROM embeddings),
+        dims AS (SELECT i, min(qe[i]) AS lo, max(qe[i]) AS hi
+          FROM e, unnest(generate_series(1, 64)) AS t(i) GROUP BY i),
+        arrs AS (SELECT list(lo ORDER BY i) AS lo_arr, list(hi ORDER BY i) AS hi_arr FROM dims),
+        codes AS (SELECT vec_id,
+            list_transform(generate_series(1, 64), i -> CASE WHEN hi_arr[i] = lo_arr[i] THEN 0
+              ELSE ((qe[i] - lo_arr[i]) * 255) // (hi_arr[i] - lo_arr[i]) END) AS q8
+          FROM e, arrs),
+        deq AS (SELECT vec_id,
+            list_transform(generate_series(1, 64), i ->
+              ((lo_arr[i] * 255 + q8[i] * (hi_arr[i] - lo_arr[i]) + 268435456) // 1024) - 262144) AS c
+          FROM codes, arrs),
+        scored AS (SELECT q.vec_id AS q_id, t.vec_id AS c_id,
+            CAST(${sqlQdot("t.c", "q.c")} AS DOUBLE) /
+              (sqrt(CAST(${sqlQdot("t.c", "t.c")} AS DOUBLE)) * sqrt(CAST(${sqlQdot("q.c", "q.c")} AS DOUBLE))) AS approx_cos
+          FROM deq q JOIN deq t ON q.vec_id < 8 AND t.vec_id <> q.vec_id),
+        top AS (SELECT * FROM (SELECT *, row_number() OVER
+            (PARTITION BY q_id ORDER BY approx_cos DESC, c_id) AS rank FROM scored)
+          WHERE rank <= 5),
+        ex AS (SELECT q_id, c_id, true AS hit FROM
+          (SELECT q_id, c_id, row_number() OVER
+             (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+           FROM (SELECT q.vec_id AS q_id, c.vec_id AS c_id, ${sqlQcos("q.qe", "c.qe")} AS cos
+                 FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id <> q.vec_id))
+          WHERE rank <= 5)
+        SELECT top.q_id, CAST(top.rank AS INTEGER) AS rank, top.c_id, top.approx_cos,
+          coalesce(ex.hit, false) AS in_exact_top5
+        FROM top LEFT JOIN ex ON top.q_id = ex.q_id AND top.c_id = ex.c_id""".stripMargin)),
+
     // X3d: kNN majority-vote label prediction over the exact top-10.
     Q("x3d_knn_classify",
       (s, d) => bruteKnn(s, d, nQueries = 8, k = 10)
