@@ -31,7 +31,7 @@ object SimilarityQueries {
     * at the head of every similarity query). KernelSpec pins bit-equality
     * with the transform formulation, half-way rounding cases included.
     */
-  private def quant(a: Column): Column =
+  private[ext] def quant(a: Column): Column =
     graft.functions.Kernels.float_vec_quant(a)
 
   /** Exact integer dot product — the codegen-native kernel
@@ -41,19 +41,19 @@ object SimilarityQueries {
     * that equality — higher-order lambdas interpret per element, and this
     * sits in every per-candidate inner loop of the x3 family).
     */
-  private def qdot(a: Column, b: Column): Column =
+  private[ext] def qdot(a: Column, b: Column): Column =
     graft.functions.Kernels.long_vec_dot(a, b)
 
-  private def qcos(a: Column, b: Column): Column =
+  private[ext] def qcos(a: Column, b: Column): Column =
     qdot(a, b).cast(DoubleType) /
       (sqrt(qdot(a, a).cast(DoubleType)) * sqrt(qdot(b, b).cast(DoubleType)))
 
   /** DuckDB rendering of the same quantized cosine over list columns. */
-  private def sqlQuant(e: String): String =
+  private[ext] def sqlQuant(e: String): String =
     s"list_transform($e, x -> CAST(round(CAST(x AS DOUBLE)*1048576) AS BIGINT))"
-  private def sqlQdot(a: String, b: String): String =
+  private[ext] def sqlQdot(a: String, b: String): String =
     s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i]*$b[i]))"
-  private def sqlQcos(a: String, b: String): String =
+  private[ext] def sqlQcos(a: String, b: String): String =
     s"(CAST(${sqlQdot(a, b)} AS DOUBLE) / (sqrt(CAST(${sqlQdot(a, a)} AS DOUBLE)) * sqrt(CAST(${sqlQdot(b, b)} AS DOUBLE))))"
 
   /** 16 fixed ±1 (Rademacher) hyperplanes for the x2e embedding-LSH —

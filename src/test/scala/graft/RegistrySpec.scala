@@ -39,7 +39,8 @@ class RegistrySpec extends SparkSpec {
   // queries over small fixtures).
   private val mayBeEmpty = Set("q15b_join_anti", "qf2_traffic_matrix",
     "qf3_port_scan", "x2c_dedup_ngram", "x3b_cosine_pairs",
-    "q46_stream_tumbling", "q47_stream_sliding", "x7c_decontam_fuzzy")
+    "q46_stream_tumbling", "q47_stream_sliding", "x7c_decontam_fuzzy",
+    "x7e_decontam_semantic")
 
   for (q <- Registry.all) {
     test(s"smoke: ${q.name} runs at sf0.001") {
