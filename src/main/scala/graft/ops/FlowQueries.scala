@@ -278,6 +278,54 @@ object FlowQueries {
         CAST(CAST(MAX(CAST(bytes AS DECIMAL(20,0)) * 8589934592) AS DECIMAL(20,0)) AS VARCHAR) AS max_big
         FROM flows GROUP BY proto""".stripMargin)),
 
+    // QF8: longest-prefix-match route enrichment — the "most specific
+    // route" lookup every flow pipeline runs (GeoIP/BGP attribution).
+    // Scale shape: the routing table rides as a LITERAL array and LPM is a
+    // pure per-row expression — filter the routes by the codegen
+    // `ip_in_cidr` kernel, take the max-(plen) struct — so route
+    // attribution is a MAP with zero shuffle and no per-flow window (the
+    // join+row_number formulation shuffles every flow by its id). A real
+    // deployment broadcasts the table (a full BGP table is ~50 MB) with
+    // identical per-row logic.
+    Q("qf8_lpm_route",
+      (s, d) => {
+        val routes = Seq(
+          ("10.0.0.0/8", 8, "corp-default"),
+          ("10.64.0.0/10", 10, "region-west"),
+          ("10.96.0.0/11", 11, "dc-west-2"),
+          ("10.100.0.0/14", 14, "pod-a"),
+          ("10.100.128.0/17", 17, "rack-17"))
+        val routeArr = array(routes.map { case (cidr, plen, site) =>
+          struct(lit(plen).as("plen"), lit(site).as("site"), lit(cidr).as("cidr"))
+        }: _*)
+        flows(s, d).select(col("src_addr"), col("bytes"))
+          .withColumn("routes_arr", routeArr)
+          .select(col("bytes"),
+            expr("""array_max(transform(
+                filter(routes_arr, r -> ip_in_cidr(src_addr, r.cidr)),
+                r -> struct(r.plen AS plen, r.site AS site)))""").as("m"))
+          .select(coalesce(col("m.site"), lit("unassigned")).as("site"), col("bytes"))
+          .groupBy("site")
+          .agg(count(lit(1)).as("n_flows"), sum(col("bytes")).as("total_bytes"))
+      },
+      Some(s"""$FlowsCte,
+        r(cidr, plen, site, rip) AS (VALUES
+          ('10.0.0.0/8', 8, 'corp-default', 167772160),
+          ('10.64.0.0/10', 10, 'region-west', 171966464),
+          ('10.96.0.0/11', 11, 'dc-west-2', 174063616),
+          ('10.100.0.0/14', 14, 'pod-a', 174325760),
+          ('10.100.128.0/17', 17, 'rack-17', 174358528)),
+        ipn AS (SELECT sequence_num, bytes,
+            CAST(o[1] AS BIGINT)*16777216 + CAST(o[2] AS BIGINT)*65536
+              + CAST(o[3] AS BIGINT)*256 + CAST(o[4] AS BIGINT) AS ip
+          FROM (SELECT sequence_num, bytes, string_split(src_addr, '.') AS o FROM flows)),
+        m AS (SELECT sequence_num, any_value(bytes) AS bytes,
+            coalesce(arg_max(site, plen), 'unassigned') AS site
+          FROM ipn LEFT JOIN r ON (ip >> (32 - plen)) = (rip >> (32 - plen))
+          GROUP BY sequence_num)
+        SELECT site, count(*) AS n_flows, CAST(SUM(bytes) AS BIGINT) AS total_bytes
+        FROM m GROUP BY site""".stripMargin)),
+
     // Flow direction × protocol rollup with sampling-rate scale-up.
     Q("qf5_direction_rollup",
       (s, d) => flows(s, d)
