@@ -664,6 +664,29 @@ object CoreQueries {
         FROM (SELECT event_id, user_id, ts, CAST(round(value*100) AS BIGINT) AS v, epoch_us(ts) AS tus FROM events)
         WINDOW wr AS (PARTITION BY user_id ORDER BY tus RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)""".stripMargin)),
 
+    // Q31b: positional window values — first/last/nth over an explicit
+    // frame. last_value needs the full-partition frame spelled out (the
+    // default frame ends at CURRENT ROW, silently yielding the running
+    // last); identical frame text on both engines.
+    Q("q31b_win_positional",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.events(s, d).select(
+          col("event_id"), col("user_id"),
+          first(col("event_id")).over(w).as("first_event"),
+          last(col("event_id")).over(w).as("last_event"),
+          nth_value(col("event_id"), 2).over(w).as("second_event"))
+      },
+      Some("""SELECT event_id, user_id,
+        first_value(event_id) OVER w AS first_event,
+        last_value(event_id) OVER w AS last_event,
+        nth_value(event_id, 2) OVER w AS second_event
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin)),
+
     // Q32: top-N per group (top ports per host shape).
     Q("q32_win_topn",
       (s, d) => {
