@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Stale JUnit-XML reports from deleted specs otherwise survive in
+// target/test-reports and inflate (or mask) the next run's suite list —
+// wipe the dir right before tests execute so it holds exactly the
+// current run's suites (VERDICT r07 #6).
+Test / testOptions += {
+  val dir = target.value / "test-reports"
+  Tests.Setup(() => sbt.IO.delete(dir))
+}
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

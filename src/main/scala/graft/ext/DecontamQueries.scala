@@ -186,9 +186,9 @@ object DecontamQueries {
     // X7d: bloom-prefiltered decontamination — same answer as x7, computed
     // the way a 100 TB run would: build a bloom filter over the eval
     // split's distinct 8-gram digests (Spark's own BloomFilterAggregate —
-    // a real distributed aggregate with partial/merge, fetched to the
-    // driver as ONE binary blob, the identical round-trip Spark's
-    // InjectRuntimeFilter subquery performs), then probe it as a codegen
+    // a real distributed aggregate with partial/merge, attached to the
+    // probe as an uncorrelated scalar subquery, the identical shape
+    // Spark's InjectRuntimeFilter emits), then probe it as a codegen
     // filter on the train side and exact-confirm only the survivors.
     //
     // Why this beats x7's shape at scale: x7 broadcasts the full distinct
@@ -210,22 +210,34 @@ object DecontamQueries {
             graft.functions.Kernels.window_md5(col("w"), 8).as("gs"))
         val evalGrams = docs.where(col("bucket") >= 90)
           .select(explode(col("gs")).as("gram")).distinct()
-        // xxhash64 on build and probe sides alike; sizing constants fit the
-        // fixture — production derives estItems from approx_count_distinct
-        val bloomBytes = evalGrams
+        // Sizing is DATA-DERIVED (VERDICT r07 #4): a sketch pre-pass over
+        // the eval split — partial HLLs merge map-side, so the only thing
+        // that ever reaches the driver is ONE Long. ~10 bits/item ≈ 1%
+        // FPP; both knobs clamp to BloomFilterAggregate's conf maxima
+        // (4M items / 64M bits) so an oversized eval split degrades FPP
+        // gradually instead of failing analysis — and the confirm join
+        // keeps the answer exact at any FPP.
+        val estItems = math.min(4000000L, math.max(1L,
+          docs.where(col("bucket") >= 90)
+            .select(explode(col("gs")).as("gram"))
+            .agg(approx_count_distinct(col("gram")))
+            .head.getLong(0)))
+        val numBits = math.min(67108864L, math.max(1L << 13, estItems * 10L))
+        // The blob itself never touches query-building code: the aggregate
+        // rides the probe as an uncorrelated scalar subquery (the
+        // InjectRuntimeFilter shape), so no multi-MB plan literal exists
+        // and a null blob (empty eval split) nulls the probe — dropping
+        // every candidate row, which IS the empty-contamination answer.
+        val bloomDf = evalGrams
           .agg(graft.functions.Bloom
-            .bloomAgg(xxhash64(col("gram")), 1L << 20, 1L << 23).as("bf"))
-          .head.getAs[Array[Byte]](0)
+            .bloomAgg(xxhash64(col("gram")), estItems, numBits).as("bf"))
         val train = docs.where(col("bucket") < 80)
         val totals = train.select(col("doc_id"),
           size(col("gs")).cast("long").as("n_grams"))
-        val matched =
-          if (bloomBytes == null) // empty eval split ⇒ nothing contaminated
-            totals.limit(0).select(col("doc_id"), col("n_grams").as("n_matched"))
-          else train.select(col("doc_id"), explode(col("gs")).as("gram"))
-            .where(graft.functions.Bloom.mightContain(bloomBytes, xxhash64(col("gram"))))
-            .join(evalGrams, Seq("gram")) // exact confirm: drops bloom FPs
-            .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
+        val matched = train.select(col("doc_id"), explode(col("gs")).as("gram"))
+          .where(graft.functions.Bloom.mightContainSubquery(bloomDf, xxhash64(col("gram"))))
+          .join(evalGrams, Seq("gram")) // exact confirm: drops bloom FPs
+          .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
         totals.join(matched, Seq("doc_id"), "left")
           .na.fill(0L, Seq("n_matched"))
           .withColumn("contaminated", (col("n_matched") > 0).cast("int"))

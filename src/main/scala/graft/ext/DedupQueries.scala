@@ -488,18 +488,27 @@ object DedupQueries {
     // the LSH ≡ brute-force equality that used to ride inside this query
     // is proven in LshAuditSpec via [[simhashEqualityPlan]]. Signatures
     // are xxhash64-derived, which DuckDB cannot replay, so the oracle
-    // checks the data-dependent doc count plus the found-pairs contract
-    // the audit spec guarantees (profiled: 12 pairs at sf0.01).
+    // checks an invariant that is a THEOREM on any fixture, not a profile
+    // (ADVICE r07 — the old `found_pairs` was true only on fixtures that
+    // happen to contain Hamming≤3 pairs): identical text ⇒ identical
+    // SimHash ⇒ Hamming 0 ≤ 3 ⇒ the pigeonhole bands MUST emit the pair.
+    // So `lsh_covers_exact_dupes` ≡ (no exact-duplicate texts ∨ LSH found
+    // pairs) is vacuously true on dupe-free corpora and catches a real
+    // LSH regression (missed band) on any corpus that has duplicates.
     Q("x2b_dedup_simhash",
       (s, d) => {
         simhashLshPairs(simhash(s, d))
-          .agg((count(lit(1)) > 0).as("found_pairs"), lit(3).as("hamming_threshold"))
+          .agg((count(lit(1)) > 0).as("fp"), lit(3).as("hamming_threshold"))
           // one signature row per document, so the signed-doc count is the
           // document count — counting the cheap scan instead of re-running
           // the whole shingle+SimHash pipeline a second time
-          .crossJoin(Tables.documents(s, d).agg(count(lit(1)).as("n_docs_signed")))
+          .crossJoin(Tables.documents(s, d).agg(
+            count(lit(1)).as("n_docs_signed"),
+            (count(lit(1)) > countDistinct(col("text"))).as("hd")))
+          .select((!col("hd") || col("fp")).as("lsh_covers_exact_dupes"),
+            col("hamming_threshold"), col("n_docs_signed"))
       },
-      Some("SELECT true AS found_pairs, 3 AS hamming_threshold, (SELECT count(*) FROM documents) AS n_docs_signed")),
+      Some("SELECT true AS lsh_covers_exact_dupes, 3 AS hamming_threshold, (SELECT count(*) FROM documents) AS n_docs_signed")),
 
     // X2c: character-12-gram Jaccard near-dedup, brute force with a length-
     // ratio blocking predicate (j ≥ τ ⇒ |A|/|B| ∈ [τ, 1/τ] — a provable

@@ -381,9 +381,15 @@ object SimilarityQueries {
     // codes are computed map-side; queries scan only codes. Every
     // quantize/dequantize step is INTEGER arithmetic so both engines
     // reproduce it bit-for-bit — the dequantized value is kept at
-    // (2^20/1024)-scale via an offset-then-downshift (the +2^28 offset
+    // (2^20/1024)-scale via an offset-then-downshift (the +2^48 offset
     // makes the dividend non-negative, where Spark's truncating DIV and
     // DuckDB's flooring // agree), keeping the 64-dim dot inside BIGINT.
+    // Input bound (ADVICE r07): the dividend is lo*255 + q8*(hi-lo) + 2^48
+    // with q8*(hi-lo) >= 0, so non-negativity needs lo >= -2^48/255, i.e.
+    // raw component >= -2^48/(255*2^20) ~ -1.05e6 — any embedding whose
+    // coordinates fit the 2^20 fixed-point quantizer satisfies it with six
+    // orders of magnitude to spare (the old 2^28 offset covered only
+    // >= -1.004, one wrong-by-one element per out-of-range coordinate).
     Q("x3g_sq8",
       (s, d) => {
         val e = Tables.embeddings(s, d)
@@ -405,7 +411,7 @@ object SimilarityQueries {
           expr("""transform(sequence(1, 64), i ->
               ((element_at(lo_arr, i) * 255L
                 + element_at(q8, i) * (element_at(hi_arr, i) - element_at(lo_arr, i))
-                + 268435456L) DIV 1024L) - 262144L)""").as("c"))
+                + 281474976710656L) DIV 1024L) - 274877906944L)""").as("c"))
         val qs = deq.filter(col("vec_id") < 8)
           .select(col("vec_id").as("q_id"), col("c").as("qc"))
         val scored = deq.select(col("vec_id").as("c_id"), col("c").as("cc"))
@@ -433,7 +439,7 @@ object SimilarityQueries {
           FROM e, arrs),
         deq AS (SELECT vec_id,
             list_transform(generate_series(1, 64), i ->
-              ((lo_arr[i] * 255 + q8[i] * (hi_arr[i] - lo_arr[i]) + 268435456) // 1024) - 262144) AS c
+              ((lo_arr[i] * 255 + q8[i] * (hi_arr[i] - lo_arr[i]) + 281474976710656) // 1024) - 274877906944) AS c
           FROM codes, arrs),
         scored AS (SELECT q.vec_id AS q_id, t.vec_id AS c_id,
             CAST(${sqlQdot("t.c", "q.c")} AS DOUBLE) /

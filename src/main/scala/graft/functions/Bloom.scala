@@ -35,7 +35,28 @@ object Bloom {
   /** Codegen membership probe of a serialized filter against a LongType
     * column. No false negatives; false-positive rate set by the build
     * sizing, so follow with an exact confirm when exactness matters.
+    *
+    * Fixture-scale/test overload — the blob rides the plan as a Literal.
+    * Production paths should use the [[mightContainSubquery]] overload so
+    * a multi-MB filter never lands in the plan text (VERDICT r07).
     */
   def mightContain(bloom: Array[Byte], c: Column): Column =
     Shim.column(BloomFilterMightContain(Literal(bloom, BinaryType), Shim.expression(c)))
+
+  /** Probe a filter BUILT BY THE PLAN ITSELF: `bloomDf` must be a 1-row /
+    * 1-column aggregate (typically `df.agg(bloomAgg(...))`), attached as an
+    * uncorrelated scalar subquery — the exact shape Spark's own
+    * `InjectRuntimeFilter` emits. The blob never touches the driver-side
+    * query-building code and never appears as a plan literal: the subquery
+    * runs once, its single binary result is wired into the probe's codegen
+    * references, and the task binary ships to executors via Spark's
+    * torrent broadcast. A null blob (empty build input) makes the probe
+    * NULL, i.e. a `where` on it drops every row — the right semantics for
+    * "nothing to collide with".
+    */
+  def mightContainSubquery(bloomDf: org.apache.spark.sql.DataFrame, c: Column): Column =
+    Shim.column(BloomFilterMightContain(
+      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+        bloomDf.queryExecution.analyzed),
+      Shim.expression(c)))
 }

@@ -375,10 +375,15 @@ final case class AsOfJoinExec(
   * }}}
   *
   * Table args name temp views / tables (dotted names allowed); key args
-  * are column names resolved by the analyzer against the named side's
-  * output (qualified `view.col` allowed). Joining a view to ITSELF needs
-  * two distinctly-named views — the same name twice makes every key
-  * reference ambiguous, which the analyzer reports as such.
+  * are column names resolved by the analyzer against the COMBINED output
+  * of both sides. Two consequences (ADVICE r07):
+  *  - DIFFERENT tables sharing a column name (the common trades/quotes
+  *    shape where both carry `ts`) make a bare name ambiguous — qualify
+  *    it with the view name (`'trades.ts', 'quotes.ts'`), which the
+  *    surface already supports;
+  *  - joining a view to ITSELF needs two distinctly-named views — the
+  *    same name twice makes even qualified references ambiguous, which
+  *    the analyzer reports as such.
   */
 object AsOfSql {
   import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}

@@ -368,9 +368,12 @@ object NetFlowV9 {
       if (!malformed && p + flen > setEnd) malformed = true
       if (!malformed) {
       def uint(): Long = {
+        // Big-endian: the low-order bytes are at the END of the field, so an
+        // oversized (9+ byte, zero-padded varlen) integer keeps its LAST 8
+        // bytes — keeping the first 8 would discard the value (ADVICE r07).
         var v = 0L
-        var i = 0
-        while (i < flen && i < 8) { v = (v << 8) | (bb.get(p + i) & 0xffL); i += 1 }
+        var i = if (flen > 8) flen - 8 else 0
+        while (i < flen) { v = (v << 8) | (bb.get(p + i) & 0xffL); i += 1 }
         v
       }
       fid match {

@@ -34,4 +34,34 @@ class BloomSpec extends SparkSpec {
       .head.getAs[Array[Byte]](0)
     assert(bytes == null)
   }
+
+  test("subquery probe: filter built by the plan, no binary plan literal") {
+    val bloomDf = spark.range(0L, 1000L).toDF("v")
+      .agg(Bloom.bloomAgg(xxhash64(col("v")), 10000L, 1L << 17).as("bf"))
+    val probed = spark.range(0L, 2000L).toDF("v")
+      .where(Bloom.mightContainSubquery(bloomDf, xxhash64(col("v"))))
+    val hits = probed.collect().map(_.getLong(0))
+    // zero false negatives: every inserted value survives the filter
+    assert((0L until 1000L).forall(hits.contains), "subquery bloom lost inserted values")
+    assert(hits.count(_ >= 1000L) < 50, "false-positive rate broken under subquery probe")
+    // the serialized filter must NOT ride the outer plan as a literal —
+    // only as a scalar subquery (the InjectRuntimeFilter shape)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    val binaryLits = probed.queryExecution.optimizedPlan.expressions.flatMap(_.collect {
+      case l @ Literal(v, BinaryType) if v != null => l
+    })
+    assert(binaryLits.isEmpty, "bloom blob leaked into the plan as a Literal")
+    assert(probed.queryExecution.optimizedPlan.toString.contains("scalar-subquery"),
+      "probe lost its scalar-subquery attachment")
+  }
+
+  test("subquery probe over an EMPTY build side drops every row") {
+    val bloomDf = spark.range(0L, 10L).toDF("v").where(col("v") < 0L)
+      .agg(Bloom.bloomAgg(xxhash64(col("v")), 100L, 1L << 10).as("bf"))
+    val n = spark.range(0L, 100L).toDF("v")
+      .where(Bloom.mightContainSubquery(bloomDf, xxhash64(col("v"))))
+      .count()
+    assert(n == 0L, "null blob must null the probe and drop all rows")
+  }
 }
