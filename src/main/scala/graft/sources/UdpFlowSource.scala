@@ -66,9 +66,12 @@ import graft.FlowSchema
   * New packets always enter at offsets after the replayed range.
   *
   * Options: `port` (0 = ephemeral), `host` (default 127.0.0.1), `name`
-  * (key to look up the actually-bound port via [[UdpFlowSource.boundPort]]),
-  * `maxPacketsPerBatch` (admission cap, R4), `numPartitions` (decode
-  * parallelism), `dedupSequence` (see above).
+  * (key to look up the actually-bound port via [[UdpFlowSource.boundPort]]
+  * and the label on per-listener /metrics counters), `scheme`
+  * (`any`/`sflow`/`netflow`/`nfl` — restrict this socket to one protocol,
+  * the reference's one-decoder-state-per-listen-URL shape; mismatched
+  * versions count as drops), `maxPacketsPerBatch` (admission cap, R4),
+  * `numPartitions` (decode parallelism), `dedupSequence` (see above).
   *
   * Malformed datagrams (wrong version, truncated) are counted in
   * [[UdpFlowSource.dropped]] and skipped — the reference's decoder error
@@ -103,6 +106,29 @@ object UdpFlowSource {
     */
   val templateMisses = new LongAdder
 
+  /** Per-listener counters (keyed by the source's `name` option) — the
+    * reference runs one goflow FlowRoutine per listen URL and Prometheus
+    * labels its counters per listener; multi-listener collectors
+    * ([[graft.streaming.FlowCollector.startUrls]]) need the same
+    * attribution, which the process-wide adders above can't give.
+    * Registered on stream start and kept after stop (counters are
+    * process-lifetime, like the reference's).
+    */
+  final class ListenerStats {
+    val received = new LongAdder
+    val dropped = new LongAdder
+    val templateMisses = new LongAdder
+  }
+  private val perListener = new ConcurrentHashMap[String, ListenerStats]()
+  private[sources] def statsFor(name: String): ListenerStats =
+    perListener.computeIfAbsent(name, _ => new ListenerStats)
+  /** Sorted snapshot for /metrics rendering. */
+  def listenerStats: Seq[(String, ListenerStats)] = {
+    import scala.jdk.CollectionConverters._
+    perListener.entrySet().asScala.map(e => (e.getKey, e.getValue))
+      .toSeq.sortBy(_._1)
+  }
+
   /** Latest generic interface counters per (agent, ifIndex), parsed from
     * sFlow COUNTER samples on the receiver thread (flows rows never carry
     * them; Prometheus gauges do — [[graft.streaming.MetricsServer]]).
@@ -135,7 +161,8 @@ final class UdpFlowTable extends Table with SupportsRead {
             options.getLong("maxPacketsPerBatch", 1000L),
             options.getInt("numPartitions", 4),
             options.getBoolean("dedupSequence", false),
-            options.getInt("maxBufferedPackets", 1000000))
+            options.getInt("maxBufferedPackets", 1000000),
+            options.getOrDefault("scheme", "any"))
       }
     }
 }
@@ -158,13 +185,25 @@ final case class UdpPacketsPartition(packets: Array[(Array[Byte], Array[Byte])],
 
 final class UdpFlowStream(host: String, port: Int, name: String,
     maxPacketsPerBatch: Long, numParts: Int, dedupSequence: Boolean,
-    maxBufferedPackets: Int = 1000000)
+    maxBufferedPackets: Int = 1000000, scheme: String = "any")
     extends MicroBatchStream with SupportsAdmissionControl {
+
+  require(Set("any", "sflow", "netflow", "nfl").contains(scheme),
+    s"unknown scheme '$scheme' (reference main.go:241 exits the same way); " +
+      "expected sflow | netflow | nfl | any")
 
   // ---- receiver (driver side) ----
   private val socket = new DatagramSocket(port, InetAddress.getByName(host))
   socket.setReceiveBufferSize(8 * 1024 * 1024)
   UdpFlowSource.register(name, socket.getLocalPort)
+  /** Per-listener attribution of every counter this stream touches. */
+  private val stats = UdpFlowSource.statsFor(name)
+  private def drop(): Unit = {
+    UdpFlowSource.dropped.increment(); stats.dropped.increment()
+  }
+  private def templateMiss(): Unit = {
+    UdpFlowSource.templateMisses.increment(); stats.templateMisses.increment()
+  }
 
   /** Buffered (packet, sender) pairs; `base` = offset of buffer head. */
   private val buf = new ArrayBuffer[(Array[Byte], Array[Byte])]()
@@ -240,14 +279,16 @@ final class UdpFlowStream(host: String, port: Int, name: String,
               // The dedup key is claimed ONLY on actual append — claiming it
               // for a buffer-full drop would refuse every re-sent copy of
               // that packet forever, wedging the blind-re-send contract.
-              if (buf.length >= maxBufferedPackets) UdpFlowSource.dropped.increment()
-              else if (dedupKey.forall(seen.add)) buf += ((bytes, sender))
+              if (buf.length >= maxBufferedPackets) drop()
+              else if (dedupKey.forall(seen.add)) {
+                buf += ((bytes, sender)); stats.received.increment()
+              }
               // else: duplicate sequence — silently refused (replayable send)
             }
           }
         } catch {
           case _: java.net.SocketException if closed => // shutdown
-          case _: Exception if !closed => UdpFlowSource.dropped.increment()
+          case _: Exception if !closed => drop()
         }
       }
     }
@@ -269,8 +310,18 @@ final class UdpFlowStream(host: String, port: Int, name: String,
     */
   private def classify(bytes: Array[Byte],
       senderKey: String): Option[Option[(String, Int, Long, Long)]] = {
-    if (bytes.length < 16) { UdpFlowSource.dropped.increment(); return None }
+    if (bytes.length < 16) { drop(); return None }
     val version = ((bytes(0) & 0xff) << 8) | (bytes(1) & 0xff)
+    // per-listener scheme restriction (reference parity: each listen URL
+    // runs ONE decoder state — goflow's StateSFlow/StateNetFlow/StateNFLegacy
+    // each reject other versions; `any` keeps the single-socket auto-detect)
+    val schemeOk = scheme match {
+      case "sflow" => version == 0
+      case "nfl" => version == 5
+      case "netflow" => version == 9 || version == 10
+      case _ => true
+    }
+    if (!schemeOk) { drop(); return None }
     def seqAt(off: Int): Long =
       ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
         ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
@@ -280,7 +331,7 @@ final class UdpFlowStream(host: String, port: Int, name: String,
       case 0 => // sFlow: version is a u32, so the first u16 reads 0
         if (bytes.length < 28 ||
             (((bytes(2) & 0xff) << 8) | (bytes(3) & 0xff)) != 5) {
-          UdpFlowSource.dropped.increment(); return None
+          drop(); return None
         }
         // counter samples are receiver state (→ Prometheus gauges), like
         // templates; the scan is a cheap skip-by-length pass. Labeled by
@@ -301,7 +352,7 @@ final class UdpFlowStream(host: String, port: Int, name: String,
         }
       case 5 =>
         if (bytes.length < NetFlowV5.HeaderBytes) {
-          UdpFlowSource.dropped.increment(); return None
+          drop(); return None
         }
         // flow_sequence counts per engine: (engine_type, engine_id) at
         // bytes 20-21 is the v5 domain
@@ -332,7 +383,7 @@ final class UdpFlowStream(host: String, port: Int, name: String,
               }
             }
             if (!dataIds.forall(id => senderTmpl.contains((sourceId, id)))) {
-              UdpFlowSource.templateMisses.increment()
+              templateMiss()
               None // refuse: the re-send (post-template) will be admitted
             } else if (dataIds.isEmpty) {
               Some(None) // template-only packet: idempotent, never deduped
@@ -341,9 +392,9 @@ final class UdpFlowStream(host: String, port: Int, name: String,
             }
           }
         } catch {
-          case _: Exception => UdpFlowSource.dropped.increment(); None
+          case _: Exception => drop(); None
         }
-      case _ => UdpFlowSource.dropped.increment(); None
+      case _ => drop(); None
     }
   }
 
@@ -450,11 +501,15 @@ final class UdpFlowStream(host: String, port: Int, name: String,
     if (e > base) base = e
     val d = execDropped.value
     if (d > syncedExecDropped) {
-      UdpFlowSource.dropped.add(d - syncedExecDropped); syncedExecDropped = d
+      UdpFlowSource.dropped.add(d - syncedExecDropped)
+      stats.dropped.add(d - syncedExecDropped)
+      syncedExecDropped = d
     }
     val m = execMisses.value
     if (m > syncedExecMisses) {
-      UdpFlowSource.templateMisses.add(m - syncedExecMisses); syncedExecMisses = m
+      UdpFlowSource.templateMisses.add(m - syncedExecMisses)
+      stats.templateMisses.add(m - syncedExecMisses)
+      syncedExecMisses = m
     }
   }
 

@@ -25,16 +25,112 @@ import graft.sources.UdpFlowSource
   */
 object FlowCollector {
 
+  /** One bound listener of a running collector: `name` keys the
+    * per-listener /metrics labels and [[UdpFlowSource.boundPort]].
+    */
+  final case class Listener(name: String, scheme: String, host: String, port: Int)
+
   final case class Running(
       query: StreamingQuery,
       listener: FlowPipeline.MetricsListener,
       metrics: MetricsServer,
-      udpPort: Int) {
+      udpPort: Int,
+      listeners: Seq[Listener] = Seq.empty) {
     def metricsPort: Int = metrics.boundPort
     def stop(spark: SparkSession): Unit = {
       query.stop()
       spark.streams.removeListener(listener)
       metrics.stop()
+    }
+  }
+
+  /** Parsed `scheme://host:port` listen URL (reference `main.go:207-213` —
+    * url.Parse over each comma-separated element). Empty host binds
+    * loopback; scheme must be one of the reference's three.
+    */
+  private[streaming] final case class ListenUrl(scheme: String, host: String, port: Int)
+  private[streaming] def parseListen(listen: String): Seq[ListenUrl] = {
+    require(listen.nonEmpty, "empty listen list")
+    listen.split(',').toIndexedSeq.map(_.trim).map { u =>
+      val i = u.indexOf("://")
+      require(i > 0, s"could not parse listen address '$u' (want scheme://host:port)")
+      val scheme = u.substring(0, i)
+      require(Set("sflow", "netflow", "nfl").contains(scheme),
+        s"unknown scheme '$scheme' in '$u' (main.go:241 parity: sflow|netflow|nfl)")
+      val rest = u.substring(i + 3)
+      val c = rest.lastIndexOf(':')
+      require(c >= 0 && c < rest.length - 1, s"missing port in '$u'")
+      val host = rest.substring(0, c)
+      val port = rest.substring(c + 1).toInt
+      ListenUrl(scheme, if (host.isEmpty) "127.0.0.1" else host, port)
+    }
+  }
+
+  /** Wait until every named UDP source of `q` reports a bound port; a
+    * query that dies during startup surfaces ITS error immediately
+    * instead of a misleading bind-timeout after 30 s.
+    */
+  private def awaitBound(q: StreamingQuery, names: Seq[String]): Map[String, Int] = {
+    val deadline = System.nanoTime() + 30_000_000_000L
+    var ports = Map.empty[String, Int]
+    while (ports.size < names.size && System.nanoTime() < deadline) {
+      if (!q.isActive) throw q.exception
+        .map(e => new IllegalStateException(
+          "collector query failed during startup", e))
+        .getOrElse(new IllegalStateException(
+          "collector query stopped during startup"))
+      ports = names.flatMap(n =>
+        UdpFlowSource.boundPort(n).map(n -> _)).toMap
+      if (ports.size < names.size) Thread.sleep(20)
+    }
+    require(ports.size == names.size,
+      s"UDP listeners failed to bind: ${names.filterNot(ports.contains).mkString(",")}")
+    ports
+  }
+
+  /** Reference CLI parity (`-listen sflow://:6343,netflow://:2055`,
+    * `main.go:31,207-256`): one socket PER comma-separated URL, each
+    * restricted to its scheme (wrong-version datagrams count as that
+    * listener's drops, like goflow's per-state decoders), fanned in via
+    * `unionByName` (R2) to one normalized stream and one sink. Counters
+    * are labeled per listener on /metrics
+    * (`graft_udp_listener_*_total{listener="<name>-<scheme>-<i>"}`).
+    * Port 0 = ephemeral; the actual binds come back in
+    * [[Running.listeners]].
+    */
+  def startUrls(spark: SparkSession, listen: String, outDir: String,
+      checkpoint: String, name: String = "collector", metricsPort: Int = 0,
+      batchMaxTime: String = "10 seconds", maxPacketsPerBatch: Long = 1000L,
+      numPartitions: Int = 4): Running = {
+    val urls = parseListen(listen)
+    val named = urls.zipWithIndex.map { case (u, i) =>
+      (u, s"$name-${u.scheme}-$i")
+    }
+    val listener = new FlowPipeline.MetricsListener
+    spark.streams.addListener(listener)
+    var server: MetricsServer = null
+    var q: StreamingQuery = null
+    try {
+      server = new MetricsServer(listener, metricsPort)
+      val raw = named.map { case (u, n) =>
+        spark.readStream.format("nflv5-udp")
+          .option("host", u.host).option("port", u.port)
+          .option("name", n).option("scheme", u.scheme)
+          .option("maxPacketsPerBatch", maxPacketsPerBatch)
+          .option("numPartitions", numPartitions)
+          .load()
+      }.reduce(_ unionByName _)
+      q = FlowPipeline.start(FlowPipeline.normalize(raw), outDir, checkpoint,
+        batchMaxTime)
+      val ports = awaitBound(q, named.map(_._2))
+      val bound = named.map { case (u, n) => Listener(n, u.scheme, u.host, ports(n)) }
+      Running(q, listener, server, bound.head.port, bound)
+    } catch {
+      case e: Throwable =>
+        if (q != null) { try q.stop() catch { case _: Exception => () } }
+        spark.streams.removeListener(listener)
+        if (server != null) { try server.stop() catch { case _: Exception => () } }
+        throw e
     }
   }
 
@@ -59,22 +155,9 @@ object FlowCollector {
         .load()
       q = FlowPipeline.start(FlowPipeline.normalize(raw), outDir, checkpoint,
         batchMaxTime)
-      val deadline = System.nanoTime() + 30_000_000_000L
-      var port = 0
-      while (port == 0 && System.nanoTime() < deadline) {
-        // a query that died at startup (port in use, bad checkpoint) will
-        // never register a port — surface ITS error now instead of
-        // spinning 30 s and masking it with a misleading bind message
-        if (!q.isActive) throw q.exception
-          .map(e => new IllegalStateException(
-            "collector query failed during startup", e))
-          .getOrElse(new IllegalStateException(
-            "collector query stopped during startup"))
-        port = UdpFlowSource.boundPort(name).getOrElse(0)
-        if (port == 0) Thread.sleep(20)
-      }
-      require(port > 0, "UDP listener failed to bind")
-      Running(q, listener, server, port)
+      val port = awaitBound(q, Seq(name))(name)
+      Running(q, listener, server, port,
+        Seq(Listener(name, "any", "127.0.0.1", port)))
     } catch {
       case e: Throwable =>
         if (q != null) { try q.stop() catch { case _: Exception => () } }

@@ -40,7 +40,35 @@ final class MetricsServer(listener: FlowPipeline.MetricsListener, port: Int = 0)
        |# HELP graft_flows_max_batch_rows Largest single micro-batch admitted (R4 invariant).
        |# TYPE graft_flows_max_batch_rows gauge
        |graft_flows_max_batch_rows ${listener.maxBatchRows}
-       |$ifCounterBody""".stripMargin
+       |$listenerBody$ifCounterBody""".stripMargin
+
+  /** Per-listener counter attribution — the reference runs one goflow
+    * FlowRoutine per listen URL, so a two-socket deployment
+    * (`sflow://:6343,netflow://:2055`) sees its drop/receive counts PER
+    * SOCKET; labels mirror that.
+    */
+  private def listenerBody: String = {
+    val entries = graft.sources.UdpFlowSource.listenerStats
+    if (entries.isEmpty) ""
+    else {
+      val counters = Seq[(String, String,
+          graft.sources.UdpFlowSource.ListenerStats => Long)](
+        ("graft_udp_listener_received_total",
+          "Datagrams admitted by this listener.", _.received.sum()),
+        ("graft_udp_listener_dropped_total",
+          "Datagrams dropped by this listener (malformed, wrong scheme, overflow).",
+          _.dropped.sum()),
+        ("graft_udp_listener_template_misses_total",
+          "v9/IPFIX data packets this listener refused while their template was unknown.",
+          _.templateMisses.sum()))
+      counters.map { case (name, help, get) =>
+        s"# HELP $name $help\n# TYPE $name counter\n" +
+          entries.map { case (l, st) =>
+            s"""$name{listener="$l"} ${get(st)}"""
+          }.mkString("", "\n", "\n")
+      }.mkString
+    }
+  }
 
   /** sFlow generic interface counters (the non-flow half of sFlow),
     * labeled by agent and ifIndex — what an operator points Grafana at

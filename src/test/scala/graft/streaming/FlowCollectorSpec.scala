@@ -64,6 +64,88 @@ class FlowCollectorSpec extends SparkSpec {
     } finally { sock.close(); c.stop(spark) }
   }
 
+  test("URL-list collector: two live listeners, per-listener scheme + metrics") {
+    // the reference's CLI default shape: -listen sflow://:6343,netflow://:2055
+    // (main.go:31) — here with nfl for a deterministic v5 payload and
+    // ephemeral ports
+    val tmp = "/root/repo/target/graft-tmp/collector-urls"
+    val out = s"$tmp/out"; val cp = s"$tmp/cp"
+    Seq(out, cp).foreach(p => FileUtils.deleteQuietly(Paths.get(p).toFile))
+
+    val c = FlowCollector.startUrls(spark, "nfl://:0,sflow://:0",
+      outDir = out, checkpoint = cp, name = "collector-urls",
+      batchMaxTime = "200 milliseconds")
+    val sock = new DatagramSocket()
+    try {
+      assert(c.listeners.size == 2)
+      val Seq(nfl, sfl) = c.listeners
+      assert(nfl.scheme == "nfl" && sfl.scheme == "sflow")
+      assert(nfl.port > 0 && sfl.port > 0 && nfl.port != sfl.port)
+      val addr = InetAddress.getByName("127.0.0.1")
+      def send(b: Array[Byte], port: Int): Unit =
+        sock.send(new DatagramPacket(b, b.length, addr, port))
+
+      val v5 = V5.encode(1000L, 1700000700L, 0L, 1L, 100,
+        (0 until 3).map(i => V5.Rec(Array[Byte](10, 0, 1, i.toByte),
+          Array[Byte](10, 0, 2, 1), pkts = 1, octets = 500 + i,
+          firstMs = 0, lastMs = 0, srcPort = 2000 + i, dstPort = 443,
+          tcpFlags = 18, proto = 6)))
+      val sflow = SF.encode(Array[Byte](10, 0, 0, 9), 2L,
+        Seq((256L, 900L, SF.ipv4Frame(Array[Byte](10, 1, 1, 1),
+          Array[Byte](10, 1, 1, 2), proto = 17, srcPort = 53, dstPort = 5353))))
+
+      val deadline = System.nanoTime() + 60_000_000_000L
+      def sunkRows(): Long =
+        try spark.read.parquet(out).count() catch { case _: Exception => 0L }
+      while (sunkRows() < 4 && System.nanoTime() < deadline) {
+        send(v5, nfl.port); send(sflow, sfl.port)
+        // wrong-scheme cross-traffic: the v5 packet at the sFlow listener
+        // must be REFUSED there (goflow's per-state decoder parity) and
+        // counted as that listener's drop
+        send(v5, sfl.port)
+        Thread.sleep(200)
+      }
+      val flows = spark.read.parquet(out)
+      // both protocols landed through their own listeners...
+      assert(flows.filter(col("type") === 2).select("src_port").distinct().count() == 3)
+      assert(flows.filter(col("type") === 1 && col("dst_port") === 5353).count() >= 1)
+      // ...and the v5 flows came ONLY through the nfl listener: had the
+      // sFlow socket admitted the cross-sent v5 packet there would be
+      // duplicate-free proof no matter what, so check the counters below
+
+      // per-listener counters over /metrics
+      val conn = new URI(s"http://127.0.0.1:${c.metricsPort}/metrics").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      try {
+        assert(conn.getResponseCode == 200)
+        val text = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+        def counter(metric: String, l: String): Double = text.linesIterator
+          .find(_.startsWith(s"""$metric{listener="$l"}"""))
+          .map(_.split(' ').last.toDouble)
+          .getOrElse(fail(s"missing $metric for $l:\n$text"))
+        val rx = "graft_udp_listener_received_total"
+        val dr = "graft_udp_listener_dropped_total"
+        assert(counter(rx, nfl.name) >= 1.0, "nfl listener admitted nothing")
+        assert(counter(rx, sfl.name) >= 1.0, "sflow listener admitted nothing")
+        // scheme restriction: every cross-sent v5 packet is a drop at the
+        // sFlow listener, and the nfl listener (receiving only clean v5)
+        // dropped nothing
+        assert(counter(dr, sfl.name) >= 1.0, "wrong-scheme packet not counted as drop")
+        assert(counter(dr, nfl.name) == 0.0, "clean v5 traffic miscounted as drops")
+      } finally conn.disconnect()
+    } finally { sock.close(); c.stop(spark) }
+  }
+
+  test("listen URL parsing matches the reference's accepted shapes") {
+    import FlowCollector.{ListenUrl, parseListen}
+    assert(parseListen("sflow://:6343,netflow://:2055") ==
+      Seq(ListenUrl("sflow", "127.0.0.1", 6343), ListenUrl("netflow", "127.0.0.1", 2055)))
+    assert(parseListen("nfl://0.0.0.0:2056") == Seq(ListenUrl("nfl", "0.0.0.0", 2056)))
+    intercept[IllegalArgumentException](parseListen("udp://:99"))
+    intercept[IllegalArgumentException](parseListen("sflow://"))
+    intercept[IllegalArgumentException](parseListen("garbage"))
+  }
+
   test("a failed start releases the query, listener and metrics port") {
     // ADVICE r3: a failure after resources are acquired (here: an
     // uncreatable checkpoint dir) used to leak the started query, the
