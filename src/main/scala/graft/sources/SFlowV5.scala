@@ -178,6 +178,37 @@ object SFlowV5 {
       ifInUcastPkts: Long, ifInErrors: Long, ifOutOctets: Long,
       ifOutUcastPkts: Long, ifOutErrors: Long)
 
+  /** struct ethernet_counters (sFlow v5 §5, format 2): the 13 dot3Stats
+    * u32s, attributed to the sample's source index (ethernet records carry
+    * no ifIndex of their own). goflow v3.4.5 decodes the same block.
+    */
+  final case class EthernetCounters(alignmentErrors: Long, fcsErrors: Long,
+      singleCollisionFrames: Long, multipleCollisionFrames: Long,
+      sqeTestErrors: Long, deferredTransmissions: Long, lateCollisions: Long,
+      excessiveCollisions: Long, internalMacTransmitErrors: Long,
+      carrierSenseErrors: Long, frameTooLongs: Long,
+      internalMacReceiveErrors: Long, symbolErrors: Long)
+
+  /** struct vlan_counters (format 5): per-VLAN octet/packet/discard tallies. */
+  final case class VlanCounters(vlanId: Long, octets: Long, ucastPkts: Long,
+      multicastPkts: Long, broadcastPkts: Long, discards: Long)
+
+  /** struct processor (format 1001): agent CPU and memory gauges. */
+  final case class ProcessorCounters(cpu5s: Long, cpu1m: Long, cpu5m: Long,
+      totalMemory: Long, freeMemory: Long)
+
+  /** All counter records of one datagram; ethernet records keyed by their
+    * sample's source index.
+    */
+  final case class CounterRecords(
+      ifc: Seq[IfCounters] = Nil,
+      eth: Seq[(Long, EthernetCounters)] = Nil,
+      vlan: Seq[VlanCounters] = Nil,
+      proc: Seq[ProcessorCounters] = Nil) {
+    def nonEmpty: Boolean =
+      ifc.nonEmpty || eth.nonEmpty || vlan.nonEmpty || proc.nonEmpty
+  }
+
   /** Parse the counter samples of one datagram. Returns (agentAddress,
     * counters, hasFlowSamples) — the agent address is the metrics label (a
     * sub-agent/proxy's datagrams carry the true agent, not the UDP
@@ -185,49 +216,85 @@ object SFlowV5 {
     * counters-only datagrams (they decode to zero rows; shipping them to
     * executors would move bytes for nothing).
     */
-  def decodeCounters(packet: Array[Byte]): (Array[Byte], Seq[IfCounters], Boolean) = {
+  def decodeCounters(packet: Array[Byte]): (Array[Byte], CounterRecords, Boolean) = {
     val bb = ByteBuffer.wrap(packet)
-    if (packet.length < 28 || bb.getInt != 5) return (Array.empty, Nil, false)
+    if (packet.length < 28 || bb.getInt != 5)
+      return (Array.empty, CounterRecords(), false)
     val agentType = bb.getInt
     val agentLen = if (agentType == 2) 16 else 4
     val agent = (0 until agentLen).map(i => bb.get(8 + i)).toArray
     bb.position(8 + agentLen)
     bb.getInt; bb.getInt; bb.getInt // subAgent, sequence, uptime
     val numSamples = bb.getInt
-    val out = ArrayBuffer.empty[IfCounters]
+    val ifc = ArrayBuffer.empty[IfCounters]
+    val eth = ArrayBuffer.empty[(Long, EthernetCounters)]
+    val vlan = ArrayBuffer.empty[VlanCounters]
+    val proc = ArrayBuffer.empty[ProcessorCounters]
+    def result() =
+      (agent, CounterRecords(ifc.toSeq, eth.toSeq, vlan.toSeq, proc.toSeq))
     var hasFlow = false
     var s = 0
     while (s < numSamples && bb.remaining() >= 8) {
       val sampleType = bb.getInt & 0xffffffffL
       val sampleLen = bb.getInt
       val sampleEnd = bb.position() + sampleLen
-      if (sampleLen < 0 || sampleEnd > packet.length) return (agent, out.toSeq, hasFlow)
+      if (sampleLen < 0 || sampleEnd > packet.length) {
+        val (a, c) = result(); return (a, c, hasFlow)
+      }
       val format = (sampleType & 0xfff).toInt
       val enterprise = (sampleType >> 12).toInt
       if (enterprise == 0 && (format == 1 || format == 3)) hasFlow = true
       if (enterprise == 0 && (format == 2 || format == 4)) {
         bb.getInt // sample sequence
-        if (format == 2) bb.getInt // sourceId
-        else { bb.getInt; bb.getInt } // sourceIdType, sourceIdIndex
+        // source index attributes ifIndex-less records (ethernet): compact
+        // sourceId packs type<<24|index, the expanded form carries them split
+        val sourceIdx =
+          if (format == 2) (bb.getInt & 0xffffffL).toLong
+          else { bb.getInt; bb.getInt & 0xffffffffL }
         val numRecords = bb.getInt
         var r = 0
         while (r < numRecords && bb.position() + 8 <= sampleEnd) {
           val recType = bb.getInt & 0xffffffffL
           val recLen = bb.getInt
           val recEnd = bb.position() + recLen
-          if (recLen < 0 || recEnd > sampleEnd) return (agent, out.toSeq, hasFlow)
-          if ((recType & 0xfff) == 1 && (recType >> 12) == 0 && recLen >= 88) {
-            // struct if_counters (sFlow v5 §5): ifIndex u32@0, ifType u32@4,
-            // ifSpeed u64@8, ifDirection u32@16, ifStatus u32@20,
-            // ifInOctets u64@24, ifInUcastPkts u32@32, ifInErrors u32@48,
-            // ifOutOctets u64@56, ifOutUcastPkts u32@64, ifOutErrors u32@80
-            val p = bb.position()
-            def u32(off: Int): Long = bb.getInt(p + off) & 0xffffffffL
-            def u64(off: Int): Long = bb.getLong(p + off)
-            out += IfCounters(
-              ifIndex = u32(0), ifSpeed = u64(8),
-              ifInOctets = u64(24), ifInUcastPkts = u32(32), ifInErrors = u32(48),
-              ifOutOctets = u64(56), ifOutUcastPkts = u32(64), ifOutErrors = u32(80))
+          if (recLen < 0 || recEnd > sampleEnd) {
+            val (a, c) = result(); return (a, c, hasFlow)
+          }
+          val p = bb.position()
+          def u32(off: Int): Long = bb.getInt(p + off) & 0xffffffffL
+          def u64(off: Int): Long = bb.getLong(p + off)
+          if ((recType >> 12) == 0) (recType & 0xfff).toInt match {
+            case 1 if recLen >= 88 =>
+              // struct if_counters (sFlow v5 §5): ifIndex u32@0, ifType u32@4,
+              // ifSpeed u64@8, ifDirection u32@16, ifStatus u32@20,
+              // ifInOctets u64@24, ifInUcastPkts u32@32, ifInErrors u32@48,
+              // ifOutOctets u64@56, ifOutUcastPkts u32@64, ifOutErrors u32@80
+              ifc += IfCounters(
+                ifIndex = u32(0), ifSpeed = u64(8),
+                ifInOctets = u64(24), ifInUcastPkts = u32(32), ifInErrors = u32(48),
+                ifOutOctets = u64(56), ifOutUcastPkts = u32(64), ifOutErrors = u32(80))
+            case 2 if recLen >= 52 =>
+              // struct ethernet_counters: 13 consecutive dot3Stats u32s
+              eth += ((sourceIdx, EthernetCounters(
+                alignmentErrors = u32(0), fcsErrors = u32(4),
+                singleCollisionFrames = u32(8), multipleCollisionFrames = u32(12),
+                sqeTestErrors = u32(16), deferredTransmissions = u32(20),
+                lateCollisions = u32(24), excessiveCollisions = u32(28),
+                internalMacTransmitErrors = u32(32), carrierSenseErrors = u32(36),
+                frameTooLongs = u32(40), internalMacReceiveErrors = u32(44),
+                symbolErrors = u32(48))))
+            case 5 if recLen >= 28 =>
+              // struct vlan_counters: vlan_id u32, octets u64, ucast/multicast/
+              // broadcast pkts u32×3, discards u32
+              vlan += VlanCounters(vlanId = u32(0), octets = u64(4),
+                ucastPkts = u32(12), multicastPkts = u32(16),
+                broadcastPkts = u32(20), discards = u32(24))
+            case 1001 if recLen >= 28 =>
+              // struct processor: 5s/1m/5m cpu percentages u32×3,
+              // total/free memory u64×2
+              proc += ProcessorCounters(cpu5s = u32(0), cpu1m = u32(4),
+                cpu5m = u32(8), totalMemory = u64(12), freeMemory = u64(20))
+            case _ => // unknown record: skip by declared length
           }
           bb.position(recEnd)
           r += 1
@@ -236,18 +303,19 @@ object SFlowV5 {
       bb.position(sampleEnd)
       s += 1
     }
-    (agent, out.toSeq, hasFlow)
+    val (a, c) = result()
+    (a, c, hasFlow)
   }
 
   // ---- exporter-side encoders (tests + load generation) ----
 
-  /** Encode an sFlow v5 datagram carrying one counter sample with the
-    * given generic-if-counters records (test/exporter side).
+  /** Encode one counter-sample datagram from pre-built (format, body)
+    * records — the mixed-record shape a real agent emits (if-counters +
+    * ethernet + vlan + processor in one sample).
     */
-  def encodeCounters(agent: Array[Byte], sequence: Long,
-      counters: Seq[IfCounters]): Array[Byte] = {
-    val recBody = 88
-    val sampleBody = 12 + counters.size * (8 + recBody)
+  def encodeCounterRecords(agent: Array[Byte], sequence: Long,
+      records: Seq[(Int, Array[Byte])], sourceId: Long = 5L): Array[Byte] = {
+    val sampleBody = 12 + records.map(8 + _._2.length).sum
     val bb = ByteBuffer.allocate(28 + 8 + sampleBody)
     bb.putInt(5); bb.putInt(1); bb.put(agent)
     bb.putInt(0) // subAgentId
@@ -257,25 +325,63 @@ object SFlowV5 {
     bb.putInt(2) // counter sample format
     bb.putInt(sampleBody)
     bb.putInt(1) // sample sequence
-    bb.putInt(5) // sourceId
-    bb.putInt(counters.size)
-    counters.foreach { c =>
-      bb.putInt(1) // generic if-counters record
-      bb.putInt(recBody)
-      val p = bb.position()
-      bb.putInt(c.ifIndex.toInt).putInt(6 /*ifType ethernetCsmacd*/)
-      bb.putLong(c.ifSpeed)
-      bb.putInt(1 /*ifDirection full-duplex*/).putInt(3 /*ifStatus admin+oper up*/)
-      bb.putLong(c.ifInOctets).putInt(c.ifInUcastPkts.toInt)
-      bb.putInt(0).putInt(0).putInt(0) // multicast, broadcast, discards
-      bb.putInt(c.ifInErrors.toInt).putInt(0) // unknown protos
-      bb.putLong(c.ifOutOctets).putInt(c.ifOutUcastPkts.toInt)
-      bb.putInt(0).putInt(0).putInt(0) // multicast, broadcast, discards
-      bb.putInt(c.ifOutErrors.toInt).putInt(0) // promiscuous
-      bb.position(p + recBody)
+    bb.putInt(sourceId.toInt)
+    bb.putInt(records.size)
+    records.foreach { case (fmt, body) =>
+      bb.putInt(fmt); bb.putInt(body.length); bb.put(body)
     }
     bb.array()
   }
+
+  /** struct if_counters record (format 1, 88 bytes). */
+  def ifRecord(c: IfCounters): (Int, Array[Byte]) = {
+    val bb = ByteBuffer.allocate(88)
+    bb.putInt(c.ifIndex.toInt).putInt(6 /*ifType ethernetCsmacd*/)
+    bb.putLong(c.ifSpeed)
+    bb.putInt(1 /*ifDirection full-duplex*/).putInt(3 /*ifStatus admin+oper up*/)
+    bb.putLong(c.ifInOctets).putInt(c.ifInUcastPkts.toInt)
+    bb.putInt(0).putInt(0).putInt(0) // multicast, broadcast, discards
+    bb.putInt(c.ifInErrors.toInt).putInt(0) // unknown protos
+    bb.putLong(c.ifOutOctets).putInt(c.ifOutUcastPkts.toInt)
+    bb.putInt(0).putInt(0).putInt(0) // multicast, broadcast, discards
+    bb.putInt(c.ifOutErrors.toInt).putInt(0) // promiscuous
+    (1, bb.array())
+  }
+
+  /** struct ethernet_counters record (format 2, 52 bytes). */
+  def ethernetRecord(c: EthernetCounters): (Int, Array[Byte]) = {
+    val bb = ByteBuffer.allocate(52)
+    Seq(c.alignmentErrors, c.fcsErrors, c.singleCollisionFrames,
+      c.multipleCollisionFrames, c.sqeTestErrors, c.deferredTransmissions,
+      c.lateCollisions, c.excessiveCollisions, c.internalMacTransmitErrors,
+      c.carrierSenseErrors, c.frameTooLongs, c.internalMacReceiveErrors,
+      c.symbolErrors).foreach(v => bb.putInt(v.toInt))
+    (2, bb.array())
+  }
+
+  /** struct vlan_counters record (format 5, 28 bytes). */
+  def vlanRecord(c: VlanCounters): (Int, Array[Byte]) = {
+    val bb = ByteBuffer.allocate(28)
+    bb.putInt(c.vlanId.toInt).putLong(c.octets).putInt(c.ucastPkts.toInt)
+      .putInt(c.multicastPkts.toInt).putInt(c.broadcastPkts.toInt)
+      .putInt(c.discards.toInt)
+    (5, bb.array())
+  }
+
+  /** struct processor record (format 1001, 28 bytes). */
+  def processorRecord(c: ProcessorCounters): (Int, Array[Byte]) = {
+    val bb = ByteBuffer.allocate(28)
+    bb.putInt(c.cpu5s.toInt).putInt(c.cpu1m.toInt).putInt(c.cpu5m.toInt)
+      .putLong(c.totalMemory).putLong(c.freeMemory)
+    (1001, bb.array())
+  }
+
+  /** Encode an sFlow v5 datagram carrying one counter sample with the
+    * given generic-if-counters records (test/exporter side).
+    */
+  def encodeCounters(agent: Array[Byte], sequence: Long,
+      counters: Seq[IfCounters]): Array[Byte] =
+    encodeCounterRecords(agent, sequence, counters.map(ifRecord))
 
   /** Build an Ethernet+IPv4+TCP/UDP/ICMP header blob for a test sample. */
   def ipv4Frame(src: Array[Byte], dst: Array[Byte], proto: Int,

@@ -135,13 +135,30 @@ object UdpFlowSource {
     * Bounded LRU: a collector fleet sees thousands of interfaces, not
     * unbounded ones, and stale interfaces age out.
     */
-  val ifCounters: java.util.Map[(String, Long), SFlowV5.IfCounters] =
+  private def boundedLru[K, V](): java.util.Map[K, V] =
     java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[(String, Long), SFlowV5.IfCounters](16, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[(String, Long), SFlowV5.IfCounters]): Boolean =
+      new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
           size() > 65536
       })
+
+  val ifCounters: java.util.Map[(String, Long), SFlowV5.IfCounters] =
+    boundedLru()
+
+  /** Ethernet dot3Stats per (agent, source index) — counter record format
+    * 2; attributed by the SAMPLE's source because the record itself
+    * carries no ifIndex (goflow v3.4.5 decodes the same struct).
+    */
+  val ethCounters: java.util.Map[(String, Long), SFlowV5.EthernetCounters] =
+    boundedLru()
+
+  /** Per-VLAN tallies per (agent, vlanId) — counter record format 5. */
+  val vlanCounters: java.util.Map[(String, Long), SFlowV5.VlanCounters] =
+    boundedLru()
+
+  /** Agent CPU/memory per agent — counter record format 1001. */
+  val procCounters: java.util.Map[String, SFlowV5.ProcessorCounters] =
+    boundedLru()
 }
 
 final class UdpFlowTable extends Table with SupportsRead {
@@ -339,7 +356,12 @@ final class UdpFlowStream(host: String, port: Int, name: String,
         // sub-agent/proxy forwards for the true agent.
         val (agentAddr, counters, hasFlowSamples) = SFlowV5.decodeCounters(bytes)
         val agentKey = graft.functions.IpUtil.bytesToIpString(agentAddr)
-        counters.foreach(c => UdpFlowSource.ifCounters.put((agentKey, c.ifIndex), c))
+        counters.ifc.foreach(c => UdpFlowSource.ifCounters.put((agentKey, c.ifIndex), c))
+        counters.eth.foreach { case (src, c) =>
+          UdpFlowSource.ethCounters.put((agentKey, src), c)
+        }
+        counters.vlan.foreach(c => UdpFlowSource.vlanCounters.put((agentKey, c.vlanId), c))
+        counters.proc.foreach(c => UdpFlowSource.procCounters.put(agentKey, c))
         if (counters.nonEmpty && !hasFlowSamples) {
           None // counters-only datagram: fully consumed here, zero flows rows
         } else {

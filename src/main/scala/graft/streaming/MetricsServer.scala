@@ -40,7 +40,7 @@ final class MetricsServer(listener: FlowPipeline.MetricsListener, port: Int = 0)
        |# HELP graft_flows_max_batch_rows Largest single micro-batch admitted (R4 invariant).
        |# TYPE graft_flows_max_batch_rows gauge
        |graft_flows_max_batch_rows ${listener.maxBatchRows}
-       |$listenerBody$ifCounterBody""".stripMargin
+       |$listenerBody$ifCounterBody$ethVlanProcBody""".stripMargin
 
   /** Per-listener counter attribution — the reference runs one goflow
     * FlowRoutine per listen URL, so a two-socket deployment
@@ -99,6 +99,52 @@ final class MetricsServer(listener: FlowPipeline.MetricsListener, port: Int = 0)
           }.mkString("", "\n", "\n")
       }.mkString
     }
+  }
+
+  /** Snapshot a synchronized LRU registry (iteration needs the map's own
+    * lock) into sorted (key, value) pairs.
+    */
+  private def snapshot[K: Ordering, V](m: java.util.Map[K, V]): Vector[(K, V)] = {
+    import scala.jdk.CollectionConverters._
+    m.synchronized { m.entrySet().asScala.map(e => (e.getKey, e.getValue)).toVector }
+      .sortBy(_._1)
+  }
+
+  private def gaugeSection[K, V](entries: Vector[(K, V)],
+      gauges: Seq[(String, String, V => Long)], label: K => String): String =
+    if (entries.isEmpty) ""
+    else gauges.map { case (name, help, get) =>
+      s"# HELP $name $help\n# TYPE $name gauge\n" +
+        entries.map { case (k, v) => s"$name{${label(k)}} ${get(v)}" }
+          .mkString("", "\n", "\n")
+    }.mkString
+
+  /** sFlow counter-record formats 2/5/1001 (ethernet / vlan / processor) —
+    * goflow v3.4.5 decodes the same structs; a headline subset of each
+    * becomes gauges (full structs live in the registries).
+    */
+  private def ethVlanProcBody: String = {
+    import graft.sources.{SFlowV5 => SF, UdpFlowSource => U}
+    gaugeSection(snapshot(U.ethCounters),
+      Seq[(String, String, SF.EthernetCounters => Long)](
+        ("graft_sflow_eth_fcs_errors", "dot3StatsFCSErrors.", _.fcsErrors),
+        ("graft_sflow_eth_alignment_errors", "dot3StatsAlignmentErrors.", _.alignmentErrors),
+        ("graft_sflow_eth_late_collisions", "dot3StatsLateCollisions.", _.lateCollisions),
+        ("graft_sflow_eth_symbol_errors", "dot3StatsSymbolErrors.", _.symbolErrors)),
+      (k: (String, Long)) => s"""agent="${k._1}",source="${k._2}"""") +
+    gaugeSection(snapshot(U.vlanCounters),
+      Seq[(String, String, SF.VlanCounters => Long)](
+        ("graft_sflow_vlan_octets", "Octets observed on the VLAN.", _.octets),
+        ("graft_sflow_vlan_ucast_pkts", "Unicast packets on the VLAN.", _.ucastPkts),
+        ("graft_sflow_vlan_discards", "Discards on the VLAN.", _.discards)),
+      (k: (String, Long)) => s"""agent="${k._1}",vlan="${k._2}"""") +
+    gaugeSection(snapshot(U.procCounters),
+      Seq[(String, String, SF.ProcessorCounters => Long)](
+        ("graft_sflow_proc_cpu_5s_pct", "CPU utilization over 5 s (percent).", _.cpu5s),
+        ("graft_sflow_proc_cpu_1m_pct", "CPU utilization over 1 min (percent).", _.cpu1m),
+        ("graft_sflow_proc_total_memory_bytes", "Total agent memory.", _.totalMemory),
+        ("graft_sflow_proc_free_memory_bytes", "Free agent memory.", _.freeMemory)),
+      (k: String) => s"""agent="$k"""")
   }
 
   server.createContext("/metrics", (exchange: com.sun.net.httpserver.HttpExchange) => {

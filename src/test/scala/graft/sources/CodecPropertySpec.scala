@@ -71,7 +71,7 @@ class CodecPropertySpec extends AnyFunSuite {
     check(Prop.forAll(Gen.listOfN(3, cGen), u32Gen) { (cs, seq) =>
       val pkt = SF.encodeCounters(Array[Byte](10, 0, 0, 1), seq, cs)
       val (agent, got, hasFlow) = SF.decodeCounters(pkt)
-      got == cs && !hasFlow && agent.sameElements(Array[Byte](10, 0, 0, 1))
+      got.ifc == cs && !hasFlow && agent.sameElements(Array[Byte](10, 0, 0, 1))
     })
   }
 

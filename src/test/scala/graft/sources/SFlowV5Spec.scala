@@ -109,13 +109,47 @@ class SFlowV5Spec extends AnyFunSuite {
     val pkt = SF.encodeCounters(agent, 99L, Seq(c, c.copy(ifIndex = 4)))
     val (agentGot, got, hasFlow) = SF.decodeCounters(pkt)
     assert(agentGot.sameElements(agent))
-    assert(got == Seq(c, c.copy(ifIndex = 4)) && !hasFlow)
+    assert(got.ifc == Seq(c, c.copy(ifIndex = 4)) && !hasFlow)
     // counter datagrams decode to ZERO flows rows (metrics, not traffic)
     assert(SF.decode(pkt, sampler, now).isEmpty)
     // and a flow-sample datagram reports hasFlowSamples with no counters
     val hdr = SF.ipv4Frame(Array[Byte](10, 9, 0, 1), Array[Byte](10, 9, 0, 2),
       proto = 17, srcPort = 1, dstPort = 2)
     val (_, none, hf) = SF.decodeCounters(SF.encode(agent, 100L, Seq((1L, 64L, hdr))))
-    assert(none.isEmpty && hf)
+    assert(!none.nonEmpty && hf)
+  }
+
+  test("mixed counter-record datagram: ethernet/vlan/processor beside if-counters") {
+    // one sample carrying all four record formats, the shape a real switch
+    // agent emits (goflow v3.4.5 decodes the same structs)
+    val ifc = SF.IfCounters(ifIndex = 7, ifSpeed = 40000000000L,
+      ifInOctets = 111L, ifInUcastPkts = 11, ifInErrors = 1,
+      ifOutOctets = 222L, ifOutUcastPkts = 22, ifOutErrors = 2)
+    val eth = SF.EthernetCounters(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13)
+    val vlan = SF.VlanCounters(vlanId = 42, octets = 9999L, ucastPkts = 55,
+      multicastPkts = 5, broadcastPkts = 3, discards = 2)
+    val proc = SF.ProcessorCounters(cpu5s = 17, cpu1m = 12, cpu5m = 9,
+      totalMemory = 8L << 30, freeMemory = 2L << 30)
+    val pkt = SF.encodeCounterRecords(agent, 101L,
+      Seq(SF.ifRecord(ifc), SF.ethernetRecord(eth), SF.vlanRecord(vlan),
+        SF.processorRecord(proc)), sourceId = 7L)
+    val (agentGot, got, hasFlow) = SF.decodeCounters(pkt)
+    assert(agentGot.sameElements(agent) && !hasFlow)
+    assert(got.ifc == Seq(ifc))
+    // ethernet records attribute to the sample's source index (7)
+    assert(got.eth == Seq((7L, eth)))
+    assert(got.vlan == Seq(vlan))
+    assert(got.proc == Seq(proc))
+    // still zero flows rows — counters are metrics, not traffic
+    assert(SF.decode(pkt, sampler, now).isEmpty)
+  }
+
+  test("unknown counter-record formats are skipped by declared length") {
+    val vlan = SF.VlanCounters(1, 10L, 1, 0, 0, 0)
+    // an enterprise-0 format-99 record (unknown) preceding a known one
+    val pkt = SF.encodeCounterRecords(agent, 102L,
+      Seq((99, Array.fill[Byte](12)(0x7f.toByte)), SF.vlanRecord(vlan)))
+    val (_, got, _) = SF.decodeCounters(pkt)
+    assert(got.vlan == Seq(vlan) && got.ifc.isEmpty && got.eth.isEmpty)
   }
 }

@@ -75,4 +75,26 @@ class MetricsServerSpec extends SparkSpec {
       assert(m("""graft_sflow_if_out_errors{agent="10.0.0.9",ifindex="3"}""") == 2.0, m)
     } finally server.stop()
   }
+
+  test("ethernet/vlan/processor counter records render as labeled gauges") {
+    import graft.sources.{SFlowV5 => SF, UdpFlowSource => U}
+    val listener = new FlowPipeline.MetricsListener
+    val server = new MetricsServer(listener)
+    try {
+      U.ethCounters.put(("10.0.0.8", 7L),
+        SF.EthernetCounters(1, 20, 0, 0, 0, 0, 5, 0, 0, 0, 0, 0, 13))
+      U.vlanCounters.put(("10.0.0.8", 42L),
+        SF.VlanCounters(42, 9999L, 55, 5, 3, 2))
+      U.procCounters.put("10.0.0.8",
+        SF.ProcessorCounters(17, 12, 9, 8L << 30, 2L << 30))
+      val m = scrape(server.boundPort)
+      assert(m("""graft_sflow_eth_fcs_errors{agent="10.0.0.8",source="7"}""") == 20.0, m)
+      assert(m("""graft_sflow_eth_symbol_errors{agent="10.0.0.8",source="7"}""") == 13.0, m)
+      assert(m("""graft_sflow_vlan_octets{agent="10.0.0.8",vlan="42"}""") == 9999.0, m)
+      assert(m("""graft_sflow_vlan_discards{agent="10.0.0.8",vlan="42"}""") == 2.0, m)
+      assert(m("""graft_sflow_proc_cpu_5s_pct{agent="10.0.0.8"}""") == 17.0, m)
+      assert(m("""graft_sflow_proc_free_memory_bytes{agent="10.0.0.8"}""") ==
+        (2L << 30).toDouble, m)
+    } finally server.stop()
+  }
 }
