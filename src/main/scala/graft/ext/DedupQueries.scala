@@ -188,15 +188,92 @@ object DedupQueries {
 
   private def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** The LAZY MinHash+LSH verified-pair plan plus its persisted shingle
-    * frame (caller must unpersist after materializing). Exposed
-    * package-private so PlanSpec can audit the un-checkpointed plan shape
-    * (no cartesian product) — the registered query materializes it eagerly
-    * and releases the cache before returning.
+  /** The LAZY MinHash+LSH verified-pair plan plus its persisted
+    * representative-shingle frame (caller must unpersist after
+    * materializing). Exposed package-private so PlanSpec can audit the
+    * un-checkpointed plan shape (no cartesian product) — the registered
+    * query materializes it eagerly and releases the cache before returning.
+    *
+    * EXACT-DUP COLLAPSE runs in front (r08, the mega-cluster defense):
+    * identical texts — the dominant duplicate shape in crawl corpora,
+    * where ONE cluster can hold most of the corpus — all land in the same
+    * LSH band bucket, and the candidate self-join then reads O(cluster²)
+    * rows in a single shuffle task. Collapsing to one representative per
+    * distinct text first bounds every band bucket by the DISTINCT-text
+    * count; member pairs are reconstituted afterwards (intra-group pairs
+    * at j = 1.0 exactly — identical shingle sets; cross-group pairs
+    * inherit their representatives' j — every member shingles identically
+    * to its representative), so the result is bit-identical to running
+    * LSH over the raw corpus while no task ever reads a quadratic input.
+    * SkewDedupSpec drives this with an 80%-duplicate corpus and asserts
+    * the per-task shuffle-read bound.
     */
+  /** Shared exact-dup-collapsed LSH state: per-doc (dig, doc_id)
+    * membership, per-digest representative (dig, rep), the persisted
+    * representative shingles, and the rep-level verified near-dup pairs.
+    */
+  private final case class CollapsedLsh(membership: DataFrame,
+      repOf: DataFrame, shReps: DataFrame, repPairs: DataFrame)
+
+  private def collapsedLsh(s: SparkSession, d: String): CollapsedLsh = {
+    val docs = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), xxhash64(col("text")).as("dig"), col("text"))
+    // one representative per distinct text: min (doc_id, text) struct —
+    // the text rides the agg, so no re-join against the corpus
+    val reps = docs.groupBy("dig")
+      .agg(min(struct(col("doc_id"), col("text"))).as("r"))
+      .select(col("dig"), col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+    val shReps = reps
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), shingleSet(col("w")).as("sh"))
+      .persist()
+    val repPairs = verifyPairs(lshCandidates(minhashSigs(shReps)), shReps, 0.8)
+    CollapsedLsh(docs.select(col("dig"), col("doc_id")),
+      reps.select(col("dig"), col("doc_id").as("rep")), shReps, repPairs)
+  }
+
   private[graft] def minhashPairsPlan(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val sh = docShingles(s, d).persist()
-    (verifyPairs(lshCandidates(minhashSigs(sh)), sh, 0.8), sh)
+    val c = collapsedLsh(s, d)
+    val membership = c.membership
+    // clique pairs inside each identical-text group: j is exactly 1.0
+    // (identical shingle sets), matching what the brute-force oracle
+    // computes for them. Enumerating the clique is the declared OUTPUT —
+    // quadratic rows are written, but only O(group) rows are read per task.
+    val internal = membership.as("x").join(membership.as("y"), "dig")
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        lit(1.0).as("j"))
+    // near-dup pairs between DIFFERENT texts, expanded to all members of
+    // both groups (equi-joins on digest — never a product)
+    val cross = c.repPairs
+      .select(col("a").as("ra"), col("b").as("rb"), col("j"))
+      .join(membership.select(col("doc_id").as("ra"), col("dig").as("diga")), "ra")
+      .join(membership.select(col("doc_id").as("rb"), col("dig").as("digb")), "rb")
+      .join(membership.select(col("dig").as("diga"), col("doc_id").as("ma")), "diga")
+      .join(membership.select(col("dig").as("digb"), col("doc_id").as("mb")), "digb")
+      .select(least(col("ma"), col("mb")).as("a"),
+        greatest(col("ma"), col("mb")).as("b"), col("j"))
+    (internal.unionByName(cross), c.shReps)
+  }
+
+  /** Connectivity-equivalent near-dup edge list (u, v) — LINEAR in corpus
+    * size where the full pair list is quadratic in cluster size: inside an
+    * identical-text group a STAR to the group representative carries
+    * exactly the group's connectivity (the clique adds no reachability),
+    * and similarity between different texts is a representative-level
+    * property, so rep pairs need no member expansion. Connected components
+    * over these edges equal components over the full pair set — x2d/x2f
+    * consume this; x2, whose declared OUTPUT is the pair list itself,
+    * enumerates the cliques via [[minhashPairsPlan]].
+    */
+  private[graft] def minhashComponentEdges(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val c = collapsedLsh(s, d)
+    val star = c.membership.join(c.repOf, "dig")
+      .where(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("u"), col("rep").as("v"))
+    val cross = c.repPairs.select(col("a").as("u"), col("b").as("v"))
+    (star.unionByName(cross), c.shReps)
   }
 
   /** SimHash pigeonhole LSH pairs at Hamming ≤ 3 over a (doc_id, sim)
@@ -316,17 +393,19 @@ object DedupQueries {
     // converged for the hash to match.
     Q("x2d_dedup_components",
       (s, d) => {
-        val sh = docShingles(s, d).persist()
-        // The edge set is computed ONCE and persisted — without this the
-        // final plan re-embeds the whole MinHash/LSH/verify subplan per
-        // propagation round and lineage doubles per iteration (r01's
-        // worst bench entry). At 100 TB the edge list (two longs per
-        // near-dup pair) is tiny next to the corpus — persisting it is
-        // exactly what a production CC job does.
-        val pairs = verifyPairs(lshCandidates(minhashSigs(sh)), sh, 0.8)
-          .select("a", "b").persist()
-        val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-          .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+        // The edge set is computed ONCE and materialized — without this
+        // the final plan re-embeds the whole MinHash/LSH/verify subplan
+        // per propagation round and lineage doubles per iteration (r01's
+        // worst bench entry). Edges come from the connectivity-equivalent
+        // builder (r08): a star per identical-text group + rep-level
+        // near-dup pairs — LINEAR in corpus size even when one duplicate
+        // cluster holds 80% of the docs (SkewDedupSpec), with identical
+        // components to the full quadratic pair set.
+        val (edgePlan, shReps) = minhashComponentEdges(s, d)
+        val base = truncate(edgePlan)
+        shReps.unpersist()
+        val edges = base.select(col("u").as("src"), col("v").as("dst"))
+          .unionByName(base.select(col("v").as("src"), col("u").as("dst")))
         var lab = Tables.documents(s, d)
           .select(col("doc_id"), col("doc_id").as("label"))
         // iterate to a DETECTED fixed point (cap = 8 ⇒ diameter 8; the
@@ -360,10 +439,6 @@ object DedupQueries {
           lab = next
           round += 1
         }
-        // labels are already materialized (localCheckpoint is eager), so the
-        // shingle/pair caches can be released before returning
-        sh.unpersist()
-        pairs.unpersist()
         lab.select(col("doc_id"), col("label").as("component"),
           (col("doc_id") === col("label")).as("keep"))
       },
@@ -406,10 +481,11 @@ object DedupQueries {
     // changes; localCheckpoint truncates lineage per round as in x2d.
     Q("x2f_cc_star",
       (s, d) => {
-        val sh = docShingles(s, d).persist()
-        val pairs = verifyPairs(lshCandidates(minhashSigs(sh)), sh, 0.8)
-          .select(col("a").as("u"), col("b").as("v")).transform(truncate)
-        sh.unpersist()
+        // same connectivity-equivalent edges as x2d (r08 mega-cluster
+        // defense): star per identical-text group + rep-level pairs
+        val (edgePlan, shReps) = minhashComponentEdges(s, d)
+        val pairs = edgePlan.transform(truncate)
+        shReps.unpersist()
 
         def largeStar(e: DataFrame): DataFrame = {
           val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))

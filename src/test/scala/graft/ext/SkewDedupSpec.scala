@@ -1,0 +1,120 @@
+package graft.ext
+
+import java.nio.file.Paths
+
+import org.apache.commons.io.FileUtils
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+
+import graft.{Registry, SparkSpec}
+
+/** Skew-adversarial dedup (VERDICT r07 #3): the real shape of crawl dedup
+  * is ONE mega-duplicate cluster holding most of the corpus — here 80%
+  * (480 of 600 docs share one text). The dedup family must stay correct
+  * AND must not funnel a quadratic read through a single task: identical
+  * texts share every LSH band bucket, so without the exact-dup collapse
+  * ([[DedupQueries.minhashPairsPlan]], r08) the band self-join reads
+  * O(cluster²) rows in one shuffle task. The spec asserts the ground
+  * truth (computable by hand for this corpus) and the per-task
+  * shuffle-read bound via task metrics.
+  */
+class SkewDedupSpec extends SparkSpec {
+
+  private val dir = "/root/repo/target/graft-tmp/skew-corpus"
+  private val nDocs = 600
+  private val clusterSize = 480 // 80%
+  private val expectedPairs = clusterSize.toLong * (clusterSize - 1) / 2 // 114,960
+
+  /** 480 identical docs (ids 0..479) + 120 mutually-dissimilar docs —
+    * written once per run, same file-split shape as the driver fixtures.
+    */
+  private lazy val corpus: String = {
+    FileUtils.deleteQuietly(Paths.get(dir).toFile)
+    import spark.implicits._
+    val mega = "the quick brown fox jumps over the lazy dog again and " +
+      "again without end across the wide river"
+    val rows = (0 until nDocs).map { i =>
+      val text =
+        if (i < clusterSize) mega
+        else s"unique document number $i carries words token$i " +
+          s"marker${i * 7} tail${i * 13} closing phrase $i"
+      (i.toLong, text, "en", "skew", text.length.toLong)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** Collect per-task shuffle-read record counts while `body` runs.
+    * Listener events are async: poll until the count stabilizes.
+    */
+  private def withTaskMetrics[T](body: => T): (T, Seq[Long]) = {
+    val reads = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val l = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          reads.add(t.taskMetrics.shuffleReadMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val r = body
+      var prev = -1
+      while (reads.size != prev) { prev = reads.size; Thread.sleep(300) }
+      import scala.jdk.CollectionConverters._
+      (r, reads.asScala.map(_.longValue).toSeq)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("x1 exact dedup: the 80% cluster collapses to one group") {
+    val got = Registry.queries("x1_dedup_exact")(spark, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // 120 singleton groups (min rep = first unique id, 480) and one
+    // 480-copy group represented by doc 0
+    assert(got == Set((1L, 120L, 480L), (480L, 1L, 0L)), got)
+  }
+
+  test("x2 minhash: full clique found, no task reads a quadratic input") {
+    val (rows, reads) = withTaskMetrics {
+      Registry.queries("x2_dedup_minhash")(spark, corpus).collect()
+    }
+    assert(rows.length == expectedPairs,
+      s"expected $expectedPairs clique pairs, got ${rows.length}")
+    assert(rows.forall { r =>
+      r.getLong(0) < clusterSize && r.getLong(1) < clusterSize &&
+        r.getLong(0) < r.getLong(1) && r.getDouble(2) == 1.0
+    }, "pairs outside the duplicate cluster, or j != 1.0")
+    // the quadratic pair set is OUTPUT (written by the clique join), but
+    // no single task may READ anything near cluster² ≈ 115k rows — with
+    // the exact-dup collapse the band join sees 121 representatives and
+    // every shuffle read stays O(corpus)
+    val maxRead = if (reads.isEmpty) 0L else reads.max
+    assert(maxRead < 20000L,
+      s"hot task read $maxRead shuffle records (quadratic funnel?): " +
+        s"top reads ${reads.sorted.reverse.take(5)}")
+  }
+
+  for (name <- Seq("x2d_dedup_components", "x2f_cc_star")) {
+    test(s"$name: one 480-doc component plus 120 singletons, no hot read") {
+      val (rows, reads) = withTaskMetrics {
+        Registry.queries(name)(spark, corpus).collect()
+      }
+      assert(rows.length == nDocs)
+      val byComponent = rows.groupBy(_.getLong(1)).view.mapValues(_.length).toMap
+      assert(byComponent(0L) == clusterSize,
+        s"cluster component wrong: ${byComponent(0L)}")
+      assert(byComponent.size == 1 + (nDocs - clusterSize),
+        s"component count ${byComponent.size}")
+      val keepers = rows.count(_.getBoolean(2))
+      assert(keepers == 1 + (nDocs - clusterSize), s"keepers $keepers")
+      val maxRead = if (reads.isEmpty) 0L else reads.max
+      // components run on the connectivity-equivalent edge list (star per
+      // identical-text group + rep pairs) — LINEAR in the corpus, so even
+      // with every edge coalesced into one task by AQE the read stays
+      // O(corpus), never O(cluster²)
+      assert(maxRead < 20000L,
+        s"hot task read $maxRead shuffle records (quadratic edges?): " +
+          s"top reads ${reads.sorted.reverse.take(5)}")
+    }
+  }
+}
