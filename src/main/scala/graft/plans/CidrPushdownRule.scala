@@ -137,6 +137,9 @@ object GraftExtensions {
     ext.injectOptimizerRule(_ => CidrPushdown)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectResolutionRule(_ => AsOfDeduplicateRight)
+    // infix `ASOF JOIN ... MATCH_CONDITION (...)` SQL syntax, lowered onto
+    // the asof_join table function (AsOfInfixParser scaladoc)
+    ext.injectParser((_, delegate) => new AsOfInfixParser(delegate))
     // SQL surface for the as-of operator: a table-valued function, so
     // spark.sql users reach AsOfJoinExec without the DataFrame API
     ext.injectTableFunction(

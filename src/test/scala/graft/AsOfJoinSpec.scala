@@ -161,6 +161,59 @@ class AsOfJoinSpec extends SparkSpec {
     assert(outerSql.exceptAll(outerApi).isEmpty && outerApi.exceptAll(outerSql).isEmpty)
   }
 
+  test("infix ASOF JOIN syntax lowers onto AsOfJoinExec and matches the API") {
+    val (err, pur) = fixtureSides()
+    err.createOrReplaceTempView("asof_sql_err")
+    pur.createOrReplaceTempView("asof_sql_pur")
+    // Snowflake's shape: MATCH_CONDITION then ON; TIEBREAK is the graft
+    // extension carrying the operator's deterministic tie column
+    val viaInfix = spark.sql(
+      """SELECT err_id, pur_id FROM asof_sql_err ASOF JOIN asof_sql_pur
+        |  MATCH_CONDITION (asof_sql_err.err_ts >= asof_sql_pur.pur_ts)
+        |  ON asof_sql_err.u = asof_sql_pur.pu
+        |  TIEBREAK asof_sql_pur.pur_id""".stripMargin)
+    assert(viaInfix.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    val viaApi = viaOperator(err, pur)
+    assert(viaInfix.count() > 0)
+    assert(viaInfix.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaInfix).isEmpty)
+    // LEFT ASOF JOIN keeps unmatched left rows
+    val outerInfix = spark.sql(
+      """SELECT err_id, pur_id FROM asof_sql_err LEFT ASOF JOIN asof_sql_pur
+        |  MATCH_CONDITION (asof_sql_err.err_ts >= asof_sql_pur.pur_ts)
+        |  ON asof_sql_err.u = asof_sql_pur.pu
+        |  TIEBREAK asof_sql_pur.pur_id""".stripMargin)
+    val outerApi = plans.AsOf.leftJoin(err, pur, "u", "pu", "err_ts", "pur_ts", "pur_id")
+      .select(col("err_id"), col("pur_id"))
+    assert(outerInfix.exceptAll(outerApi).isEmpty &&
+      outerApi.exceptAll(outerInfix).isEmpty)
+    // <= in MATCH_CONDITION selects the forward direction
+    val fwdInfix = spark.sql(
+      """SELECT err_id, pur_id FROM asof_sql_err ASOF JOIN asof_sql_pur
+        |  MATCH_CONDITION (asof_sql_err.err_ts <= asof_sql_pur.pur_ts)
+        |  ON asof_sql_err.u = asof_sql_pur.pu
+        |  TIEBREAK asof_sql_pur.pur_id""".stripMargin)
+    val fwdApi = plans.AsOf.join(err, pur, "u", "pu", "err_ts", "pur_ts",
+      "pur_id", direction = plans.AsOfJoin.Forward)
+      .select(col("err_id"), col("pur_id"))
+    assert(fwdInfix.exceptAll(fwdApi).isEmpty && fwdApi.exceptAll(fwdInfix).isEmpty)
+  }
+
+  test("infix rewrite leaves ordinary SQL byte-identical") {
+    import plans.AsOfInfixParser.rewrite
+    val plain = "SELECT a, count(*) FROM t WHERE b LIKE '%asof%' GROUP BY a"
+    // keyword in a LITERAL is untouched: the clause regex needs the full
+    // JOIN ... MATCH_CONDITION ... ON shape, not the bare word
+    assert(rewrite(plain) == plain)
+    val noAsof = "SELECT * FROM x JOIN y ON x.k = y.k"
+    assert(rewrite(noAsof) eq noAsof) // fast path: no allocation at all
+    // default tie = right time column when TIEBREAK is absent
+    val defaulted = rewrite(
+      "SELECT * FROM l ASOF JOIN r MATCH_CONDITION (l.t >= r.t) ON l.k = r.k")
+    assert(defaulted ==
+      "SELECT * FROM asof_join('l', 'r', 'l.k', 'r.k', 'l.t', 'r.t', 'r.t', false, 'backward')",
+      defaulted)
+  }
+
   test("a key naming the wrong side's column fails with a clear error") {
     val (err, pur) = fixtureSides()
     err.createOrReplaceTempView("asof_sql_err")
