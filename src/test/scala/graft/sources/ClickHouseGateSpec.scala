@@ -25,6 +25,8 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ClickHouseGateSpec extends AnyFunSuite {
 
+  import ClickHouseGateScript._
+
   private val Image = "clickhouse/clickhouse-server:24.12-alpine"
 
   private def run(cmd: String*): (Int, String) = {
@@ -36,24 +38,10 @@ class ClickHouseGateSpec extends AnyFunSuite {
     (rc, out)
   }
 
-  private def http(port: Int, sql: String): (Int, String) = {
-    val conn = new java.net.URI(s"http://127.0.0.1:$port/")
-      .toURL.openConnection().asInstanceOf[HttpURLConnection]
-    conn.setRequestMethod("POST")
-    conn.setDoOutput(true)
-    conn.setConnectTimeout(5000)
-    conn.setReadTimeout(30000)
-    conn.getOutputStream.write(sql.getBytes("UTF-8"))
-    val code = conn.getResponseCode
-    val body = new String(
-      (if (code < 400) conn.getInputStream else conn.getErrorStream).readAllBytes(), "UTF-8")
-    conn.disconnect()
-    (code, body)
-  }
-
   test("emitted flows DDL executes on ClickHouse 24.12 and typed inserts round-trip") {
     assume(run("docker", "info")._1 == 0,
-      "docker daemon unavailable — real-ClickHouse gate skipped")
+      "docker daemon unavailable — real-ClickHouse gate skipped " +
+        "(ClickHouseReplaySpec still replays the statement script mechanically)")
     assume(run("docker", "image", "inspect", Image)._1 == 0,
       s"$Image not in the local image cache (no egress) — gate skipped")
 
@@ -73,39 +61,82 @@ class ClickHouseGateSpec extends AnyFunSuite {
       }
       assert(up, "clickhouse never answered /")
 
-      // 1. the DDL this engine emits, executed verbatim
-      val (dc, dBody) = http(port, ClickHouseDdl.flowsDdl.stripSuffix(";\n"))
-      assert(dc == 200, s"DDL rejected: $dBody")
-      // Null engine: inserts are accepted, nothing stored (fan-out head)
-      val insertCols = graft.FlowSchema.chTypes.map(_._1).mkString(", ")
-      def row(seq: Long, bytes: BigInt): String =
-        graft.FlowSchema.chTypes.map {
-          case ("sequence_num", _) => seq.toString
-          case ("bytes", _) => bytes.toString
-          case (_, "String") => "'10.0.0.1'"
-          case (_, "Int32") => "1"
-          case _ => "1"
-        }.mkString("(", ", ", ")")
-      val (nc, nBody) = http(port,
-        s"INSERT INTO flows ($insertCols) VALUES ${row(1L, BigInt(1))}")
-      assert(nc == 200, s"Null-engine insert rejected: $nBody")
-      assert(http(port, "SELECT count() FROM flows")._2.trim == "0")
-
-      // 2. a MergeTree mirror of the same columns proves the TYPES store
-      // and round-trip — incl. a UInt64 beyond Int64 range (qf7's widening
-      // concern is real on the wire, not just in the DDL text)
-      val mirror = ClickHouseDdl.flowsDdl
-        .replace("CREATE TABLE IF NOT EXISTS flows", "CREATE TABLE flows_store")
-        .replace("ENGINE = Null();", "ENGINE = MergeTree() ORDER BY sequence_num;")
-      val (mc, mBody) = http(port, mirror.stripSuffix(";\n"))
-      assert(mc == 200, s"mirror DDL rejected: $mBody")
-      val big = BigInt("18446744073709551615") // UInt64 max
-      val (ic, iBody) = http(port, s"INSERT INTO flows_store ($insertCols) VALUES " +
-        s"${row(1L, BigInt(1))}, ${row(2L, big)}")
-      assert(ic == 200, s"typed insert rejected: $iBody")
-      assert(http(port, "SELECT count() FROM flows_store")._2.trim == "2")
-      assert(http(port,
-        "SELECT bytes FROM flows_store WHERE sequence_num = 2")._2.trim == big.toString)
+      // the shared statement script — the SAME sequence ClickHouseReplaySpec
+      // replays against the recorded transcript when docker is unavailable
+      steps.foreach { st =>
+        val (code, body) = http(port, st.sql)
+        assert(code == 200, s"${st.label} rejected: $body")
+        st.expect.foreach(e => assert(body.trim == e, s"${st.label}: $body"))
+      }
     } finally run("docker", "rm", "-f", cid)
   }
+}
+
+/** The exact DDL→insert→read statement sequence of the real-ClickHouse
+  * gate, shared between the live docker test above and the offline
+  * transcript replay ([[ClickHouseReplaySpec]]).
+  *
+  *  1. the emitted flows DDL, verbatim (Null engine — the reference's
+  *     fan-out head, `initdb/create_tables.sql:35`);
+  *  2. an insert into it is ACCEPTED but stores nothing;
+  *  3. a MergeTree mirror of the same columns proves the TYPES store and
+  *     round-trip — incl. a UInt64 beyond Int64 range (qf7's widening
+  *     concern on the wire, not just in the DDL text).
+  */
+private[sources] object ClickHouseGateScript {
+
+  final case class Step(label: String, sql: String, expect: Option[String])
+
+  private val insertCols = graft.FlowSchema.chTypes.map(_._1).mkString(", ")
+  private def row(seq: Long, bytes: BigInt): String =
+    graft.FlowSchema.chTypes.map {
+      case ("sequence_num", _) => seq.toString
+      case ("bytes", _) => bytes.toString
+      case (_, "String") => "'10.0.0.1'"
+      case (_, "Int32") => "1"
+      case _ => "1"
+    }.mkString("(", ", ", ")")
+
+  val UInt64Max = "18446744073709551615"
+
+  val steps: Seq[Step] = Seq(
+    Step("flows DDL", ClickHouseDdl.flowsDdl.stripSuffix(";\n"), None),
+    Step("Null-engine insert",
+      s"INSERT INTO flows ($insertCols) VALUES ${row(1L, BigInt(1))}", None),
+    Step("Null engine stores nothing", "SELECT count() FROM flows", Some("0")),
+    Step("MergeTree mirror DDL",
+      ClickHouseDdl.flowsDdl
+        .replace("CREATE TABLE IF NOT EXISTS flows", "CREATE TABLE flows_store")
+        .replace("ENGINE = Null();", "ENGINE = MergeTree() ORDER BY sequence_num;")
+        .stripSuffix(";\n"), None),
+    Step("typed insert incl. UInt64 max",
+      s"INSERT INTO flows_store ($insertCols) VALUES " +
+        s"${row(1L, BigInt(1))}, ${row(2L, BigInt(UInt64Max))}", None),
+    Step("both rows stored", "SELECT count() FROM flows_store", Some("2")),
+    Step("UInt64 round-trips beyond Int64 range",
+      "SELECT bytes FROM flows_store WHERE sequence_num = 2", Some(UInt64Max)))
+
+  /** POST one statement to a ClickHouse-shaped HTTP endpoint. */
+  def http(port: Int, sql: String): (Int, String) = {
+    val conn = new java.net.URI(s"http://127.0.0.1:$port/")
+      .toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setConnectTimeout(5000)
+    conn.setReadTimeout(30000)
+    conn.getOutputStream.write(sql.getBytes("UTF-8"))
+    val code = conn.getResponseCode
+    val body = new String(
+      (if (code < 400) conn.getInputStream else conn.getErrorStream).readAllBytes(), "UTF-8")
+    conn.disconnect()
+    (code, body)
+  }
+
+  /** Render the script as the transcript format pinned in
+    * `src/test/resources/clickhouse_gate_transcript.txt`.
+    */
+  def transcript: String =
+    steps.map { st =>
+      s"--- ${st.label}\n${st.sql}\n=== ${st.expect.getOrElse("(200 OK)")}"
+    }.mkString("", "\n", "\n")
 }

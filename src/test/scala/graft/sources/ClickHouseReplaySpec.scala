@@ -1,0 +1,88 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import com.sun.net.httpserver.HttpServer
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Offline fallback for the real-ClickHouse gate (VERDICT r07 #8): this
+  * environment has a docker client but no daemon and zero egress, so
+  * [[ClickHouseGateSpec]] cancels. This spec mechanically replays the
+  * SAME DDL→insert→read statement script two ways:
+  *
+  *  1. TEXT GATE — the generated script must equal the transcript pinned
+  *     at `src/test/resources/clickhouse_gate_transcript.txt` byte for
+  *     byte, so any drift in the emitted DDL or the insert shape fails
+  *     here even with no server anywhere;
+  *  2. WIRE REPLAY — the script runs through the gate's own HTTP client
+  *     against a local server speaking ClickHouse's HTTP shape (POST /,
+  *     200, text body), serving the transcript's responses in order and
+  *     rejecting any out-of-order or drifted statement.
+  *
+  * DOCUMENTED WAIVER — what remains UNPROVEN offline: ClickHouse's actual
+  * execution semantics (DDL acceptance by a real 24.12 server, Null-engine
+  * discard behavior, UInt64 storage). The transcript's expected responses
+  * are derived from documented ClickHouse behavior, not recorded from a
+  * live server in this environment; the live gate proves them wherever
+  * `docker run` works, and the golden-file check (ClickHouseDdlSpec) pins
+  * the DDL text against the reference's own `initdb/create_tables.sql`.
+  */
+class ClickHouseReplaySpec extends AnyFunSuite {
+
+  import ClickHouseGateScript._
+
+  private val transcriptPath =
+    Paths.get("src/test/resources/clickhouse_gate_transcript.txt")
+
+  test("gate script equals the pinned transcript byte-for-byte") {
+    assert(Files.exists(transcriptPath), s"missing $transcriptPath")
+    val pinned = new String(Files.readAllBytes(transcriptPath), StandardCharsets.UTF_8)
+    assert(transcript == pinned,
+      "gate script drifted from the pinned transcript — if the DDL change " +
+        "is intentional, regenerate the transcript and re-run the LIVE gate " +
+        "wherever docker works")
+  }
+
+  test("script replays in order over the ClickHouse HTTP wire shape") {
+    val cursor = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", exchange => {
+      val got = new String(exchange.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val i = cursor.getAndIncrement()
+      val (code, body) =
+        if (i < steps.length && got == steps(i).sql)
+          (200, steps(i).expect.map(_ + "\n").getOrElse(""))
+        else (500, s"unexpected statement at position $i:\n$got")
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      exchange.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+      if (bytes.nonEmpty) exchange.getResponseBody.write(bytes)
+      exchange.close()
+    })
+    server.setExecutor(null)
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      steps.foreach { st =>
+        val (code, body) = http(port, st.sql)
+        assert(code == 200, s"${st.label} rejected by replay server: $body")
+        st.expect.foreach(e => assert(body.trim == e, s"${st.label}: got '$body'"))
+      }
+      assert(cursor.get() == steps.length, "not every statement was sent")
+    } finally server.stop(0)
+  }
+}
+
+/** Regenerate the pinned transcript after an INTENTIONAL DDL change:
+  * `sbt "Test/runMain graft.sources.ClickHouseTranscriptGen"` — then
+  * re-run the LIVE gate wherever docker works before trusting it.
+  */
+object ClickHouseTranscriptGen {
+  def main(args: Array[String]): Unit = {
+    val p = java.nio.file.Paths.get("src/test/resources/clickhouse_gate_transcript.txt")
+    java.nio.file.Files.write(p,
+      ClickHouseGateScript.transcript.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"wrote $p")
+  }
+}
