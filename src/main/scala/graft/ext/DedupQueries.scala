@@ -573,16 +573,37 @@ object DedupQueries {
     // LSH regression (missed band) on any corpus that has duplicates.
     Q("x2b_dedup_simhash",
       (s, d) => {
-        simhashLshPairs(simhash(s, d))
-          .agg((count(lit(1)) > 0).as("fp"), lit(3).as("hamming_threshold"))
-          // one signature row per document, so the signed-doc count is the
-          // document count — counting the cheap scan instead of re-running
-          // the whole shingle+SimHash pipeline a second time
-          .crossJoin(Tables.documents(s, d).agg(
-            count(lit(1)).as("n_docs_signed"),
-            (count(lit(1)) > countDistinct(col("text"))).as("hd")))
-          .select((!col("hd") || col("fp")).as("lsh_covers_exact_dupes"),
+        // exact-dup collapse in front (r08, same defense as x2): SimHash
+        // runs over DISTINCT texts only — identical texts share every
+        // 16-bit chunk, so a mega-duplicate cluster would otherwise put
+        // its whole clique into one bucket task AND pay the signature
+        // kernel per copy. Identical-text pairs are Hamming 0 ≤ 3 by
+        // construction; the covers-exact-dupes theorem is now checked
+        // against the PAIR-EMISSION join itself (any duplicate group must
+        // witness ≥ 1 pair through the same digest join x2 emits cliques
+        // with — a real regression catcher for the collapse), with a
+        // limit(1) early-exit so the witness costs O(1) rows even when
+        // one cluster holds 80% of the corpus.
+        val c = collapsedLsh(s, d)
+        val simReps = c.shReps.select(col("doc_id"),
+          graft.functions.Kernels.simhash_sig(col("sh")).as("sim"))
+        val pairWitness = c.membership.as("x")
+          .join(c.membership.as("y"), Seq("dig"))
+          .where(col("x.doc_id") < col("y.doc_id"))
+          .limit(1)
+          .agg((count(lit(1)) > 0).as("dup_pair_witnessed"))
+        val res = simhashLshPairs(simReps)
+          .agg((count(lit(1)) > 0).as("fp_reps"), lit(3).as("hamming_threshold"))
+          .crossJoin(c.membership.groupBy("dig").agg(count(lit(1)).as("n"))
+            .agg(sum(col("n")).as("n_docs_signed"), (max(col("n")) > 1).as("hd")))
+          .crossJoin(pairWitness)
+          .select(
+            (!col("hd") || col("dup_pair_witnessed") || col("fp_reps"))
+              .as("lsh_covers_exact_dupes"),
             col("hamming_threshold"), col("n_docs_signed"))
+          .localCheckpoint()
+        c.shReps.unpersist()
+        res
       },
       Some("SELECT true AS lsh_covers_exact_dupes, 3 AS hamming_threshold, (SELECT count(*) FROM documents) AS n_docs_signed")),
 

@@ -341,6 +341,29 @@ object CoreQueries {
       },
       Some("""SELECT err_id, asof_purchase_id FROM (SELECT e.event_id AS err_id, p.event_id AS asof_purchase_id, row_number() OVER (PARTITION BY e.event_id ORDER BY p.ts DESC, p.event_id DESC) AS rn FROM events e JOIN events p ON p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts <= e.ts WHERE e.event_type = 'error') WHERE rn = 1""")),
 
+    // Q18h: the INFIX SQL surface over the same operator (r08's injected
+    // parser) — `errors ASOF JOIN purchases MATCH_CONDITION (...) ON ...
+    // TIEBREAK ...` lowered onto AsOfJoinExec, oracle-gated with q18c's
+    // ground truth so the parser rewrite itself sits under the driver's
+    // hash compare, not just unit tests.
+    Q("q18h_asof_infix",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("user_id").as("u"), col("ts").as("err_ts"))
+          .createOrReplaceTempView("q18h_errors")
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pur_id"), col("user_id").as("pu"), col("ts").as("pur_ts"))
+          .createOrReplaceTempView("q18h_purchases")
+        s.sql(
+          """SELECT err_id, pur_id AS asof_purchase_id
+            |FROM q18h_errors ASOF JOIN q18h_purchases
+            |  MATCH_CONDITION (q18h_errors.err_ts >= q18h_purchases.pur_ts)
+            |  ON q18h_errors.u = q18h_purchases.pu
+            |  TIEBREAK q18h_purchases.pur_id""".stripMargin)
+      },
+      Some("""SELECT err_id, asof_purchase_id FROM (SELECT e.event_id AS err_id, p.event_id AS asof_purchase_id, row_number() OVER (PARTITION BY e.event_id ORDER BY p.ts DESC, p.event_id DESC) AS rn FROM events e JOIN events p ON p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts <= e.ts WHERE e.event_type = 'error') WHERE rn = 1""")),
+
     // Q18d: LEFT-OUTER as-of through the same operator — every error event
     // survives, unmatched ones with a null purchase (the enrichment shape:
     // "last purchase before this error, if any"). Oracle is the LEFT-join

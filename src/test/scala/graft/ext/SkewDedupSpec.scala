@@ -94,6 +94,21 @@ class SkewDedupSpec extends SparkSpec {
         s"top reads ${reads.sorted.reverse.take(5)}")
   }
 
+  test("x2b simhash: covers the duplicate cluster, signatures priced per distinct text") {
+    val (rows, reads) = withTaskMetrics {
+      Registry.queries("x2b_dedup_simhash")(spark, corpus).collect()
+    }
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getBoolean(0), "LSH lost the exact-duplicate cluster")
+    assert(r.getInt(1) == 3 && r.getLong(2) == nDocs, r)
+    // collapse bounds the chunk-bucket join by distinct texts (121), so no
+    // task reads anything near cluster-squared
+    val maxRead = if (reads.isEmpty) 0L else reads.max
+    assert(maxRead < 20000L,
+      s"hot task read $maxRead shuffle records: top ${reads.sorted.reverse.take(5)}")
+  }
+
   for (name <- Seq("x2d_dedup_components", "x2f_cc_star")) {
     test(s"$name: one 480-doc component plus 120 singletons, no hot read") {
       val (rows, reads) = withTaskMetrics {

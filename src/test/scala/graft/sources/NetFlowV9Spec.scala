@@ -132,6 +132,25 @@ class NetFlowV9Spec extends AnyFunSuite {
     assert(missed == 0 && flows.map(_.src_port) == Seq(8080, 9090))
   }
 
+  test("an oversized integer IE keeps its LAST 8 bytes (big-endian low-order)") {
+    // ADVICE r07: a varlen-encoded counter of 9+ bytes with leading zero
+    // padding must decode to the value in its trailing 8 bytes — keeping
+    // the FIRST 8 discards the low-order bytes entirely
+    val fields = Seq(1 -> 65535, 7 -> 2) // varlen octetDeltaCount, srcPort
+    val t = V9.decodeTemplates(
+      V9.encodeTemplate(10, 5, 503, fields)).head._2
+    // 12-byte big-endian integer: 4 zero-pad bytes + the 8 value bytes
+    val value = 0x0123456789abcdefL
+    val padded = Array.fill[Byte](4)(0) ++ V9.fieldBytes(value, 8)
+    val rec = V9.varlenBytes(padded) ++ V9.fieldBytes(443, 2)
+    val (flows, missed) = V9.decode(
+      V9.encodeData(10, 5, 503, Seq(rec)), sampler, Map((5L, 503) -> t))
+    assert(missed == 0 && flows.size == 1)
+    assert(flows.head.bytes == value,
+      f"oversized counter decoded to 0x${flows.head.bytes}%x, want 0x$value%x")
+    assert(flows.head.src_port == 443, "field after the oversized IE misaligned")
+  }
+
   test("a varlen length prefix overrunning the set abandons the set, counted once") {
     val fields = Seq(96 -> 65535, 7 -> 2)
     val t = V9.decodeTemplates(
