@@ -338,8 +338,9 @@ object DecontamQueries {
     // lens beside verbatim n-grams (x7) and fuzzy token overlap (x7c):
     // a train doc is flagged when its EMBEDDING is near an eval doc's
     // (paraphrased leakage that token methods miss). Same split hash as
-    // x6/x7 (train <80, eval >=90, keyed by vec_id), same 16-hyperplane
-    // LSH as x2e — but banded ACROSS the split: eval band buckets
+    // x6/x7 (train <80, eval >=90, keyed by vec_id), same 64-plane
+    // 8-band×8-bit LSH as x2e (shared [[SimilarityQueries.lshBandStructs]]
+    // geometry) — but banded ACROSS the split: eval band buckets
     // broadcast (eval sets are benchmark-sized), the train side streams
     // once through a map-side band join, candidates verified by quantized
     // cosine >= 0.4. The oracle replays the ENTIRE pipeline (planes are
@@ -347,20 +348,13 @@ object DecontamQueries {
     // brute force is audited in LshAuditSpec, not here.
     Q("x7e_decontam_semantic",
       (s, d) => {
-        import SimilarityQueries.{quant, qdot, qcos, LshPlanes}
+        import SimilarityQueries.{quant, qcos, lshBandStructs}
         val e = Tables.embeddings(s, d).select(col("vec_id"),
           quant(col("embedding")).as("qe"),
           pmod(col("vec_id") * 2654435761L, lit(100L)).as("bucket"))
-        val sig = (0 until LshPlanes.length)
-          .map(p => when(qdot(col("qe"), typedLit(LshPlanes(p))) >= 0,
-            lit(1 << p)).otherwise(lit(0)))
-          .reduce(_ + _)
-        val sigs = e.select(col("vec_id"), col("bucket"), sig.as("sig"))
-        val bandStructs = (0 until 4).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col("sig"), b * 4).bitwiseAND(lit(0xf)).as("key")))
-        val bands = sigs
-          .select(col("vec_id"), col("bucket"), explode(array(bandStructs: _*)).as("bk"))
+        val bands = e
+          .select(col("vec_id"), col("bucket"),
+            explode(array(lshBandStructs(col("qe")): _*)).as("bk"))
           .select(col("vec_id"), col("bucket"),
             col("bk.band").as("band"), col("bk.key").as("key"))
         val trainB = bands.filter(col("bucket") < 80)
@@ -377,16 +371,13 @@ object DecontamQueries {
           .filter(col("cos") >= 0.4)
       },
       Some {
-        import SimilarityQueries.{sqlQuant, sqlQcos}
-        val sigExpr = SimilarityQueries.LshPlanes.zipWithIndex.map { case (plane, p) =>
-          val planeList = plane.mkString("[", ",", "]")
-          s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> qe[i] * ($planeList)[i])) >= 0 THEN ${1 << p} ELSE 0 END)"
-        }.mkString(" + ")
+        import SimilarityQueries.{sqlQuant, sqlQcos, sqlBandKey, LshNumBands}
+        val bandSelects = (0 until LshNumBands)
+          .map(b => s"SELECT vec_id, bucket, $b AS band, ${sqlBandKey("qe", b)} AS key FROM e")
+          .mkString("\n            UNION ALL ")
         s"""WITH e AS (SELECT vec_id, ${sqlQuant("embedding")} AS qe,
             (vec_id * 2654435761) % 100 AS bucket FROM embeddings),
-          sigs AS (SELECT vec_id, bucket, $sigExpr AS sig FROM e),
-          bands AS (SELECT vec_id, bucket, b AS band, (sig >> (b*4)) & 15 AS key
-            FROM sigs, unnest(generate_series(0, 3)) AS t(b)),
+          bands AS ($bandSelects),
           cand AS (SELECT DISTINCT x.vec_id AS train_vec, y.vec_id AS eval_vec
             FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
             WHERE x.bucket < 80 AND y.bucket >= 90)

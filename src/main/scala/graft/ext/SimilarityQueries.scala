@@ -56,7 +56,20 @@ object SimilarityQueries {
   private[ext] def sqlQcos(a: String, b: String): String =
     s"(CAST(${sqlQdot(a, b)} AS DOUBLE) / (sqrt(CAST(${sqlQdot(a, a)} AS DOUBLE)) * sqrt(CAST(${sqlQdot(b, b)} AS DOUBLE))))"
 
-  /** 16 fixed ±1 (Rademacher) hyperplanes for the x2e embedding-LSH —
+  /** Banding geometry for the x2e/x7e embedding-LSH: 8 bands × 8-bit
+    * keys = 256 buckets per band from a 64-plane pool. Scale law (the
+    * r08 verdict's finding #1): expected bucket occupancy is n / 2^bits,
+    * so the band self-join reads Θ(bands · n²/2^bits) candidate rows —
+    * the old 4×4-bit layout capped at 16 buckets/band and went quadratic
+    * at 10× the fixture. 8-bit keys put saturation at ~256× more corpus;
+    * growing a corpus past that means raising [[LshBandBits]] (more
+    * planes, narrower buckets, lower per-band recall — compensate with
+    * [[LshNumBands]]), a two-constant change both engines replay.
+    */
+  private[ext] val LshNumBands = 8
+  private[ext] val LshBandBits = 8
+
+  /** 64 fixed ±1 (Rademacher) hyperplanes for the x2e/x7e embedding-LSH —
     * generated once from a seeded java.util.Random (the LCG algorithm is
     * specified, so the values are stable across JVMs) and embedded as
     * LITERALS in both the Spark plan and the DuckDB oracle, which lets the
@@ -65,21 +78,40 @@ object SimilarityQueries {
     */
   private[ext] val LshPlanes: IndexedSeq[Seq[Long]] = {
     val rnd = new java.util.Random(42)
-    IndexedSeq.fill(16)(Seq.fill(64)(if (rnd.nextBoolean()) 1L else -1L))
+    IndexedSeq.fill(LshNumBands * LshBandBits)(
+      Seq.fill(64)(if (rnd.nextBoolean()) 1L else -1L))
   }
 
-  /** DuckDB replay of the x2e pipeline: literal planes → signatures →
-    * 4×4-bit bands → candidate equi-join → quantized-cosine verify.
+  /** One (band, key) struct per band: band b's key packs the sign bits of
+    * its own 8 planes — no intermediate 64-bit packed signature, so
+    * neither engine touches the sign bit of a BIGINT shift. Shared by x2e
+    * and x7e (`DecontamQueries`) so a geometry change cannot desync them.
+    */
+  private[ext] def lshBandStructs(qe: Column): Seq[Column] =
+    (0 until LshNumBands).map { b =>
+      val key = (0 until LshBandBits)
+        .map(j => when(qdot(qe, typedLit(LshPlanes(b * LshBandBits + j))) >= 0,
+          lit(1 << j)).otherwise(lit(0)))
+        .reduce(_ + _)
+      struct(lit(b).as("band"), key.as("key"))
+    }
+
+  /** DuckDB rendering of band b's key over a quantized-embedding column. */
+  private[ext] def sqlBandKey(qeExpr: String, b: Int): String =
+    (0 until LshBandBits).map { j =>
+      val planeList = LshPlanes(b * LshBandBits + j).mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> $qeExpr[i] * ($planeList)[i])) >= 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** DuckDB replay of the x2e pipeline: literal planes → per-band 8-bit
+    * keys → candidate equi-join → quantized-cosine verify.
     */
   private def x2eOracleSql: String = {
-    val sigExpr = LshPlanes.zipWithIndex.map { case (plane, p) =>
-      val planeList = plane.mkString("[", ",", "]")
-      s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> qe[i] * ($planeList)[i])) >= 0 THEN ${1 << p} ELSE 0 END)"
-    }.mkString(" + ")
+    val bandSelects = (0 until LshNumBands)
+      .map(b => s"SELECT vec_id, $b AS band, ${sqlBandKey("qe", b)} AS key FROM e")
+      .mkString("\n        UNION ALL ")
     s"""WITH e AS (SELECT vec_id, ${sqlQuant("embedding")} AS qe FROM embeddings),
-      sigs AS (SELECT vec_id, $sigExpr AS sig FROM e),
-      buckets AS (SELECT vec_id, b AS band, (sig >> (b*4)) & 15 AS key
-        FROM sigs, unnest(generate_series(0, 3)) AS t(b)),
+      buckets AS ($bandSelects),
       cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b FROM buckets x
         JOIN buckets y ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id)
       SELECT a, b, ${sqlQcos("ea.qe", "eb.qe")} AS cos
@@ -143,31 +175,27 @@ object SimilarityQueries {
 
     // X2e: embedding-cosine near-dedup, the SCALE PATH for what x3b does by
     // brute force — random-hyperplane LSH (SimHash over embeddings):
-    // 16 fixed ±1 hyperplanes (seeded, embedded as LITERALS in both the
-    // Spark plan and the oracle SQL) → 16-bit signature → 4 bands × 4
-    // bits → candidates from band-bucket equi-join → exact quantized-
-    // cosine verification of candidates only. NO all-pairs join anywhere
+    // 64 fixed ±1 hyperplanes (seeded, embedded as LITERALS in both the
+    // Spark plan and the oracle SQL) → 8 bands × 8-bit keys (256 buckets
+    // per band; see [[LshNumBands]] for the occupancy scale law) →
+    // candidates from band-bucket equi-join → exact quantized-cosine
+    // verification of candidates only. NO all-pairs join anywhere
     // in the plan (pinned in PlanSpec's cartesian audit); DuckDB replays
-    // the ENTIRE pipeline — signatures, banding, candidate join, verify —
+    // the ENTIRE pipeline — band keys, candidate join, verify —
     // so the emitted pair set is exact-checked, not floor-checked. The
     // recall-vs-brute-force audit that used to ride inside this query
     // (quadratic) lives in LshAuditSpec now. Honest recall on THIS
     // fixture: embeddings are random (max background cos ≈ 0.51), so
     // τ=0.4 pairs sit at the LSH signal/noise boundary (P[≥1 band]
-    // ≈ 0.45); a real near-dup corpus (cos ≥ 0.95) gets near-total
-    // recall from the identical plan.
+    // = 1-(1-p^8)^8 ≈ 0.18 at p ≈ 0.63); a real near-dup corpus
+    // (cos ≥ 0.95 ⇒ p ≈ 0.90) gets ≈ 0.99 recall from the identical
+    // plan — the 8-bit bands trade fixture-boundary recall for the
+    // O(n) candidate bound that survives 100×.
     Q("x2e_dedup_embed",
       (s, d) => {
         val e = Tables.embeddings(s, d).select(col("vec_id"), quant(col("embedding")).as("qe"))
-        val sig = (0 until LshPlanes.length)
-          .map(p => when(qdot(col("qe"), typedLit(LshPlanes(p))) >= 0,
-            lit(1 << p)).otherwise(lit(0)))
-          .reduce(_ + _)
-        val sigs = e.select(col("vec_id"), sig.as("sig"))
-        val bandStructs = (0 until 4).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col("sig"), b * 4).bitwiseAND(lit(0xf)).as("key")))
-        val buckets = sigs.select(col("vec_id"), explode(array(bandStructs: _*)).as("bk"))
+        val buckets = e.select(col("vec_id"),
+            explode(array(lshBandStructs(col("qe")): _*)).as("bk"))
           .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
         val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "key"))
           .where(col("x.vec_id") < col("y.vec_id"))

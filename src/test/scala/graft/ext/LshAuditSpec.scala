@@ -44,24 +44,49 @@ class LshAuditSpec extends SparkSpec {
     // verification makes every emitted pair TRUE — soundness is exact
     assert(found.subsetOf(truth), s"LSH emitted non-pairs: ${found.diff(truth).take(5)}")
     // recall floor: random embeddings at the τ=0.4 signal/noise boundary
-    // give P[>=1 band] ≈ 0.45 per true pair — 10% is a conservative floor
-    // whenever the truth set is big enough to measure
+    // give P[>=1 of 8 8-bit bands] = 1-(1-p^8)^8 ≈ 0.18 per true pair
+    // (p ≈ 0.63); 5% is a conservative floor whenever the truth set is
+    // big enough to measure (the fixture + frozen planes make the actual
+    // value deterministic — the floor only guards fixture regeneration)
     if (truth.size >= 10)
-      assert(found.size.toDouble / truth.size >= 0.1,
+      assert(found.size.toDouble / truth.size >= 0.05,
         s"recall ${found.size}/${truth.size} under floor")
     else assert(truth.nonEmpty || found.isEmpty)
+  }
+
+  test("x2e band-bucket occupancy stays near n/2^bits — the O(n) candidate bound") {
+    // the r08 verdict's scale finding: 4-bit keys capped at 16 buckets per
+    // band, so occupancy grew as n/16 and the band self-join went
+    // quadratic. With 8-bit keys the expected occupancy is n/256; assert
+    // the LARGEST bucket stays within a small multiple of that, so the
+    // per-band candidate count is provably O(n · maxOcc) = O(n)
+    val quant = (c: org.apache.spark.sql.Column) =>
+      transform(c, x => round(x.cast(DoubleType) * 1048576d).cast(LongType))
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), quant(col("embedding")).as("qe"))
+    val buckets = e.select(col("vec_id"),
+        explode(array(SimilarityQueries.lshBandStructs(col("qe")): _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"))
+    val n = e.count()
+    val maxOcc = buckets.groupBy("band", "key").count()
+      .agg(max(col("count"))).head().getLong(0)
+    val expected = math.max(1.0, n.toDouble / (1 << SimilarityQueries.LshBandBits))
+    // random signatures concentrate near uniform; 8× covers Poisson tails
+    // at fixture scale without masking a bucket-collapse regression
+    assert(maxOcc <= 8 * expected + 8,
+      s"max bucket occupancy $maxOcc vs expected ~$expected (n=$n)")
   }
 
   test("x2e signature planes are the frozen seed-42 Rademacher set") {
     // the oracle SQL embeds these as literals — a drifting generator would
     // desync Spark and DuckDB silently at the gate, so freeze a prefix
     val p = SimilarityQueries.LshPlanes
-    assert(p.length == 16 && p.forall(_.length == 64))
+    assert(p.length == SimilarityQueries.LshNumBands * SimilarityQueries.LshBandBits
+      && p.length == 64 && p.forall(_.length == 64))
     assert(p.forall(_.forall(v => v == 1L || v == -1L)))
     // determinism across invocations of the generator (java.util.Random's
     // LCG is part of its spec, so this also pins cross-JVM stability)
     val rnd = new java.util.Random(42)
-    val regen = IndexedSeq.fill(16)(Seq.fill(64)(if (rnd.nextBoolean()) 1L else -1L))
+    val regen = IndexedSeq.fill(64)(Seq.fill(64)(if (rnd.nextBoolean()) 1L else -1L))
     assert(regen == p)
     // not degenerate: roughly balanced signs per plane
     assert(p.forall(pl => math.abs(pl.sum) < 40))
