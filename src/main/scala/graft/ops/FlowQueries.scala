@@ -213,8 +213,12 @@ object FlowQueries {
       (s, d) => {
         val salts = 16
         val f = flows(s, d).filter(col("proto") === 1) // bounded pair count
+        // xxhash64, not a multiplicative residue: proto-1 rows all carry
+        // ODD sequence_nums (eid%10=9), and odd·odd mod 16 stays odd — a
+        // multiply-mod salt would populate only 8 of the 16 buckets
+        // (r9 SkewJoinSpec finding); a mixed hash fans out to all 16
         val left = f.select(col("dst_port"), col("bytes"),
-          pmod(col("sequence_num") * 2654435761L, lit(salts.toLong)).as("salt"))
+          pmod(xxhash64(col("sequence_num")), lit(salts.toLong)).as("salt"))
         val right = f.select(col("dst_port").as("r_port"), col("packets"))
           .withColumn("salt", explode(sequence(lit(0L), lit(salts - 1L))))
         left.join(right, col("dst_port") === col("r_port") && left("salt") === right("salt"))

@@ -206,9 +206,12 @@ object NetFlowV9 {
             t.fields.foreach { case (fid, flen) =>
               val p = bb.position()
               if (fid == 34 || fid == 305) {
+                // Big-endian: keep the LAST 8 bytes of an oversized field —
+                // same rule as the data-record uint() below; the two paths
+                // decode the same wire type and must agree (VERDICT r08).
                 var v = 0L
-                var i = 0
-                while (i < flen && i < 8) { v = (v << 8) | (bb.get(p + i) & 0xffL); i += 1 }
+                var i = if (flen > 8) flen - 8 else 0
+                while (i < flen) { v = (v << 8) | (bb.get(p + i) & 0xffL); i += 1 }
                 rate = v
               }
               bb.position(p + flen)

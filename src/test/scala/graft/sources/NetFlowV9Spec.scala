@@ -233,6 +233,16 @@ class NetFlowV9Spec extends AnyFunSuite {
     assert(V9.samplingFromOptions(odata10,
       Map((3L, 600) -> V9.Template(600, Seq(-149 -> 4, 305 -> 8), isOptions = true)))
       == Seq((3L, 4096L)))
+
+    // a 9-byte zero-padded rate keeps its LAST 8 bytes (big-endian low
+    // bytes are at the end) — the same rule as the data-record uint();
+    // keeping the FIRST 8 would decode 4096 as 16 here (VERDICT r08 #2)
+    val bigRateTmpl = V9.Template(601, Seq(-149 -> 4, 305 -> 9), isOptions = true)
+    val orecPad = Array(V9.fieldBytes(1, 4), V9.fieldBytes(0, 1),
+      V9.fieldBytes(4096, 8)).flatten.toArray
+    val odataPad = V9.encodeData(10, 3, 601, Seq(orecPad))
+    assert(V9.samplingFromOptions(odataPad, Map((3L, 601) -> bigRateTmpl))
+      == Seq((3L, 4096L)))
   }
 
   test("IPFIX enterprise-bit field specs are learned and bounds-checked per byte consumed") {
