@@ -166,9 +166,8 @@ object DecontamQueries {
     Q("x7c_decontam_fuzzy",
       (s, d) => {
         val (pairs, sh) = fuzzyPairsPlan(s, d)
-        val res = pairs.localCheckpoint() // tiny; release the cache below
-        sh.unpersist()
-        res
+        // tiny result; eager so the shingle cache is released on return
+        Caching.withPersisted(sh)(pairs.localCheckpoint())
       },
       Some("""WITH t AS (SELECT doc_id, string_split(text,' ') w, text FROM documents),
         sets AS (SELECT doc_id, CASE WHEN len(w) >= 3

@@ -188,8 +188,8 @@ object DedupQueries {
 
   private def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** The LAZY MinHash+LSH verified-pair plan plus its persisted
-    * representative-shingle frame (caller must unpersist after
+  /** The LAZY MinHash+LSH verified-pair plan plus its persisted caches
+    * (caller releases via [[Caching.withPersistedAll]] after
     * materializing). Exposed package-private so PlanSpec can audit the
     * un-checkpointed plan shape (no cartesian product) — the registered
     * query materializes it eagerly and releases the cache before returning.
@@ -213,12 +213,23 @@ object DedupQueries {
     * representative shingles, and the rep-level verified near-dup pairs.
     */
   private final case class CollapsedLsh(membership: DataFrame,
-      repOf: DataFrame, shReps: DataFrame, repPairs: DataFrame)
+      repOf: DataFrame, shReps: DataFrame, repPairs: DataFrame) {
+    /** Frames marked persisted by [[collapsedLsh]] — release with
+      * [[Caching.withPersistedAll]] after materializing the result.
+      */
+    def caches: Seq[DataFrame] = Seq(shReps, membership)
+  }
 
   private def collapsedLsh(s: SparkSession, d: String): CollapsedLsh = {
     val docs = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), xxhash64(col("text")).as("dig"), col("text"))
+      // 128-bit md5 as the group identity, NOT xxhash64 (ADVICE r08): at
+      // billions of docs a 64-bit digest has expected birthday collisions
+      // (n²/2^65), and a collision here silently merges two DIFFERENT
+      // texts into one "identical" group — false j=1.0 pairs, merged
+      // components. 128 bits puts that below 10^-18 at 10^10 docs. Same
+      // digest family as x1's exact dedup.
+      .select(col("doc_id"), md5(col("text")).as("dig"), col("text"))
     // one representative per distinct text: min (doc_id, text) struct —
     // the text rides the agg, so no re-join against the corpus
     val reps = docs.groupBy("dig")
@@ -229,11 +240,19 @@ object DedupQueries {
       .select(col("doc_id"), shingleSet(col("w")).as("sh"))
       .persist()
     val repPairs = verifyPairs(lshCandidates(minhashSigs(shReps)), shReps, 0.8)
-    CollapsedLsh(docs.select(col("dig"), col("doc_id")),
-      reps.select(col("dig"), col("doc_id").as("rep")), shReps, repPairs)
+    // membership ((digest, doc_id) per doc) sits on every reconstruction
+    // path — clique pairs, cross expansion, star edges — and is re-joined
+    // up to four times per query; persisted so the corpus scan + md5 run
+    // once (ADVICE r08). repOf reads it instead of re-scanning the corpus:
+    // the representative IS the group's min doc_id (reps take the
+    // min-(doc_id, text) struct), so a membership-side min-agg is
+    // provably the same frame.
+    val membership = docs.select(col("dig"), col("doc_id")).persist()
+    val repOf = membership.groupBy("dig").agg(min(col("doc_id")).as("rep"))
+    CollapsedLsh(membership, repOf, shReps, repPairs)
   }
 
-  private[graft] def minhashPairsPlan(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[graft] def minhashPairsPlan(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     val c = collapsedLsh(s, d)
     val membership = c.membership
     // clique pairs inside each identical-text group: j is exactly 1.0
@@ -254,7 +273,7 @@ object DedupQueries {
       .join(membership.select(col("dig").as("digb"), col("doc_id").as("mb")), "digb")
       .select(least(col("ma"), col("mb")).as("a"),
         greatest(col("ma"), col("mb")).as("b"), col("j"))
-    (internal.unionByName(cross), c.shReps)
+    (internal.unionByName(cross), c.caches)
   }
 
   /** Connectivity-equivalent near-dup edge list (u, v) — LINEAR in corpus
@@ -267,13 +286,13 @@ object DedupQueries {
     * consume this; x2, whose declared OUTPUT is the pair list itself,
     * enumerates the cliques via [[minhashPairsPlan]].
     */
-  private[graft] def minhashComponentEdges(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[graft] def minhashComponentEdges(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     val c = collapsedLsh(s, d)
     val star = c.membership.join(c.repOf, "dig")
       .where(col("doc_id") =!= col("rep"))
       .select(col("doc_id").as("u"), col("rep").as("v"))
     val cross = c.repPairs.select(col("a").as("u"), col("b").as("v"))
-    (star.unionByName(cross), c.shReps)
+    (star.unionByName(cross), c.caches)
   }
 
   /** SimHash pigeonhole LSH pairs at Hamming ≤ 3 over a (doc_id, sim)
@@ -366,10 +385,8 @@ object DedupQueries {
         // released before returning — cached blocks must not outlive the
         // query in a long-lived session (r02 bench: leaked storage degraded
         // later unrelated queries).
-        val (pairs, sh) = minhashPairsPlan(s, d)
-        val res = pairs.localCheckpoint()
-        sh.unpersist()
-        res
+        val (pairs, caches) = minhashPairsPlan(s, d)
+        Caching.withPersistedAll(caches)(pairs.localCheckpoint())
       },
       Some("""WITH t AS (SELECT doc_id, string_split(text,' ') w, text FROM documents),
         sets AS (SELECT doc_id, CASE WHEN len(w) >= 3
@@ -401,9 +418,8 @@ object DedupQueries {
         // near-dup pairs — LINEAR in corpus size even when one duplicate
         // cluster holds 80% of the docs (SkewDedupSpec), with identical
         // components to the full quadratic pair set.
-        val (edgePlan, shReps) = minhashComponentEdges(s, d)
-        val base = truncate(edgePlan)
-        shReps.unpersist()
+        val (edgePlan, caches) = minhashComponentEdges(s, d)
+        val base = Caching.withPersistedAll(caches)(truncate(edgePlan))
         val edges = base.select(col("u").as("src"), col("v").as("dst"))
           .unionByName(base.select(col("v").as("src"), col("u").as("dst")))
         var lab = Tables.documents(s, d)
@@ -483,9 +499,8 @@ object DedupQueries {
       (s, d) => {
         // same connectivity-equivalent edges as x2d (r08 mega-cluster
         // defense): star per identical-text group + rep-level pairs
-        val (edgePlan, shReps) = minhashComponentEdges(s, d)
-        val pairs = edgePlan.transform(truncate)
-        shReps.unpersist()
+        val (edgePlan, caches) = minhashComponentEdges(s, d)
+        val pairs = Caching.withPersistedAll(caches)(edgePlan.transform(truncate))
 
         def largeStar(e: DataFrame): DataFrame = {
           val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
@@ -568,42 +583,59 @@ object DedupQueries {
     // (ADVICE r07 — the old `found_pairs` was true only on fixtures that
     // happen to contain Hamming≤3 pairs): identical text ⇒ identical
     // SimHash ⇒ Hamming 0 ≤ 3 ⇒ the pigeonhole bands MUST emit the pair.
-    // So `lsh_covers_exact_dupes` ≡ (no exact-duplicate texts ∨ LSH found
-    // pairs) is vacuously true on dupe-free corpora and catches a real
-    // LSH regression (missed band) on any corpus that has duplicates.
+    // So `lsh_covers_exact_dupes` ≡ (no exact-duplicate texts ∨ LSH
+    // emitted a known-duplicate pair) is vacuously true on dupe-free
+    // corpora and catches a real LSH regression on any corpus with
+    // duplicates (SkewDedupSpec drives the 80 %-duplicate case).
     Q("x2b_dedup_simhash",
       (s, d) => {
         // exact-dup collapse in front (r08, same defense as x2): SimHash
         // runs over DISTINCT texts only — identical texts share every
         // 16-bit chunk, so a mega-duplicate cluster would otherwise put
         // its whole clique into one bucket task AND pay the signature
-        // kernel per copy. Identical-text pairs are Hamming 0 ≤ 3 by
-        // construction; the covers-exact-dupes theorem is now checked
-        // against the PAIR-EMISSION join itself (any duplicate group must
-        // witness ≥ 1 pair through the same digest join x2 emits cliques
-        // with — a real regression catcher for the collapse), with a
-        // limit(1) early-exit so the witness costs O(1) rows even when
-        // one cluster holds 80% of the corpus.
+        // kernel per copy. The covers theorem is checked THROUGH the band
+        // join itself (ADVICE r08: a membership-only witness was a
+        // tautology — both sides derived from the same frame): the SECOND
+        // member of one duplicate group is injected into the signature
+        // frame carrying its representative's signature (identical text ⇒
+        // identical SimHash), and the check demands the chunk-bucket join
+        // emit exactly that (wa, wb) pair — Hamming 0, so any live band
+        // must produce it; a dropped band-key column, a broken chunk
+        // extraction, or a lost collapse all fail the witness.
         val c = collapsedLsh(s, d)
+        Caching.withPersistedAll(c.caches) {
         val simReps = c.shReps.select(col("doc_id"),
           graft.functions.Kernels.simhash_sig(col("sh")).as("sim"))
-        val pairWitness = c.membership.as("x")
-          .join(c.membership.as("y"), Seq("dig"))
-          .where(col("x.doc_id") < col("y.doc_id"))
+        // deterministic witness group: smallest digest among duplicate
+        // groups; (min, max) doc_ids form a real pair and min IS the
+        // group representative (reps take the min-doc_id struct)
+        val dupGroup = c.membership.groupBy("dig")
+          .agg(min(col("doc_id")).as("wa"), max(col("doc_id")).as("wb"),
+            count(lit(1)).as("n"))
+          .where(col("n") > 1)
+          .orderBy(col("dig")).limit(1)
+        val injected = dupGroup
+          .join(simReps, col("doc_id") === col("wa"))
+          .select(col("wb").as("doc_id"), col("sim"))
+        val lshPairs = simhashLshPairs(simReps.unionByName(injected))
+        val witnessed = lshPairs
+          .join(dupGroup.select(col("wa").as("a"), col("wb").as("b")),
+            Seq("a", "b"), "left_semi")
           .limit(1)
           .agg((count(lit(1)) > 0).as("dup_pair_witnessed"))
-        val res = simhashLshPairs(simReps)
+        lshPairs
+          // full pair count anchors the real LSH workload in the bench
+          // (the witness semi-join alone could short-circuit via limit)
           .agg((count(lit(1)) > 0).as("fp_reps"), lit(3).as("hamming_threshold"))
           .crossJoin(c.membership.groupBy("dig").agg(count(lit(1)).as("n"))
             .agg(sum(col("n")).as("n_docs_signed"), (max(col("n")) > 1).as("hd")))
-          .crossJoin(pairWitness)
+          .crossJoin(witnessed)
           .select(
-            (!col("hd") || col("dup_pair_witnessed") || col("fp_reps"))
+            (!col("hd") || col("dup_pair_witnessed"))
               .as("lsh_covers_exact_dupes"),
             col("hamming_threshold"), col("n_docs_signed"))
           .localCheckpoint()
-        c.shReps.unpersist()
-        res
+        }
       },
       Some("SELECT true AS lsh_covers_exact_dupes, 3 AS hamming_threshold, (SELECT count(*) FROM documents) AS n_docs_signed")),
 
@@ -681,22 +713,21 @@ object DedupQueries {
             explode_outer(
               graft.functions.Kernels.window_md5(split(col("text"), " "), 8))
               .as("h"))
-          .persist()
-        val byHash = docHash.filter(col("h").isNotNull)
-          .groupBy("h").agg(count(lit(1)).as("docs_with"))
-        // explode_OUTER keeps sub-window docs as a null-h row, so one
-        // left join + count(h) covers them (0 windows) with no second
-        // scan branch or per-doc re-join
-        val res = docHash.join(byHash, Seq("h"), "left_outer")
-          .groupBy("doc_id")
-          .agg(count(col("h")).as("n_windows"),
-            sum(when(col("docs_with") > 1, 1L).otherwise(0L)).as("n_shared"))
-          .select(col("doc_id"), col("n_windows"),
-            coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-            (coalesce(col("n_shared"), lit(0L)) > 0).as("has_dup_span"))
-          .localCheckpoint() // one row per doc; eager so the cache can go
-        docHash.unpersist()
-        res
+        Caching.withPersisted(docHash) {
+          val byHash = docHash.filter(col("h").isNotNull)
+            .groupBy("h").agg(count(lit(1)).as("docs_with"))
+          // explode_OUTER keeps sub-window docs as a null-h row, so one
+          // left join + count(h) covers them (0 windows) with no second
+          // scan branch or per-doc re-join
+          docHash.join(byHash, Seq("h"), "left_outer")
+            .groupBy("doc_id")
+            .agg(count(col("h")).as("n_windows"),
+              sum(when(col("docs_with") > 1, 1L).otherwise(0L)).as("n_shared"))
+            .select(col("doc_id"), col("n_windows"),
+              coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+              (coalesce(col("n_shared"), lit(0L)) > 0).as("has_dup_span"))
+            .localCheckpoint() // one row per doc; eager so the cache can go
+        }
       },
       Some("""WITH docs AS (SELECT doc_id,
           CASE WHEN len(string_split(text, ' ')) >= 8

@@ -245,20 +245,20 @@ object SimilarityQueries {
         // persisted: consumed twice below (n_results + the recall audit);
         // without it the whole probe/scan subplan runs twice (r01 bench)
         val ivfTop = cand.withColumn("rank", row_number().over(wk)).filter(col("rank") <= 10)
-          .select(col("q_id"), col("c_id")).persist()
-        val exactAll = bruteKnn(s, d, 8, 10).select(col("q_id"), col("c_id"))
-        // fully lazy: recall computed in-plan (no driver-side action at
-        // query-build time)
-        val hits = ivfTop.join(exactAll, Seq("q_id", "c_id"), "left_semi")
-          .agg(count(lit(1)).as("n_hits"))
-        val res = ivfTop.agg(count(lit(1)).as("n_results"))
-          .crossJoin(hits)
-          .select(col("n_results"),
-            (col("n_hits").cast(DoubleType) / 80.0 >= 0.15).as("recall_floor_ok"),
-            lit(3).as("nprobe"), lit(10).as("centroids"))
-          .localCheckpoint() // 1 row; release the probe-scan cache below
-        ivfTop.unpersist()
-        res
+          .select(col("q_id"), col("c_id"))
+        Caching.withPersisted(ivfTop) {
+          val exactAll = bruteKnn(s, d, 8, 10).select(col("q_id"), col("c_id"))
+          // fully lazy: recall computed in-plan (no driver-side action at
+          // query-build time)
+          val hits = ivfTop.join(exactAll, Seq("q_id", "c_id"), "left_semi")
+            .agg(count(lit(1)).as("n_hits"))
+          ivfTop.agg(count(lit(1)).as("n_results"))
+            .crossJoin(hits)
+            .select(col("n_results"),
+              (col("n_hits").cast(DoubleType) / 80.0 >= 0.15).as("recall_floor_ok"),
+              lit(3).as("nprobe"), lit(10).as("centroids"))
+            .localCheckpoint() // 1 row; release the probe-scan cache below
+        }
       },
       Some("SELECT 80 AS n_results, true AS recall_floor_ok, 3 AS nprobe, 10 AS centroids")),
 

@@ -145,21 +145,21 @@ object TextQueries {
         // A doc has exactly one lang, so cube rows ARE the distinct
         // (doc, tok) pairs and df = row count per tok.
         val cube = docTok.groupBy(col("lang"), col("doc_id"), col("tok"))
-          .agg(count(lit(1)).as("c")).persist()
-        val nDf = Tables.documents(s, d).agg(count(lit(1)).as("n"))
-        val df = cube.groupBy(col("tok").as("d_tok")).agg(count(lit(1)).as("df"))
-        val tf = cube.groupBy(col("lang"), col("tok")).agg(sum(col("c")).as("tf"))
-        val scored = tf.join(broadcast(df), col("tok") === col("d_tok"))
-          .crossJoin(broadcast(nDf))
-          .select(col("lang"), col("tok"), col("tf"), col("df"),
-            (col("tf").cast(DoubleType) * col("n").cast(DoubleType) / col("df").cast(DoubleType))
-              .as("tfidf_rat"))
-        val w = Window.partitionBy(col("lang")).orderBy(col("tfidf_rat").desc, col("tok"))
-        val res = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
-          .select(col("lang"), col("rn"), col("tok"), col("tf"), col("df"), col("tfidf_rat"))
-          .localCheckpoint() // 3 rows per lang; eager so the cache can go
-        cube.unpersist()
-        res
+          .agg(count(lit(1)).as("c"))
+        Caching.withPersisted(cube) {
+          val nDf = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+          val df = cube.groupBy(col("tok").as("d_tok")).agg(count(lit(1)).as("df"))
+          val tf = cube.groupBy(col("lang"), col("tok")).agg(sum(col("c")).as("tf"))
+          val scored = tf.join(broadcast(df), col("tok") === col("d_tok"))
+            .crossJoin(broadcast(nDf))
+            .select(col("lang"), col("tok"), col("tf"), col("df"),
+              (col("tf").cast(DoubleType) * col("n").cast(DoubleType) / col("df").cast(DoubleType))
+                .as("tfidf_rat"))
+          val w = Window.partitionBy(col("lang")).orderBy(col("tfidf_rat").desc, col("tok"))
+          scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+            .select(col("lang"), col("rn"), col("tok"), col("tf"), col("df"), col("tfidf_rat"))
+            .localCheckpoint() // 3 rows per lang; eager so the cache can go
+        }
       },
       Some("""WITH dt AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
         n AS (SELECT count(*) AS n FROM documents),

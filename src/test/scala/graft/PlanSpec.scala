@@ -186,9 +186,9 @@ class PlanSpec extends SparkSpec {
     }
     // x2 registers an eagerly-checkpointed result (cache-lifecycle
     // hygiene), so audit its LAZY plan via the package-private builder
-    val (x2, sh2) = ext.DedupQueries.minhashPairsPlan(spark, sf)
+    val (x2, caches2) = ext.DedupQueries.minhashPairsPlan(spark, sf)
     try assert(!physical(x2).contains("CartesianProduct"), physical(x2))
-    finally sh2.unpersist()
+    finally caches2.foreach(_.unpersist())
     // x7c also checkpoints eagerly — audit its lazy plan: broadcast band
     // join, no cartesian
     val (x7c, sh7c) = ext.DecontamQueries.fuzzyPairsPlan(spark, sf)

@@ -48,6 +48,16 @@ class RegistrySpec extends SparkSpec {
       assert(df.columns.nonEmpty)
       val n = df.count()
       if (!mayBeEmpty(q.name)) assert(n > 0, s"${q.name} returned 0 rows")
+      // cache-lifecycle invariant (VERDICT r08 #7, Caching.withPersisted):
+      // a registered query must release every intermediate it persisted
+      // before returning — in a long-lived session a leaked cache block
+      // degrades all later queries. Only localCheckpoint blocks (the
+      // eager results themselves, reclaimed by the ContextCleaner when
+      // the DataFrame is collected) may remain.
+      val leaked = spark.sparkContext.getPersistentRDDs.values
+        .filterNot(_.isCheckpointed).toSeq
+      assert(leaked.isEmpty,
+        s"${q.name} leaked cached RDDs: ${leaked.map(r => (r.id, r.name))}")
     }
   }
 }
