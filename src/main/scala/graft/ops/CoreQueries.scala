@@ -416,6 +416,30 @@ object CoreQueries {
       },
       Some("""SELECT err_id, recent_purchase_id FROM (SELECT e.event_id AS err_id, p.event_id AS recent_purchase_id, row_number() OVER (PARTITION BY e.event_id ORDER BY p.ts DESC, p.event_id DESC) AS rn FROM events e LEFT JOIN events p ON p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts <= e.ts AND p.ts >= e.ts - INTERVAL 7 DAY WHERE e.event_type = 'error') WHERE rn = 1""")),
 
+    // Q18i (r9, VERDICT r08 #5): q18f's bounded as-of expressed INFIX —
+    // `MATCH_CONDITION (lt >= rt AND lt - rt <= K)` lowers K (micros, the
+    // operator's comparison unit) to asof_join's tolerance argument via
+    // the injected parser. Same oracle as q18f, so the whole lowering
+    // chain is hash-gated against DuckDB.
+    Q("q18i_asof_infix_tol",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("user_id").as("u"), col("ts").as("err_ts"))
+          .createOrReplaceTempView("q18i_errors")
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pur_id"), col("user_id").as("pu"), col("ts").as("pur_ts"))
+          .createOrReplaceTempView("q18i_purchases")
+        s.sql(
+          """SELECT err_id, pur_id AS recent_purchase_id
+            |FROM q18i_errors LEFT ASOF JOIN q18i_purchases
+            |  MATCH_CONDITION (q18i_errors.err_ts >= q18i_purchases.pur_ts
+            |    AND q18i_errors.err_ts - q18i_purchases.pur_ts <= 604800000000)
+            |  ON q18i_errors.u = q18i_purchases.pu
+            |  TIEBREAK q18i_purchases.pur_id""".stripMargin)
+      },
+      Some("""SELECT err_id, recent_purchase_id FROM (SELECT e.event_id AS err_id, p.event_id AS recent_purchase_id, row_number() OVER (PARTITION BY e.event_id ORDER BY p.ts DESC, p.event_id DESC) AS rn FROM events e LEFT JOIN events p ON p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts <= e.ts AND p.ts >= e.ts - INTERVAL 7 DAY WHERE e.event_type = 'error') WHERE rn = 1""")),
+
     // Q18g: NEAREST as-of — whichever of the backward and forward matches
     // is closer in time, ties toward backward. The oracle ranks ALL same-
     // key purchases by (|Δt|, side, ±id): side+distance uniquely determine

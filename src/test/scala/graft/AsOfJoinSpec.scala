@@ -214,6 +214,70 @@ class AsOfJoinSpec extends SparkSpec {
       defaulted)
   }
 
+  test("infix rewrite skips literals and comments, rejects malformed clauses") {
+    import plans.AsOfInfixParser.rewrite
+    // a COMPLETE clause inside a string literal or comment is untouched
+    // (ADVICE r08: the raw-text regex used to corrupt these)
+    val inLiteral = "SELECT 'x ASOF JOIN y MATCH_CONDITION (a >= b) ON k = k' AS doc FROM t"
+    assert(rewrite(inLiteral) == inLiteral)
+    val inComment =
+      "SELECT a FROM t -- l ASOF JOIN r MATCH_CONDITION (x >= y) ON k = k\nWHERE a > 0"
+    assert(rewrite(inComment) == inComment)
+    val inBracketed =
+      "SELECT a /* l ASOF JOIN r MATCH_CONDITION (x >= y) ON k = k */ FROM t"
+    assert(rewrite(inBracketed) == inBracketed)
+    // a real clause NEXT TO a literal containing quotes still rewrites
+    val mixed = rewrite("SELECT 'it''s ASOF o''clock' AS s, * FROM " +
+      "l ASOF JOIN r MATCH_CONDITION (l.t >= r.t) ON l.k = r.k")
+    assert(mixed.contains("asof_join('l', 'r'") &&
+      mixed.contains("'it''s ASOF o''clock'"), mixed)
+    // malformed shapes fail fast with the supported shape, instead of
+    // leaking fragments into the delegate parser
+    val noMatch = intercept[IllegalArgumentException](
+      rewrite("SELECT * FROM l ASOF JOIN r ON l.k = r.k"))
+    assert(noMatch.getMessage.contains("supported shape"), noMatch.getMessage)
+    val compoundOn = intercept[IllegalArgumentException](rewrite(
+      "SELECT * FROM l ASOF JOIN r MATCH_CONDITION (l.t >= r.t) ON l.k = r.k AND l.j = r.j"))
+    assert(compoundOn.getMessage.contains("compound ON"), compoundOn.getMessage)
+    val badCond = intercept[IllegalArgumentException](rewrite(
+      "SELECT * FROM l ASOF JOIN r MATCH_CONDITION (l.t >= r.t OR l.u = r.u) ON l.k = r.k"))
+    assert(badCond.getMessage.contains("MATCH_CONDITION"), badCond.getMessage)
+  }
+
+  test("infix bounded MATCH_CONDITION lowers to the tolerance argument") {
+    import plans.AsOfInfixParser.rewrite
+    val back = rewrite("SELECT * FROM l LEFT ASOF JOIN r " +
+      "MATCH_CONDITION (l.t >= r.t AND l.t - r.t <= 500) ON l.k = r.k")
+    assert(back == "SELECT * FROM asof_join('l', 'r', 'l.k', 'r.k', " +
+      "'l.t', 'r.t', 'r.t', true, 'backward', 500)", back)
+    val fwd = rewrite("SELECT * FROM l ASOF JOIN r " +
+      "MATCH_CONDITION (l.t <= r.t AND r.t - l.t <= 9) ON l.k = r.k TIEBREAK r.id")
+    assert(fwd == "SELECT * FROM asof_join('l', 'r', 'l.k', 'r.k', " +
+      "'l.t', 'r.t', 'r.id', false, 'forward', 9)", fwd)
+    // a bound over the WRONG columns is not a tolerance — reject, never
+    // silently lower
+    val wrong = intercept[IllegalArgumentException](rewrite(
+      "SELECT * FROM l ASOF JOIN r MATCH_CONDITION (l.t >= r.t AND r.t - l.t <= 5) ON l.k = r.k"))
+    assert(wrong.getMessage.contains("tolerance bound"), wrong.getMessage)
+  }
+
+  test("infix tolerance SQL equals the DataFrame tolerance join (q18f shape)") {
+    val (err, pur) = fixtureSides()
+    err.createOrReplaceTempView("asof_tol_err")
+    pur.createOrReplaceTempView("asof_tol_pur")
+    val tol = 7L * 24L * 3600L * 1000000L
+    val viaSql = spark.sql(
+      s"""SELECT err_id, pur_id FROM asof_tol_err LEFT ASOF JOIN asof_tol_pur
+         |  MATCH_CONDITION (asof_tol_err.err_ts >= asof_tol_pur.pur_ts
+         |    AND asof_tol_err.err_ts - asof_tol_pur.pur_ts <= $tol)
+         |  ON asof_tol_err.u = asof_tol_pur.pu
+         |  TIEBREAK asof_tol_pur.pur_id""".stripMargin)
+    val viaApi = plans.AsOf.join(err, pur, "u", "pu", "err_ts", "pur_ts",
+        "pur_id", leftOuter = true, tolerance = tol)
+      .select(col("err_id"), col("pur_id"))
+    assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
+  }
+
   test("a key naming the wrong side's column fails with a clear error") {
     val (err, pur) = fixtureSides()
     err.createOrReplaceTempView("asof_sql_err")
