@@ -38,16 +38,29 @@ object Tables {
   def tsNanosToMicros: Column =
     expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    * ([PARQUET_TYPE_ILLEGAL]); read nanos as long and floor-convert to a
-    * microsecond TimestampType — identical to how DuckDB/pyarrow surface
-    * the same column to the oracle (datetime is µs-precision).
+  /** `events.ts` has shipped as either parquet TIMESTAMP(NANOS) — which
+    * Spark 4 rejects ([PARQUET_TYPE_ILLEGAL]) unless read as long nanos —
+    * or plain TIMESTAMP(MICROS, ntz). Branch on the scanned type and
+    * normalize both to a microsecond session-TZ TimestampType (sessions
+    * here pin UTC, so the NTZ cast is wall-clock-identity) — identical to
+    * how DuckDB/pyarrow surface the same column to the oracle (datetime is
+    * µs-precision).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", tsNanosToMicros)
+    normalizeEventsTs(load(s, d, "events"))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  /** Normalize a scanned events frame's `ts` to µs TimestampType whichever
+    * parquet encoding it arrived as (long nanos vs TIMESTAMP_NTZ µs).
+    */
+  def normalizeEventsTs(raw: DataFrame): DataFrame = {
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => tsNanosToMicros
+      case _ => col("ts").cast("timestamp")
+    }
+    raw.withColumn("ts", ts)
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

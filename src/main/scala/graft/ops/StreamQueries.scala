@@ -37,6 +37,12 @@ object StreamQueries {
     // one (idempotent per scale factor)
     val dir = Paths.get(tmpRoot, "stream_src", src.getParent.getFileName.toString)
     val staged = dir.resolve("events.parquet")
+    // a regenerated fixture (driver reruns between rounds) must invalidate
+    // the staged copy, or the stream would keep replaying the stale bytes
+    if (java.nio.file.Files.exists(staged) &&
+        java.nio.file.Files.size(staged) != java.nio.file.Files.size(src)) {
+      java.nio.file.Files.delete(staged)
+    }
     if (!java.nio.file.Files.exists(staged)) {
       java.nio.file.Files.createDirectories(dir)
       // copy to a temp name + atomic move: a killed run must not leave a
@@ -53,8 +59,7 @@ object StreamQueries {
     }
     val path = staged.toString
     val raw = s.read.parquet(path).schema // driver-side footer read only
-    s.readStream.schema(raw).parquet(dir.toString)
-      .withColumn("ts", Tables.tsNanosToMicros)
+    Tables.normalizeEventsTs(s.readStream.schema(raw).parquet(dir.toString))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
