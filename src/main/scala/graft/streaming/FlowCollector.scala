@@ -58,10 +58,23 @@ object FlowCollector {
       require(Set("sflow", "netflow", "nfl").contains(scheme),
         s"unknown scheme '$scheme' in '$u' (main.go:241 parity: sflow|netflow|nfl)")
       val rest = u.substring(i + 3)
-      val c = rest.lastIndexOf(':')
-      require(c >= 0 && c < rest.length - 1, s"missing port in '$u'")
-      val host = rest.substring(0, c)
-      val port = rest.substring(c + 1).toInt
+      // IPv6 hosts must be bracketed ([::1]:6343) like Go's url.Parse; a
+      // bare multi-colon host (sflow://::1:6343) would silently mis-split
+      // on lastIndexOf(':'), so refuse it at parse time with the fix named
+      val (host, portStr) =
+        if (rest.startsWith("[")) {
+          val close = rest.indexOf(']')
+          require(close > 0 && close < rest.length - 1 && rest(close + 1) == ':',
+            s"malformed IPv6 listen address '$u' (want scheme://[addr]:port)")
+          (rest.substring(1, close), rest.substring(close + 2))
+        } else {
+          val c = rest.lastIndexOf(':')
+          require(c >= 0 && c < rest.length - 1, s"missing port in '$u'")
+          require(rest.indexOf(':') == c,
+            s"ambiguous IPv6 host in '$u' — bracket it: $scheme://[${rest.substring(0, c)}]:${rest.substring(c + 1)}")
+          (rest.substring(0, c), rest.substring(c + 1))
+        }
+      val port = portStr.toInt
       ListenUrl(scheme, if (host.isEmpty) "127.0.0.1" else host, port)
     }
   }

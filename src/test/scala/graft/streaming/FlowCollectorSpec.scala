@@ -144,6 +144,16 @@ class FlowCollectorSpec extends SparkSpec {
     intercept[IllegalArgumentException](parseListen("udp://:99"))
     intercept[IllegalArgumentException](parseListen("sflow://"))
     intercept[IllegalArgumentException](parseListen("garbage"))
+    // IPv6: bracketed form accepted with brackets stripped (url.Parse
+    // parity); an unbracketed multi-colon host would mis-split on the
+    // last ':' and must fail at parse time, not at bind (ADVICE r08)
+    assert(parseListen("sflow://[::1]:6343") == Seq(ListenUrl("sflow", "::1", 6343)))
+    assert(parseListen("netflow://[fe80::1]:2055") ==
+      Seq(ListenUrl("netflow", "fe80::1", 2055)))
+    val amb = intercept[IllegalArgumentException](parseListen("sflow://::1:6343"))
+    assert(amb.getMessage.contains("[::1]:6343"), "error must name the bracketed fix")
+    intercept[IllegalArgumentException](parseListen("sflow://[::1]6343"))
+    intercept[IllegalArgumentException](parseListen("sflow://[::1]:"))
   }
 
   test("a failed start releases the query, listener and metrics port") {
