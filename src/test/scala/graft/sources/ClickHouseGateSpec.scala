@@ -81,7 +81,12 @@ class ClickHouseGateSpec extends AnyFunSuite {
   *  2. an insert into it is ACCEPTED but stores nothing;
   *  3. a MergeTree mirror of the same columns proves the TYPES store and
   *     round-trip — incl. a UInt64 beyond Int64 range (qf7's widening
-  *     concern on the wire, not just in the DDL text).
+  *     concern on the wire, not just in the DDL text);
+  *  4. `JdbcSink.idempotentAppend`'s readback shape — schema probe, the
+  *     windowed existing-rows scan its anti-join feeds on, and the
+  *     partial-write-retry insert of only the missing row;
+  *  5. the UInt64 coercion edge at 2^63: a literal one past Int64 must
+  *     filter and round-trip unsigned, never wrap through a signed parse.
   */
 private[sources] object ClickHouseGateScript {
 
@@ -98,6 +103,7 @@ private[sources] object ClickHouseGateScript {
     }.mkString("(", ", ", ")")
 
   val UInt64Max = "18446744073709551615"
+  val TwoPow63 = "9223372036854775808" // first value past Int64 — the signed boundary
 
   val steps: Seq[Step] = Seq(
     Step("flows DDL", ClickHouseDdl.flowsDdl.stripSuffix(";\n"), None),
@@ -114,7 +120,29 @@ private[sources] object ClickHouseGateScript {
         s"${row(1L, BigInt(1))}, ${row(2L, BigInt(UInt64Max))}", None),
     Step("both rows stored", "SELECT count() FROM flows_store", Some("2")),
     Step("UInt64 round-trips beyond Int64 range",
-      "SELECT bytes FROM flows_store WHERE sequence_num = 2", Some(UInt64Max)))
+      "SELECT bytes FROM flows_store WHERE sequence_num = 2", Some(UInt64Max)),
+    // --- idempotentAppend's wire shape (JdbcSink.scala:78-112): Spark's
+    // JDBC relation first probes the schema, then reads back ONLY the
+    // batch's [min,max] time_received window (the pushed filter), and a
+    // full replay inserts nothing; a retry after a PARTIAL write inserts
+    // only the never-written rows
+    Step("idempotent readback: JDBC schema probe",
+      "SELECT * FROM flows_store WHERE 1=0", None),
+    Step("idempotent readback: replay-window scan with pushed bounds",
+      "SELECT count(), min(bytes), max(bytes) FROM flows_store " +
+        "WHERE time_received >= 1 AND time_received <= 1",
+      Some(s"2\t1\t$UInt64Max")),
+    Step("partial-write retry inserts only the missing row",
+      s"INSERT INTO flows_store ($insertCols) VALUES ${row(3L, BigInt(TwoPow63))}", None),
+    Step("recovered row joins the replay window",
+      "SELECT count() FROM flows_store WHERE time_received >= 1 AND time_received <= 1",
+      Some("3")),
+    // --- the UInt64-near-2^63 coercion edge: the literal must compare as
+    // unsigned on the server, not wrap through a signed Int64 parse
+    Step("UInt64 literal at 2^63 filters without signed overflow",
+      s"SELECT sequence_num FROM flows_store WHERE bytes = $TwoPow63", Some("3")),
+    Step("2^63 round-trips",
+      "SELECT bytes FROM flows_store WHERE sequence_num = 3", Some(TwoPow63)))
 
   /** POST one statement to a ClickHouse-shaped HTTP endpoint. */
   def http(port: Int, sql: String): (Int, String) = {

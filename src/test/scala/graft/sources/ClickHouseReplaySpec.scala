@@ -21,13 +21,17 @@ import org.scalatest.funsuite.AnyFunSuite
   *     200, text body), serving the transcript's responses in order and
   *     rejecting any out-of-order or drifted statement.
   *
-  * DOCUMENTED WAIVER — what remains UNPROVEN offline: ClickHouse's actual
-  * execution semantics (DDL acceptance by a real 24.12 server, Null-engine
-  * discard behavior, UInt64 storage). The transcript's expected responses
-  * are derived from documented ClickHouse behavior, not recorded from a
-  * live server in this environment; the live gate proves them wherever
-  * `docker run` works, and the golden-file check (ClickHouseDdlSpec) pins
-  * the DDL text against the reference's own `initdb/create_tables.sql`.
+  * DOCUMENTED WAIVER — what remains UNPROVEN offline, exactly: (a) a real
+  * 24.12 server ACCEPTING the DDL and statements (the transcript's expected
+  * responses are derived from documented ClickHouse behavior, not recorded
+  * live here); (b) clickhouse-jdbc driver batching/type-mapping behavior —
+  * the idempotent-append logic itself is proven engine-agnostically against
+  * Derby (JdbcIdempotentSpec), and its wire shape (schema probe → windowed
+  * readback → missing-rows-only insert, plus the UInt64 2^63 coercion edge)
+  * is now IN the script, so only server-side execution of those statements
+  * is uncovered. The live gate proves (a) wherever `docker run` works, and
+  * the golden-file check (ClickHouseDdlSpec) pins the DDL text against the
+  * reference's own `initdb/create_tables.sql`.
   */
 class ClickHouseReplaySpec extends AnyFunSuite {
 
