@@ -189,12 +189,124 @@ object Bench {
       }
     }
 
+    // Per-listener ingest breakdown (VERDICT r08 #8): the r8 URL-list
+    // collector surface — three scheme-restricted listeners on one stream,
+    // each blasted ITS OWN packet budget sequentially, so a regression in
+    // one decoder shows up as that listener's rows/s instead of averaging
+    // away into the aggregate number above.
+    val udpListeners = {
+      val listener = new streaming.FlowPipeline.MetricsListener
+      spark.streams.addListener(listener)
+      val lcp = "/root/repo/target/graft-tmp/bench-udpl-cp"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(lcp))
+      val schemes = Seq("sflow", "netflow", "nfl")
+      val lnames = schemes.map(s => s -> s"bench-l-$s").toMap
+      val raw = schemes.map { s =>
+        spark.readStream.format("nflv5-udp")
+          .option("port", 0).option("name", lnames(s)).option("scheme", s)
+          .option("maxPacketsPerBatch", 5000)
+          .option("numPartitions", cpus.toInt).load()
+      }.reduce(_ unionByName _)
+      val q = streaming.FlowPipeline.normalize(raw)
+        .writeStream.format("noop").option("checkpointLocation", lcp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+        .start()
+      try {
+        val bindDeadline = System.nanoTime() + 30_000_000_000L
+        var ports = Map.empty[String, Int]
+        while (ports.size < schemes.size && System.nanoTime() < bindDeadline) {
+          ports = schemes.flatMap(s =>
+            sources.UdpFlowSource.boundPort(lnames(s)).map(s -> _)).toMap
+          if (ports.size < schemes.size) Thread.sleep(10)
+        }
+        require(ports.size == schemes.size, "per-listener bench sources never bound")
+
+        // one packet shape per scheme; rows/packet: v5 30, v9 data 20, sFlow 5
+        val v5recs = (0 until 30).map(i => sources.NetFlowV5.Rec(
+          Array[Byte](10, 0, 0, i.toByte), Array[Byte](10, 0, 1, 1),
+          pkts = 1, octets = 500, firstMs = 0, lastMs = 0,
+          srcPort = 1000 + i, dstPort = 443, tcpFlags = 18, proto = 6))
+        val v9fields = Seq(8 -> 4, 12 -> 4, 7 -> 2, 11 -> 2, 1 -> 4, 2 -> 4,
+          4 -> 1, 6 -> 1, 21 -> 4, 22 -> 4)
+        def v9rec(i: Int): Array[Byte] = Seq(
+          sources.NetFlowV9.fieldBytes(0x0a000000L + i, 4),
+          sources.NetFlowV9.fieldBytes(0xc0a80000L + i, 4),
+          sources.NetFlowV9.fieldBytes(1000 + i % 50, 2),
+          sources.NetFlowV9.fieldBytes(443, 2),
+          sources.NetFlowV9.fieldBytes(500, 4),
+          sources.NetFlowV9.fieldBytes(1, 4),
+          sources.NetFlowV9.fieldBytes(6, 1),
+          sources.NetFlowV9.fieldBytes(18, 1),
+          sources.NetFlowV9.fieldBytes(i * 10 + 5, 4),
+          sources.NetFlowV9.fieldBytes(i * 10, 4)).flatten.toArray
+        val v9template = sources.NetFlowV9.encodeTemplate(9, sourceId = 1,
+          templateId = 400, v9fields, sysUptimeMs = 3600000L, unixSecs = 1700002000L)
+        val sfSamples = (0 until 5).map { i =>
+          (1024L, 500L + i, sources.SFlowV5.ipv4Frame(
+            Array[Byte](10, 9, 0, i.toByte), Array[Byte](10, 10, 0, 1), proto = 6,
+            srcPort = 1000 + i, dstPort = 443, tcpFlags = 18))
+        }
+        var seq = 0L
+        def packetFor(scheme: String): Array[Byte] = {
+          seq += 1
+          scheme match {
+            case "nfl" => sources.NetFlowV5.encode(1000L, 1700002000L, 0L, seq, 100, v5recs)
+            case "netflow" => sources.NetFlowV9.encodeData(9, sourceId = 1,
+              templateId = 400, (0 until 20).map(v9rec), sysUptimeMs = 3600000L,
+              unixSecs = 1700002000L, sequence = seq)
+            case "sflow" => sources.SFlowV5.encode(Array[Byte](10, 0, 0, 9), seq, sfSamples)
+          }
+        }
+        val budgetPackets = 5000L
+        def blast(scheme: String): String = {
+          val stats = sources.UdpFlowSource.listenerStats.toMap.apply(lnames(scheme))
+          val (rx0, dr0, tm0) =
+            (stats.received.sum(), stats.dropped.sum(), stats.templateMisses.sum())
+          val rows0 = listener.rowsIn.sum()
+          val sock = new java.net.DatagramSocket()
+          val addr = java.net.InetAddress.getByName("127.0.0.1")
+          val port = ports(scheme)
+          val t0 = System.nanoTime()
+          try {
+            var p = 0L
+            while (p < budgetPackets) {
+              // the v9 decoder needs its template; re-send it periodically so
+              // one dropped template datagram can't zero the whole phase
+              if (scheme == "netflow" && p % 500 == 0) {
+                sock.send(new java.net.DatagramPacket(
+                  v9template, v9template.length, addr, port))
+              }
+              var i = 0
+              while (i < 100 && p < budgetPackets) {
+                val pkt = packetFor(scheme)
+                sock.send(new java.net.DatagramPacket(pkt, pkt.length, addr, port))
+                p += 1; i += 1
+              }
+              Thread.sleep(1)
+            }
+          } finally sock.close()
+          q.processAllAvailable()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val rows = listener.rowsIn.sum() - rows0 // phases are sequential
+          val rx = stats.received.sum() - rx0
+          val dr = stats.dropped.sum() - dr0
+          val tm = stats.templateMisses.sum() - tm0
+          s""""$scheme":{"rows":$rows,"received_pkts":$rx,"dropped_pkts":$dr,""" +
+            s""""template_misses":$tm,"sec":$sec,"rows_per_sec":${rows / sec}}"""
+        }
+        schemes.map(blast).mkString("{", ",", "}")
+      } finally {
+        q.stop()
+        spark.streams.removeListener(listener)
+      }
+    }
+
     // Full per-query map goes to a file; stdout gets one short line.
-    val full = s"""{"metric":"total_all_queries","value":$total,"unit":"sec","n_queries":${ok.size},"ingest":$ingest,"udp_ingest":$udpIngest,"queries":$qs,"headline_runs":$headlineAll,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total_all_queries","value":$total,"unit":"sec","n_queries":${ok.size},"ingest":$ingest,"udp_ingest":$udpIngest,"udp_listeners":$udpListeners,"queries":$qs,"headline_runs":$headlineAll,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("target/bench_full.json")
     java.nio.file.Files.createDirectories(fullPath.getParent)
     java.nio.file.Files.write(fullPath, full.getBytes("UTF-8"))
-    println(s"""{"metric":"total_all_queries","value":$total,"unit":"sec","n_queries":${ok.size},"ingest":$ingest,"udp_ingest":$udpIngest,"queries":$headline,"full":"${fullPath.toAbsolutePath}","sf":"$sfDir"}""")
+    println(s"""{"metric":"total_all_queries","value":$total,"unit":"sec","n_queries":${ok.size},"ingest":$ingest,"udp_ingest":$udpIngest,"udp_listeners":$udpListeners,"queries":$headline,"full":"${fullPath.toAbsolutePath}","sf":"$sfDir"}""")
     spark.stop()
   }
 }
