@@ -6,48 +6,60 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale-stress gate (VERDICT r07 #1): every 100 TB claim in SURVEY §2.3
-  * was architecture-verified but measured only at sf0.1 — this main
-  * synthesizes a DETERMINISTIC ~10× fixture (`target/sfgen/sf1`) by
-  * replicating the sf0.1 tables with shifted keys, runs the scale-path
-  * query set on both scales under the capped-memory session sbt launches
-  * (`SPARK_DRIVER_MEM`), and writes `BENCH_SCALE.json` with per-query
-  * growth ratios plus the x6g partition-count-invariance check.
+/** Scale-stress gate (VERDICT r07 #1, widened per r08 #4): every 100 TB
+  * claim in SURVEY §2.3 was architecture-verified but measured only at
+  * sf0.1 — this main synthesizes DETERMINISTIC replicated fixtures
+  * (`target/sfgen/sf<k>`) by shifting keys over the sf0.1 tables, runs the
+  * scale-path query set on base and scaled data under the capped-memory
+  * session sbt launches (`SPARK_DRIVER_MEM`), and writes
+  * `BENCH_SCALE.json` with per-query growth ratios, per-query SHUFFLE
+  * SPILL BYTES (memory + disk, from task metrics — a query that stays
+  * inside the wall-clock gate by spilling its working set to disk is a
+  * finding, not a pass), and the x6g partition-count-invariance check.
+  *
+  * Two tiers (r08 #4): the dedup / decontam / ANN path runs at 30× —
+  * these are the operators whose 100 TB posture rests on bucketing
+  * staying O(occupancy), so they get the deepest stress; the two join
+  * demonstrations stay at 10× because their outputs GROW quadratically by
+  * declared design (qf6 enumerates the hot key's join pairs to prove
+  * salting bounds reducers — 30× data is 900× pairs, measuring the
+  * declared output size, not the engine).
   *
   * Replication rules (all pure column arithmetic — rerunnable bit-identical):
-  *   - documents ×10, doc_id shifted, text UNCHANGED — every original doc
-  *     becomes a 10-copy exact-duplicate group, the crawl-corpus shape the
+  *   - documents ×k, doc_id shifted, text UNCHANGED — every original doc
+  *     becomes a k-copy exact-duplicate group, the crawl-corpus shape the
   *     r08 exact-dup collapse defends against, so the dedup family is
   *     measured under realistic duplication, not an artificially
   *     dupe-free corpus;
-  *   - embeddings ×10, vec_id shifted, replicas perturbed by +k·0.001 per
+  *   - embeddings ×k, vec_id shifted, replicas perturbed by +k·0.001 per
   *     element (distinct vectors, neighborhoods preserved); query vectors
-  *     stay `vec_id < 8`, so ANN scans 10× corpus at fixed query count;
-  *   - events ×10, event_id shifted, user_id/ts unchanged — qf6's hot
-  *     dst_port keys get 10× hotter, which is the point;
-  *   - lineitem/orders ×10, orderkeys shifted by the SAME offset so each
+  *     stay `vec_id < 8`, so ANN scans k× corpus at fixed query count;
+  *   - events ×k, event_id shifted, user_id/ts unchanged — qf6's hot
+  *     dst_port keys get k× hotter, which is the point;
+  *   - lineitem/orders ×k, orderkeys shifted by the SAME offset so each
   *     replica joins within itself (join selectivity preserved).
   *
   * "~linear growth" gate: scaled/base wall-clock ratio per query must stay
-  * under `MaxRatio` (20× for 10× data — generous headroom for fixed
-  * per-query overheads and the duplication-induced extra output, but two
-  * orders of magnitude below what any quadratic path would produce).
+  * under 2× the data scale (generous headroom for fixed per-query
+  * overheads and the duplication-induced extra output, but far below what
+  * any quadratic path would produce: quadratic at 30× is ~900×).
   */
 object ScaleBench {
 
-  private val Scale = 10
-  private val MaxRatio = 20.0
+  /** (queries, data scale) tiers — see scaladoc. */
+  private val tiers: Seq[(Int, Seq[String])] = Seq(
+    30 -> Seq(
+      "x2_dedup_minhash", "x2b_dedup_simhash", "x2e_dedup_embed", "x2f_cc_star",
+      "x6g_shard_pack", "x7d_decontam_bloom",
+      "x3c_knn_ivf", "x3f_pq_adc", "x3g_sq8"),
+    10 -> Seq("q12b_join_bucketed", "qf6_salted_join"))
 
-  /** The scale-path set named by VERDICT r07 #1. */
-  private val scaleSet = Seq(
-    "x2_dedup_minhash", "x2b_dedup_simhash", "x2e_dedup_embed", "x2f_cc_star",
-    "x6g_shard_pack", "x7d_decontam_bloom",
-    "x3c_knn_ivf", "x3f_pq_adc", "x3g_sq8",
-    "q12b_join_bucketed", "qf6_salted_join")
+  private def maxRatio(scale: Int): Double = 2.0 * scale
 
-  private def generate(spark: SparkSession, base: String, out: String): Unit = {
+  private def generate(spark: SparkSession, base: String, out: String,
+      scale: Int): Unit = {
     Files.createDirectories(Paths.get(out))
-    val ks = (0 until Scale).map(_.toLong)
+    val ks = (0 until scale).map(_.toLong)
 
     def reps(df: DataFrame)(shift: (DataFrame, Long) => DataFrame): DataFrame =
       ks.map(k => shift(df, k)).reduce(_ unionByName _)
@@ -63,9 +75,10 @@ object ScaleBench {
           transform(col("embedding"), x => x + lit(k * 0.001f)))
     }.repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    // events.ts is parquet TIMESTAMP(NANOS): read it as raw longs (the
-    // same nanosAsLong surface Tables.events uses) and write plain BIGINT
-    // nanos — tsNanosToMicros floors identically over either encoding
+    // events.ts ships as either TIMESTAMP(NANOS) or µs TIMESTAMP_NTZ
+    // depending on fixture vintage: read through the same nanosAsLong
+    // surface Tables.events uses and replicate the raw encoding verbatim —
+    // Tables.normalizeEventsTs handles both on the query side
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reps(spark.read.parquet(s"$base/events.parquet")) { (df, k) =>
       df.withColumn("event_id", col("event_id") + k * 100000000L)
@@ -86,9 +99,25 @@ object ScaleBench {
     }
   }
 
+  /** Accumulates task-level spill across the whole app; callers snapshot
+    * around each timed run. Listener-bus delivery is asynchronous, so a
+    * few tail tasks can land after the snapshot — runs here are
+    * sequential and the metric is a gate-grade magnitude, not an exact
+    * accounting.
+    */
+  private final class SpillListener extends org.apache.spark.scheduler.SparkListener {
+    val mem = new java.util.concurrent.atomic.LongAdder
+    val disk = new java.util.concurrent.atomic.LongAdder
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) { mem.add(m.memoryBytesSpilled); disk.add(m.diskBytesSpilled) }
+    }
+    def snapshot: (Long, Long) = (mem.sum(), disk.sum())
+  }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val out = "/root/repo/target/sfgen/sf1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .withExtensions(plans.GraftExtensions.install)
@@ -98,55 +127,82 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val spill = new SpillListener
+    spark.sparkContext.addSparkListener(spill)
 
-    if (!Files.exists(Paths.get(s"$out/documents.parquet"))) {
-      System.err.println(s"[scale] generating ${Scale}x fixture at $out")
-      generate(spark, base, out)
+    def fixture(scale: Int): String = {
+      val out = s"/root/repo/target/sfgen/sfx$scale"
+      if (!Files.exists(Paths.get(s"$out/documents.parquet"))) {
+        System.err.println(s"[scale] generating ${scale}x fixture at $out")
+        generate(spark, base, out, scale)
+      }
+      out
     }
 
-    def run(name: String, dir: String): Double = {
+    // (sec, memSpill, diskSpill)
+    def run(name: String, dir: String): (Double, Long, Long) = {
+      val (m0, d0) = spill.snapshot
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[scale] $name failed on $dir: ${e.getMessage}")
-        return -1.0
+        return (-1.0, 0L, 0L)
       }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (m1, d1) = spill.snapshot
+      (sec, m1 - m0, d1 - d0)
+    }
+    def best(name: String, dir: String): (Double, Long, Long) = {
+      // min-of-2 wall time — same robust estimator as Bench; spill is
+      // reported from the FASTER run (the steady-state execution)
+      val a = run(name, dir); val b = run(name, dir)
+      if (a._1 < 0) b else if (b._1 < 0) a
+      else if (a._1 <= b._1) a else b
     }
 
     run("q01_scan_parquet", base); run("q20_agg_hash", base) // warmup
 
-    // min-of-2 per (query, scale) — same robust estimator as Bench
-    val rows = scaleSet.map { n =>
-      val b = math.min(run(n, base), run(n, base))
-      val s = math.min(run(n, out), run(n, out))
-      val ratio = if (b > 0 && s > 0) s / b else -1.0
-      System.err.println(f"[scale] $n%-24s base $b%7.2f s  x$Scale $s%7.2f s  ratio ${ratio}%6.2f")
-      (n, b, s, ratio)
+    val rows = tiers.flatMap { case (scale, names) =>
+      val out = fixture(scale)
+      names.map { n =>
+        val (b, _, _) = best(n, base)
+        val (s, sm, sd) = best(n, out)
+        val ratio = if (b > 0 && s > 0) s / b else -1.0
+        System.err.println(
+          f"[scale] $n%-24s base $b%7.2f s  x$scale $s%7.2f s  ratio $ratio%6.2f" +
+            f"  spill ${(sm + sd) / 1024 / 1024}%5d MiB")
+        (n, scale, b, s, ratio, sm, sd)
+      }
     }
 
     // x6g's own claimed invariant: byte-budget shard packing must be
     // partition-count independent — identical rows under different
     // shuffle widths at the scaled size
     val x6g = "x6g_shard_pack"
+    val x6gDir = fixture(tiers.head._1)
     def x6gRows(parts: String): Seq[String] = {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", parts)
-      try SparkEntry.queries(x6g)(spark, out).collect().map(_.toString).sorted.toSeq
+      try SparkEntry.queries(x6g)(spark, x6gDir).collect().map(_.toString).sorted.toSeq
       finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
     val invariant = x6gRows("8") == x6gRows("64")
 
-    val ok = rows.forall { case (_, b, s, r) => b > 0 && s > 0 && r <= MaxRatio }
+    val ok = rows.forall { case (_, scale, b, s, r, _, _) =>
+      b > 0 && s > 0 && r <= maxRatio(scale)
+    }
     val json = {
-      val qs = rows.map { case (n, b, s, r) =>
-        f""""$n":{"base_sec":$b%.3f,"scaled_sec":$s%.3f,"ratio":$r%.3f}"""
+      val qs = rows.map { case (n, scale, b, s, r, sm, sd) =>
+        f""""$n":{"scale":$scale,"base_sec":$b%.3f,"scaled_sec":$s%.3f,""" +
+          f""""ratio":$r%.3f,"max_ratio_allowed":${maxRatio(scale)}%.1f,""" +
+          s""""spill_mem_bytes":$sm,"spill_disk_bytes":$sd}"""
       }.mkString("{", ",", "}")
-      val maxR = rows.map(_._4).max
-      s"""{"metric":"scale_stress","scale":$Scale,"base":"$base","scaled":"$out",""" +
+      val worst = rows.map { case (_, scale, _, _, r, _, _) => r / maxRatio(scale) }.max
+      s"""{"metric":"scale_stress","scales":[${tiers.map(_._1).mkString(",")}],""" +
+        s""""base":"$base","gate":"ratio <= 2x data scale per query",""" +
         s""""driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",""" +
-        f""""max_ratio":$maxR%.3f,"max_ratio_allowed":$MaxRatio,"linear_ok":$ok,""" +
+        f""""worst_ratio_fraction_of_allowed":$worst%.3f,"linear_ok":$ok,""" +
         s""""x6g_partition_invariant":$invariant,"queries":$qs}"""
     }
     Files.write(Paths.get("/root/repo/BENCH_SCALE.json"),

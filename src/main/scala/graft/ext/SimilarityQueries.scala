@@ -88,12 +88,19 @@ object SimilarityQueries {
     * and x7e (`DecontamQueries`) so a geometry change cannot desync them.
     */
   private[ext] def lshBandStructs(qe: Column): Seq[Column] =
+    lshBandKeys(qe).zipWithIndex.map { case (key, b) =>
+      struct(lit(b).as("band"), key.as("key"))
+    }
+
+  /** The 8 per-band key columns alone (x2e groups them into the full
+    * signature before the band join — see the x2e scaladoc).
+    */
+  private[ext] def lshBandKeys(qe: Column): Seq[Column] =
     (0 until LshNumBands).map { b =>
-      val key = (0 until LshBandBits)
+      (0 until LshBandBits)
         .map(j => when(qdot(qe, typedLit(LshPlanes(b * LshBandBits + j))) >= 0,
           lit(1 << j)).otherwise(lit(0)))
         .reduce(_ + _)
-      struct(lit(b).as("band"), key.as("key"))
     }
 
   /** DuckDB rendering of band b's key over a quantized-embedding column. */
@@ -117,6 +124,47 @@ object SimilarityQueries {
       SELECT a, b, ${sqlQcos("ea.qe", "eb.qe")} AS cos
       FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b
       WHERE ${sqlQcos("ea.qe", "eb.qe")} >= 0.4"""
+  }
+
+  /** The x2e LAZY plan and its caches, package-private so PlanSpec can
+    * audit the real join shapes (the registered query returns an eager
+    * localCheckpoint whose physical plan is just the checkpoint scan).
+    * See the x2e registration scaladoc for the signature-collapse design.
+    */
+  private[graft] def embedLshPairsPlan(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), quant(col("embedding")).as("qe"))
+    val keyCols = lshBandKeys(col("qe")).zipWithIndex
+      .map { case (k, i) => k.as(s"k$i") }
+    // (signature, vec_id) membership: the signature kernel (64 plane
+    // dots per vector) runs exactly once per vector
+    val membership = e
+      .select(col("vec_id"), struct(keyCols: _*).as("sig")).persist()
+    val distinctSig = membership.select(col("sig")).distinct()
+    val bands = distinctSig.select(col("sig"), explode(array(
+        (0 until LshNumBands).map(b =>
+          struct(lit(b).as("band"), col(s"sig.k$b").as("key"))): _*)).as("bk"))
+      .select(col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val sigPairs = bands.as("x").join(bands.as("y"), Seq("band", "key"))
+      .where(col("x.sig") < col("y.sig"))
+      .select(col("x.sig").as("sa"), col("y.sig").as("sb")).distinct()
+    // same-signature members pair within the group; cross-signature
+    // pairs expand the sig-level candidates — exactly one derivation
+    // per unordered pair, so no distinct() over the expanded set
+    val intra = membership.as("m1").join(membership.as("m2"), "sig")
+      .where(col("m1.vec_id") < col("m2.vec_id"))
+      .select(col("m1.vec_id").as("a"), col("m2.vec_id").as("b"))
+    val cross = sigPairs
+      .join(membership.select(col("sig").as("sa"), col("vec_id").as("va")), "sa")
+      .join(membership.select(col("sig").as("sb"), col("vec_id").as("vb")), "sb")
+      .select(least(col("va"), col("vb")).as("a"),
+        greatest(col("va"), col("vb")).as("b"))
+    val cand = intra.unionByName(cross)
+    val ea = e.select(col("vec_id").as("a"), col("qe").as("ea"))
+    val eb = e.select(col("vec_id").as("b"), col("qe").as("eb"))
+    val out = cand.join(ea, "a").join(eb, "b")
+      .select(col("a"), col("b"), qcos(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= 0.4)
+    (out, Seq(membership))
   }
 
   /** Exact top-k quantized-cosine neighbors for query vectors
@@ -182,9 +230,24 @@ object SimilarityQueries {
     // verification of candidates only. NO all-pairs join anywhere
     // in the plan (pinned in PlanSpec's cartesian audit); DuckDB replays
     // the ENTIRE pipeline — band keys, candidate join, verify —
-    // so the emitted pair set is exact-checked, not floor-checked. The
-    // recall-vs-brute-force audit that used to ride inside this query
-    // (quadratic) lives in LshAuditSpec now. Honest recall on THIS
+    // so the emitted pair set is exact-checked, not floor-checked.
+    //
+    // SIGNATURE COLLAPSE (r09, the 30× gate's finding): the band join runs
+    // over DISTINCT full signatures, not vectors — a vector's 64-bit
+    // signature determines all 8 band keys, so two vectors share a bucket
+    // iff their signatures do, and the candidate set is IDENTICAL (the
+    // oracle is unchanged). Without this, a near-duplicate corpus (the
+    // crawl shape: k close copies per doc sharing signatures) multiplies
+    // every bucket's occupancy by k and the join reads k²× the rows — the
+    // raw-vector formulation spilled 73 GB at 30× where this one stays
+    // flat. Intra-signature pairs reconstitute from group membership
+    // (they collide in every band by definition); cross-signature pairs
+    // expand from the distinct-signature band join. The verify stage
+    // still scores every candidate pair exactly — that cost is the
+    // declared output, like x2's reconstituted member pairs.
+    //
+    // The recall-vs-brute-force audit that used to ride inside this query
+    // (quadratic) lives in LshAuditSpec. Honest recall on THIS
     // fixture: embeddings are random (max background cos ≈ 0.51), so
     // τ=0.4 pairs sit at the LSH signal/noise boundary (P[≥1 band]
     // = 1-(1-p^8)^8 ≈ 0.18 at p ≈ 0.63); a real near-dup corpus
@@ -193,18 +256,8 @@ object SimilarityQueries {
     // O(n) candidate bound that survives 100×.
     Q("x2e_dedup_embed",
       (s, d) => {
-        val e = Tables.embeddings(s, d).select(col("vec_id"), quant(col("embedding")).as("qe"))
-        val buckets = e.select(col("vec_id"),
-            explode(array(lshBandStructs(col("qe")): _*)).as("bk"))
-          .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-        val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "key"))
-          .where(col("x.vec_id") < col("y.vec_id"))
-          .select(col("x.vec_id").as("a"), col("y.vec_id").as("b")).distinct()
-        val ea = e.select(col("vec_id").as("a"), col("qe").as("ea"))
-        val eb = e.select(col("vec_id").as("b"), col("qe").as("eb"))
-        cand.join(ea, "a").join(eb, "b")
-          .select(col("a"), col("b"), qcos(col("ea"), col("eb")).as("cos"))
-          .filter(col("cos") >= 0.4)
+        val (out, caches) = embedLshPairsPlan(s, d)
+        Caching.withPersistedAll(caches)(out.localCheckpoint())
       },
       Some(x2eOracleSql)),
 

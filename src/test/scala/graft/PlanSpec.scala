@@ -174,16 +174,20 @@ class PlanSpec extends SparkSpec {
     // a plan regression to CartesianProduct would silently reintroduce
     // O(n²) at scale
     for (name <- Seq("x4_langid", "x4e_tfidf", "x4h_perplexity", "qf6_salted_join",
-        "x3f_pq_adc", "x2b_dedup_simhash", "x2e_dedup_embed")) {
+        "x3f_pq_adc", "x2b_dedup_simhash")) {
       val plan = physical(Registry.queries(name)(spark, sf))
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
-      // r7: the registered x2b/x2e plans are LSH-only — a BNLJ would mean
-      // an all-pairs candidate generator crept back in (the declared 1-row
-      // summary crossJoin in x2b is a BNLJ over 1×1 rows; exclude it by
-      // requiring no BNLJ over the PAIR joins specifically)
-      if (name == "x2e_dedup_embed")
-        assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name:\n$plan")
     }
+    // r9: x2e registers an eagerly-checkpointed result (same cache-
+    // lifecycle hygiene as x2) — audit its LAZY plan via the package-
+    // private builder: LSH equi-joins only, no cartesian, no BNLJ (a BNLJ
+    // would mean an all-pairs candidate generator crept back in)
+    val (x2e, cachesE) = ext.SimilarityQueries.embedLshPairsPlan(spark, sf)
+    try {
+      val planE = physical(x2e)
+      assert(!planE.contains("CartesianProduct"), s"x2e:\n$planE")
+      assert(!planE.contains("BroadcastNestedLoopJoin"), s"x2e:\n$planE")
+    } finally cachesE.foreach(_.unpersist())
     // x2 registers an eagerly-checkpointed result (cache-lifecycle
     // hygiene), so audit its LAZY plan via the package-private builder
     val (x2, caches2) = ext.DedupQueries.minhashPairsPlan(spark, sf)
