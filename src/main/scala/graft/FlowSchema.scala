@@ -87,4 +87,30 @@ object FlowSchema {
       StructField(n, BinaryType, nl, m)
     case f => f
   })
+
+  /** OPT-IN extension beyond the reference's 23-column projection: the
+    * goflow FlowMessage fields the reference deliberately drops
+    * (`main.go:128-149` maps only the 23; next-hop, interface indices and
+    * BGP AS numbers are on the wire in v5 records, v9/IPFIX IEs
+    * 10/14/15/16/17/62 and sFlow sample headers but never inserted).
+    * Sources emit them only under `extended=true`, so the default surface
+    * stays byte-parity with the reference; AS numbers widen to Long
+    * (4-byte ASNs exceed Int.MaxValue), ifIndexes stay Int (SNMP
+    * ifIndex; sFlow's 2-bit format prefix is stripped at decode).
+    */
+  val extendedFields: Seq[StructField] = Seq(
+    StructField("next_hop", StringType, nullable = true),
+    StructField("in_if", IntegerType, nullable = false),
+    StructField("out_if", IntegerType, nullable = false),
+    StructField("src_as", LongType, nullable = false),
+    StructField("dst_as", LongType, nullable = false))
+
+  val extendedSchema: StructType = StructType(schema.fields ++ extendedFields)
+
+  /** Raw shape of the extended surface (next_hop still network bytes). */
+  val rawExtendedSchema: StructType = StructType(rawSchema.fields ++
+    extendedFields.map {
+      case StructField("next_hop", _, nl, m) => StructField("next_hop", BinaryType, nl, m)
+      case f => f
+    })
 }

@@ -69,13 +69,14 @@ object StreamQueries {
     * UDP loss cannot flake), stop, return the sink table.
     */
   private def udpDrain(s: SparkSession, name: String,
-      packets: Seq[Array[Byte]], expectedRows: Long): DataFrame = {
+      packets: Seq[Array[Byte]], expectedRows: Long,
+      extended: Boolean = false): DataFrame = {
     val cp = s"$tmpRoot/cp/${name}_sink"
     org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(cp).toFile)
     val raw = s.readStream.format("nflv5-udp")
       .option("name", name).option("port", 0)
       .option("maxPacketsPerBatch", 5).option("numPartitions", 4)
-      .option("dedupSequence", true).load()
+      .option("dedupSequence", true).option("extended", extended).load()
     val q = graft.streaming.FlowPipeline.normalize(raw)
       .writeStream.format("memory").queryName(s"${name}_sink")
       .outputMode("append").option("checkpointLocation", cp).start()
@@ -499,6 +500,52 @@ object StreamQueries {
           CAST(SUM(flags) AS BIGINT) AS sum_flags,
           CAST(min(dport) AS INTEGER) AS dst_port
         FROM f GROUP BY proto""".stripMargin)),
+
+    // Q45f: the EXTENDED surface under live-UDP oracle test — v5 packets
+    // carrying next-hop, interface indices and BGP AS numbers (the goflow
+    // FlowMessage fields the reference drops, `main.go:128-149`), decoded
+    // through `extended=true` and aggregated per ingress interface so the
+    // wire offsets, the u16 AS parse, the next-hop render and the
+    // pass-through projection all land in one closed form.
+    Q("q45f_udp_extended",
+      (s, d) => {
+        import graft.sources.NetFlowV5
+        def rec(i: Int): NetFlowV5.Rec = NetFlowV5.Rec(
+          src = Array[Byte](10, 0, ((i >> 8) & 0xff).toByte, (i & 0xff).toByte),
+          dst = Array[Byte](-64, -88, 0, 1),
+          pkts = 1L + i % 16, octets = 200L + i, firstMs = i * 10L,
+          lastMs = i * 10L + 5L, srcPort = 1000 + i % 50, dstPort = 443,
+          tcpFlags = 16, proto = 6,
+          nextHop = Array[Byte](-84, 16, ((i >> 8) & 0xff).toByte, (i & 0xff).toByte),
+          inIf = i % 8, outIf = (i + 1) % 8,
+          srcAs = 64500 + i % 10, dstAs = 65000 + i % 7)
+        val packets = (0 until 20).map { p =>
+          NetFlowV5.encode(sysUptimeMs = 3600000L, unixSecs = 1700000000L,
+            unixNsecs = 0L, flowSequence = 25L * p, samplingInterval = 1000,
+            records = (25 * p until 25 * p + 25).map(rec))
+        }
+        udpDrain(s, "q45f", packets, 500, extended = true)
+          .groupBy("in_if")
+          .agg(count(lit(1)).as("n_flows"),
+            sum(col("src_as")).as("sum_src_as"),
+            sum(col("dst_as")).as("sum_dst_as"),
+            min(col("out_if")).as("min_out_if"),
+            max(col("out_if")).as("max_out_if"),
+            min(col("next_hop")).as("min_next_hop"),
+            countDistinct(col("next_hop")).as("n_next_hops"))
+      },
+      Some("""WITH gen AS (SELECT unnest(generate_series(0, 499)) AS i),
+        f AS (SELECT i % 8 AS in_if, (i + 1) % 8 AS out_if,
+          64500 + i % 10 AS src_as, 65000 + i % 7 AS dst_as,
+          '172.16.' || (i // 256) || '.' || (i % 256) AS next_hop FROM gen)
+        SELECT CAST(in_if AS INTEGER) AS in_if, count(*) AS n_flows,
+          CAST(SUM(src_as) AS BIGINT) AS sum_src_as,
+          CAST(SUM(dst_as) AS BIGINT) AS sum_dst_as,
+          CAST(min(out_if) AS INTEGER) AS min_out_if,
+          CAST(max(out_if) AS INTEGER) AS max_out_if,
+          min(next_hop) AS min_next_hop,
+          count(DISTINCT next_hop) AS n_next_hops
+        FROM f GROUP BY in_if""".stripMargin)),
 
     // Q52: stream–static join — the stream enriched against a static dim
     // (broadcast; the proto→name lookup shape).

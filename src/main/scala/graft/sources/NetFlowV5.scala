@@ -34,7 +34,11 @@ object NetFlowV5 {
   val HeaderBytes = 24
   val RecordBytes = 48
 
-  /** Raw decoded flow, field-for-field [[graft.FlowSchema.rawSchema]]. */
+  /** Raw decoded flow, field-for-field [[graft.FlowSchema.rawSchema]];
+    * the trailing defaulted fields are the OPT-IN extended surface
+    * ([[graft.FlowSchema.rawExtendedSchema]]) — always decoded (the bytes
+    * are on the wire anyway), emitted only under `extended=true`.
+    */
   final case class RawFlow(
       `type`: Int,
       time_received: Long,
@@ -57,7 +61,12 @@ object NetFlowV5 {
       icmp_type: Int,
       icmp_code: Int,
       fragment_id: Long,
-      fragment_offset: Int)
+      fragment_offset: Int,
+      next_hop: Array[Byte] = Array[Byte](0, 0, 0, 0),
+      in_if: Int = 0,
+      out_if: Int = 0,
+      src_as: Long = 0L,
+      dst_as: Long = 0L)
 
   /** Decode one v5 datagram (`sampler` = the UDP sender address bytes,
     * goflow's SamplerAddress). Throws on a malformed packet — the caller
@@ -85,8 +94,9 @@ object NetFlowV5 {
       bb.position(HeaderBytes + r * RecordBytes)
       val src = new Array[Byte](4); bb.get(src)
       val dst = new Array[Byte](4); bb.get(dst)
-      bb.position(bb.position() + 4) // nexthop: not in the flows schema
-      bb.getShort; bb.getShort // input/output ifIndex: not in the schema
+      val nextHop = new Array[Byte](4); bb.get(nextHop) // extended surface
+      val inIf = bb.getShort & 0xffff
+      val outIf = bb.getShort & 0xffff
       val pkts = bb.getInt & 0xffffffffL
       val octets = bb.getInt & 0xffffffffL
       val first = bb.getInt & 0xffffffffL
@@ -97,6 +107,8 @@ object NetFlowV5 {
       val tcpFlags = bb.get() & 0xff
       val proto = bb.get() & 0xff
       bb.get() // tos: not in the flows schema
+      val srcAs = bb.getShort & 0xffff
+      val dstAs = bb.getShort & 0xffff
       RawFlow(
         `type` = 2, // goflow FlowType NETFLOW_V5
         time_received = unixSecs,
@@ -119,7 +131,12 @@ object NetFlowV5 {
         icmp_type = if (proto == 1) dstPort >> 8 else 0,
         icmp_code = if (proto == 1) dstPort & 0xff else 0,
         fragment_id = 0L,
-        fragment_offset = 0)
+        fragment_offset = 0,
+        next_hop = nextHop,
+        in_if = inIf,
+        out_if = outIf,
+        src_as = srcAs,
+        dst_as = dstAs)
     }
   }
 
@@ -131,13 +148,23 @@ object NetFlowV5 {
     f.src_port, f.dst_port, f.forwarding_status, f.tcp_flags,
     f.icmp_type, f.icmp_code, f.fragment_id, f.fragment_offset))
 
+  /** RawFlow → InternalRow in rawExtendedSchema order (`extended=true`). */
+  def toInternalRowExtended(f: RawFlow): InternalRow = new GenericInternalRow(Array[Any](
+    f.`type`, f.time_received, f.sequence_num, f.sampling_rate,
+    f.flow_direction, f.sampler_address, f.time_flow_start, f.time_flow_end,
+    f.bytes, f.packets, f.src_addr, f.dst_addr, f.etype, f.proto,
+    f.src_port, f.dst_port, f.forwarding_status, f.tcp_flags,
+    f.icmp_type, f.icmp_code, f.fragment_id, f.fragment_offset,
+    f.next_hop, f.in_if, f.out_if, f.src_as, f.dst_as))
+
   /** Exporter-side encoder (tests + load generation): builds the v5
     * datagram that [[decode]] reads back. `records` are (src, dst, pkts,
     * octets, firstMs, lastMs, srcPort, dstPort, tcpFlags, proto) tuples.
     */
   final case class Rec(src: Array[Byte], dst: Array[Byte], pkts: Long,
       octets: Long, firstMs: Long, lastMs: Long, srcPort: Int, dstPort: Int,
-      tcpFlags: Int, proto: Int)
+      tcpFlags: Int, proto: Int, nextHop: Array[Byte] = Array[Byte](0, 0, 0, 0),
+      inIf: Int = 0, outIf: Int = 0, srcAs: Int = 0, dstAs: Int = 0)
 
   def encode(sysUptimeMs: Long, unixSecs: Long, unixNsecs: Long,
       flowSequence: Long, samplingInterval: Int, records: Seq[Rec],
@@ -154,14 +181,14 @@ object NetFlowV5 {
     bb.put(engineId.toByte)
     bb.putShort((samplingInterval & 0x3fff).toShort)
     records.foreach { r =>
-      bb.put(r.src); bb.put(r.dst); bb.put(Array[Byte](0, 0, 0, 0)) // nexthop
-      bb.putShort(0); bb.putShort(0) // input/output ifIndex
+      bb.put(r.src); bb.put(r.dst); bb.put(r.nextHop)
+      bb.putShort(r.inIf.toShort); bb.putShort(r.outIf.toShort)
       bb.putInt(r.pkts.toInt); bb.putInt(r.octets.toInt)
       bb.putInt(r.firstMs.toInt); bb.putInt(r.lastMs.toInt)
       bb.putShort(r.srcPort.toShort); bb.putShort(r.dstPort.toShort)
       bb.put(0.toByte); bb.put(r.tcpFlags.toByte); bb.put(r.proto.toByte)
       bb.put(0.toByte) // tos
-      bb.putShort(0); bb.putShort(0) // src_as, dst_as
+      bb.putShort(r.srcAs.toShort); bb.putShort(r.dstAs.toShort)
       bb.put(0.toByte); bb.put(0.toByte); bb.putShort(0) // masks + pad
     }
     bb.array()

@@ -349,6 +349,10 @@ object NetFlowV9 {
     var direction = 0
     var fragId = 0L; var fragOffset = 0
     var fwdStatus = 0
+    // extended surface (emitted only under extended=true)
+    var nextHop: Array[Byte] = Array[Byte](0, 0, 0, 0)
+    var inIf = 0; var outIf = 0
+    var srcAs = 0L; var dstAs = 0L
 
     var malformed = false
     val fieldIt = t.fields.iterator
@@ -388,9 +392,15 @@ object NetFlowV9 {
         case 7 => srcPort = uint().toInt
         case 8 if flen == 4 =>
           srcAddr = Array(bb.get(p), bb.get(p + 1), bb.get(p + 2), bb.get(p + 3))
+        case 10 => inIf = uint().toInt // ingressInterface
         case 11 => dstPort = uint().toInt
         case 12 if flen == 4 =>
           dstAddr = Array(bb.get(p), bb.get(p + 1), bb.get(p + 2), bb.get(p + 3))
+        case 14 => outIf = uint().toInt // egressInterface
+        case 15 if flen == 4 => // ipNextHopIPv4Address
+          nextHop = Array(bb.get(p), bb.get(p + 1), bb.get(p + 2), bb.get(p + 3))
+        case 16 => srcAs = uint() // bgpSourceAsNumber (2 or 4 bytes)
+        case 17 => dstAs = uint() // bgpDestinationAsNumber
         case 21 => lastUptimeMs = uint()
         case 22 => firstUptimeMs = uint()
         case 27 if flen == 16 =>
@@ -401,6 +411,8 @@ object NetFlowV9 {
         case 34 => samplingRate = uint()
         case 54 => fragId = uint()
         case 61 => direction = uint().toInt
+        case 62 if flen == 16 => // ipNextHopIPv6Address
+          nextHop = (0 until 16).map(i => bb.get(p + i)).toArray
         case 88 => fragOffset = uint().toInt
         case 89 => fwdStatus = uint().toInt
         case 150 => startMs = uint() * 1000L // flowStartSeconds
@@ -450,7 +462,12 @@ object NetFlowV9 {
       icmp_type = if (isIcmp) packed >> 8 else 0,
       icmp_code = if (isIcmp) packed & 0xff else 0,
       fragment_id = fragId,
-      fragment_offset = fragOffset)
+      fragment_offset = fragOffset,
+      next_hop = nextHop,
+      in_if = inIf,
+      out_if = outIf,
+      src_as = srcAs,
+      dst_as = dstAs)
   }
 
   // ---- exporter-side encoders (tests + load generation) ----

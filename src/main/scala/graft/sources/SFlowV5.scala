@@ -71,8 +71,19 @@ object SFlowV5 {
         val samplingRate = bb.getInt & 0xffffffffL
         bb.getInt // samplePool
         bb.getInt // drops
-        if (format == 1) { bb.getInt; bb.getInt } // input, output
-        else { bb.getInt; bb.getInt; bb.getInt; bb.getInt }
+        // input/output interface (extended surface): plain samples carry
+        // 2-bit format + 30-bit value in one word; expanded samples carry
+        // (format, value) word pairs — keep the ifIndex value only
+        var inIf = 0; var outIf = 0
+        if (format == 1) {
+          inIf = bb.getInt & 0x3fffffff
+          outIf = bb.getInt & 0x3fffffff
+        } else {
+          val inFmt = bb.getInt; val inVal = bb.getInt
+          val outFmt = bb.getInt; val outVal = bb.getInt
+          if (inFmt == 0) inIf = inVal
+          if (outFmt == 0) outIf = outVal
+        }
         val numRecords = bb.getInt
         var r = 0
         while (r < numRecords && bb.position() + 8 <= sampleEnd) {
@@ -87,7 +98,9 @@ object SFlowV5 {
             val headerLen = bb.getInt
             if (headerProtocol == 1 && bb.position() + headerLen <= recEnd) {
               dissectEthernet(bb, bb.position(), headerLen, sampler, nowSecs,
-                sequence, samplingRate, frameLength).foreach(out += _)
+                sequence, samplingRate, frameLength)
+                .map(_.copy(in_if = inIf, out_if = outIf))
+                .foreach(out += _)
             }
           }
           bb.position(recEnd)

@@ -71,7 +71,10 @@ import graft.FlowSchema
   * (`any`/`sflow`/`netflow`/`nfl` — restrict this socket to one protocol,
   * the reference's one-decoder-state-per-listen-URL shape; mismatched
   * versions count as drops), `maxPacketsPerBatch` (admission cap, R4),
-  * `numPartitions` (decode parallelism), `dedupSequence` (see above).
+  * `numPartitions` (decode parallelism), `dedupSequence` (see above),
+  * `extended` (emit [[graft.FlowSchema.rawExtendedSchema]] — next-hop,
+  * interface indices, BGP AS numbers — beyond the reference's 23-column
+  * parity surface; default false).
   *
   * Malformed datagrams (wrong version, truncated) are counted in
   * [[UdpFlowSource.dropped]] and skipped — the reference's decoder error
@@ -81,9 +84,12 @@ class UdpFlowSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "nflv5-udp"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    FlowSchema.rawSchema
+    if (options.getBoolean("extended", false)) FlowSchema.rawExtendedSchema
+    else FlowSchema.rawSchema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table = new UdpFlowTable
+      properties: util.Map[String, String]): Table =
+    new UdpFlowTable("true".equalsIgnoreCase(
+      Option(properties.get("extended")).getOrElse("false")))
 }
 
 object UdpFlowSource {
@@ -161,15 +167,17 @@ object UdpFlowSource {
     boundedLru()
 }
 
-final class UdpFlowTable extends Table with SupportsRead {
+final class UdpFlowTable(extended: Boolean = false) extends Table with SupportsRead {
+  private def tableSchema: StructType =
+    if (extended) FlowSchema.rawExtendedSchema else FlowSchema.rawSchema
   override def name(): String = "nflv5-udp"
-  override def schema(): StructType = FlowSchema.rawSchema
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
-        override def readSchema(): StructType = FlowSchema.rawSchema
+        override def readSchema(): StructType = tableSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new UdpFlowStream(
             options.getOrDefault("host", "127.0.0.1"),
@@ -179,7 +187,8 @@ final class UdpFlowTable extends Table with SupportsRead {
             options.getInt("numPartitions", 4),
             options.getBoolean("dedupSequence", false),
             options.getInt("maxBufferedPackets", 1000000),
-            options.getOrDefault("scheme", "any"))
+            options.getOrDefault("scheme", "any"),
+            options.getBoolean("extended", false))
       }
     }
 }
@@ -202,7 +211,8 @@ final case class UdpPacketsPartition(packets: Array[(Array[Byte], Array[Byte])],
 
 final class UdpFlowStream(host: String, port: Int, name: String,
     maxPacketsPerBatch: Long, numParts: Int, dedupSequence: Boolean,
-    maxBufferedPackets: Int = 1000000, scheme: String = "any")
+    maxBufferedPackets: Int = 1000000, scheme: String = "any",
+    extended: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   require(Set("any", "sflow", "netflow", "nfl").contains(scheme),
@@ -472,6 +482,8 @@ final class UdpFlowStream(host: String, port: Int, name: String,
     // counters through these, never through their own JVM's statics
     val drops = execDropped
     val misses = execMisses
+    val toRow: NetFlowV5.RawFlow => InternalRow =
+      if (extended) NetFlowV5.toInternalRowExtended else NetFlowV5.toInternalRow
     (partition: InputPartition) => {
       val part = partition.asInstanceOf[UdpPacketsPartition]
       val pkts = part.packets
@@ -492,7 +504,7 @@ final class UdpFlowStream(host: String, port: Int, name: String,
                 if (missed > 0) misses.add(missed)
                 fs
               }
-            flows.iterator.map(NetFlowV5.toInternalRow)
+            flows.iterator.map(toRow)
           } catch {
             // ANY per-packet decode failure must drop the packet, never the
             // task: an uncaught exception here fails every task retry

@@ -44,7 +44,18 @@ object FlowPipeline {
     */
   def normalize(raw: DataFrame): DataFrame = {
     val ip = IpFunctions.ip_render _
-    raw.select(
+    // opt-in extended surface (FlowSchema.extendedFields): rendered and
+    // passed through AFTER the reference's 23 columns when present, so the
+    // default projection stays byte-parity with the reference
+    val ext =
+      if (raw.columns.contains("next_hop"))
+        Seq(ip(col("next_hop")).as("next_hop"),
+          col("in_if").cast("int").as("in_if"),
+          col("out_if").cast("int").as("out_if"),
+          col("src_as").cast("long").as("src_as"),
+          col("dst_as").cast("long").as("dst_as"))
+      else Seq.empty
+    raw.select(Seq(
       col("type").cast("int").as("type"),
       col("time_received").cast("long").as("time_received"),
       col("sequence_num").cast("long").as("sequence_num"),
@@ -66,7 +77,7 @@ object FlowPipeline {
       col("icmp_type").cast("int").as("icmp_type"),
       col("icmp_code").cast("int").as("icmp_code"),
       col("fragment_id").cast("long").as("fragment_id"),
-      col("fragment_offset").cast("int").as("fragment_offset"))
+      col("fragment_offset").cast("int").as("fragment_offset")) ++ ext: _*)
   }
 
   /** R1 (file-source stand-in): stream raw flow files from a directory.

@@ -31,7 +31,10 @@ class CodecPropertySpec extends AnyFunSuite {
       first <- u32Gen; last <- u32Gen
       sp <- u16Gen; dp <- u16Gen
       flags <- Gen.chooseNum(0, 255); proto <- Gen.chooseNum(0, 255)
-    } yield V5.Rec(src, dst, pkts, octets, first, last, sp, dp, flags, proto)
+      nh <- ip4Gen; inIf <- u16Gen; outIf <- u16Gen
+      sas <- u16Gen; das <- u16Gen
+    } yield V5.Rec(src, dst, pkts, octets, first, last, sp, dp, flags, proto,
+      nh, inIf, outIf, sas, das)
     check(Prop.forAll(Gen.listOfN(3, recGen), u32Gen, u32Gen) { (recs, seq, uptime) =>
       val pkt = V5.encode(uptime, 1700000000L, 0L, seq, 64, recs)
       val flows = V5.decode(pkt, sampler)
@@ -39,8 +42,33 @@ class CodecPropertySpec extends AnyFunSuite {
         f.src_addr.sameElements(r.src) && f.dst_addr.sameElements(r.dst) &&
           f.bytes == r.octets && f.packets == r.pkts &&
           f.src_port == r.srcPort && f.dst_port == r.dstPort &&
-          f.proto == r.proto && f.sequence_num == seq
+          f.proto == r.proto && f.sequence_num == seq &&
+          // extended surface: on the wire in every v5 record
+          f.next_hop.sameElements(r.nextHop) &&
+          f.in_if == r.inIf && f.out_if == r.outIf &&
+          f.src_as == r.srcAs && f.dst_as == r.dstAs
       }
+    })
+  }
+
+  test("property: v9 extended IEs (next-hop, interfaces, AS) decode at their offsets") {
+    // IE 15 ipNextHopIPv4, 10/14 in/out ifIndex (mixed widths), 16/17
+    // BGP AS (4-byte ASNs exceed u16 — decode must widen, not truncate)
+    check(Prop.forAll(ip4Gen, u32Gen, u16Gen, u32Gen, u32Gen) {
+      (nh, inIf, outIf, sas, das) =>
+        val fields = Seq(15 -> 4, 10 -> 4, 14 -> 2, 16 -> 4, 17 -> 4, 1 -> 4)
+        val rec = Array(nh, V9.fieldBytes(inIf, 4), V9.fieldBytes(outIf, 2),
+          V9.fieldBytes(sas, 4), V9.fieldBytes(das, 4),
+          V9.fieldBytes(100, 4)).flatten.toArray
+        val t = V9.Template(301, fields)
+        val dpkt = V9.encodeData(9, 0, 301, Seq(rec), unixSecs = 1700000000L)
+        val (flows, _) = V9.decode(dpkt, sampler, Map((0L, 301) -> t))
+        flows.size == 1 && {
+          val f = flows.head
+          f.next_hop.sameElements(nh) && f.in_if == inIf.toInt &&
+            f.out_if == outIf && f.src_as == sas && f.dst_as == das &&
+            f.bytes == 100L
+        }
     })
   }
 
@@ -77,18 +105,23 @@ class CodecPropertySpec extends AnyFunSuite {
 
   test("property: sFlow TCP/UDP frames dissect src/dst/ports/flags") {
     check(Prop.forAll(ip4Gen, ip4Gen, u16Gen, u16Gen,
-      Gen.chooseNum(0, 63), Gen.oneOf(6, 17), Gen.oneOf(true, false)) {
-      (src, dst, sp, dp, flags, proto, vlan) =>
+      Gen.chooseNum(0, 63), Gen.oneOf(6, 17), Gen.oneOf(true, false),
+      Gen.oneOf(true, false)) {
+      (src, dst, sp, dp, flags, proto, vlan, expanded) =>
         val hdr = SF.ipv4Frame(src, dst, proto, sp, dp,
           tcpFlags = flags, vlan = vlan)
-        val pkt = SF.encode(Array[Byte](10, 0, 0, 2), 1L, Seq((256L, 1500L, hdr)))
+        val pkt = SF.encode(Array[Byte](10, 0, 0, 2), 1L, Seq((256L, 1500L, hdr)),
+          expanded = expanded)
         val flows = SF.decode(pkt, sampler, 1700000000L)
         flows.size == 1 && {
           val f = flows.head
           f.src_addr.sameElements(src) && f.dst_addr.sameElements(dst) &&
             f.src_port == sp && f.dst_port == dp && f.proto == proto &&
             f.bytes == 1500L &&
-            (proto != 6 || f.tcp_flags == flags)
+            (proto != 6 || f.tcp_flags == flags) &&
+            // sample-header interfaces (encode pins input=1, output=2 in
+            // both the plain and the expanded sample layout)
+            f.in_if == 1 && f.out_if == 2
         }
     })
   }
