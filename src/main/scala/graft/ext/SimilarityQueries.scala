@@ -135,10 +135,14 @@ object SimilarityQueries {
     val e = Tables.embeddings(s, d).select(col("vec_id"), quant(col("embedding")).as("qe"))
     val keyCols = lshBandKeys(col("qe")).zipWithIndex
       .map { case (k, i) => k.as(s"k$i") }
-    // (signature, vec_id) membership: the signature kernel (64 plane
-    // dots per vector) runs exactly once per vector
+    // (signature, vec_id, vector) membership: the signature kernel (64
+    // plane dots per vector) runs exactly once per vector, and the vector
+    // RIDES ALONG so pairs are born with both sides attached — joining
+    // the expanded pair set back against the corpus would shuffle every
+    // candidate row twice with a 64-long array payload (the r9 30× gate
+    // measured 60 GB of spill exactly there)
     val membership = e
-      .select(col("vec_id"), struct(keyCols: _*).as("sig")).persist()
+      .select(col("vec_id"), col("qe"), struct(keyCols: _*).as("sig")).persist()
     val distinctSig = membership.select(col("sig")).distinct()
     val bands = distinctSig.select(col("sig"), explode(array(
         (0 until LshNumBands).map(b =>
@@ -149,20 +153,22 @@ object SimilarityQueries {
       .select(col("x.sig").as("sa"), col("y.sig").as("sb")).distinct()
     // same-signature members pair within the group; cross-signature
     // pairs expand the sig-level candidates — exactly one derivation
-    // per unordered pair, so no distinct() over the expanded set
+    // per unordered pair, so no distinct() over the expanded set; the
+    // only shuffles are sig-keyed (bounded by duplication, not pairs)
     val intra = membership.as("m1").join(membership.as("m2"), "sig")
       .where(col("m1.vec_id") < col("m2.vec_id"))
-      .select(col("m1.vec_id").as("a"), col("m2.vec_id").as("b"))
+      .select(col("m1.vec_id").as("a"), col("m2.vec_id").as("b"),
+        col("m1.qe").as("qa"), col("m2.qe").as("qb"))
     val cross = sigPairs
-      .join(membership.select(col("sig").as("sa"), col("vec_id").as("va")), "sa")
-      .join(membership.select(col("sig").as("sb"), col("vec_id").as("vb")), "sb")
+      .join(membership.select(col("sig").as("sa"),
+        col("vec_id").as("va"), col("qe").as("qa")), "sa")
+      .join(membership.select(col("sig").as("sb"),
+        col("vec_id").as("vb"), col("qe").as("qb")), "sb")
       .select(least(col("va"), col("vb")).as("a"),
-        greatest(col("va"), col("vb")).as("b"))
-    val cand = intra.unionByName(cross)
-    val ea = e.select(col("vec_id").as("a"), col("qe").as("ea"))
-    val eb = e.select(col("vec_id").as("b"), col("qe").as("eb"))
-    val out = cand.join(ea, "a").join(eb, "b")
-      .select(col("a"), col("b"), qcos(col("ea"), col("eb")).as("cos"))
+        greatest(col("va"), col("vb")).as("b"),
+        col("qa"), col("qb")) // qcos is symmetric — no need to swap sides
+    val out = intra.unionByName(cross)
+      .select(col("a"), col("b"), qcos(col("qa"), col("qb")).as("cos"))
       .filter(col("cos") >= 0.4)
     (out, Seq(membership))
   }
