@@ -33,6 +33,35 @@ object ClickHouseDdl {
        |""".stripMargin
   }
 
+  /** ClickHouse types for the OPT-IN extended columns
+    * ([[FlowSchema.extendedFields]]): goflow's FlowMessage carries these as
+    * uint32 (next-hop rendered like the other addresses), so a user
+    * running the collector with `extended=true` appends exactly these to
+    * their own flows DDL. NOT part of [[flowsDdl]] — the default table
+    * stays byte-parity with the reference's `create_tables.sql`.
+    */
+  val extendedChTypes: Seq[(String, String)] = Seq(
+    "next_hop" -> "String",
+    "in_if" -> "UInt32",
+    "out_if" -> "UInt32",
+    "src_as" -> "UInt32",
+    "dst_as" -> "UInt32")
+
+  /** `CREATE TABLE flows_extended` — the 23 parity columns plus the
+    * extended five, for deployments that opt in.
+    */
+  def extendedFlowsDdl: String = {
+    val cols = (FlowSchema.chTypes ++ extendedChTypes)
+      .map { case (n, t) => s"    $n $t" }
+      .mkString(",\n")
+    s"""CREATE TABLE IF NOT EXISTS flows_extended
+       |(
+       |$cols
+       |)
+       |ENGINE = Null();
+       |""".stripMargin
+  }
+
   /** Spark-side type each ClickHouse type must land in (widening unsigned
     * types per SURVEY §1.3) — asserted against [[FlowSchema.schema]] so the
     * two views of the one definition cannot drift.

@@ -114,7 +114,7 @@ object FlowCollector {
   def startUrls(spark: SparkSession, listen: String, outDir: String,
       checkpoint: String, name: String = "collector", metricsPort: Int = 0,
       batchMaxTime: String = "10 seconds", maxPacketsPerBatch: Long = 1000L,
-      numPartitions: Int = 4): Running = {
+      numPartitions: Int = 4, extended: Boolean = false): Running = {
     val urls = parseListen(listen)
     val named = urls.zipWithIndex.map { case (u, i) =>
       (u, s"$name-${u.scheme}-$i")
@@ -131,6 +131,7 @@ object FlowCollector {
           .option("name", n).option("scheme", u.scheme)
           .option("maxPacketsPerBatch", maxPacketsPerBatch)
           .option("numPartitions", numPartitions)
+          .option("extended", extended)
           .load()
       }.reduce(_ unionByName _)
       q = FlowPipeline.start(FlowPipeline.normalize(raw), outDir, checkpoint,
@@ -151,7 +152,7 @@ object FlowCollector {
   def start(spark: SparkSession, outDir: String, checkpoint: String,
       udpPort: Int = 0, name: String = "collector", metricsPort: Int = 0,
       batchMaxTime: String = "10 seconds", maxPacketsPerBatch: Long = 1000L,
-      numPartitions: Int = 4): Running = {
+      numPartitions: Int = 4, extended: Boolean = false): Running = {
     val listener = new FlowPipeline.MetricsListener
     spark.streams.addListener(listener)
     var server: MetricsServer = null
@@ -165,6 +166,7 @@ object FlowCollector {
         .option("port", udpPort).option("name", name)
         .option("maxPacketsPerBatch", maxPacketsPerBatch)
         .option("numPartitions", numPartitions)
+        .option("extended", extended)
         .load()
       q = FlowPipeline.start(FlowPipeline.normalize(raw), outDir, checkpoint,
         batchMaxTime)

@@ -34,4 +34,22 @@ class ClickHouseDdlSpec extends AnyFunSuite {
     for (n <- Seq("sequence_num", "sampling_rate", "fragment_id"))
       assert(sparkTypes(n) == org.apache.spark.sql.types.LongType, n)
   }
+
+  test("extended DDL = parity columns + the five extended, types compatible") {
+    // the default flows DDL must NOT mention the extended columns (byte
+    // parity with the reference); the extended DDL appends exactly them
+    for ((n, _) <- ClickHouseDdl.extendedChTypes)
+      assert(!ClickHouseDdl.flowsDdl.contains(n), s"$n leaked into parity DDL")
+    val extTypes = FlowSchema.extendedSchema.fields.map(f => f.name -> f.dataType).toMap
+    assert(ClickHouseDdl.extendedChTypes.map(_._1) ==
+      FlowSchema.extendedFields.map(_.name), "column order drift")
+    (FlowSchema.chTypes ++ ClickHouseDdl.extendedChTypes).foreach { case (name, chType) =>
+      assert(ClickHouseDdl.compatibleSparkTypes(chType).contains(extTypes(name)),
+        s"$name: $chType cannot land in ${extTypes(name)}")
+      assert(ClickHouseDdl.extendedFlowsDdl.contains(s"$name $chType"), name)
+    }
+    // 4-byte ASNs exceed Int.MaxValue: the Spark side must be Long
+    for (n <- Seq("src_as", "dst_as"))
+      assert(extTypes(n) == org.apache.spark.sql.types.LongType, n)
+  }
 }
