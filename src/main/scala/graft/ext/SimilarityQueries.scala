@@ -165,15 +165,21 @@ object SimilarityQueries {
     // pairs expand the sig-level candidates — exactly one derivation
     // per unordered pair, so no distinct() over the expanded set; the
     // only shuffles are sig-keyed (bounded by duplication, not pairs)
-    val intra = membership.as("m1").join(membership.as("m2"), "sig")
+    // shuffle-hash pinned on the membership side of every expansion join:
+    // the build side is corpus-sized (tiny per partition) while the
+    // streamed side is the PAIR stream — sort-merge would sort the pair
+    // stream with its array payloads, which is exactly the spill the
+    // 30× gate measures
+    val intra = membership.as("m1")
+      .join(membership.as("m2").hint("shuffle_hash"), "sig")
       .where(col("m1.vec_id") < col("m2.vec_id"))
       .select(col("m1.vec_id").as("a"), col("m2.vec_id").as("b"),
         col("m1.qe").as("qa"), col("m2.qe").as("qb"))
     val cross = sigPairs
       .join(membership.select(col("sig").as("sa"),
-        col("vec_id").as("va"), col("qe").as("qa")), "sa")
+        col("vec_id").as("va"), col("qe").as("qa")).hint("shuffle_hash"), "sa")
       .join(membership.select(col("sig").as("sb"),
-        col("vec_id").as("vb"), col("qe").as("qb")), "sb")
+        col("vec_id").as("vb"), col("qe").as("qb")).hint("shuffle_hash"), "sb")
       .select(least(col("va"), col("vb")).as("a"),
         greatest(col("va"), col("vb")).as("b"),
         col("qa"), col("qb")) // qcos is symmetric — no need to swap sides
