@@ -187,6 +187,10 @@ class PlanSpec extends SparkSpec {
       val planE = physical(x2e)
       assert(!planE.contains("CartesianProduct"), s"x2e:\n$planE")
       assert(!planE.contains("BroadcastNestedLoopJoin"), s"x2e:\n$planE")
+      // r9: the membership expansion joins are pinned shuffle-hash — a
+      // sort-merge regression would re-sort the candidate-pair stream
+      // with its array payloads (the 9.5 GB spill the 30× gate caught)
+      assert(planE.contains("ShuffledHashJoin"), s"x2e expansion joins lost the shuffle-hash pin:\n$planE")
     } finally cachesE.foreach(_.unpersist())
     // x2 registers an eagerly-checkpointed result (cache-lifecycle
     // hygiene), so audit its LAZY plan via the package-private builder
