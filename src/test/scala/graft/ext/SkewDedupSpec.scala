@@ -132,4 +132,52 @@ class SkewDedupSpec extends SparkSpec {
           s"top reads ${reads.sorted.reverse.take(5)}")
     }
   }
+
+  // ---- x2e: the same mega-duplicate shape over EMBEDDINGS (r09) ----
+
+  private val embDir = "/root/repo/target/graft-tmp/skew-emb"
+  private val nVecs = 540
+  private val embCluster = 480
+  private val expectedEmbPairs = embCluster.toLong * (embCluster - 1) / 2 // 114,960
+
+  /** 480 identical vectors (ids 0..479, the near-dup crawl cluster —
+    * identical ⇒ identical LSH signature) + 60 one-hot vectors on
+    * distinct dimensions (mutually orthogonal, cos 0.125 vs the cluster —
+    * all safely under the 0.4 threshold).
+    */
+  private lazy val embCorpus: String = {
+    FileUtils.deleteQuietly(Paths.get(embDir).toFile)
+    import spark.implicits._
+    val mega: Seq[Float] = Seq.fill(64)(0.125f)
+    val rows = (0 until nVecs).map { i =>
+      val v: Seq[Float] =
+        if (i < embCluster) mega
+        else Seq.tabulate(64)(d => if (d == i - embCluster) 1.0f else 0.0f)
+      (i.toLong, v, s"l${i % 8}")
+    }
+    rows.toDF("vec_id", "embedding", "label").coalesce(1)
+      .write.mode("overwrite").parquet(s"$embDir/embeddings.parquet")
+    embDir
+  }
+
+  test("x2e embedding LSH: full cluster clique, no task reads a quadratic input") {
+    val (rows, reads) = withTaskMetrics {
+      Registry.queries("x2e_dedup_embed")(spark, embCorpus).collect()
+    }
+    assert(rows.length == expectedEmbPairs,
+      s"expected $expectedEmbPairs cluster pairs, got ${rows.length}")
+    assert(rows.forall { r =>
+      r.getLong(0) < embCluster && r.getLong(1) < embCluster &&
+        r.getLong(0) < r.getLong(1) && math.abs(r.getDouble(2) - 1.0) < 1e-9
+    }, "pairs outside the duplicate cluster, or cos != 1")
+    // the clique is OUTPUT; the signature collapse means the band join
+    // and the expansion joins are keyed by (distinct) signatures, so no
+    // task READS anything near cluster² ≈ 115k — the raw-vector
+    // formulation funneled the bucket join + pair distinct + corpus
+    // rejoin through ~1M-record shuffle reads here
+    val maxRead = if (reads.isEmpty) 0L else reads.max
+    assert(maxRead < 20000L,
+      s"hot task read $maxRead shuffle records (quadratic funnel?): " +
+        s"top reads ${reads.sorted.reverse.take(5)}")
+  }
 }
