@@ -14,6 +14,24 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Streaming listener progress events are delivered asynchronously —
+    * `processAllAvailable()` returning does not mean the last batch's
+    * progress event has been dispatched, so a snapshot taken immediately
+    * after can miss rows that then bleed into the NEXT phase's delta
+    * (ADVICE r09). Poll until the counter is unchanged across two reads.
+    */
+  private def stableRowsIn(l: streaming.FlowPipeline.MetricsListener): Long = {
+    var prev = l.rowsIn.sum()
+    var tries = 0
+    while (tries < 100) { // ≤ 2 s; listener dispatch is normally < 100 ms
+      Thread.sleep(20)
+      val cur = l.rowsIn.sum()
+      if (cur == prev) return cur
+      prev = cur; tries += 1
+    }
+    prev
+  }
+
   private val quadraticBaselines = Set(
     "x2c_dedup_ngram",    // all-pairs char-ngram verification
     "x3b_cosine_pairs")   // all-pairs cosine self-join
@@ -45,6 +63,36 @@ object Bench {
 
     // warmup: JIT + codegen + FS caches on two representative shapes
     run("q01_scan_parquet"); run("q20_agg_hash")
+
+    // Fixed-work box calibration (VERDICT r09 #1): round 9's 2.15× wall
+    // "regression" was the sandbox VM running ~2× slower — proven only by
+    // a judge-side ad-hoc loop. Emit the evidence into the bench itself:
+    // (a) a single-core xorshift spin (pure CPU, no alloc, no JIT warmup
+    // sensitivity after min-of-3), (b) a one-task Spark job (adds codegen
+    // + scheduler overhead at fixed work). Per-query times normalized by
+    // spin_sec land in bench_full.json as `queries_per_spin`, so
+    // round-over-round comparison divides the box factor out directly.
+    def spinOnce(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9e3779b97f4a7c15L
+      var i = 0L
+      while (i < 400_000_000L) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      if (x == 42L) System.err.println("") // keep the loop live
+      (System.nanoTime() - t0) / 1e9
+    }
+    val spinSec = Seq.fill(3)(spinOnce()).min
+    def sparkCalOnce(): Double = {
+      val t0 = System.nanoTime()
+      // pmod keeps the running sum far under Long.Max (ANSI mode would
+      // throw on the raw 64-bit hash sum)
+      spark.range(0L, 20_000_000L, 1L, 1)
+        .selectExpr("sum(pmod(xxhash64(id), 1048576)) AS h").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    sparkCalOnce() // warm the calibration plan itself
+    val sparkCalSec = Seq.fill(3)(sparkCalOnce()).min
+    val calibration =
+      s"""{"spin_sec":$spinSec,"spark_1task_sec":$sparkCalSec}"""
 
     // Profile mode: `runMain graft.Bench <query>...` times the named
     // queries twice each (cold + warm) and exits — the dev loop for
@@ -88,8 +136,15 @@ object Bench {
       n -> (first +: Seq.fill(2)(run(n))).filter(_ >= 0).sorted
     }
     def median(xs: Seq[Double]): Double = if (xs.isEmpty) -1.0 else xs(xs.size / 2)
+    // headline entries carry {median,min,max} (VERDICT r09 #9): the spread
+    // IS the variance evidence — a wide min..max with a stable median says
+    // "noisy box", a shifted min says "real change".
     val headline = headlineRuns
-      .map { case (k, runs) => "\"" + k + "\":" + median(runs) }
+      .map { case (k, runs) =>
+        "\"" + k + "\":{\"median\":" + median(runs) +
+          ",\"min\":" + (if (runs.isEmpty) -1.0 else runs.min) +
+          ",\"max\":" + (if (runs.isEmpty) -1.0 else runs.max) + "}"
+      }
       .mkString("{", ",", "}")
     val headlineAll = headlineRuns
       .map { case (k, runs) => "\"" + k + "\":[" + runs.mkString(",") + "]" }
@@ -175,7 +230,7 @@ object Bench {
           val sendSec = (System.nanoTime() - u0) / 1e9
           q.processAllAvailable()
           val drainSec = (System.nanoTime() - u0) / 1e9 - sendSec
-          (listener.rowsIn.sum() - before, sent, sendSec, drainSec)
+          (stableRowsIn(listener) - before, sent, sendSec, drainSec)
         }
         val best = Seq(sweep(), sweep()).maxBy {
           case (rows, _, sendSec, drainSec) => rows.toDouble / (sendSec + drainSec)
@@ -287,7 +342,7 @@ object Bench {
           } finally sock.close()
           q.processAllAvailable()
           val sec = (System.nanoTime() - t0) / 1e9
-          val rows = listener.rowsIn.sum() - rows0 // phases are sequential
+          val rows = stableRowsIn(listener) - rows0 // phases are sequential
           val rx = stats.received.sum() - rx0
           val dr = stats.dropped.sum() - dr0
           val tm = stats.templateMisses.sum() - tm0
@@ -302,11 +357,17 @@ object Bench {
     }
 
     // Full per-query map goes to a file; stdout gets one short line.
-    val full = s"""{"metric":"total_all_queries","value":$total,"unit":"sec","n_queries":${ok.size},"ingest":$ingest,"udp_ingest":$udpIngest,"udp_listeners":$udpListeners,"queries":$qs,"headline_runs":$headlineAll,"sf":"$sfDir"}"""
+    // `queries_per_spin` divides each raw time by the spin calibration so a
+    // slow box scales every entry identically and cross-round comparison
+    // reads the workload, not the VM.
+    val qsNorm = results
+      .map { case (k, v) => "\"" + k + "\":" + (if (v < 0) -1.0 else v / spinSec) }
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total_all_queries","value":$total,"unit":"sec","n_queries":${ok.size},"calibration":$calibration,"ingest":$ingest,"udp_ingest":$udpIngest,"udp_listeners":$udpListeners,"queries":$qs,"queries_per_spin":$qsNorm,"headline_runs":$headlineAll,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("target/bench_full.json")
     java.nio.file.Files.createDirectories(fullPath.getParent)
     java.nio.file.Files.write(fullPath, full.getBytes("UTF-8"))
-    println(s"""{"metric":"total_all_queries","value":$total,"unit":"sec","n_queries":${ok.size},"ingest":$ingest,"udp_ingest":$udpIngest,"udp_listeners":$udpListeners,"queries":$headline,"full":"${fullPath.toAbsolutePath}","sf":"$sfDir"}""")
+    println(s"""{"metric":"total_all_queries","value":$total,"unit":"sec","n_queries":${ok.size},"calibration":$calibration,"ingest":$ingest,"udp_ingest":$udpIngest,"udp_listeners":$udpListeners,"queries":$headline,"full":"${fullPath.toAbsolutePath}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

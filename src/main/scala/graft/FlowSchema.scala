@@ -94,16 +94,27 @@ object FlowSchema {
     * BGP AS numbers are on the wire in v5 records, v9/IPFIX IEs
     * 10/14/15/16/17/62 and sFlow sample headers but never inserted).
     * Sources emit them only under `extended=true`, so the default surface
-    * stays byte-parity with the reference; AS numbers widen to Long
-    * (4-byte ASNs exceed Int.MaxValue), ifIndexes stay Int (SNMP
-    * ifIndex; sFlow's 2-bit format prefix is stripped at decode).
+    * stays byte-parity with the reference; AS numbers AND ifIndexes widen
+    * to Long (4-byte ASNs and SNMP ifIndexes are unsigned32 — values above
+    * Int.MaxValue are legal and must not wrap negative; the ClickHouse
+    * declaration stays UInt32, the standard UInt32 -> Long widening).
+    * sFlow's 2-bit interface-format prefix is stripped at decode and only
+    * format 0 (= ifIndex) populates the column.
     */
   val extendedFields: Seq[StructField] = Seq(
     StructField("next_hop", StringType, nullable = true),
-    StructField("in_if", IntegerType, nullable = false),
-    StructField("out_if", IntegerType, nullable = false),
+    StructField("in_if", LongType, nullable = false),
+    StructField("out_if", LongType, nullable = false),
     StructField("src_as", LongType, nullable = false),
-    StructField("dst_as", LongType, nullable = false))
+    StructField("dst_as", LongType, nullable = false),
+    // r10: 802.1Q VLAN id (sFlow dissection / NFv9 IE 58) and the top
+    // MPLS label + its TTL (sFlow 0x8847 shim / NFv9 IE 70 label-stack
+    // section; v9 carries no TTL for it — stays 0 there). goflow's
+    // FlowMessage carries these too; the reference drops them at
+    // main.go:128-149 like the other five.
+    StructField("vlan_id", IntegerType, nullable = false),
+    StructField("mpls_1_label", LongType, nullable = false),
+    StructField("mpls_1_ttl", IntegerType, nullable = false))
 
   val extendedSchema: StructType = StructType(schema.fields ++ extendedFields)
 

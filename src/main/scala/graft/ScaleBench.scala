@@ -56,6 +56,37 @@ object ScaleBench {
 
   private def maxRatio(scale: Int): Double = 2.0 * scale
 
+  /** Planted-pair recall gate (VERDICT r09 #3): LSH recall was audited at
+    * fixture scale only (LshAuditSpec); this plants KNOWN near-duplicate
+    * embedding pairs into the 30× corpus and measures band-join recall
+    * where it matters. Each planted vector is its source scaled
+    * element-wise by (1 ± 0.1) alternating — cos(v, v∘w) =
+    * (1+u)/sqrt((1+u)²+ε²−u²) ≥ 1/sqrt(1+ε²) ≈ 0.995 for ε=0.1
+    * REGARDLESS of v — so every planted pair is a true near-dup far above
+    * the τ=0.4 verify threshold, and a miss is a band-join miss, not a
+    * verify rejection. At cos ≈ 0.995 the hyperplane agreement probability
+    * is p = 1 − arccos(0.995)/π ≈ 0.968, so P[≥1 of 8 8-bit bands] =
+    * 1−(1−p⁸)⁸ ≈ 0.9999 — the 0.8 floor has enormous slack and only a
+    * geometry regression (band collapse, plane drift) can trip it.
+    *
+    * Pair ids are pure deterministic arithmetic: sources are the first 50
+    * base vec_ids ≥ 100 whose x6/x7 split hash lands in TRAIN (< 80);
+    * each planted id is searched from PlantBase so its hash lands in EVAL
+    * (≥ 90) — one planted set serves both x2e (same-corpus dedup) and
+    * x7e (cross-split semantic decontamination).
+    */
+  private val PlantBase = 900000000L
+  private def splitBucket(id: Long): Long = math.floorMod(id * 2654435761L, 100L)
+  private[graft] val plantedPairs: Seq[(Long, Long)] = {
+    val origs = Iterator.from(100).map(_.toLong)
+      .filter(splitBucket(_) < 80).take(50).toSeq
+    origs.map { o =>
+      val p = Iterator.from(0).map(j => PlantBase + o * 1000L + j)
+        .find(splitBucket(_) >= 90).get
+      (o, p)
+    }
+  }
+
   private def generate(spark: SparkSession, base: String, out: String,
       scale: Int): Unit = {
     Files.createDirectories(Paths.get(out))
@@ -69,11 +100,22 @@ object ScaleBench {
       df.withColumn("doc_id", col("doc_id") + k * 10000000L)
     }.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
 
-    reps(spark.read.parquet(s"$base/embeddings.parquet")) { (df, k) =>
+    val baseEmb = spark.read.parquet(s"$base/embeddings.parquet")
+    val scaledEmb = reps(baseEmb) { (df, k) =>
       df.withColumn("vec_id", col("vec_id") + k * 10000000L)
         .withColumn("embedding",
           transform(col("embedding"), x => x + lit(k * 0.001f)))
-    }.repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
+    // planted near-dup pairs for the recall gate (see [[plantedPairs]]):
+    // each source vector gets one perturbed copy under a fresh eval-split id
+    val pm = spark.createDataFrame(plantedPairs).toDF("vec_id", "planted_id")
+    val planted = baseEmb.join(broadcast(pm), "vec_id")
+      .withColumn("vec_id", col("planted_id")).drop("planted_id")
+      .withColumn("embedding", transform(col("embedding"),
+        (x, i) => x * (lit(1.0f) +
+          when(pmod(i, lit(2)) === 0, lit(0.1f)).otherwise(lit(-0.1f)))))
+    scaledEmb.unionByName(planted)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     // events.ts ships as either TIMESTAMP(NANOS) or µs TIMESTAMP_NTZ
     // depending on fixture vintage: read through the same nanosAsLong
@@ -131,7 +173,9 @@ object ScaleBench {
     spark.sparkContext.addSparkListener(spill)
 
     def fixture(scale: Int): String = {
-      val out = s"/root/repo/target/sfgen/sfx$scale"
+      // "p" = planted-pair vintage: the recall gate's planted rows are part
+      // of the fixture, so a pre-r10 cached fixture must not be reused
+      val out = s"/root/repo/target/sfgen/sfx${scale}p"
       if (!Files.exists(Paths.get(s"$out/documents.parquet"))) {
         System.err.println(s"[scale] generating ${scale}x fixture at $out")
         generate(spark, base, out, scale)
@@ -189,9 +233,32 @@ object ScaleBench {
     }
     val invariant = x6gRows("8") == x6gRows("64")
 
+    // planted-pair recall at the 30× tier (VERDICT r09 #3): run the full
+    // registered x2e / x7e queries on the planted corpus and count how
+    // many of the 50 known near-dup pairs each emits. The collect is
+    // prefiltered to planted-id rows (≤ corpus-sized, gate-harness only).
+    val recallFloor = 0.8
+    val (recall2e, recall7e) = {
+      val dir = fixture(tiers.head._1)
+      val wanted = plantedPairs.toSet
+      val found2e = SparkEntry.queries("x2e_dedup_embed")(spark, dir)
+        .filter(col("b") >= PlantBase)
+        .select(col("a"), col("b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val found7e = SparkEntry.queries("x7e_decontam_semantic")(spark, dir)
+        .filter(col("eval_vec") >= PlantBase)
+        .select(col("train_vec"), col("eval_vec")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (wanted.count(found2e.contains).toDouble / wanted.size,
+        wanted.count(found7e.contains).toDouble / wanted.size)
+    }
+    val recallOk = recall2e >= recallFloor && recall7e >= recallFloor
+    System.err.println(
+      f"[scale] planted recall: x2e $recall2e%.2f  x7e $recall7e%.2f  floor $recallFloor")
+
     val ok = rows.forall { case (_, scale, b, s, r, _, _) =>
       b > 0 && s > 0 && r <= maxRatio(scale)
-    }
+    } && recallOk
     val json = {
       val qs = rows.map { case (n, scale, b, s, r, sm, sd) =>
         f""""$n":{"scale":$scale,"base_sec":$b%.3f,"scaled_sec":$s%.3f,""" +
@@ -203,6 +270,9 @@ object ScaleBench {
         s""""base":"$base","gate":"ratio <= 2x data scale per query",""" +
         s""""driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",""" +
         f""""worst_ratio_fraction_of_allowed":$worst%.3f,"linear_ok":$ok,""" +
+        f""""recall":{"x2e":$recall2e%.3f,"x7e":$recall7e%.3f,""" +
+        f""""n_planted":${plantedPairs.size},"min_cos":0.995,""" +
+        f""""floor":$recallFloor%.2f,"ok":$recallOk},""" +
         s""""x6g_partition_invariant":$invariant,"queries":$qs}"""
     }
     Files.write(Paths.get("/root/repo/BENCH_SCALE.json"),

@@ -19,6 +19,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // fixture-schema fingerprint guard: a regenerated /root/testdata with a
+    // changed physical encoding must announce itself (VERDICT r09 #2)
+    FixtureSchemas.check(spark, sfDir)
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

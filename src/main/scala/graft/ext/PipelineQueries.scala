@@ -267,6 +267,124 @@ object PipelineQueries {
                       WHEN old_dg <> new_dg THEN 'changed'
                       ELSE 'unchanged' END AS change_type
           FROM olds FULL OUTER JOIN news USING (doc_id))
-        GROUP BY 1""".stripMargin))
+        GROUP BY 1""".stripMargin)),
+
+    // X10 (r10, VERDICT r09 #8): the END-TO-END training-data pipeline as
+    // ONE composed lineage — exact dedup → verbatim-8-gram decontamination
+    // → quality filter → token-budget packing → byte-budget sharding —
+    // proving the operators COMPOSE: one pass over the corpus, the
+    // distributed two-budget prefix sum shared by pack and shard, cache
+    // hygiene via Caching.withPersistedAll (RegistrySpec's zero-leak audit
+    // covers this query like every other), and a DuckDB FULL-REPLAY oracle
+    // that re-derives every stage from scratch.
+    //
+    // Stage semantics (each inherits its standalone query's contract):
+    //   1. x1-style exact dedup — one representative (min doc_id) per
+    //      distinct text;
+    //   2. x7-style decontamination on the SURVIVORS — train docs
+    //      (bucket < 80) sharing any 8-gram with the eval split
+    //      (bucket >= 90) are dropped; <8-token docs have no grams and
+    //      pass through;
+    //   3. x4b's quality gate — >= 20 tokens and >= 10 distinct types;
+    //   4. x6b token packing (4096/pack) and 5. x6g byte sharding
+    //      (10 KB/shard) over the same survivor order, both cumsums from
+    //      ONE distributed prefix-sum pass (range partition + P-row
+    //      offset broadcast — never a global single-task window).
+    Q("x10_pipeline_e2e",
+      (s, d) => {
+        val (out, caches) = pipelineE2ePlan(s, d)
+        Caching.withPersistedAll(caches)(out.localCheckpoint())
+      },
+      Some(x10OracleSql))
   )
+
+  /** The x10 LAZY plan plus its persisted caches, package-private so
+    * PlanSpec can audit the real join shapes (the registered query returns
+    * an eager localCheckpoint whose physical plan is just the checkpoint
+    * scan) — same convention as `minhashPairsPlan` / `embedLshPairsPlan`.
+    */
+  private[graft] def pipelineE2ePlan(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
+        val docs = Tables.documents(s, d)
+        val reps = docs
+          .groupBy(md5(col("text")).as("dig"))
+          .agg(min(struct(col("doc_id"), col("text"), col("n_chars"))).as("r"))
+          .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"),
+            col("r.n_chars").as("n_chars"))
+        val surv = reps
+          .withColumn("bucket", splitBucket)
+          .withColumn("w", split(col("text"), " "))
+          .select(col("doc_id"), col("bucket"), col("w"),
+            col("n_chars").cast(LongType).as("sz"))
+          .persist() // read by grams AND the clean-side anti-join
+        // gram identity = window_md5 digest, the x7 design (distinct
+        // strings => distinct digests; only membership leaves the stage)
+        val grams = surv.where(size(col("w")) >= 8)
+          .select(col("doc_id"), col("bucket"),
+            explode(graft.functions.Kernels.window_md5(col("w"), 8)).as("gram"))
+          .persist() // read by the eval side AND the train probe
+        val evalG = grams.where(col("bucket") >= 90).select("gram").distinct()
+        val contaminated = grams.where(col("bucket") < 80)
+          .join(broadcast(evalG), Seq("gram"))
+          .select("doc_id").distinct()
+        val quality = surv.where(col("bucket") < 80)
+          .join(contaminated, Seq("doc_id"), "left_anti")
+          .withColumn("n_tok", size(col("w")).cast(LongType))
+          .where(col("n_tok") >= 20 && size(array_distinct(col("w"))) >= 10)
+          .select(col("doc_id"), col("n_tok"), col("sz"))
+        val parts = quality.repartitionByRange(8, col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+        val wLocal = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+        val local = parts
+          .withColumn("ltok", sum(col("n_tok")).over(wLocal))
+          .withColumn("lsz", sum(col("sz")).over(wLocal))
+        val wOff = Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = local.groupBy("pid")
+          .agg(sum(col("n_tok")).as("ptok"), sum(col("sz")).as("psz"))
+          .withColumn("otok", coalesce(sum(col("ptok")).over(wOff), lit(0L)))
+          .withColumn("osz", coalesce(sum(col("psz")).over(wOff), lit(0L)))
+          .select("pid", "otok", "osz") // <= #partitions rows
+        val out = local.join(broadcast(offsets), Seq("pid"))
+          .withColumn("cumtok", col("ltok") + col("otok"))
+          .withColumn("cumsz", col("lsz") + col("osz"))
+          .withColumn("pack_id",
+            floor((col("cumtok") - col("n_tok")) / lit(4096L)))
+          .withColumn("shard_id", expr("(cumsz - sz) DIV 10000"))
+          .groupBy("shard_id")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("pack_id")).as("n_packs"),
+            sum(col("n_tok")).as("shard_tokens"),
+            sum(col("sz")).as("shard_bytes"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+        (out, Seq(surv, grams))
+  }
+
+  private def x10OracleSql: String =
+    """WITH reps AS (
+          SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        surv AS (SELECT d.doc_id, (d.doc_id * 2654435761) % 100 AS bucket,
+            string_split(d.text, ' ') AS w, CAST(d.n_chars AS BIGINT) AS sz
+          FROM documents d JOIN reps USING (doc_id)),
+        g AS (SELECT doc_id, bucket, array_to_string(w[i:i+7], ' ') AS gram
+          FROM surv, unnest(range(1, len(w) - 6)) AS t(i) WHERE len(w) >= 8),
+        ev AS (SELECT DISTINCT gram FROM g WHERE bucket >= 90),
+        dirty AS (SELECT DISTINCT doc_id FROM g
+          WHERE bucket < 80 AND gram IN (SELECT gram FROM ev)),
+        quality AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok, sz FROM surv
+          WHERE bucket < 80 AND doc_id NOT IN (SELECT doc_id FROM dirty)
+            AND len(w) >= 20 AND len(list_distinct(w)) >= 10),
+        cum AS (SELECT doc_id, n_tok, sz,
+            SUM(n_tok) OVER (ORDER BY doc_id) AS cumtok,
+            SUM(sz) OVER (ORDER BY doc_id) AS cumsz FROM quality),
+        packed AS (SELECT doc_id, n_tok, sz,
+            CAST(floor((cumtok - n_tok) / 4096.0) AS BIGINT) AS pack_id,
+            CAST((cumsz - sz) // 10000 AS BIGINT) AS shard_id FROM cum)
+        SELECT shard_id, count(*) AS n_docs,
+          count(DISTINCT pack_id) AS n_packs,
+          CAST(SUM(n_tok) AS BIGINT) AS shard_tokens,
+          CAST(SUM(sz) AS BIGINT) AS shard_bytes,
+          min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM packed GROUP BY shard_id""".stripMargin
 }

@@ -133,17 +133,31 @@ object SimilarityQueries {
     */
   private[graft] def embedLshPairsPlan(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), quant(col("embedding")).as("qe"))
+    // EXACT-DUP COLLAPSE on the distinct QUANTIZED VECTOR (r10, VERDICT
+    // r09 #4 — the same defense x2 applies to identical texts): cos is a
+    // function of (qa, qb) only, so every member of a duplicate-vector
+    // group scores identically against everything. Collapsing to one
+    // representative per distinct vector means (a) the signature kernel
+    // (64 plane dots) runs once per DISTINCT vector, (b) the quantized-
+    // cosine verify runs once per DISTINCT-VECTOR PAIR, not per member
+    // pair (a k-copy corpus used to pay k² verifies per candidate), and
+    // (c) the member-expansion joins stream (vkey, vkey, cos) rows with
+    // NO array payload — the 64-long vectors never leave the verify
+    // stage. Bit-identical output: expansion attaches the pair's exact
+    // cos to every member combination, which is precisely what scoring
+    // each combination would compute. 128-bit md5 as the group identity
+    // (not xxhash64) for the same birthday-collision bound as x2/x1.
+    val keyed = e.select(col("vec_id"), col("qe"),
+      md5(col("qe").cast("string")).as("vkey"))
+    val membership = keyed.select(col("vkey"), col("vec_id")).persist()
     val keyCols = lshBandKeys(col("qe")).zipWithIndex
       .map { case (k, i) => k.as(s"k$i") }
-    // (signature, vec_id, vector) membership: the signature kernel (64
-    // plane dots per vector) runs exactly once per vector, and the vector
-    // RIDES ALONG so pairs are born with both sides attached — joining
-    // the expanded pair set back against the corpus would shuffle every
-    // candidate row twice with a 64-long array payload (the r9 30× gate
-    // measured 60 GB of spill exactly there)
-    val membership = e
-      .select(col("vec_id"), col("qe"), struct(keyCols: _*).as("sig")).persist()
-    val distinctSig = membership.select(col("sig")).distinct()
+    val vecs = keyed.groupBy(col("vkey"))
+      .agg(min(struct(col("vec_id"), col("qe"))).as("r"))
+      .select(col("vkey"), col("r.qe").as("qe"))
+      .select(col("vkey"), col("qe"), struct(keyCols: _*).as("sig"))
+      .persist()
+    val distinctSig = vecs.select(col("sig")).distinct()
     val bands = distinctSig.select(col("sig"), explode(array(
         (0 until LshNumBands).map(b =>
           struct(lit(b).as("band"), col(s"sig.k$b").as("key"))): _*)).as("bk"))
@@ -161,32 +175,48 @@ object SimilarityQueries {
           .foldLeft(lit(true))(_ && _))
         .reduce(_ || _))
       .select(col("x.sig").as("sa"), col("y.sig").as("sb"))
-    // same-signature members pair within the group; cross-signature
-    // pairs expand the sig-level candidates — exactly one derivation
-    // per unordered pair, so no distinct() over the expanded set; the
-    // only shuffles are sig-keyed (bounded by duplication, not pairs)
-    // shuffle-hash pinned on the membership side of every expansion join:
-    // the build side is corpus-sized (tiny per partition) while the
-    // streamed side is the PAIR stream — sort-merge would sort the pair
-    // stream with its array payloads, which is exactly the spill the
-    // 30× gate measures
-    val intra = membership.as("m1")
-      .join(membership.as("m2").hint("shuffle_hash"), "sig")
-      .where(col("m1.vec_id") < col("m2.vec_id"))
-      .select(col("m1.vec_id").as("a"), col("m2.vec_id").as("b"),
-        col("m1.qe").as("qa"), col("m2.qe").as("qb"))
-    val cross = sigPairs
-      .join(membership.select(col("sig").as("sa"),
-        col("vec_id").as("va"), col("qe").as("qa")).hint("shuffle_hash"), "sa")
-      .join(membership.select(col("sig").as("sb"),
-        col("vec_id").as("vb"), col("qe").as("qb")).hint("shuffle_hash"), "sb")
-      .select(least(col("va"), col("vb")).as("a"),
-        greatest(col("va"), col("vb")).as("b"),
-        col("qa"), col("qb")) // qcos is symmetric — no need to swap sides
-    val out = intra.unionByName(cross)
-      .select(col("a"), col("b"), qcos(col("qa"), col("qb")).as("cos"))
+    // VERIFY ONCE PER DISTINCT-VECTOR PAIR. Three disjoint candidate
+    // classes (a vkey group has one sig; two vkeys either share it or
+    // don't): same-vkey pairs (identical vectors — still scored through
+    // the same qcos formula so the IEEE rendering matches the oracle's),
+    // same-sig/different-vkey pairs (collide in every band by
+    // definition), and cross-sig pairs from the band join. Shuffle-hash
+    // pinned with the DISTINCT-VECTOR frame as the build side: the
+    // streamed side is the pair stream, and sort-merge would sort it
+    // with its array payloads — the spill the 30× gate measures.
+    val intraSig = vecs.as("v1")
+      .join(vecs.as("v2").hint("shuffle_hash"), "sig")
+      .where(col("v1.vkey") < col("v2.vkey"))
+      .select(col("v1.vkey").as("ka"), col("v2.vkey").as("kb"),
+        qcos(col("v1.qe"), col("v2.qe")).as("cos"))
+    val crossSig = sigPairs
+      .join(vecs.select(col("sig").as("sa"),
+        col("vkey").as("ka"), col("qe").as("qa")).hint("shuffle_hash"), "sa")
+      .join(vecs.select(col("sig").as("sb"),
+        col("vkey").as("kb"), col("qe").as("qb")).hint("shuffle_hash"), "sb")
+      .select(col("ka"), col("kb"),
+        qcos(col("qa"), col("qb")).as("cos")) // qcos is symmetric
+    val verified = intraSig.unionByName(crossSig).filter(col("cos") >= 0.4)
+    val selfVerified = vecs
+      .select(col("vkey"), qcos(col("qe"), col("qe")).as("cos"))
       .filter(col("cos") >= 0.4)
-    (out, Seq(membership))
+    // MEMBER EXPANSION of verified pairs only: equi-joins on vkey carrying
+    // (vkey, vkey, cos) — exactly one derivation per unordered member
+    // pair, no distinct(), no array payloads on any shuffle.
+    val crossMembers = verified
+      .join(membership.select(col("vkey").as("ka"),
+        col("vec_id").as("va")).hint("shuffle_hash"), "ka")
+      .join(membership.select(col("vkey").as("kb"),
+        col("vec_id").as("vb")).hint("shuffle_hash"), "kb")
+      .select(least(col("va"), col("vb")).as("a"),
+        greatest(col("va"), col("vb")).as("b"), col("cos"))
+    val intraMembers = selfVerified
+      .join(membership.as("m1"), "vkey")
+      .join(membership.as("m2").hint("shuffle_hash"), "vkey")
+      .where(col("m1.vec_id") < col("m2.vec_id"))
+      .select(col("m1.vec_id").as("a"), col("m2.vec_id").as("b"), col("cos"))
+    val out = crossMembers.unionByName(intraMembers)
+    (out, Seq(membership, vecs))
   }
 
   /** Exact top-k quantized-cosine neighbors for query vectors

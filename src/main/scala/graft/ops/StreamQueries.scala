@@ -38,9 +38,14 @@ object StreamQueries {
     val dir = Paths.get(tmpRoot, "stream_src", src.getParent.getFileName.toString)
     val staged = dir.resolve("events.parquet")
     // a regenerated fixture (driver reruns between rounds) must invalidate
-    // the staged copy, or the stream would keep replaying the stale bytes
+    // the staged copy, or the stream would keep replaying the stale bytes.
+    // Size alone is not enough — a regenerated file can land byte-length-
+    // equal with different contents — so the source's mtime is preserved
+    // onto the staged copy at stage time and both must match (ADVICE r09).
     if (java.nio.file.Files.exists(staged) &&
-        java.nio.file.Files.size(staged) != java.nio.file.Files.size(src)) {
+        (java.nio.file.Files.size(staged) != java.nio.file.Files.size(src) ||
+          java.nio.file.Files.getLastModifiedTime(staged) !=
+            java.nio.file.Files.getLastModifiedTime(src))) {
       java.nio.file.Files.delete(staged)
     }
     if (!java.nio.file.Files.exists(staged)) {
@@ -49,7 +54,8 @@ object StreamQueries {
       // truncated file that exists() would treat as valid forever after
       val tmp = dir.resolve(s"events.parquet.tmp-${ProcessHandle.current().pid()}")
       java.nio.file.Files.copy(src, tmp,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES) // keep src mtime
       try java.nio.file.Files.move(tmp, staged,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch { // lost a benign race with a concurrent stager
@@ -538,14 +544,65 @@ object StreamQueries {
         f AS (SELECT i % 8 AS in_if, (i + 1) % 8 AS out_if,
           64500 + i % 10 AS src_as, 65000 + i % 7 AS dst_as,
           '172.16.' || (i // 256) || '.' || (i % 256) AS next_hop FROM gen)
-        SELECT CAST(in_if AS INTEGER) AS in_if, count(*) AS n_flows,
+        SELECT CAST(in_if AS BIGINT) AS in_if, count(*) AS n_flows,
           CAST(SUM(src_as) AS BIGINT) AS sum_src_as,
           CAST(SUM(dst_as) AS BIGINT) AS sum_dst_as,
-          CAST(min(out_if) AS INTEGER) AS min_out_if,
-          CAST(max(out_if) AS INTEGER) AS max_out_if,
+          CAST(min(out_if) AS BIGINT) AS min_out_if,
+          CAST(max(out_if) AS BIGINT) AS max_out_if,
           min(next_hop) AS min_next_hop,
           count(DISTINCT next_hop) AS n_next_hops
         FROM f GROUP BY in_if""".stripMargin)),
+
+    // Q45g (r10): VLAN + MPLS on the extended surface, live-UDP — sFlow
+    // samples alternating 802.1Q-tagged frames (vlan_id from the TCI) and
+    // MPLS unicast frames (top shim label + TTL, inner protocol inferred
+    // from the IP version nibble), so the 0x8100/0x8847 dissection paths
+    // and the three new extended columns land in one closed form.
+    Q("q45g_udp_vlan_mpls",
+      (s, d) => {
+        import graft.sources.SFlowV5
+        val datagrams = (0 until 8).map { dg =>
+          SFlowV5.encode(Array[Byte](10, 0, 0, 60), sequence = dg.toLong,
+            samples = (0 until 6).map { r =>
+              val i = 6 * dg + r
+              val frame =
+                if (i % 2 == 0)
+                  SFlowV5.ipv4Frame(
+                    Array[Byte](10, 11, 0, (i & 0xff).toByte),
+                    Array[Byte](10, 12, 0, 1), proto = 6,
+                    srcPort = 2000 + i, dstPort = 443, tcpFlags = 16,
+                    vlan = true, vlanId = 100 + (i / 2) % 4)
+                else
+                  SFlowV5.ipv4Frame(
+                    Array[Byte](10, 11, 0, (i & 0xff).toByte),
+                    Array[Byte](10, 12, 0, 1), proto = 6,
+                    srcPort = 2000 + i, dstPort = 443, tcpFlags = 16,
+                    mpls = Some((1000L + i % 5, 64 - i % 3)))
+              (1024L, 500L + i, frame)
+            })
+        }
+        udpDrain(s, "q45g", datagrams, 48, extended = true)
+          .groupBy("vlan_id")
+          .agg(count(lit(1)).as("n_flows"),
+            sum(col("mpls_1_label")).as("sum_mpls_label"),
+            countDistinct(col("mpls_1_label")).as("n_labels"),
+            max(col("mpls_1_ttl")).as("max_mpls_ttl"),
+            sum(col("bytes")).as("sum_frame_bytes"),
+            min(col("src_port")).as("min_sport"))
+      },
+      Some("""WITH gen AS (SELECT unnest(generate_series(0, 47)) AS i),
+        f AS (SELECT
+          CASE WHEN i % 2 = 0 THEN 100 + (i // 2) % 4 ELSE 0 END AS vlan_id,
+          CASE WHEN i % 2 = 1 THEN 1000 + i % 5 ELSE 0 END AS label,
+          CASE WHEN i % 2 = 1 THEN 64 - i % 3 ELSE 0 END AS ttl,
+          500 + i AS bytes, 2000 + i AS sport FROM gen)
+        SELECT CAST(vlan_id AS INTEGER) AS vlan_id, count(*) AS n_flows,
+          CAST(SUM(label) AS BIGINT) AS sum_mpls_label,
+          count(DISTINCT label) AS n_labels,
+          CAST(max(ttl) AS INTEGER) AS max_mpls_ttl,
+          CAST(SUM(bytes) AS BIGINT) AS sum_frame_bytes,
+          CAST(min(sport) AS INTEGER) AS min_sport
+        FROM f GROUP BY vlan_id""".stripMargin)),
 
     // Q52: stream–static join — the stream enriched against a static dim
     // (broadcast; the proto→name lookup shape).

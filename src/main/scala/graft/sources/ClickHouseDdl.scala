@@ -45,10 +45,13 @@ object ClickHouseDdl {
     "in_if" -> "UInt32",
     "out_if" -> "UInt32",
     "src_as" -> "UInt32",
-    "dst_as" -> "UInt32")
+    "dst_as" -> "UInt32",
+    "vlan_id" -> "UInt32",
+    "mpls_1_label" -> "UInt32",
+    "mpls_1_ttl" -> "UInt32")
 
   /** `CREATE TABLE flows_extended` — the 23 parity columns plus the
-    * extended five, for deployments that opt in.
+    * extended eight, for deployments that opt in.
     */
   def extendedFlowsDdl: String = {
     val cols = (FlowSchema.chTypes ++ extendedChTypes)

@@ -63,10 +63,13 @@ object NetFlowV5 {
       fragment_id: Long,
       fragment_offset: Int,
       next_hop: Array[Byte] = Array[Byte](0, 0, 0, 0),
-      in_if: Int = 0,
-      out_if: Int = 0,
+      in_if: Long = 0L,
+      out_if: Long = 0L,
       src_as: Long = 0L,
-      dst_as: Long = 0L)
+      dst_as: Long = 0L,
+      vlan_id: Int = 0,
+      mpls_1_label: Long = 0L,
+      mpls_1_ttl: Int = 0)
 
   /** Decode one v5 datagram (`sampler` = the UDP sender address bytes,
     * goflow's SamplerAddress). Throws on a malformed packet — the caller
@@ -155,7 +158,8 @@ object NetFlowV5 {
     f.bytes, f.packets, f.src_addr, f.dst_addr, f.etype, f.proto,
     f.src_port, f.dst_port, f.forwarding_status, f.tcp_flags,
     f.icmp_type, f.icmp_code, f.fragment_id, f.fragment_offset,
-    f.next_hop, f.in_if, f.out_if, f.src_as, f.dst_as))
+    f.next_hop, f.in_if, f.out_if, f.src_as, f.dst_as,
+    f.vlan_id, f.mpls_1_label, f.mpls_1_ttl))
 
   /** Exporter-side encoder (tests + load generation): builds the v5
     * datagram that [[decode]] reads back. `records` are (src, dst, pkts,

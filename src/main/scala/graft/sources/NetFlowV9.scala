@@ -351,8 +351,9 @@ object NetFlowV9 {
     var fwdStatus = 0
     // extended surface (emitted only under extended=true)
     var nextHop: Array[Byte] = Array[Byte](0, 0, 0, 0)
-    var inIf = 0; var outIf = 0
+    var inIf = 0L; var outIf = 0L
     var srcAs = 0L; var dstAs = 0L
+    var vlanId = 0; var mplsLabel = 0L // v9 exports no TTL for the top label
 
     var malformed = false
     val fieldIt = t.fields.iterator
@@ -392,11 +393,11 @@ object NetFlowV9 {
         case 7 => srcPort = uint().toInt
         case 8 if flen == 4 =>
           srcAddr = Array(bb.get(p), bb.get(p + 1), bb.get(p + 2), bb.get(p + 3))
-        case 10 => inIf = uint().toInt // ingressInterface
+        case 10 => inIf = uint() & 0xffffffffL // ingressInterface (unsigned32)
         case 11 => dstPort = uint().toInt
         case 12 if flen == 4 =>
           dstAddr = Array(bb.get(p), bb.get(p + 1), bb.get(p + 2), bb.get(p + 3))
-        case 14 => outIf = uint().toInt // egressInterface
+        case 14 => outIf = uint() & 0xffffffffL // egressInterface (unsigned32)
         case 15 if flen == 4 => // ipNextHopIPv4Address
           nextHop = Array(bb.get(p), bb.get(p + 1), bb.get(p + 2), bb.get(p + 3))
         case 16 => srcAs = uint() // bgpSourceAsNumber (2 or 4 bytes)
@@ -417,6 +418,13 @@ object NetFlowV9 {
         case 89 => fwdStatus = uint().toInt
         case 150 => startMs = uint() * 1000L // flowStartSeconds
         case 151 => endMs = uint() * 1000L
+        case 58 => vlanId = uint().toInt & 0xfff // SRC_VLAN / vlanId
+        case 70 if flen >= 3 =>
+          // MPLS_LABEL_1 / mplsTopLabelStackSection: FIRST 3 bytes are
+          // label(20) | exp(3) | bos(1) — read positionally, not via
+          // uint(), which keeps the LAST 8 bytes of longer stack sections
+          mplsLabel = (((bb.get(p) & 0xffL) << 12) |
+            ((bb.get(p + 1) & 0xffL) << 4) | ((bb.get(p + 2) & 0xff) >> 4)) & 0xfffffL
         case 152 => startMs = uint() // flowStartMilliseconds
         case 153 => endMs = uint()
         case _ => // unknown IE: skip by length
@@ -467,7 +475,9 @@ object NetFlowV9 {
       in_if = inIf,
       out_if = outIf,
       src_as = srcAs,
-      dst_as = dstAs)
+      dst_as = dstAs,
+      vlan_id = vlanId,
+      mpls_1_label = mplsLabel)
   }
 
   // ---- exporter-side encoders (tests + load generation) ----

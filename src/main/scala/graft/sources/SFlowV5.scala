@@ -73,11 +73,15 @@ object SFlowV5 {
         bb.getInt // drops
         // input/output interface (extended surface): plain samples carry
         // 2-bit format + 30-bit value in one word; expanded samples carry
-        // (format, value) word pairs — keep the ifIndex value only
+        // (format, value) word pairs. In BOTH layouts only format 0 means
+        // ifIndex — format 1 is "discarded: value=reason", format 2 is
+        // "multiple: value=count" — so a non-zero format prefix must leave
+        // the ifIndex 0 rather than misread the value as an interface.
         var inIf = 0; var outIf = 0
         if (format == 1) {
-          inIf = bb.getInt & 0x3fffffff
-          outIf = bb.getInt & 0x3fffffff
+          val inW = bb.getInt; val outW = bb.getInt
+          if ((inW >>> 30) == 0) inIf = inW & 0x3fffffff
+          if ((outW >>> 30) == 0) outIf = outW & 0x3fffffff
         } else {
           val inFmt = bb.getInt; val inVal = bb.getInt
           val outFmt = bb.getInt; val outVal = bb.getInt
@@ -126,7 +130,33 @@ object SFlowV5 {
     if (headerLen < 14) return None
     var et = u16(12)
     var l3 = 14
-    if (et == 0x8100 && headerLen >= 18) { et = u16(16); l3 = 18 } // VLAN tag
+    var vlanId = 0
+    if (et == 0x8100 && headerLen >= 18) { // 802.1Q tag: TCI low 12 bits
+      vlanId = u16(14) & 0xfff
+      et = u16(16); l3 = 18
+    }
+    // MPLS shim stack (ethertype 0x8847 unicast / 0x8848 multicast): each
+    // entry label(20) | exp(3) | bos(1) | ttl(8); keep the TOP entry, pop
+    // to the bottom-of-stack, then infer the inner protocol from the IP
+    // version nibble (the shim carries no inner ethertype)
+    var mplsLabel = 0L; var mplsTtl = 0
+    if (et == 0x8847 || et == 0x8848) {
+      if (headerLen < l3 + 4) return None
+      mplsLabel = ((u16(l3).toLong << 4) | (u8(l3 + 2) >> 4)) & 0xfffffL
+      mplsTtl = u8(l3 + 3)
+      var bos = (u8(l3 + 2) & 1) == 1
+      l3 += 4
+      while (!bos && headerLen >= l3 + 4) {
+        bos = (u8(l3 + 2) & 1) == 1
+        l3 += 4
+      }
+      if (!bos || headerLen < l3 + 1) return None
+      et = (u8(l3) >> 4) match {
+        case 4 => 0x800
+        case 6 => 0x86dd
+        case _ => return None // non-IP MPLS payload
+      }
+    }
 
     var proto = 0; var srcAddr: Array[Byte] = null; var dstAddr: Array[Byte] = null
     var l4 = 0; var fragId = 0L; var fragOffset = 0
@@ -176,7 +206,10 @@ object SFlowV5 {
       icmp_type = icmpType,
       icmp_code = icmpCode,
       fragment_id = fragId,
-      fragment_offset = fragOffset))
+      fragment_offset = fragOffset,
+      vlan_id = vlanId,
+      mpls_1_label = mplsLabel,
+      mpls_1_ttl = mplsTtl))
   }
 
   /** Generic interface counters from an sFlow COUNTER sample (struct
@@ -399,11 +432,22 @@ object SFlowV5 {
   /** Build an Ethernet+IPv4+TCP/UDP/ICMP header blob for a test sample. */
   def ipv4Frame(src: Array[Byte], dst: Array[Byte], proto: Int,
       srcPort: Int, dstPort: Int, tcpFlags: Int = 0, vlan: Boolean = false,
-      ipId: Int = 0): Array[Byte] = {
+      ipId: Int = 0, vlanId: Int = 42,
+      mpls: Option[(Long, Int)] = None): Array[Byte] = {
     val buf = ArrayBuffer.empty[Byte]
     buf ++= Array.fill[Byte](12)(0x02) // MACs
-    if (vlan) { buf ++= Array[Byte](0x81.toByte, 0, 0, 42) }
-    buf ++= Array[Byte](8, 0) // ethertype IPv4
+    if (vlan) {
+      buf ++= Array[Byte](0x81.toByte, 0,
+        ((vlanId >> 8) & 0xf).toByte, (vlanId & 0xff).toByte)
+    }
+    mpls match {
+      case Some((label, ttl)) => // single bottom-of-stack shim
+        buf ++= Array[Byte](0x88.toByte, 0x47,
+          ((label >> 12) & 0xff).toByte, ((label >> 4) & 0xff).toByte,
+          ((((label & 0xf) << 4) | 1).toByte), (ttl & 0xff).toByte)
+      case None =>
+        buf ++= Array[Byte](8, 0) // ethertype IPv4
+    }
     val ip = new Array[Byte](20)
     ip(0) = 0x45 // v4, ihl 5
     ip(4) = ((ipId >> 8) & 0xff).toByte; ip(5) = (ipId & 0xff).toByte
@@ -436,7 +480,10 @@ object SFlowV5 {
     */
   def encode(agent: Array[Byte], sequence: Long,
       samples: Seq[(Long, Long, Array[Byte])], expanded: Boolean = false,
-      subAgentId: Long = 0L): Array[Byte] = {
+      subAgentId: Long = 0L,
+      // plain-layout interface WORDS (2-bit format | 30-bit value) so tests
+      // can exercise the non-ifIndex formats; defaults = ifIndex 1 / 2
+      inputWord: Int = 1, outputWord: Int = 2): Array[Byte] = {
     def pad4(n: Int): Int = (4 - n % 4) % 4
     val bodies = samples.map { case (rate, frameLen, header) =>
       val recBody = 16 + header.length + pad4(header.length)
@@ -450,7 +497,7 @@ object SFlowV5 {
       bb.putInt(1000) // pool
       bb.putInt(0) // drops
       if (expanded) { bb.putInt(0); bb.putInt(1); bb.putInt(0); bb.putInt(2) }
-      else { bb.putInt(1); bb.putInt(2) } // input, output
+      else { bb.putInt(inputWord); bb.putInt(outputWord) } // input, output
       bb.putInt(1) // numRecords
       bb.putInt(1) // raw packet header record
       bb.putInt(recBody)

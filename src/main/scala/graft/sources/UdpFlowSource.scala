@@ -73,8 +73,9 @@ import graft.FlowSchema
   * versions count as drops), `maxPacketsPerBatch` (admission cap, R4),
   * `numPartitions` (decode parallelism), `dedupSequence` (see above),
   * `extended` (emit [[graft.FlowSchema.rawExtendedSchema]] — next-hop,
-  * interface indices, BGP AS numbers — beyond the reference's 23-column
-  * parity surface; default false).
+  * interface indices, BGP AS numbers, 802.1Q VLAN id, top MPLS
+  * label + TTL — beyond the reference's 23-column parity surface;
+  * default false).
   *
   * Malformed datagrams (wrong version, truncated) are counted in
   * [[UdpFlowSource.dropped]] and skipped — the reference's decoder error

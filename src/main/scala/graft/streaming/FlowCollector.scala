@@ -22,6 +22,16 @@ import graft.sources.UdpFlowSource
   * [[FlowPipeline.start]] / [[graft.sources.JdbcSink]]) for the ClickHouse
   * JDBC URL in production — `JdbcSink.idempotentAppend` upgrades the
   * reference's at-most-once to effectively-once.
+  *
+  * Restart semantics for v9/IPFIX templates: the template registry is
+  * in-memory per stream (RFC 3954 §5 — templates are receiver state the
+  * exporter re-announces periodically; goflow keeps them the same way).
+  * After a collector restart, data records arriving BEFORE the exporter's
+  * next template announcement are refused at admission and counted in the
+  * listener's `template_misses`; refusal does not claim the dedup key, so
+  * a re-sent copy after re-announcement decodes normally. Proven in
+  * UdpIngestSpec ("v9 template state is re-learned after a collector
+  * restart"). Checkpointed offsets resume independently of template state.
   */
 object FlowCollector {
 

@@ -50,10 +50,13 @@ object FlowPipeline {
     val ext =
       if (raw.columns.contains("next_hop"))
         Seq(ip(col("next_hop")).as("next_hop"),
-          col("in_if").cast("int").as("in_if"),
-          col("out_if").cast("int").as("out_if"),
+          col("in_if").cast("long").as("in_if"),
+          col("out_if").cast("long").as("out_if"),
           col("src_as").cast("long").as("src_as"),
-          col("dst_as").cast("long").as("dst_as"))
+          col("dst_as").cast("long").as("dst_as"),
+          col("vlan_id").cast("int").as("vlan_id"),
+          col("mpls_1_label").cast("long").as("mpls_1_label"),
+          col("mpls_1_ttl").cast("int").as("mpls_1_ttl"))
       else Seq.empty
     raw.select(Seq(
       col("type").cast("int").as("type"),

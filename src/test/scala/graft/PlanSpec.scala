@@ -212,6 +212,17 @@ class PlanSpec extends SparkSpec {
     val p7d = physical(x7d)
     assert(p7d.contains("might_contain"), p7d)
     assert(!p7d.contains("CartesianProduct"), p7d)
+    // r10: x10 composes dedup → decontam → quality → pack → shard in one
+    // lineage — audit its LAZY plan: the eval-gram probe and the
+    // prefix-sum offset table must BROADCAST, and nothing may plan a
+    // cartesian or BNLJ (the stages are all equi-joins by construction)
+    val (x10, caches10) = ext.PipelineQueries.pipelineE2ePlan(spark, sf)
+    try {
+      val p10 = physical(x10)
+      assert(!p10.contains("CartesianProduct"), s"x10:\n$p10")
+      assert(!p10.contains("BroadcastNestedLoopJoin"), s"x10:\n$p10")
+      assert(p10.contains("BroadcastHashJoin"), s"x10 lost its broadcasts:\n$p10")
+    } finally caches10.foreach(_.unpersist())
     val (x2b, sh2b) = ext.DedupQueries.simhashEqualityPlan(spark, sf)
     // the 1-row agg-result crossJoin at the root is declared; the LSH/brute
     // PAIR joins below it must not be cartesian

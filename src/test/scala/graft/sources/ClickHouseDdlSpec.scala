@@ -35,7 +35,7 @@ class ClickHouseDdlSpec extends AnyFunSuite {
       assert(sparkTypes(n) == org.apache.spark.sql.types.LongType, n)
   }
 
-  test("extended DDL = parity columns + the five extended, types compatible") {
+  test("extended DDL = parity columns + the eight extended, types compatible") {
     // the default flows DDL must NOT mention the extended columns (byte
     // parity with the reference); the extended DDL appends exactly them
     for ((n, _) <- ClickHouseDdl.extendedChTypes)

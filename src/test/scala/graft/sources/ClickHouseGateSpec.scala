@@ -105,6 +105,40 @@ private[sources] object ClickHouseGateScript {
   val UInt64Max = "18446744073709551615"
   val TwoPow63 = "9223372036854775808" // first value past Int64 — the signed boundary
 
+  // --- r10 (VERDICT r09 #5): the EXTENDED surface replay-gated too —
+  // flows_extended DDL executes, a typed insert lands all 31 columns, and
+  // a UInt32 ifIndex above Int32 range round-trips unsigned (the r9
+  // widening rule on the wire, not just in the Spark schema). Declared
+  // BEFORE `steps` — a val initialized after it would read as null there.
+  private def extInsertCols: String =
+    (graft.FlowSchema.chTypes ++ ClickHouseDdl.extendedChTypes).map(_._1).mkString(", ")
+  val UInt32Max = "4294967295"
+  private def extRow(seq: Long, inIf: String): String =
+    (graft.FlowSchema.chTypes ++ ClickHouseDdl.extendedChTypes).map {
+      case ("sequence_num", _) => seq.toString
+      case ("in_if", _) => inIf
+      case (_, "String") => "'10.0.0.1'"
+      case _ => "1"
+    }.mkString("(", ", ", ")")
+
+  private def extendedSteps: Seq[Step] = Seq(
+    Step("flows_extended DDL (Null fan-out head)",
+      ClickHouseDdl.extendedFlowsDdl.stripSuffix(";\n"), None),
+    Step("extended Null-engine insert",
+      s"INSERT INTO flows_extended ($extInsertCols) VALUES ${extRow(1L, "1")}", None),
+    Step("extended MergeTree mirror DDL",
+      ClickHouseDdl.extendedFlowsDdl
+        .replace("CREATE TABLE IF NOT EXISTS flows_extended", "CREATE TABLE flows_extended_store")
+        .replace("ENGINE = Null();", "ENGINE = MergeTree() ORDER BY sequence_num;")
+        .stripSuffix(";\n"), None),
+    Step("extended typed insert incl. UInt32-max ifIndex",
+      s"INSERT INTO flows_extended_store ($extInsertCols) VALUES " +
+        s"${extRow(1L, "1")}, ${extRow(2L, UInt32Max)}", None),
+    Step("extended rows stored", "SELECT count() FROM flows_extended_store", Some("2")),
+    Step("UInt32 ifIndex above Int32 range round-trips unsigned",
+      "SELECT in_if FROM flows_extended_store WHERE sequence_num = 2",
+      Some(UInt32Max)))
+
   val steps: Seq[Step] = Seq(
     Step("flows DDL", ClickHouseDdl.flowsDdl.stripSuffix(";\n"), None),
     Step("Null-engine insert",
@@ -142,7 +176,8 @@ private[sources] object ClickHouseGateScript {
     Step("UInt64 literal at 2^63 filters without signed overflow",
       s"SELECT sequence_num FROM flows_store WHERE bytes = $TwoPow63", Some("3")),
     Step("2^63 round-trips",
-      "SELECT bytes FROM flows_store WHERE sequence_num = 3", Some(TwoPow63)))
+      "SELECT bytes FROM flows_store WHERE sequence_num = 3", Some(TwoPow63))) ++
+    extendedSteps
 
   /** POST one statement to a ClickHouse-shaped HTTP endpoint. */
   def http(port: Int, sql: String): (Int, String) = {

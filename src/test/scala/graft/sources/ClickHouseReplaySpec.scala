@@ -78,6 +78,19 @@ class ClickHouseReplaySpec extends AnyFunSuite {
   }
 }
 
+/** `sbt "Test/runMain graft.sources.RegenClickHouseTranscript"` — rewrite
+  * the pinned transcript after an INTENTIONAL script change (the text gate
+  * fails until this runs); re-run the LIVE gate wherever docker works so
+  * the new statements are server-proven too.
+  */
+object RegenClickHouseTranscript {
+  def main(args: Array[String]): Unit = {
+    val p = Paths.get("src/test/resources/clickhouse_gate_transcript.txt")
+    Files.write(p, ClickHouseGateScript.transcript.getBytes(StandardCharsets.UTF_8))
+    println(s"wrote $p")
+  }
+}
+
 /** Regenerate the pinned transcript after an INTENTIONAL DDL change:
   * `sbt "Test/runMain graft.sources.ClickHouseTranscriptGen"` — then
   * re-run the LIVE gate wherever docker works before trusting it.

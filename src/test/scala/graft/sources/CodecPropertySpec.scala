@@ -65,7 +65,8 @@ class CodecPropertySpec extends AnyFunSuite {
         val (flows, _) = V9.decode(dpkt, sampler, Map((0L, 301) -> t))
         flows.size == 1 && {
           val f = flows.head
-          f.next_hop.sameElements(nh) && f.in_if == inIf.toInt &&
+          // full unsigned32 ifIndex survives (no Int wrap — ADVICE r09)
+          f.next_hop.sameElements(nh) && f.in_if == inIf &&
             f.out_if == outIf && f.src_as == sas && f.dst_as == das &&
             f.bytes == 100L
         }
@@ -88,6 +89,62 @@ class CodecPropertySpec extends AnyFunSuite {
           flows.head.dst_port == dp && flows.head.bytes == by8 &&
           flows.head.packets == by4
     })
+  }
+
+  test("sFlow plain-layout interface words honor the 2-bit format prefix") {
+    // format 1 = "discarded: value=reason", format 2 = "multiple:
+    // value=count" — neither is an ifIndex, so the plain path must leave
+    // the column 0 exactly like the expanded path does (ADVICE r09)
+    val hdr = SF.ipv4Frame(Array[Byte](10, 0, 0, 7), Array[Byte](10, 0, 0, 8),
+      6, 1234, 443, tcpFlags = 16, vlan = false)
+    val pkt = SF.encode(Array[Byte](10, 0, 0, 2), 1L, Seq((256L, 1500L, hdr)),
+      expanded = false,
+      inputWord = (2 << 30) | 5,      // multiple: count=5 — NOT ifIndex 5
+      outputWord = (1 << 30) | 261)   // discarded: reason — NOT ifIndex 261
+    val flows = SF.decode(pkt, sampler, 1700000000L)
+    assert(flows.size == 1)
+    assert(flows.head.in_if == 0L && flows.head.out_if == 0L)
+    // and a genuine format-0 word keeps its 30-bit ifIndex value
+    val pkt0 = SF.encode(Array[Byte](10, 0, 0, 2), 1L, Seq((256L, 1500L, hdr)),
+      expanded = false, inputWord = 0x3ffffffe, outputWord = 7)
+    val f0 = SF.decode(pkt0, sampler, 1700000000L).head
+    assert(f0.in_if == 0x3ffffffeL && f0.out_if == 7L)
+  }
+
+  test("sFlow 802.1Q and MPLS frames surface vlan_id / top label + TTL") {
+    val src = Array[Byte](10, 3, 0, 1); val dst = Array[Byte](10, 3, 0, 2)
+    // VLAN-tagged TCP frame: TCI low 12 bits are the id
+    val vf = SF.ipv4Frame(src, dst, 6, 1234, 443, tcpFlags = 16,
+      vlan = true, vlanId = 2049)
+    val v = SF.decode(SF.encode(Array[Byte](10, 0, 0, 3), 1L,
+      Seq((256L, 600L, vf))), sampler, 1700000000L).head
+    assert(v.vlan_id == 2049 && v.mpls_1_label == 0L && v.mpls_1_ttl == 0)
+    assert(v.src_port == 1234 && v.dst_port == 443 && v.etype == 0x800)
+    // MPLS unicast frame: label 20 bits + TTL from the top shim, inner
+    // protocol inferred from the IP version nibble
+    val mf = SF.ipv4Frame(src, dst, 17, 5353, 53, mpls = Some((0xabcdeL, 61)))
+    val m = SF.decode(SF.encode(Array[Byte](10, 0, 0, 3), 2L,
+      Seq((256L, 600L, mf))), sampler, 1700000000L).head
+    assert(m.mpls_1_label == 0xabcdeL && m.mpls_1_ttl == 61 && m.vlan_id == 0)
+    assert(m.src_port == 5353 && m.dst_port == 53 && m.etype == 0x800)
+  }
+
+  test("v9 IEs 58/70 decode VLAN id and the top MPLS label") {
+    // IE 70 is a 3-byte stack section: label(20) | exp(3) | bos(1) — the
+    // label must come from the FIRST 20 bits, not a right-aligned uint
+    val label = 0x54321L
+    val stackSection = Array[Byte](
+      ((label >> 12) & 0xff).toByte, ((label >> 4) & 0xff).toByte,
+      ((((label & 0xf) << 4) | 1) & 0xff).toByte)
+    val fields = Seq(58 -> 2, 70 -> 3, 1 -> 4)
+    val rec = Array(V9.fieldBytes(777, 2), stackSection,
+      V9.fieldBytes(100, 4)).flatten.toArray
+    val t = V9.Template(330, fields)
+    val dpkt = V9.encodeData(9, 0, 330, Seq(rec), unixSecs = 1700000000L)
+    val (flows, _) = V9.decode(dpkt, sampler, Map((0L, 330) -> t))
+    assert(flows.size == 1)
+    val f = flows.head
+    assert(f.vlan_id == 777 && f.mpls_1_label == label && f.mpls_1_ttl == 0)
   }
 
   test("property: sFlow counter records round-trip by struct offset") {

@@ -415,4 +415,90 @@ class UdpIngestSpec extends SparkSpec {
         .count() == 3)
     } finally { sock.close(); q.stop() }
   }
+
+  test("v9 template state is re-learned after a collector restart (VERDICT r09 #6)") {
+    // Offset resume across restart is proven above; this pins the TEMPLATE
+    // side: the registry is in-memory per stream (RFC 3954 §5 — a
+    // collector that restarts waits for the exporter's periodic template
+    // re-export; goflow behaves identically), so after a restart
+    //   1. data records sent BEFORE re-announcement are refused at
+    //      admission and counted in the listener's template_misses;
+    //   2. nothing reaches the sink for them (refused ≠ decoded-empty);
+    //   3. once the template is re-announced, the re-sent data decodes.
+    import graft.sources.{NetFlowV9 => V9}
+    val tmp = "/root/repo/target/graft-tmp/udp-tmpl-restart"
+    val cp = s"$tmp/cp"; val out = s"$tmp/out"
+    Seq(cp, out).foreach(p => FileUtils.deleteQuietly(Paths.get(p).toFile))
+
+    val fields = Seq(8 -> 4, 12 -> 4, 7 -> 2, 11 -> 2, 1 -> 4, 4 -> 1)
+    def rec(i: Int): Array[Byte] =
+      Array(V9.fieldBytes(0x0a0b0000L + i, 4), V9.fieldBytes(0xc0a80001L, 4),
+        V9.fieldBytes(4000 + i, 2), V9.fieldBytes(443, 2),
+        V9.fieldBytes(100 + i, 4), V9.fieldBytes(6, 1)).flatten.toArray
+    val template = V9.encodeTemplate(9, sourceId = 7, templateId = 510, fields)
+    def data(seq: Long): Array[Byte] = V9.encodeData(9, sourceId = 7,
+      templateId = 510, Seq(rec(seq.toInt)), sysUptimeMs = 1000L,
+      unixSecs = 1700000900L, sequence = seq)
+
+    def sunkSeqs(): Set[Long] =
+      try spark.read.parquet(out).select("sequence_num").distinct()
+        .collect().map(_.getLong(0)).toSet
+      catch { case _: Exception => Set.empty }
+
+    def withStream(name: String)(body: (Array[Byte] => Unit,
+        org.apache.spark.sql.streaming.StreamingQuery) => Unit): Unit = {
+      val raw = spark.readStream.format("nflv5-udp")
+        .option("name", name).option("port", 0)
+        .option("dedupSequence", true).load()
+      val q = graft.streaming.FlowPipeline.normalize(raw)
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .start()
+      val sock = new DatagramSocket()
+      try {
+        val deadline = System.nanoTime() + 60_000_000_000L
+        var port = 0
+        while (port == 0 && System.nanoTime() < deadline) {
+          port = UdpFlowSource.boundPort(name).getOrElse(0)
+          if (port == 0) Thread.sleep(20)
+        }
+        assert(port > 0)
+        val addr = InetAddress.getByName("127.0.0.1")
+        body(b => sock.send(new DatagramPacket(b, b.length, addr, port)), q)
+      } finally { sock.close(); q.stop() }
+    }
+
+    val deadline = System.nanoTime() + 120_000_000_000L
+    // incarnation 1: template + data 0/1 decode normally
+    withStream("udp-tmpl-1") { (send, q) =>
+      while (sunkSeqs() != Set(0L, 1L) && System.nanoTime() < deadline) {
+        send(template); send(data(0)); send(data(1))
+        q.processAllAvailable()
+      }
+      assert(sunkSeqs() == Set(0L, 1L))
+    }
+    // incarnation 2: fresh stream, EMPTY template registry
+    withStream("udp-tmpl-2") { (send, q) =>
+      val stats = UdpFlowSource.statsFor("udp-tmpl-2")
+      val misses0 = stats.templateMisses.sum()
+      // (1)+(2): data before re-announcement is refused at admission
+      while (stats.templateMisses.sum() == misses0 &&
+          System.nanoTime() < deadline) {
+        send(data(2)); q.processAllAvailable()
+      }
+      assert(stats.templateMisses.sum() > misses0,
+        "pre-template data record was not counted as a template miss")
+      assert(sunkSeqs() == Set(0L, 1L),
+        "a refused data record must not reach the sink")
+      // (3): re-announce, then the re-sent data decodes (refusal did NOT
+      // claim the dedup key, so the same sequence is admitted now)
+      while (sunkSeqs() != Set(0L, 1L, 2L, 3L) && System.nanoTime() < deadline) {
+        send(template); send(data(2)); send(data(3))
+        q.processAllAvailable()
+      }
+      assert(sunkSeqs() == Set(0L, 1L, 2L, 3L))
+    }
+  }
 }
