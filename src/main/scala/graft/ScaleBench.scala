@@ -51,7 +51,13 @@ object ScaleBench {
     30 -> Seq(
       "x2_dedup_minhash", "x2b_dedup_simhash", "x2e_dedup_embed", "x2f_cc_star",
       "x6g_shard_pack", "x7d_decontam_bloom",
-      "x3c_knn_ivf", "x3f_pq_adc", "x3g_sq8"),
+      "x3c_knn_ivf", "x3f_pq_adc", "x3g_sq8",
+      // r10: the composed pipeline — its exact-dedup head collapses the
+      // 30 replicated copies to one representative per distinct text, so
+      // every later stage runs on a base-sized survivor set; the ratio
+      // measures that the composition inherits the collapse, not just
+      // each stage in isolation
+      "x10_pipeline_e2e"),
     10 -> Seq("q12b_join_bucketed", "qf6_salted_join"))
 
   private def maxRatio(scale: Int): Double = 2.0 * scale
