@@ -129,6 +129,47 @@ class CodecPropertySpec extends AnyFunSuite {
     assert(m.src_port == 5353 && m.dst_port == 53 && m.etype == 0x800)
   }
 
+  test("property: sFlow MPLS label+TTL round-trip across the whole value space") {
+    val src = Array[Byte](10, 4, 0, 1); val dst = Array[Byte](10, 4, 0, 2)
+    check(Prop.forAll(Gen.chooseNum(0L, 0xfffffL), Gen.chooseNum(0, 255),
+      Gen.oneOf(6, 17)) { (label, ttl, proto) =>
+      val hdr = SF.ipv4Frame(src, dst, proto, 80, 443, tcpFlags = 16,
+        mpls = Some((label, ttl)))
+      val fs = SF.decode(SF.encode(Array[Byte](10, 0, 0, 4), 1L,
+        Seq((256L, 500L, hdr))), sampler, 1700000000L)
+      fs.size == 1 && fs.head.mpls_1_label == label &&
+        fs.head.mpls_1_ttl == ttl && fs.head.src_port == 80
+    })
+  }
+
+  test("802.1Q-tagged MPLS frames carry BOTH vlan_id and the label") {
+    val src = Array[Byte](10, 5, 0, 1); val dst = Array[Byte](10, 5, 0, 2)
+    val hdr = SF.ipv4Frame(src, dst, 6, 8080, 443, tcpFlags = 24,
+      vlan = true, vlanId = 300, mpls = Some((0x12345L, 17)))
+    val fs = SF.decode(SF.encode(Array[Byte](10, 0, 0, 6), 1L,
+      Seq((256L, 700L, hdr))), sampler, 1700000000L)
+    assert(fs.size == 1)
+    val f = fs.head
+    assert(f.vlan_id == 300 && f.mpls_1_label == 0x12345L && f.mpls_1_ttl == 17)
+    assert(f.src_port == 8080 && f.etype == 0x800)
+  }
+
+  test("malformed MPLS frames drop cleanly, never crash or misparse") {
+    def frame(tail: Array[Byte]): Array[Byte] =
+      Array.fill[Byte](12)(0x02) ++ Array[Byte](0x88.toByte, 0x47) ++ tail
+    // truncated shim (2 of 4 bytes)
+    val truncated = frame(Array[Byte](0x00, 0x01))
+    // shim chain with no bottom-of-stack bit before the header ends
+    val noBos = frame(Array[Byte](0, 1, 0x00, 64, 0, 2, 0x00, 64))
+    // BOS reached but non-IP payload (version nibble 0)
+    val nonIp = frame(Array[Byte](0, 1, 0x01, 64, 0x00, 0x00))
+    for (bad <- Seq(truncated, noBos, nonIp)) {
+      val fs = SF.decode(SF.encode(Array[Byte](10, 0, 0, 5), 1L,
+        Seq((256L, 500L, bad))), sampler, 1700000000L)
+      assert(fs.isEmpty, s"malformed MPLS frame produced ${fs.size} flows")
+    }
+  }
+
   test("v9 IEs 58/70 decode VLAN id and the top MPLS label") {
     // IE 70 is a 3-byte stack section: label(20) | exp(3) | bos(1) — the
     // label must come from the FIRST 20 bits, not a right-aligned uint
