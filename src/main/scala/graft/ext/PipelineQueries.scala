@@ -269,6 +269,64 @@ object PipelineQueries {
           FROM olds FULL OUTER JOIN news USING (doc_id))
         GROUP BY 1""".stripMargin)),
 
+    // X6i (r10): temperature-weighted source resampling — the standard
+    // multi-source mixing step (multilingual / multi-domain corpora):
+    // source s gets sampling weight w_s = floor(sqrt(src_tokens)) (the
+    // T=2 temperature that upweights small sources), a token budget of
+    // half the corpus is split across sources proportionally to w_s, and
+    // each source keeps docs DETERMINISTICALLY via the x6d md5-threshold
+    // device (re-runs select the identical sample; pure map-side filter
+    // after a tiny broadcast of per-source thresholds).
+    //
+    // Engine-exactness: the threshold is pure INTEGER arithmetic —
+    // floor(sqrt(BIGINT)) (sqrt is correctly rounded in IEEE, so floor is
+    // engine-identical) then (65536 * budget * w) DIV (sum_w * src_tok),
+    // capped at 65536 — no double summation whose order could flip a
+    // boundary. The hex compare pads both sides to 5 chars so the
+    // keep-everything cap (0x10000) orders correctly. The 65536*budget*w
+    // product fits Long comfortably at fixture scale; a 100 TB corpus
+    // (~1e13 tokens) would move this to DecimalType(38,0) — same plan
+    // shape, declared.
+    Q("x6i_temperature_mix",
+      (s, d) => {
+        val toks = Tables.documents(s, d).select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+        val totals = toks.groupBy("source")
+          .agg(sum(col("n_tok")).as("src_tok"))
+          .withColumn("w",
+            floor(sqrt(col("src_tok").cast(DoubleType))).cast(LongType))
+        val corpus = totals.agg(sum(col("src_tok")).as("corpus_tok"),
+          sum(col("w")).as("sum_w"))
+        val th = totals.crossJoin(broadcast(corpus)) // 1-row agg attach
+          .withColumn("threshold", least(lit(65536L),
+            expr("(65536 * (corpus_tok DIV 2) * w) DIV (sum_w * src_tok)")))
+          .select("source", "threshold")
+        toks.join(broadcast(th), Seq("source"))
+          .where(lpad(substring(md5(col("doc_id").cast(StringType)), 1, 4), 5, "0")
+            < lower(lpad(hex(col("threshold")), 5, "0")))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs_kept"),
+            sum(col("n_tok")).as("n_tok_kept"),
+            max(col("threshold")).as("threshold"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, source,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+        totals AS (SELECT source, SUM(n_tok) AS src_tok,
+            CAST(floor(sqrt(CAST(SUM(n_tok) AS DOUBLE))) AS BIGINT) AS w
+          FROM toks GROUP BY source),
+        agg AS (SELECT SUM(src_tok) AS corpus_tok, SUM(w) AS sum_w FROM totals),
+        th AS (SELECT source, CAST(LEAST(65536,
+            (65536 * (corpus_tok // 2) * w) // (sum_w * src_tok)) AS BIGINT) AS threshold
+          FROM totals, agg),
+        kept AS (SELECT t.doc_id, t.source, t.n_tok, th.threshold
+          FROM toks t JOIN th USING (source)
+          WHERE lpad(substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 4), 5, '0')
+            < printf('%05x', th.threshold))
+        SELECT source, count(*) AS n_docs_kept,
+          CAST(SUM(n_tok) AS BIGINT) AS n_tok_kept,
+          CAST(max(threshold) AS BIGINT) AS threshold
+        FROM kept GROUP BY source""".stripMargin)),
+
     // X10 (r10, VERDICT r09 #8): the END-TO-END training-data pipeline as
     // ONE composed lineage — exact dedup → verbatim-8-gram decontamination
     // → quality filter → token-budget packing → byte-budget sharding —

@@ -138,21 +138,30 @@ class SkewDedupSpec extends SparkSpec {
   private val embDir = "/root/repo/target/graft-tmp/skew-emb"
   private val nVecs = 540
   private val embCluster = 480
-  private val expectedEmbPairs = embCluster.toLong * (embCluster - 1) / 2 // 114,960
+  private val embScaled = 10 // 1.5× copies: SAME signature, DIFFERENT vector
+  private val nearSet = embCluster + embScaled
+  private val expectedEmbPairs = nearSet.toLong * (nearSet - 1) / 2 // 119,805
 
   /** 480 identical vectors (ids 0..479, the near-dup crawl cluster —
-    * identical ⇒ identical LSH signature) + 60 one-hot vectors on
-    * distinct dimensions (mutually orthogonal, cos 0.125 vs the cluster —
-    * all safely under the 0.4 threshold).
+    * identical ⇒ identical LSH signature ⇒ same vkey group) + 10 scaled
+    * copies (ids 480..489, ×1.5: positive scaling preserves every
+    * hyperplane sign, so the signature is IDENTICAL while the quantized
+    * vector — and therefore the vkey — differs; cos is exactly 1.0, so
+    * the r10 cross-vkey/same-sig verify + expansion path is exercised
+    * deterministically, not just the same-vkey clique) + 50 one-hot
+    * vectors on distinct dimensions (cos 0.125 vs the cluster — all
+    * safely under the 0.4 threshold).
     */
   private lazy val embCorpus: String = {
     FileUtils.deleteQuietly(Paths.get(embDir).toFile)
     import spark.implicits._
     val mega: Seq[Float] = Seq.fill(64)(0.125f)
+    val scaled: Seq[Float] = Seq.fill(64)(0.1875f)
     val rows = (0 until nVecs).map { i =>
       val v: Seq[Float] =
         if (i < embCluster) mega
-        else Seq.tabulate(64)(d => if (d == i - embCluster) 1.0f else 0.0f)
+        else if (i < nearSet) scaled
+        else Seq.tabulate(64)(d => if (d == i - nearSet) 1.0f else 0.0f)
       (i.toLong, v, s"l${i % 8}")
     }
     rows.toDF("vec_id", "embedding", "label").coalesce(1)
@@ -167,9 +176,14 @@ class SkewDedupSpec extends SparkSpec {
     assert(rows.length == expectedEmbPairs,
       s"expected $expectedEmbPairs cluster pairs, got ${rows.length}")
     assert(rows.forall { r =>
-      r.getLong(0) < embCluster && r.getLong(1) < embCluster &&
+      r.getLong(0) < nearSet && r.getLong(1) < nearSet &&
         r.getLong(0) < r.getLong(1) && math.abs(r.getDouble(2) - 1.0) < 1e-9
     }, "pairs outside the duplicate cluster, or cos != 1")
+    // the scaled copies must pair ACROSS vkey groups (identical-signature
+    // different-vector expansion), not just within the identical clique
+    assert(rows.count(r => r.getLong(0) < embCluster && r.getLong(1) >= embCluster)
+      == embCluster.toLong * embScaled,
+      "missing cross-group (same-sig, different-vkey) pairs")
     // the clique is OUTPUT; the signature collapse means the band join
     // and the expansion joins are keyed by (distinct) signatures, so no
     // task READS anything near cluster² ≈ 115k — the raw-vector
