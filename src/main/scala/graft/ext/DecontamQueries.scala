@@ -53,6 +53,55 @@ object DecontamQueries {
     (pairs, sh)
   }
 
+  /** The x7e cross-split semantic-contamination plan
+    * (train_vec, eval_vec, cos) — shared with x7f's unified report so the
+    * two can never disagree on the banding or the verify threshold.
+    */
+  private[graft] def semanticPairsDf(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import SimilarityQueries.{quant, qcos, lshBandStructs}
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      quant(col("embedding")).as("qe"),
+      pmod(col("vec_id") * 2654435761L, lit(100L)).as("bucket"))
+    val bands = e
+      .select(col("vec_id"), col("bucket"),
+        explode(array(lshBandStructs(col("qe")): _*)).as("bk"))
+      .select(col("vec_id"), col("bucket"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val trainB = bands.filter(col("bucket") < 80)
+      .select(col("vec_id").as("train_vec"), col("band"), col("key"))
+    val evalB = bands.filter(col("bucket") >= 90)
+      .select(col("vec_id").as("eval_vec"), col("band"), col("key"))
+    val cand = trainB.join(broadcast(evalB), Seq("band", "key"))
+      .select(col("train_vec"), col("eval_vec")).distinct()
+    val et = e.select(col("vec_id").as("train_vec"), col("qe").as("tq"))
+    val ev = e.select(col("vec_id").as("eval_vec"), col("qe").as("eq"))
+    cand.join(et, Seq("train_vec")).join(broadcast(ev), Seq("eval_vec"))
+      .select(col("train_vec"), col("eval_vec"),
+        qcos(col("tq"), col("eq")).as("cos"))
+      .filter(col("cos") >= 0.4)
+  }
+
+  /** DuckDB CTE block replaying the x7e semantic pipeline, reused by both
+    * the x7e and x7f oracles (planes are literals via sqlBandKey).
+    * Produces CTEs `e`, `bands7e`, `sempairs` (train_vec, eval_vec, cos).
+    */
+  private def semanticSqlCtes: String = {
+    import SimilarityQueries.{sqlQuant, sqlQcos, sqlBandKey, LshNumBands}
+    val bandSelects = (0 until LshNumBands)
+      .map(b => s"SELECT vec_id, bucket, $b AS band, ${sqlBandKey("qe", b)} AS key FROM e")
+      .mkString("\n            UNION ALL ")
+    s"""e AS (SELECT vec_id, ${sqlQuant("embedding")} AS qe,
+            (vec_id * 2654435761) % 100 AS bucket FROM embeddings),
+          bands7e AS ($bandSelects),
+          semcand AS (SELECT DISTINCT x.vec_id AS train_vec, y.vec_id AS eval_vec
+            FROM bands7e x JOIN bands7e y ON x.band = y.band AND x.key = y.key
+            WHERE x.bucket < 80 AND y.bucket >= 90),
+          sempairs AS (SELECT train_vec, eval_vec, ${sqlQcos("t.qe", "v.qe")} AS cos
+            FROM semcand JOIN e t ON t.vec_id = train_vec JOIN e v ON v.vec_id = eval_vec
+            WHERE ${sqlQcos("t.qe", "v.qe")} >= 0.4)"""
+  }
+
   def defs: Seq[Q] = Seq(
     // X7: benchmark decontamination — flag train docs sharing any 8-token
     // gram with the eval split (the GPT-3/Llama n-gram-collision scrub).
@@ -346,43 +395,81 @@ object DecontamQueries {
     // literals), so the emitted pair set is exact-matched; LSH recall vs
     // brute force is audited in LshAuditSpec, not here.
     Q("x7e_decontam_semantic",
+      (s, d) => semanticPairsDf(s, d),
+      Some(s"""WITH $semanticSqlCtes
+          SELECT train_vec, eval_vec, cos FROM sempairs""".stripMargin)),
+
+    // X7f (r10): the UNIFIED contamination report — every train doc with
+    // its verdict under all three lenses at once: verbatim 8-gram overlap
+    // (x7), fuzzy MinHash near-duplicate (x7c, LSH path — x7c's own gate
+    // proves it equals the brute-force truth set), and semantic
+    // embedding-LSH (x7e, via doc_id = vec_id, the repo's multimodal
+    // alignment convention; docs without an embedding are semantic-clean
+    // by definition). A real pipeline runs exactly this join of lenses to
+    // decide what to drop; emitting the 8-way flag histogram keeps the
+    // output closed-form while every flag combination stays observable.
+    //
+    // Scale posture: the three flag frames are doc-id sets (tiny relative
+    // to the corpus — contamination is rare by construction), broadcast
+    // onto the train scan; each lens inherits its standalone operator's
+    // scale shape (broadcast eval grams, broadcast eval bands, shingle
+    // cache released on return).
+    Q("x7f_contamination_report",
       (s, d) => {
-        import SimilarityQueries.{quant, qcos, lshBandStructs}
-        val e = Tables.embeddings(s, d).select(col("vec_id"),
-          quant(col("embedding")).as("qe"),
-          pmod(col("vec_id") * 2654435761L, lit(100L)).as("bucket"))
-        val bands = e
-          .select(col("vec_id"), col("bucket"),
-            explode(array(lshBandStructs(col("qe")): _*)).as("bk"))
-          .select(col("vec_id"), col("bucket"),
-            col("bk.band").as("band"), col("bk.key").as("key"))
-        val trainB = bands.filter(col("bucket") < 80)
-          .select(col("vec_id").as("train_vec"), col("band"), col("key"))
-        val evalB = bands.filter(col("bucket") >= 90)
-          .select(col("vec_id").as("eval_vec"), col("band"), col("key"))
-        val cand = trainB.join(broadcast(evalB), Seq("band", "key"))
-          .select(col("train_vec"), col("eval_vec")).distinct()
-        val et = e.select(col("vec_id").as("train_vec"), col("qe").as("tq"))
-        val ev = e.select(col("vec_id").as("eval_vec"), col("qe").as("eq"))
-        cand.join(et, Seq("train_vec")).join(broadcast(ev), Seq("eval_vec"))
-          .select(col("train_vec"), col("eval_vec"),
-            qcos(col("tq"), col("eq")).as("cos"))
-          .filter(col("cos") >= 0.4)
+        val docs = Tables.documents(s, d).withColumn("bucket", bucket)
+        val withW = docs.withColumn("w", split(col("text"), " "))
+        val grams = withW.where(size(col("w")) >= 8)
+          .select(col("doc_id"), col("bucket"),
+            explode(graft.functions.Kernels.window_md5(col("w"), 8)).as("gram"))
+        val evalGrams = grams.where(col("bucket") >= 90)
+          .select("gram").distinct()
+        val verbatimDocs = grams.where(col("bucket") < 80)
+          .join(broadcast(evalGrams), Seq("gram"))
+          .select("doc_id").distinct()
+        val (fuzzyPairs, sh) = fuzzyPairsPlan(s, d)
+        val fuzzyDocs = fuzzyPairs
+          .select(col("train_doc").as("doc_id")).distinct()
+        val semDocs = semanticPairsDf(s, d)
+          .select(col("train_vec").as("doc_id")).distinct()
+        val out = docs.where(col("bucket") < 80).select("doc_id")
+          .join(broadcast(verbatimDocs.withColumn("v", lit(1))), Seq("doc_id"), "left")
+          .join(broadcast(fuzzyDocs.withColumn("f", lit(1))), Seq("doc_id"), "left")
+          .join(broadcast(semDocs.withColumn("m", lit(1))), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            col("v").isNotNull.as("verbatim"),
+            col("f").isNotNull.as("fuzzy"),
+            col("m").isNotNull.as("semantic"))
+          .groupBy("verbatim", "fuzzy", "semantic")
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+        Caching.withPersisted(sh)(out.localCheckpoint())
       },
-      Some {
-        import SimilarityQueries.{sqlQuant, sqlQcos, sqlBandKey, LshNumBands}
-        val bandSelects = (0 until LshNumBands)
-          .map(b => s"SELECT vec_id, bucket, $b AS band, ${sqlBandKey("qe", b)} AS key FROM e")
-          .mkString("\n            UNION ALL ")
-        s"""WITH e AS (SELECT vec_id, ${sqlQuant("embedding")} AS qe,
-            (vec_id * 2654435761) % 100 AS bucket FROM embeddings),
-          bands AS ($bandSelects),
-          cand AS (SELECT DISTINCT x.vec_id AS train_vec, y.vec_id AS eval_vec
-            FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
-            WHERE x.bucket < 80 AND y.bucket >= 90)
-          SELECT train_vec, eval_vec, ${sqlQcos("t.qe", "v.qe")} AS cos
-          FROM cand JOIN e t ON t.vec_id = train_vec JOIN e v ON v.vec_id = eval_vec
-          WHERE ${sqlQcos("t.qe", "v.qe")} >= 0.4""".stripMargin
-      })
+      Some(s"""WITH w0 AS (SELECT doc_id, (doc_id * 2654435761) % 100 AS bucket,
+            string_split(text, ' ') AS words FROM documents),
+          g7 AS (SELECT doc_id, bucket, array_to_string(words[i:i+7], ' ') AS gram
+            FROM w0, unnest(range(1, len(words) - 6)) AS t(i) WHERE len(words) >= 8),
+          ev7 AS (SELECT DISTINCT gram FROM g7 WHERE bucket >= 90),
+          verb AS (SELECT DISTINCT doc_id FROM g7
+            WHERE bucket < 80 AND gram IN (SELECT gram FROM ev7)),
+          t0 AS (SELECT doc_id, string_split(text,' ') w, text FROM documents),
+          sets AS (SELECT doc_id, CASE WHEN len(w) >= 3
+            THEN list_distinct(list_transform(generate_series(1, len(w)-2),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+            ELSE [text] END sh FROM t0),
+          sb AS (SELECT doc_id, sh, (doc_id * 2654435761) % 100 AS bucket FROM sets),
+          fz AS (SELECT DISTINCT x.doc_id FROM sb x JOIN sb y
+            ON x.bucket < 80 AND y.bucket >= 90
+            WHERE len(list_intersect(x.sh, y.sh))::DOUBLE /
+              (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.8),
+          $semanticSqlCtes,
+          sem AS (SELECT DISTINCT train_vec AS doc_id FROM sempairs)
+        SELECT (v.doc_id IS NOT NULL) AS verbatim,
+          (f.doc_id IS NOT NULL) AS fuzzy,
+          (m.doc_id IS NOT NULL) AS semantic,
+          count(*) AS n_docs, min(t.doc_id) AS min_doc
+        FROM (SELECT doc_id FROM documents WHERE (doc_id * 2654435761) % 100 < 80) t
+        LEFT JOIN verb v ON t.doc_id = v.doc_id
+        LEFT JOIN fz f ON t.doc_id = f.doc_id
+        LEFT JOIN sem m ON t.doc_id = m.doc_id
+        GROUP BY 1, 2, 3""".stripMargin))
   )
 }
