@@ -604,6 +604,62 @@ object StreamQueries {
           CAST(min(sport) AS INTEGER) AS min_sport
         FROM f GROUP BY vlan_id""".stripMargin)),
 
+    // Q45h (r10): IPv6 flows over live UDP — IPFIX IEs 27/28 (16-byte
+    // addresses) through template learning, decode, and the normalize
+    // projection's IPv6 rendering (lowercase uncompressed hextets), so
+    // the non-v4 half of the address-family matrix is under a live-UDP
+    // closed-form oracle like q45c/d/e are for IPv4.
+    Q("q45h_udp_ipfix6",
+      (s, d) => {
+        import graft.sources.{NetFlowV9 => V9}
+        def v6(last: Int): Array[Byte] = {
+          val b = new Array[Byte](16)
+          b(0) = 0x20; b(1) = 0x01; b(2) = 0x0d; b(3) = 0xb8.toByte
+          b(14) = ((last >> 8) & 0xff).toByte; b(15) = (last & 0xff).toByte
+          b
+        }
+        val fields = Seq(27 -> 16, 28 -> 16, 7 -> 2, 11 -> 2, 1 -> 4,
+          4 -> 1, 152 -> 8, 153 -> 8)
+        def rec(i: Int): Array[Byte] = Array(
+          v6(i + 1),
+          v6(if (i % 2 == 0) 0xffff else 0xfffe),
+          V9.fieldBytes(3000 + i, 2), V9.fieldBytes(443, 2),
+          V9.fieldBytes(100 + i, 4), V9.fieldBytes(6, 1),
+          V9.fieldBytes(1700001000000L, 8),
+          V9.fieldBytes(1700001005000L, 8)).flatten.toArray
+        val template = V9.encodeTemplate(10, sourceId = 3, templateId = 620, fields)
+        val data = (0 until 2).map { p =>
+          V9.encodeData(10, sourceId = 3, templateId = 620,
+            (20 * p until 20 * p + 20).map(rec),
+            unixSecs = 1700001000L, sequence = 100L + p)
+        }
+        udpDrain(s, "q45h", template +: data, 40)
+          .groupBy("dst_addr")
+          .agg(count(lit(1)).as("n_flows"),
+            countDistinct(col("src_addr")).as("n_src"),
+            min(col("src_addr")).as("min_src"),
+            max(col("src_addr")).as("max_src"),
+            sum(col("bytes")).as("sum_bytes"),
+            min(col("src_port")).as("min_sport"),
+            max(col("src_port")).as("max_sport"),
+            min(col("time_flow_start")).as("t_start"),
+            max(col("time_flow_end")).as("t_end"))
+      },
+      Some("""WITH gen AS (SELECT unnest(generate_series(0, 39)) AS i),
+        f AS (SELECT '2001:db8:0:0:0:0:0:' || printf('%x', i + 1) AS src,
+          CASE WHEN i % 2 = 0 THEN '2001:db8:0:0:0:0:0:ffff'
+               ELSE '2001:db8:0:0:0:0:0:fffe' END AS dst,
+          100 + i AS bytes, 3000 + i AS sport FROM gen)
+        SELECT dst AS dst_addr, count(*) AS n_flows,
+          count(DISTINCT src) AS n_src,
+          min(src) AS min_src, max(src) AS max_src,
+          CAST(SUM(bytes) AS BIGINT) AS sum_bytes,
+          CAST(min(sport) AS INTEGER) AS min_sport,
+          CAST(max(sport) AS INTEGER) AS max_sport,
+          CAST(1700001000 AS BIGINT) AS t_start,
+          CAST(1700001005 AS BIGINT) AS t_end
+        FROM f GROUP BY dst""".stripMargin)),
+
     // Q52: stream–static join — the stream enriched against a static dim
     // (broadcast; the proto→name lookup shape).
     Q("q52_stream_static_join",
