@@ -59,13 +59,13 @@ object DecontamQueries {
     */
   private[graft] def semanticPairsDf(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    import SimilarityQueries.{quant, qcos, lshBandStructs}
+    import SimilarityQueries.{quant, qcos, lshBandStructsKernel}
     val e = Tables.embeddings(s, d).select(col("vec_id"),
       quant(col("embedding")).as("qe"),
       pmod(col("vec_id") * 2654435761L, lit(100L)).as("bucket"))
     val bands = e
       .select(col("vec_id"), col("bucket"),
-        explode(array(lshBandStructs(col("qe")): _*)).as("bk"))
+        explode(lshBandStructsKernel(col("qe"))).as("bk"))
       .select(col("vec_id"), col("bucket"),
         col("bk.band").as("band"), col("bk.key").as("key"))
     val trainB = bands.filter(col("bucket") < 80)

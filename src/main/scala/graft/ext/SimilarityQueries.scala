@@ -82,11 +82,32 @@ object SimilarityQueries {
       Seq.fill(64)(if (rnd.nextBoolean()) 1L else -1L))
   }
 
+  /** The flat ±1 sign table [[graft.functions.RademacherSig]] scans —
+    * plane-major flattening of [[LshPlanes]], frozen once.
+    */
+  private[ext] val LshPlanesFlat: Array[Byte] =
+    LshPlanes.flatMap(_.map(_.toByte)).toArray
+
+  /** The full signature as ONE kernel expression (STRUCT<k0..k7>) — the
+    * r10 one-pass replacement for `struct(lshBandKeys: _*)`: same keys
+    * bit-for-bit (KernelSpec pins equality against the Column
+    * formulation), one vector scan per plane with ±1 add/sub instead of
+    * 64 separate dot expressions and their 64-element plan literals.
+    */
+  private[ext] def lshSigStruct(qe: Column): Column =
+    graft.functions.Kernels.rademacher_sig(qe, LshPlanesFlat, LshNumBands, LshBandBits)
+
   /** One (band, key) struct per band: band b's key packs the sign bits of
     * its own 8 planes — no intermediate 64-bit packed signature, so
     * neither engine touches the sign bit of a BIGINT shift. Shared by x2e
     * and x7e (`DecontamQueries`) so a geometry change cannot desync them.
+    * The explode-ready kernel form; [[lshBandStructs]] remains the
+    * reference Column formulation the spec compares against.
     */
+  private[ext] def lshBandStructsKernel(qe: Column): Column =
+    graft.functions.Kernels.rademacher_band_structs(qe, LshPlanesFlat,
+      LshNumBands, LshBandBits)
+
   private[ext] def lshBandStructs(qe: Column): Seq[Column] =
     lshBandKeys(qe).zipWithIndex.map { case (key, b) =>
       struct(lit(b).as("band"), key.as("key"))
@@ -150,12 +171,10 @@ object SimilarityQueries {
     val keyed = e.select(col("vec_id"), col("qe"),
       md5(col("qe").cast("string")).as("vkey"))
     val membership = keyed.select(col("vkey"), col("vec_id")).persist()
-    val keyCols = lshBandKeys(col("qe")).zipWithIndex
-      .map { case (k, i) => k.as(s"k$i") }
     val vecs = keyed.groupBy(col("vkey"))
       .agg(min(struct(col("vec_id"), col("qe"))).as("r"))
       .select(col("vkey"), col("r.qe").as("qe"))
-      .select(col("vkey"), col("qe"), struct(keyCols: _*).as("sig"))
+      .select(col("vkey"), col("qe"), lshSigStruct(col("qe")).as("sig"))
       .persist()
     val distinctSig = vecs.select(col("sig")).distinct()
     val bands = distinctSig.select(col("sig"), explode(array(

@@ -46,6 +46,70 @@ object VecKernel {
     true
   }
 
+  /** All numBands×bandBits Rademacher plane sign bits of `qe` in one
+    * pass, packed into per-band keys (bit j of band b set iff
+    * Σ qe(i)·planes(b·bandBits+j)(i) ≥ 0). `planes` is the flat ±1 sign
+    * table (plane-major). A dimension mismatch or a null element yields
+    * ALL-ZERO keys — exactly what the when/otherwise Column form produces
+    * when each dot is null. Overflow throws (exact arithmetic).
+    */
+  private def rademacherKeys(qe: ArrayData, planes: Array[Byte],
+      numBands: Int, bandBits: Int): Array[Int] = {
+    val nPlanes = numBands * bandBits
+    val keys = new Array[Int](numBands)
+    val dim = qe.numElements()
+    if (dim == 0 || nPlanes.toLong * dim != planes.length) return keys
+    var i = 0
+    while (i < dim) {
+      if (qe.isNullAt(i)) return keys
+      i += 1
+    }
+    val acc = new Array[Long](nPlanes)
+    var p = 0
+    while (p < nPlanes) {
+      var s = 0L
+      val base = p * dim
+      var j = 0
+      while (j < dim) {
+        val v = qe.getLong(j)
+        s = if (planes(base + j) > 0) Math.addExact(s, v)
+            else Math.subtractExact(s, v)
+        j += 1
+      }
+      acc(p) = s
+      p += 1
+    }
+    var b = 0
+    while (b < numBands) {
+      var k = 0
+      var j = 0
+      while (j < bandBits) {
+        if (acc(b * bandBits + j) >= 0) k |= (1 << j)
+        j += 1
+      }
+      keys(b) = k
+      b += 1
+    }
+    keys
+  }
+
+  /** [[rademacherKeys]] as STRUCT<k0..k{B-1}> (the x2e signature). */
+  def rademacherStruct(qe: ArrayData, planes: Array[Byte],
+      numBands: Int, bandBits: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val keys = rademacherKeys(qe, planes, numBands, bandBits)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      keys.map(k => k: Any))
+  }
+
+  /** [[rademacherKeys]] as ARRAY<STRUCT<band, key>> (the x7e explode shape). */
+  def rademacherBandStructs(qe: ArrayData, planes: Array[Byte],
+      numBands: Int, bandBits: Int): ArrayData = {
+    val keys = rademacherKeys(qe, planes, numBands, bandBits)
+    new GenericArrayData((0 until numBands).map(b =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](b, keys(b)))).toArray[Any])
+  }
+
   /** Σ (a(i)−b(i))² into out(0); false = null result; overflow throws. */
   def dist2Into(a: ArrayData, b: ArrayData, out: Array[Long]): Boolean = {
     val n = a.numElements()
@@ -597,6 +661,73 @@ case class InterleaveBits(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `rademacher_sig(qe)` — ALL random-hyperplane signs of a quantized
+  * vector in one pass: the x2e/x7e signature stage. The composed-Column
+  * formulation evaluates 64 separate `long_vec_dot(qe, plane_literal)`
+  * calls per row — 64 array scans, 64 64-element literals in the plan,
+  * and a codegen method large enough to brush JIT limits. This kernel
+  * scans the vector once per plane with ±1 add/sub (no multiplies) from
+  * one flat sign table, and packs the [[graft.ext.SimilarityQueries]]
+  * band keys directly:
+  *
+  *   - `asBandStructs = false` → STRUCT<k0..k{B-1}: INT> — the full
+  *     signature x2e collapses on;
+  *   - `asBandStructs = true`  → ARRAY<STRUCT<band: INT, key: INT>> —
+  *     the explode-ready shape x7e's cross-split band join consumes.
+  *
+  * Either shape is ONE expression with ONE consumer, so CollapseProject
+  * cannot duplicate the evaluation per field (the x4d lesson).
+  *
+  * Parity contract: bit-identical to the
+  * `when(long_vec_dot(qe, plane) >= 0, 1<<j).otherwise(0)` sum for every
+  * non-null input — integer arithmetic, overflow throws like the ANSI
+  * form; a DIMENSION MISMATCH yields all-zero keys exactly like the
+  * when/otherwise chain does on null dots (pinned in KernelSpec).
+  * Declared divergence (FloatVecQuant precedent): a NULL input vector
+  * yields a null result where the Column form yields zero keys — no
+  * caller feeds nullable vectors.
+  */
+case class RademacherSig(child: Expression, planes: Array[Byte],
+    numBands: Int, bandBits: Int, asBandStructs: Boolean)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+  override def dataType: DataType =
+    if (asBandStructs)
+      ArrayType(StructType(Seq(
+        StructField("band", IntegerType, nullable = false),
+        StructField("key", IntegerType, nullable = false))), containsNull = false)
+    else
+      StructType((0 until numBands).map(b =>
+        StructField(s"k$b", IntegerType, nullable = false)))
+  override def prettyName: String = "rademacher_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if numBands > 0 && bandBits > 0 &&
+        planes.length % (numBands * bandBits) == 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT> input and a plane table " +
+        s"divisible by numBands*bandBits, got ${child.dataType.simpleString}")
+  }
+
+  override protected def nullSafeEval(qe: Any): Any =
+    if (asBandStructs)
+      VecKernel.rademacherBandStructs(qe.asInstanceOf[ArrayData], planes, numBands, bandBits)
+    else
+      VecKernel.rademacherStruct(qe.asInstanceOf[ArrayData], planes, numBands, bandBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("rademacherPlanes", planes, "byte[]")
+    val fn = if (asBandStructs) "rademacherBandStructs" else "rademacherStruct"
+    defineCodeGen(ctx, ev, qe =>
+      s"graft.functions.VecKernel.$fn($qe, $planesRef, $numBands, $bandBits)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object Kernels {
   /** Column API: fixed-point 2^20 quantization of an ARRAY<FLOAT> column. */
   def float_vec_quant(a: Column): Column =
@@ -642,4 +773,20 @@ object Kernels {
     */
   def interleave_bits(x: Column, y: Column): Column =
     Shim.column(InterleaveBits(Shim.expression(x), Shim.expression(y)))
+
+  /** Column API: one-pass Rademacher LSH signature of an ARRAY<BIGINT>
+    * column as STRUCT<k0..k{B-1}> ([[RademacherSig]]).
+    */
+  def rademacher_sig(qe: Column, planes: Array[Byte],
+      numBands: Int, bandBits: Int): Column =
+    Shim.column(RademacherSig(Shim.expression(qe), planes, numBands, bandBits,
+      asBandStructs = false))
+
+  /** Column API: the same signature as ARRAY<STRUCT<band, key>> for
+    * band-join explodes.
+    */
+  def rademacher_band_structs(qe: Column, planes: Array[Byte],
+      numBands: Int, bandBits: Int): Column =
+    Shim.column(RademacherSig(Shim.expression(qe), planes, numBands, bandBits,
+      asBandStructs = true))
 }

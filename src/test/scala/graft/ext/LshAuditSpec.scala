@@ -76,6 +76,46 @@ class LshAuditSpec extends SparkSpec {
       s"max bucket occupancy $maxOcc vs expected ~$expected (n=$n)")
   }
 
+  test("rademacher_sig kernel equals the 64-dot Column formulation on fixture embeddings") {
+    val quant = (c: org.apache.spark.sql.Column) =>
+      transform(c, x => round(x.cast(DoubleType) * 1048576d).cast(LongType))
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), quant(col("embedding")).as("qe"))
+    // full-signature struct vs struct(lshBandKeys) — the x2e shape
+    val keyCols = SimilarityQueries.lshBandKeys(col("qe")).zipWithIndex
+      .map { case (k, i) => k.as(s"k$i") }
+    val sigDiff = e.select(
+      (SimilarityQueries.lshSigStruct(col("qe")) <=> struct(keyCols: _*)).as("eq"))
+      .filter(!col("eq"))
+    assert(sigDiff.count() == 0)
+    // band-struct array vs array(lshBandStructs) — the x7e explode shape
+    val bandDiff = e.select(
+      (SimilarityQueries.lshBandStructsKernel(col("qe")) <=>
+        array(SimilarityQueries.lshBandStructs(col("qe")): _*)).as("eq"))
+      .filter(!col("eq"))
+    assert(bandDiff.count() == 0)
+    // non-vacuity + key-space coverage: real signatures spread over bands
+    val n = e.count()
+    assert(n > 100)
+    val distinctSigs = e.select(SimilarityQueries.lshSigStruct(col("qe")).as("s"))
+      .distinct().count()
+    assert(distinctSigs > n / 2, s"suspiciously few distinct signatures: $distinctSigs")
+  }
+
+  test("rademacher_sig dimension mismatch yields all-zero keys like the when/otherwise form") {
+    import spark.implicits._
+    // a 3-long vector cannot dot the 64-long planes: every qdot is null,
+    // every when(...).otherwise(0) term is 0 — the kernel must agree
+    val df = Seq(Seq(1L, 2L, 3L)).toDF("qe")
+    val viaKernel = df.select(SimilarityQueries.lshSigStruct(col("qe")).as("s"))
+      .head.getStruct(0)
+    assert((0 until 8).forall(viaKernel.getInt(_) == 0))
+    val keyCols = SimilarityQueries.lshBandKeys(col("qe")).zipWithIndex
+      .map { case (k, i) => k.as(s"k$i") }
+    val viaColumns = df.select(struct(keyCols: _*).as("s")).head.getStruct(0)
+    assert((0 until 8).forall(viaColumns.getInt(_) == 0))
+  }
+
   test("x2e signature planes are the frozen seed-42 Rademacher set") {
     // the oracle SQL embeds these as literals — a drifting generator would
     // desync Spark and DuckDB silently at the gate, so freeze a prefix
