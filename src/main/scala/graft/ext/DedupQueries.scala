@@ -342,6 +342,82 @@ object DedupQueries {
     (res, sh)
   }
 
+  /** Min-label propagation over the connectivity-equivalent near-dup
+    * edges to a DETECTED fixed point → per-doc (doc_id, label) with label
+    * = the component's minimum doc_id. Shared by x2d (keep/drop verdict)
+    * and x2i (quality-aware representative selection) so the two can
+    * never disagree on what a cluster is.
+    *
+    * The edge set is computed ONCE and materialized — without this the
+    * final plan re-embeds the whole MinHash/LSH/verify subplan per
+    * propagation round and lineage doubles per iteration (r01's worst
+    * bench entry). Edges come from the connectivity-equivalent builder
+    * (r08): a star per identical-text group + rep-level near-dup pairs —
+    * LINEAR in corpus size even when one duplicate cluster holds 80% of
+    * the docs (SkewDedupSpec), with identical components to the full
+    * quadratic pair set. Iterates to a DETECTED fixed point (cap = 8 ⇒
+    * diameter 8; the oracle's transitive closure fails the gate if the
+    * cap ever binds short of convergence — and x2f's star contraction is
+    * the O(log n)-round answer for genuinely deep graphs). Convergence
+    * certificate: labels only ever DECREASE (min over a superset
+    * including self) and the doc count is fixed, so equal label sums
+    * between rounds ⇔ identical labelings — one cheap agg over the
+    * materialized labels instead of an exceptAll shuffle.
+    */
+  private def minLabelComponents(s: SparkSession, d: String): DataFrame = {
+    val (edgePlan, caches) = minhashComponentEdges(s, d)
+    val base = Caching.withPersistedAll(caches)(truncate(edgePlan))
+    val edges = base.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(base.select(col("v").as("src"), col("u").as("dst")))
+    var lab = Tables.documents(s, d)
+      .select(col("doc_id"), col("doc_id").as("label"))
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("label"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0) // sum over zero rows is NULL
+    }
+    var prevSum = labelSum(lab)
+    var converged = false
+    var round = 0
+    while (!converged && round < 8) {
+      val viaNeighbor = edges
+        .join(lab.withColumnRenamed("doc_id", "dst"), "dst")
+        .select(col("src").as("doc_id"), col("label"))
+      val next = truncate(lab.unionByName(viaNeighbor)
+        .groupBy("doc_id").agg(min(col("label")).as("label")))
+        // truncate lineage each round: keeps every round's plan a
+        // constant-size join over materialized labels instead of a
+        // tree that doubles per iteration (reliable checkpoint when a
+        // dir is configured — see truncate())
+      val nextSum = labelSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      lab = next
+      round += 1
+    }
+    lab
+  }
+
+  /** The shared transitive-closure ground truth CTE prefix (x2d / x2f /
+    * x2i oracles): brute-force j ≥ 0.8 pairs → recursive reachability →
+    * per-doc component = min reachable doc_id.
+    */
+  private val ComponentsCte: String =
+    """WITH RECURSIVE t AS (SELECT doc_id, string_split(text,' ') w, text FROM documents),
+      sets AS (SELECT doc_id, CASE WHEN len(w) >= 3
+        THEN list_distinct(list_transform(generate_series(1, len(w)-2),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        ELSE [text] END sh FROM t),
+      pairs AS (SELECT x.doc_id AS a, y.doc_id AS b
+        FROM sets x JOIN sets y ON x.doc_id < y.doc_id
+        WHERE len(list_intersect(x.sh, y.sh))::DOUBLE /
+          (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.8),
+      edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+      reach AS (
+        SELECT doc_id AS v, doc_id AS r FROM documents
+        UNION
+        SELECT e.dst AS v, reach.r FROM reach JOIN edges e ON e.src = reach.v),
+      comp AS (SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v)"""
+
   def defs: Seq[Q] = Seq(
     // X1: exact dedup — group by text digest (documents bodies never
     // shuffle at scale; only the 32-byte digest + doc_id do). The fixture
@@ -409,71 +485,11 @@ object DedupQueries {
     // closure with a recursive CTE, so the propagation must actually have
     // converged for the hash to match.
     Q("x2d_dedup_components",
-      (s, d) => {
-        // The edge set is computed ONCE and materialized — without this
-        // the final plan re-embeds the whole MinHash/LSH/verify subplan
-        // per propagation round and lineage doubles per iteration (r01's
-        // worst bench entry). Edges come from the connectivity-equivalent
-        // builder (r08): a star per identical-text group + rep-level
-        // near-dup pairs — LINEAR in corpus size even when one duplicate
-        // cluster holds 80% of the docs (SkewDedupSpec), with identical
-        // components to the full quadratic pair set.
-        val (edgePlan, caches) = minhashComponentEdges(s, d)
-        val base = Caching.withPersistedAll(caches)(truncate(edgePlan))
-        val edges = base.select(col("u").as("src"), col("v").as("dst"))
-          .unionByName(base.select(col("v").as("src"), col("u").as("dst")))
-        var lab = Tables.documents(s, d)
-          .select(col("doc_id"), col("doc_id").as("label"))
-        // iterate to a DETECTED fixed point (cap = 8 ⇒ diameter 8; the
-        // oracle's transitive closure fails the gate if the cap ever binds
-        // short of convergence — and x2f's star contraction is the
-        // O(log n)-round answer for genuinely deep graphs)
-        // convergence certificate: labels only ever DECREASE (min over a
-        // superset including self) and the doc count is fixed, so equal
-        // label sums between rounds ⇔ identical labelings — one cheap agg
-        // over the materialized labels instead of an exceptAll shuffle
-        def labelSum(df: org.apache.spark.sql.DataFrame): Long = {
-          val r = df.agg(sum(col("label"))).head()
-          if (r.isNullAt(0)) 0L else r.getLong(0) // sum over zero rows is NULL
-        }
-        var prevSum = labelSum(lab)
-        var converged = false
-        var round = 0
-        while (!converged && round < 8) {
-          val viaNeighbor = edges
-            .join(lab.withColumnRenamed("doc_id", "dst"), "dst")
-            .select(col("src").as("doc_id"), col("label"))
-          val next = truncate(lab.unionByName(viaNeighbor)
-            .groupBy("doc_id").agg(min(col("label")).as("label")))
-            // truncate lineage each round: keeps every round's plan a
-            // constant-size join over materialized labels instead of a
-            // tree that doubles per iteration (reliable checkpoint when a
-            // dir is configured — see truncate())
-          val nextSum = labelSum(next)
-          converged = nextSum == prevSum
-          prevSum = nextSum
-          lab = next
-          round += 1
-        }
-        lab.select(col("doc_id"), col("label").as("component"),
-          (col("doc_id") === col("label")).as("keep"))
-      },
-      Some("""WITH RECURSIVE t AS (SELECT doc_id, string_split(text,' ') w, text FROM documents),
-        sets AS (SELECT doc_id, CASE WHEN len(w) >= 3
-          THEN list_distinct(list_transform(generate_series(1, len(w)-2),
-            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-          ELSE [text] END sh FROM t),
-        pairs AS (SELECT x.doc_id AS a, y.doc_id AS b
-          FROM sets x JOIN sets y ON x.doc_id < y.doc_id
-          WHERE len(list_intersect(x.sh, y.sh))::DOUBLE /
-            (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.8),
-        edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
-        reach AS (
-          SELECT doc_id AS v, doc_id AS r FROM documents
-          UNION
-          SELECT e.dst AS v, reach.r FROM reach JOIN edges e ON e.src = reach.v)
-        SELECT v AS doc_id, min(r) AS component, v = min(r) AS keep
-        FROM reach GROUP BY v""".stripMargin)),
+      (s, d) => minLabelComponents(s, d)
+        .select(col("doc_id"), col("label").as("component"),
+          (col("doc_id") === col("label")).as("keep")),
+      Some(s"""$ComponentsCte
+        SELECT doc_id, component, doc_id = component AS keep FROM comp""".stripMargin)),
 
     // X2f: connected components by ALTERNATING LARGE-STAR/SMALL-STAR
     // contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -556,22 +572,8 @@ object DedupQueries {
           .withColumn("keep", col("doc_id") === col("component"))
       },
       // identical ground truth to x2d: full transitive closure
-      Some("""WITH RECURSIVE t AS (SELECT doc_id, string_split(text,' ') w, text FROM documents),
-        sets AS (SELECT doc_id, CASE WHEN len(w) >= 3
-          THEN list_distinct(list_transform(generate_series(1, len(w)-2),
-            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-          ELSE [text] END sh FROM t),
-        pairs AS (SELECT x.doc_id AS a, y.doc_id AS b
-          FROM sets x JOIN sets y ON x.doc_id < y.doc_id
-          WHERE len(list_intersect(x.sh, y.sh))::DOUBLE /
-            (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.8),
-        edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
-        reach AS (
-          SELECT doc_id AS v, doc_id AS r FROM documents
-          UNION
-          SELECT e.dst AS v, reach.r FROM reach JOIN edges e ON e.src = reach.v)
-        SELECT v AS doc_id, min(r) AS component, v = min(r) AS keep
-        FROM reach GROUP BY v""".stripMargin)),
+      Some(s"""$ComponentsCte
+        SELECT doc_id, component, doc_id = component AS keep FROM comp""".stripMargin)),
 
     // X2b: SimHash near-dedup — pigeonhole band join (4×16-bit chunks ⇒
     // exact for Hamming ≤ 3). The registered plan is LSH-ONLY (no
@@ -744,6 +746,175 @@ object DedupQueries {
           CAST(coalesce(p.n_windows, 0) AS BIGINT) AS n_windows,
           CAST(coalesce(p.n_shared, 0) AS BIGINT) AS n_shared,
           coalesce(p.n_shared, 0) > 0 AS has_dup_span
-        FROM docs d LEFT JOIN perdoc p ON d.doc_id = p.doc_id""".stripMargin))
+        FROM docs d LEFT JOIN perdoc p ON d.doc_id = p.doc_id""".stripMargin)),
+
+    // X2h: INCREMENTAL dedup — the shape a production corpus actually
+    // runs: an already-deduplicated INDEX (x6's train-side buckets,
+    // standing in for yesterday's corpus) receives a new BATCH (the
+    // remaining buckets), and each batch doc gets a verdict without ever
+    // re-deduplicating the index against itself:
+    //   dup_of_index — some index doc is an exact or near (j ≥ 0.8) dup;
+    //   dup_in_batch — some EARLIER batch doc (smaller doc_id:
+    //     first-arrival-wins) is an exact/near dup;
+    //   verdict      — index dup ≻ batch dup ≻ new.
+    // Staging mirrors x2's defenses: (1) exact dups resolve on a 128-bit
+    // md5 digest join — identical texts never reach the band join, which
+    // is also the mega-duplicate skew bound (one bucket per distinct
+    // text, SkewDedupSpec's argument); (2) near-dups run MinHash+LSH over
+    // DISTINCT texts only, batch buckets joined against index buckets —
+    // at scale the index side's signatures/buckets are precomputed once
+    // and only the (small) batch pays per-increment work, making the
+    // per-batch cost O(|batch| + collisions), independent of |index|.
+    // The oracle brute-forces every batch×index and batch×batch pair, so
+    // LSH recall across the split is gate-checked end to end (same
+    // argument as x2: at the planted-dup level j ≥ 0.97 a ≥ 2-band miss
+    // has P ≈ 1e-15; background j ≤ 0.3 keeps candidates sparse).
+    Q("x2h_incremental_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("text"),
+            (PipelineQueries.splitBucket < 80).as("in_index"),
+            md5(col("text")).as("dig"))
+        // --- stage 1: exact, on the digest ---
+        val indexDigs = docs.filter(col("in_index")).select("dig").distinct()
+        val batch = docs.filter(!col("in_index"))
+        // one row per distinct batch text: group min doc_id (the
+        // first-arrival representative) + the text for shingling
+        val bGroups = batch.groupBy("dig")
+          .agg(min(col("doc_id")).as("gmin"),
+            min(struct(col("doc_id"), col("text"))).as("r"))
+          .select(col("dig"), col("gmin"), col("r.text").as("text"))
+        val iGroups = docs.filter(col("in_index")).groupBy("dig")
+          .agg(min(struct(col("doc_id"), col("text"))).as("r"))
+          .select(col("dig"), col("r.text").as("text"))
+        // --- stage 2: near, LSH over distinct texts (dig as the key; the
+        // sig/bucket helpers key on a "doc_id" column, so alias) ---
+        def shOf(g: DataFrame): DataFrame = g
+          .select(col("dig").as("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), shingleSet(col("w")).as("sh"))
+        val shB = shOf(bGroups).persist()
+        val shI = shOf(iGroups).persist()
+        Caching.withPersistedAll(Seq(shB, shI)) {
+          val bB = lshBuckets(sigsOf(shB))
+          val iB = lshBuckets(sigsOf(shI))
+          // batch×index candidates colliding in ≥ 2 bands (x2's cutoff),
+          // verified by exact Jaccard — never an all-pairs product
+          val crossCand = bB.as("x")
+            .join(iB.withColumnRenamed("doc_id", "idig").as("y"), Seq("band", "key"))
+            .groupBy(col("x.doc_id").as("a"), col("idig").as("b"))
+            .agg(count(lit(1)).as("n_bands")).filter(col("n_bands") >= 2)
+            .select("a", "b")
+          val shIb = shI.select(col("doc_id").as("b"), col("sh").as("shb"))
+          val crossVer = crossCand
+            .join(shB.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+            .join(shIb, "b")
+            .filter(jaccard(col("sha"), col("shb")) >= 0.8)
+            .select(col("a").as("dig")).distinct()
+          // batch×batch candidates (a < b on the digest — just pair dedup;
+          // arrival order is resolved per-MEMBER below via group minima)
+          val batchCand = bB.as("x").join(bB.as("y"), Seq("band", "key"))
+            .where(col("x.doc_id") < col("y.doc_id"))
+            .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+            .agg(count(lit(1)).as("n_bands")).filter(col("n_bands") >= 2)
+            .select("a", "b")
+          val batchVer = batchCand
+            .join(shB.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+            .join(shB.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+            .filter(jaccard(col("sha"), col("shb")) >= 0.8)
+            .select("a", "b")
+          // per batch GROUP: the smallest first-arrival id among near-dup
+          // PARTNER groups — "exists earlier near-dup member" becomes one
+          // min comparison per doc (groups are near-dup-symmetric: every
+          // member shingles identically to its representative)
+          val gm = bGroups.select(col("dig"), col("gmin"))
+          val partnerMin = batchVer
+            .join(gm.select(col("dig").as("b"), col("gmin").as("pm")), "b")
+            .select(col("a").as("dig"), col("pm"))
+            .unionByName(batchVer
+              .join(gm.select(col("dig").as("a"), col("gmin").as("pm")), "a")
+              .select(col("b").as("dig"), col("pm")))
+            .groupBy("dig").agg(min(col("pm")).as("min_partner"))
+          // --- verdict assembly: left joins of per-GROUP flags onto the
+          // batch members (flag frames are near-dup-group-sized — tiny
+          // relative to the corpus — and every join is an equi-join) ---
+          batch.select(col("doc_id"), col("dig"))
+            .join(indexDigs.withColumn("exact_idx", lit(true)), Seq("dig"), "left")
+            .join(crossVer.withColumn("near_idx", lit(true)), Seq("dig"), "left")
+            .join(gm, "dig")
+            .join(partnerMin, Seq("dig"), "left")
+            .select(col("doc_id"),
+              coalesce(col("exact_idx"), col("near_idx"), lit(false)).as("dup_of_index"),
+              (col("doc_id") > col("gmin") ||
+                coalesce(col("min_partner") < col("doc_id"), lit(false)))
+                .as("dup_in_batch"))
+            .withColumn("verdict",
+              when(col("dup_of_index"), "dup_index")
+                .when(col("dup_in_batch"), "dup_batch")
+                .otherwise("new"))
+            .localCheckpoint() // one row per batch doc; release the caches
+        }
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') w, text,
+          (doc_id * 2654435761) % 100 AS bkt FROM documents),
+        sets AS (SELECT doc_id, bkt, CASE WHEN len(w) >= 3
+          THEN list_distinct(list_transform(generate_series(1, len(w)-2),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+          ELSE [text] END sh FROM t),
+        bat AS (SELECT doc_id, sh FROM sets WHERE bkt >= 80),
+        idx AS (SELECT doc_id, sh FROM sets WHERE bkt < 80),
+        xdup AS (SELECT DISTINCT b.doc_id FROM bat b JOIN idx i
+          ON len(list_intersect(b.sh, i.sh))::DOUBLE /
+             (len(b.sh) + len(i.sh) - len(list_intersect(b.sh, i.sh))) >= 0.8),
+        bdup AS (SELECT DISTINCT x.doc_id FROM bat x JOIN bat y
+          ON y.doc_id < x.doc_id
+          AND len(list_intersect(x.sh, y.sh))::DOUBLE /
+              (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.8)
+        SELECT b.doc_id,
+          (xd.doc_id IS NOT NULL) AS dup_of_index,
+          (bd.doc_id IS NOT NULL) AS dup_in_batch,
+          CASE WHEN xd.doc_id IS NOT NULL THEN 'dup_index'
+               WHEN bd.doc_id IS NOT NULL THEN 'dup_batch'
+               ELSE 'new' END AS verdict
+        FROM bat b LEFT JOIN xdup xd ON b.doc_id = xd.doc_id
+          LEFT JOIN bdup bd ON b.doc_id = bd.doc_id""".stripMargin)),
+
+    // X2i: quality-aware cluster representative — dedup completion the
+    // way a real training pipeline keeps documents: instead of x2d's
+    // min-doc_id representative, each near-dup cluster keeps its
+    // HIGHEST-QUALITY member (here: most distinct tokens, the x4b
+    // vocabulary-richness axis; doc_id breaks ties deterministically).
+    // Components come from the shared min-label propagation, quality is a
+    // pure per-row map, and the per-cluster argmax is one
+    // map-side-combinable min(struct(-quality, doc_id)) agg — nothing new
+    // shuffles beyond x2d. The oracle recomputes the full transitive
+    // closure AND the argmax, so both the clustering and the selection
+    // rule are gate-checked.
+    Q("x2i_cluster_best",
+      (s, d) => {
+        val comp = minLabelComponents(s, d)
+          .select(col("doc_id"), col("label").as("component"))
+        val quality = Tables.documents(s, d).select(col("doc_id"),
+          size(array_distinct(split(col("text"), " "))).as("n_types"))
+        val scored = comp.join(quality, "doc_id")
+        val best = scored.groupBy("component")
+          .agg(min(struct((-col("n_types")).as("neg_q"), col("doc_id"))).as("r"))
+          .select(col("component"), col("r.doc_id").as("best_doc"))
+        scored.join(best, "component")
+          .select(col("doc_id"), col("component"), col("n_types"),
+            col("best_doc"), (col("doc_id") === col("best_doc")).as("keep"))
+      },
+      Some(s"""$ComponentsCte,
+        q AS (SELECT doc_id, CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_types
+          FROM documents),
+        scored AS (SELECT c.doc_id, c.component, q.n_types
+          FROM comp c JOIN q ON q.doc_id = c.doc_id),
+        best AS (SELECT component, doc_id AS best_doc FROM
+          (SELECT *, row_number() OVER (PARTITION BY component
+             ORDER BY n_types DESC, doc_id) AS rn FROM scored)
+          WHERE rn = 1)
+        SELECT s.doc_id, s.component, s.n_types, b.best_doc,
+          s.doc_id = b.best_doc AS keep
+        FROM scored s JOIN best b ON s.component = b.component""".stripMargin))
   )
 }

@@ -327,6 +327,46 @@ object PipelineQueries {
           CAST(max(threshold) AS BIGINT) AS threshold
         FROM kept GROUP BY source""".stripMargin)),
 
+    // X6j: dataset-card summary — the per-(source, lang) composition
+    // report every released training corpus ships with (dataset cards /
+    // datasheets): docs, token and char volume, quality-gate pass rate
+    // (x4b's thresholds), all at FOUR granularities in ONE pass via CUBE
+    // — per cell, per source, per lang, corpus-wide — with grouping()
+    // flags disambiguating real NULL keys from rollup rows (q24e's
+    // idiom). A single hash aggregate, map-side combined; no joins, no
+    // second scan for the rollups — the 100 TB card costs one pass.
+    Q("x6j_dataset_card",
+      (s, d) => {
+        val t = split(col("text"), " ")
+        Tables.documents(s, d)
+          .select(col("source"), col("lang"),
+            size(t).cast(LongType).as("n_tok"),
+            col("n_chars").cast(LongType).as("nc"),
+            (size(t) >= 20 && size(array_distinct(t)) >= 10).as("passq"))
+          .cube(col("source"), col("lang"))
+          .agg(grouping(col("source")).as("g_source"),
+            grouping(col("lang")).as("g_lang"),
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("n_tokens"),
+            sum(col("nc")).as("n_chars_total"),
+            sum(when(col("passq"), 1L).otherwise(0L)).as("n_quality"),
+            (sum(when(col("passq"), 1L).otherwise(0L)).cast(DoubleType) /
+              count(lit(1)).cast(DoubleType)).as("quality_rate"))
+      },
+      Some("""SELECT source, lang,
+        CAST(grouping(source) AS TINYINT) AS g_source,
+        CAST(grouping(lang) AS TINYINT) AS g_lang,
+        count(*) AS n_docs,
+        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+        CAST(SUM(CASE WHEN len(string_split(text, ' ')) >= 20
+          AND len(list_distinct(string_split(text, ' '))) >= 10
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+        CAST(SUM(CASE WHEN len(string_split(text, ' ')) >= 20
+          AND len(list_distinct(string_split(text, ' '))) >= 10
+          THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS quality_rate
+        FROM documents GROUP BY CUBE (source, lang)""".stripMargin)),
+
     // X10 (r10, VERDICT r09 #8): the END-TO-END training-data pipeline as
     // ONE composed lineage — exact dedup → verbatim-8-gram decontamination
     // → quality filter → token-budget packing → byte-budget sharding —

@@ -264,6 +264,83 @@ object SimilarityQueries {
         ${sqlQcos("q.q_emb", "c.qe")} AS cos
         FROM q JOIN e c ON c.vec_id <> q.q_id)"""
 
+  /** The PQ/ADC approximate-cosine frame (q_id, c_id, approx_cos) shared
+    * by x3f (ADC-only top-k) and x3h (ADC shortlist + exact rerank): 64-d
+    * vectors split into M=8 subspaces of 8 dims, each subvector replaced
+    * by the nearest of K=16 codewords; queries score candidates from the
+    * broadcast per-query partial-dot tables without touching raw corpus
+    * vectors. See the x3f registration scaladoc for the full design.
+    */
+  private def pqApproxScored(s: SparkSession, d: String): DataFrame = {
+    val M = 8; val subDim = 8; val K = 16
+    val e = Tables.embeddings(s, d).select(col("vec_id"), quant(col("embedding")).as("qe"))
+    // (vec_id, s, sv): the s-th 8-dim subvector of each vector
+    val sub = e.select(col("vec_id"), explode(sequence(lit(0), lit(M - 1))).as("s"),
+        col("qe"))
+      .select(col("vec_id"), col("s"),
+        slice(col("qe"), col("s") * subDim + 1, lit(subDim)).as("sv"))
+    // codebook: subvectors of the first K vectors (deterministic init)
+    val cb = sub.filter(col("vec_id") < K)
+      .select(col("s"), col("vec_id").cast(IntegerType).as("k"), col("sv").as("cv"))
+    def dist2(a: Column, b: Column): Column =
+      graft.functions.Kernels.long_vec_dist2(a, b)
+    // code assignment: argmin codeword per (vector, subspace) —
+    // broadcast-argmin, map-side except the (vec_id, s) regroup
+    val codes = sub.join(broadcast(cb), "s")
+      .select(col("vec_id"), col("s"), struct(dist2(col("sv"), col("cv")).as("d2"),
+        col("k")).as("dk"))
+      .groupBy("vec_id", "s").agg(min(col("dk")).getField("k").as("code"))
+    // per-query ADC lookup tables: partial dot of each query subvector
+    // with each codeword (M×K rows per query — broadcastable)
+    val pd = sub.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("s"), col("sv").as("q_sv"))
+      .join(broadcast(cb), "s")
+      .select(col("q_id"), col("s"), col("k"), qdot(col("q_sv"), col("cv")).as("pdot"))
+    // exact norms ride with the index (standard PQ practice: norms are
+    // stored per vector; only the direction is quantized)
+    val norms = e.select(col("vec_id"), qdot(col("qe"), col("qe")).as("n2"))
+    val adots = codes.join(broadcast(pd),
+        codes("s") === pd("s") && codes("code") === pd("k"))
+      .groupBy(col("q_id"), col("vec_id").as("c_id"))
+      .agg(sum(col("pdot")).as("adot"))
+    adots.filter(col("c_id") =!= col("q_id"))
+      .join(norms.select(col("vec_id").as("q_id"), col("n2").as("qn2")), "q_id")
+      .join(norms.select(col("vec_id").as("c_id"), col("n2").as("cn2")), "c_id")
+      .select(col("q_id"), col("c_id"),
+        (col("adot").cast(DoubleType) /
+          (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("cn2").cast(DoubleType))))
+          .as("approx_cos"))
+  }
+
+  /** DuckDB replay of [[pqApproxScored]] — the shared CTE prefix of the
+    * x3f and x3h oracles, ending at `scored(q_id, c_id, approx_cos)`
+    * (the corpus CTE `e` stays visible to the suffix).
+    */
+  private val PqScoredCte: String =
+    s"""WITH e AS (SELECT vec_id, ${sqlQuant("embedding")} AS qe FROM embeddings),
+      sub AS (SELECT vec_id, s, list_slice(qe, s*8+1, s*8+8) AS sv
+        FROM e, unnest(generate_series(0, 7)) AS t(s)),
+      cb AS (SELECT s, CAST(vec_id AS INTEGER) AS k, sv AS cv FROM sub WHERE vec_id < 16),
+      sub2 AS (SELECT vec_id, s AS cs, sv AS csv FROM sub),
+      codes AS (SELECT vec_id, cs,
+        -- len(csv) (= 8) outside the lambda: DuckDB binds a correlated
+        -- column into a lambda only if it also occurs outside one
+        (SELECT cb.k FROM cb WHERE cb.s = cs
+         ORDER BY list_sum(list_transform(generate_series(1, len(csv)),
+           i -> (csv[i]-cb.cv[i])*(csv[i]-cb.cv[i]))), cb.k LIMIT 1) AS code
+        FROM sub2),
+      pd AS (SELECT q.vec_id AS q_id, cb.s, cb.k,
+          list_sum(list_transform(generate_series(1, 8), i -> q.sv[i]*cb.cv[i])) AS pdot
+        FROM sub q JOIN cb ON q.s = cb.s WHERE q.vec_id < 8),
+      norms AS (SELECT vec_id, ${sqlQdot("qe", "qe")} AS n2 FROM e),
+      adots AS (SELECT pd.q_id, c.vec_id AS c_id, SUM(pd.pdot) AS adot
+        FROM codes c JOIN pd ON pd.s = c.cs AND pd.k = c.code GROUP BY 1, 2),
+      scored AS (SELECT q_id, c_id,
+          CAST(adot AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE))) AS approx_cos
+        FROM adots JOIN norms qn ON qn.vec_id = adots.q_id
+          JOIN norms cn ON cn.vec_id = adots.c_id
+        WHERE c_id <> q_id)"""
+
   def defs: Seq[Q] = Seq(
     // X3: exact brute-force top-10 for 8 query vectors; DuckDB recomputes
     // the quantized cosine from scratch — exact hash match, no tolerance.
@@ -442,44 +519,7 @@ object SimilarityQueries {
     // swapping in x3e's trained k-means centroids changes recall, not shape.
     Q("x3f_pq_adc",
       (s, d) => {
-        val M = 8; val subDim = 8; val K = 16
-        val e = Tables.embeddings(s, d).select(col("vec_id"), quant(col("embedding")).as("qe"))
-        // (vec_id, s, sv): the s-th 8-dim subvector of each vector
-        val sub = e.select(col("vec_id"), explode(sequence(lit(0), lit(M - 1))).as("s"),
-            col("qe"))
-          .select(col("vec_id"), col("s"),
-            slice(col("qe"), col("s") * subDim + 1, lit(subDim)).as("sv"))
-        // codebook: subvectors of the first K vectors (deterministic init)
-        val cb = sub.filter(col("vec_id") < K)
-          .select(col("s"), col("vec_id").cast(IntegerType).as("k"), col("sv").as("cv"))
-        def dist2(a: Column, b: Column): Column =
-          graft.functions.Kernels.long_vec_dist2(a, b)
-        // code assignment: argmin codeword per (vector, subspace) —
-        // broadcast-argmin, map-side except the (vec_id, s) regroup
-        val codes = sub.join(broadcast(cb), "s")
-          .select(col("vec_id"), col("s"), struct(dist2(col("sv"), col("cv")).as("d2"),
-            col("k")).as("dk"))
-          .groupBy("vec_id", "s").agg(min(col("dk")).getField("k").as("code"))
-        // per-query ADC lookup tables: partial dot of each query subvector
-        // with each codeword (M×K rows per query — broadcastable)
-        val pd = sub.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("q_id"), col("s"), col("sv").as("q_sv"))
-          .join(broadcast(cb), "s")
-          .select(col("q_id"), col("s"), col("k"), qdot(col("q_sv"), col("cv")).as("pdot"))
-        // exact norms ride with the index (standard PQ practice: norms are
-        // stored per vector; only the direction is quantized)
-        val norms = e.select(col("vec_id"), qdot(col("qe"), col("qe")).as("n2"))
-        val adots = codes.join(broadcast(pd),
-            codes("s") === pd("s") && codes("code") === pd("k"))
-          .groupBy(col("q_id"), col("vec_id").as("c_id"))
-          .agg(sum(col("pdot")).as("adot"))
-        val scored = adots.filter(col("c_id") =!= col("q_id"))
-          .join(norms.select(col("vec_id").as("q_id"), col("n2").as("qn2")), "q_id")
-          .join(norms.select(col("vec_id").as("c_id"), col("n2").as("cn2")), "c_id")
-          .select(col("q_id"), col("c_id"),
-            (col("adot").cast(DoubleType) /
-              (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("cn2").cast(DoubleType))))
-              .as("approx_cos"))
+        val scored = pqApproxScored(s, d)
         val w = Window.partitionBy(col("q_id")).orderBy(col("approx_cos").desc, col("c_id"))
         val top = scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
         // recall annotation: is the ADC pick in the EXACT top-5?
@@ -489,29 +529,7 @@ object SimilarityQueries {
           .select(col("q_id"), col("rank"), col("c_id"), col("approx_cos"),
             coalesce(col("hit"), lit(false)).as("in_exact_top5"))
       },
-      Some(s"""WITH e AS (SELECT vec_id, ${sqlQuant("embedding")} AS qe FROM embeddings),
-        sub AS (SELECT vec_id, s, list_slice(qe, s*8+1, s*8+8) AS sv
-          FROM e, unnest(generate_series(0, 7)) AS t(s)),
-        cb AS (SELECT s, CAST(vec_id AS INTEGER) AS k, sv AS cv FROM sub WHERE vec_id < 16),
-        sub2 AS (SELECT vec_id, s AS cs, sv AS csv FROM sub),
-        codes AS (SELECT vec_id, cs,
-          -- len(csv) (= 8) outside the lambda: DuckDB binds a correlated
-          -- column into a lambda only if it also occurs outside one
-          (SELECT cb.k FROM cb WHERE cb.s = cs
-           ORDER BY list_sum(list_transform(generate_series(1, len(csv)),
-             i -> (csv[i]-cb.cv[i])*(csv[i]-cb.cv[i]))), cb.k LIMIT 1) AS code
-          FROM sub2),
-        pd AS (SELECT q.vec_id AS q_id, cb.s, cb.k,
-            list_sum(list_transform(generate_series(1, 8), i -> q.sv[i]*cb.cv[i])) AS pdot
-          FROM sub q JOIN cb ON q.s = cb.s WHERE q.vec_id < 8),
-        norms AS (SELECT vec_id, ${sqlQdot("qe", "qe")} AS n2 FROM e),
-        adots AS (SELECT pd.q_id, c.vec_id AS c_id, SUM(pd.pdot) AS adot
-          FROM codes c JOIN pd ON pd.s = c.cs AND pd.k = c.code GROUP BY 1, 2),
-        scored AS (SELECT q_id, c_id,
-            CAST(adot AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE))) AS approx_cos
-          FROM adots JOIN norms qn ON qn.vec_id = adots.q_id
-            JOIN norms cn ON cn.vec_id = adots.c_id
-          WHERE c_id <> q_id),
+      Some(s"""$PqScoredCte,
         top AS (SELECT * FROM (SELECT *, row_number() OVER
             (PARTITION BY q_id ORDER BY approx_cos DESC, c_id) AS rank FROM scored)
           WHERE rank <= 5),
@@ -523,6 +541,66 @@ object SimilarityQueries {
           WHERE rank <= 5)
         SELECT top.q_id, CAST(top.rank AS INTEGER) AS rank, top.c_id, top.approx_cos,
           coalesce(ex.hit, false) AS in_exact_top5
+        FROM top LEFT JOIN ex ON top.q_id = ex.q_id AND top.c_id = ex.c_id""".stripMargin)),
+
+    // X3h: shortlist-then-rerank ANN — the standard production retrieval
+    // shape (FAISS IVF-ADC + rerank; ColBERT-style two-stage): the PQ/ADC
+    // scorer (x3f's frame) proposes a 20-deep shortlist per query from
+    // codes alone, then ONLY those candidates fetch their raw vectors for
+    // an exact quantized-cosine rerank to top-5. 100 TB posture: the
+    // corpus is scanned via 4-byte codes; raw vectors are touched for
+    // 20 rows per query — the shortlist (plus the 8 query vectors)
+    // broadcasts and the corpus-side join is a semi-join-shaped probe,
+    // never a shuffle of the vector column. The rerank provably restores
+    // exact ORDERING within the shortlist (cos is the same expression the
+    // brute-force oracle uses), so recall loss can come only from the
+    // shortlist stage — `in_exact_top5` annotates exactly that, per row.
+    Q("x3h_pq_rerank",
+      (s, d) => {
+        val wAdc = Window.partitionBy(col("q_id")).orderBy(col("approx_cos").desc, col("c_id"))
+        val short = pqApproxScored(s, d)
+          .withColumn("adc_rank", row_number().over(wAdc))
+          .filter(col("adc_rank") <= 20)
+          .select(col("q_id"), col("c_id"), col("adc_rank"))
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), quant(col("embedding")).as("qe"))
+        // attach query vectors (8 rows, broadcast), then probe the corpus
+        // with the broadcast shortlist — raw vectors stream past ONCE and
+        // only shortlisted candidates survive the join
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("qe").as("q_emb"))
+        val shortQ = short.join(broadcast(q), "q_id")
+        val rr = e.select(col("vec_id").as("c_id"), col("qe").as("c_emb"))
+          .join(broadcast(shortQ), "c_id")
+          .select(col("q_id"), col("c_id"), col("adc_rank"),
+            qcos(col("q_emb"), col("c_emb")).as("cos"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+        val top = rr.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        val exact = bruteKnn(s, d, nQueries = 8, k = 5)
+          .select(col("q_id"), col("c_id"), lit(true).as("hit"))
+        top.join(exact, Seq("q_id", "c_id"), "left")
+          .select(col("q_id"), col("rank"), col("c_id"), col("cos"),
+            col("adc_rank"), coalesce(col("hit"), lit(false)).as("in_exact_top5"))
+      },
+      Some(s"""$PqScoredCte,
+        short AS (SELECT q_id, c_id, CAST(adc_rank AS INTEGER) AS adc_rank FROM
+          (SELECT q_id, c_id, row_number() OVER
+             (PARTITION BY q_id ORDER BY approx_cos DESC, c_id) AS adc_rank FROM scored)
+          WHERE adc_rank <= 20),
+        rr AS (SELECT s.q_id, s.c_id, s.adc_rank, ${sqlQcos("eq.qe", "ec.qe")} AS cos
+          FROM short s JOIN e eq ON eq.vec_id = s.q_id
+            JOIN e ec ON ec.vec_id = s.c_id),
+        top AS (SELECT * FROM (SELECT *, row_number() OVER
+            (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM rr)
+          WHERE rank <= 5),
+        ex AS (SELECT q_id, c_id, true AS hit FROM
+          (SELECT q_id, c_id, row_number() OVER
+             (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+           FROM (SELECT q.vec_id AS q_id, c.vec_id AS c_id, ${sqlQcos("q.qe", "c.qe")} AS cos
+                 FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id <> q.vec_id))
+          WHERE rank <= 5)
+        SELECT top.q_id, CAST(top.rank AS INTEGER) AS rank, top.c_id, top.cos,
+          top.adc_rank, coalesce(ex.hit, false) AS in_exact_top5
         FROM top LEFT JOIN ex ON top.q_id = ex.q_id AND top.c_id = ex.c_id""".stripMargin)),
 
     // X3g: SQ8 scalar-quantization ANN — the third compression flavor
