@@ -367,6 +367,28 @@ object PipelineQueries {
           THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS quality_rate
         FROM documents GROUP BY CUBE (source, lang)""".stripMargin)),
 
+    // X6k (r10): deterministic global corpus shuffle — the training-data
+    // ordering op every run needs (examples must arrive in a fixed
+    // pseudo-random order, reproducible across re-runs, restarts, and
+    // cluster sizes). Order = md5(seed ‖ doc_id): seeded, uniform, and a
+    // new seed reshuffles the whole corpus with zero state. The GLOBAL
+    // rank is the x6g two-phase device pointed at ordering instead of
+    // byte budgets: range-partition by shuffle key (preserves global key
+    // order), per-partition row_number (parallel windows), plus a P-row
+    // broadcast count-offset table — never a single-task global window.
+    // Ranks are provably partition-count-invariant (keys are unique, so
+    // range boundaries cannot split a tie — PipelineShuffleSpec
+    // machine-checks 8 vs 3 partitions); epoch_shard = (rank-1) DIV 64
+    // gives the contiguous reader-shard assignment a data loader consumes.
+    Q("x6k_corpus_shuffle",
+      (s, d) => corpusShufflePlan(s, d, nPart = 8),
+      Some("""SELECT doc_id, shuffle_key,
+          CAST(row_number() OVER (ORDER BY shuffle_key) AS BIGINT) AS shuffle_rank,
+          CAST((row_number() OVER (ORDER BY shuffle_key) - 1) // 64 AS BIGINT) AS epoch_shard
+        FROM (SELECT doc_id,
+                md5('graft-shuffle-42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+              FROM documents)""".stripMargin)),
+
     // X10 (r10, VERDICT r09 #8): the END-TO-END training-data pipeline as
     // ONE composed lineage — exact dedup → verbatim-8-gram decontamination
     // → quality filter → token-budget packing → byte-budget sharding —
@@ -395,6 +417,31 @@ object PipelineQueries {
       },
       Some(x10OracleSql))
   )
+
+  /** The x6k shuffle-rank plan, parameterized on the range-partition count
+    * so PipelineShuffleSpec can machine-check that ranks are
+    * partition-count-invariant (the registered query uses nPart = 8).
+    */
+  private[graft] def corpusShufflePlan(s: org.apache.spark.sql.SparkSession,
+      d: String, nPart: Int): org.apache.spark.sql.DataFrame = {
+    val seed = "graft-shuffle-42:"
+    val keyed = Tables.documents(s, d).select(col("doc_id"),
+      md5(concat(lit(seed), col("doc_id").cast(StringType))).as("shuffle_key"))
+    val parts = keyed.repartitionByRange(nPart, col("shuffle_key"))
+      .withColumn("pid", spark_partition_id())
+    val local = parts.withColumn("local_rn",
+      row_number().over(
+        Window.partitionBy(col("pid")).orderBy(col("shuffle_key"))))
+    val offsets = local.groupBy(col("pid")).agg(count(lit(1)).as("n"))
+      .withColumn("offset",
+        coalesce(sum(col("n")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("offset"))
+    local.join(broadcast(offsets), Seq("pid"))
+      .select(col("doc_id"), col("shuffle_key"),
+        (col("offset") + col("local_rn")).cast(LongType).as("shuffle_rank"))
+      .withColumn("epoch_shard", expr("(shuffle_rank - 1) DIV 64"))
+  }
 
   /** The x10 LAZY plan plus its persisted caches, package-private so
     * PlanSpec can audit the real join shapes (the registered query returns

@@ -271,13 +271,20 @@ object SimilarityQueries {
     * broadcast per-query partial-dot tables without touching raw corpus
     * vectors. See the x3f registration scaladoc for the full design.
     */
-  private def pqApproxScored(s: SparkSession, d: String): DataFrame = {
+  /** The shared PQ index pieces: `codes(vec_id, label, s, code)` (labels
+    * ride along so the IVF composition x3i can prune partitions BEFORE
+    * scoring — functionally dependent on vec_id, so grouping on it changes
+    * nothing), `pd(q_id, s, k, pdot)` per-query ADC tables, and
+    * `norms(vec_id, n2)`.
+    */
+  private def pqFrames(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     val M = 8; val subDim = 8; val K = 16
-    val e = Tables.embeddings(s, d).select(col("vec_id"), quant(col("embedding")).as("qe"))
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      quant(col("embedding")).as("qe"), col("label"))
     // (vec_id, s, sv): the s-th 8-dim subvector of each vector
-    val sub = e.select(col("vec_id"), explode(sequence(lit(0), lit(M - 1))).as("s"),
-        col("qe"))
-      .select(col("vec_id"), col("s"),
+    val sub = e.select(col("vec_id"), col("label"),
+        explode(sequence(lit(0), lit(M - 1))).as("s"), col("qe"))
+      .select(col("vec_id"), col("label"), col("s"),
         slice(col("qe"), col("s") * subDim + 1, lit(subDim)).as("sv"))
     // codebook: subvectors of the first K vectors (deterministic init)
     val cb = sub.filter(col("vec_id") < K)
@@ -287,9 +294,9 @@ object SimilarityQueries {
     // code assignment: argmin codeword per (vector, subspace) —
     // broadcast-argmin, map-side except the (vec_id, s) regroup
     val codes = sub.join(broadcast(cb), "s")
-      .select(col("vec_id"), col("s"), struct(dist2(col("sv"), col("cv")).as("d2"),
-        col("k")).as("dk"))
-      .groupBy("vec_id", "s").agg(min(col("dk")).getField("k").as("code"))
+      .select(col("vec_id"), col("label"), col("s"),
+        struct(dist2(col("sv"), col("cv")).as("d2"), col("k")).as("dk"))
+      .groupBy("vec_id", "label", "s").agg(min(col("dk")).getField("k").as("code"))
     // per-query ADC lookup tables: partial dot of each query subvector
     // with each codeword (M×K rows per query — broadcastable)
     val pd = sub.filter(col("vec_id") < 8)
@@ -299,10 +306,11 @@ object SimilarityQueries {
     // exact norms ride with the index (standard PQ practice: norms are
     // stored per vector; only the direction is quantized)
     val norms = e.select(col("vec_id"), qdot(col("qe"), col("qe")).as("n2"))
-    val adots = codes.join(broadcast(pd),
-        codes("s") === pd("s") && codes("code") === pd("k"))
-      .groupBy(col("q_id"), col("vec_id").as("c_id"))
-      .agg(sum(col("pdot")).as("adot"))
+    (codes, pd, norms)
+  }
+
+  /** approx_cos from (adot, qn2, cn2) — the shared ADC tail. */
+  private def adcCos(adots: DataFrame, norms: DataFrame): DataFrame =
     adots.filter(col("c_id") =!= col("q_id"))
       .join(norms.select(col("vec_id").as("q_id"), col("n2").as("qn2")), "q_id")
       .join(norms.select(col("vec_id").as("c_id"), col("n2").as("cn2")), "c_id")
@@ -310,14 +318,24 @@ object SimilarityQueries {
         (col("adot").cast(DoubleType) /
           (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("cn2").cast(DoubleType))))
           .as("approx_cos"))
+
+  private def pqApproxScored(s: SparkSession, d: String): DataFrame = {
+    val (codes, pd, norms) = pqFrames(s, d)
+    val adots = codes.join(broadcast(pd),
+        codes("s") === pd("s") && codes("code") === pd("k"))
+      .groupBy(col("q_id"), col("vec_id").as("c_id"))
+      .agg(sum(col("pdot")).as("adot"))
+    adcCos(adots, norms)
   }
 
   /** DuckDB replay of [[pqApproxScored]] — the shared CTE prefix of the
-    * x3f and x3h oracles, ending at `scored(q_id, c_id, approx_cos)`
-    * (the corpus CTE `e` stays visible to the suffix).
+    * x3f/x3h/x3i oracles, ending at `scored(q_id, c_id, approx_cos)`
+    * (the corpus CTE `e` stays visible to the suffix). Parametric in the
+    * `e` CTE body so x3i can carry `label` through without duplicating
+    * the PQ chain (the extra column is invisible to the chain itself).
     */
-  private val PqScoredCte: String =
-    s"""WITH e AS (SELECT vec_id, ${sqlQuant("embedding")} AS qe FROM embeddings),
+  private def pqScoredCteFrom(eCteBody: String): String =
+    s"""WITH e AS ($eCteBody),
       sub AS (SELECT vec_id, s, list_slice(qe, s*8+1, s*8+8) AS sv
         FROM e, unnest(generate_series(0, 7)) AS t(s)),
       cb AS (SELECT s, CAST(vec_id AS INTEGER) AS k, sv AS cv FROM sub WHERE vec_id < 16),
@@ -340,6 +358,9 @@ object SimilarityQueries {
         FROM adots JOIN norms qn ON qn.vec_id = adots.q_id
           JOIN norms cn ON cn.vec_id = adots.c_id
         WHERE c_id <> q_id)"""
+
+  private val PqScoredCte: String =
+    pqScoredCteFrom(s"SELECT vec_id, ${sqlQuant("embedding")} AS qe FROM embeddings")
 
   def defs: Seq[Q] = Seq(
     // X3: exact brute-force top-10 for 8 query vectors; DuckDB recomputes
@@ -587,6 +608,100 @@ object SimilarityQueries {
           (SELECT q_id, c_id, row_number() OVER
              (PARTITION BY q_id ORDER BY approx_cos DESC, c_id) AS adc_rank FROM scored)
           WHERE adc_rank <= 20),
+        rr AS (SELECT s.q_id, s.c_id, s.adc_rank, ${sqlQcos("eq.qe", "ec.qe")} AS cos
+          FROM short s JOIN e eq ON eq.vec_id = s.q_id
+            JOIN e ec ON ec.vec_id = s.c_id),
+        top AS (SELECT * FROM (SELECT *, row_number() OVER
+            (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM rr)
+          WHERE rank <= 5),
+        ex AS (SELECT q_id, c_id, true AS hit FROM
+          (SELECT q_id, c_id, row_number() OVER
+             (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+           FROM (SELECT q.vec_id AS q_id, c.vec_id AS c_id, ${sqlQcos("q.qe", "c.qe")} AS cos
+                 FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id <> q.vec_id))
+          WHERE rank <= 5)
+        SELECT top.q_id, CAST(top.rank AS INTEGER) AS rank, top.c_id, top.cos,
+          top.adc_rank, coalesce(ex.hit, false) AS in_exact_top5
+        FROM top LEFT JOIN ex ON top.q_id = ex.q_id AND top.c_id = ex.c_id""".stripMargin)),
+
+    // X3i: IVF-PQ + exact refine — the COMPOSED production index (the
+    // FAISS `IVFx,PQy` + refine shape) assembled from the three pieces
+    // already proven separately: x3c's coarse quantizer prunes the scan to
+    // nprobe=3 of 10 partitions, x3f's PQ codes score ONLY the admitted
+    // partitions via broadcast ADC tables, and x3h's rerank fetches raw
+    // vectors for the 10-deep shortlist alone. 100 TB posture: the corpus
+    // is touched as (label, 8-nibble code) rows; the per-query fan-out is
+    // bounded by nprobe/centroids of the corpus (here ~3/10) BEFORE any
+    // scoring work, the only corpus-wide exchange is the (q_id, c_id)
+    // partial-sum regroup, and raw vectors move for 10 rows per query.
+    // `in_exact_top5` annotates recall against the GLOBAL exact top-5, so
+    // the pruning loss (query's true neighbors living in unprobed
+    // partitions) and the PQ shortlist loss are measured together — the
+    // number a capacity-planning user actually needs.
+    Q("x3i_ivf_pq",
+      (s, d) => {
+        val e = Tables.embeddings(s, d).select(col("vec_id"),
+          quant(col("embedding")).as("qe"), col("label"))
+        // coarse quantizer: per-label centroids (x3c's aggregator shape)
+        val sc = graft.functions.Aggregators.elementwise_sum_count(64)
+        val cent = e.groupBy(col("label"))
+          .agg(sc(col("qe")).as("sc"))
+          .select(col("label").as("cl"),
+            transform(slice(col("sc"), 1, 64),
+              x => round(x.cast(DoubleType) /
+                element_at(col("sc"), 65).cast(DoubleType)).cast(LongType)).as("c_emb"))
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("qe").as("q_emb"))
+        val wq = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cl"))
+        val probes = q.crossJoin(broadcast(cent))
+          .select(col("q_id"), col("cl"), qcos(col("q_emb"), col("c_emb")).as("ccos"))
+          .withColumn("pr", row_number().over(wq)).filter(col("pr") <= 3)
+          .select(col("q_id"), col("cl"))
+        val (codes, pd, norms) = pqFrames(s, d)
+        // IVF pruning BEFORE scoring: a code row fans out only to queries
+        // that probed its partition (broadcast tiny probe list)
+        val adm = codes.join(broadcast(probes), col("label") === col("cl"))
+        val adots = adm.join(broadcast(pd),
+            adm("q_id") === pd("q_id") && adm("s") === pd("s") &&
+              adm("code") === pd("k"))
+          .groupBy(adm("q_id"), col("vec_id").as("c_id"))
+          .agg(sum(col("pdot")).as("adot"))
+        val scored = adcCos(adots, norms)
+        val wAdc = Window.partitionBy(col("q_id")).orderBy(col("approx_cos").desc, col("c_id"))
+        val short = scored.withColumn("adc_rank", row_number().over(wAdc))
+          .filter(col("adc_rank") <= 10)
+          .select(col("q_id"), col("c_id"), col("adc_rank"))
+        val shortQ = short.join(broadcast(q), "q_id")
+        val rr = e.select(col("vec_id").as("c_id"), col("qe").as("c_emb"))
+          .join(broadcast(shortQ), "c_id")
+          .select(col("q_id"), col("c_id"), col("adc_rank"),
+            qcos(col("q_emb"), col("c_emb")).as("cos"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+        val top = rr.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        val exact = bruteKnn(s, d, nQueries = 8, k = 5)
+          .select(col("q_id"), col("c_id"), lit(true).as("hit"))
+        top.join(exact, Seq("q_id", "c_id"), "left")
+          .select(col("q_id"), col("rank"), col("c_id"), col("cos"),
+            col("adc_rank"), coalesce(col("hit"), lit(false)).as("in_exact_top5"))
+      },
+      Some(s"""${pqScoredCteFrom(
+          s"SELECT vec_id, label, ${sqlQuant("embedding")} AS qe FROM embeddings")},
+        cent AS (SELECT label AS cl, list(m ORDER BY pos) AS c_emb FROM (
+            SELECT label, pos, CAST(round(avg(qe[pos])) AS BIGINT) AS m
+            FROM e, generate_series(1, 64) AS g(pos) GROUP BY label, pos)
+          GROUP BY label),
+        probes AS (SELECT q_id, cl FROM (
+            SELECT q.vec_id AS q_id, cent.cl,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY ${sqlQcos("q.qe", "cent.c_emb")} DESC, cent.cl) AS pr
+            FROM e q, cent WHERE q.vec_id < 8) WHERE pr <= 3),
+        ivf AS (SELECT s.q_id, s.c_id, s.approx_cos FROM scored s
+          JOIN e c ON c.vec_id = s.c_id
+          JOIN probes p ON p.q_id = s.q_id AND p.cl = c.label),
+        short AS (SELECT q_id, c_id, CAST(adc_rank AS INTEGER) AS adc_rank FROM (
+            SELECT q_id, c_id, row_number() OVER
+              (PARTITION BY q_id ORDER BY approx_cos DESC, c_id) AS adc_rank FROM ivf)
+          WHERE adc_rank <= 10),
         rr AS (SELECT s.q_id, s.c_id, s.adc_rank, ${sqlQcos("eq.qe", "ec.qe")} AS cos
           FROM short s JOIN e eq ON eq.vec_id = s.q_id
             JOIN e ec ON ec.vec_id = s.c_id),

@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** x6k deterministic corpus shuffle + x3i IVF-PQ composition properties
+  * that the DuckDB oracle cannot express directly: partition-count
+  * invariance of the distributed rank, and the IVF pruning contract.
+  */
+class PipelineShuffleSpec extends SparkSpec {
+
+  test("x6k ranks are partition-count-invariant (3 vs 8 range partitions)") {
+    // the rank VALUE must not depend on where range boundaries land —
+    // x6g's argument applied to ordering: offsets correct for boundaries,
+    // and unique keys mean no tie can straddle a boundary
+    val r3 = PipelineQueries.corpusShufflePlan(spark, sf, nPart = 3)
+      .select("doc_id", "shuffle_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r8 = PipelineQueries.corpusShufflePlan(spark, sf, nPart = 8)
+      .select("doc_id", "shuffle_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(r3 == r8)
+    assert(r3.nonEmpty)
+  }
+
+  test("x6k is a permutation consistent with the seeded key order") {
+    val rows = PipelineQueries.corpusShufflePlan(spark, sf, nPart = 5)
+      .select("shuffle_key", "shuffle_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // ranks are exactly 1..n, each once
+    assert(rows.map(_._2).sorted.toSeq == (1L to rows.length.toLong))
+    // and ordering by rank IS ordering by key (monotone bijection)
+    assert(rows.sortBy(_._2).map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+  }
+
+  test("x3i returns 5 reranked rows per query with cos descending") {
+    val out = graft.Registry.queries("x3i_ivf_pq")(spark, sf)
+      .select("q_id", "rank", "c_id", "cos", "adc_rank").collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size == 8)
+    byQ.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to 5))
+      // exact-rerank ordering: cos non-increasing in rank, ties impossible
+      // to order wrongly because c_id breaks them in the window
+      assert(sorted.map(_.getDouble(3)).toSeq.sliding(2).forall {
+        case Seq(a, b) => a >= b; case _ => true
+      })
+      // shortlist bound: every reranked row came from the 10-deep ADC list
+      assert(rs.forall(r => r.getInt(4) >= 1 && r.getInt(4) <= 10))
+    }
+  }
+
+  test("x3i only returns candidates whose partition the query probed") {
+    import graft.functions.Kernels
+    val e = graft.Tables.embeddings(spark, sf).select(col("vec_id"),
+      Kernels.float_vec_quant(col("embedding")).as("qe"), col("label"))
+    // recompute the coarse probes with the same integer-exact arithmetic
+    val sc = graft.functions.Aggregators.elementwise_sum_count(64)
+    val cent = e.groupBy(col("label")).agg(sc(col("qe")).as("sc"))
+      .select(col("label").as("cl"),
+        transform(slice(col("sc"), 1, 64),
+          x => round(x.cast("double") /
+            element_at(col("sc"), 65).cast("double")).cast("long")).as("c_emb"))
+    def qdot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      Kernels.long_vec_dot(a, b)
+    val probed = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("qe").as("q_emb"))
+      .crossJoin(broadcast(cent))
+      .select(col("q_id"), col("cl"),
+        (qdot(col("q_emb"), col("c_emb")).cast("double") /
+          (sqrt(qdot(col("q_emb"), col("q_emb")).cast("double")) *
+            sqrt(qdot(col("c_emb"), col("c_emb")).cast("double")))).as("ccos"))
+      .withColumn("pr", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("ccos").desc, col("cl"))))
+      .filter(col("pr") <= 3)
+      .select("q_id", "cl").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)).toSet
+    val labels = e.select("vec_id", "label").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)).toMap
+    val out = graft.Registry.queries("x3i_ivf_pq")(spark, sf)
+      .select("q_id", "c_id").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (q, c) = (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)
+      assert(probed.contains((q, labels(c))),
+        s"candidate $c (label ${labels(c)}) not in query $q's probed partitions")
+    }
+  }
+}
