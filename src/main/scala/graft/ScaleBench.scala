@@ -52,6 +52,12 @@ object ScaleBench {
       "x2_dedup_minhash", "x2b_dedup_simhash", "x2e_dedup_embed", "x2f_cc_star",
       "x6g_shard_pack", "x7d_decontam_bloom",
       "x3c_knn_ivf", "x3f_pq_adc", "x3g_sq8",
+      // r10 batch 2: the incremental-dedup increment (30× replicated docs
+      // = 30-copy exact-dup groups on BOTH the batch and index sides —
+      // the digest join must keep identical texts away from the band
+      // join) and the composed IVF-PQ index (pruning must hold the
+      // admitted-candidate count at nprobe/centroids of the corpus)
+      "x2h_incremental_dedup", "x3i_ivf_pq",
       // r10: the composed pipeline — its exact-dedup head collapses the
       // 30 replicated copies to one representative per distinct text, so
       // every later stage runs on a base-sized survivor set; the ratio
@@ -262,9 +268,58 @@ object ScaleBench {
     System.err.println(
       f"[scale] planted recall: x2e $recall2e%.2f  x7e $recall7e%.2f  floor $recallFloor")
 
+    // x2h REAL-increment measurement (r10): the registered query (and the
+    // tier row above) recomputes the index-side signatures every run; a
+    // production increment loads yesterday's index as an on-disk asset and
+    // pays signature work only for the batch. Materialize the 30× index
+    // artifacts once, then time increments that merely LOAD them — and
+    // assert the precomputed path emits the IDENTICAL verdict row set, so
+    // the speedup is measured on a proven-equivalent plan.
+    val (incrSec, incrFullSec, incrEqual) = {
+      val dir = fixture(tiers.head._1)
+      val art = "/root/repo/target/sfgen/x2h_idx30p"
+      if (!Files.exists(Paths.get(s"$art/digs.parquet"))) {
+        System.err.println(s"[scale] materializing x2h index artifacts at $art")
+        val (indexDigs, iBuckets, shIdx, idxCaches) =
+          ext.DedupQueries.x2hIndexArtifacts(spark, dir)
+        indexDigs.write.mode("overwrite").parquet(s"$art/digs.parquet")
+        iBuckets.write.mode("overwrite").parquet(s"$art/buckets.parquet")
+        shIdx.write.mode("overwrite").parquet(s"$art/shingles.parquet")
+        idxCaches.foreach(_.unpersist())
+      }
+      def increment(): (Double, DataFrame) = {
+        val (out, caches) = ext.DedupQueries.incrementVerdictPlan(
+          ext.DedupQueries.x2hBatch(spark, dir),
+          spark.read.parquet(s"$art/digs.parquet"),
+          spark.read.parquet(s"$art/buckets.parquet"),
+          spark.read.parquet(s"$art/shingles.parquet"))
+        val t0 = System.nanoTime()
+        val ckpt =
+          try out.localCheckpoint()
+          finally caches.foreach(_.unpersist())
+        ((System.nanoTime() - t0) / 1e9, ckpt)
+      }
+      val (tA, outA) = increment()
+      val (tB, _) = increment()
+      val incr = math.min(tA, tB)
+      val full = rows.collectFirst {
+        case ("x2h_incremental_dedup", _, _, s, _, _, _) => s
+      }.getOrElse(-1.0)
+      val equal = {
+        val got = outA.collect().map(_.toString).sorted.toSeq
+        val want = SparkEntry.queries("x2h_incremental_dedup")(spark, dir)
+          .collect().map(_.toString).sorted.toSeq
+        got == want
+      }
+      System.err.println(
+        f"[scale] x2h increment: full $full%.2f s  precomputed-index $incr%.2f s" +
+          f"  speedup ${full / incr}%.1fx  equal=$equal")
+      (incr, full, equal)
+    }
+
     val ok = rows.forall { case (_, scale, b, s, r, _, _) =>
       b > 0 && s > 0 && r <= maxRatio(scale)
-    } && recallOk
+    } && recallOk && incrEqual
     val json = {
       val qs = rows.map { case (n, scale, b, s, r, sm, sd) =>
         f""""$n":{"scale":$scale,"base_sec":$b%.3f,"scaled_sec":$s%.3f,""" +
@@ -279,6 +334,9 @@ object ScaleBench {
         f""""recall":{"x2e":$recall2e%.3f,"x7e":$recall7e%.3f,""" +
         f""""n_planted":${plantedPairs.size},"min_cos":0.995,""" +
         f""""floor":$recallFloor%.2f,"ok":$recallOk},""" +
+        f""""x2h_increment":{"full_recompute_sec":$incrFullSec%.3f,""" +
+        f""""precomputed_index_sec":$incrSec%.3f,""" +
+        f""""speedup":${incrFullSec / incrSec}%.2f,"equal":$incrEqual},""" +
         s""""x6g_partition_invariant":$invariant,"queries":$qs}"""
     }
     Files.write(Paths.get("/root/repo/BENCH_SCALE.json"),

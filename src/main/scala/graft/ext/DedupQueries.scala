@@ -295,6 +295,126 @@ object DedupQueries {
     (star.unionByName(cross), c.caches)
   }
 
+  /** The x2h corpus split: docs with their 128-bit digest and the x6/x7
+    * split-hash index membership.
+    */
+  private def x2hDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("text"),
+        (PipelineQueries.splitBucket < 80).as("in_index"),
+        md5(col("text")).as("dig"))
+
+  /** The x2h batch side: (doc_id, text, dig) for the non-index docs. */
+  private[graft] def x2hBatch(s: SparkSession, d: String): DataFrame =
+    x2hDocs(s, d).filter(!col("in_index"))
+      .select(col("doc_id"), col("text"), col("dig"))
+
+  /** The x2h index artifacts — `(indexDigs(dig), iBuckets(band, key,
+    * idig), shIdx(b, shb), caches)` — derived from the corpus dir. The
+    * registered query computes these inline; ScaleBench materializes them
+    * to parquet ONCE and then times increments that only load them (the
+    * production shape: the index is an on-disk asset).
+    */
+  private[graft] def x2hIndexArtifacts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, Seq[DataFrame]) = {
+    val docs = x2hDocs(s, d)
+    val indexDigs = docs.filter(col("in_index")).select("dig").distinct()
+    val iGroups = docs.filter(col("in_index")).groupBy("dig")
+      .agg(min(struct(col("doc_id"), col("text"))).as("r"))
+      .select(col("dig"), col("r.text").as("text"))
+    val shI = iGroups
+      .select(col("dig").as("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), shingleSet(col("w")).as("sh")).persist()
+    val iBuckets = lshBuckets(sigsOf(shI)).withColumnRenamed("doc_id", "idig")
+    val shIdx = shI.select(col("doc_id").as("b"), col("sh").as("shb"))
+    (indexDigs, iBuckets, shIdx, Seq(shI))
+  }
+
+  /** The x2h INCREMENT stage, parameterized on the index artifacts —
+    * `batch(doc_id, text, dig)`, `indexDigs(dig)`, `iBuckets(band, key,
+    * idig)`, `shIdx(b, shb)` (index shingle sets keyed by text digest) —
+    * so the registered query (which derives the artifacts from the same
+    * table) and ScaleBench's real-increment measurement (which loads them
+    * PRECOMPUTED from parquet, the production deployment: yesterday's
+    * index is an asset on disk, only the batch pays signature work per
+    * increment) run the IDENTICAL verdict plan. Returns the lazy verdict
+    * frame plus the caches the caller must release.
+    *
+    * Verdict semantics (see the x2h registration scaladoc): exact dups on
+    * the 128-bit digest join; near (j ≥ 0.8) via MinHash+LSH over distinct
+    * texts, batch buckets probing index buckets at the ≥ 2-band cutoff;
+    * dup_index ≻ dup_batch ≻ new with first-arrival-wins in the batch.
+    */
+  private[graft] def incrementVerdictPlan(batch: DataFrame, indexDigs: DataFrame,
+      iBuckets: DataFrame, shIdx: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    // one row per distinct batch text: group min doc_id (the
+    // first-arrival representative) + the text for shingling
+    val bGroups = batch.groupBy("dig")
+      .agg(min(col("doc_id")).as("gmin"),
+        min(struct(col("doc_id"), col("text"))).as("r"))
+      .select(col("dig"), col("gmin"), col("r.text").as("text"))
+    // near-dup stage: LSH over distinct texts (dig as the key; the
+    // sig/bucket helpers key on a "doc_id" column, so alias)
+    val shB = bGroups
+      .select(col("dig").as("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), shingleSet(col("w")).as("sh")).persist()
+    val bB = lshBuckets(sigsOf(shB))
+    // batch×index candidates colliding in ≥ 2 bands (x2's cutoff),
+    // verified by exact Jaccard — never an all-pairs product
+    val crossCand = bB.as("x").join(iBuckets.as("y"), Seq("band", "key"))
+      .groupBy(col("x.doc_id").as("a"), col("idig").as("b"))
+      .agg(count(lit(1)).as("n_bands")).filter(col("n_bands") >= 2)
+      .select("a", "b")
+    val crossVer = crossCand
+      .join(shB.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(shIdx, "b")
+      .filter(jaccard(col("sha"), col("shb")) >= 0.8)
+      .select(col("a").as("dig")).distinct()
+    // batch×batch candidates (a < b on the digest — just pair dedup;
+    // arrival order is resolved per-MEMBER below via group minima)
+    val batchCand = bB.as("x").join(bB.as("y"), Seq("band", "key"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_bands")).filter(col("n_bands") >= 2)
+      .select("a", "b")
+    val batchVer = batchCand
+      .join(shB.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(shB.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .filter(jaccard(col("sha"), col("shb")) >= 0.8)
+      .select("a", "b")
+    // per batch GROUP: the smallest first-arrival id among near-dup
+    // PARTNER groups — "exists earlier near-dup member" becomes one
+    // min comparison per doc (groups are near-dup-symmetric: every
+    // member shingles identically to its representative)
+    val gm = bGroups.select(col("dig"), col("gmin"))
+    val partnerMin = batchVer
+      .join(gm.select(col("dig").as("b"), col("gmin").as("pm")), "b")
+      .select(col("a").as("dig"), col("pm"))
+      .unionByName(batchVer
+        .join(gm.select(col("dig").as("a"), col("gmin").as("pm")), "a")
+        .select(col("b").as("dig"), col("pm")))
+      .groupBy("dig").agg(min(col("pm")).as("min_partner"))
+    // verdict assembly: left joins of per-GROUP flags onto the
+    // batch members (flag frames are near-dup-group-sized — tiny
+    // relative to the corpus — and every join is an equi-join)
+    val out = batch.select(col("doc_id"), col("dig"))
+      .join(indexDigs.withColumn("exact_idx", lit(true)), Seq("dig"), "left")
+      .join(crossVer.withColumn("near_idx", lit(true)), Seq("dig"), "left")
+      .join(gm, "dig")
+      .join(partnerMin, Seq("dig"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_idx"), col("near_idx"), lit(false)).as("dup_of_index"),
+        (col("doc_id") > col("gmin") ||
+          coalesce(col("min_partner") < col("doc_id"), lit(false)))
+          .as("dup_in_batch"))
+      .withColumn("verdict",
+        when(col("dup_of_index"), "dup_index")
+          .when(col("dup_in_batch"), "dup_batch")
+          .otherwise("new"))
+    (out, Seq(shB))
+  }
+
   /** SimHash pigeonhole LSH pairs at Hamming ≤ 3 over a (doc_id, sim)
     * frame: any two signatures within Hamming 3 agree EXACTLY on ≥ 1 of
     * the 4 16-bit chunks (4 chunks, ≤ 3 differing bits — pigeonhole), so
@@ -771,89 +891,14 @@ object DedupQueries {
     // has P ≈ 1e-15; background j ≤ 0.3 keeps candidates sparse).
     Q("x2h_incremental_dedup",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
-          .select(col("doc_id"), col("text"),
-            (PipelineQueries.splitBucket < 80).as("in_index"),
-            md5(col("text")).as("dig"))
-        // --- stage 1: exact, on the digest ---
-        val indexDigs = docs.filter(col("in_index")).select("dig").distinct()
-        val batch = docs.filter(!col("in_index"))
-        // one row per distinct batch text: group min doc_id (the
-        // first-arrival representative) + the text for shingling
-        val bGroups = batch.groupBy("dig")
-          .agg(min(col("doc_id")).as("gmin"),
-            min(struct(col("doc_id"), col("text"))).as("r"))
-          .select(col("dig"), col("gmin"), col("r.text").as("text"))
-        val iGroups = docs.filter(col("in_index")).groupBy("dig")
-          .agg(min(struct(col("doc_id"), col("text"))).as("r"))
-          .select(col("dig"), col("r.text").as("text"))
-        // --- stage 2: near, LSH over distinct texts (dig as the key; the
-        // sig/bucket helpers key on a "doc_id" column, so alias) ---
-        def shOf(g: DataFrame): DataFrame = g
-          .select(col("dig").as("doc_id"), split(col("text"), " ").as("w"))
-          .select(col("doc_id"), shingleSet(col("w")).as("sh"))
-        val shB = shOf(bGroups).persist()
-        val shI = shOf(iGroups).persist()
-        Caching.withPersistedAll(Seq(shB, shI)) {
-          val bB = lshBuckets(sigsOf(shB))
-          val iB = lshBuckets(sigsOf(shI))
-          // batch×index candidates colliding in ≥ 2 bands (x2's cutoff),
-          // verified by exact Jaccard — never an all-pairs product
-          val crossCand = bB.as("x")
-            .join(iB.withColumnRenamed("doc_id", "idig").as("y"), Seq("band", "key"))
-            .groupBy(col("x.doc_id").as("a"), col("idig").as("b"))
-            .agg(count(lit(1)).as("n_bands")).filter(col("n_bands") >= 2)
-            .select("a", "b")
-          val shIb = shI.select(col("doc_id").as("b"), col("sh").as("shb"))
-          val crossVer = crossCand
-            .join(shB.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
-            .join(shIb, "b")
-            .filter(jaccard(col("sha"), col("shb")) >= 0.8)
-            .select(col("a").as("dig")).distinct()
-          // batch×batch candidates (a < b on the digest — just pair dedup;
-          // arrival order is resolved per-MEMBER below via group minima)
-          val batchCand = bB.as("x").join(bB.as("y"), Seq("band", "key"))
-            .where(col("x.doc_id") < col("y.doc_id"))
-            .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-            .agg(count(lit(1)).as("n_bands")).filter(col("n_bands") >= 2)
-            .select("a", "b")
-          val batchVer = batchCand
-            .join(shB.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
-            .join(shB.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
-            .filter(jaccard(col("sha"), col("shb")) >= 0.8)
-            .select("a", "b")
-          // per batch GROUP: the smallest first-arrival id among near-dup
-          // PARTNER groups — "exists earlier near-dup member" becomes one
-          // min comparison per doc (groups are near-dup-symmetric: every
-          // member shingles identically to its representative)
-          val gm = bGroups.select(col("dig"), col("gmin"))
-          val partnerMin = batchVer
-            .join(gm.select(col("dig").as("b"), col("gmin").as("pm")), "b")
-            .select(col("a").as("dig"), col("pm"))
-            .unionByName(batchVer
-              .join(gm.select(col("dig").as("a"), col("gmin").as("pm")), "a")
-              .select(col("b").as("dig"), col("pm")))
-            .groupBy("dig").agg(min(col("pm")).as("min_partner"))
-          // --- verdict assembly: left joins of per-GROUP flags onto the
-          // batch members (flag frames are near-dup-group-sized — tiny
-          // relative to the corpus — and every join is an equi-join) ---
-          batch.select(col("doc_id"), col("dig"))
-            .join(indexDigs.withColumn("exact_idx", lit(true)), Seq("dig"), "left")
-            .join(crossVer.withColumn("near_idx", lit(true)), Seq("dig"), "left")
-            .join(gm, "dig")
-            .join(partnerMin, Seq("dig"), "left")
-            .select(col("doc_id"),
-              coalesce(col("exact_idx"), col("near_idx"), lit(false)).as("dup_of_index"),
-              (col("doc_id") > col("gmin") ||
-                coalesce(col("min_partner") < col("doc_id"), lit(false)))
-                .as("dup_in_batch"))
-            .withColumn("verdict",
-              when(col("dup_of_index"), "dup_index")
-                .when(col("dup_in_batch"), "dup_batch")
-                .otherwise("new"))
-            .localCheckpoint() // one row per batch doc; release the caches
-        }
+        // index artifacts derived inline here; ScaleBench times the same
+        // verdict plan against PRECOMPUTED artifacts (see
+        // [[x2hIndexArtifacts]] / [[incrementVerdictPlan]]) and asserts
+        // row-set equality between the two paths
+        val (indexDigs, iBuckets, shIdx, idxCaches) = x2hIndexArtifacts(s, d)
+        val (out, caches) =
+          incrementVerdictPlan(x2hBatch(s, d), indexDigs, iBuckets, shIdx)
+        Caching.withPersistedAll(caches ++ idxCaches)(out.localCheckpoint())
       },
       Some("""WITH t AS (SELECT doc_id, string_split(text,' ') w, text,
           (doc_id * 2654435761) % 100 AS bkt FROM documents),

@@ -357,6 +357,26 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Sort ["), plan)
   }
 
+  test("x3i prunes before scoring and broadcasts every small side") {
+    val plan = physical(Registry.queries("x3i_ivf_pq")(spark, sf))
+    // probes / ADC tables / shortlist all broadcast; the only corpus-wide
+    // exchange is the (q_id, c_id) partial-sum regroup — an all-pairs
+    // regression would surface as a cartesian or a corpus-side SMJ sort
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("x6k ranks via pid-partitioned windows, never a global doc window") {
+    val plan = physical(Registry.queries("x6k_corpus_shuffle")(spark, sf))
+    // the doc-frame row_number window is keyed by the range-partition id
+    // (parallel), and the ONLY single-partition exchange allowed is the
+    // P-row offsets cumsum; the offsets join back is a broadcast
+    assert(plan.contains("hashpartitioning(pid"), plan)
+    assert(plan.split("Exchange SinglePartition").length - 1 <= 1, plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("zorder layout audit is map + small agg — no global sort, stats broadcast (x9)") {
     val plan = physical(Registry.queries("x9_zorder")(spark, sf))
     // interleave runs as the codegen kernel over a broadcast 1-row bounds
