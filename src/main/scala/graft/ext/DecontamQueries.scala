@@ -470,6 +470,52 @@ object DecontamQueries {
         LEFT JOIN verb v ON t.doc_id = v.doc_id
         LEFT JOIN fz f ON t.doc_id = f.doc_id
         LEFT JOIN sem m ON t.doc_id = m.doc_id
-        GROUP BY 1, 2, 3""".stripMargin))
+        GROUP BY 1, 2, 3""".stripMargin)),
+
+    // X7g: gram-size sensitivity — the methodology knob behind x7: the
+    // gram length IS the precision/recall dial of verbatim decontamination
+    // (GPT-3 scrubbed at 13-grams, most modern pipelines at 8; short grams
+    // over-flag boilerplate). One corpus-level row per candidate length
+    // {5, 8, 13}: train docs checked, docs flagged, distinct eval grams —
+    // the numbers a pipeline owner reads before choosing the production
+    // length. Same plan per length as x7 (window_md5 kernel pass, tiny
+    // eval-gram broadcast, map-side probe + partial agg), three lengths
+    // unioned; integers only cross the oracle.
+    Q("x7g_gram_sensitivity",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("bucket", bucket)
+          .withColumn("w", split(col("text"), " "))
+        Seq(5, 8, 13).map { n =>
+          val g = docs.where(size(col("w")) >= n)
+            .select(col("doc_id"), col("bucket"),
+              explode(graft.functions.Kernels.window_md5(col("w"), n)).as("gram"))
+          val evalG = g.where(col("bucket") >= 90).select("gram").distinct()
+          val flags = g.where(col("bucket") < 80)
+            .join(broadcast(evalG.withColumn("hit", lit(1))), Seq("gram"), "left")
+            .groupBy("doc_id")
+            .agg(max(col("hit").isNotNull).as("contaminated"))
+          flags.agg(count(lit(1)).as("n_train_docs"),
+              sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"))
+            .crossJoin(evalG.agg(count(lit(1)).as("n_eval_grams")))
+            .select(lit(n).as("gram_len"), col("n_train_docs"),
+              col("n_contaminated"), col("n_eval_grams"))
+        }.reduce(_ unionByName _)
+      },
+      Some(Seq(5, 8, 13).map { n =>
+        s"""SELECT CAST($n AS INTEGER) AS gram_len,
+          (SELECT count(DISTINCT doc_id) FROM g$n WHERE bucket < 80) AS n_train_docs,
+          (SELECT count(DISTINCT doc_id) FROM g$n WHERE bucket < 80
+             AND gram IN (SELECT gram FROM g$n WHERE bucket >= 90)) AS n_contaminated,
+          (SELECT count(DISTINCT gram) FROM g$n WHERE bucket >= 90) AS n_eval_grams"""
+      }.mkString(
+        s"""WITH w AS (SELECT doc_id, (doc_id * 2654435761) % 100 AS bucket,
+            string_split(text, ' ') AS words FROM documents),
+          ${Seq(5, 8, 13).map(n =>
+            s"""g$n AS (SELECT doc_id, bucket,
+              array_to_string(words[i:i+${n - 1}], ' ') AS gram
+              FROM w, unnest(range(1, len(words) - ${n - 2})) AS t(i)
+              WHERE len(words) >= $n)""").mkString(",\n          ")}
+        """, "\n        UNION ALL ", "")))
   )
 }

