@@ -127,7 +127,11 @@ object Bench {
     // TAIL of stdout, so the final line must stay well under truncation
     // size (r01's ~4 KB full-map line arrived unparseable).
     val headlineNames = Seq("q20_agg_hash", "q29_win_rank", "x1_dedup_exact",
-      "x2_dedup_minhash", "x2d_dedup_components", "x3c_knn_ivf", "x3f_pq_adc")
+      "x2_dedup_minhash", "x2d_dedup_components", "x3c_knn_ivf", "x3f_pq_adc",
+      // r10 session 2: the two composed shapes — end-to-end pipeline and
+      // IVF-PQ + refine — join the median-of-3 set; compositions regress
+      // differently than their pieces (a broadcast flip in one stage)
+      "x3i_ivf_pq", "x10_pipeline_e2e")
     // The headline set reports the MEDIAN of three observations (the
     // min-of-2 sweep value plus two fresh runs) so one interfered run
     // can't masquerade as a regression in the driver-facing line.

@@ -389,6 +389,46 @@ object PipelineQueries {
                 md5('graft-shuffle-42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
               FROM documents)""".stripMargin)),
 
+    // X6l (r10): sequence-length bucketing — the padding-efficiency report
+    // behind batch-shape planning: docs grouped into power-of-two token-
+    // length buckets (the standard bucketed-batching scheme), per bucket
+    // the doc count, real token volume, padded volume (docs × bucket cap)
+    // and the padding waste a trainer would pay batching at that cap.
+    // Buckets are a FIXED threshold CASE chain (not log2 — a float log at
+    // an exact power-of-two boundary is not engine-stable), so every
+    // number is integer-exact. One hash aggregate, map-side combined.
+    Q("x6l_length_buckets",
+      (s, d) => {
+        val caps = Seq(32L, 64L, 128L, 256L, 512L, 1024L)
+        val n = size(split(col("text"), " ")).cast(LongType)
+        val cap = caps.reverse.foldLeft(lit(2048L)) { (acc, c) =>
+          when(n <= c, lit(c)).otherwise(acc)
+        }
+        Tables.documents(s, d)
+          .select(n.as("n_tok"), cap.as("bucket_cap"))
+          .groupBy("bucket_cap")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("sum_tokens"))
+          .select(col("bucket_cap"), col("n_docs"), col("sum_tokens"),
+            (col("bucket_cap") * col("n_docs")).as("padded_tokens"),
+            (col("bucket_cap") * col("n_docs") - col("sum_tokens"))
+              .as("waste_tokens"))
+      },
+      Some("""SELECT bucket_cap, count(*) AS n_docs,
+          CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+          CAST(bucket_cap * count(*) AS BIGINT) AS padded_tokens,
+          CAST(bucket_cap * count(*) - SUM(n_tok) AS BIGINT) AS waste_tokens
+        FROM (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                CAST(CASE WHEN len(string_split(text, ' ')) <= 32 THEN 32
+                  WHEN len(string_split(text, ' ')) <= 64 THEN 64
+                  WHEN len(string_split(text, ' ')) <= 128 THEN 128
+                  WHEN len(string_split(text, ' ')) <= 256 THEN 256
+                  WHEN len(string_split(text, ' ')) <= 512 THEN 512
+                  WHEN len(string_split(text, ' ')) <= 1024 THEN 1024
+                  ELSE 2048 END AS BIGINT) AS bucket_cap
+              FROM documents)
+        GROUP BY bucket_cap""".stripMargin)),
+
     // X10 (r10, VERDICT r09 #8): the END-TO-END training-data pipeline as
     // ONE composed lineage — exact dedup → verbatim-8-gram decontamination
     // → quality filter → token-budget packing → byte-budget sharding —

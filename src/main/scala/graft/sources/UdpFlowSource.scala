@@ -189,7 +189,14 @@ final class UdpFlowTable(extended: Boolean = false) extends Table with SupportsR
             options.getBoolean("dedupSequence", false),
             options.getInt("maxBufferedPackets", 1000000),
             options.getOrDefault("scheme", "any"),
-            options.getBoolean("extended", false))
+            options.getBoolean("extended", false),
+            // opt-in: persist the v9/IPFIX template registry beside the
+            // query checkpoint so a restarted collector decodes data
+            // records BEFORE the exporter's next periodic re-announcement
+            // (default OFF = RFC 3954 §5 wait-for-re-export, goflow parity)
+            if (options.getBoolean("persistTemplates", false))
+              Some(checkpointLocation)
+            else None)
       }
     }
 }
@@ -213,7 +220,7 @@ final case class UdpPacketsPartition(packets: Array[(Array[Byte], Array[Byte])],
 final class UdpFlowStream(host: String, port: Int, name: String,
     maxPacketsPerBatch: Long, numParts: Int, dedupSequence: Boolean,
     maxBufferedPackets: Int = 1000000, scheme: String = "any",
-    extended: Boolean = false)
+    extended: Boolean = false, templateStatePath: Option[String] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   require(Set("any", "sflow", "netflow", "nfl").contains(scheme),
@@ -321,6 +328,97 @@ final class UdpFlowStream(host: String, port: Int, name: String,
       }
     }
   }
+  // ---- opt-in template-registry persistence (VERDICT r09 #6 option) ----
+  // The registry is tiny (a few hundred bytes per exporter) and changes
+  // rarely (once per new template/rate, not per packet), so it is written
+  // whole on every CHANGE — via the Hadoop FileSystem of the checkpoint
+  // path, so it lands wherever the checkpoint does (HDFS/S3 on a real
+  // cluster) with the same tmp+rename crash discipline as the offsets log.
+  // Line format, one entry per line:
+  //   T|sender|sourceId|templateId|isOptions|fid:len,fid:len,...
+  //   R|sender|sourceId|samplingRate
+  private val templateStateFile: Option[org.apache.hadoop.fs.Path] =
+    templateStatePath.map(p =>
+      new org.apache.hadoop.fs.Path(p, "graft_nfv9_templates"))
+
+  private def templateStateFs: org.apache.hadoop.fs.FileSystem =
+    templateStateFile.get.getFileSystem(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+
+  /** Called with the classify lock held; rare (registry changes only). */
+  private def persistTemplateState(): Unit = templateStateFile.foreach { f =>
+    val sb = new StringBuilder
+    templates.foreach { case (sender, m) =>
+      m.foreach { case ((sid, _), t) =>
+        sb.append("T|").append(sender).append('|').append(sid).append('|')
+          .append(t.id).append('|').append(if (t.isOptions) 1 else 0).append('|')
+          .append(t.fields.map(fl => s"${fl._1}:${fl._2}").mkString(","))
+          .append('\n')
+      }
+    }
+    samplingRates.foreach { case (sender, m) =>
+      m.foreach { case (sid, rate) =>
+        sb.append("R|").append(sender).append('|').append(sid).append('|')
+          .append(rate).append('\n')
+      }
+    }
+    try {
+      val fs = templateStateFs
+      val tmp = new org.apache.hadoop.fs.Path(f.getParent, f.getName + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      fs.delete(f, false)
+      fs.rename(tmp, f)
+    } catch {
+      // persistence is an availability optimization, never a correctness
+      // dependency: on failure the collector degrades to wait-for-re-export
+      case e: Exception =>
+        System.err.println(s"[udp:$name] template-state write failed: $e")
+    }
+  }
+
+  private def loadTemplateState(): Unit = templateStateFile.foreach { f =>
+    try {
+      val fs = templateStateFs
+      if (fs.exists(f)) {
+        val in = fs.open(f)
+        val txt =
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        txt.linesIterator.filter(_.nonEmpty).foreach { line =>
+          line.split('|') match {
+            case Array("T", sender, sid, tid, opts, fieldSpec) =>
+              val fields =
+                if (fieldSpec.isEmpty) Seq.empty[(Int, Int)]
+                else fieldSpec.split(',').toSeq.map { fl =>
+                  val Array(a, b) = fl.split(':'); (a.toInt, b.toInt)
+                }
+              val t = NetFlowV9.Template(tid.toInt, fields, opts == "1")
+              templates(sender) =
+                templates.getOrElse(sender, Map.empty) + ((sid.toLong, t.id) -> t)
+            case Array("T", sender, sid, tid, opts) => // zero-field template
+              val t = NetFlowV9.Template(tid.toInt, Seq.empty, opts == "1")
+              templates(sender) =
+                templates.getOrElse(sender, Map.empty) + ((sid.toLong, t.id) -> t)
+            case Array("R", sender, sid, rate) =>
+              samplingRates(sender) =
+                samplingRates.getOrElse(sender, Map.empty) + (sid.toLong -> rate.toLong)
+            case _ =>
+              throw new IllegalArgumentException(s"bad template-state line: $line")
+          }
+        }
+      }
+    } catch {
+      case e: Exception => // corrupt state = cold start, not a crash loop
+        System.err.println(s"[udp:$name] template-state load failed " +
+          s"(cold start, will re-learn): $e")
+        templates.clear(); samplingRates.clear()
+    }
+  }
+  loadTemplateState()
+
   receiver.setDaemon(true)
   receiver.start()
 
@@ -402,6 +500,9 @@ final class UdpFlowStream(host: String, port: Int, name: String,
               else {
                 val upd = cur ++ learned.map { case (sid, t) => (sid, t.id) -> t }
                 templates(senderKey) = upd
+                // write-through only when the registry actually CHANGED —
+                // periodic identical re-announcements must not rewrite
+                if (upd != cur) persistTemplateState()
                 upd
               }
             }
@@ -411,8 +512,11 @@ final class UdpFlowStream(host: String, port: Int, name: String,
             if (dataIds.nonEmpty) {
               NetFlowV9.samplingFromOptions(bytes, senderTmpl).foreach {
                 case (sid, rate) =>
-                  samplingRates(senderKey) =
-                    samplingRates.getOrElse(senderKey, Map.empty) + (sid -> rate)
+                  val cur = samplingRates.getOrElse(senderKey, Map.empty)
+                  if (cur.get(sid) != Some(rate)) {
+                    samplingRates(senderKey) = cur + (sid -> rate)
+                    persistTemplateState()
+                  }
               }
             }
             if (!dataIds.forall(id => senderTmpl.contains((sourceId, id)))) {

@@ -120,11 +120,21 @@ object FlowCollector {
     * (`graft_udp_listener_*_total{listener="<name>-<scheme>-<i>"}`).
     * Port 0 = ephemeral; the actual binds come back in
     * [[Running.listeners]].
+    *
+    * `persistTemplates` (opt-in, r10): persist each listener's v9/IPFIX
+    * template + sampling-rate registry beside the query checkpoint (via
+    * the checkpoint's Hadoop FileSystem), so a RESTARTED collector decodes
+    * data records arriving before the exporter's next periodic template
+    * re-export. Default OFF = RFC 3954 §5 wait-for-re-export (goflow
+    * parity; a restart counts pre-announcement data in template_misses
+    * until re-announcement — both behaviors are spec-pinned in
+    * UdpIngestSpec).
     */
   def startUrls(spark: SparkSession, listen: String, outDir: String,
       checkpoint: String, name: String = "collector", metricsPort: Int = 0,
       batchMaxTime: String = "10 seconds", maxPacketsPerBatch: Long = 1000L,
-      numPartitions: Int = 4, extended: Boolean = false): Running = {
+      numPartitions: Int = 4, extended: Boolean = false,
+      persistTemplates: Boolean = false): Running = {
     val urls = parseListen(listen)
     val named = urls.zipWithIndex.map { case (u, i) =>
       (u, s"$name-${u.scheme}-$i")
@@ -142,6 +152,7 @@ object FlowCollector {
           .option("maxPacketsPerBatch", maxPacketsPerBatch)
           .option("numPartitions", numPartitions)
           .option("extended", extended)
+          .option("persistTemplates", persistTemplates)
           .load()
       }.reduce(_ unionByName _)
       q = FlowPipeline.start(FlowPipeline.normalize(raw), outDir, checkpoint,
@@ -162,7 +173,8 @@ object FlowCollector {
   def start(spark: SparkSession, outDir: String, checkpoint: String,
       udpPort: Int = 0, name: String = "collector", metricsPort: Int = 0,
       batchMaxTime: String = "10 seconds", maxPacketsPerBatch: Long = 1000L,
-      numPartitions: Int = 4, extended: Boolean = false): Running = {
+      numPartitions: Int = 4, extended: Boolean = false,
+      persistTemplates: Boolean = false): Running = {
     val listener = new FlowPipeline.MetricsListener
     spark.streams.addListener(listener)
     var server: MetricsServer = null
@@ -177,6 +189,7 @@ object FlowCollector {
         .option("maxPacketsPerBatch", maxPacketsPerBatch)
         .option("numPartitions", numPartitions)
         .option("extended", extended)
+        .option("persistTemplates", persistTemplates)
         .load()
       q = FlowPipeline.start(FlowPipeline.normalize(raw), outDir, checkpoint,
         batchMaxTime)

@@ -501,4 +501,81 @@ class UdpIngestSpec extends SparkSpec {
       assert(sunkSeqs() == Set(0L, 1L, 2L, 3L))
     }
   }
+
+  test("persistTemplates=true: a restarted collector decodes pre-announcement data (r10)") {
+    // The opt-in flip side of the re-learning test above: with the
+    // registry persisted beside the checkpoint, incarnation 2 decodes data
+    // records sent BEFORE any re-announcement — zero template misses, no
+    // wait for the exporter's periodic re-export.
+    import graft.sources.{NetFlowV9 => V9}
+    val tmp = "/root/repo/target/graft-tmp/udp-tmpl-persist"
+    val cp = s"$tmp/cp"; val out = s"$tmp/out"
+    Seq(cp, out).foreach(p => FileUtils.deleteQuietly(Paths.get(p).toFile))
+
+    val fields = Seq(8 -> 4, 12 -> 4, 7 -> 2, 11 -> 2, 1 -> 4, 4 -> 1)
+    def rec(i: Int): Array[Byte] =
+      Array(V9.fieldBytes(0x0a0c0000L + i, 4), V9.fieldBytes(0xc0a80002L, 4),
+        V9.fieldBytes(4100 + i, 2), V9.fieldBytes(443, 2),
+        V9.fieldBytes(200 + i, 4), V9.fieldBytes(6, 1)).flatten.toArray
+    val template = V9.encodeTemplate(9, sourceId = 7, templateId = 511, fields)
+    def data(seq: Long): Array[Byte] = V9.encodeData(9, sourceId = 7,
+      templateId = 511, Seq(rec(seq.toInt)), sysUptimeMs = 1000L,
+      unixSecs = 1700000900L, sequence = seq)
+
+    def sunkSeqs(): Set[Long] =
+      try spark.read.parquet(out).select("sequence_num").distinct()
+        .collect().map(_.getLong(0)).toSet
+      catch { case _: Exception => Set.empty }
+
+    def withStream(name: String)(body: (Array[Byte] => Unit,
+        org.apache.spark.sql.streaming.StreamingQuery) => Unit): Unit = {
+      val raw = spark.readStream.format("nflv5-udp")
+        .option("name", name).option("port", 0)
+        .option("dedupSequence", true)
+        .option("persistTemplates", true).load()
+      val q = graft.streaming.FlowPipeline.normalize(raw)
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .start()
+      val sock = new DatagramSocket()
+      try {
+        val deadline = System.nanoTime() + 60_000_000_000L
+        var port = 0
+        while (port == 0 && System.nanoTime() < deadline) {
+          port = UdpFlowSource.boundPort(name).getOrElse(0)
+          if (port == 0) Thread.sleep(20)
+        }
+        assert(port > 0)
+        val addr = InetAddress.getByName("127.0.0.1")
+        body(b => sock.send(new DatagramPacket(b, b.length, addr, port)), q)
+      } finally { sock.close(); q.stop() }
+    }
+
+    val deadline = System.nanoTime() + 120_000_000_000L
+    withStream("udp-tmplp-1") { (send, q) =>
+      while (sunkSeqs() != Set(0L, 1L) && System.nanoTime() < deadline) {
+        send(template); send(data(0)); send(data(1))
+        q.processAllAvailable()
+      }
+      assert(sunkSeqs() == Set(0L, 1L))
+    }
+    // the registry file exists in the source-scoped checkpoint subdir
+    assert(java.nio.file.Files.exists(
+      Paths.get(cp, "sources", "0", "graft_nfv9_templates")))
+    // incarnation 2: DATA ONLY, never re-announce — must decode from the
+    // persisted registry with zero new template misses
+    withStream("udp-tmplp-2") { (send, q) =>
+      val stats = UdpFlowSource.statsFor("udp-tmplp-2")
+      val misses0 = stats.templateMisses.sum()
+      while (sunkSeqs() != Set(0L, 1L, 2L, 3L) && System.nanoTime() < deadline) {
+        send(data(2)); send(data(3))
+        q.processAllAvailable()
+      }
+      assert(sunkSeqs() == Set(0L, 1L, 2L, 3L))
+      assert(stats.templateMisses.sum() == misses0,
+        "persisted registry should admit pre-announcement data without misses")
+    }
+  }
 }
