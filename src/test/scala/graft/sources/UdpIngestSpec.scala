@@ -518,6 +518,15 @@ class UdpIngestSpec extends SparkSpec {
         V9.fieldBytes(4100 + i, 2), V9.fieldBytes(443, 2),
         V9.fieldBytes(200 + i, 4), V9.fieldBytes(6, 1)).flatten.toArray
     val template = V9.encodeTemplate(9, sourceId = 7, templateId = 511, fields)
+    // options template + announcement: rate 2048 for the whole domain —
+    // the sampling half of the registry (R lines) must survive restart too
+    val optTemplate = V9.encodeOptionsTemplate(9, sourceId = 7,
+      templateId = 512, scopeFields = Seq(1 -> 4), optionFields = Seq(34 -> 4))
+    // distinct sequence: options data shares the (sender, 9, sourceId)
+    // dedup domain with the flow packets — seq 0 would shadow data(0)
+    val optData = V9.encodeData(9, sourceId = 7, templateId = 512,
+      Seq(Array(V9.fieldBytes(1, 4), V9.fieldBytes(2048, 4)).flatten.toArray),
+      sequence = 99L)
     def data(seq: Long): Array[Byte] = V9.encodeData(9, sourceId = 7,
       templateId = 511, Seq(rec(seq.toInt)), sysUptimeMs = 1000L,
       unixSecs = 1700000900L, sequence = seq)
@@ -556,6 +565,7 @@ class UdpIngestSpec extends SparkSpec {
     val deadline = System.nanoTime() + 120_000_000_000L
     withStream("udp-tmplp-1") { (send, q) =>
       while (sunkSeqs() != Set(0L, 1L) && System.nanoTime() < deadline) {
+        send(optTemplate); send(optData)
         send(template); send(data(0)); send(data(1))
         q.processAllAvailable()
       }
@@ -576,6 +586,14 @@ class UdpIngestSpec extends SparkSpec {
       assert(sunkSeqs() == Set(0L, 1L, 2L, 3L))
       assert(stats.templateMisses.sum() == misses0,
         "persisted registry should admit pre-announcement data without misses")
+      // the ANNOUNCED sampling rate also survived: post-restart flows carry
+      // 2048 although no options data was re-sent in this incarnation
+      val rates = spark.read.parquet(out)
+        .filter(org.apache.spark.sql.functions.col("sequence_num") >= 2)
+        .select("sampling_rate").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(rates == Set(2048L),
+        s"expected persisted sampling rate 2048, got $rates")
     }
   }
 }
