@@ -58,6 +58,10 @@ object ScaleBench {
       // join) and the composed IVF-PQ index (pruning must hold the
       // admitted-candidate count at nprobe/centroids of the corpus)
       "x2h_incremental_dedup", "x3i_ivf_pq",
+      // dedup-at-ingest: streaming complete-mode state is one row per
+      // distinct INCOMING text — the gate proves the stream side stays
+      // linear when the corpus (and its exact-dup groups) grow 30×
+      "q52d_stream_dedup_ingest",
       // r10: the composed pipeline — its exact-dedup head collapses the
       // 30 replicated copies to one representative per distinct text, so
       // every later stage runs on a base-sized survivor set; the ratio

@@ -317,10 +317,18 @@ object DedupQueries {
     * production shape: the index is an on-disk asset).
     */
   private[graft] def x2hIndexArtifacts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, Seq[DataFrame]) =
+    indexArtifactsFrom(x2hDocs(s, d).filter(col("in_index"))
+      .select(col("doc_id"), col("text"), col("dig")))
+
+  /** [[x2hIndexArtifacts]] generalized to ANY index frame
+    * `(doc_id, text, dig)` — x10b builds the index from a snapshot diff's
+    * unchanged docs instead of the split hash.
+    */
+  private[graft] def indexArtifactsFrom(index: DataFrame)
       : (DataFrame, DataFrame, DataFrame, Seq[DataFrame]) = {
-    val docs = x2hDocs(s, d)
-    val indexDigs = docs.filter(col("in_index")).select("dig").distinct()
-    val iGroups = docs.filter(col("in_index")).groupBy("dig")
+    val indexDigs = index.select("dig").distinct()
+    val iGroups = index.groupBy("dig")
       .agg(min(struct(col("doc_id"), col("text"))).as("r"))
       .select(col("dig"), col("r.text").as("text"))
     val shI = iGroups

@@ -31,11 +31,17 @@ object StreamQueries {
     * [[graft.Tables.events]]).
     */
   /** Stage a fixture parquet into a monitored directory for a file-stream
-    * source (idempotent per scale factor and table) and return that
-    * directory. See the drift/atomicity notes inline.
+    * source (idempotent per scale factor and table) and return
+    * (directory to monitor, path to read the schema from). A fixture that
+    * is ALREADY a parquet directory (generated scale fixtures write part
+    * files) is monitored in place — it holds nothing but that table's
+    * files, which is the whole point of staging. See the drift/atomicity
+    * notes inline for the single-file case.
     */
-  private def stageFixture(d: String, table: String): java.nio.file.Path = {
+  private def stageFixture(d: String,
+      table: String): (java.nio.file.Path, java.nio.file.Path) = {
     val src = Paths.get(d, s"$table.parquet")
+    if (java.nio.file.Files.isDirectory(src)) return (src, src)
     val dir = Paths.get(tmpRoot, "stream_src",
       src.getParent.getFileName.toString +
         (if (table == "events") "" else s"_$table"))
@@ -66,22 +72,22 @@ object StreamQueries {
           java.nio.file.Files.deleteIfExists(tmp)
       }
     }
-    dir
+    (dir, staged)
   }
 
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val dir = stageFixture(d, "events")
+    val (dir, schemaPath) = stageFixture(d, "events")
     // driver-side footer read only
-    val raw = s.read.parquet(dir.resolve("events.parquet").toString).schema
+    val raw = s.read.parquet(schemaPath.toString).schema
     Tables.normalizeEventsTs(s.readStream.schema(raw).parquet(dir.toString))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
   /** documents as a file stream — the ingest face of the corpus. */
   private def documentsStream(s: SparkSession, d: String): DataFrame = {
-    val dir = stageFixture(d, "documents")
-    val raw = s.read.parquet(dir.resolve("documents.parquet").toString).schema
+    val (dir, schemaPath) = stageFixture(d, "documents")
+    val raw = s.read.parquet(schemaPath.toString).schema
     s.readStream.schema(raw).parquet(dir.toString)
   }
 
