@@ -158,6 +158,44 @@ class StreamingPlanSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedup-at-ingest shape (q52d): static probe inside the stream, state per distinct text") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = MemoryStream[(Long, String)]
+    val idx = Seq("seen text").toDF("t")
+      .select(org.apache.spark.sql.functions.md5(col("t")).as("dig"))
+      .withColumn("in_index", lit(true))
+    val stream = docs.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), org.apache.spark.sql.functions.md5(col("text")).as("dig"))
+      .join(broadcast(idx), Seq("dig"), "left")
+      .groupBy("dig")
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("first_doc"),
+        max(coalesce(col("in_index"), lit(false))).as("dup_of_index"))
+    val q = stream.writeStream.format("memory").queryName("splan_q52d")
+      .outputMode("complete").option("checkpointLocation", freshCp("q52d")).start()
+    try {
+      docs.addData((1L, "seen text"), (2L, "fresh text"), (3L, "fresh text"))
+      q.processAllAvailable()
+      val rows = spark.table("splan_q52d")
+        .select("n_copies", "first_doc", "dup_of_index").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(rows == Set((1L, 1L, true), (2L, 2L, false)), rows.mkString(";"))
+      // state is per distinct TEXT, not per doc: 3 docs -> 2 state rows
+      val agg = q.lastProgress.stateOperators.head
+      assert(agg.numRowsTotal == 2,
+        s"state rows = ${agg.numRowsTotal} (op ${agg.operatorName})")
+      // a re-sent duplicate grows a count, never the state row set
+      docs.addData((4L, "fresh text"))
+      q.processAllAvailable()
+      val agg2 = q.lastProgress.stateOperators.head
+      assert(agg2.numRowsTotal == 2,
+        s"state rows = ${agg2.numRowsTotal} (op ${agg2.operatorName})")
+      val n = spark.table("splan_q52d").filter(col("first_doc") === 2L)
+        .select("n_copies").head().getLong(0)
+      assert(n == 3L)
+    } finally q.stop()
+  }
+
   test("watermark-agg shape (q49): append emits only watermark-closed windows") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
