@@ -62,6 +62,10 @@ object ScaleBench {
       // distinct INCOMING text — the gate proves the stream side stays
       // linear when the corpus (and its exact-dup groups) grow 30×
       "q52d_stream_dedup_ingest",
+      // the nightly-rebuild composition: diff classes stay proportional
+      // under replication (ids shift, %10 classes are preserved), so both
+      // the diff join and the increment must scale together
+      "x10b_incremental_rebuild",
       // r10: the composed pipeline — its exact-dedup head collapses the
       // 30 replicated copies to one representative per distinct text, so
       // every later stage runs on a base-sized survivor set; the ratio
