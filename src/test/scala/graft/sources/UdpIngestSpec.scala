@@ -502,6 +502,49 @@ class UdpIngestSpec extends SparkSpec {
     }
   }
 
+  test("corrupt persisted template state cold-starts instead of crashing") {
+    // the load path's declared degradation: persistence is an availability
+    // optimization, never a correctness dependency — unparseable state
+    // must leave an EMPTY registry (refusal + re-learn), not a crash loop
+    import graft.sources.{NetFlowV9 => V9}
+    val dir = "/root/repo/target/graft-tmp/udp-tmpl-corrupt"
+    FileUtils.deleteQuietly(Paths.get(dir).toFile)
+    java.nio.file.Files.createDirectories(Paths.get(dir))
+    java.nio.file.Files.write(Paths.get(dir, "graft_nfv9_templates"),
+      "T|10.0.0.1|not-a-number|x|?|8:4\nR|broken".getBytes("UTF-8"))
+    val stream = new UdpFlowStream("127.0.0.1", 0, "tmpl-corrupt", 10L, 1,
+      dedupSequence = false, templateStatePath = Some(dir))
+    val sock = new DatagramSocket()
+    try {
+      val port = UdpFlowSource.boundPort("tmpl-corrupt").get
+      val addr = InetAddress.getByName("127.0.0.1")
+      val stats = UdpFlowSource.statsFor("tmpl-corrupt")
+      val misses0 = stats.templateMisses.sum()
+      val data = V9.encodeData(9, sourceId = 1, templateId = 999,
+        Seq(Array[Byte](1, 2, 3, 4)))
+      val deadline = System.nanoTime() + 30_000_000_000L
+      // cold registry: the data record is refused at admission (a crash or
+      // a hallucinated template from the corrupt file would not count it)
+      while (stats.templateMisses.sum() == misses0 &&
+          System.nanoTime() < deadline) {
+        sock.send(new DatagramPacket(data, data.length, addr, port))
+        Thread.sleep(20)
+      }
+      assert(stats.templateMisses.sum() > misses0)
+      // and the stream still LEARNS: announce, then the data decodes
+      val template = V9.encodeTemplate(9, sourceId = 1, templateId = 999,
+        Seq(8 -> 4))
+      sock.send(new DatagramPacket(template, template.length, addr, port))
+      while (stream.reportLatestOffset()
+          .asInstanceOf[UdpOffset].count == 0 &&
+          System.nanoTime() < deadline) {
+        sock.send(new DatagramPacket(data, data.length, addr, port))
+        Thread.sleep(20)
+      }
+      assert(stream.reportLatestOffset().asInstanceOf[UdpOffset].count > 0)
+    } finally { sock.close(); stream.stop() }
+  }
+
   test("persistTemplates=true: a restarted collector decodes pre-announcement data (r10)") {
     // The opt-in flip side of the re-learning test above: with the
     // registry persisted beside the checkpoint, incarnation 2 decodes data
