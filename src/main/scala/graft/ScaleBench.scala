@@ -337,6 +337,24 @@ object ScaleBench {
       (incr, full, equal)
     }
 
+    // ANN recall at 30× (r10 session 2): the PQ/IVF queries annotate every
+    // returned row with `in_exact_top5` against the global exact top-5 —
+    // computed in-query, discarded by the tier's noop sink. Re-collect the
+    // 40-row outputs on the scaled corpus so the compression/pruning
+    // recall is REPORTED where the candidate sets are 30× denser, not just
+    // at fixture scale. (No gate: absolute ANN recall is data-dependent —
+    // the number is evidence, the per-query flags are the contract.)
+    val annRecall: Seq[(String, Double)] = {
+      val dir = fixture(tiers.head._1)
+      Seq("x3f_pq_adc", "x3h_pq_rerank", "x3i_ivf_pq").map { n =>
+        val rows = SparkEntry.queries(n)(spark, dir)
+          .select(col("in_exact_top5")).collect()
+        val r = rows.count(_.getBoolean(0)).toDouble / math.max(1, rows.length)
+        System.err.println(f"[scale] ann recall@5 x30: $n $r%.2f (${rows.length} rows)")
+        (n, r)
+      }
+    }
+
     val ok = rows.forall { case (_, scale, b, s, r, _, _) =>
       b > 0 && s > 0 && r <= maxRatio(scale)
     } && recallOk && incrEqual
@@ -354,6 +372,8 @@ object ScaleBench {
         f""""recall":{"x2e":$recall2e%.3f,"x7e":$recall7e%.3f,""" +
         f""""n_planted":${plantedPairs.size},"min_cos":0.995,""" +
         f""""floor":$recallFloor%.2f,"ok":$recallOk},""" +
+        s""""ann_recall_at5_30x":{${annRecall.map { case (n, r) =>
+          f""""$n":$r%.3f""" }.mkString(",")}},""" +
         f""""x2h_increment":{"full_recompute_sec":$incrFullSec%.3f,""" +
         f""""precomputed_index_sec":$incrSec%.3f,""" +
         f""""speedup":${incrFullSec / incrSec}%.2f,"equal":$incrEqual},""" +
