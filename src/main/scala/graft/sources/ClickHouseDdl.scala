@@ -48,10 +48,12 @@ object ClickHouseDdl {
     "dst_as" -> "UInt32",
     "vlan_id" -> "UInt32",
     "mpls_1_label" -> "UInt32",
-    "mpls_1_ttl" -> "UInt32")
+    "mpls_1_ttl" -> "UInt32",
+    "src_mask" -> "UInt32",
+    "dst_mask" -> "UInt32")
 
   /** `CREATE TABLE flows_extended` — the 23 parity columns plus the
-    * extended eight, for deployments that opt in.
+    * extended ten, for deployments that opt in.
     */
   def extendedFlowsDdl: String = {
     val cols = (FlowSchema.chTypes ++ extendedChTypes)

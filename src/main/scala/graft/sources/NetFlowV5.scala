@@ -69,7 +69,9 @@ object NetFlowV5 {
       dst_as: Long = 0L,
       vlan_id: Int = 0,
       mpls_1_label: Long = 0L,
-      mpls_1_ttl: Int = 0)
+      mpls_1_ttl: Int = 0,
+      src_mask: Int = 0,
+      dst_mask: Int = 0)
 
   /** Decode one v5 datagram (`sampler` = the UDP sender address bytes,
     * goflow's SamplerAddress). Throws on a malformed packet — the caller
@@ -112,6 +114,8 @@ object NetFlowV5 {
       bb.get() // tos: not in the flows schema
       val srcAs = bb.getShort & 0xffff
       val dstAs = bb.getShort & 0xffff
+      val srcMask = bb.get() & 0xff // record offsets 44/45
+      val dstMask = bb.get() & 0xff
       RawFlow(
         `type` = 2, // goflow FlowType NETFLOW_V5
         time_received = unixSecs,
@@ -139,7 +143,9 @@ object NetFlowV5 {
         in_if = inIf,
         out_if = outIf,
         src_as = srcAs,
-        dst_as = dstAs)
+        dst_as = dstAs,
+        src_mask = srcMask,
+        dst_mask = dstMask)
     }
   }
 
@@ -159,7 +165,7 @@ object NetFlowV5 {
     f.src_port, f.dst_port, f.forwarding_status, f.tcp_flags,
     f.icmp_type, f.icmp_code, f.fragment_id, f.fragment_offset,
     f.next_hop, f.in_if, f.out_if, f.src_as, f.dst_as,
-    f.vlan_id, f.mpls_1_label, f.mpls_1_ttl))
+    f.vlan_id, f.mpls_1_label, f.mpls_1_ttl, f.src_mask, f.dst_mask))
 
   /** Exporter-side encoder (tests + load generation): builds the v5
     * datagram that [[decode]] reads back. `records` are (src, dst, pkts,
@@ -168,7 +174,8 @@ object NetFlowV5 {
   final case class Rec(src: Array[Byte], dst: Array[Byte], pkts: Long,
       octets: Long, firstMs: Long, lastMs: Long, srcPort: Int, dstPort: Int,
       tcpFlags: Int, proto: Int, nextHop: Array[Byte] = Array[Byte](0, 0, 0, 0),
-      inIf: Int = 0, outIf: Int = 0, srcAs: Int = 0, dstAs: Int = 0)
+      inIf: Int = 0, outIf: Int = 0, srcAs: Int = 0, dstAs: Int = 0,
+      srcMask: Int = 0, dstMask: Int = 0)
 
   def encode(sysUptimeMs: Long, unixSecs: Long, unixNsecs: Long,
       flowSequence: Long, samplingInterval: Int, records: Seq[Rec],
@@ -193,7 +200,7 @@ object NetFlowV5 {
       bb.put(0.toByte); bb.put(r.tcpFlags.toByte); bb.put(r.proto.toByte)
       bb.put(0.toByte) // tos
       bb.putShort(r.srcAs.toShort); bb.putShort(r.dstAs.toShort)
-      bb.put(0.toByte); bb.put(0.toByte); bb.putShort(0) // masks + pad
+      bb.put(r.srcMask.toByte); bb.put(r.dstMask.toByte); bb.putShort(0) // masks + pad
     }
     bb.array()
   }

@@ -354,6 +354,7 @@ object NetFlowV9 {
     var inIf = 0L; var outIf = 0L
     var srcAs = 0L; var dstAs = 0L
     var vlanId = 0; var mplsLabel = 0L // v9 exports no TTL for the top label
+    var srcMask = 0; var dstMask = 0
 
     var malformed = false
     val fieldIt = t.fields.iterator
@@ -393,7 +394,9 @@ object NetFlowV9 {
         case 7 => srcPort = uint().toInt
         case 8 if flen == 4 =>
           srcAddr = Array(bb.get(p), bb.get(p + 1), bb.get(p + 2), bb.get(p + 3))
+        case 9 => srcMask = uint().toInt & 0xff // sourceIPv4PrefixLength
         case 10 => inIf = uint() & 0xffffffffL // ingressInterface (unsigned32)
+        case 13 => dstMask = uint().toInt & 0xff // destinationIPv4PrefixLength
         case 11 => dstPort = uint().toInt
         case 12 if flen == 4 =>
           dstAddr = Array(bb.get(p), bb.get(p + 1), bb.get(p + 2), bb.get(p + 3))
@@ -408,6 +411,8 @@ object NetFlowV9 {
           srcAddr = (0 until 16).map(i => bb.get(p + i)).toArray; etype = 0x86dd
         case 28 if flen == 16 =>
           dstAddr = (0 until 16).map(i => bb.get(p + i)).toArray; etype = 0x86dd
+        case 29 => srcMask = uint().toInt & 0xff // sourceIPv6PrefixLength
+        case 30 => dstMask = uint().toInt & 0xff // destinationIPv6PrefixLength
         case 32 => icmpPacked = uint().toInt // type*256 + code
         case 34 => samplingRate = uint()
         case 54 => fragId = uint()
@@ -477,7 +482,9 @@ object NetFlowV9 {
       src_as = srcAs,
       dst_as = dstAs,
       vlan_id = vlanId,
-      mpls_1_label = mplsLabel)
+      mpls_1_label = mplsLabel,
+      src_mask = srcMask,
+      dst_mask = dstMask)
   }
 
   // ---- exporter-side encoders (tests + load generation) ----

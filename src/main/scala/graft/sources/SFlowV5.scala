@@ -89,26 +89,51 @@ object SFlowV5 {
           if (outFmt == 0) outIf = outVal
         }
         val numRecords = bb.getInt
+        // two-pass over the sample's records: the raw-header record (fmt 1)
+        // yields the flow; the extended-router record (fmt 1002: next-hop
+        // address + src/dst prefix lengths — sFlow v5 §7) decorates it.
+        // Record ORDER inside a sample is not specified, so buffer the
+        // dissected flows and apply the decoration after the loop.
+        val sampleFlows = scala.collection.mutable.ArrayBuffer.empty[NetFlowV5.RawFlow]
+        var extNextHop: Array[Byte] = null
+        var srcMask = 0; var dstMask = 0
         var r = 0
         while (r < numRecords && bb.position() + 8 <= sampleEnd) {
           val recType = bb.getInt & 0xffffffffL
           val recLen = bb.getInt
           val recEnd = bb.position() + recLen
           require(recLen >= 0 && recEnd <= sampleEnd, s"malformed record: len=$recLen")
-          if ((recType & 0xfff) == 1 && (recType >> 12) == 0 && recLen >= 16) {
-            val headerProtocol = bb.getInt
-            val frameLength = bb.getInt & 0xffffffffL
-            bb.getInt // stripped
-            val headerLen = bb.getInt
-            if (headerProtocol == 1 && bb.position() + headerLen <= recEnd) {
-              dissectEthernet(bb, bb.position(), headerLen, sampler, nowSecs,
-                sequence, samplingRate, frameLength)
-                .map(_.copy(in_if = inIf, out_if = outIf))
-                .foreach(out += _)
-            }
+          if ((recType >> 12) == 0) (recType & 0xfff).toInt match {
+            case 1 if recLen >= 16 =>
+              val headerProtocol = bb.getInt
+              val frameLength = bb.getInt & 0xffffffffL
+              bb.getInt // stripped
+              val headerLen = bb.getInt
+              if (headerProtocol == 1 && bb.position() + headerLen <= recEnd) {
+                dissectEthernet(bb, bb.position(), headerLen, sampler, nowSecs,
+                  sequence, samplingRate, frameLength)
+                  .foreach(sampleFlows += _)
+              }
+            case 1002 if recLen >= 16 =>
+              // struct extended_router: next_hop (u32 addr type + 4/16 B),
+              // src_mask_len (u32), dst_mask_len (u32)
+              val addrType = bb.getInt
+              val addrLen = if (addrType == 1) 4 else if (addrType == 2) 16 else -1
+              if (addrLen > 0 && bb.position() + addrLen + 8 <= recEnd) {
+                val nh = new Array[Byte](addrLen); bb.get(nh)
+                extNextHop = nh
+                srcMask = bb.getInt & 0xff
+                dstMask = bb.getInt & 0xff
+              }
+            case _ => // other flow-record formats: skip by length
           }
           bb.position(recEnd)
           r += 1
+        }
+        sampleFlows.foreach { f =>
+          out += f.copy(in_if = inIf, out_if = outIf,
+            next_hop = if (extNextHop != null) extNextHop else f.next_hop,
+            src_mask = srcMask, dst_mask = dstMask)
         }
       }
       bb.position(sampleEnd)
@@ -483,11 +508,16 @@ object SFlowV5 {
       subAgentId: Long = 0L,
       // plain-layout interface WORDS (2-bit format | 30-bit value) so tests
       // can exercise the non-ifIndex formats; defaults = ifIndex 1 / 2
-      inputWord: Int = 1, outputWord: Int = 2): Array[Byte] = {
+      inputWord: Int = 1, outputWord: Int = 2,
+      // optional extended-router record (format 1002) appended to every
+      // sample: (next-hop address bytes [4 or 16], src_mask, dst_mask)
+      extRouter: Option[(Array[Byte], Int, Int)] = None): Array[Byte] = {
     def pad4(n: Int): Int = (4 - n % 4) % 4
+    val extBody = extRouter.map { case (nh, _, _) => 4 + nh.length + 8 }
     val bodies = samples.map { case (rate, frameLen, header) =>
       val recBody = 16 + header.length + pad4(header.length)
-      val sampleBody = (if (expanded) 44 else 32) + 8 + recBody
+      val sampleBody = (if (expanded) 44 else 32) + 8 + recBody +
+        extBody.map(8 + _).getOrElse(0)
       val bb = ByteBuffer.allocate(8 + sampleBody)
       bb.putInt(if (expanded) 3 else 1) // flow sample (expanded) format
       bb.putInt(sampleBody)
@@ -498,7 +528,7 @@ object SFlowV5 {
       bb.putInt(0) // drops
       if (expanded) { bb.putInt(0); bb.putInt(1); bb.putInt(0); bb.putInt(2) }
       else { bb.putInt(inputWord); bb.putInt(outputWord) } // input, output
-      bb.putInt(1) // numRecords
+      bb.putInt(1 + extRouter.size) // numRecords
       bb.putInt(1) // raw packet header record
       bb.putInt(recBody)
       bb.putInt(1) // headerProtocol ethernet
@@ -507,6 +537,14 @@ object SFlowV5 {
       bb.putInt(header.length)
       bb.put(header)
       bb.put(new Array[Byte](pad4(header.length)))
+      extRouter.foreach { case (nh, sm, dm) =>
+        bb.putInt(1002) // extended router data
+        bb.putInt(extBody.get)
+        bb.putInt(if (nh.length == 4) 1 else 2) // address type
+        bb.put(nh)
+        bb.putInt(sm)
+        bb.putInt(dm)
+      }
       bb.array()
     }
     val bb = ByteBuffer.allocate(28 + bodies.map(_.length).sum)

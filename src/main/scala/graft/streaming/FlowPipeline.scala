@@ -56,7 +56,9 @@ object FlowPipeline {
           col("dst_as").cast("long").as("dst_as"),
           col("vlan_id").cast("int").as("vlan_id"),
           col("mpls_1_label").cast("long").as("mpls_1_label"),
-          col("mpls_1_ttl").cast("int").as("mpls_1_ttl"))
+          col("mpls_1_ttl").cast("int").as("mpls_1_ttl"),
+          col("src_mask").cast("int").as("src_mask"),
+          col("dst_mask").cast("int").as("dst_mask"))
       else Seq.empty
     raw.select(Seq(
       col("type").cast("int").as("type"),

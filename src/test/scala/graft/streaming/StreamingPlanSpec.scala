@@ -158,42 +158,55 @@ class StreamingPlanSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("dedup-at-ingest shape (q52d): static probe inside the stream, state per distinct text") {
+  test("dedup-at-ingest shape (q52d): transformWithState, bounded per-batch emission") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val docs = MemoryStream[(Long, String)]
-    val idx = Seq("seen text").toDF("t")
-      .select(org.apache.spark.sql.functions.md5(col("t")).as("dig"))
-      .withColumn("in_index", lit(true))
-    val stream = docs.toDF().toDF("doc_id", "text")
-      .select(col("doc_id"), org.apache.spark.sql.functions.md5(col("text")).as("dig"))
-      .join(broadcast(idx), Seq("dig"), "left")
-      .groupBy("dig")
-      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("first_doc"),
-        max(coalesce(col("in_index"), lit(false))).as("dup_of_index"))
-    val q = stream.writeStream.format("memory").queryName("splan_q52d")
-      .outputMode("complete").option("checkpointLocation", freshCp("q52d")).start()
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      docs.addData((1L, "seen text"), (2L, "fresh text"), (3L, "fresh text"))
-      q.processAllAvailable()
-      val rows = spark.table("splan_q52d")
-        .select("n_copies", "first_doc", "dup_of_index").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
-      assert(rows == Set((1L, 1L, true), (2L, 2L, false)), rows.mkString(";"))
-      // state is per distinct TEXT, not per doc: 3 docs -> 2 state rows
-      val agg = q.lastProgress.stateOperators.head
-      assert(agg.numRowsTotal == 2,
-        s"state rows = ${agg.numRowsTotal} (op ${agg.operatorName})")
-      // a re-sent duplicate grows a count, never the state row set
-      docs.addData((4L, "fresh text"))
-      q.processAllAvailable()
-      val agg2 = q.lastProgress.stateOperators.head
-      assert(agg2.numRowsTotal == 2,
-        s"state rows = ${agg2.numRowsTotal} (op ${agg2.operatorName})")
-      val n = spark.table("splan_q52d").filter(col("first_doc") === 2L)
-        .select("n_copies").head().getLong(0)
-      assert(n == 3L)
-    } finally q.stop()
+      val docs = MemoryStream[(Long, String)]
+      val idx = Seq("seen text").toDF("t")
+        .select(org.apache.spark.sql.functions.md5(col("t")).as("dig"))
+        .withColumn("in_index", lit(true))
+      val tracked = docs.toDF().toDF("doc_id", "text")
+        .select(org.apache.spark.sql.functions.md5(col("text")).as("dig"), col("doc_id"))
+        .join(broadcast(idx), Seq("dig"), "left")
+        .select(col("dig"), col("doc_id"),
+          coalesce(col("in_index"), lit(false)).as("in_index"))
+        .as[(String, Long, Boolean)]
+        .groupByKey(_._1)
+        .transformWithState(new DedupIngestProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF("dig", "n_copies", "first_doc", "dup_of_index")
+      val q = tracked.writeStream.format("memory").queryName("splan_q52d")
+        .outputMode("update").option("checkpointLocation", freshCp("q52d")).start()
+      try {
+        docs.addData((1L, "seen text"), (2L, "fresh text"), (3L, "fresh text"))
+        q.processAllAvailable()
+        // the state operator in the EXECUTED plan is transformWithState —
+        // the weak-flag fix: not a complete-mode stateStoreSave re-emitter
+        val ops = q.lastProgress.stateOperators.map(_.operatorName).toSeq
+        assert(ops.exists(_.toLowerCase.contains("transformwithstate")), ops.mkString(","))
+        // state is per distinct TEXT, not per doc: 3 docs -> 2 state rows
+        assert(q.lastProgress.stateOperators.head.numRowsTotal == 2)
+        assert(spark.table("splan_q52d").count() == 2)
+        // BOUNDED EMISSION: a second batch touching ONE digest emits ONE
+        // row — the sink grows by the batch's key count, never re-emitting
+        // the full state table (the r10 complete-mode scale-killer)
+        docs.addData((4L, "fresh text"))
+        q.processAllAvailable()
+        assert(spark.table("splan_q52d").count() == 3,
+          s"expected 2+1 emissions, got ${spark.table("splan_q52d").count()}")
+        assert(q.lastProgress.stateOperators.head.numRowsTotal == 2)
+        // last-emission-per-key read (counters monotone): exact dedup verdicts
+        val last = spark.table("splan_q52d").groupBy("dig")
+          .agg(max("n_copies").as("n"), min("first_doc").as("f"),
+            max("dup_of_index").as("i"))
+          .collect().map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+        assert(last == Set((1L, 1L, true), (3L, 2L, false)), last.mkString(";"))
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
   test("watermark-agg shape (q49): append emits only watermark-closed windows") {
