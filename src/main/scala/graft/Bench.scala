@@ -367,11 +367,15 @@ object Bench {
     val qsNorm = results
       .map { case (k, v) => "\"" + k + "\":" + (if (v < 0) -1.0 else v / spinSec) }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total_all_queries","value":$total,"unit":"sec","n_queries":${ok.size},"calibration":$calibration,"ingest":$ingest,"udp_ingest":$udpIngest,"udp_listeners":$udpListeners,"queries":$qs,"queries_per_spin":$qsNorm,"headline_runs":$headlineAll,"sf":"$sfDir"}"""
+    // x2d diagnostics (VERDICT r10 #4): the propagation fixed-point round
+    // count of the last x2d run — tells convergence drift (corpus shape
+    // added a round) from box noise when wall time moves round-over-round
+    val x2dRounds = ext.DedupQueries.lastPropagationRounds.get()
+    val full = s"""{"metric":"total_all_queries","value":$total,"unit":"sec","n_queries":${ok.size},"calibration":$calibration,"x2d_fixed_point_rounds":$x2dRounds,"ingest":$ingest,"udp_ingest":$udpIngest,"udp_listeners":$udpListeners,"queries":$qs,"queries_per_spin":$qsNorm,"headline_runs":$headlineAll,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("target/bench_full.json")
     java.nio.file.Files.createDirectories(fullPath.getParent)
     java.nio.file.Files.write(fullPath, full.getBytes("UTF-8"))
-    println(s"""{"metric":"total_all_queries","value":$total,"unit":"sec","n_queries":${ok.size},"calibration":$calibration,"ingest":$ingest,"udp_ingest":$udpIngest,"udp_listeners":$udpListeners,"queries":$headline,"full":"${fullPath.toAbsolutePath}","sf":"$sfDir"}""")
+    println(s"""{"metric":"total_all_queries","value":$total,"unit":"sec","n_queries":${ok.size},"calibration":$calibration,"x2d_fixed_point_rounds":$x2dRounds,"ingest":$ingest,"udp_ingest":$udpIngest,"udp_listeners":$udpListeners,"queries":$headline,"full":"${fullPath.toAbsolutePath}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -492,6 +492,15 @@ object DedupQueries {
     * between rounds ⇔ identical labelings — one cheap agg over the
     * materialized labels instead of an exceptAll shuffle.
     */
+  /** Fixed-point rounds of the LAST [[minLabelComponents]] run — bench
+    * diagnostics (VERDICT r10 #4): x2d's wall time is dominated by the
+    * propagation fixed point, so round-over-round regressions need this
+    * counter to tell "the corpus shape added a round" from box noise.
+    * Emitted by Bench as `x2d_fixed_point_rounds`.
+    */
+  private[graft] val lastPropagationRounds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def minLabelComponents(s: SparkSession, d: String): DataFrame = {
     val (edgePlan, caches) = minhashComponentEdges(s, d)
     val base = Caching.withPersistedAll(caches)(truncate(edgePlan))
@@ -522,6 +531,7 @@ object DedupQueries {
       lab = next
       round += 1
     }
+    lastPropagationRounds.set(round)
     lab
   }
 

@@ -341,12 +341,40 @@ final class UdpFlowStream(host: String, port: Int, name: String,
     templateStatePath.map(p =>
       new org.apache.hadoop.fs.Path(p, "graft_nfv9_templates"))
 
-  private def templateStateFs: org.apache.hadoop.fs.FileSystem =
-    templateStateFile.get.getFileSystem(
+  /** Hadoop conf captured ONCE at stream construction, where an active
+    * session is guaranteed (the engine calls toMicroBatchStream on the
+    * driver) — resolving `SparkSession.active` per write on the receiver
+    * daemon thread would turn a session-shutdown race into a persist
+    * failure (and a silent cold start on next boot) (ADVICE r10).
+    */
+  private val templateStateConf: Option[org.apache.hadoop.conf.Configuration] =
+    templateStateFile.map(_ =>
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
 
-  /** Called with the classify lock held; rare (registry changes only). */
-  private def persistTemplateState(): Unit = templateStateFile.foreach { f =>
+  private def templateStateFs: org.apache.hadoop.fs.FileSystem =
+    templateStateFile.get.getFileSystem(templateStateConf.get)
+
+  /** Single writer thread for registry snapshots: the snapshot is BUILT
+    * under the stream lock (callers hold it), but the filesystem write
+    * happens here — classify, latestOffset/planInputPartitions and commit
+    * all contend on that lock, so a slow or hung checkpoint filesystem
+    * (S3/HDFS hiccup) must never stall packet admission or micro-batch
+    * planning into kernel-level UDP drops (ADVICE r10). One thread keeps
+    * writes in lock order, so the last rename is always the latest state;
+    * stop() drains the queue, keeping restart tests deterministic.
+    */
+  private val persistExec: Option[java.util.concurrent.ExecutorService] =
+    templateStateFile.map { _ =>
+      java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+        val t = new Thread(r, s"graft-udp-$name-tmpl-persist")
+        t.setDaemon(true); t
+      })
+    }
+
+  /** Called with the classify lock held; rare (registry changes only).
+    * Serializes the registry under the lock, then hands the write off.
+    */
+  private def persistTemplateState(): Unit = templateStateFile.foreach { _ =>
     val sb = new StringBuilder
     templates.foreach { case (sender, m) =>
       m.foreach { case ((sid, _), t) =>
@@ -362,21 +390,28 @@ final class UdpFlowStream(host: String, port: Int, name: String,
           .append(rate).append('\n')
       }
     }
-    try {
-      val fs = templateStateFs
-      val tmp = new org.apache.hadoop.fs.Path(f.getParent, f.getName + ".tmp")
-      val out = fs.create(tmp, true)
-      try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      fs.delete(f, false)
-      fs.rename(tmp, f)
-    } catch {
-      // persistence is an availability optimization, never a correctness
-      // dependency: on failure the collector degrades to wait-for-re-export
-      case e: Exception =>
-        System.err.println(s"[udp:$name] template-state write failed: $e")
-    }
+    val snapshot = sb.toString
+    persistExec.foreach(_.execute(() => writeTemplateSnapshot(snapshot)))
   }
+
+  /** Runs on [[persistExec]] only — off the stream lock. */
+  private def writeTemplateSnapshot(snapshot: String): Unit =
+    templateStateFile.foreach { f =>
+      try {
+        val fs = templateStateFs
+        val tmp = new org.apache.hadoop.fs.Path(f.getParent, f.getName + ".tmp")
+        val out = fs.create(tmp, true)
+        try out.write(snapshot.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        fs.delete(f, false)
+        fs.rename(tmp, f)
+      } catch {
+        // persistence is an availability optimization, never a correctness
+        // dependency: on failure the collector degrades to wait-for-re-export
+        case e: Exception =>
+          System.err.println(s"[udp:$name] template-state write failed: $e")
+      }
+    }
 
   private def loadTemplateState(): Unit = templateStateFile.foreach { f =>
     try {
@@ -662,5 +697,11 @@ final class UdpFlowStream(host: String, port: Int, name: String,
     closed = true
     UdpFlowSource.unregister(name)
     socket.close()
+    // drain pending registry snapshots so a restart (or a test asserting
+    // on the file) sees the last enqueued state
+    persistExec.foreach { e =>
+      e.shutdown()
+      e.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS)
+    }
   }
 }

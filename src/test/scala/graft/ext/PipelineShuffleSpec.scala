@@ -47,8 +47,8 @@ class PipelineShuffleSpec extends SparkSpec {
       assert(sorted.map(_.getDouble(3)).toSeq.sliding(2).forall {
         case Seq(a, b) => a >= b; case _ => true
       })
-      // shortlist bound: every reranked row came from the 10-deep ADC list
-      assert(rs.forall(r => r.getInt(4) >= 1 && r.getInt(4) <= 10))
+      // shortlist bound: every reranked row came from the 20-deep ADC list
+      assert(rs.forall(r => r.getInt(4) >= 1 && r.getInt(4) <= 20))
     }
   }
 
@@ -75,7 +75,7 @@ class PipelineShuffleSpec extends SparkSpec {
       .withColumn("pr", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
           .orderBy(col("ccos").desc, col("cl"))))
-      .filter(col("pr") <= 3)
+      .filter(col("pr") <= 8) // x3i's nprobe (r11: retuned 3->8, see its scaladoc)
       .select("q_id", "cl").collect()
       .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)).toSet
     val labels = e.select("vec_id", "label").collect()

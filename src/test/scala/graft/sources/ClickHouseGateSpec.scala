@@ -17,7 +17,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * #5): r7–r9 — client present, daemon absent; r10 — `dockerd` binary
   * absent entirely (not merely unstarted) and no ClickHouse image cached,
   * so nothing short of shipping a daemon + image into the sandbox can run
-  * this. What therefore stays unproven in-sandbox is exactly: live-server
+  * this; r11 — re-probed: client 28.2.2 present, `dockerd` still absent
+  * from /usr/bin and /usr/local/bin, no socket at /var/run/docker.sock,
+  * image cache unreachable — unchanged. What therefore stays unproven in-sandbox is exactly: live-server
   * type coercion and clickhouse-jdbc batching against a real 24.12; both
   * replay-gated (ClickHouseReplaySpec over the recorded transcript,
   * flows + flows_extended + idempotent readback + the UInt64 2^63 edge).
