@@ -58,10 +58,15 @@ object ScaleBench {
       // join) and the composed IVF-PQ index (pruning must hold the
       // admitted-candidate count at nprobe/centroids of the corpus)
       "x2h_incremental_dedup", "x3i_ivf_pq",
-      // dedup-at-ingest: streaming complete-mode state is one row per
-      // distinct INCOMING text — the gate proves the stream side stays
-      // linear when the corpus (and its exact-dup groups) grow 30×
+      // dedup-at-ingest: transformWithState holds one state row per
+      // distinct INCOMING text and emits O(batch) per micro-batch — the
+      // gate proves the stream side stays linear when the corpus (and its
+      // exact-dup groups) grow 30×
       "q52d_stream_dedup_ingest",
+      // streaming decontam-at-ingest (r11): stateless per batch; the gate
+      // proves per-batch cost stays O(batch + collisions) when both the
+      // train stream and the eval index grow 30×
+      "q52e_stream_decontam_ingest",
       // the nightly-rebuild composition: diff classes stay proportional
       // under replication (ids shift, %10 classes are preserved), so both
       // the diff join and the increment must scale together
@@ -440,10 +445,11 @@ object ScaleBench {
     // how much index loss is acceptable and the dial answers it. x3f stays
     // measured-only: it IS the undialed raw-PQ-top5 baseline — its recall
     // is the codebook's, with no stage to tune against a floor.
-    val annFloors = Map("x3h_pq_rerank" -> 0.7, "x3i_ivf_pq" -> 0.7)
+    val annFloors = Map("x3h_pq_rerank" -> 0.7, "x3i_ivf_pq" -> 0.7,
+      "x3j_filtered_knn" -> 0.7)
     val annRecall: Seq[(String, Double, Option[Double])] = {
       val dir = fixture(tiers.head._1)
-      Seq("x3f_pq_adc", "x3h_pq_rerank", "x3i_ivf_pq").map { n =>
+      Seq("x3f_pq_adc", "x3h_pq_rerank", "x3i_ivf_pq", "x3j_filtered_knn").map { n =>
         val rows = SparkEntry.queries(n)(spark, dir)
           .select(col("in_exact_top5")).collect()
         val r = rows.count(_.getBoolean(0)).toDouble / math.max(1, rows.length)

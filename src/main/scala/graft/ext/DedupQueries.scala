@@ -354,6 +354,43 @@ object DedupQueries {
     * texts, batch buckets probing index buckets at the ≥ 2-band cutoff;
     * dup_index ≻ dup_batch ≻ new with first-arrival-wins in the batch.
     */
+  /** Per-micro-batch decontamination verdict against a STATIC eval index
+    * (the q52e streaming face of x7): batch docs `(doc_id, text, dig)` →
+    * per-doc `contaminated` = exists an eval doc with shingle-Jaccard
+    * ≥ 0.8. STATELESS — contamination is a property of (doc, index)
+    * alone, so unlike dedup-at-ingest (q52d) no state store is needed:
+    * per-batch cost is O(batch + collisions) regardless of stream
+    * history. Identical texts collapse to one signature computation per
+    * distinct batch text (the x2h pattern); exact eval copies need no
+    * separate digest join — identical shingle sets collide in every band
+    * and verify at Jaccard 1.0. The eval side arrives as the precomputed
+    * `(iBuckets, shIdx)` artifacts of [[indexArtifactsFrom]].
+    */
+  private[graft] def streamDecontamPlan(batch: DataFrame, iBuckets: DataFrame,
+      shIdx: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    val bGroups = batch.groupBy("dig")
+      .agg(min(struct(col("doc_id"), col("text"))).as("r"))
+      .select(col("dig"), col("r.text").as("text"))
+    val shB = bGroups
+      .select(col("dig").as("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), shingleSet(col("w")).as("sh")).persist()
+    val bB = lshBuckets(sigsOf(shB))
+    val crossCand = bB.as("x").join(iBuckets.as("y"), Seq("band", "key"))
+      .groupBy(col("x.doc_id").as("a"), col("idig").as("b"))
+      .agg(count(lit(1)).as("n_bands")).filter(col("n_bands") >= 2)
+      .select("a", "b")
+    val contaminatedDigs = crossCand
+      .join(shB.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(shIdx, "b")
+      .filter(jaccard(col("sha"), col("shb")) >= 0.8)
+      .select(col("a").as("dig")).distinct()
+    val out = batch.select(col("doc_id"), col("dig"))
+      .join(contaminatedDigs.withColumn("contaminated", lit(true)), Seq("dig"), "left")
+      .select(col("doc_id"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+    (out, Seq(shB))
+  }
+
   private[graft] def incrementVerdictPlan(batch: DataFrame, indexDigs: DataFrame,
       iBuckets: DataFrame, shIdx: DataFrame): (DataFrame, Seq[DataFrame]) = {
     // one row per distinct batch text: group min doc_id (the

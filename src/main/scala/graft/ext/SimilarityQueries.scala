@@ -728,6 +728,79 @@ object SimilarityQueries {
           top.adc_rank, coalesce(ex.hit, false) AS in_exact_top5
         FROM top LEFT JOIN ex ON top.q_id = ex.q_id AND top.c_id = ex.c_id""".stripMargin)),
 
+    // X3j (r11): FILTERED vector search — the RAG-retrieval production
+    // shape ("top-k among documents matching a metadata predicate":
+    // source/license/date filters in a training-data or retrieval
+    // pipeline). The predicate (`vec_id % 7 < 3`, a stand-in for any
+    // metadata column) is applied to the COMPACT CODE ROWS — before any
+    // ADC scoring, before any raw vector is touched — so at 100 TB the
+    // filter costs a scan of 4-byte codes (with the predicate pushed to
+    // that scan), not of vectors; non-matching candidates never enter a
+    // join. Post-filtering (score everything, filter top-k) is the
+    // classic recall bug this shape avoids: `in_exact_top5` annotates
+    // against the exact top-5 OVER THE FILTERED SUBSET — the comparison a
+    // filtered-search user actually cares about — and the 20-deep
+    // shortlist + exact rerank is x3h's proven tail.
+    Q("x3j_filtered_knn",
+      (s, d) => {
+        val (codes, pd, norms) = pqFrames(s, d)
+        // metadata predicate on the code rows, BEFORE scoring
+        val fcodes = codes.filter(pmod(col("vec_id"), lit(7)) < 3)
+        val adots = fcodes.join(broadcast(pd),
+            fcodes("s") === pd("s") && fcodes("code") === pd("k"))
+          .groupBy(col("q_id"), col("vec_id").as("c_id"))
+          .agg(sum(col("pdot")).as("adot"))
+        val scored = adcCos(adots, norms)
+        val wAdc = Window.partitionBy(col("q_id")).orderBy(col("approx_cos").desc, col("c_id"))
+        val short = scored.withColumn("adc_rank", row_number().over(wAdc))
+          .filter(col("adc_rank") <= 20)
+          .select(col("q_id"), col("c_id"), col("adc_rank"))
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), quant(col("embedding")).as("qe"))
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("qe").as("q_emb"))
+        val shortQ = short.join(broadcast(q), "q_id")
+        val rr = e.select(col("vec_id").as("c_id"), col("qe").as("c_emb"))
+          .join(broadcast(shortQ), "c_id")
+          .select(col("q_id"), col("c_id"), col("adc_rank"),
+            qcos(col("q_emb"), col("c_emb")).as("cos"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+        val top = rr.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        // exact ground truth over the SAME filtered subset
+        val exact = e.filter(pmod(col("vec_id"), lit(7)) < 3)
+          .select(col("vec_id").as("c_id"), col("qe").as("c_emb"))
+          .join(broadcast(q), col("q_id") =!= col("c_id"))
+          .select(col("q_id"), col("c_id"),
+            qcos(col("q_emb"), col("c_emb")).as("ecos"))
+          .withColumn("erank", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("ecos").desc, col("c_id"))))
+          .filter(col("erank") <= 5)
+          .select(col("q_id"), col("c_id"), lit(true).as("hit"))
+        top.join(exact, Seq("q_id", "c_id"), "left")
+          .select(col("q_id"), col("rank"), col("c_id"), col("cos"),
+            col("adc_rank"), coalesce(col("hit"), lit(false)).as("in_exact_top5"))
+      },
+      Some(s"""$PqScoredCte,
+        fs AS (SELECT * FROM scored WHERE c_id % 7 < 3),
+        short AS (SELECT q_id, c_id, CAST(adc_rank AS INTEGER) AS adc_rank FROM (
+            SELECT q_id, c_id, row_number() OVER
+              (PARTITION BY q_id ORDER BY approx_cos DESC, c_id) AS adc_rank FROM fs)
+          WHERE adc_rank <= 20),
+        rr AS (SELECT s.q_id, s.c_id, s.adc_rank, ${sqlQcos("eq.qe", "ec.qe")} AS cos
+          FROM short s JOIN e eq ON eq.vec_id = s.q_id
+            JOIN e ec ON ec.vec_id = s.c_id),
+        top AS (SELECT * FROM (SELECT *, row_number() OVER
+            (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM rr)
+          WHERE rank <= 5),
+        ex AS (SELECT q_id, c_id, true AS hit FROM
+          (SELECT q.vec_id AS q_id, c.vec_id AS c_id, row_number() OVER
+             (PARTITION BY q.vec_id ORDER BY ${sqlQcos("q.qe", "c.qe")} DESC, c.vec_id) AS rank
+           FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id <> q.vec_id AND c.vec_id % 7 < 3)
+          WHERE rank <= 5)
+        SELECT top.q_id, CAST(top.rank AS INTEGER) AS rank, top.c_id, top.cos,
+          top.adc_rank, coalesce(ex.hit, false) AS in_exact_top5
+        FROM top LEFT JOIN ex ON top.q_id = ex.q_id AND top.c_id = ex.c_id""".stripMargin)),
+
     // X3g: SQ8 scalar-quantization ANN — the third compression flavor
     // beside IVF (x3c, scan pruning) and PQ (x3f, subspace codebooks):
     // per-dimension affine int8 codes, 8× smaller than the raw vectors,

@@ -907,6 +907,59 @@ object StreamQueries {
         FROM documents WHERE (doc_id * 2654435761) % 100 >= 80
         GROUP BY md5(text)""".stripMargin)),
 
+    // Q52e (r11): streaming DECONTAMINATION at ingest — the x7 shape made
+    // streaming: train documents arriving as files are checked against a
+    // static eval index (LSH buckets + shingle sets, precomputed once via
+    // the x2h artifact builder) INSIDE each micro-batch, and a per-doc
+    // `contaminated` verdict appends to the sink. STATELESS by design —
+    // contamination is a property of (doc, index) alone, so unlike q52d
+    // there is no state store and per-batch cost is O(batch + collisions)
+    // regardless of stream history; at 100 TB the eval artifacts are an
+    // on-disk asset exactly like x2h's index. The oracle is the brute
+    // Jaccard ground truth (not an LSH replay), so the gate also
+    // re-proves band-join recall 1.0 at j >= 0.8 on this corpus.
+    Q("q52e_stream_decontam_ingest",
+      (s, d) => {
+        val bucket = pmod(col("doc_id") * 2654435761L, lit(100L))
+        val evalIdx = Tables.documents(s, d).filter(bucket >= 90)
+          .select(col("doc_id"), col("text"), md5(col("text")).as("dig"))
+        val (_, eBuckets, shEval, idxCaches) =
+          graft.ext.DedupQueries.indexArtifactsFrom(evalIdx)
+        val out = s"$tmpRoot/q52e_out"
+        val cp = s"$tmpRoot/cp/q52e_sink"
+        org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(out).toFile)
+        org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(cp).toFile)
+        val q = documentsStream(s, d)
+          .filter(bucket < 80)
+          .select(col("doc_id"), col("text"), md5(col("text")).as("dig"))
+          .writeStream
+          .option("checkpointLocation", cp)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val (v, caches) =
+              graft.ext.DedupQueries.streamDecontamPlan(batch, eBuckets, shEval)
+            try v.write.mode("append").parquet(out)
+            finally caches.foreach(_.unpersist())
+          }
+          .start()
+        try q.awaitTermination()
+        finally idxCaches.foreach(_.unpersist())
+        s.read.parquet(out)
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') w, text,
+          (doc_id * 2654435761) % 100 AS bkt FROM documents),
+        sets AS (SELECT doc_id, bkt, CASE WHEN len(w) >= 3
+          THEN list_distinct(list_transform(generate_series(1, len(w)-2),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+          ELSE [text] END sh FROM t),
+        train AS (SELECT doc_id, sh FROM sets WHERE bkt < 80),
+        ev AS (SELECT sh FROM sets WHERE bkt >= 90),
+        cont AS (SELECT DISTINCT t.doc_id FROM train t JOIN ev e
+          ON len(list_intersect(t.sh, e.sh))::DOUBLE /
+             (len(t.sh) + len(e.sh) - len(list_intersect(t.sh, e.sh))) >= 0.8)
+        SELECT t.doc_id, (c.doc_id IS NOT NULL) AS contaminated
+        FROM train t LEFT JOIN cont c ON t.doc_id = c.doc_id""".stripMargin)),
+
     // Q53: foreachBatch sink (R5 parity, `main.go:157-169`) — batches
     // appended to parquet, result read back from the sink files.
     Q("q53_foreachbatch_sink",

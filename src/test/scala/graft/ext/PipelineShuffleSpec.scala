@@ -34,6 +34,21 @@ class PipelineShuffleSpec extends SparkSpec {
     assert(rows.sortBy(_._2).map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
   }
 
+  test("x3j returns only candidates matching the metadata predicate, 5 per query") {
+    // the filtered-search contract: no post-filter leak — every returned
+    // candidate satisfies the predicate that was applied to the code rows
+    val out = graft.Registry.queries("x3j_filtered_knn")(spark, sf)
+      .select("q_id", "c_id", "rank", "adc_rank").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val c = r.getAs[Number](1).longValue
+      assert(c % 7 < 3, s"candidate $c fails the vec_id % 7 < 3 predicate")
+      assert(r.getInt(3) >= 1 && r.getInt(3) <= 20) // from the 20-deep shortlist
+    }
+    val byQ = out.groupBy(_.getAs[Number](0).longValue)
+    assert(byQ.size == 8 && byQ.values.forall(_.map(_.getInt(2)).sorted.toSeq == (1 to 5)))
+  }
+
   test("x3i returns 5 reranked rows per query with cos descending") {
     val out = graft.Registry.queries("x3i_ivf_pq")(spark, sf)
       .select("q_id", "rank", "c_id", "cos", "adc_rank").collect()
