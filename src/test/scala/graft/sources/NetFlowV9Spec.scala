@@ -54,6 +54,31 @@ class NetFlowV9Spec extends AnyFunSuite {
     assert(f.time_flow_end == (1700000000000L - 20000L + 2000L) / 1000L)
   }
 
+  test("prefix masks decode: IEs 9/13 (IPv4) and 29/30 (IPv6)") {
+    // IPv4 masks (the q45i live path exercises 9/13 end-to-end; this pins
+    // the decode in isolation)
+    val t4 = V9.Template(310, Seq(8 -> 4, 12 -> 4, 9 -> 1, 13 -> 1))
+    val rec4 = Array(V9.fieldBytes(0x0a000001L, 4), V9.fieldBytes(0x0a000002L, 4),
+      V9.fieldBytes(24, 1), V9.fieldBytes(16, 1)).flatten.toArray
+    val d4 = V9.encodeData(9, sourceId = 1, templateId = 310, Seq(rec4))
+    val (f4, m4) = V9.decode(d4, sampler, Map((1L, 310) -> t4))
+    assert(m4 == 0 && f4.size == 1)
+    assert(f4.head.src_mask == 24 && f4.head.dst_mask == 16)
+
+    // IPv6 masks ride IEs 29/30 (2-byte encodings must also work — the
+    // uint() path takes the low-order tail)
+    val t6 = V9.Template(311, Seq(27 -> 16, 28 -> 16, 29 -> 2, 30 -> 1))
+    val v6a = new Array[Byte](16); v6a(0) = 0x20; v6a(15) = 1
+    val v6b = new Array[Byte](16); v6b(0) = 0x20; v6b(15) = 2
+    val rec6 = Array(v6a, v6b,
+      V9.fieldBytes(64, 2), V9.fieldBytes(48, 1)).flatten.toArray
+    val d6 = V9.encodeData(10, sourceId = 1, templateId = 311, Seq(rec6))
+    val (f6, m6) = V9.decode(d6, sampler, Map((1L, 311) -> t6))
+    assert(m6 == 0 && f6.size == 1)
+    assert(f6.head.etype == 0x86dd)
+    assert(f6.head.src_mask == 64 && f6.head.dst_mask == 48)
+  }
+
   test("ICMP packing decodes and unknown IEs are skipped by length") {
     val fields = Seq(4 -> 1, 32 -> 2, 999 -> 3, 1 -> 4)
     val t = V9.Template(301, fields)

@@ -32,6 +32,23 @@ class SFlowV5Spec extends AnyFunSuite {
     assert(f.sampler_address.sameElements(sampler))
   }
 
+  test("extended-router record (1002) decorates the sample's flow: next-hop + masks") {
+    val hdr = SF.ipv4Frame(Array[Byte](10, 1, 2, 3), Array[Byte](10, 9, 9, 9),
+      proto = 6, srcPort = 40000, dstPort = 443, tcpFlags = 18)
+    val nh = Array[Byte](10, 99, 0, 7)
+    val pkt = SF.encode(agent, sequence = 12L, Seq((1024L, 900L, hdr)),
+      extRouter = Some((nh, 28, 20)))
+    val flows = SF.decode(pkt, sampler, now)
+    assert(flows.size == 1)
+    val f = flows.head
+    assert(f.next_hop.sameElements(nh), "1002 next-hop must decorate the raw-header flow")
+    assert(f.src_mask == 28 && f.dst_mask == 20)
+    // and without the record, decoration stays at defaults
+    val plain = SF.decode(SF.encode(agent, 13L, Seq((1024L, 900L, hdr))), sampler, now).head
+    assert(plain.src_mask == 0 && plain.dst_mask == 0)
+    assert(plain.next_hop.sameElements(Array[Byte](0, 0, 0, 0)))
+  }
+
   test("802.1Q VLAN tag is stepped over; UDP ports decode") {
     val hdr = SF.ipv4Frame(Array[Byte](10, 2, 0, 1), Array[Byte](10, 2, 0, 2),
       proto = 17, srcPort = 5353, dstPort = 53, vlan = true)
