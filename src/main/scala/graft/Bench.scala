@@ -32,6 +32,24 @@ object Bench {
     prev
   }
 
+  /** The ONE fixed-work box-calibration kernel (min-of-3 single-core
+    * xorshift spin) — shared with ScaleBench so bench_full.json and
+    * BENCH_SCALE.json report spin seconds in the same unit; a drift
+    * between two copies would silently desynchronize the cross-file
+    * comparison the calibration exists for.
+    */
+  private[graft] def measureSpinSec(): Double = {
+    def spinOnce(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9e3779b97f4a7c15L
+      var i = 0L
+      while (i < 400_000_000L) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      if (x == 42L) System.err.println("") // keep the loop live
+      (System.nanoTime() - t0) / 1e9
+    }
+    Seq.fill(3)(spinOnce()).min
+  }
+
   private val quadraticBaselines = Set(
     "x2c_dedup_ngram",    // all-pairs char-ngram verification
     "x3b_cosine_pairs")   // all-pairs cosine self-join
@@ -72,15 +90,7 @@ object Bench {
     // + scheduler overhead at fixed work). Per-query times normalized by
     // spin_sec land in bench_full.json as `queries_per_spin`, so
     // round-over-round comparison divides the box factor out directly.
-    def spinOnce(): Double = {
-      val t0 = System.nanoTime()
-      var x = 0x9e3779b97f4a7c15L
-      var i = 0L
-      while (i < 400_000_000L) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
-      if (x == 42L) System.err.println("") // keep the loop live
-      (System.nanoTime() - t0) / 1e9
-    }
-    val spinSec = Seq.fill(3)(spinOnce()).min
+    val spinSec = measureSpinSec()
     def sparkCalOnce(): Double = {
       val t0 = System.nanoTime()
       // pmod keeps the running sum far under Long.Max (ANSI mode would

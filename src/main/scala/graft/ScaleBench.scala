@@ -197,7 +197,7 @@ object ScaleBench {
     * materialization re-runs (tmp-state discipline via write-order, same
     * reasoning as stageFixture's copy+atomic-move).
     */
-  private def materializedArtifacts(spark: SparkSession, art: String, key: String)(
+  private def materializedArtifacts(art: String, key: String)(
       build: => (DataFrame, DataFrame, DataFrame, Seq[DataFrame])): String = {
     val marker = Paths.get(s"$art/FIXTURE_KEY")
     val fresh = Files.exists(marker) &&
@@ -364,7 +364,7 @@ object ScaleBench {
 
     val (incrSec, incrFullSec, incrEqual) = {
       val dir = fixture(tiers.head._1)
-      val art = materializedArtifacts(spark, "/root/repo/target/sfgen/x2h_idx30p",
+      val art = materializedArtifacts("/root/repo/target/sfgen/x2h_idx30p",
         fixtureFingerprint(s"$dir/documents.parquet")) {
         ext.DedupQueries.x2hIndexArtifacts(spark, dir)
       }
@@ -407,7 +407,7 @@ object ScaleBench {
         .filter(pmod(col("doc_id") * 2654435761L, lit(100L)) < 80)
         .select(col("doc_id"), col("text"), md5(col("text")).as("dig"))
       def scaledArt(k: Int): String =
-        materializedArtifacts(spark, s"/root/repo/target/sfgen/x2h_idxscale_$k",
+        materializedArtifacts(s"/root/repo/target/sfgen/x2h_idxscale_$k",
           s"$baseFp:k=$k") {
           val frame = (0 until k).map { j =>
             if (j == 0) baseIdxDocs
@@ -463,19 +463,9 @@ object ScaleBench {
 
     // box calibration (VERDICT r10 #9: Bench carries it; BENCH_SCALE
     // ratios are within-run pairs — fine — but CROSS-round ratio drift was
-    // unattributable without the same fixed-work yardstick here): the
-    // single-core xorshift spin, min-of-3 (same kernel as Bench.scala's).
-    val spinSec = {
-      def spinOnce(): Double = {
-        val t0 = System.nanoTime()
-        var x = 0x9e3779b97f4a7c15L
-        var i = 0L
-        while (i < 400_000_000L) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
-        if (x == 42L) System.err.println("") // keep the loop live
-        (System.nanoTime() - t0) / 1e9
-      }
-      Seq.fill(3)(spinOnce()).min
-    }
+    // unattributable without the same fixed-work yardstick here): the ONE
+    // shared kernel, so both JSONs report the same unit.
+    val spinSec = Bench.measureSpinSec()
 
     val ok = rows.forall { case (_, scale, b, s, r, _, _) =>
       b > 0 && s > 0 && r <= maxRatio(scale)

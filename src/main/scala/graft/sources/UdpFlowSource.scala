@@ -349,7 +349,13 @@ final class UdpFlowStream(host: String, port: Int, name: String,
     */
   private val templateStateConf: Option[org.apache.hadoop.conf.Configuration] =
     templateStateFile.map(_ =>
-      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .map(_.sessionState.newHadoopConf())
+        // no session (direct construction in tests / tooling): a default
+        // conf still resolves local paths; cluster deployments always
+        // construct through the engine, where a session exists
+        .getOrElse(new org.apache.hadoop.conf.Configuration()))
 
   private def templateStateFs: org.apache.hadoop.fs.FileSystem =
     templateStateFile.get.getFileSystem(templateStateConf.get)
@@ -391,7 +397,12 @@ final class UdpFlowStream(host: String, port: Int, name: String,
       }
     }
     val snapshot = sb.toString
-    persistExec.foreach(_.execute(() => writeTemplateSnapshot(snapshot)))
+    // stop() may have shut the executor down while the receiver was mid-
+    // classify — losing that final snapshot degrades to re-learn (the
+    // declared fallback); killing the receiver thread on the rejection
+    // would not (the loop's catch arms don't match once closed=true)
+    try persistExec.foreach(_.execute(() => writeTemplateSnapshot(snapshot)))
+    catch { case _: java.util.concurrent.RejectedExecutionException => }
   }
 
   /** Runs on [[persistExec]] only — off the stream lock. */
@@ -416,8 +427,15 @@ final class UdpFlowStream(host: String, port: Int, name: String,
   private def loadTemplateState(): Unit = templateStateFile.foreach { f =>
     try {
       val fs = templateStateFs
-      if (fs.exists(f)) {
-        val in = fs.open(f)
+      // crash-window recovery: a writer killed between delete(target) and
+      // rename(tmp, target) leaves no target but a COMPLETE tmp — recover
+      // it rather than cold-starting (a PARTIAL tmp parse-fails into the
+      // cold start below, so this can never load torn state; when the
+      // target exists it always wins, matching the torn-write spec)
+      val tmp = new org.apache.hadoop.fs.Path(f.getParent, f.getName + ".tmp")
+      val src = if (fs.exists(f)) f else if (fs.exists(tmp)) tmp else null
+      if (src != null) {
+        val in = fs.open(src)
         val txt =
           try new String(org.apache.commons.io.IOUtils.toByteArray(in),
             java.nio.charset.StandardCharsets.UTF_8)

@@ -616,6 +616,29 @@ class UdpIngestSpec extends SparkSpec {
       }
       assert(s2.reportLatestOffset().asInstanceOf[UdpOffset].count > 0)
     } finally { sock2.close(); s2.stop() }
+
+    // phase 3: writer killed between delete(target) and rename(tmp) —
+    // no target, COMPLETE tmp: the loader recovers the tmp instead of
+    // cold-starting (the adjacent crash window to phase 1)
+    java.nio.file.Files.delete(Paths.get(dir, "graft_nfv9_templates"))
+    java.nio.file.Files.write(Paths.get(dir, "graft_nfv9_templates.tmp"),
+      oldState.getBytes("UTF-8"))
+    val s3 = new UdpFlowStream("127.0.0.1", 0, "tmpl-torn-3", 10L, 1,
+      dedupSequence = false, templateStatePath = Some(dir))
+    val sock3 = new DatagramSocket()
+    try {
+      val port = UdpFlowSource.boundPort("tmpl-torn-3").get
+      val stats = UdpFlowSource.statsFor("tmpl-torn-3")
+      val misses0 = stats.templateMisses.sum()
+      while (s3.reportLatestOffset().asInstanceOf[UdpOffset].count == 0 &&
+          System.nanoTime() < deadline) {
+        sock3.send(new DatagramPacket(data, data.length, addr, port))
+        Thread.sleep(20)
+      }
+      assert(s3.reportLatestOffset().asInstanceOf[UdpOffset].count > 0,
+        "a complete tmp with no target must be recovered, not cold-started")
+      assert(stats.templateMisses.sum() == misses0)
+    } finally { sock3.close(); s3.stop() }
   }
 
   test("persistTemplates=true: a restarted collector decodes pre-announcement data (r10)") {
