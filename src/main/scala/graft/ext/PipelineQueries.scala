@@ -429,6 +429,65 @@ object PipelineQueries {
               FROM documents)
         GROUP BY bucket_cap""".stripMargin)),
 
+    // X6m (r11): STRATIFIED train/val/test split manifest — exact 10%/10%
+    // quotas per (lang, source) stratum, the eval-set-construction op
+    // every training pipeline runs (proportional representation of every
+    // language×source cell, not the whole-corpus coin flip of a naive
+    // hash split, which starves small strata). Deterministic: docs rank
+    // within their stratum by a seeded md5 order, the first ceil(n/10)
+    // are val, the next ceil(n/10) test, the rest train — same manifest
+    // on every run and both engines. Scale shape: the per-stratum rank is
+    // the x6g/x6k two-phase DISTRIBUTED prefix sum — range partition by
+    // (lang, source, hash) so a giant stratum SPANS partitions (never one
+    // task), local row_number per (partition, stratum), then broadcast
+    // P×S offset rows — no global or per-stratum single-task window
+    // anywhere. The global rank is invariant to where the range
+    // boundaries land (any contiguous split preserves offset+local), so
+    // the manifest is partition-count independent. `sum_doc_id` is a
+    // membership witness: the oracle match pins the exact ASSIGNMENT,
+    // not just the per-split counts.
+    Q("x6m_stratified_split",
+      (s, d) => {
+        val seed = "graft-split-7:"
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          col("source"),
+          md5(concat(lit(seed), col("doc_id").cast(StringType))).as("h"))
+        val parts = docs.repartitionByRange(16, col("lang"), col("source"), col("h"))
+          .withColumn("pid", spark_partition_id())
+        val local = parts.withColumn("lrn", row_number().over(
+          Window.partitionBy(col("pid"), col("lang"), col("source"))
+            .orderBy(col("h"), col("doc_id"))))
+        val offs = local.groupBy("pid", "lang", "source")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("offset", coalesce(sum(col("n")).over(
+            Window.partitionBy(col("lang"), col("source")).orderBy(col("pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("pid"), col("lang"), col("source"), col("offset"))
+        val sizes = docs.groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_stratum"))
+        local.join(broadcast(offs), Seq("pid", "lang", "source"))
+          .withColumn("rk", col("offset") + col("lrn"))
+          .join(broadcast(sizes), Seq("lang", "source"))
+          .withColumn("vq", expr("(n_stratum + 9) DIV 10"))
+          .withColumn("split", when(col("rk") <= col("vq"), "val")
+            .when(col("rk") <= col("vq") * 2, "test")
+            .otherwise("train"))
+          .groupBy("lang", "source", "split")
+          .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_doc_id"))
+      },
+      Some("""WITH docs AS (SELECT doc_id, lang, source,
+          md5('graft-split-7:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        ranked AS (SELECT *, row_number() OVER
+            (PARTITION BY lang, source ORDER BY h, doc_id) AS rk,
+          count(*) OVER (PARTITION BY lang, source) AS n_stratum FROM docs),
+        sp AS (SELECT lang, source, doc_id,
+          CASE WHEN rk <= (n_stratum + 9) // 10 THEN 'val'
+               WHEN rk <= 2 * ((n_stratum + 9) // 10) THEN 'test'
+               ELSE 'train' END AS split FROM ranked)
+        SELECT lang, source, split, count(*) AS n_docs,
+          CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+        FROM sp GROUP BY lang, source, split""".stripMargin)),
+
     // X10 (r10, VERDICT r09 #8): the END-TO-END training-data pipeline as
     // ONE composed lineage — exact dedup → verbatim-8-gram decontamination
     // → quality filter → token-budget packing → byte-budget sharding —

@@ -24,6 +24,36 @@ class PipelineShuffleSpec extends SparkSpec {
     assert(r3.nonEmpty)
   }
 
+  test("x6m split manifest is shuffle-width-invariant and quota-exact") {
+    // the stratified split's two-phase rank must produce the SAME
+    // manifest under different shuffle widths (the x6k argument per
+    // stratum), and every stratum's val/test cells hold exactly
+    // ceil(n/10) docs
+    def rows(parts: String) = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try graft.Registry.queries("x6m_stratified_split")(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val a = rows("8"); val b = rows("64")
+    assert(a == b && a.nonEmpty)
+    val out = graft.Registry.queries("x6m_stratified_split")(spark, sf)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getString(2), r.getLong(3)))
+    val byStratum = out.groupBy(_._1)
+    byStratum.foreach { case (st, cells) =>
+      val n = cells.map(_._3).sum
+      val vq = (n + 9) / 10
+      // tiny strata: quotas clamp to what exists (n=1 -> all val)
+      val valExp = math.min(vq, n)
+      val testExp = math.min(vq, math.max(0L, n - vq))
+      val m = cells.map(c => c._2 -> c._3).toMap
+      assert(m.getOrElse("val", 0L) == valExp, s"$st val ${m.get("val")} != $valExp")
+      assert(m.getOrElse("test", 0L) == testExp, s"$st test ${m.get("test")} != $testExp")
+      assert(m.getOrElse("train", 0L) == math.max(0L, n - 2 * vq), st.toString)
+    }
+  }
+
   test("x6k is a permutation consistent with the seeded key order") {
     val rows = PipelineQueries.corpusShufflePlan(spark, sf, nPart = 5)
       .select("shuffle_key", "shuffle_rank").collect()
