@@ -219,6 +219,62 @@ object TextQueries {
           CAST(round((log2(n) - s / n) * 10000) AS BIGINT) AS entropy_e4
         FROM agg""".stripMargin)),
 
+    // X4i (r11): intra-document REPETITION metrics — the Gopher/FineWeb
+    // quality rule the x4b surface lacked: heavily repetitive documents
+    // (boilerplate, scraped menus, generation loops) are flagged by the
+    // duplicate fraction of their own words / bigrams / trigrams. All
+    // per-row map-side arithmetic, and every fraction is PURE INTEGER
+    // ppm ((n - distinct) * 1e6 DIV n — Spark's DIV and DuckDB's // agree
+    // on the non-negative domain), so the oracle is bit-exact with no
+    // float summation-order hazard. The flag threshold (bigram dup
+    // fraction ≥ 20%) is the published Gopher-style cut; per-lang
+    // aggregation keeps the output stable and the verdict hashable.
+    Q("x4i_repetition",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("lang"), split(col("text"), " ").as("w"))
+          .withColumn("bg", expr("CASE WHEN size(w) >= 2 THEN " +
+            "transform(sequence(1, size(w)-1), i -> concat(element_at(w, i), ' ', element_at(w, i+1))) " +
+            "ELSE array() END"))
+          .withColumn("tg", expr("CASE WHEN size(w) >= 3 THEN " +
+            "transform(sequence(1, size(w)-2), i -> concat(element_at(w, i), ' ', element_at(w, i+1), ' ', element_at(w, i+2))) " +
+            "ELSE array() END"))
+          .withColumn("dw_ppm", expr(
+            "(CAST(size(w) - size(array_distinct(w)) AS BIGINT) * 1000000) DIV size(w)"))
+          .withColumn("db_ppm", expr("CASE WHEN size(bg) > 0 THEN " +
+            "(CAST(size(bg) - size(array_distinct(bg)) AS BIGINT) * 1000000) DIV size(bg) " +
+            "ELSE CAST(0 AS BIGINT) END"))
+          .withColumn("dt_ppm", expr("CASE WHEN size(tg) > 0 THEN " +
+            "(CAST(size(tg) - size(array_distinct(tg)) AS BIGINT) * 1000000) DIV size(tg) " +
+            "ELSE CAST(0 AS BIGINT) END"))
+        base.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("db_ppm") >= 200000L, 1L).otherwise(0L)).as("n_repetitive"),
+            sum(col("dw_ppm")).as("sum_dw_ppm"),
+            sum(col("db_ppm")).as("sum_db_ppm"),
+            sum(col("dt_ppm")).as("sum_dt_ppm"),
+            max(col("db_ppm")).as("max_db_ppm"))
+      },
+      Some("""WITH t AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+        m AS (SELECT lang,
+          CASE WHEN len(w) >= 2 THEN list_transform(generate_series(1, len(w)-1),
+            i -> w[i] || ' ' || w[i+1]) ELSE [] END AS bg,
+          CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w)-2),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END AS tg,
+          ((len(w) - len(list_distinct(w))) * 1000000) // len(w) AS dw_ppm
+          FROM t),
+        m2 AS (SELECT lang, dw_ppm,
+          CASE WHEN len(bg) > 0 THEN ((len(bg) - len(list_distinct(bg))) * 1000000) // len(bg) ELSE 0 END AS db_ppm,
+          CASE WHEN len(tg) > 0 THEN ((len(tg) - len(list_distinct(tg))) * 1000000) // len(tg) ELSE 0 END AS dt_ppm
+          FROM m)
+        SELECT lang, count(*) AS n_docs,
+          CAST(SUM(CASE WHEN db_ppm >= 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+          CAST(SUM(dw_ppm) AS BIGINT) AS sum_dw_ppm,
+          CAST(SUM(db_ppm) AS BIGINT) AS sum_db_ppm,
+          CAST(SUM(dt_ppm) AS BIGINT) AS sum_dt_ppm,
+          CAST(MAX(db_ppm) AS BIGINT) AS max_db_ppm
+        FROM m2 GROUP BY lang""".stripMargin)),
+
     // X4h: perplexity quality filter — the CCNet/Gopher shape: train an
     // add-k bigram LM on the corpus ITSELF (k = 0.5, vocab = all distinct
     // tokens), score every doc by mean bits per bigram (-Σ occ·log2 p / Σ
