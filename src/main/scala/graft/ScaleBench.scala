@@ -67,6 +67,11 @@ object ScaleBench {
       // proves per-batch cost stays O(batch + collisions) when both the
       // train stream and the eval index grow 30×
       "q52e_stream_decontam_ingest",
+      // r11 batch ops: filtered ANN (code-row predicate must prune before
+      // scoring), stratified split (two-phase per-stratum rank must not
+      // collapse a 30× stratum into one task), repetition metrics (pure
+      // map + one agg — the linear control)
+      "x3j_filtered_knn", "x6m_stratified_split", "x4i_repetition",
       // the nightly-rebuild composition: diff classes stay proportional
       // under replication (ids shift, %10 classes are preserved), so both
       // the diff join and the increment must scale together
