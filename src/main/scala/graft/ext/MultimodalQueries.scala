@@ -120,6 +120,60 @@ object MultimodalQueries {
         FROM (SELECT doc_id, text, 1 + ord(substr(text, 1, 1)) % 64 AS w,
           1 + ord(substr(text, 2, 1)) % 64 AS h FROM documents)""".stripMargin)),
 
+    // X5g (r11): perceptual-hash near-dup over the media payloads — the
+    // LAION-style image-dedup shape, completing the multimodal family
+    // with the op a real crawl pipeline runs FIRST: average-hash (8×8
+    // nearest-neighbor resize of the stub-declared image, bit = pixel
+    // above the 64-pixel mean) packed as four 16-bit bands, pigeonhole
+    // band join (Hamming ≤ 3 ⇒ some band equal — the x2b argument on
+    // image features), exact Hamming verify via XOR popcount. Identical
+    // payloads hash identically (Hamming 0), so exact dups ride the same
+    // path. 100 TB posture: candidates come from band-key equi-joins over
+    // 4 ints per image — never an all-pairs product, and raw payloads
+    // never move after the one kernel pass. Stub decode, real kernel —
+    // swapping in a DCT over true pixels (classic pHash) changes no plan.
+    // The sf0.01 fixture has zero duplicate texts and a minimum pairwise
+    // aHash Hamming of 8, so the base oracle legitimately returns the
+    // EMPTY pair set (both engines agree on it through the same banded
+    // plan); the kernel + band-join + verify contract is positively
+    // witnessed on synthetic dup/near-dup payloads in MultimodalSpec, and
+    // the 30× replicated corpus (30-copy exact-dup groups) exercises the
+    // clique-enumeration output shape.
+    Q("x5g_phash_dedup",
+      (s, d) => {
+        val hb = Multimodal.aHashBands(media(s, d))
+        Caching.withPersisted(hb) {
+          Multimodal.phashPairs(hb, maxHamming = 3)
+            .localCheckpoint() // release the band cache before returning
+        }
+      },
+      Some("""WITH g AS (SELECT doc_id, text, 1 + ord(substr(text, 1, 1)) % 64 AS w,
+          1 + ord(substr(text, 2, 1)) % 64 AS h FROM documents),
+        px AS (SELECT doc_id, list_transform(generate_series(0, 63), i ->
+            ord(substr(text,
+              (((i // 8) * h // 8) * w + ((i % 8) * w // 8)) % length(text) + 1, 1))) AS p
+          FROM g),
+        hb AS (SELECT doc_id, p, list_sum(p) AS s FROM px),
+        bands AS (SELECT doc_id, p, s, list_transform(generate_series(0, 3), k ->
+            list_sum(list_transform(generate_series(1, 16), j ->
+              CASE WHEN p[16*k + j] * 64 > s THEN (1 << (j - 1)) ELSE 0 END))) AS bl
+          FROM hb),
+        bk AS (SELECT doc_id, k - 1 AS band, bl[k] AS key
+          FROM bands, generate_series(1, 4) AS t(k)),
+        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bk x JOIN bk y
+          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+        SELECT a, b, CAST(
+            bit_count(xor(CAST(xa.bl[1] AS BIGINT), CAST(xb.bl[1] AS BIGINT))) +
+            bit_count(xor(CAST(xa.bl[2] AS BIGINT), CAST(xb.bl[2] AS BIGINT))) +
+            bit_count(xor(CAST(xa.bl[3] AS BIGINT), CAST(xb.bl[3] AS BIGINT))) +
+            bit_count(xor(CAST(xa.bl[4] AS BIGINT), CAST(xb.bl[4] AS BIGINT)))
+          AS INTEGER) AS hamming
+        FROM cand JOIN bands xa ON xa.doc_id = a JOIN bands xb ON xb.doc_id = b
+        WHERE bit_count(xor(CAST(xa.bl[1] AS BIGINT), CAST(xb.bl[1] AS BIGINT))) +
+          bit_count(xor(CAST(xa.bl[2] AS BIGINT), CAST(xb.bl[2] AS BIGINT))) +
+          bit_count(xor(CAST(xa.bl[3] AS BIGINT), CAST(xb.bl[3] AS BIGINT))) +
+          bit_count(xor(CAST(xa.bl[4] AS BIGINT), CAST(xb.bl[4] AS BIGINT))) <= 3""".stripMargin)),
+
     // X5d: multimodal columns carried through §2.2 operators — binary +
     // embedding joined, grouped, aggregated (the "typed metadata travels
     // with the blob" contract).
@@ -248,6 +302,83 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "out_w", "out_h", "resized_csv", "pixel_sum")
+  }
+
+  /** Average-hash (aHash) bands — the perceptual-hash kernel of x5g:
+    * nearest-neighbor 8×8 resize of the stub-declared image (the x5f
+    * geometry), then bit i = pixel_i above the 64-pixel mean, packed as
+    * FOUR 16-bit band keys instead of one 64-bit word (pigeonhole:
+    * Hamming ≤ 3 ⇒ at least one band identical — and no engine ever
+    * touches the sign bit of a 64-bit pack). The mean threshold is the
+    * integer comparison pixel·64 > Σpixels, so both engines reproduce
+    * every bit exactly. Stub geometry, real kernel — swapping in a DCT
+    * over real decoded pixels (true pHash) changes none of the plumbing.
+    */
+  def aHashBands(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val w = 1 + (payload(0) & 0xff) % 64
+          val h = 1 + (payload(1) & 0xff) % 64
+          val px = new Array[Int](64)
+          var sum = 0L
+          var r = 0
+          while (r < 8) {
+            var c = 0
+            while (c < 8) {
+              val idx = (r * h / 8) * w + (c * w / 8)
+              // modulo wrap, not zero padding: short payloads must yield
+              // CONTENT-dependent pixels, or every short doc hashes to
+              // ~zero and the band join degenerates toward all-pairs
+              val v = payload(idx % payload.length) & 0xff
+              px(r * 8 + c) = v
+              sum += v
+              c += 1
+            }
+            r += 1
+          }
+          val bands = new Array[Int](4)
+          var k = 0
+          while (k < 4) {
+            var bits = 0
+            var j = 0
+            while (j < 16) {
+              if (px(16 * k + j).toLong * 64L > sum) bits |= (1 << j)
+              j += 1
+            }
+            bands(k) = bits
+            k += 1
+          }
+          (id, bands(0), bands(1), bands(2), bands(3))
+        }
+      }
+      .toDF("doc_id", "b0", "b1", "b2", "b3")
+  }
+
+  /** The x5g pair plan over an aHash band frame: pigeonhole band-key
+    * equi-join (Hamming ≤ bands−1 ⇒ some band equal) → exact XOR-popcount
+    * verify at `maxHamming`. Factored out so MultimodalSpec can drive it
+    * over synthetic dup payloads (the fixture has no sub-threshold pair).
+    */
+  private[graft] def phashPairs(hb: DataFrame, maxHamming: Int): DataFrame = {
+    val bk = hb.select(col("doc_id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("band", "key")))
+    val cand = bk.as("x").join(bk.as("y"), Seq("band", "key"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    cand
+      .join(hb.select(col("doc_id").as("a"), col("b0").as("a0"),
+        col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")), "a")
+      .join(hb.select(col("doc_id").as("b"), col("b0").as("c0"),
+        col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3")), "b")
+      .select(col("a"), col("b"),
+        expr("CAST(bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+          "bit_count(a2 ^ c2) + bit_count(a3 ^ c3) AS INT)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Byte histogram: exact integer bin counts plus the float feature

@@ -108,4 +108,39 @@ class MultimodalSpec extends SparkSpec {
       .filter(not(col("hist_counts").cast("array<int>") === col("hist_sql").cast("array<int>")))
     assert(joined.count() == 0)
   }
+
+  test("x5g phash: dup payloads pair at Hamming 0, unrelated payloads stay apart") {
+    // the fixture has no sub-threshold pair (x5g's registered result is
+    // legitimately empty at sf0.01), so the band-join + verify contract is
+    // witnessed here on synthetic payloads: two identical "images", one
+    // perturbed copy, one unrelated
+    import spark.implicits._
+    val base = ("A" * 40 + "zQx" + "B" * 40).getBytes("UTF-8")
+    val perturbed = base.clone(); perturbed(60) = 'C'.toByte // 1-byte change
+    val unrelated = Array.tabulate[Byte](90)(i => (33 + (i * 37) % 90).toByte)
+    val df = Seq((1L, base), (2L, base), (3L, perturbed), (4L, unrelated))
+      .toDF("doc_id", "payload")
+    val hb = Multimodal.aHashBands(df)
+    // identical payloads -> identical bands
+    val b12 = hb.filter(col("doc_id") <= 2).select("b0", "b1", "b2", "b3")
+      .collect().map(_.toSeq).toSet
+    assert(b12.size == 1, s"identical payloads hashed differently: $b12")
+    // compute every pairwise Hamming through the kernel frame, then check
+    // the banded plan emits exactly the <= 3 pairs (no pigeonhole miss,
+    // no post-filter leak)
+    val bands = hb.collect()
+      .map(r => r.getLong(0) -> Seq(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    def ham(a: Long, b: Long): Int =
+      bands(a).zip(bands(b)).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    val expected = (for {
+      a <- bands.keys; b <- bands.keys if a < b && ham(a, b) <= 3
+    } yield (a, b)).toSet
+    assert(expected.contains((1L, 2L))) // the dup pair must be sub-threshold
+    val got = Multimodal.phashPairs(hb, maxHamming = 3)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"banded pairs $got != brute-force $expected")
+    assert(Multimodal.phashPairs(hb, maxHamming = 3)
+      .filter(col("a") === 1 && col("b") === 2)
+      .head().getInt(2) == 0) // exact dups verify at Hamming 0
+  }
 }
