@@ -40,7 +40,11 @@ class RegistrySpec extends SparkSpec {
   private val mayBeEmpty = Set("q15b_join_anti", "qf2_traffic_matrix",
     "qf3_port_scan", "x2c_dedup_ngram", "x3b_cosine_pairs",
     "q46_stream_tumbling", "q47_stream_sliding", "x7c_decontam_fuzzy",
-    "x7e_decontam_semantic")
+    "x7e_decontam_semantic",
+    // no sub-threshold aHash pair exists in the dup-free fixtures (min
+    // pairwise Hamming 8 at sf0.01) — the positive pair contract is
+    // pinned in MultimodalSpec on synthetic payloads
+    "x5g_phash_dedup")
 
   for (q <- Registry.all) {
     test(s"smoke: ${q.name} runs at sf0.001") {
