@@ -70,8 +70,12 @@ object ScaleBench {
       // r11 batch ops: filtered ANN (code-row predicate must prune before
       // scoring), stratified split (two-phase per-stratum rank must not
       // collapse a 30× stratum into one task), repetition metrics (pure
-      // map + one agg — the linear control)
+      // map + one agg — the linear control), phash dedup (the 30-copy
+      // exact-dup groups make every band bucket a 30-clique: the declared
+      // clique-pair output appears here, and the gate bounds the band
+      // join + verify around it)
       "x3j_filtered_knn", "x6m_stratified_split", "x4i_repetition",
+      "x5g_phash_dedup",
       // the nightly-rebuild composition: diff classes stay proportional
       // under replication (ids shift, %10 classes are preserved), so both
       // the diff join and the increment must scale together

@@ -132,20 +132,49 @@ object MultimodalQueries {
     // 4 ints per image — never an all-pairs product, and raw payloads
     // never move after the one kernel pass. Stub decode, real kernel —
     // swapping in a DCT over true pixels (classic pHash) changes no plan.
+    // Exact-dup collapse in front (the x2/x2b defense, proven necessary
+    // by the 30× gate: band-joining all docs put every 30-copy group's
+    // clique into the candidate join — 900× candidates, 12 GB spill,
+    // ratio 31): identical payloads hash identically, so the band join
+    // runs over one REPRESENTATIVE per distinct payload, and the member-
+    // level pair output is reassembled as within-group cliques (Hamming
+    // 0 by identity) plus rep-level near pairs expanded through
+    // equi-joins on the digest — quadratic rows only where the DECLARED
+    // output is quadratic, never inside the candidate join.
+    //
     // The sf0.01 fixture has zero duplicate texts and a minimum pairwise
     // aHash Hamming of 8, so the base oracle legitimately returns the
     // EMPTY pair set (both engines agree on it through the same banded
     // plan); the kernel + band-join + verify contract is positively
     // witnessed on synthetic dup/near-dup payloads in MultimodalSpec, and
     // the 30× replicated corpus (30-copy exact-dup groups) exercises the
-    // clique-enumeration output shape.
+    // clique-expansion output shape under the scale gate.
     Q("x5g_phash_dedup",
       (s, d) => {
-        val hb = Multimodal.aHashBands(media(s, d))
-        Caching.withPersisted(hb) {
-          Multimodal.phashPairs(hb, maxHamming = 3)
-            .localCheckpoint() // release the band cache before returning
-        }
+        val withDig = media(s, d).select(col("doc_id"), col("payload"),
+          md5(col("payload")).as("dig"))
+        val membership = withDig.select(col("dig"), col("doc_id")).persist()
+        try {
+          val repOf = membership.groupBy("dig").agg(min(col("doc_id")).as("rep"))
+          val reps = withDig.join(repOf, withDig("doc_id") === repOf("rep"))
+            .select(col("rep").as("doc_id"), col("payload"))
+          val hb = Multimodal.aHashBands(reps)
+          val repPairs = Multimodal.phashPairs(hb, maxHamming = 3)
+          // within-group cliques: identical payload ⇒ Hamming 0
+          val internal = membership.as("x").join(membership.as("y"), "dig")
+            .where(col("x.doc_id") < col("y.doc_id"))
+            .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+              lit(0).cast(IntegerType).as("hamming"))
+          // cross-group near pairs: every member inherits its rep's hash
+          val mRep = membership.join(repOf, "dig")
+            .select(col("rep"), col("doc_id"))
+          val cross = repPairs
+            .join(mRep.select(col("rep").as("a"), col("doc_id").as("ma")), "a")
+            .join(mRep.select(col("rep").as("b"), col("doc_id").as("mb")), "b")
+            .select(least(col("ma"), col("mb")).as("a"),
+              greatest(col("ma"), col("mb")).as("b"), col("hamming"))
+          internal.unionByName(cross).localCheckpoint()
+        } finally membership.unpersist()
       },
       Some("""WITH g AS (SELECT doc_id, text, 1 + ord(substr(text, 1, 1)) % 64 AS w,
           1 + ord(substr(text, 2, 1)) % 64 AS h FROM documents),

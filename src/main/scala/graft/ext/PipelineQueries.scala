@@ -457,15 +457,21 @@ object PipelineQueries {
         val local = parts.withColumn("lrn", row_number().over(
           Window.partitionBy(col("pid"), col("lang"), col("source"))
             .orderBy(col("h"), col("doc_id"))))
-        val offs = local.groupBy("pid", "lang", "source")
-          .agg(count(lit(1)).as("n"))
+        // per-(partition, stratum) counts feed BOTH the offset table and
+        // the stratum sizes (review r11: a separate groupBy over `docs`
+        // was a third full corpus scan for numbers this P×S-row frame
+        // already holds) — persisted so its two consumers don't recompute
+        // the scan + local-rank subplan
+        val counts = local.groupBy("pid", "lang", "source")
+          .agg(count(lit(1)).as("n")).persist()
+        val offs = counts
           .withColumn("offset", coalesce(sum(col("n")).over(
             Window.partitionBy(col("lang"), col("source")).orderBy(col("pid"))
               .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
           .select(col("pid"), col("lang"), col("source"), col("offset"))
-        val sizes = docs.groupBy("lang", "source")
-          .agg(count(lit(1)).as("n_stratum"))
-        local.join(broadcast(offs), Seq("pid", "lang", "source"))
+        val sizes = counts.groupBy("lang", "source")
+          .agg(sum(col("n")).as("n_stratum"))
+        val out = local.join(broadcast(offs), Seq("pid", "lang", "source"))
           .withColumn("rk", col("offset") + col("lrn"))
           .join(broadcast(sizes), Seq("lang", "source"))
           .withColumn("vq", expr("(n_stratum + 9) DIV 10"))
@@ -474,6 +480,7 @@ object PipelineQueries {
             .otherwise("train"))
           .groupBy("lang", "source", "split")
           .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_doc_id"))
+        try out.localCheckpoint() finally counts.unpersist()
       },
       Some("""WITH docs AS (SELECT doc_id, lang, source,
           md5('graft-split-7:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),

@@ -396,6 +396,14 @@ final class UdpFlowStream(host: String, port: Int, name: String,
           .append(rate).append('\n')
       }
     }
+    // end-of-snapshot marker: E|<line count>. Line-oriented parsing
+    // accepts any prefix truncated at a newline / mid-number / comma
+    // boundary as "valid", so completeness must be EXPLICIT — the loader
+    // requires this marker before trusting a recovered .tmp (review r11:
+    // without it, a first-ever write killed mid-stream could load a
+    // truncated rate or a misaligned shorter template silently).
+    val nLines = sb.toString.linesIterator.size
+    sb.append("E|").append(nLines).append('\n')
     val snapshot = sb.toString
     // stop() may have shut the executor down while the receiver was mid-
     // classify — losing that final snapshot degrades to re-learn (the
@@ -429,18 +437,32 @@ final class UdpFlowStream(host: String, port: Int, name: String,
       val fs = templateStateFs
       // crash-window recovery: a writer killed between delete(target) and
       // rename(tmp, target) leaves no target but a COMPLETE tmp — recover
-      // it rather than cold-starting (a PARTIAL tmp parse-fails into the
-      // cold start below, so this can never load torn state; when the
-      // target exists it always wins, matching the torn-write spec)
+      // it rather than cold-starting. A tmp is trusted ONLY if it carries
+      // the end-of-snapshot marker with a matching line count (truncation
+      // at a line / number / comma boundary would otherwise parse as a
+      // silently-shorter registry — review r11); the target needs no
+      // marker (it is created solely by renaming a fully-closed tmp, and
+      // pre-marker files must keep loading). A recovered tmp is promoted
+      // to the target so the next write's create(tmp, overwrite) cannot
+      // truncate the only surviving copy.
       val tmp = new org.apache.hadoop.fs.Path(f.getParent, f.getName + ".tmp")
-      val src = if (fs.exists(f)) f else if (fs.exists(tmp)) tmp else null
+      val fromTmp = !fs.exists(f) && fs.exists(tmp)
+      val src = if (fs.exists(f)) f else if (fromTmp) tmp else null
       if (src != null) {
         val in = fs.open(src)
         val txt =
           try new String(org.apache.commons.io.IOUtils.toByteArray(in),
             java.nio.charset.StandardCharsets.UTF_8)
           finally in.close()
-        txt.linesIterator.filter(_.nonEmpty).foreach { line =>
+        val lines = txt.linesIterator.filter(_.nonEmpty).toVector
+        val marked = lines.lastOption.exists(_.startsWith("E|"))
+        if (fromTmp) {
+          require(marked &&
+            lines.last == s"E|${lines.size - 1}",
+            s"recovered tmp lacks a complete end-of-snapshot marker")
+        }
+        val body = if (marked) lines.dropRight(1) else lines
+        body.foreach { line =>
           line.split('|') match {
             case Array("T", sender, sid, tid, opts, fieldSpec) =>
               val fields =
@@ -461,6 +483,11 @@ final class UdpFlowStream(host: String, port: Int, name: String,
             case _ =>
               throw new IllegalArgumentException(s"bad template-state line: $line")
           }
+        }
+        if (fromTmp) {
+          // promote the recovered complete tmp to the target (parse
+          // succeeded, so the content is proven whole)
+          fs.rename(tmp, f)
         }
       }
     } catch {

@@ -618,11 +618,12 @@ class UdpIngestSpec extends SparkSpec {
     } finally { sock2.close(); s2.stop() }
 
     // phase 3: writer killed between delete(target) and rename(tmp) —
-    // no target, COMPLETE tmp: the loader recovers the tmp instead of
-    // cold-starting (the adjacent crash window to phase 1)
+    // no target, COMPLETE (marker-terminated) tmp: the loader recovers
+    // the tmp instead of cold-starting, and promotes it back to the
+    // target so the next write cannot truncate the only surviving copy
     java.nio.file.Files.delete(Paths.get(dir, "graft_nfv9_templates"))
     java.nio.file.Files.write(Paths.get(dir, "graft_nfv9_templates.tmp"),
-      oldState.getBytes("UTF-8"))
+      (oldState + "E|1\n").getBytes("UTF-8"))
     val s3 = new UdpFlowStream("127.0.0.1", 0, "tmpl-torn-3", 10L, 1,
       dedupSequence = false, templateStatePath = Some(dir))
     val sock3 = new DatagramSocket()
@@ -638,7 +639,33 @@ class UdpIngestSpec extends SparkSpec {
       assert(s3.reportLatestOffset().asInstanceOf[UdpOffset].count > 0,
         "a complete tmp with no target must be recovered, not cold-started")
       assert(stats.templateMisses.sum() == misses0)
+      assert(java.nio.file.Files.exists(Paths.get(dir, "graft_nfv9_templates")),
+        "the recovered tmp must be promoted to the target")
     } finally { sock3.close(); s3.stop() }
+
+    // phase 4: an UNMARKED tmp (first-ever write killed mid-stream; its
+    // truncation can land on a line boundary and parse "cleanly") must be
+    // REFUSED — cold start, never a silently-shorter registry. The torn
+    // content here is exactly such a clean-prefix truncation: a valid T
+    // line whose field list lost its tail at a comma boundary.
+    java.nio.file.Files.delete(Paths.get(dir, "graft_nfv9_templates"))
+    java.nio.file.Files.write(Paths.get(dir, "graft_nfv9_templates.tmp"),
+      "T|127.0.0.1|3|700|0|8:4,12:4\n".getBytes("UTF-8"))
+    val s4 = new UdpFlowStream("127.0.0.1", 0, "tmpl-torn-4", 10L, 1,
+      dedupSequence = false, templateStatePath = Some(dir))
+    val sock4 = new DatagramSocket()
+    try {
+      val port = UdpFlowSource.boundPort("tmpl-torn-4").get
+      val stats = UdpFlowSource.statsFor("tmpl-torn-4")
+      val misses0 = stats.templateMisses.sum()
+      while (stats.templateMisses.sum() == misses0 &&
+          System.nanoTime() < deadline) {
+        sock4.send(new DatagramPacket(data, data.length, addr, port))
+        Thread.sleep(20)
+      }
+      assert(stats.templateMisses.sum() > misses0,
+        "an unmarked tmp must cold-start, not load a possibly-torn registry")
+    } finally { sock4.close(); s4.stop() }
   }
 
   test("persistTemplates=true: a restarted collector decodes pre-announcement data (r10)") {
