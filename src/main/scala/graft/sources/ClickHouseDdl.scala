@@ -50,7 +50,8 @@ object ClickHouseDdl {
     "mpls_1_label" -> "UInt32",
     "mpls_1_ttl" -> "UInt32",
     "src_mask" -> "UInt32",
-    "dst_mask" -> "UInt32")
+    "dst_mask" -> "UInt32",
+    "next_hop_as" -> "UInt32")
 
   /** `CREATE TABLE flows_extended` — the 23 parity columns plus the
     * extended ten, for deployments that opt in.

@@ -71,7 +71,8 @@ object NetFlowV5 {
       mpls_1_label: Long = 0L,
       mpls_1_ttl: Int = 0,
       src_mask: Int = 0,
-      dst_mask: Int = 0)
+      dst_mask: Int = 0,
+      next_hop_as: Long = 0L)
 
   /** Decode one v5 datagram (`sampler` = the UDP sender address bytes,
     * goflow's SamplerAddress). Throws on a malformed packet — the caller
@@ -165,7 +166,8 @@ object NetFlowV5 {
     f.src_port, f.dst_port, f.forwarding_status, f.tcp_flags,
     f.icmp_type, f.icmp_code, f.fragment_id, f.fragment_offset,
     f.next_hop, f.in_if, f.out_if, f.src_as, f.dst_as,
-    f.vlan_id, f.mpls_1_label, f.mpls_1_ttl, f.src_mask, f.dst_mask))
+    f.vlan_id, f.mpls_1_label, f.mpls_1_ttl, f.src_mask, f.dst_mask,
+    f.next_hop_as))
 
   /** Exporter-side encoder (tests + load generation): builds the v5
     * datagram that [[decode]] reads back. `records` are (src, dst, pkts,

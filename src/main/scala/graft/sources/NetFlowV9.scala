@@ -355,6 +355,7 @@ object NetFlowV9 {
     var srcAs = 0L; var dstAs = 0L
     var vlanId = 0; var mplsLabel = 0L // v9 exports no TTL for the top label
     var srcMask = 0; var dstMask = 0
+    var nextHopAs = 0L
 
     var malformed = false
     val fieldIt = t.fields.iterator
@@ -420,6 +421,7 @@ object NetFlowV9 {
         case 62 if flen == 16 => // ipNextHopIPv6Address
           nextHop = (0 until 16).map(i => bb.get(p + i)).toArray
         case 88 => fragOffset = uint().toInt
+        case 128 => nextHopAs = uint() & 0xffffffffL // bgpNextAdjacentAsNumber
         case 89 => fwdStatus = uint().toInt
         case 150 => startMs = uint() * 1000L // flowStartSeconds
         case 151 => endMs = uint() * 1000L
@@ -484,7 +486,8 @@ object NetFlowV9 {
       vlan_id = vlanId,
       mpls_1_label = mplsLabel,
       src_mask = srcMask,
-      dst_mask = dstMask)
+      dst_mask = dstMask,
+      next_hop_as = nextHopAs)
   }
 
   // ---- exporter-side encoders (tests + load generation) ----

@@ -97,6 +97,8 @@ object SFlowV5 {
         val sampleFlows = scala.collection.mutable.ArrayBuffer.empty[NetFlowV5.RawFlow]
         var extNextHop: Array[Byte] = null
         var srcMask = 0; var dstMask = 0
+        var gwSrcAs = 0L; var gwDstAs = 0L; var gwNextHopAs = 0L
+        var haveGateway = false
         var r = 0
         while (r < numRecords && bb.position() + 8 <= sampleEnd) {
           val recType = bb.getInt & 0xffffffffL
@@ -125,6 +127,44 @@ object SFlowV5 {
                 srcMask = bb.getInt & 0xff
                 dstMask = bb.getInt & 0xff
               }
+            case 1003 if recLen >= 24 =>
+              // struct extended_gateway: next_hop (u32 addr type + 4/16 B),
+              // as (router's own AS, u32), src_as (u32), src_peer_as (u32),
+              // dst_as_path (u32 n_segments; each: u32 type, u32 len,
+              // len × u32 AS). The BGP semantics goflow surfaces:
+              // src_as/dst_as from the gateway (the raw-header dissection
+              // cannot see AS numbers), next_hop_as = the FIRST AS of the
+              // dst path (the BGP neighbor); dst_as = the LAST AS of the
+              // last segment (the destination's AS). Path parsing is
+              // bounds-checked per word; a truncated path keeps whatever
+              // prefix was whole.
+              val addrType = bb.getInt
+              val addrLen = if (addrType == 1) 4 else if (addrType == 2) 16 else -1
+              if (addrLen > 0 && bb.position() + addrLen + 12 <= recEnd) {
+                val nh = new Array[Byte](addrLen); bb.get(nh)
+                if (extNextHop == null) extNextHop = nh // 1002 wins if both
+                bb.getInt // router's own AS: not a flows column
+                gwSrcAs = bb.getInt & 0xffffffffL
+                bb.getInt // src_peer_as: superseded by the path head below
+                haveGateway = true
+                if (bb.position() + 4 <= recEnd) {
+                  val nSegs = bb.getInt
+                  var seg = 0
+                  var first = true
+                  while (seg < nSegs && bb.position() + 8 <= recEnd) {
+                    bb.getInt // segment type (SET/SEQUENCE)
+                    val segLen = bb.getInt
+                    var i = 0
+                    while (i < segLen && bb.position() + 4 <= recEnd) {
+                      val as = bb.getInt & 0xffffffffL
+                      if (first) { gwNextHopAs = as; first = false }
+                      gwDstAs = as // last seen AS = destination AS
+                      i += 1
+                    }
+                    seg += 1
+                  }
+                }
+              }
             case _ => // other flow-record formats: skip by length
           }
           bb.position(recEnd)
@@ -133,7 +173,10 @@ object SFlowV5 {
         sampleFlows.foreach { f =>
           out += f.copy(in_if = inIf, out_if = outIf,
             next_hop = if (extNextHop != null) extNextHop else f.next_hop,
-            src_mask = srcMask, dst_mask = dstMask)
+            src_mask = srcMask, dst_mask = dstMask,
+            src_as = if (haveGateway) gwSrcAs else f.src_as,
+            dst_as = if (haveGateway) gwDstAs else f.dst_as,
+            next_hop_as = gwNextHopAs)
         }
       }
       bb.position(sampleEnd)
@@ -511,13 +554,18 @@ object SFlowV5 {
       inputWord: Int = 1, outputWord: Int = 2,
       // optional extended-router record (format 1002) appended to every
       // sample: (next-hop address bytes [4 or 16], src_mask, dst_mask)
-      extRouter: Option[(Array[Byte], Int, Int)] = None): Array[Byte] = {
+      extRouter: Option[(Array[Byte], Int, Int)] = None,
+      // optional extended-gateway record (format 1003): (next-hop bytes,
+      // router AS, src_as, src_peer_as, dst AS path as one SEQUENCE)
+      extGateway: Option[(Array[Byte], Long, Long, Long, Seq[Long])] = None): Array[Byte] = {
     def pad4(n: Int): Int = (4 - n % 4) % 4
     val extBody = extRouter.map { case (nh, _, _) => 4 + nh.length + 8 }
+    val gwBody = extGateway.map { case (nh, _, _, _, path) =>
+      4 + nh.length + 12 + 4 + (if (path.nonEmpty) 8 + 4 * path.size else 0) }
     val bodies = samples.map { case (rate, frameLen, header) =>
       val recBody = 16 + header.length + pad4(header.length)
       val sampleBody = (if (expanded) 44 else 32) + 8 + recBody +
-        extBody.map(8 + _).getOrElse(0)
+        extBody.map(8 + _).getOrElse(0) + gwBody.map(8 + _).getOrElse(0)
       val bb = ByteBuffer.allocate(8 + sampleBody)
       bb.putInt(if (expanded) 3 else 1) // flow sample (expanded) format
       bb.putInt(sampleBody)
@@ -528,7 +576,7 @@ object SFlowV5 {
       bb.putInt(0) // drops
       if (expanded) { bb.putInt(0); bb.putInt(1); bb.putInt(0); bb.putInt(2) }
       else { bb.putInt(inputWord); bb.putInt(outputWord) } // input, output
-      bb.putInt(1 + extRouter.size) // numRecords
+      bb.putInt(1 + extRouter.size + extGateway.size) // numRecords
       bb.putInt(1) // raw packet header record
       bb.putInt(recBody)
       bb.putInt(1) // headerProtocol ethernet
@@ -544,6 +592,22 @@ object SFlowV5 {
         bb.put(nh)
         bb.putInt(sm)
         bb.putInt(dm)
+      }
+      extGateway.foreach { case (nh, routerAs, srcAs, srcPeerAs, path) =>
+        bb.putInt(1003) // extended gateway data
+        bb.putInt(gwBody.get)
+        bb.putInt(if (nh.length == 4) 1 else 2)
+        bb.put(nh)
+        bb.putInt(routerAs.toInt)
+        bb.putInt(srcAs.toInt)
+        bb.putInt(srcPeerAs.toInt)
+        if (path.isEmpty) bb.putInt(0)
+        else {
+          bb.putInt(1) // one path segment
+          bb.putInt(2) // AS_SEQUENCE
+          bb.putInt(path.size)
+          path.foreach(as => bb.putInt(as.toInt))
+        }
       }
       bb.array()
     }

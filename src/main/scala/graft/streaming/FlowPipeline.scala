@@ -58,7 +58,8 @@ object FlowPipeline {
           col("mpls_1_label").cast("long").as("mpls_1_label"),
           col("mpls_1_ttl").cast("int").as("mpls_1_ttl"),
           col("src_mask").cast("int").as("src_mask"),
-          col("dst_mask").cast("int").as("dst_mask"))
+          col("dst_mask").cast("int").as("dst_mask"),
+          col("next_hop_as").cast("long").as("next_hop_as"))
       else Seq.empty
     raw.select(Seq(
       col("type").cast("int").as("type"),
