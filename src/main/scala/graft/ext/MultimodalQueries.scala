@@ -150,32 +150,7 @@ object MultimodalQueries {
     // the 30× replicated corpus (30-copy exact-dup groups) exercises the
     // clique-expansion output shape under the scale gate.
     Q("x5g_phash_dedup",
-      (s, d) => {
-        val withDig = media(s, d).select(col("doc_id"), col("payload"),
-          md5(col("payload")).as("dig"))
-        val membership = withDig.select(col("dig"), col("doc_id")).persist()
-        try {
-          val repOf = membership.groupBy("dig").agg(min(col("doc_id")).as("rep"))
-          val reps = withDig.join(repOf, withDig("doc_id") === repOf("rep"))
-            .select(col("rep").as("doc_id"), col("payload"))
-          val hb = Multimodal.aHashBands(reps)
-          val repPairs = Multimodal.phashPairs(hb, maxHamming = 3)
-          // within-group cliques: identical payload ⇒ Hamming 0
-          val internal = membership.as("x").join(membership.as("y"), "dig")
-            .where(col("x.doc_id") < col("y.doc_id"))
-            .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-              lit(0).cast(IntegerType).as("hamming"))
-          // cross-group near pairs: every member inherits its rep's hash
-          val mRep = membership.join(repOf, "dig")
-            .select(col("rep"), col("doc_id"))
-          val cross = repPairs
-            .join(mRep.select(col("rep").as("a"), col("doc_id").as("ma")), "a")
-            .join(mRep.select(col("rep").as("b"), col("doc_id").as("mb")), "b")
-            .select(least(col("ma"), col("mb")).as("a"),
-              greatest(col("ma"), col("mb")).as("b"), col("hamming"))
-          internal.unionByName(cross).localCheckpoint()
-        } finally membership.unpersist()
-      },
+      (s, d) => Multimodal.phashDedupPlan(media(s, d)),
       Some("""WITH g AS (SELECT doc_id, text, 1 + ord(substr(text, 1, 1)) % 64 AS w,
           1 + ord(substr(text, 2, 1)) % 64 AS h FROM documents),
         px AS (SELECT doc_id, list_transform(generate_series(0, 63), i ->
@@ -385,6 +360,45 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "b0", "b1", "b2", "b3")
+  }
+
+  /** The FULL x5g plan over a `(doc_id, payload)` media frame — exact-dup
+    * collapse, rep-level band join, member-level reassembly. Factored out
+    * so MultimodalSpec can prove it set-equal to the naive all-doc
+    * [[phashPairs]] on a corpus WITH dup groups (the fixture has none, so
+    * the registered oracle alone could not catch a reassembly-join bug).
+    * `membership` rides a Caching.withPersisted (consumed by repOf, the
+    * cliques and both expansion sides); the band frame is persisted too
+    * (phashPairs reads it three times with differing projections that
+    * defeat exchange reuse).
+    */
+  private[graft] def phashDedupPlan(media: DataFrame): DataFrame = {
+    val withDig = media.select(col("doc_id"), col("payload"),
+      md5(col("payload")).as("dig"))
+    val membership = withDig.select(col("dig"), col("doc_id"))
+    Caching.withPersisted(membership) {
+      val repOf = membership.groupBy("dig").agg(min(col("doc_id")).as("rep"))
+      val reps = withDig.join(repOf, withDig("doc_id") === repOf("rep"))
+        .select(col("rep").as("doc_id"), col("payload"))
+      val hb = aHashBands(reps)
+      Caching.withPersisted(hb) {
+        val repPairs = phashPairs(hb, maxHamming = 3)
+        // within-group cliques: identical payload ⇒ Hamming 0
+        val internal = membership.as("x").join(membership.as("y"), "dig")
+          .where(col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+            lit(0).cast(IntegerType).as("hamming"))
+        // cross-group near pairs: every member inherits its rep's hash
+        val mRep = membership.join(repOf, "dig")
+          .select(col("rep"), col("doc_id"))
+        val cross = repPairs
+          .join(mRep.select(col("rep").as("a"), col("doc_id").as("ma")), "a")
+          .join(mRep.select(col("rep").as("b"), col("doc_id").as("mb")), "b")
+          .select(least(col("ma"), col("mb")).as("a"),
+            greatest(col("ma"), col("mb")).as("b"), col("hamming"))
+        internal.unionByName(cross).localCheckpoint()
+      }
+    }
   }
 
   /** The x5g pair plan over an aHash band frame: pigeonhole band-key

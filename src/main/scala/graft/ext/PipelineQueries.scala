@@ -460,10 +460,19 @@ object PipelineQueries {
         // per-(partition, stratum) counts feed BOTH the offset table and
         // the stratum sizes (review r11: a separate groupBy over `docs`
         // was a third full corpus scan for numbers this P×S-row frame
-        // already holds) — persisted so its two consumers don't recompute
-        // the scan + local-rank subplan
+        // already holds). NOT persisted — deliberately (review r11 #2):
+        // offsets are only consistent with the local ranks if both read
+        // the SAME range-partitioning instance, and that guarantee comes
+        // from keeping every consumer inside ONE physical plan, where
+        // ReuseExchange evaluates the sampled range shuffle once. A cache
+        // here would decouple the two subplans into independent
+        // repartitionByRange evaluations whose reservoir-sampled
+        // boundaries (seeded by rdd.id) can differ — duplicated/skipped
+        // ranks and a silently wrong manifest. Same single-plan device as
+        // x6k's corpusShufflePlan, whose rank invariance is
+        // machine-checked.
         val counts = local.groupBy("pid", "lang", "source")
-          .agg(count(lit(1)).as("n")).persist()
+          .agg(count(lit(1)).as("n"))
         val offs = counts
           .withColumn("offset", coalesce(sum(col("n")).over(
             Window.partitionBy(col("lang"), col("source")).orderBy(col("pid"))
@@ -471,7 +480,7 @@ object PipelineQueries {
           .select(col("pid"), col("lang"), col("source"), col("offset"))
         val sizes = counts.groupBy("lang", "source")
           .agg(sum(col("n")).as("n_stratum"))
-        val out = local.join(broadcast(offs), Seq("pid", "lang", "source"))
+        local.join(broadcast(offs), Seq("pid", "lang", "source"))
           .withColumn("rk", col("offset") + col("lrn"))
           .join(broadcast(sizes), Seq("lang", "source"))
           .withColumn("vq", expr("(n_stratum + 9) DIV 10"))
@@ -480,7 +489,6 @@ object PipelineQueries {
             .otherwise("train"))
           .groupBy("lang", "source", "split")
           .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_doc_id"))
-        try out.localCheckpoint() finally counts.unpersist()
       },
       Some("""WITH docs AS (SELECT doc_id, lang, source,
           md5('graft-split-7:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),

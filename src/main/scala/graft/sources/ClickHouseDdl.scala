@@ -54,7 +54,7 @@ object ClickHouseDdl {
     "next_hop_as" -> "UInt32")
 
   /** `CREATE TABLE flows_extended` — the 23 parity columns plus the
-    * extended ten, for deployments that opt in.
+    * extended eleven, for deployments that opt in.
     */
   def extendedFlowsDdl: String = {
     val cols = (FlowSchema.chTypes ++ extendedChTypes)

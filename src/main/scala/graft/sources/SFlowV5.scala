@@ -135,18 +135,22 @@ object SFlowV5 {
               // src_as/dst_as from the gateway (the raw-header dissection
               // cannot see AS numbers), next_hop_as = the FIRST AS of the
               // dst path (the BGP neighbor); dst_as = the LAST AS of the
-              // last segment (the destination's AS). Path parsing is
-              // bounds-checked per word; a truncated path keeps whatever
-              // prefix was whole.
+              // last segment (the destination's AS). Empty-path and
+              // zero-src fallbacks go to the ROUTER's AS (a locally-
+              // originated route's destination is the router's own AS —
+              // goflow does the same). Path parsing is bounds-checked per
+              // word; a truncated path keeps whatever prefix was whole.
               val addrType = bb.getInt
               val addrLen = if (addrType == 1) 4 else if (addrType == 2) 16 else -1
               if (addrLen > 0 && bb.position() + addrLen + 12 <= recEnd) {
                 val nh = new Array[Byte](addrLen); bb.get(nh)
                 if (extNextHop == null) extNextHop = nh // 1002 wins if both
-                bb.getInt // router's own AS: not a flows column
+                val routerAs = bb.getInt & 0xffffffffL
                 gwSrcAs = bb.getInt & 0xffffffffL
+                if (gwSrcAs == 0L) gwSrcAs = routerAs
                 bb.getInt // src_peer_as: superseded by the path head below
                 haveGateway = true
+                gwDstAs = routerAs // empty-path fallback (overwritten below)
                 if (bb.position() + 4 <= recEnd) {
                   val nSegs = bb.getInt
                   var seg = 0

@@ -486,8 +486,13 @@ final class UdpFlowStream(host: String, port: Int, name: String,
         }
         if (fromTmp) {
           // promote the recovered complete tmp to the target (parse
-          // succeeded, so the content is proven whole)
-          fs.rename(tmp, f)
+          // succeeded, so the content is proven whole). Hadoop rename
+          // reports failure by RETURNING false, not throwing — and an
+          // unpromoted tmp is the only surviving copy, which the next
+          // write's create(tmp, overwrite) would truncate
+          if (!fs.rename(tmp, f))
+            System.err.println(s"[udp:$name] template-state tmp promotion " +
+              "failed — registry loaded, but the on-disk copy stays at risk")
         }
       }
     } catch {

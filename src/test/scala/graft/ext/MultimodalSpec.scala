@@ -143,4 +143,34 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("a") === 1 && col("b") === 2)
       .head().getInt(2) == 0) // exact dups verify at Hamming 0
   }
+
+  test("x5g collapse plan is set-equal to naive all-doc banding on a dup-heavy corpus") {
+    // the registered oracle cannot catch a reassembly bug (the fixture
+    // has no dup groups and no sub-threshold pair — everything is empty),
+    // so prove the collapse plan against ground truth where it matters: a
+    // corpus with two exact-dup groups and a near-dup bridge. Naive
+    // banding over ALL docs is the ground truth — member hashes equal rep
+    // hashes, so the two plans must emit the identical (a, b, hamming)
+    // set, clique rows included.
+    import spark.implicits._
+    val g1 = ("X" * 30 + "hello brave new world" + "Y" * 30).getBytes("UTF-8")
+    val g1b = g1.clone(); g1b(35) = 'o'.toByte // near copy of g1
+    val other = Array.tabulate[Byte](80)(i => (33 + (i * 41) % 90).toByte)
+    val df = Seq(
+      (1L, g1), (2L, g1), (3L, g1),          // group 1: clique of 3
+      (10L, g1b), (11L, g1b),                // group 2: clique of 2
+      (20L, other)                           // singleton
+    ).toDF("doc_id", "payload")
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.select("a", "b", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val collapsed = pairs(Multimodal.phashDedupPlan(df))
+    val naive = pairs(Multimodal.phashPairs(Multimodal.aHashBands(df), maxHamming = 3))
+    assert(collapsed == naive, s"collapsed $collapsed != naive $naive")
+    // the shape the corpus was built for actually occurred: both cliques
+    assert(collapsed.contains((1L, 2L, 0)) && collapsed.contains((2L, 3L, 0)) &&
+      collapsed.contains((10L, 11L, 0)), collapsed.toString)
+    // and no self-pairs / inverted orderings
+    assert(collapsed.forall { case (a, b, _) => a < b })
+  }
 }

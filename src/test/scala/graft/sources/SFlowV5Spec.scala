@@ -49,6 +49,24 @@ class SFlowV5Spec extends AnyFunSuite {
     assert(plain.next_hop.sameElements(Array[Byte](0, 0, 0, 0)))
   }
 
+  test("extended-gateway (1003): AS path semantics incl empty-path router-AS fallback") {
+    val hdr = SF.ipv4Frame(Array[Byte](10, 1, 2, 3), Array[Byte](10, 9, 9, 9),
+      proto = 6, srcPort = 40000, dstPort = 443, tcpFlags = 16)
+    val nh = Array[Byte](10, 98, 0, 9)
+    // full path: next_hop_as = head, dst_as = tail, src_as from gateway
+    val full = SF.decode(SF.encode(agent, 21L, Seq((1024L, 900L, hdr)),
+      extGateway = Some((nh, 64512L, 64600L, 65001L, Seq(65001L, 65002L, 65003L)))),
+      sampler, now).head
+    assert(full.next_hop.sameElements(nh))
+    assert(full.src_as == 64600L && full.next_hop_as == 65001L && full.dst_as == 65003L)
+    // empty path (locally-originated route): dst_as falls back to the
+    // ROUTER's AS; zero src_as falls back too; next_hop_as stays 0
+    val local = SF.decode(SF.encode(agent, 22L, Seq((1024L, 900L, hdr)),
+      extGateway = Some((nh, 64512L, 0L, 0L, Seq.empty))),
+      sampler, now).head
+    assert(local.src_as == 64512L && local.dst_as == 64512L && local.next_hop_as == 0L)
+  }
+
   test("802.1Q VLAN tag is stepped over; UDP ports decode") {
     val hdr = SF.ipv4Frame(Array[Byte](10, 2, 0, 1), Array[Byte](10, 2, 0, 2),
       proto = 17, srcPort = 5353, dstPort = 53, vlan = true)
