@@ -362,6 +362,32 @@ object SimilarityQueries {
   private val PqScoredCte: String =
     pqScoredCteFrom(s"SELECT vec_id, ${sqlQuant("embedding")} AS qe FROM embeddings")
 
+  /** The shared x3h/x3k oracle: ADC 20-deep shortlist + exact rerank to
+    * top-5, recall annotated against the global exact top-5. x3k serves
+    * the SAME rows from parquet-persisted index artifacts, so one oracle
+    * text keeps the two registrations provably aligned.
+    */
+  private def PqRerankOracleSql: String = s"""$PqScoredCte,
+        short AS (SELECT q_id, c_id, CAST(adc_rank AS INTEGER) AS adc_rank FROM
+          (SELECT q_id, c_id, row_number() OVER
+             (PARTITION BY q_id ORDER BY approx_cos DESC, c_id) AS adc_rank FROM scored)
+          WHERE adc_rank <= 20),
+        rr AS (SELECT s.q_id, s.c_id, s.adc_rank, ${sqlQcos("eq.qe", "ec.qe")} AS cos
+          FROM short s JOIN e eq ON eq.vec_id = s.q_id
+            JOIN e ec ON ec.vec_id = s.c_id),
+        top AS (SELECT * FROM (SELECT *, row_number() OVER
+            (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM rr)
+          WHERE rank <= 5),
+        ex AS (SELECT q_id, c_id, true AS hit FROM
+          (SELECT q_id, c_id, row_number() OVER
+             (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+           FROM (SELECT q.vec_id AS q_id, c.vec_id AS c_id, ${sqlQcos("q.qe", "c.qe")} AS cos
+                 FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id <> q.vec_id))
+          WHERE rank <= 5)
+        SELECT top.q_id, CAST(top.rank AS INTEGER) AS rank, top.c_id, top.cos,
+          top.adc_rank, coalesce(ex.hit, false) AS in_exact_top5
+        FROM top LEFT JOIN ex ON top.q_id = ex.q_id AND top.c_id = ex.c_id"""
+
   def defs: Seq[Q] = Seq(
     // X3: exact brute-force top-10 for 8 query vectors; DuckDB recomputes
     // the quantized cosine from scratch — exact hash match, no tolerance.
@@ -603,26 +629,59 @@ object SimilarityQueries {
           .select(col("q_id"), col("rank"), col("c_id"), col("cos"),
             col("adc_rank"), coalesce(col("hit"), lit(false)).as("in_exact_top5"))
       },
-      Some(s"""$PqScoredCte,
-        short AS (SELECT q_id, c_id, CAST(adc_rank AS INTEGER) AS adc_rank FROM
-          (SELECT q_id, c_id, row_number() OVER
-             (PARTITION BY q_id ORDER BY approx_cos DESC, c_id) AS adc_rank FROM scored)
-          WHERE adc_rank <= 20),
-        rr AS (SELECT s.q_id, s.c_id, s.adc_rank, ${sqlQcos("eq.qe", "ec.qe")} AS cos
-          FROM short s JOIN e eq ON eq.vec_id = s.q_id
-            JOIN e ec ON ec.vec_id = s.c_id),
-        top AS (SELECT * FROM (SELECT *, row_number() OVER
-            (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM rr)
-          WHERE rank <= 5),
-        ex AS (SELECT q_id, c_id, true AS hit FROM
-          (SELECT q_id, c_id, row_number() OVER
-             (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
-           FROM (SELECT q.vec_id AS q_id, c.vec_id AS c_id, ${sqlQcos("q.qe", "c.qe")} AS cos
-                 FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id <> q.vec_id))
-          WHERE rank <= 5)
-        SELECT top.q_id, CAST(top.rank AS INTEGER) AS rank, top.c_id, top.cos,
-          top.adc_rank, coalesce(ex.hit, false) AS in_exact_top5
-        FROM top LEFT JOIN ex ON top.q_id = ex.q_id AND top.c_id = ex.c_id""".stripMargin)),
+      Some(PqRerankOracleSql)),
+
+    // X3k (r11): index PERSISTENCE + serve — the build/serve split every
+    // production ANN deployment has (FAISS writes an index file; a serving
+    // fleet mmaps it): the PQ artifacts (codes, per-query ADC tables,
+    // norms) are WRITTEN TO PARQUET and the whole scoring path reruns
+    // from the LOADED frames — x2h's "index is an on-disk asset" story
+    // for the ANN family. Result rows must equal x3h's (same oracle TEXT
+    // via PqRerankOracleSql, so the two registrations cannot drift):
+    // parquet round-trips the nested array-of-long schema, ADC scoring
+    // over loaded codes, the 20-deep shortlist, and the exact rerank all
+    // reproduce bit-for-bit. 100 TB posture: the serve path scans only
+    // the compact code/norm files (columnar, pushdown-friendly); raw
+    // vectors are touched for the shortlist alone, exactly as in x3h.
+    Q("x3k_pq_index_serve",
+      (s, d) => {
+        val idxDir = "/root/repo/target/graft-tmp/x3k_idx"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+        val (codes, pd, norms) = pqFrames(s, d)
+        codes.write.mode("overwrite").parquet(s"$idxDir/codes.parquet")
+        pd.write.mode("overwrite").parquet(s"$idxDir/qtables.parquet")
+        norms.write.mode("overwrite").parquet(s"$idxDir/norms.parquet")
+        // serve from the loaded artifacts only
+        val lc = s.read.parquet(s"$idxDir/codes.parquet")
+        val lpd = s.read.parquet(s"$idxDir/qtables.parquet")
+        val ln = s.read.parquet(s"$idxDir/norms.parquet")
+        val adots = lc.join(broadcast(lpd),
+            lc("s") === lpd("s") && lc("code") === lpd("k"))
+          .groupBy(col("q_id"), col("vec_id").as("c_id"))
+          .agg(sum(col("pdot")).as("adot"))
+        val scored = adcCos(adots, ln)
+        val wAdc = Window.partitionBy(col("q_id")).orderBy(col("approx_cos").desc, col("c_id"))
+        val short = scored.withColumn("adc_rank", row_number().over(wAdc))
+          .filter(col("adc_rank") <= 20)
+          .select(col("q_id"), col("c_id"), col("adc_rank"))
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), quant(col("embedding")).as("qe"))
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("qe").as("q_emb"))
+        val shortQ = short.join(broadcast(q), "q_id")
+        val rr = e.select(col("vec_id").as("c_id"), col("qe").as("c_emb"))
+          .join(broadcast(shortQ), "c_id")
+          .select(col("q_id"), col("c_id"), col("adc_rank"),
+            qcos(col("q_emb"), col("c_emb")).as("cos"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+        val top = rr.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        val exact = bruteKnn(s, d, nQueries = 8, k = 5)
+          .select(col("q_id"), col("c_id"), lit(true).as("hit"))
+        top.join(exact, Seq("q_id", "c_id"), "left")
+          .select(col("q_id"), col("rank"), col("c_id"), col("cos"),
+            col("adc_rank"), coalesce(col("hit"), lit(false)).as("in_exact_top5"))
+      },
+      Some(PqRerankOracleSql)),
 
     // X3i: IVF-PQ + exact refine — the COMPOSED production index (the
     // FAISS `IVFx,PQy` + refine shape) assembled from the three pieces
