@@ -145,19 +145,28 @@ object Bench {
     // The headline set reports the MEDIAN of three observations (the
     // min-of-2 sweep value plus two fresh runs) so one interfered run
     // can't masquerade as a regression in the driver-facing line.
+    // Runs are kept in OBSERVATION ORDER (sweep-derived value first, then
+    // two fresh runs) and each entry carries the FIRST sweep's raw time
+    // (`sweep1`) — VERDICT r11 #6: sweep 1 runs every query cold (JIT,
+    // codegen cache, page cache), so its outlier (x2's 7.9 s vs a 1.2 s
+    // steady state) must be attributable as warm-up instead of being
+    // misread as the query's max in cross-round comparisons.
     val headlineRuns: Seq[(String, Seq[Double])] = headlineNames.map { n =>
       val first = results.collectFirst { case (`n`, v) => v }.getOrElse(-1.0)
-      n -> (first +: Seq.fill(2)(run(n))).filter(_ >= 0).sorted
+      n -> (first +: Seq.fill(2)(run(n))).filter(_ >= 0)
     }
-    def median(xs: Seq[Double]): Double = if (xs.isEmpty) -1.0 else xs(xs.size / 2)
-    // headline entries carry {median,min,max} (VERDICT r09 #9): the spread
-    // IS the variance evidence — a wide min..max with a stable median says
-    // "noisy box", a shifted min says "real change".
+    def median(xs: Seq[Double]): Double =
+      if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.size / 2)
+    // headline entries carry {median,min,max,sweep1} (VERDICT r09 #9 +
+    // r11 #6): the spread IS the variance evidence — a wide min..max with
+    // a stable median says "noisy box", a shifted min says "real change",
+    // and max == sweep1 says "that's warm-up, not a regression".
     val headline = headlineRuns
       .map { case (k, runs) =>
         "\"" + k + "\":{\"median\":" + median(runs) +
           ",\"min\":" + (if (runs.isEmpty) -1.0 else runs.min) +
-          ",\"max\":" + (if (runs.isEmpty) -1.0 else runs.max) + "}"
+          ",\"max\":" + (if (runs.isEmpty) -1.0 else runs.max) +
+          ",\"sweep1\":" + sweep1.getOrElse(k, -1.0) + "}"
       }
       .mkString("{", ",", "}")
     val headlineAll = headlineRuns
@@ -168,7 +177,7 @@ object Bench {
     // imply a ≥1 000 flows/s design target, SURVEY §6): custom source →
     // R3 normalize → sink, end to end.
     val ingestRows = 2000000L
-    val cp = "/root/repo/target/graft-tmp/bench-ingest-cp"
+    val cp = s"${Tmp.root}/bench-ingest-cp"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cp))
     val t0 = System.nanoTime()
     val q = streaming.FlowPipeline.normalize(
@@ -198,7 +207,7 @@ object Bench {
     val udpIngest = {
       val listener = new streaming.FlowPipeline.MetricsListener
       spark.streams.addListener(listener)
-      val ucp = "/root/repo/target/graft-tmp/bench-udp-cp"
+      val ucp = s"${Tmp.root}/bench-udp-cp"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ucp))
       val raw = spark.readStream.format("nflv5-udp")
         .option("name", "bench-udp").option("port", 0)
@@ -266,7 +275,7 @@ object Bench {
     val udpListeners = {
       val listener = new streaming.FlowPipeline.MetricsListener
       spark.streams.addListener(listener)
-      val lcp = "/root/repo/target/graft-tmp/bench-udpl-cp"
+      val lcp = s"${Tmp.root}/bench-udpl-cp"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(lcp))
       val schemes = Seq("sflow", "netflow", "nfl")
       val lnames = schemes.map(s => s -> s"bench-l-$s").toMap
@@ -377,11 +386,21 @@ object Bench {
     val qsNorm = results
       .map { case (k, v) => "\"" + k + "\":" + (if (v < 0) -1.0 else v / spinSec) }
       .mkString("{", ",", "}")
+    // the first sweep's RAW per-query times (warm-up-bearing — see the
+    // headline comment): `queries` already excludes them via min-of-2;
+    // this map makes the exclusion visible so a reader can attribute any
+    // per-query outlier to warm-up instead of the workload
+    val qsSweep1 = names
+      .map(n => "\"" + n + "\":" + sweep1(n)).mkString("{", ",", "}")
+    val warmup = """{"policy":"queries = per-query min of 2 full sweeps;""" +
+      """ sweep 1 is cold (JIT/codegen/page cache) and its raw times are""" +
+      """ queries_sweep1 — excluded from queries, do not compare maxima""" +
+      """ against it","headline_runs_order":"[min-of-2 sweep, fresh, fresh]"}"""
     // x2d diagnostics (VERDICT r10 #4): the propagation fixed-point round
     // count of the last x2d run — tells convergence drift (corpus shape
     // added a round) from box noise when wall time moves round-over-round
     val x2dRounds = ext.DedupQueries.lastPropagationRounds.get()
-    val full = s"""{"metric":"total_all_queries","value":$total,"unit":"sec","n_queries":${ok.size},"calibration":$calibration,"x2d_fixed_point_rounds":$x2dRounds,"ingest":$ingest,"udp_ingest":$udpIngest,"udp_listeners":$udpListeners,"queries":$qs,"queries_per_spin":$qsNorm,"headline_runs":$headlineAll,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total_all_queries","value":$total,"unit":"sec","n_queries":${ok.size},"calibration":$calibration,"x2d_fixed_point_rounds":$x2dRounds,"ingest":$ingest,"udp_ingest":$udpIngest,"udp_listeners":$udpListeners,"warmup":$warmup,"queries":$qs,"queries_sweep1":$qsSweep1,"queries_per_spin":$qsNorm,"headline_runs":$headlineAll,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("target/bench_full.json")
     java.nio.file.Files.createDirectories(fullPath.getParent)
     java.nio.file.Files.write(fullPath, full.getBytes("UTF-8"))

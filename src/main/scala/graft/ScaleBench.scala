@@ -76,6 +76,17 @@ object ScaleBench {
       // join + verify around it)
       "x3j_filtered_knn", "x6m_stratified_split", "x4i_repetition",
       "x5g_phash_dedup",
+      // r12 batch: semantic dedup (the scaled corpus is 60k DISTINCT
+      // vectors — embedding replicas are perturbed by design, see the
+      // replication rules — so this measures the adaptive-k rule: k =
+      // max(8, ceil(distinct/256)) must hold the within-cluster pair
+      // stage linear; fixed k=8 measured 225M pairs / ratio 14.5 here
+      // before the rule), the
+      // mixture sampler (two-phase per-source rank + integer
+      // apportionment must stay linear), and streaming index ingest
+      // (stateless per-batch encode: cost tracks the vector stream, not
+      // index history)
+      "x2j_semantic_dedup", "x6n_temperature_mix", "q52g_stream_ann_ingest",
       // the nightly-rebuild composition: diff classes stay proportional
       // under replication (ids shift, %10 classes are preserved), so both
       // the diff join and the increment must scale together
@@ -111,6 +122,42 @@ object ScaleBench {
     */
   private val PlantBase = 900000000L
   private def splitBucket(id: Long): Long = math.floorMod(id * 2654435761L, 100L)
+
+  /** Planted near-dup DOCUMENT pairs for the x5g recall gate (VERDICT r11
+    * #1): x5g was the only LSH-family operator whose recall at scale was
+    * unmeasured — the fixture oracle is the agreed-empty set, so a
+    * pigeonhole or band-width bug at 30× passed silently. Each source doc
+    * (the first 50 base doc_ids with length ≥ 64 — deterministic, derived
+    * identically at generate and gate time) gets one planted copy under
+    * `PlantDocBase + doc_id` whose 45th character is shifted by ±1
+    * ([[perturbMidChar]]): payload md5 differs (so the pair does NOT
+    * collapse into one exact-dup rep — it must cross the BAND JOIN), while
+    * the aHash moves at most a few bits (w/h bytes untouched ⇒ identical
+    * sample indices; one sampled pixel ±1 and the 64-pixel sum ±1 flip
+    * only near-mean threshold bits). Ground truth is computed at gate time
+    * through the aHash kernel itself on just the 100 involved docs, so the
+    * wanted set is exactly the planted pairs at true Hamming ≤ 3 — a miss
+    * is a band-join miss, never a verify rejection — and the gate also
+    * asserts ≥ 25 of the 50 pairs are eligible so recall can't pass on an
+    * empty denominator.
+    */
+  private val PlantDocBase = 950000000L
+  private def plantedDocSources(spark: SparkSession, base: String): Seq[Long] =
+    spark.read.parquet(s"$base/documents.parquet")
+      .filter(length(col("text")) >= 64)
+      .select("doc_id").orderBy("doc_id").limit(50)
+      .collect().map(_.getLong(0)).toSeq
+
+  /** ±1 on the 45th character (`when < 'z'` guards the printable range so
+    * the delta is always exactly one): the text-side perturbation whose
+    * image-side effect the x5g gate measures.
+    */
+  private def perturbMidChar(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val c = ascii(substring(text, 45, 1))
+    concat(substring(text, 1, 44),
+      when(c < 122, chr(c + 1)).otherwise(chr(c - 1)),
+      substring(text, 46, 1000000000))
+  }
   private[graft] val plantedPairs: Seq[(Long, Long)] = {
     val origs = Iterator.from(100).map(_.toLong)
       .filter(splitBucket(_) < 80).take(50).toSeq
@@ -129,10 +176,22 @@ object ScaleBench {
     def reps(df: DataFrame)(shift: (DataFrame, Long) => DataFrame): DataFrame =
       ks.map(k => shift(df, k)).reduce(_ unionByName _)
 
-    // exact-duplicate replicas: the crawl shape (see scaladoc)
-    reps(spark.read.parquet(s"$base/documents.parquet")) { (df, k) =>
+    // exact-duplicate replicas: the crawl shape (see scaladoc), plus the
+    // planted near-dup pairs for the x5g recall gate (see
+    // [[plantedDocSources]]): one ±1-character copy per source doc under a
+    // fresh PlantDocBase id — near-dup at the IMAGE-hash level, distinct
+    // at the digest level, so the pair must cross the band join
+    val baseDocs = spark.read.parquet(s"$base/documents.parquet")
+    val pdm = spark.createDataFrame(
+        plantedDocSources(spark, base).map(o => (o, PlantDocBase + o)))
+      .toDF("doc_id", "planted_id")
+    val plantedDocs = baseDocs.join(broadcast(pdm), "doc_id")
+      .withColumn("doc_id", col("planted_id")).drop("planted_id")
+      .withColumn("text", perturbMidChar(col("text")))
+    reps(baseDocs) { (df, k) =>
       df.withColumn("doc_id", col("doc_id") + k * 10000000L)
-    }.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }.unionByName(plantedDocs)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     val baseEmb = spark.read.parquet(s"$base/embeddings.parquet")
     val scaledEmb = reps(baseEmb) { (df, k) =>
@@ -224,6 +283,27 @@ object ScaleBench {
     art
   }
 
+  /** Same contract as [[materializedArtifacts]] for the x3l PQ index
+    * triple (codes, norms, codebook) — marker written after the parquet
+    * writes, fingerprint-keyed rebuild on fixture change.
+    */
+  private def materializedPqIndex(art: String, key: String)(
+      build: => (DataFrame, DataFrame, DataFrame)): String = {
+    val marker = Paths.get(s"$art/FIXTURE_KEY")
+    val fresh = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), StandardCharsets.UTF_8) == key
+    if (!fresh) {
+      System.err.println(s"[scale] materializing PQ index artifacts at $art")
+      org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(art).toFile)
+      val (codes, norms, cb) = build
+      codes.write.mode("overwrite").parquet(s"$art/codes.parquet")
+      norms.write.mode("overwrite").parquet(s"$art/norms.parquet")
+      cb.write.mode("overwrite").parquet(s"$art/codebook.parquet")
+      Files.write(marker, key.getBytes(StandardCharsets.UTF_8))
+    }
+    art
+  }
+
   /** Accumulates task-level spill across the whole app; callers snapshot
     * around each timed run. Listener-bus delivery is asynchronous, so a
     * few tail tasks can land after the snapshot — runs here are
@@ -256,9 +336,11 @@ object ScaleBench {
     spark.sparkContext.addSparkListener(spill)
 
     def fixture(scale: Int): String = {
-      // "p" = planted-pair vintage: the recall gate's planted rows are part
-      // of the fixture, so a pre-r10 cached fixture must not be reused
-      val out = s"/root/repo/target/sfgen/sfx${scale}p"
+      // "q" = planted-DOC vintage (r12: the x5g recall gate's planted
+      // near-dup documents joined the embedding plants): planted rows are
+      // part of the fixture, so a prior-vintage cached fixture must not be
+      // reused
+      val out = s"/root/repo/target/sfgen/sfx${scale}q"
       if (!Files.exists(Paths.get(s"$out/documents.parquet"))) {
         System.err.println(s"[scale] generating ${scale}x fixture at $out")
         generate(spark, base, out, scale)
@@ -448,14 +530,18 @@ object ScaleBench {
     // returned row with `in_exact_top5` against the global exact top-5 —
     // computed in-query, discarded by the tier's noop sink; re-collect the
     // 40-row outputs on the scaled corpus where candidate sets are 30×
-    // denser. Floors: x3h and x3i carry 0.7 — both have a recall dial
-    // (shortlist depth; x3i additionally nprobe, tuned 3→8 this round, see
-    // the x3i scaladoc for the measured curve) so a declared floor states
-    // how much index loss is acceptable and the dial answers it. x3f stays
-    // measured-only: it IS the undialed raw-PQ-top5 baseline — its recall
-    // is the codebook's, with no stage to tune against a floor.
-    val annFloors = Map("x3h_pq_rerank" -> 0.7, "x3i_ivf_pq" -> 0.7,
-      "x3j_filtered_knn" -> 0.7)
+    // denser. Floors: x3h/x3i/x3j carry 0.7 — each has a recall dial
+    // (shortlist depth; x3i additionally nprobe, tuned 3→8 in r11) so a
+    // declared floor states how much index loss is acceptable and the dial
+    // answers it. x3f carries a STAGE floor of 0.45 (VERDICT r11 #2: the
+    // last floor:null entry could collapse silently) — it is the undialed
+    // codes-only ADC top-5, whose loss is by design (x3h proves a 20-deep
+    // rerank over the SAME codes recovers to ≥ 0.7), so its floor declares
+    // the minimum shortlist-feeding quality: below 0.45 the codebook
+    // itself has degenerated (measured 0.525 at 30× in r10/r11) and the
+    // rerank stages would be reranking noise.
+    val annFloors = Map("x3f_pq_adc" -> 0.45, "x3h_pq_rerank" -> 0.7,
+      "x3i_ivf_pq" -> 0.7, "x3j_filtered_knn" -> 0.7)
     val annRecall: Seq[(String, Double, Option[Double])] = {
       val dir = fixture(tiers.head._1)
       Seq("x3f_pq_adc", "x3h_pq_rerank", "x3i_ivf_pq", "x3j_filtered_knn").map { n =>
@@ -470,6 +556,150 @@ object ScaleBench {
     }
     val annOk = annRecall.forall { case (_, r, fl) => fl.forall(r >= _) }
 
+    // x5g planted-pair recall at 30× (VERDICT r11 #1): see
+    // [[plantedDocSources]]. Ground truth runs the aHash kernel itself
+    // over just the 100 involved docs; the wanted set is the planted pairs
+    // at TRUE Hamming ≤ 3, so a miss is a band-join miss by construction
+    // (pigeonhole says Hamming ≤ 3 ⇒ some 16-bit band equal — recall
+    // below 1.0 means the banding itself regressed).
+    val x5gFloor = 0.8
+    val (x5gRecall, x5gEligible, x5gOk) = {
+      val dir = fixture(tiers.head._1)
+      val pairs = plantedDocSources(spark, base).map(o => (o, PlantDocBase + o))
+      val involved = pairs.flatMap(p => Seq(p._1, p._2))
+      val m = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id").isin(involved: _*))
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val bands = ext.Multimodal.aHashBands(m).collect()
+        .map(r => r.getLong(0) ->
+          Seq(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+      def ham(a: Long, b: Long): Int =
+        bands(a).zip(bands(b)).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+      val wanted = pairs.filter { case (a, b) => ham(a, b) <= 3 }.toSet
+      val found = SparkEntry.queries("x5g_phash_dedup")(spark, dir)
+        .filter(col("b") >= PlantDocBase)
+        .select(col("a"), col("b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val r = wanted.count(found.contains).toDouble / math.max(1, wanted.size)
+      System.err.println(f"[scale] x5g planted recall: $r%.2f " +
+        f"(${wanted.size} eligible of ${pairs.size} planted, floor $x5gFloor)")
+      // eligibility floor: the ±1-char perturbation must actually land
+      // ≥ 25 of 50 pairs under the Hamming threshold, or the gate would
+      // pass vacuously on a near-empty denominator
+      (r, wanted.size, wanted.size >= 25 && r >= x5gFloor)
+    }
+
+    // x2j conservation invariant at 30× (r12): exact_dup must equal
+    // corpus − distinct(vector) and surviving reps must equal distinct —
+    // the collapse loses nothing and merges nothing. The scaled
+    // embedding replicas are PERTURBED by design (the x2e neighborhood
+    // contract), so distinct == corpus here and the check pins the
+    // identity direction; the positive replica-collapse contract
+    // (identical vectors → one rep + exact_dup members) is pinned on
+    // controlled data in SemanticDedupSpec.
+    val (x2jCollapse, x2jCollapseOk) = {
+      val dir = fixture(tiers.head._1)
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val total = e.count()
+      val distinct = e.select(col("embedding")).distinct().count()
+      val byReason = SparkEntry.queries("x2j_semantic_dedup")(spark, dir)
+        .groupBy("reason").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exactDup = byReason.getOrElse("exact_dup", 0L)
+      val reps = byReason.getOrElse("kept", 0L) +
+        byReason.getOrElse("semantic_dup", 0L)
+      val ok = exactDup == total - distinct && reps == distinct
+      System.err.println(s"[scale] x2j collapse: corpus $total distinct " +
+        s"$distinct exact_dup $exactDup reps $reps ok=$ok")
+      ((total, distinct, exactDup, reps), ok)
+    }
+
+    // x3l |index|-independent APPEND (VERDICT r11 #3 — the x2h story for
+    // the ANN index): a persisted PQ index that must be fully rebuilt per
+    // batch isn't a production index. FIX the batch (base-corpus copies,
+    // +3 perturbed, fresh ids) and scale the STANDING index 1×/10×/30×;
+    // the timed append is pqAppendArtifacts — encode ONLY the batch
+    // against the LOADED codebook + batch norms — whose cost must stay
+    // flat in |index| (the codebook, the only index-side input, is 128
+    // rows at every scale). Then prove append ≡ rebuild at 30×: serving
+    // from loaded+appended artifacts must emit the IDENTICAL row set as a
+    // full rebuild over corpus ∪ batch (same 16 seed vectors train both
+    // codebooks — batch ids sit far above the seed range — so code
+    // assignment, ADC, shortlist and rerank agree bit-for-bit).
+    val x3lFlatBound = 2.5
+    val (x3lSeries, x3lFlatOk, x3lAppendEqual) = {
+      val sq = ext.SimilarityQueries
+      def dirAt(k: Int): String = if (k == 1) base else fixture(k)
+      def corpusAt(k: Int): DataFrame = sq.quantFrame(spark, dirAt(k))
+      def art(k: Int): String =
+        materializedPqIndex(s"/root/repo/target/sfgen/x3l_idx_$k",
+          fixtureFingerprint(s"${dirAt(k)}/embeddings.parquet")) {
+          sq.pqBuildFrom(corpusAt(k))
+        }
+      val batch = sq.quantFrame(spark, base)
+        .select((col("vec_id") + 500000000L).as("vec_id"),
+          transform(col("qe"), x => x + lit(3L)).as("qe"), col("label"))
+      def timedAppend(a: String): Double = {
+        val lcb = spark.read.parquet(s"$a/codebook.parquet")
+        val (bc, bn) = sq.pqAppendArtifacts(batch, lcb)
+        val t0 = System.nanoTime()
+        bc.localCheckpoint(); bn.localCheckpoint()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val series = Seq(1, 10, 30).map { k =>
+        val a = art(k)
+        val t = math.min(timedAppend(a), timedAppend(a))
+        System.err.println(f"[scale] x3l append vs index x$k: $t%.2f s")
+        (k, t)
+      }
+      val flatRatio = series.last._2 / series.head._2
+      val a30 = art(30)
+      val all = corpusAt(30).unionByName(batch)
+      val lcb = spark.read.parquet(s"$a30/codebook.parquet")
+      val (bc, bn) = sq.pqAppendArtifacts(batch, lcb)
+      val servedAppend = sq.pqServe(
+        spark.read.parquet(s"$a30/codes.parquet").unionByName(bc),
+        spark.read.parquet(s"$a30/norms.parquet").unionByName(bn), lcb, all)
+        .collect().map(_.toString).sorted.toSeq
+      val (rc, rn, rcb) = sq.pqBuildFrom(all)
+      val servedRebuild = sq.pqServe(rc, rn, rcb, all)
+        .collect().map(_.toString).sorted.toSeq
+      val equal = servedAppend.nonEmpty && servedAppend == servedRebuild
+      System.err.println(f"[scale] x3l index-scaling 30x/1x ratio " +
+        f"$flatRatio%.2f (bound $x3lFlatBound)  append==rebuild: $equal")
+      (series, flatRatio <= x3lFlatBound, equal)
+    }
+
+    // q12b bucket-sizing rule A/B WHERE THE RULE ENGAGES (VERDICT r11 #4):
+    // the max(8, ceil(rows/1M)) rule was A/B-measured only at 6M rows —
+    // below its own 8M crossover, where it deliberately does nothing. At
+    // 30× lineitem (~18M rows → 18 buckets) build both layouts side by
+    // side and time the SAME join (CoreQueries.bucketedJoin) on each: the
+    // rule's extra parallelism and smaller per-task sorted runs must not
+    // lose to fixed-8 (≤ 1.05× absorbs run-to-run noise; the expected
+    // result is a clear win — 18 tasks on 32 cores vs 8).
+    val (q12bAb, q12bAbOk) = {
+      val dir = fixture(tiers.head._1)
+      val rows = spark.read.parquet(s"$dir/lineitem.parquet").count()
+      val nb = ops.CoreQueries.ruleBuckets(rows)
+      ops.CoreQueries.bucketedPairWith(spark, dir, nb, "_r30rule")
+      ops.CoreQueries.bucketedPairWith(spark, dir, 8, "_r30fix8")
+      def t(suffix: String): Double = {
+        def one(): Double = {
+          val t0 = System.nanoTime()
+          ops.CoreQueries.bucketedJoin(spark, suffix)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        math.min(one(), one())
+      }
+      val tr = t("_r30rule"); val tf = t("_r30fix8")
+      val ok = tr <= tf * 1.05
+      System.err.println(f"[scale] q12b 30x A/B: rule($nb buckets) $tr%.2f s" +
+        f"  fixed-8 $tf%.2f s  ok=$ok")
+      ((rows, nb, tr, tf), ok)
+    }
+
     // box calibration (VERDICT r10 #9: Bench carries it; BENCH_SCALE
     // ratios are within-run pairs — fine — but CROSS-round ratio drift was
     // unattributable without the same fixed-work yardstick here): the ONE
@@ -478,7 +708,8 @@ object ScaleBench {
 
     val ok = rows.forall { case (_, scale, b, s, r, _, _) =>
       b > 0 && s > 0 && r <= maxRatio(scale)
-    } && recallOk && incrEqual && annOk && x2hIndexFlatOk
+    } && recallOk && incrEqual && annOk && x2hIndexFlatOk &&
+      x5gOk && x2jCollapseOk && x3lFlatOk && x3lAppendEqual && q12bAbOk
     val json = {
       val qs = rows.map { case (n, scale, b, s, r, sm, sd) =>
         f""""$n":{"scale":$scale,"base_sec":$b%.3f,"scaled_sec":$s%.3f,""" +
@@ -503,6 +734,24 @@ object ScaleBench {
           case (k, t) => f""""x$k":$t%.3f""" }.mkString(",")},""" +
         f""""ratio_30x_over_1x":${x2hIndexSeries.last._2 / x2hIndexSeries.head._2}%.3f,""" +
         f""""flat_bound":$x2hIndexFlatBound%.1f,"ok":$x2hIndexFlatOk},""" +
+        f""""x5g_planted_recall":{"recall":$x5gRecall%.3f,"n_planted":50,""" +
+        f""""n_eligible":$x5gEligible,"min_eligible":25,"floor":$x5gFloor%.2f,""" +
+        s""""ok":$x5gOk},""" +
+        s""""x2j_collapse_30x":{"corpus":${x2jCollapse._1},""" +
+        s""""distinct":${x2jCollapse._2},"exact_dup":${x2jCollapse._3},""" +
+        s""""reps":${x2jCollapse._4},""" +
+        s""""gate":"exact_dup == corpus - distinct AND reps == distinct",""" +
+        s""""ok":$x2jCollapseOk},""" +
+        s""""x3l_append_scaling":{"fixed_batch":true,${x3lSeries.map {
+          case (k, t) => f""""x$k":$t%.3f""" }.mkString(",")},""" +
+        f""""ratio_30x_over_1x":${x3lSeries.last._2 / x3lSeries.head._2}%.3f,""" +
+        f""""flat_bound":$x3lFlatBound%.1f,""" +
+        s""""append_equals_rebuild":$x3lAppendEqual,""" +
+        s""""ok":${x3lFlatOk && x3lAppendEqual}},""" +
+        s""""q12b_bucket_rule_30x":{"rows":${q12bAb._1},""" +
+        s""""rule_buckets":${q12bAb._2},""" +
+        f""""rule_sec":${q12bAb._3}%.3f,"fixed8_sec":${q12bAb._4}%.3f,""" +
+        s""""gate":"rule_sec <= 1.05 * fixed8_sec","ok":$q12bAbOk},""" +
         f""""calibration":{"spin_sec":$spinSec%.3f},""" +
         s""""x6g_partition_invariant":$invariant,"queries":$qs}"""
     }

@@ -454,23 +454,29 @@ object PipelineQueries {
           md5(concat(lit(seed), col("doc_id").cast(StringType))).as("h"))
         val parts = docs.repartitionByRange(16, col("lang"), col("source"), col("h"))
           .withColumn("pid", spark_partition_id())
+        // the ranked frame is localCheckpoint-PINNED (ADVICE r11): the
+        // offset table and the final join must read the SAME
+        // range-partitioning instance, and the previous guarantee —
+        // ReuseExchange evaluating the repartitionByRange shuffle once
+        // across both subplans — is an optimizer behavior, not an API
+        // contract (a Spark upgrade or AQE change could silently split it
+        // into two reservoir-sampled shuffles with different boundaries =
+        // duplicated/skipped ranks). localCheckpoint materializes the
+        // (pid, lrn) assignment once and TRUNCATES LINEAGE, so a lost
+        // partition fails loudly instead of recomputing under fresh
+        // sampled boundaries — which is also why plain persist() was
+        // rejected in r11: an evicted cached partition silently re-runs
+        // the nondeterministic shuffle. 100 TB posture: one corpus-sized
+        // materialization on executors, the standard barrier for pinning
+        // a nondeterministic partitioning.
         val local = parts.withColumn("lrn", row_number().over(
           Window.partitionBy(col("pid"), col("lang"), col("source"))
             .orderBy(col("h"), col("doc_id"))))
+          .localCheckpoint()
         // per-(partition, stratum) counts feed BOTH the offset table and
         // the stratum sizes (review r11: a separate groupBy over `docs`
         // was a third full corpus scan for numbers this P×S-row frame
-        // already holds). NOT persisted — deliberately (review r11 #2):
-        // offsets are only consistent with the local ranks if both read
-        // the SAME range-partitioning instance, and that guarantee comes
-        // from keeping every consumer inside ONE physical plan, where
-        // ReuseExchange evaluates the sampled range shuffle once. A cache
-        // here would decouple the two subplans into independent
-        // repartitionByRange evaluations whose reservoir-sampled
-        // boundaries (seeded by rdd.id) can differ — duplicated/skipped
-        // ranks and a silently wrong manifest. Same single-plan device as
-        // x6k's corpusShufflePlan, whose rank invariance is
-        // machine-checked.
+        // already holds).
         val counts = local.groupBy("pid", "lang", "source")
           .agg(count(lit(1)).as("n"))
         val offs = counts
@@ -502,6 +508,100 @@ object PipelineQueries {
         SELECT lang, source, split, count(*) AS n_docs,
           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
         FROM sp GROUP BY lang, source, split""".stripMargin)),
+
+    // X6n (r12): TEMPERATURE-WEIGHTED mixture sampling — the data-MIXING
+    // step between curation and training (the multilingual/multi-source
+    // rebalancing of mBERT/XLM-R/Gopher: sample source s with probability
+    // ∝ n_s^α, α = 0.5, so high-resource sources are down-weighted and
+    // the tail is up-weighted relative to proportional sampling). A 20%
+    // token budget (target = ⌊N/5⌋ docs) is apportioned across sources by
+    // the EXACT largest-remainder method over INTEGER weights
+    // iw_s = ⌊√(n_s·10⁶)⌋ — sqrt is one correctly-rounded IEEE op on an
+    // exactly-representable integer, so the weight (and hence every
+    // quota) is bit-identical across engines with no float-summation
+    // hazard anywhere; quotas sum to the target EXACTLY, which a
+    // per-row Bernoulli sampler cannot do. Selection within a source is
+    // the deterministic seeded-hash order, ranked by the x6m two-phase
+    // DISTRIBUTED prefix sum (range partition by (source, h) so a giant
+    // source spans partitions — never a per-source single-task window;
+    // ranked frame localCheckpoint-pinned for the same
+    // nondeterministic-shuffle reason as x6m). The quota computation
+    // itself runs on the |sources|-row frame — its window is a single
+    // task over ~dozens of rows by design. `sum_doc_id` is the
+    // membership witness: the oracle pins the exact sampled SET, not
+    // just per-source counts.
+    Q("x6n_temperature_mix",
+      (s, d) => {
+        val seed = "graft-mix-11:"
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+          md5(concat(lit(seed), col("doc_id").cast(StringType))).as("h"))
+        val parts = docs.repartitionByRange(16, col("source"), col("h"))
+          .withColumn("pid", spark_partition_id())
+        val local = parts.withColumn("lrn", row_number().over(
+          Window.partitionBy(col("pid"), col("source"))
+            .orderBy(col("h"), col("doc_id"))))
+          .localCheckpoint()
+        val counts = local.groupBy("pid", "source")
+          .agg(count(lit(1)).as("n"))
+        val offs = counts
+          .withColumn("offset", coalesce(sum(col("n")).over(
+            Window.partitionBy(col("source")).orderBy(col("pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("pid"), col("source"), col("offset"))
+        val src = counts.groupBy("source").agg(sum(col("n")).as("n_source"))
+        val w = src.withColumn("iw",
+          floor(sqrt((col("n_source") * 1000000L).cast(DoubleType))).cast(LongType))
+        val tot = w.agg(sum(col("iw")).as("wsum"),
+          expr("sum(n_source) DIV 5").as("target"))
+        val ap = w.crossJoin(broadcast(tot))
+          .withColumn("base", expr("target * iw DIV wsum"))
+          .withColumn("rem", expr("target * iw % wsum"))
+        val lef = ap.agg((first(col("target")) - sum(col("base"))).as("leftover"))
+        val quotas = ap.crossJoin(broadcast(lef))
+          .withColumn("rrank", row_number().over(
+            Window.orderBy(col("rem").desc, col("source"))))
+          .withColumn("quota",
+            col("base") + when(col("rrank") <= col("leftover"), 1L).otherwise(0L))
+          .select(col("source"), col("n_source"), col("iw").as("weight"),
+            col("quota"))
+        val sel = local.join(broadcast(offs), Seq("pid", "source"))
+          .withColumn("rk", col("offset") + col("lrn"))
+          .join(broadcast(quotas.select(col("source"), col("quota"))), Seq("source"))
+          .filter(col("rk") <= col("quota"))
+        val agg = sel.groupBy("source")
+          .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("sum_doc_id"))
+        quotas.join(agg, Seq("source"), "left")
+          .select(col("source"), col("n_source"), col("weight"), col("quota"),
+            coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+            coalesce(col("sum_doc_id"), lit(0L)).as("sum_doc_id"))
+      },
+      Some("""WITH docs AS (SELECT doc_id, source,
+          md5('graft-mix-11:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        src AS (SELECT source, CAST(count(*) AS BIGINT) AS n_source
+          FROM docs GROUP BY source),
+        w AS (SELECT source, n_source,
+            CAST(floor(sqrt(CAST(n_source * 1000000 AS DOUBLE))) AS BIGINT) AS iw
+          FROM src),
+        tot AS (SELECT CAST(SUM(iw) AS BIGINT) AS wsum,
+            CAST(SUM(n_source) // 5 AS BIGINT) AS target FROM w),
+        ap AS (SELECT source, n_source, iw,
+            CAST(target * iw // wsum AS BIGINT) AS base,
+            CAST(target * iw % wsum AS BIGINT) AS rem, target
+          FROM w, tot),
+        lef AS (SELECT CAST(MAX(target) - SUM(base) AS BIGINT) AS leftover FROM ap),
+        q AS (SELECT source, n_source, iw AS weight,
+            CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+              <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+          FROM ap, lef),
+        ranked AS (SELECT d.source, d.doc_id, row_number() OVER
+            (PARTITION BY d.source ORDER BY d.h, d.doc_id) AS rk FROM docs d),
+        sel AS (SELECT r.source, r.doc_id FROM ranked r
+          JOIN q ON q.source = r.source AND r.rk <= q.quota)
+        SELECT q.source, q.n_source, q.weight, q.quota,
+          CAST(count(sel.doc_id) AS BIGINT) AS n_sampled,
+          CAST(COALESCE(SUM(sel.doc_id), 0) AS BIGINT) AS sum_doc_id
+        FROM q LEFT JOIN sel ON sel.source = q.source
+        GROUP BY q.source, q.n_source, q.weight, q.quota""".stripMargin)),
 
     // X10 (r10, VERDICT r09 #8): the END-TO-END training-data pipeline as
     // ONE composed lineage — exact dedup → verbatim-8-gram decontamination

@@ -238,12 +238,19 @@ object SimilarityQueries {
     (out, Seq(membership, vecs))
   }
 
-  /** Exact top-k quantized-cosine neighbors for query vectors
-    * (vec_id < nQueries); query side broadcast, corpus streams once.
+  /** The quantized corpus frame `(vec_id, qe, label)` every x3 operator
+    * starts from — package-private so ScaleBench can synthesize scaled
+    * index corpora in the same domain (x3l's flat-append series).
     */
-  private def bruteKnn(s: SparkSession, d: String, nQueries: Int, k: Int): DataFrame = {
-    val e = Tables.embeddings(s, d).select(col("vec_id"), quant(col("embedding")).as("qe"),
-      col("label"))
+  private[graft] def quantFrame(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"),
+      quant(col("embedding")).as("qe"), col("label"))
+
+  /** Exact top-k quantized-cosine neighbors for query vectors
+    * (vec_id < nQueries) over an arbitrary quantized frame; query side
+    * broadcast, corpus streams once.
+    */
+  private def bruteKnnFrom(e: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("qe").as("q_emb"))
     val c = e.select(col("vec_id").as("c_id"), col("qe").as("c_emb"), col("label").as("c_label"))
@@ -253,6 +260,9 @@ object SimilarityQueries {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  private def bruteKnn(s: SparkSession, d: String, nQueries: Int, k: Int): DataFrame =
+    bruteKnnFrom(quantFrame(s, d), nQueries, k)
 
   /** Shared oracle CTE: quantized corpus + scored brute-force pairs for
     * queries vec_id < 8.
@@ -277,36 +287,103 @@ object SimilarityQueries {
     * nothing), `pd(q_id, s, k, pdot)` per-query ADC tables, and
     * `norms(vec_id, n2)`.
     */
-  private def pqFrames(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
-    val M = 8; val subDim = 8; val K = 16
-    val e = Tables.embeddings(s, d).select(col("vec_id"),
-      quant(col("embedding")).as("qe"), col("label"))
-    // (vec_id, s, sv): the s-th 8-dim subvector of each vector
-    val sub = e.select(col("vec_id"), col("label"),
+  /** Code assignment against a codebook `cb(s, k, cv)`: argmin codeword
+    * per (vector, subspace) — broadcast-argmin, map-side except the
+    * (vec_id, s) regroup. Shared by the initial index build and the x3l
+    * APPEND path, which encodes ONLY the new batch against the frozen
+    * loaded codebook (the FAISS `add` contract: appends never retrain).
+    */
+  private[graft] def pqEncode(vecs: DataFrame, cb: DataFrame): DataFrame = {
+    val M = 8; val subDim = 8
+    val sub = vecs.select(col("vec_id"), col("label"),
         explode(sequence(lit(0), lit(M - 1))).as("s"), col("qe"))
       .select(col("vec_id"), col("label"), col("s"),
         slice(col("qe"), col("s") * subDim + 1, lit(subDim)).as("sv"))
-    // codebook: subvectors of the first K vectors (deterministic init)
-    val cb = sub.filter(col("vec_id") < K)
-      .select(col("s"), col("vec_id").cast(IntegerType).as("k"), col("sv").as("cv"))
     def dist2(a: Column, b: Column): Column =
       graft.functions.Kernels.long_vec_dist2(a, b)
-    // code assignment: argmin codeword per (vector, subspace) —
-    // broadcast-argmin, map-side except the (vec_id, s) regroup
-    val codes = sub.join(broadcast(cb), "s")
+    sub.join(broadcast(cb), "s")
       .select(col("vec_id"), col("label"), col("s"),
         struct(dist2(col("sv"), col("cv")).as("d2"), col("k")).as("dk"))
       .groupBy("vec_id", "label", "s").agg(min(col("dk")).getField("k").as("code"))
-    // per-query ADC lookup tables: partial dot of each query subvector
-    // with each codeword (M×K rows per query — broadcastable)
-    val pd = sub.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("q_id"), col("s"), col("sv").as("q_sv"))
+  }
+
+  /** Full PQ index build over a quantized frame `e(vec_id, qe, label)`:
+    * `(codes, norms, codebook)`. Codebook = subvectors of the first K
+    * vectors (deterministic init); exact norms ride with the index
+    * (standard PQ practice: only the direction is quantized).
+    */
+  private[graft] def pqBuildFrom(e: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val M = 8; val subDim = 8; val K = 16
+    val cb = e.filter(col("vec_id") < K)
+      .select(col("vec_id"), explode(sequence(lit(0), lit(M - 1))).as("s"), col("qe"))
+      .select(col("s"), col("vec_id").cast(IntegerType).as("k"),
+        slice(col("qe"), col("s") * subDim + 1, lit(subDim)).as("cv"))
+    val codes = pqEncode(e, cb)
+    val norms = e.select(col("vec_id"), qdot(col("qe"), col("qe")).as("n2"))
+    (codes, norms, cb)
+  }
+
+  /** The x3l append artifacts: codes + norms for ONLY the batch, encoded
+    * against the loaded codebook — the whole per-append cost (ScaleBench
+    * times exactly this, at 1×/10×/30× the standing index).
+    */
+  private[graft] def pqAppendArtifacts(batch: DataFrame, cb: DataFrame)
+      : (DataFrame, DataFrame) =
+    (pqEncode(batch, cb),
+      batch.select(col("vec_id"), qdot(col("qe"), col("qe")).as("n2")))
+
+  /** Per-query ADC lookup tables over a quantized frame: partial dot of
+    * each query (vec_id < 8) subvector with each codeword (M×K rows per
+    * query — broadcastable).
+    */
+  private[graft] def pqQueryTables(e: DataFrame, cb: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"),
+        explode(sequence(lit(0), lit(7))).as("s"), col("qe"))
+      .select(col("q_id"), col("s"),
+        slice(col("qe"), col("s") * 8 + 1, lit(8)).as("q_sv"))
       .join(broadcast(cb), "s")
       .select(col("q_id"), col("s"), col("k"), qdot(col("q_sv"), col("cv")).as("pdot"))
-    // exact norms ride with the index (standard PQ practice: norms are
-    // stored per vector; only the direction is quantized)
-    val norms = e.select(col("vec_id"), qdot(col("qe"), col("qe")).as("n2"))
-    (codes, pd, norms)
+
+  private def pqFrames(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val e = quantFrame(s, d)
+    val (codes, norms, cb) = pqBuildFrom(e)
+    (codes, pqQueryTables(e, cb), norms)
+  }
+
+  /** The serve path over arbitrary index frames: ADC scoring from codes
+    * (queries' tables computed against the codebook at serve time — the
+    * production order: queries arrive after the index exists), 20-deep
+    * shortlist, exact rerank to top-5, recall annotated against the exact
+    * top-5 over the SAME frame `e`. Shared by x3l's append registration
+    * and ScaleBench's append-equals-rebuild gate at 30×.
+    */
+  private[graft] def pqServe(codes: DataFrame, norms: DataFrame, cb: DataFrame,
+      e: DataFrame): DataFrame = {
+    val pd = pqQueryTables(e, cb)
+    val adots = codes.join(broadcast(pd),
+        codes("s") === pd("s") && codes("code") === pd("k"))
+      .groupBy(col("q_id"), col("vec_id").as("c_id"))
+      .agg(sum(col("pdot")).as("adot"))
+    val scored = adcCos(adots, norms)
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("approx_cos").desc, col("c_id"))
+    val short = scored.withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= 20)
+      .select(col("q_id"), col("c_id"), col("adc_rank"))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("qe").as("q_emb"))
+    val shortQ = short.join(broadcast(q), "q_id")
+    val rr = e.select(col("vec_id").as("c_id"), col("qe").as("c_emb"))
+      .join(broadcast(shortQ), "c_id")
+      .select(col("q_id"), col("c_id"), col("adc_rank"),
+        qcos(col("q_emb"), col("c_emb")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    val top = rr.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+    val exact = bruteKnnFrom(e, nQueries = 8, k = 5)
+      .select(col("q_id"), col("c_id"), lit(true).as("hit"))
+    top.join(exact, Seq("q_id", "c_id"), "left")
+      .select(col("q_id"), col("rank"), col("c_id"), col("cos"),
+        col("adc_rank"), coalesce(col("hit"), lit(false)).as("in_exact_top5"))
   }
 
   /** approx_cos from (adot, qn2, cn2) — the shared ADC tail. */
@@ -362,12 +439,24 @@ object SimilarityQueries {
   private val PqScoredCte: String =
     pqScoredCteFrom(s"SELECT vec_id, ${sqlQuant("embedding")} AS qe FROM embeddings")
 
+  /** Bare PQ code assignment as an oracle (q52g's streaming encode): the
+    * codes CTE of [[pqScoredCteFrom]] projected directly — unused trailing
+    * CTEs are never evaluated by DuckDB, so reusing the full chain keeps
+    * ONE definition of the code-assignment SQL.
+    */
+  private[graft] def pqCodesOracleSql: String =
+    s"""$PqScoredCte
+      SELECT vec_id, CAST(cs AS INTEGER) AS s, code FROM codes"""
+
   /** The shared x3h/x3k oracle: ADC 20-deep shortlist + exact rerank to
     * top-5, recall annotated against the global exact top-5. x3k serves
     * the SAME rows from parquet-persisted index artifacts, so one oracle
-    * text keeps the two registrations provably aligned.
+    * text keeps the two registrations provably aligned. Parametric in the
+    * scored CTE so x3l can run the identical tail over corpus ∪ batch.
     */
-  private def PqRerankOracleSql: String = s"""$PqScoredCte,
+  private def PqRerankOracleSql: String = pqRerankOracleFrom(PqScoredCte)
+
+  private def pqRerankOracleFrom(scoredCte: String): String = s"""$scoredCte,
         short AS (SELECT q_id, c_id, CAST(adc_rank AS INTEGER) AS adc_rank FROM
           (SELECT q_id, c_id, row_number() OVER
              (PARTITION BY q_id ORDER BY approx_cos DESC, c_id) AS adc_rank FROM scored)
@@ -455,6 +544,127 @@ object SimilarityQueries {
         Caching.withPersistedAll(caches)(out.localCheckpoint())
       },
       Some(x2eOracleSql)),
+
+    // X2j (r12): SEMANTIC dedup — the cluster-then-prune shape of SemDeDup
+    // (Abbas et al. 2023, arXiv:2303.09540): embeddings are k-means-
+    // assigned to coarse clusters, and near-duplicate pruning runs ONLY
+    // within a cluster — the quadratic is confined to cluster size, never
+    // the corpus (the paper's device for web scale: k grows with the
+    // corpus so per-cluster cost stays bounded; at LAION scale they run
+    // k ≈ 10⁵). Complements x2e: LSH finds pairs by signature collision
+    // with probabilistic recall; semantic dedup is exhaustive WITHIN the
+    // partition a trained quantizer induces, with loss only at cluster
+    // boundaries.
+    //
+    // Plan: (1) EXACT-DUP COLLAPSE first — distinct quantized vectors,
+    // one rep (min vec_id) each; the x2/x5g lesson applies verbatim: a
+    // replicated corpus (the crawl shape, and literally the 30× scale
+    // fixture) turns every vector into a clique, and collapsing before
+    // the pair stage bounds it to membership cost. The collapse keys the
+    // shuffle by the full quantized vector here; at 100 TB that key is a
+    // 128-bit vector digest instead (the x2g declared-collision
+    // contract), same shape. (2) Broadcast-argmin cluster assignment of
+    // the REPS against deterministic seed centroids, k = max(8,
+    // ⌈distinct/256⌉) — k grows with the corpus so the mean cluster stays
+    // ~256 reps and the pair stage is linear, the paper's scaling device
+    // (the x3c/x3e coarse quantizer; swapping in x3e's trained centroids
+    // changes recall, not shape). (3) Within-cluster τ-neighbor test: a
+    // rep is
+    // PRUNED iff some τ-similar rep in its cluster sits closer to the
+    // centroid (tie → lower id) — keep-closest-to-centroid, the
+    // quality-proxy keep rule (the paper keeps low-centroid-similarity
+    // examples to also shed cluster-generic boilerplate; the keep POLICY
+    // is one comparison, the operator shape is identical). The
+    // within-cluster semi-join shuffles reps once on cluster; both its
+    // sides are the collapsed rep set. (4) Verdicts expand back to every
+    // corpus vector through the collapse map: exact_dup (lost the
+    // collapse), semantic_dup (rep pruned), kept. DuckDB replays collapse
+    // → assignment → prune → expansion, so the per-vector verdict set is
+    // hash-exact; fixture honesty: random embeddings (max background cos
+    // ≈ 0.51) put several reps over τ=0.4 within a cluster, so the
+    // semantic_dup verdict is exercised at fixture size, and the 30×
+    // fixture's replicas + planted near-identical pairs exercise the
+    // collapse and the cos≥0.995 regime at scale.
+    Q("x2j_semantic_dedup",
+      (s, d) => {
+        val tau = 0.4
+        val e = quantFrame(s, d)
+        val reps = e.groupBy(col("qe")).agg(min(col("vec_id")).as("rep_id"))
+        // k GROWS WITH THE CORPUS — the SemDeDup device that keeps the
+        // within-cluster quadratic bounded: k = max(8, ⌈distinct/256⌉)
+        // caps the mean cluster at ~256 reps, so the pair stage reads
+        // O(distinct · 256), linear in the corpus, not distinct². The
+        // distinct count is a driver-side O(1) scalar certificate (the
+        // bucketedPair/fixed-point pattern), and the oracle replays the
+        // SAME rule over count(DISTINCT qe). Measured at the 30× gate:
+        // fixed k=8 over the 60k-distinct scaled corpus ran 225M pairs in
+        // 9.7 s (ratio 14.5); the rule picks k=236 there and holds the
+        // pair set at ~5M.
+        val k = math.max(8L,
+          (e.select(col("qe")).distinct().count() + 255L) / 256L)
+        val cent = e.filter(col("vec_id") < k)
+          .select(col("vec_id").cast(IntegerType).as("cid"), col("qe").as("c"))
+        // argmin over (rep_id, dc) ONLY — the vector must not ride through
+        // the reps×k aggregate: first()/min(struct) plan as SortAggregate,
+        // and sorting reps·k rows that each carry a 512-byte array spilled
+        // 6.5 GB at the 30× gate (60k reps × k=236); with the 24-byte
+        // struct rows the same sort is ~300 MB and the vector rejoins from
+        // the cached rep frame afterwards (one broadcast-sized hash join)
+        val nearest = reps.crossJoin(broadcast(cent))
+          .select(col("rep_id"),
+            struct(graft.functions.Kernels.long_vec_dist2(col("qe"), col("c")).as("d"),
+              col("cid")).as("dc"))
+          .groupBy("rep_id").agg(min(col("dc")).as("dc"))
+        val asg = reps.join(nearest, Seq("rep_id"))
+          .select(col("rep_id"), col("qe"),
+            col("dc.cid").as("cluster"), col("dc.d").as("d2"))
+        Caching.withPersistedAll(Seq(reps, asg)) {
+          val o = asg.select(col("rep_id").as("o_id"), col("qe").as("o_qe"),
+            col("cluster").as("o_cl"), col("d2").as("o_d2"))
+          // τ-neighbor with better centroid priority ⇒ pruned (semi: the
+          // witness's identity doesn't matter, only its existence)
+          val pruned = asg.join(o,
+              col("cluster") === col("o_cl") && col("rep_id") =!= col("o_id") &&
+                qcos(col("qe"), col("o_qe")) >= tau &&
+                (col("o_d2") < col("d2") ||
+                  (col("o_d2") === col("d2") && col("o_id") < col("rep_id"))),
+              "left_semi")
+            .select(col("rep_id"), lit(true).as("is_pruned"))
+          val repV = asg.join(pruned, Seq("rep_id"), "left")
+            .select(col("qe"), col("rep_id"), col("cluster"),
+              coalesce(col("is_pruned"), lit(false)).as("is_pruned"))
+          e.select(col("vec_id"), col("qe"))
+            .join(repV, Seq("qe"))
+            .select(col("vec_id"), col("cluster"), col("rep_id"),
+              (col("vec_id") === col("rep_id") && !col("is_pruned")).as("keep"),
+              when(col("vec_id") =!= col("rep_id"), "exact_dup")
+                .when(col("is_pruned"), "semantic_dup")
+                .otherwise("kept").as("reason"))
+            .localCheckpoint() // corpus-sized result; release the rep cache
+        }
+      },
+      Some {
+        val d2 = (a: String, b: String) =>
+          s"list_sum(list_transform(generate_series(1, len($a)), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
+        s"""WITH e AS (SELECT vec_id, ${sqlQuant("embedding")} AS qe FROM embeddings),
+          reps AS (SELECT qe, min(vec_id) AS rep_id FROM e GROUP BY qe),
+          cent AS (SELECT CAST(vec_id AS INTEGER) AS cid, qe AS c FROM e
+            WHERE vec_id < (SELECT GREATEST(8, (count(DISTINCT qe) + 255) // 256) FROM e)),
+          asg AS (SELECT rep_id, qe,
+              (SELECT cid FROM cent ORDER BY ${d2("qe", "c")}, cid LIMIT 1) AS cluster,
+              (SELECT ${d2("qe", "c")} AS dd FROM cent ORDER BY dd, cid LIMIT 1) AS d2
+            FROM reps),
+          drp AS (SELECT r.rep_id FROM asg r WHERE EXISTS (
+              SELECT 1 FROM asg o WHERE o.cluster = r.cluster AND o.rep_id <> r.rep_id
+                AND ${sqlQcos("r.qe", "o.qe")} >= 0.4
+                AND (o.d2 < r.d2 OR (o.d2 = r.d2 AND o.rep_id < r.rep_id))))
+          SELECT m.vec_id, a.cluster, a.rep_id,
+            (m.vec_id = a.rep_id AND a.rep_id NOT IN (SELECT rep_id FROM drp)) AS keep,
+            CASE WHEN m.vec_id <> a.rep_id THEN 'exact_dup'
+                 WHEN a.rep_id IN (SELECT rep_id FROM drp) THEN 'semantic_dup'
+                 ELSE 'kept' END AS reason
+          FROM e m JOIN asg a ON m.qe = a.qe""".stripMargin
+      }),
 
     // X3c: IVF-style ANN — coarse quantizer = per-label centroid; each
     // query probes nprobe=3 partitions and scans only those. Two declared
@@ -645,7 +855,11 @@ object SimilarityQueries {
     // vectors are touched for the shortlist alone, exactly as in x3h.
     Q("x3k_pq_index_serve",
       (s, d) => {
-        val idxDir = "/root/repo/target/graft-tmp/x3k_idx"
+        // session-scoped path (ADVICE r11): Tmp.root + applicationId, so
+        // two concurrent sessions running the registry cannot race on one
+        // directory; re-runs within a session overwrite their own copy
+        val idxDir =
+          s"${graft.Tmp.root}/x3k_idx_${s.sparkContext.applicationId}"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
         val (codes, pd, norms) = pqFrames(s, d)
         codes.write.mode("overwrite").parquet(s"$idxDir/codes.parquet")
@@ -682,6 +896,100 @@ object SimilarityQueries {
             col("adc_rank"), coalesce(col("hit"), lit(false)).as("in_exact_top5"))
       },
       Some(PqRerankOracleSql)),
+
+    // X3l (r12, VERDICT r11 #3): INCREMENTAL index append — the x2h story
+    // for the ANN family: a persisted PQ index that must be fully rebuilt
+    // for every new batch isn't a production index. The standing corpus's
+    // artifacts (codes, norms, AND the codebook — the frozen training
+    // asset an append needs, which x3k didn't persist because serve-only
+    // never re-encodes) are written to parquet; a NEW BATCH of vectors
+    // (perturbed corpus copies under fresh ids — the arriving-crawl shape,
+    // synthesized by pure integer column arithmetic so DuckDB replays it)
+    // is then assigned to codewords against the LOADED codebook — ONLY
+    // the batch pays encode work, the FAISS `add` contract — its code and
+    // norm rows are unioned onto the loaded frames, and the standard
+    // shortlist + rerank serve runs over the appended index. The oracle
+    // is the FULL REBUILD over corpus ∪ batch (pqScoredCteFrom over the
+    // unioned CTE + the x3h rerank tail), so the driver's hash gate IS
+    // the append-equals-rebuild proof: appending against a frozen
+    // codebook yields bit-identical codes to re-encoding everything,
+    // because code assignment is per-vector argmin against the same
+    // codebook (batch ids sit above the K=16 codebook seed range, so the
+    // rebuild trains on the same 16 corpus vectors). 100 TB posture:
+    // per-append cost is O(|batch|) encode + an O(|batch|) columnar
+    // append — never an index-side recompute; ScaleBench measures the
+    // flat-cost series against a 1×/10×/30× standing index (the
+    // x2h_index_scaling methodology) and re-proves append ≡ rebuild at
+    // 30× via pqServe row-set equality.
+    Q("x3l_pq_index_append",
+      (s, d) => {
+        // session-scoped on-disk index, same contract as x3k
+        val idxDir =
+          s"${graft.Tmp.root}/x3l_idx_${s.sparkContext.applicationId}"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+        val corpus = quantFrame(s, d)
+        val (codes, norms, cb) = pqBuildFrom(corpus)
+        codes.write.mode("overwrite").parquet(s"$idxDir/codes.parquet")
+        norms.write.mode("overwrite").parquet(s"$idxDir/norms.parquet")
+        cb.write.mode("overwrite").parquet(s"$idxDir/codebook.parquet")
+        val batch = corpus.select((col("vec_id") + 10000000L).as("vec_id"),
+          transform(col("qe"), x => x + lit(3L)).as("qe"), col("label"))
+        // append: encode ONLY the batch, against the LOADED codebook
+        val lcb = s.read.parquet(s"$idxDir/codebook.parquet")
+        val (bCodes, bNorms) = pqAppendArtifacts(batch, lcb)
+        val allCodes = s.read.parquet(s"$idxDir/codes.parquet").unionByName(bCodes)
+        val allNorms = s.read.parquet(s"$idxDir/norms.parquet").unionByName(bNorms)
+        pqServe(allCodes, allNorms, lcb, corpus.unionByName(batch))
+      },
+      Some(pqRerankOracleFrom(pqScoredCteFrom(
+        s"""SELECT vec_id, ${sqlQuant("embedding")} AS qe FROM embeddings
+          UNION ALL SELECT vec_id + 10000000 AS vec_id,
+            list_transform(${sqlQuant("embedding")}, x -> x + 3) AS qe
+          FROM embeddings""")))),
+
+    // X3m (r12): index DELETE — the remaining CRUD face of the persisted
+    // PQ index (build x3k / append x3l / delete here / filtered-serve
+    // x3j): a tombstone set of vec_ids is removed from a LOADED index by
+    // anti-joining the compact code and norm frames — the FAISS
+    // `remove_ids` contract: deletion never retrains the codebook and
+    // never touches surviving codes, it is an O(|index|) columnar filter
+    // (at 100 TB: the tombstone set is a small broadcast list and the
+    // "filter" is a pushed-down anti-join on the codes scan — no raw
+    // vector is read). The delete predicate spares the K=16 codebook seed
+    // vectors, which makes the equivalence PROVABLE and hash-gated: a
+    // full REBUILD over the remaining corpus trains on the same 16 seeds
+    // ⇒ identical codebook ⇒ identical codes for every survivor, so the
+    // oracle (rebuild-over-remaining, x3h's rerank tail) passing IS the
+    // delete-equals-rebuild proof — the same device as x3l's
+    // append-equals-rebuild. Queries (vec_id < 8) are also spared so the
+    // result keeps its 40-row shape.
+    Q("x3m_pq_index_delete",
+      (s, d) => {
+        // session-scoped on-disk index, same contract as x3k
+        val idxDir =
+          s"${graft.Tmp.root}/x3m_idx_${s.sparkContext.applicationId}"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+        val corpus = quantFrame(s, d)
+        val (codes, norms, cb) = pqBuildFrom(corpus)
+        codes.write.mode("overwrite").parquet(s"$idxDir/codes.parquet")
+        norms.write.mode("overwrite").parquet(s"$idxDir/norms.parquet")
+        cb.write.mode("overwrite").parquet(s"$idxDir/codebook.parquet")
+        // tombstones: ~20% of the corpus by id hash, sparing the codebook
+        // seeds (vec_id < 16; deletes never retrain) — ids only, no vectors
+        val del = corpus.filter(col("vec_id") >= 16 &&
+            pmod(col("vec_id") * 2654435761L, lit(10)) < 2)
+          .select(col("vec_id"))
+        val lcb = s.read.parquet(s"$idxDir/codebook.parquet")
+        val liveCodes = s.read.parquet(s"$idxDir/codes.parquet")
+          .join(broadcast(del), Seq("vec_id"), "left_anti")
+        val liveNorms = s.read.parquet(s"$idxDir/norms.parquet")
+          .join(broadcast(del), Seq("vec_id"), "left_anti")
+        val remaining = corpus.join(broadcast(del), Seq("vec_id"), "left_anti")
+        pqServe(liveCodes, liveNorms, lcb, remaining)
+      },
+      Some(pqRerankOracleFrom(pqScoredCteFrom(
+        s"""SELECT vec_id, ${sqlQuant("embedding")} AS qe FROM embeddings
+          WHERE NOT (vec_id >= 16 AND (vec_id * 2654435761) % 10 < 2)""")))),
 
     // X3i: IVF-PQ + exact refine — the COMPOSED production index (the
     // FAISS `IVFx,PQy` + refine shape) assembled from the three pieces

@@ -33,7 +33,7 @@ object CoreQueries {
   /** long → double money rendering, identical arithmetic in DuckDB. */
   private def money(c: Column): Column = c.cast(DoubleType) / 100.0
 
-  private val tmpRoot = "/root/repo/target/graft-tmp"
+  private val tmpRoot = graft.Tmp.root
 
   /** Write lineitem + orders into the warehouse bucketed (and sorted) by
     * their join key — the SAME bucket count both sides, so a key-equi-join
@@ -67,6 +67,43 @@ object CoreQueries {
   @volatile private var bucketedBuiltFor: Option[(String, String)] = None
   private val RowsPerBucket = 1000000L
 
+  /** The sizing rule itself, exposed so ScaleBench's A/B can ask "what
+    * would the rule pick here" without re-deriving it.
+    */
+  private[graft] def ruleBuckets(rows: Long): Int =
+    math.max(8L, (rows + RowsPerBucket - 1) / RowsPerBucket).toInt
+
+  /** Bucketed layout with an EXPLICIT bucket count and table-name suffix —
+    * the A/B face of [[bucketedPair]] (ScaleBench r12: the rule was
+    * measured only below its own crossover; the 30× A/B builds
+    * rule-vs-fixed-8 layouts side by side and times the join on each).
+    * Not memoized: A/B callers own their layouts.
+    */
+  private[graft] def bucketedPairWith(s: SparkSession, d: String,
+      buckets: Int, suffix: String): Unit = {
+    def write(df: org.apache.spark.sql.DataFrame, key: String, name: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      // a table dir orphaned by a killed run blocks CREATE even after DROP
+      val loc = new java.io.File(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
+      org.apache.commons.io.FileUtils.deleteQuietly(loc)
+      df.write.mode("overwrite").bucketBy(buckets, key).sortBy(key).saveAsTable(name)
+    }
+    write(Tables.lineitem(s, d), "l_orderkey", s"lineitem_bucketed$suffix")
+    write(Tables.orders(s, d), "o_orderkey", s"orders_bucketed$suffix")
+  }
+
+  /** The q12b join body over a named bucketed layout — shared by the
+    * registration and ScaleBench's rule-vs-fixed A/B so both time the
+    * same plan.
+    */
+  private[graft] def bucketedJoin(s: SparkSession, suffix: String): org.apache.spark.sql.DataFrame =
+    s.table(s"lineitem_bucketed$suffix")
+      .join(s.table(s"orders_bucketed$suffix"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        money(sum(cents(col("l_extendedprice")))).as("total"))
+
   private[graft] def bucketedPair(s: SparkSession, d: String): Unit = synchronized {
     val key = (s.conf.get("spark.sql.warehouse.dir"), d)
     val cached = bucketedBuiltFor.contains(key) &&
@@ -74,17 +111,7 @@ object CoreQueries {
       s.catalog.tableExists("orders_bucketed")
     if (!cached) {
       val rows = Tables.lineitem(s, d).count()
-      val buckets = math.max(8L, (rows + RowsPerBucket - 1) / RowsPerBucket).toInt
-      def write(df: org.apache.spark.sql.DataFrame, key: String, name: String): Unit = {
-        s.sql(s"DROP TABLE IF EXISTS $name")
-        // a table dir orphaned by a killed run blocks CREATE even after DROP
-        val loc = new java.io.File(
-          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
-        org.apache.commons.io.FileUtils.deleteQuietly(loc)
-        df.write.mode("overwrite").bucketBy(buckets, key).sortBy(key).saveAsTable(name)
-      }
-      write(Tables.lineitem(s, d), "l_orderkey", "lineitem_bucketed")
-      write(Tables.orders(s, d), "o_orderkey", "orders_bucketed")
+      bucketedPairWith(s, d, ruleBuckets(rows), "")
       bucketedBuiltFor = Some(key)
     }
   }
@@ -132,7 +159,13 @@ object CoreQueries {
     // ClickHouse server exists in this environment.
     Q("q04_sink_jdbc",
       (s, d) => {
-        val url = graft.sources.JdbcSink.derbyUrl(s"$tmpRoot/derby/q04")
+        // Embedded Derby admits ONE booting JVM per database directory
+        // (db.lck), so the path must be per-JVM: a concurrent Bench and
+        // ScalaTest run (both drive the registry) otherwise collide with
+        // XJ040 on the shared tmp root. applicationId is unique per
+        // SparkContext, which is exactly the Derby lock domain here.
+        val url = graft.sources.JdbcSink.derbyUrl(
+          s"$tmpRoot/derby/${s.sparkContext.applicationId}/q04")
         val p = graft.sources.JdbcSink.props()
         Tables.nation(s, d).write.mode("overwrite").jdbc(url, "nation_rt", p)
         s.read.jdbc(url, "nation_rt", p)
@@ -226,11 +259,7 @@ object CoreQueries {
     Q("q12b_join_bucketed",
       (s, d) => {
         bucketedPair(s, d)
-        s.table("lineitem_bucketed")
-          .join(s.table("orders_bucketed"), col("l_orderkey") === col("o_orderkey"))
-          .groupBy("o_orderpriority")
-          .agg(count(lit(1)).as("n_items"),
-            money(sum(cents(col("l_extendedprice")))).as("total"))
+        bucketedJoin(s, "")
       },
       Some("""SELECT o_orderpriority, count(*) AS n_items,
         CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total

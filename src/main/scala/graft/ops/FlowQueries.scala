@@ -140,7 +140,7 @@ object FlowQueries {
     // (Q3 on the flows shape) — the written files ARE the transport format.
     Q("q03b_flows_ndjson",
       (s, d) => {
-        val out = "/root/repo/target/graft-tmp/flows_ndjson"
+        val out = s"${graft.Tmp.root}/flows_ndjson"
         val f = flows(s, d).select("sequence_num", "src_addr", "dst_addr",
           "bytes", "packets", "proto", "dst_port")
         f.write.mode("overwrite").json(out)

@@ -422,8 +422,16 @@ final class UdpFlowStream(host: String, port: Int, name: String,
         val out = fs.create(tmp, true)
         try out.write(snapshot.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
+        // Hadoop reports failure by RETURNING false, not throwing (the
+        // load-path promotion handles the same contract) — a false rename
+        // leaves no target file, so it must be logged or persistence
+        // failure is invisible until a cold restart (ADVICE r11).
+        // delete's false is normal on the first-ever write (no target yet).
         fs.delete(f, false)
-        fs.rename(tmp, f)
+        if (!fs.rename(tmp, f))
+          System.err.println(s"[udp:$name] template-state rename $tmp -> $f " +
+            "returned false — no snapshot at the target; next restart " +
+            "recovers from the complete tmp or re-learns")
       } catch {
         // persistence is an availability optimization, never a correctness
         // dependency: on failure the collector degrades to wait-for-re-export
@@ -748,10 +756,19 @@ final class UdpFlowStream(host: String, port: Int, name: String,
     UdpFlowSource.unregister(name)
     socket.close()
     // drain pending registry snapshots so a restart (or a test asserting
-    // on the file) sees the last enqueued state
+    // on the file) sees the last enqueued state — but BOUNDED (ADVICE r11):
+    // a hung checkpoint filesystem is the very scenario the async writer
+    // exists for, so it must not stall stream shutdown for 30 s either.
+    // 5 s covers any healthy write; past that, force-stop and say so (the
+    // declared degradation is re-learn on restart).
     persistExec.foreach { e =>
       e.shutdown()
-      e.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS)
+      if (!e.awaitTermination(5, java.util.concurrent.TimeUnit.SECONDS)) {
+        val dropped = e.shutdownNow().size()
+        System.err.println(s"[udp:$name] template-state writer did not " +
+          s"drain in 5 s — forced shutdown, $dropped queued snapshot(s) " +
+          "dropped (restart re-learns)")
+      }
     }
   }
 }

@@ -47,13 +47,15 @@ final class SynTrackerProcessor
   * as last-emission-per-key via max/min — the same contract q51/q51b pin
   * in StreamingPlanSpec.
   */
-final class DedupIngestProcessor
+sealed class DedupIngestProcessor(ttl: TTLConfig)
     extends StatefulProcessor[String, (String, Long, Boolean), (String, Long, Long, Boolean)] {
+  def this() = this(TTLConfig.NONE)
+
   @transient private var st: ValueState[(Long, Long)] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     st = getHandle.getValueState[(Long, Long)]("digState",
-      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), ttl)
 
   override def handleInputRows(key: String, rows: Iterator[(String, Long, Boolean)],
       timerValues: TimerValues): Iterator[(String, Long, Long, Boolean)] = {
@@ -68,3 +70,22 @@ final class DedupIngestProcessor
     Iterator.single((key, n, first, inIndex))
   }
 }
+
+/** The BOUNDED-WINDOW face of dedup-at-ingest (VERDICT r11 #5): exact
+  * dedup within a retention window via the state store's native TTL — the
+  * production shape most streams actually run ("is this content a repeat
+  * of anything seen in the last 7 days?"), where unbounded
+  * O(distinct-ever) state is neither needed nor wanted. Semantics: a
+  * digest whose state outlived `ttlMs` without a refresh is forgotten, so
+  * its next arrival is admitted as NEW (n_copies restarts at 1,
+  * first_doc resets) — precisely a rolling-window dedup. State size is
+  * bounded by the window's distinct-content arrival rate instead of
+  * stream lifetime; expiry is the store's own TTL cleanup (RocksDB
+  * compaction-time filtering), not a scan this processor pays. Requires
+  * `TimeMode.ProcessingTime()` (TTL clocks on batch processing time).
+  * StreamingPlanSpec pins the expiry contract; the registered q52f drains
+  * with a 7-day TTL, so against the AvailableNow oracle (a seconds-long
+  * drain) it provably matches q52d's unbounded answer.
+  */
+final class DedupIngestTtlProcessor(ttlMs: Long)
+    extends DedupIngestProcessor(TTLConfig(java.time.Duration.ofMillis(ttlMs)))

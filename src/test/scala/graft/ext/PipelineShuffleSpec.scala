@@ -54,6 +54,38 @@ class PipelineShuffleSpec extends SparkSpec {
     }
   }
 
+  test("x6n mixture manifest is shuffle-width-invariant and budget-exact") {
+    // same two-phase-rank argument as x6m: the sampled SET (witnessed by
+    // sum_doc_id) must not move under a different shuffle width, every
+    // source must fill its quota exactly, and the quotas must sum to the
+    // 20% budget EXACTLY (the largest-remainder contract a Bernoulli
+    // sampler cannot meet)
+    def rows(parts: String) = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try graft.Registry.queries("x6n_temperature_mix")(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val a = rows("8"); val b = rows("64")
+    assert(a == b && a.nonEmpty)
+    val out = graft.Registry.queries("x6n_temperature_mix")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val total = out.map(_._2).sum
+    assert(out.map(_._4).sum == total / 5,
+      s"quotas ${out.map(_._4).sum} != budget ${total / 5}")
+    out.foreach { case (src, n, _, quota, sampled) =>
+      assert(sampled == math.min(quota, n), s"$src sampled $sampled != quota $quota")
+    }
+    // temperature direction: sampling fraction of the smallest source is
+    // at least that of the largest (n^0.5 up-weights the tail)
+    val biggest = out.maxBy(_._2); val smallest = out.minBy(_._2)
+    if (biggest._2 > smallest._2)
+      assert(smallest._4.toDouble / smallest._2 >= biggest._4.toDouble / biggest._2,
+        s"tail not up-weighted: $smallest vs $biggest")
+  }
+
   test("x6k is a permutation consistent with the seeded key order") {
     val rows = PipelineQueries.corpusShufflePlan(spark, sf, nPart = 5)
       .select("shuffle_key", "shuffle_rank").collect()

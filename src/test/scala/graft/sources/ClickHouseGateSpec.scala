@@ -19,7 +19,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * so nothing short of shipping a daemon + image into the sandbox can run
   * this; r11 — re-probed: client 28.2.2 present, `dockerd` still absent
   * from /usr/bin and /usr/local/bin, no socket at /var/run/docker.sock,
-  * image cache unreachable — unchanged. What therefore stays unproven in-sandbox is exactly: live-server
+  * image cache unreachable — unchanged; r12 — re-probed (sixth attempt):
+  * client 28.2.2 only, no `dockerd` binary, no socket, no podman and no
+  * native clickhouse/clickhouse-server on PATH — unchanged.
+  * What therefore stays unproven in-sandbox is exactly: live-server
   * type coercion and clickhouse-jdbc batching against a real 24.12; both
   * replay-gated (ClickHouseReplaySpec over the recorded transcript,
   * flows + flows_extended + idempotent readback + the UInt64 2^63 edge).

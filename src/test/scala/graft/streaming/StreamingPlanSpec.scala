@@ -209,6 +209,57 @@ class StreamingPlanSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("dedup-at-ingest TTL variant (q52f): expired digest state is re-admitted as new") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val docs = MemoryStream[(String, Long, Boolean)]
+      val tracked = docs.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new DedupIngestTtlProcessor(1000L),
+          org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF("dig", "n_copies", "first_doc", "dup_of_index")
+      // NOTE: no processAllAvailable anywhere in this test — under
+      // TimeMode.ProcessingTime the TTL clock makes the operator's
+      // shouldRunAnotherBatch always true, so the engine schedules empty
+      // micro-batches forever and processAllAvailable NEVER returns
+      // (measured: 3 700+ empty batches before the hang was killed). The
+      // sink is polled for the expected committed rows instead — the same
+      // quiescence-by-observation device as StreamQueries.
+      // drainUntilQuiescent.
+      val q = tracked.writeStream.format("memory").queryName("splan_q52f")
+        .outputMode("update").option("checkpointLocation", freshCp("q52f")).start()
+      def awaitSink(cond: => Boolean): Unit = {
+        val deadline = System.nanoTime() + 120_000_000_000L
+        while (!cond && System.nanoTime() < deadline) Thread.sleep(100)
+        assert(cond, "sink never reached the expected state")
+      }
+      try {
+        // two copies in ONE batch: counted together (no timing hazard on
+        // the pre-expiry side)
+        docs.addData(("d", 4L, false), ("d", 2L, false))
+        awaitSink(spark.table("splan_q52f").count() >= 1)
+        val t1 = spark.table("splan_q52f").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        assert(t1 == Set(("d", 2L, 2L)), t1.mkString(";"))
+        // let the 1 s TTL lapse, then re-arrive: the digest must have been
+        // FORGOTTEN — n_copies restarts at 1 and first_doc resets to the
+        // new arrival, the rolling-window semantics the TTL variant
+        // declares (vs q52d's unbounded n_copies = 3 here)
+        Thread.sleep(2500)
+        docs.addData(("d", 9L, false))
+        awaitSink(spark.table("splan_q52f").count() >= 2)
+        val rows = spark.table("splan_q52f").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        assert(rows.size == 2, rows.mkString(";"))
+        assert(rows.contains(("d", 1L, 9L)), rows.mkString(";"))
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("watermark-agg shape (q49): append emits only watermark-closed windows") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
