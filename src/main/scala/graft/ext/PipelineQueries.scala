@@ -476,9 +476,15 @@ object PipelineQueries {
         // per-(partition, stratum) counts feed BOTH the offset table and
         // the stratum sizes (review r11: a separate groupBy over `docs`
         // was a third full corpus scan for numbers this P×S-row frame
-        // already holds).
+        // already holds). localCheckpoint-pinned (r12 plan audit): the
+        // offset and size branches otherwise each re-aggregate the
+        // checkpointed corpus — two corpus-wide passes for a P×S-row
+        // frame; safe to pin now that `local` itself is pinned (the r11
+        // caution about caching between the offset table and the local
+        // ranks applied to the UNPINNED nondeterministic shuffle).
         val counts = local.groupBy("pid", "lang", "source")
           .agg(count(lit(1)).as("n"))
+          .localCheckpoint()
         val offs = counts
           .withColumn("offset", coalesce(sum(col("n")).over(
             Window.partitionBy(col("lang"), col("source")).orderBy(col("pid"))
@@ -541,8 +547,13 @@ object PipelineQueries {
           Window.partitionBy(col("pid"), col("source"))
             .orderBy(col("h"), col("doc_id"))))
           .localCheckpoint()
+        // P×S rows, localCheckpoint-pinned: offsets, per-source totals,
+        // weights, and quotas all derive from this tiny frame — without
+        // the pin each branch re-aggregates the checkpointed corpus (the
+        // r12 plan audit counted four corpus-wide passes)
         val counts = local.groupBy("pid", "source")
           .agg(count(lit(1)).as("n"))
+          .localCheckpoint()
         val offs = counts
           .withColumn("offset", coalesce(sum(col("n")).over(
             Window.partitionBy(col("source")).orderBy(col("pid"))
