@@ -614,6 +614,41 @@ object ScaleBench {
       ((total, distinct, exactDup, reps), ok)
     }
 
+    // x2j semantic recall at 30× from the SAME 50 planted near-dup
+    // embedding pairs the x2e gate uses (cos ≥ 0.995 by construction) —
+    // split into the two loss channels SemDeDup actually has:
+    //  (1) WITHIN-CLUSTER detection is EXHAUSTIVE, not probabilistic (the
+    //      point of semantic dedup vs LSH banding): every planted pair
+    //      whose members share a cluster MUST have ≥ 1 member pruned —
+    //      required 1.00, a miss is a τ-test or keep-rule bug;
+    //  (2) CLUSTER-BOUNDARY separation is the paper's declared loss (a
+    //      near-dup pair split across coarse cells is invisible to the
+    //      within-cell pair stage) — measured, floored at 0.5 so a
+    //      quantizer regression (e.g. assignment noise scattering twins)
+    //      fails loudly while honest boundary loss passes.
+    val x2jBoundaryFloor = 0.5
+    val (x2jSameCluster, x2jPrunedGivenSame, x2jSemOk) = {
+      val dir = fixture(tiers.head._1)
+      val pairs = plantedPairs
+      val involved = pairs.flatMap(p => Seq(p._1, p._2))
+      val v = SparkEntry.queries("x2j_semantic_dedup")(spark, dir)
+        .filter(col("vec_id").isin(involved: _*))
+        .select(col("vec_id"), col("cluster"), col("keep")).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+      val same = pairs.filter { case (a, b) =>
+        v.contains(a) && v.contains(b) && v(a)._1 == v(b)._1 }
+      val prunedGivenSame =
+        if (same.isEmpty) 0.0
+        else same.count { case (a, b) => !v(a)._2 || !v(b)._2 }.toDouble / same.size
+      val sameRate = same.size.toDouble / pairs.size
+      val ok = sameRate >= x2jBoundaryFloor &&
+        (same.nonEmpty && prunedGivenSame == 1.0)
+      System.err.println(f"[scale] x2j semantic recall: same-cluster " +
+        f"$sameRate%.2f (floor $x2jBoundaryFloor), pruned-given-same " +
+        f"$prunedGivenSame%.2f (required 1.00) ok=$ok")
+      (sameRate, prunedGivenSame, ok)
+    }
+
     // x3l |index|-independent APPEND (VERDICT r11 #3 — the x2h story for
     // the ANN index): a persisted PQ index that must be fully rebuilt per
     // batch isn't a production index. FIX the batch (base-corpus copies,
@@ -709,7 +744,7 @@ object ScaleBench {
     val ok = rows.forall { case (_, scale, b, s, r, _, _) =>
       b > 0 && s > 0 && r <= maxRatio(scale)
     } && recallOk && incrEqual && annOk && x2hIndexFlatOk &&
-      x5gOk && x2jCollapseOk && x3lFlatOk && x3lAppendEqual && q12bAbOk
+      x5gOk && x2jCollapseOk && x2jSemOk && x3lFlatOk && x3lAppendEqual && q12bAbOk
     val json = {
       val qs = rows.map { case (n, scale, b, s, r, sm, sd) =>
         f""""$n":{"scale":$scale,"base_sec":$b%.3f,"scaled_sec":$s%.3f,""" +
@@ -742,6 +777,10 @@ object ScaleBench {
         s""""reps":${x2jCollapse._4},""" +
         s""""gate":"exact_dup == corpus - distinct AND reps == distinct",""" +
         s""""ok":$x2jCollapseOk},""" +
+        f""""x2j_semantic_recall_30x":{"same_cluster":$x2jSameCluster%.3f,""" +
+        f""""boundary_floor":$x2jBoundaryFloor%.2f,""" +
+        f""""pruned_given_same_cluster":$x2jPrunedGivenSame%.3f,""" +
+        s""""pruned_required":1.0,"n_planted":50,"ok":$x2jSemOk},""" +
         s""""x3l_append_scaling":{"fixed_batch":true,${x3lSeries.map {
           case (k, t) => f""""x$k":$t%.3f""" }.mkString(",")},""" +
         f""""ratio_30x_over_1x":${x3lSeries.last._2 / x3lSeries.head._2}%.3f,""" +
