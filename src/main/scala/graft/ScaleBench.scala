@@ -649,6 +649,31 @@ object ScaleBench {
       (sameRate, prunedGivenSame, ok)
     }
 
+    // r12 ingest/mixture invariants at 30× — single-aggregate checks that
+    // pin SEMANTICS the tier's time gate can't see:
+    //   q52g completeness: the accumulated store must hold exactly M=8
+    //   code rows per corpus vector (a retry double-append and a dropped
+    //   batch both break the count — the per-batchId overwrite sink is
+    //   what makes this exact);
+    //   x6n budget exactness: quotas must sum to ⌊N/5⌋ EXACTLY and every
+    //   source must fill its quota — the largest-remainder contract,
+    //   verified where the two-phase rank actually spans partitions.
+    val (ingestInv, ingestInvOk) = {
+      val dir = fixture(tiers.head._1)
+      val nVec = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val nCodes = SparkEntry.queries("q52g_stream_ann_ingest")(spark, dir).count()
+      val mix = SparkEntry.queries("x6n_temperature_mix")(spark, dir)
+        .agg(sum(col("n_source")).as("n"), sum(col("quota")).as("q"),
+          sum(when(col("n_sampled") === col("quota"), 0L).otherwise(1L)).as("bad"))
+        .head()
+      val (tot, qsum, bad) = (mix.getLong(0), mix.getLong(1), mix.getLong(2))
+      val ok = nCodes == nVec * 8 && qsum == tot / 5 && bad == 0L
+      System.err.println(s"[scale] ingest/mix invariants: codes $nCodes " +
+        s"(want ${nVec * 8}), quota sum $qsum (want ${tot / 5}), " +
+        s"quota-misses $bad ok=$ok")
+      ((nVec, nCodes, tot, qsum, bad), ok)
+    }
+
     // x3l |index|-independent APPEND (VERDICT r11 #3 — the x2h story for
     // the ANN index): a persisted PQ index that must be fully rebuilt per
     // batch isn't a production index. FIX the batch (base-corpus copies,
@@ -744,7 +769,7 @@ object ScaleBench {
     val ok = rows.forall { case (_, scale, b, s, r, _, _) =>
       b > 0 && s > 0 && r <= maxRatio(scale)
     } && recallOk && incrEqual && annOk && x2hIndexFlatOk &&
-      x5gOk && x2jCollapseOk && x2jSemOk && x3lFlatOk && x3lAppendEqual && q12bAbOk
+      x5gOk && x2jCollapseOk && x2jSemOk && ingestInvOk && x3lFlatOk && x3lAppendEqual && q12bAbOk
     val json = {
       val qs = rows.map { case (n, scale, b, s, r, sm, sd) =>
         f""""$n":{"scale":$scale,"base_sec":$b%.3f,"scaled_sec":$s%.3f,""" +
@@ -781,6 +806,10 @@ object ScaleBench {
         f""""boundary_floor":$x2jBoundaryFloor%.2f,""" +
         f""""pruned_given_same_cluster":$x2jPrunedGivenSame%.3f,""" +
         s""""pruned_required":1.0,"n_planted":50,"ok":$x2jSemOk},""" +
+        s""""ingest_mix_invariants_30x":{"n_vectors":${ingestInv._1},""" +
+        s""""n_code_rows":${ingestInv._2},"codes_per_vector":8,""" +
+        s""""n_docs":${ingestInv._3},"quota_sum":${ingestInv._4},""" +
+        s""""quota_misses":${ingestInv._5},"ok":$ingestInvOk},""" +
         s""""x3l_append_scaling":{"fixed_batch":true,${x3lSeries.map {
           case (k, t) => f""""x$k":$t%.3f""" }.mkString(",")},""" +
         f""""ratio_30x_over_1x":${x3lSeries.last._2 / x3lSeries.head._2}%.3f,""" +

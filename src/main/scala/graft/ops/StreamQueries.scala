@@ -1070,9 +1070,12 @@ object StreamQueries {
     // size, and the emitted code set is invariant under any micro-batch
     // split. The accumulated store must equal the batch encode of the
     // whole corpus — the oracle replays code assignment in SQL, so the
-    // hash gate proves stream-ingest ≡ batch-build (production would wrap
-    // the append in q53's idempotent-sink pattern for crash-retry
-    // effectively-once; the mechanics are proven there).
+    // hash gate proves stream-ingest ≡ batch-build. EFFECTIVELY-ONCE by
+    // construction: each batch lands in its own `batch=<id>` directory
+    // with mode overwrite, so a crash-retry of batch N replaces N's own
+    // files instead of double-appending (the same epoch-keyed device as
+    // q53's idempotent JDBC sink, in columnar form — batchIds are stable
+    // across restarts from the checkpoint).
     Q("q52g_stream_ann_ingest",
       (s, d) => {
         val out = s"$tmpRoot/q52g_out"
@@ -1086,17 +1089,18 @@ object StreamQueries {
           .writeStream
           .option("checkpointLocation", cp)
           .trigger(Trigger.AvailableNow())
-          .foreachBatch { (batch: DataFrame, _: Long) =>
+          .foreachBatch { (batch: DataFrame, id: Long) =>
             val qb = batch.select(col("vec_id"),
               graft.functions.Kernels.float_vec_quant(col("embedding")).as("qe"),
               col("label"))
             graft.ext.SimilarityQueries.pqEncode(qb, cb)
               .select(col("vec_id"), col("s"), col("code"))
-              .write.mode("append").parquet(out)
+              .write.mode("overwrite").parquet(s"$out/batch=$id")
           }
           .start()
         q.awaitTermination()
-        s.read.parquet(out)
+        // partition discovery surfaces `batch` as a column; project it away
+        s.read.parquet(out).select("vec_id", "s", "code")
       },
       Some(graft.ext.SimilarityQueries.pqCodesOracleSql)),
 
