@@ -141,7 +141,11 @@ object Bench {
       // r10 session 2: the two composed shapes — end-to-end pipeline and
       // IVF-PQ + refine — join the median-of-3 set; compositions regress
       // differently than their pieces (a broadcast flip in one stage)
-      "x3i_ivf_pq", "x10_pipeline_e2e")
+      "x3i_ivf_pq", "x10_pipeline_e2e",
+      // r12: semantic dedup joins the tracked set — the newest family
+      // (adaptive-k cluster + within-cluster prune) gets round-over-round
+      // median tracking like the rest
+      "x2j_semantic_dedup")
     // The headline set reports the MEDIAN of three observations (the
     // min-of-2 sweep value plus two fresh runs) so one interfered run
     // can't masquerade as a regression in the driver-facing line.

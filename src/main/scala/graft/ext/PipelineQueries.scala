@@ -526,7 +526,12 @@ object PipelineQueries {
     // exactly-representable integer, so the weight (and hence every
     // quota) is bit-identical across engines with no float-summation
     // hazard anywhere; quotas sum to the target EXACTLY, which a
-    // per-row Bernoulli sampler cannot do. Selection within a source is
+    // per-row Bernoulli sampler cannot do. Sampling is WITH REPETITION:
+    // a source whose quota exceeds its size cycles its docs (copies
+    // differ by ≤ 1 within a source) — the epochs semantics temperature
+    // sampling has in training practice (mT5/XLM-R run small languages
+    // > 1 epoch), so the budget is met exactly even under extreme skew.
+    // Selection within a source is
     // the deterministic seeded-hash order, ranked by the x6m two-phase
     // DISTRIBUTED prefix sum (range partition by (source, h) so a giant
     // source spans partitions — never a per-source single-task window;
@@ -575,12 +580,24 @@ object PipelineQueries {
             col("base") + when(col("rrank") <= col("leftover"), 1L).otherwise(0L))
           .select(col("source"), col("n_source"), col("iw").as("weight"),
             col("quota"))
+        // WITH REPETITION: an up-weighted source whose quota exceeds its
+        // size repeats docs cyclically in seeded-hash order — copies
+        // differ by at most 1 across a source (quota DIV n, +1 for the
+        // first quota % n ranks). This is the epochs face of temperature
+        // sampling (the mT5/XLM-R practice: small languages run > 1
+        // epoch), found by TemperatureMixSpec's skew case — a 1-doc
+        // source with quota 11 must contribute 11 sampled rows, not 1,
+        // or the budget silently under-fills. For quota < n the formula
+        // degenerates to the plain rank cutoff (DIV = 0, % = quota).
         val sel = local.join(broadcast(offs), Seq("pid", "source"))
           .withColumn("rk", col("offset") + col("lrn"))
-          .join(broadcast(quotas.select(col("source"), col("quota"))), Seq("source"))
-          .filter(col("rk") <= col("quota"))
+          .join(broadcast(quotas.select(col("source"), col("n_source"),
+            col("quota"))), Seq("source"))
+          .withColumn("copies", expr("quota DIV n_source") +
+            when(col("rk") <= col("quota") % col("n_source"), 1L).otherwise(0L))
         val agg = sel.groupBy("source")
-          .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("sum_doc_id"))
+          .agg(sum(col("copies")).as("n_sampled"),
+            sum(col("doc_id") * col("copies")).as("sum_doc_id"))
         quotas.join(agg, Seq("source"), "left")
           .select(col("source"), col("n_source"), col("weight"), col("quota"),
             coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
@@ -606,11 +623,14 @@ object PipelineQueries {
           FROM ap, lef),
         ranked AS (SELECT d.source, d.doc_id, row_number() OVER
             (PARTITION BY d.source ORDER BY d.h, d.doc_id) AS rk FROM docs d),
-        sel AS (SELECT r.source, r.doc_id FROM ranked r
-          JOIN q ON q.source = r.source AND r.rk <= q.quota)
+        sel AS (SELECT r.source, r.doc_id,
+            CAST(q.quota // q.n_source
+              + CASE WHEN r.rk <= q.quota % q.n_source THEN 1 ELSE 0 END
+              AS BIGINT) AS copies
+          FROM ranked r JOIN q ON q.source = r.source)
         SELECT q.source, q.n_source, q.weight, q.quota,
-          CAST(count(sel.doc_id) AS BIGINT) AS n_sampled,
-          CAST(COALESCE(SUM(sel.doc_id), 0) AS BIGINT) AS sum_doc_id
+          CAST(COALESCE(SUM(sel.copies), 0) AS BIGINT) AS n_sampled,
+          CAST(COALESCE(SUM(sel.doc_id * sel.copies), 0) AS BIGINT) AS sum_doc_id
         FROM q LEFT JOIN sel ON sel.source = q.source
         GROUP BY q.source, q.n_source, q.weight, q.quota""".stripMargin)),
 

@@ -76,7 +76,7 @@ class PipelineShuffleSpec extends SparkSpec {
     assert(out.map(_._4).sum == total / 5,
       s"quotas ${out.map(_._4).sum} != budget ${total / 5}")
     out.foreach { case (src, n, _, quota, sampled) =>
-      assert(sampled == math.min(quota, n), s"$src sampled $sampled != quota $quota")
+      assert(sampled == quota, s"$src sampled $sampled != quota $quota (n=$n)")
     }
     // temperature direction: sampling fraction of the smallest source is
     // at least that of the largest (n^0.5 up-weights the tail)
