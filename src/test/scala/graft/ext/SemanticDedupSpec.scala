@@ -22,7 +22,14 @@ import graft.{Registry, SparkSpec}
   *   - 102: one-hot at dim 20; 103: dim 20 = 10 plus dim 21 = 1 —
   *     same cluster-0 tie-break, cos(102,103) = 100/(10·√101) ≈ 0.995
   *     ≥ τ, d2(102) = 200 < d2(103) = 201, so the closer-to-centroid
-  *     rule keeps 102 and prunes 103 as semantic_dup.
+  *     rule keeps 102 and prunes 103 as semantic_dup;
+  *   - 104: dim 0 = 5 + dim 30 = 12; 105: dim 1 = 5 + dim 30 = 12 —
+  *     the CLUSTER-BOUNDARY pair: mutually cos = 144/169 ≈ 0.85 ≥ τ,
+  *     but 104 is nearest seed 0 (d2 = 169 vs 269) and 105 nearest
+  *     seed 1, each below τ of its own seed (cos = 50/130 ≈ 0.385), so
+  *     they land in DIFFERENT clusters and BOTH survive — the declared
+  *     boundary loss of cluster-confined pruning, pinned here at unit
+  *     level (the 30× gate measures the same channel statistically).
   */
 class SemanticDedupSpec extends SparkSpec {
 
@@ -39,7 +46,9 @@ class SemanticDedupSpec extends SparkSpec {
         (100L, vec(Map(10 -> 10.0f)), 0),
         (101L, vec(Map(10 -> 10.0f)), 0),
         (102L, vec(Map(20 -> 10.0f)), 0),
-        (103L, vec(Map(20 -> 10.0f, 21 -> 1.0f)), 0))
+        (103L, vec(Map(20 -> 10.0f, 21 -> 1.0f)), 0),
+        (104L, vec(Map(0 -> 5.0f, 30 -> 12.0f)), 0),
+        (105L, vec(Map(1 -> 5.0f, 30 -> 12.0f)), 1))
     rows.toDF("vec_id", "embedding", "label")
       .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
       .coalesce(1)
@@ -53,12 +62,16 @@ class SemanticDedupSpec extends SparkSpec {
       .map(r => r.getLong(0) ->
         ((r.getInt(1), r.getLong(2), r.getBoolean(3), r.getString(4))))
       .toMap
-    assert(got.size == 12, got)
+    assert(got.size == 14, got)
     for (k <- 0 until 8)
       assert(got(k.toLong) == ((k, k.toLong, true, "kept")), s"seed $k: ${got(k.toLong)}")
     assert(got(100L) == ((0, 100L, true, "kept")), got(100L))
     assert(got(101L) == ((0, 100L, false, "exact_dup")), got(101L))
     assert(got(102L) == ((0, 102L, true, "kept")), got(102L))
     assert(got(103L) == ((0, 103L, false, "semantic_dup")), got(103L))
+    // boundary pair: τ-similar but split across clusters 0 and 1 — both
+    // survive (the declared cluster-boundary loss)
+    assert(got(104L) == ((0, 104L, true, "kept")), got(104L))
+    assert(got(105L) == ((1, 105L, true, "kept")), got(105L))
   }
 }
