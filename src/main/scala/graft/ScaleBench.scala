@@ -87,6 +87,10 @@ object ScaleBench {
       // (stateless per-batch encode: cost tracks the vector stream, not
       // index history)
       "x2j_semantic_dedup", "x6n_temperature_mix", "q52g_stream_ann_ingest",
+      // index delete: the tombstone anti-join is an O(index) columnar
+      // filter — the ratio must track the index, with the broadcast
+      // tombstone list never forcing a vector shuffle
+      "x3m_pq_index_delete",
       // the nightly-rebuild composition: diff classes stay proportional
       // under replication (ids shift, %10 classes are preserved), so both
       // the diff join and the increment must scale together
