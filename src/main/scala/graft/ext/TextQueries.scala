@@ -275,6 +275,68 @@ object TextQueries {
           CAST(MAX(db_ppm) AS BIGINT) AS max_db_ppm
         FROM m2 GROUP BY lang""".stripMargin)),
 
+    // X4j (r12): FILTER FUNNEL with per-rule attribution — the
+    // FineWeb/Gopher-style ordered quality-rule ensemble, reported the
+    // way pipelines actually publish it: every doc is attributed to the
+    // FIRST rule that drops it (or 'kept'), and the funnel table counts
+    // docs and tokens per (lang, rule). Rules reuse the established
+    // integer/ppm metrics so every verdict is engine-exact:
+    //   1. too_short      — n_tok < 20              (x4b's gate)
+    //   2. long_words     — chars-per-token ≥ 6.00  (Gopher mean-word-
+    //      length shape, integer ×100 compare on the n_chars column)
+    //   3. repetitive     — duplicate-bigram ppm ≥ 200000 (x4i's metric)
+    //   4. low_diversity  — type-token ratio < 30%  (x4g's shape, ppm)
+    // Ordered first-fail attribution matters: a doc failing several
+    // rules is counted ONCE, under the earliest rule — the funnel's
+    // rows sum exactly to the corpus, so the report composes (unlike
+    // per-rule independent counts, which double-count). 100 TB: one
+    // pass, per-row map arithmetic, a single (lang, rule) aggregation.
+    Q("x4j_filter_funnel",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("lang"), col("n_chars"), split(col("text"), " ").as("w"))
+          .withColumn("n", size(col("w")).cast(LongType))
+          .withColumn("bg", expr("CASE WHEN size(w) >= 2 THEN " +
+            "transform(sequence(1, size(w)-1), i -> concat(element_at(w, i), ' ', element_at(w, i+1))) " +
+            "ELSE array() END"))
+          .withColumn("db_ppm", expr("CASE WHEN size(bg) > 0 THEN " +
+            "(CAST(size(bg) - size(array_distinct(bg)) AS BIGINT) * 1000000) DIV size(bg) " +
+            "ELSE CAST(0 AS BIGINT) END"))
+          .withColumn("ttr_ppm",
+            expr("(CAST(size(array_distinct(w)) AS BIGINT) * 1000000) DIV size(w)"))
+          .withColumn("drop_rule",
+            when(col("n") < 20, "too_short")
+              // DIV, not `/`: Spark's `/` on integers is DOUBLE division
+              .when(expr("n_chars * 100 DIV n") >= 600L, "long_words")
+              .when(col("db_ppm") >= 200000L, "repetitive")
+              .when(col("ttr_ppm") < 300000L, "low_diversity")
+              .otherwise("kept"))
+        base.groupBy("lang", "drop_rule")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      },
+      Some("""WITH t AS (SELECT lang, n_chars, string_split(text, ' ') AS w
+          FROM documents),
+        m AS (SELECT lang, n_chars, CAST(len(w) AS BIGINT) AS n,
+          CASE WHEN len(w) >= 2 THEN
+            CASE WHEN len(list_transform(generate_series(1, len(w)-1),
+                i -> w[i] || ' ' || w[i+1])) > 0 THEN
+              ((len(w)-1 - len(list_distinct(list_transform(generate_series(1, len(w)-1),
+                i -> w[i] || ' ' || w[i+1])))) * 1000000) // (len(w)-1)
+            ELSE 0 END
+          ELSE 0 END AS db_ppm,
+          (len(list_distinct(w)) * 1000000) // len(w) AS ttr_ppm
+          FROM t),
+        v AS (SELECT lang, n,
+          CASE WHEN n < 20 THEN 'too_short'
+               WHEN n_chars * 100 // n >= 600 THEN 'long_words'
+               WHEN db_ppm >= 200000 THEN 'repetitive'
+               WHEN ttr_ppm < 300000 THEN 'low_diversity'
+               ELSE 'kept' END AS drop_rule
+          FROM m)
+        SELECT lang, drop_rule, count(*) AS n_docs,
+          CAST(SUM(n) AS BIGINT) AS n_tokens
+        FROM v GROUP BY lang, drop_rule""".stripMargin)),
+
     // X4h: perplexity quality filter — the CCNet/Gopher shape: train an
     // add-k bigram LM on the corpus ITSELF (k = 0.5, vocab = all distinct
     // tokens), score every doc by mean bits per bigram (-Σ occ·log2 p / Σ
