@@ -91,6 +91,9 @@ object ScaleBench {
       // filter — the ratio must track the index, with the broadcast
       // tombstone list never forcing a vector shuffle
       "x3m_pq_index_delete",
+      // quality-filter-at-ingest: all four continuous ingest shapes are
+      // now tier-gated; pure per-row map, the streaming linear control
+      "q52h_stream_quality_ingest",
       // the nightly-rebuild composition: diff classes stay proportional
       // under replication (ids shift, %10 classes are preserved), so both
       // the diff join and the increment must scale together

@@ -24,6 +24,57 @@ object TextQueries {
 
   private def tokens: Column = split(col("text"), " ")
 
+  /** The x4j per-doc rule chain — ONE definition shared by the batch
+    * funnel (x4j aggregates it) and the streaming filter-at-ingest (q52h
+    * drains it per micro-batch), so the two registrations cannot drift.
+    * Pure per-row map arithmetic: no shuffle, no state — which is exactly
+    * why the same frame streams unchanged in append mode.
+    */
+  private[graft] def filterFunnelVerdict(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("n_chars"),
+        split(col("text"), " ").as("w"))
+      .withColumn("n", size(col("w")).cast(LongType))
+      .withColumn("bg", expr("CASE WHEN size(w) >= 2 THEN " +
+        "transform(sequence(1, size(w)-1), i -> concat(element_at(w, i), ' ', element_at(w, i+1))) " +
+        "ELSE array() END"))
+      .withColumn("db_ppm", expr("CASE WHEN size(bg) > 0 THEN " +
+        "(CAST(size(bg) - size(array_distinct(bg)) AS BIGINT) * 1000000) DIV size(bg) " +
+        "ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("ttr_ppm",
+        expr("(CAST(size(array_distinct(w)) AS BIGINT) * 1000000) DIV size(w)"))
+      .withColumn("drop_rule",
+        when(col("n") < 20, "too_short")
+          // DIV, not `/`: Spark's `/` on integers is DOUBLE division
+          .when(expr("n_chars * 100 DIV n") >= 600L, "long_words")
+          .when(col("db_ppm") >= 200000L, "repetitive")
+          .when(col("ttr_ppm") < 300000L, "low_diversity")
+          .otherwise("kept"))
+      .select(col("doc_id"), col("lang"), col("n").as("n_tok"), col("drop_rule"))
+
+  /** The per-doc verdict oracle (q52h; x4j's oracle aggregates the same
+    * CTE text).
+    */
+  private[graft] val FilterFunnelVerdictCte: String =
+    """WITH t AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS w
+          FROM documents),
+        m AS (SELECT doc_id, lang, n_chars, CAST(len(w) AS BIGINT) AS n,
+          CASE WHEN len(w) >= 2 THEN
+            CASE WHEN len(list_transform(generate_series(1, len(w)-1),
+                i -> w[i] || ' ' || w[i+1])) > 0 THEN
+              ((len(w)-1 - len(list_distinct(list_transform(generate_series(1, len(w)-1),
+                i -> w[i] || ' ' || w[i+1])))) * 1000000) // (len(w)-1)
+            ELSE 0 END
+          ELSE 0 END AS db_ppm,
+          (len(list_distinct(w)) * 1000000) // len(w) AS ttr_ppm
+          FROM t),
+        v AS (SELECT doc_id, lang, n AS n_tok,
+          CASE WHEN n < 20 THEN 'too_short'
+               WHEN n_chars * 100 // n >= 600 THEN 'long_words'
+               WHEN db_ppm >= 200000 THEN 'repetitive'
+               WHEN ttr_ppm < 300000 THEN 'low_diversity'
+               ELSE 'kept' END AS drop_rule
+          FROM m)"""
+
   def defs: Seq[Q] = Seq(
     // X4: corpus-profile language ID. score(doc, lang) = Σ_tok count_corpus
     // (lang, tok) over the doc's token multiset (integer naive-Bayes-ish
@@ -292,49 +343,12 @@ object TextQueries {
     // per-rule independent counts, which double-count). 100 TB: one
     // pass, per-row map arithmetic, a single (lang, rule) aggregation.
     Q("x4j_filter_funnel",
-      (s, d) => {
-        val base = Tables.documents(s, d)
-          .select(col("lang"), col("n_chars"), split(col("text"), " ").as("w"))
-          .withColumn("n", size(col("w")).cast(LongType))
-          .withColumn("bg", expr("CASE WHEN size(w) >= 2 THEN " +
-            "transform(sequence(1, size(w)-1), i -> concat(element_at(w, i), ' ', element_at(w, i+1))) " +
-            "ELSE array() END"))
-          .withColumn("db_ppm", expr("CASE WHEN size(bg) > 0 THEN " +
-            "(CAST(size(bg) - size(array_distinct(bg)) AS BIGINT) * 1000000) DIV size(bg) " +
-            "ELSE CAST(0 AS BIGINT) END"))
-          .withColumn("ttr_ppm",
-            expr("(CAST(size(array_distinct(w)) AS BIGINT) * 1000000) DIV size(w)"))
-          .withColumn("drop_rule",
-            when(col("n") < 20, "too_short")
-              // DIV, not `/`: Spark's `/` on integers is DOUBLE division
-              .when(expr("n_chars * 100 DIV n") >= 600L, "long_words")
-              .when(col("db_ppm") >= 200000L, "repetitive")
-              .when(col("ttr_ppm") < 300000L, "low_diversity")
-              .otherwise("kept"))
-        base.groupBy("lang", "drop_rule")
-          .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
-      },
-      Some("""WITH t AS (SELECT lang, n_chars, string_split(text, ' ') AS w
-          FROM documents),
-        m AS (SELECT lang, n_chars, CAST(len(w) AS BIGINT) AS n,
-          CASE WHEN len(w) >= 2 THEN
-            CASE WHEN len(list_transform(generate_series(1, len(w)-1),
-                i -> w[i] || ' ' || w[i+1])) > 0 THEN
-              ((len(w)-1 - len(list_distinct(list_transform(generate_series(1, len(w)-1),
-                i -> w[i] || ' ' || w[i+1])))) * 1000000) // (len(w)-1)
-            ELSE 0 END
-          ELSE 0 END AS db_ppm,
-          (len(list_distinct(w)) * 1000000) // len(w) AS ttr_ppm
-          FROM t),
-        v AS (SELECT lang, n,
-          CASE WHEN n < 20 THEN 'too_short'
-               WHEN n_chars * 100 // n >= 600 THEN 'long_words'
-               WHEN db_ppm >= 200000 THEN 'repetitive'
-               WHEN ttr_ppm < 300000 THEN 'low_diversity'
-               ELSE 'kept' END AS drop_rule
-          FROM m)
+      (s, d) => filterFunnelVerdict(Tables.documents(s, d))
+        .groupBy("lang", "drop_rule")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens")),
+      Some(s"""$FilterFunnelVerdictCte
         SELECT lang, drop_rule, count(*) AS n_docs,
-          CAST(SUM(n) AS BIGINT) AS n_tokens
+          CAST(SUM(n_tok) AS BIGINT) AS n_tokens
         FROM v GROUP BY lang, drop_rule""".stripMargin)),
 
     // X4h: perplexity quality filter — the CCNet/Gopher shape: train an

@@ -1104,6 +1104,25 @@ object StreamQueries {
       },
       Some(graft.ext.SimilarityQueries.pqCodesOracleSql)),
 
+    // Q52h (r12): streaming QUALITY FILTER at ingest — the fourth
+    // continuous-pipeline shape beside q52d/q52e/q52g (filter, dedup,
+    // decontam, index: the four things a production corpus stream does
+    // to every arriving document). The x4j rule chain runs INSIDE the
+    // streaming plan — it is pure per-row map arithmetic, so it streams
+    // natively in append mode with no state operator, no watermark, and
+    // per-batch cost O(batch) by construction; the shared
+    // [[graft.ext.TextQueries.filterFunnelVerdict]] body means the
+    // streaming verdicts provably match the batch funnel rule-for-rule
+    // (one definition), and the DuckDB oracle replays the per-doc CASE —
+    // per-doc verdicts, not the aggregate, so the hash gate pins every
+    // single document's attribution under any micro-batch split.
+    Q("q52h_stream_quality_ingest",
+      (s, d) => drain(
+        graft.ext.TextQueries.filterFunnelVerdict(documentsStream(s, d)),
+        "q52h_sink", "append"),
+      Some(s"""${graft.ext.TextQueries.FilterFunnelVerdictCte}
+        SELECT doc_id, lang, n_tok, drop_rule FROM v""".stripMargin)),
+
     // Q52e (r11): streaming DECONTAMINATION at ingest — the x7 shape made
     // streaming: train documents arriving as files are checked against a
     // static eval index (LSH buckets + shingle sets, precomputed once via
