@@ -26,4 +26,22 @@ object Caching {
     frames.foreach(_.persist())
     try build finally frames.foreach(_.unpersist())
   }
+
+  /** The same lifecycle discipline for `localCheckpoint` pins (ADVICE
+    * r12): checkpoint `frames` eagerly, hand the pinned frames to
+    * `build` — which must return an EAGERLY materialized result that no
+    * longer references them (typically its own small `localCheckpoint`)
+    * — then release the pinned blocks, which otherwise sit in executor
+    * storage until RDD GC. Release goes through the shim's
+    * [[org.apache.spark.sql.graftshim.Shim.backingRdds]] because Spark
+    * has no public unpersist for localCheckpoint storage. Blocking=false:
+    * the removal is async cleanup, nothing re-reads the blocks.
+    */
+  def withLocalCheckpointed[T](frames: DataFrame*)(build: Seq[DataFrame] => T): T = {
+    val cps = frames.map(_.localCheckpoint())
+    try build(cps)
+    finally cps.foreach(df =>
+      org.apache.spark.sql.graftshim.Shim.backingRdds(df)
+        .foreach(_.unpersist(blocking = false)))
+  }
 }

@@ -469,38 +469,45 @@ object PipelineQueries {
         // the nondeterministic shuffle. 100 TB posture: one corpus-sized
         // materialization on executors, the standard barrier for pinning
         // a nondeterministic partitioning.
-        val local = parts.withColumn("lrn", row_number().over(
-          Window.partitionBy(col("pid"), col("lang"), col("source"))
-            .orderBy(col("h"), col("doc_id"))))
-          .localCheckpoint()
-        // per-(partition, stratum) counts feed BOTH the offset table and
-        // the stratum sizes (review r11: a separate groupBy over `docs`
-        // was a third full corpus scan for numbers this P×S-row frame
-        // already holds). localCheckpoint-pinned (r12 plan audit): the
-        // offset and size branches otherwise each re-aggregate the
-        // checkpointed corpus — two corpus-wide passes for a P×S-row
-        // frame; safe to pin now that `local` itself is pinned (the r11
-        // caution about caching between the offset table and the local
-        // ranks applied to the UNPINNED nondeterministic shuffle).
-        val counts = local.groupBy("pid", "lang", "source")
-          .agg(count(lit(1)).as("n"))
-          .localCheckpoint()
-        val offs = counts
-          .withColumn("offset", coalesce(sum(col("n")).over(
-            Window.partitionBy(col("lang"), col("source")).orderBy(col("pid"))
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select(col("pid"), col("lang"), col("source"), col("offset"))
-        val sizes = counts.groupBy("lang", "source")
-          .agg(sum(col("n")).as("n_stratum"))
-        local.join(broadcast(offs), Seq("pid", "lang", "source"))
-          .withColumn("rk", col("offset") + col("lrn"))
-          .join(broadcast(sizes), Seq("lang", "source"))
-          .withColumn("vq", expr("(n_stratum + 9) DIV 10"))
-          .withColumn("split", when(col("rk") <= col("vq"), "val")
-            .when(col("rk") <= col("vq") * 2, "test")
-            .otherwise("train"))
-          .groupBy("lang", "source", "split")
-          .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_doc_id"))
+        // the pin is scoped (r13, ADVICE r12): withLocalCheckpointed
+        // releases the corpus-sized checkpoint blocks once the S×3-row
+        // manifest below is materialized — a long registry sweep no
+        // longer accumulates pinned storage until RDD GC
+        Caching.withLocalCheckpointed(
+          parts.withColumn("lrn", row_number().over(
+            Window.partitionBy(col("pid"), col("lang"), col("source"))
+              .orderBy(col("h"), col("doc_id"))))) { case Seq(local) =>
+          // per-(partition, stratum) counts feed BOTH the offset table and
+          // the stratum sizes (review r11: a separate groupBy over `docs`
+          // was a third full corpus scan for numbers this P×S-row frame
+          // already holds). localCheckpoint-pinned (r12 plan audit): the
+          // offset and size branches otherwise each re-aggregate the
+          // checkpointed corpus — two corpus-wide passes for a P×S-row
+          // frame; safe to pin now that `local` itself is pinned (the r11
+          // caution about caching between the offset table and the local
+          // ranks applied to the UNPINNED nondeterministic shuffle).
+          Caching.withLocalCheckpointed(
+            local.groupBy("pid", "lang", "source")
+              .agg(count(lit(1)).as("n"))) { case Seq(counts) =>
+            val offs = counts
+              .withColumn("offset", coalesce(sum(col("n")).over(
+                Window.partitionBy(col("lang"), col("source")).orderBy(col("pid"))
+                  .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+              .select(col("pid"), col("lang"), col("source"), col("offset"))
+            val sizes = counts.groupBy("lang", "source")
+              .agg(sum(col("n")).as("n_stratum"))
+            local.join(broadcast(offs), Seq("pid", "lang", "source"))
+              .withColumn("rk", col("offset") + col("lrn"))
+              .join(broadcast(sizes), Seq("lang", "source"))
+              .withColumn("vq", expr("(n_stratum + 9) DIV 10"))
+              .withColumn("split", when(col("rk") <= col("vq"), "val")
+                .when(col("rk") <= col("vq") * 2, "test")
+                .otherwise("train"))
+              .groupBy("lang", "source", "split")
+              .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_doc_id"))
+              .localCheckpoint() // S×3 rows, materialized before release
+          }
+        }
       },
       Some("""WITH docs AS (SELECT doc_id, lang, source,
           md5('graft-split-7:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
@@ -538,7 +545,9 @@ object PipelineQueries {
     // ranked frame localCheckpoint-pinned for the same
     // nondeterministic-shuffle reason as x6m). The quota computation
     // itself runs on the |sources|-row frame — its window is a single
-    // task over ~dozens of rows by design. `sum_doc_id` is the
+    // task over ~dozens of rows by design, a contract bounded at
+    // |sources| ≲ 10⁵ (see the window-site comment for what changes
+    // past it). `sum_doc_id` is the
     // membership witness: the oracle pins the exact sampled SET, not
     // just per-source counts.
     Q("x6n_temperature_mix",
@@ -548,17 +557,19 @@ object PipelineQueries {
           md5(concat(lit(seed), col("doc_id").cast(StringType))).as("h"))
         val parts = docs.repartitionByRange(16, col("source"), col("h"))
           .withColumn("pid", spark_partition_id())
-        val local = parts.withColumn("lrn", row_number().over(
-          Window.partitionBy(col("pid"), col("source"))
-            .orderBy(col("h"), col("doc_id"))))
-          .localCheckpoint()
+        // pin scoped as in x6m (r13, ADVICE r12): released after the
+        // |sources|-row manifest materializes
+        Caching.withLocalCheckpointed(
+          parts.withColumn("lrn", row_number().over(
+            Window.partitionBy(col("pid"), col("source"))
+              .orderBy(col("h"), col("doc_id"))))) { case Seq(local) =>
         // P×S rows, localCheckpoint-pinned: offsets, per-source totals,
         // weights, and quotas all derive from this tiny frame — without
         // the pin each branch re-aggregates the checkpointed corpus (the
         // r12 plan audit counted four corpus-wide passes)
-        val counts = local.groupBy("pid", "source")
-          .agg(count(lit(1)).as("n"))
-          .localCheckpoint()
+        Caching.withLocalCheckpointed(
+          local.groupBy("pid", "source")
+            .agg(count(lit(1)).as("n"))) { case Seq(counts) =>
         val offs = counts
           .withColumn("offset", coalesce(sum(col("n")).over(
             Window.partitionBy(col("source")).orderBy(col("pid"))
@@ -573,6 +584,14 @@ object PipelineQueries {
           .withColumn("base", expr("target * iw DIV wsum"))
           .withColumn("rem", expr("target * iw % wsum"))
         val lef = ap.agg((first(col("target")) - sum(col("base"))).as("leftover"))
+        // CONTRACT (r13, VERDICT r12 #5): this unpartitioned window (and
+        // the Window.partitionBy(source) ranks feeding it) is a SINGLE
+        // task over the |sources|-row quota frame — by design while
+        // |sources| stays ≲ 10⁵ rows (source/language granularity, the
+        // operator's declared domain). Past that — per-DOMAIN mixing with
+        // millions of strata — the quota frame itself becomes corpus-like
+        // and the largest-remainder rank must route through the same x6g
+        // two-phase prefix-sum device the doc ranks above already use.
         val quotas = ap.crossJoin(broadcast(lef))
           .withColumn("rrank", row_number().over(
             Window.orderBy(col("rem").desc, col("source"))))
@@ -602,6 +621,8 @@ object PipelineQueries {
           .select(col("source"), col("n_source"), col("weight"), col("quota"),
             coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
             coalesce(col("sum_doc_id"), lit(0L)).as("sum_doc_id"))
+          .localCheckpoint() // |sources| rows, materialized before release
+        }}
       },
       Some("""WITH docs AS (SELECT doc_id, source,
           md5('graft-mix-11:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),

@@ -163,9 +163,11 @@ object CoreQueries {
         // (db.lck), so the path must be per-JVM: a concurrent Bench and
         // ScalaTest run (both drive the registry) otherwise collide with
         // XJ040 on the shared tmp root. applicationId is unique per
-        // SparkContext, which is exactly the Derby lock domain here.
+        // SparkContext, which is exactly the Derby lock domain here;
+        // Tmp.sessionDir also reaps stale sibling sessions' databases
+        // (age-gated — ADVICE r12: they otherwise accumulate forever).
         val url = graft.sources.JdbcSink.derbyUrl(
-          s"$tmpRoot/derby/${s.sparkContext.applicationId}/q04")
+          s"${graft.Tmp.sessionDir(s, "derby")}/q04")
         val p = graft.sources.JdbcSink.props()
         Tables.nation(s, d).write.mode("overwrite").jdbc(url, "nation_rt", p)
         s.read.jdbc(url, "nation_rt", p)

@@ -25,4 +25,15 @@ object Shim {
     * column attributes reference).
     */
   def plan(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+  /** The RDDs backing a `localCheckpoint()`ed DataFrame (its `LogicalRDD`
+    * leaves). Spark exposes no public way to release localCheckpoint
+    * storage — the blocks live until RDD GC — so cache-hygiene code
+    * (graft.ext.Caching) reaches the pinned RDD here to `unpersist` it
+    * once the downstream result is materialized.
+    */
+  def backingRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
 }

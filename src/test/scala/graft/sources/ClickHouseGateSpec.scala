@@ -21,7 +21,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * from /usr/bin and /usr/local/bin, no socket at /var/run/docker.sock,
   * image cache unreachable — unchanged; r12 — re-probed (sixth attempt):
   * client 28.2.2 only, no `dockerd` binary, no socket, no podman and no
-  * native clickhouse/clickhouse-server on PATH — unchanged.
+  * native clickhouse/clickhouse-server on PATH — unchanged; r13 —
+  * re-probed (seventh attempt): client 28.2.2 at /usr/local/bin/docker,
+  * `docker info` reports "Cannot connect to the Docker daemon at
+  * unix:///var/run/docker.sock", no socket, no dockerd/podman/clickhouse
+  * binaries — unchanged.
   * What therefore stays unproven in-sandbox is exactly: live-server
   * type coercion and clickhouse-jdbc batching against a real 24.12; both
   * replay-gated (ClickHouseReplaySpec over the recorded transcript,
