@@ -39,16 +39,24 @@ object KMeans {
 
   /** Argmin assignment: each row of `e` (vec_id, qe) gets the nearest
     * centroid of `cent` (cid, c), ties broken by lowest cid. Broadcast
-    * join + min(struct) — the corpus never shuffles on cluster.
+    * join + min(struct) — the corpus never shuffles on cluster. The
+    * vector is STRIPPED before the argmin aggregate and rejoined after
+    * (r13): min(struct) plans as SortAggregate, and letting the 512-byte
+    * qe ride through it as first(qe) sorts |e|·k wide rows — the exact
+    * 6.5 GB spill x2j hit at its 30× gate (60k reps × k=236); with
+    * 24-byte (d, cid) structs the same sort is ~300 MB and the rejoin is
+    * one narrow |e|-row hash join on vec_id.
     */
-  def assign(e: DataFrame, cent: DataFrame): DataFrame =
-    e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("qe"),
+  def assign(e: DataFrame, cent: DataFrame): DataFrame = {
+    val nearest = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"),
         struct(dist2(col("qe"), col("c")).as("d"), col("cid")).as("dc"))
       .groupBy("vec_id")
-      .agg(first(col("qe")).as("qe"), min(col("dc")).as("dc"))
+      .agg(min(col("dc")).as("dc"))
+    e.join(nearest, Seq("vec_id"))
       .select(col("vec_id"), col("qe"),
         col("dc.cid").as("cluster"), col("dc.d").as("d2"))
+  }
 
   /** Centroid update from an assignment frame (cluster, qe): elementwise
     * integer sums + count per cluster via one algebraic Aggregator column,

@@ -153,6 +153,18 @@ object SimilarityQueries {
     * See the x2e registration scaladoc for the signature-collapse design.
     */
   private[graft] def embedLshPairsPlan(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    val (out, _, caches) = embedLshPairsPlanFull(s, d)
+    (out, caches)
+  }
+
+  /** [[embedLshPairsPlan]] plus the VERIFY-STAGE candidate frame (distinct-
+    * vector pairs entering the cosine check, before the τ filter) — the
+    * per-round observability VERDICT r12 #6 asked for: ScaleBench emits
+    * its count at 30× so a real candidate-set regression is
+    * distinguishable from box/sweep timing noise.
+    */
+  private[graft] def embedLshPairsPlanFull(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, Seq[DataFrame]) = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), quant(col("embedding")).as("qe"))
     // EXACT-DUP COLLAPSE on the distinct QUANTIZED VECTOR (r10, VERDICT
     // r09 #4 — the same defense x2 applies to identical texts): cos is a
@@ -215,7 +227,8 @@ object SimilarityQueries {
         col("vkey").as("kb"), col("qe").as("qb")).hint("shuffle_hash"), "sb")
       .select(col("ka"), col("kb"),
         qcos(col("qa"), col("qb")).as("cos")) // qcos is symmetric
-    val verified = intraSig.unionByName(crossSig).filter(col("cos") >= 0.4)
+    val scoredCandidates = intraSig.unionByName(crossSig)
+    val verified = scoredCandidates.filter(col("cos") >= 0.4)
     val selfVerified = vecs
       .select(col("vkey"), qcos(col("qe"), col("qe")).as("cos"))
       .filter(col("cos") >= 0.4)
@@ -235,7 +248,7 @@ object SimilarityQueries {
       .where(col("m1.vec_id") < col("m2.vec_id"))
       .select(col("m1.vec_id").as("a"), col("m2.vec_id").as("b"), col("cos"))
     val out = crossMembers.unionByName(intraMembers)
-    (out, Seq(membership, vecs))
+    (out, scoredCandidates, Seq(membership, vecs))
   }
 
   /** The quantized corpus frame `(vec_id, qe, label)` every x3 operator
@@ -386,6 +399,44 @@ object SimilarityQueries {
         col("adc_rank"), coalesce(col("hit"), lit(false)).as("in_exact_top5"))
   }
 
+  /** The x3n compaction pass: rewrite the fragment store's code/norm rows
+    * into byte-budgeted shards under `<idxDir>/compact/` — shard count =
+    * ⌈fragment bytes / budget⌉ from a driver-side file listing (an
+    * O(#files) walk: exactly the cost the compaction exists to bound),
+    * then ONE round-robin repartition + write per frame. The fragment
+    * generation stays in place (rollback; production reaps it after
+    * cutover). Returns (part files before, part files after) so
+    * ScaleBench can record the win. Shared by the registered x3n query
+    * and the 30× gate.
+    */
+  /** Recursive parquet part-file listing (driver-side; gate/compaction
+    * bookkeeping only).
+    */
+  private[graft] def partFiles(dir: String): Seq[java.io.File] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+    def walk(f: java.io.File): Unit =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(walk)
+      else if (f.getName.endsWith(".parquet")) out += f
+    walk(new java.io.File(dir))
+    out.toSeq
+  }
+
+  private[graft] def compactPqStore(s: SparkSession, idxDir: String,
+      shardBudgetBytes: Long): (Int, Int) = {
+    val frags = partFiles(s"$idxDir/frag")
+    val totalBytes = frags.map(_.length).sum
+    val shards =
+      math.max(1L, (totalBytes + shardBudgetBytes - 1) / shardBudgetBytes).toInt
+    // `batch` is the partition-discovery column of the per-batch dirs —
+    // a fragment-store artifact, not index data; dropped by the rewrite
+    s.read.parquet(s"$idxDir/frag/codes").drop("batch").repartition(shards)
+      .write.mode("overwrite").parquet(s"$idxDir/compact/codes")
+    s.read.parquet(s"$idxDir/frag/norms").drop("batch").repartition(shards)
+      .write.mode("overwrite").parquet(s"$idxDir/compact/norms")
+    (frags.size, partFiles(s"$idxDir/compact").size)
+  }
+
   /** approx_cos from (adot, qn2, cn2) — the shared ADC tail. */
   private def adcCos(adots: DataFrame, norms: DataFrame): DataFrame =
     adots.filter(col("c_id") =!= col("q_id"))
@@ -395,6 +446,88 @@ object SimilarityQueries {
         (col("adot").cast(DoubleType) /
           (sqrt(col("qn2").cast(DoubleType)) * sqrt(col("cn2").cast(DoubleType))))
           .as("approx_cos"))
+
+  /** The x2j SemDeDup plan, parameterized on the number of k-means rounds
+    * used to train the coarse clusters (0 = raw seed centroids — kept so
+    * ScaleBench can A/B the boundary-loss channel seed-vs-trained at 30×;
+    * the registered query trains 2 rounds, VERDICT r12 #3). See the x2j
+    * registration scaladoc for the full design.
+    */
+  private[graft] def semanticDedupPlan(s: SparkSession, d: String,
+      trainRounds: Int): DataFrame = {
+    val tau = 0.4
+    val e = quantFrame(s, d)
+    val reps = e.groupBy(col("qe")).agg(min(col("vec_id")).as("rep_id"))
+    Caching.withPersistedAll(Seq(reps)) {
+      // k GROWS WITH THE CORPUS — the SemDeDup device that keeps the
+      // within-cluster quadratic bounded: k = max(8, ⌈distinct/256⌉)
+      // caps the mean cluster at ~256 reps, so the pair stage reads
+      // O(distinct · 256), linear in the corpus, not distinct². The
+      // distinct count is a driver-side O(1) scalar certificate (the
+      // bucketedPair/fixed-point pattern) read off the PERSISTED rep
+      // frame — one corpus shuffle on qe serves both the count and the
+      // assignment below (r13: the second distinct() shuffle of the same
+      // corpus folded away, VERDICT r12 #4). The oracle replays the SAME
+      // rule over count(DISTINCT qe). Measured at the 30× gate: fixed
+      // k=8 over the 60k-distinct scaled corpus ran 225M pairs in 9.7 s
+      // (ratio 14.5); the rule picks k=236 there and holds the pair set
+      // at ~5M.
+      val k = math.max(8L, (reps.count() + 255L) / 256L)
+      val init = e.filter(col("vec_id") < k)
+        .select(col("vec_id").cast(IntegerType).as("cid"), col("qe").as("c"))
+      // r13 (VERDICT r12 #3): TRAINED coarse centroids — `trainRounds`
+      // k-means rounds (assign → update, [[KMeans.train]]) over the
+      // collapsed REP set replace the seed-centroid fixture
+      // simplification. Training is 2 broadcast-argmin passes + 2
+      // map-side-combined elementwise-sum updates over reps — the same
+      // shape as the assignment itself, never touching the full corpus —
+      // and the oracle unrolls the identical rounds in SQL (the x3e
+      // device), so every trained centroid element (round(avg) over
+      // exact integer sums) is bit-checked.
+      val cent =
+        if (trainRounds == 0) init
+        else KMeans.train(reps.select(col("rep_id").as("vec_id"), col("qe")),
+          init, dim = 64, maxIters = trainRounds)._1
+      // argmin over (rep_id, dc) ONLY — the vector must not ride through
+      // the reps×k aggregate: first()/min(struct) plan as SortAggregate,
+      // and sorting reps·k rows that each carry a 512-byte array spilled
+      // 6.5 GB at the 30× gate (60k reps × k=236); with the 24-byte
+      // struct rows the same sort is ~300 MB and the vector rejoins from
+      // the cached rep frame afterwards (one broadcast-sized hash join)
+      val nearest = reps.crossJoin(broadcast(cent))
+        .select(col("rep_id"),
+          struct(graft.functions.Kernels.long_vec_dist2(col("qe"), col("c")).as("d"),
+            col("cid")).as("dc"))
+        .groupBy("rep_id").agg(min(col("dc")).as("dc"))
+      val asg = reps.join(nearest, Seq("rep_id"))
+        .select(col("rep_id"), col("qe"),
+          col("dc.cid").as("cluster"), col("dc.d").as("d2"))
+      Caching.withPersistedAll(Seq(asg)) {
+        val o = asg.select(col("rep_id").as("o_id"), col("qe").as("o_qe"),
+          col("cluster").as("o_cl"), col("d2").as("o_d2"))
+        // τ-neighbor with better centroid priority ⇒ pruned (semi: the
+        // witness's identity doesn't matter, only its existence)
+        val pruned = asg.join(o,
+            col("cluster") === col("o_cl") && col("rep_id") =!= col("o_id") &&
+              qcos(col("qe"), col("o_qe")) >= tau &&
+              (col("o_d2") < col("d2") ||
+                (col("o_d2") === col("d2") && col("o_id") < col("rep_id"))),
+            "left_semi")
+          .select(col("rep_id"), lit(true).as("is_pruned"))
+        val repV = asg.join(pruned, Seq("rep_id"), "left")
+          .select(col("qe"), col("rep_id"), col("cluster"),
+            coalesce(col("is_pruned"), lit(false)).as("is_pruned"))
+        e.select(col("vec_id"), col("qe"))
+          .join(repV, Seq("qe"))
+          .select(col("vec_id"), col("cluster"), col("rep_id"),
+            (col("vec_id") === col("rep_id") && !col("is_pruned")).as("keep"),
+            when(col("vec_id") =!= col("rep_id"), "exact_dup")
+              .when(col("is_pruned"), "semantic_dup")
+              .otherwise("kept").as("reason"))
+          .localCheckpoint() // corpus-sized result; release the rep cache
+      }
+    }
+  }
 
   private def pqApproxScored(s: SparkSession, d: String): DataFrame = {
     val (codes, pd, norms) = pqFrames(s, d)
@@ -447,6 +580,14 @@ object SimilarityQueries {
   private[graft] def pqCodesOracleSql: String =
     s"""$PqScoredCte
       SELECT vec_id, CAST(cs AS INTEGER) AS s, code FROM codes"""
+
+  /** [[PqScoredCte]] minus its leading `WITH`, for splicing into a
+    * composed oracle that already opened its own WITH chain (q52x: funnel
+    * → dedup → decontam CTEs first, then this code-assignment chain over
+    * the full embeddings table, filtered to the admitted-clean ids at the
+    * end). Same single definition of the code-assignment SQL.
+    */
+  private[graft] def pqCodesCteBody: String = PqScoredCte.stripPrefix("WITH ")
 
   /** The shared x3h/x3k oracle: ADC 20-deep shortlist + exact rerank to
     * top-5, recall annotated against the global exact top-5. x3k serves
@@ -586,70 +727,32 @@ object SimilarityQueries {
     // fixture's replicas + planted near-identical pairs exercise the
     // collapse and the cos≥0.995 regime at scale.
     Q("x2j_semantic_dedup",
-      (s, d) => {
-        val tau = 0.4
-        val e = quantFrame(s, d)
-        val reps = e.groupBy(col("qe")).agg(min(col("vec_id")).as("rep_id"))
-        // k GROWS WITH THE CORPUS — the SemDeDup device that keeps the
-        // within-cluster quadratic bounded: k = max(8, ⌈distinct/256⌉)
-        // caps the mean cluster at ~256 reps, so the pair stage reads
-        // O(distinct · 256), linear in the corpus, not distinct². The
-        // distinct count is a driver-side O(1) scalar certificate (the
-        // bucketedPair/fixed-point pattern), and the oracle replays the
-        // SAME rule over count(DISTINCT qe). Measured at the 30× gate:
-        // fixed k=8 over the 60k-distinct scaled corpus ran 225M pairs in
-        // 9.7 s (ratio 14.5); the rule picks k=236 there and holds the
-        // pair set at ~5M.
-        val k = math.max(8L,
-          (e.select(col("qe")).distinct().count() + 255L) / 256L)
-        val cent = e.filter(col("vec_id") < k)
-          .select(col("vec_id").cast(IntegerType).as("cid"), col("qe").as("c"))
-        // argmin over (rep_id, dc) ONLY — the vector must not ride through
-        // the reps×k aggregate: first()/min(struct) plan as SortAggregate,
-        // and sorting reps·k rows that each carry a 512-byte array spilled
-        // 6.5 GB at the 30× gate (60k reps × k=236); with the 24-byte
-        // struct rows the same sort is ~300 MB and the vector rejoins from
-        // the cached rep frame afterwards (one broadcast-sized hash join)
-        val nearest = reps.crossJoin(broadcast(cent))
-          .select(col("rep_id"),
-            struct(graft.functions.Kernels.long_vec_dist2(col("qe"), col("c")).as("d"),
-              col("cid")).as("dc"))
-          .groupBy("rep_id").agg(min(col("dc")).as("dc"))
-        val asg = reps.join(nearest, Seq("rep_id"))
-          .select(col("rep_id"), col("qe"),
-            col("dc.cid").as("cluster"), col("dc.d").as("d2"))
-        Caching.withPersistedAll(Seq(reps, asg)) {
-          val o = asg.select(col("rep_id").as("o_id"), col("qe").as("o_qe"),
-            col("cluster").as("o_cl"), col("d2").as("o_d2"))
-          // τ-neighbor with better centroid priority ⇒ pruned (semi: the
-          // witness's identity doesn't matter, only its existence)
-          val pruned = asg.join(o,
-              col("cluster") === col("o_cl") && col("rep_id") =!= col("o_id") &&
-                qcos(col("qe"), col("o_qe")) >= tau &&
-                (col("o_d2") < col("d2") ||
-                  (col("o_d2") === col("d2") && col("o_id") < col("rep_id"))),
-              "left_semi")
-            .select(col("rep_id"), lit(true).as("is_pruned"))
-          val repV = asg.join(pruned, Seq("rep_id"), "left")
-            .select(col("qe"), col("rep_id"), col("cluster"),
-              coalesce(col("is_pruned"), lit(false)).as("is_pruned"))
-          e.select(col("vec_id"), col("qe"))
-            .join(repV, Seq("qe"))
-            .select(col("vec_id"), col("cluster"), col("rep_id"),
-              (col("vec_id") === col("rep_id") && !col("is_pruned")).as("keep"),
-              when(col("vec_id") =!= col("rep_id"), "exact_dup")
-                .when(col("is_pruned"), "semantic_dup")
-                .otherwise("kept").as("reason"))
-            .localCheckpoint() // corpus-sized result; release the rep cache
-        }
-      },
+      (s, d) => semanticDedupPlan(s, d, trainRounds = 2),
       Some {
         val d2 = (a: String, b: String) =>
           s"list_sum(list_transform(generate_series(1, len($a)), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
+        // c0 → a1 → c1 → a2 → c2: the two trained rounds unrolled (the
+        // x3e oracle device) — assignment argmin then round(avg) centroid
+        // update per element, over the collapsed rep set, exactly what
+        // KMeans.train(maxIters = 2) computes (early convergence is a
+        // fixed point, so unconditionally unrolling both rounds agrees)
+        def upd(a: String) =
+          s"""SELECT cluster AS cid, list(m ORDER BY pos) AS c FROM (
+            SELECT cluster, pos, CAST(round(avg(qe[pos])) AS BIGINT) AS m
+            FROM $a, generate_series(1, 64) AS g(pos) GROUP BY cluster, pos)
+            GROUP BY cluster"""
         s"""WITH e AS (SELECT vec_id, ${sqlQuant("embedding")} AS qe FROM embeddings),
           reps AS (SELECT qe, min(vec_id) AS rep_id FROM e GROUP BY qe),
-          cent AS (SELECT CAST(vec_id AS INTEGER) AS cid, qe AS c FROM e
+          c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, qe AS c FROM e
             WHERE vec_id < (SELECT GREATEST(8, (count(DISTINCT qe) + 255) // 256) FROM e)),
+          a1 AS (SELECT rep_id, qe,
+              (SELECT cid FROM c0 ORDER BY ${d2("qe", "c")}, cid LIMIT 1) AS cluster
+            FROM reps),
+          c1 AS (${upd("a1")}),
+          a2 AS (SELECT rep_id, qe,
+              (SELECT cid FROM c1 ORDER BY ${d2("qe", "c")}, cid LIMIT 1) AS cluster
+            FROM reps),
+          cent AS (${upd("a2")}),
           asg AS (SELECT rep_id, qe,
               (SELECT cid FROM cent ORDER BY ${d2("qe", "c")}, cid LIMIT 1) AS cluster,
               (SELECT ${d2("qe", "c")} AS dd FROM cent ORDER BY dd, cid LIMIT 1) AS d2
@@ -859,7 +962,7 @@ object SimilarityQueries {
         // two concurrent sessions running the registry cannot race on one
         // directory; re-runs within a session overwrite their own copy
         val idxDir =
-          s"${graft.Tmp.root}/x3k_idx_${s.sparkContext.applicationId}"
+          graft.Tmp.sessionDir(s, "x3k_idx")
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
         val (codes, pd, norms) = pqFrames(s, d)
         codes.write.mode("overwrite").parquet(s"$idxDir/codes.parquet")
@@ -925,7 +1028,7 @@ object SimilarityQueries {
       (s, d) => {
         // session-scoped on-disk index, same contract as x3k
         val idxDir =
-          s"${graft.Tmp.root}/x3l_idx_${s.sparkContext.applicationId}"
+          graft.Tmp.sessionDir(s, "x3l_idx")
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
         val corpus = quantFrame(s, d)
         val (codes, norms, cb) = pqBuildFrom(corpus)
@@ -967,7 +1070,7 @@ object SimilarityQueries {
       (s, d) => {
         // session-scoped on-disk index, same contract as x3k
         val idxDir =
-          s"${graft.Tmp.root}/x3m_idx_${s.sparkContext.applicationId}"
+          graft.Tmp.sessionDir(s, "x3m_idx")
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
         val corpus = quantFrame(s, d)
         val (codes, norms, cb) = pqBuildFrom(corpus)
@@ -990,6 +1093,58 @@ object SimilarityQueries {
       Some(pqRerankOracleFrom(pqScoredCteFrom(
         s"""SELECT vec_id, ${sqlQuant("embedding")} AS qe FROM embeddings
           WHERE NOT (vec_id >= 16 AND (vec_id * 2654435761) % 10 < 2)""")))),
+
+    // X3n (r13, VERDICT r12 #2): index COMPACTION — the maintenance face
+    // the streaming writers made necessary: q52g/q52x land one parquet
+    // directory PER MICRO-BATCH (the effectively-once overwrite device)
+    // and x3l appends batch files into the store, so a 10 s-trigger
+    // deployment accretes ~8.6k directories/day of tiny files — the
+    // classic streaming-sink scale-killer (every serve pays file listing
+    // + footer reads + undersized scan tasks proportional to BATCH
+    // COUNT, not data size). Compaction rewrites the accumulated code
+    // and norm rows into byte-budgeted shards: target shard count =
+    // ⌈store bytes / budget⌉ from a driver-side file listing (O(#files),
+    // the thing being fixed), then one repartition + write — an
+    // O(|index|) columnar rewrite that never touches raw vectors or the
+    // codebook (like delete, compaction never retrains; FAISS users know
+    // this as merging IndexShards / merge_from). The rewrite lands in a
+    // fresh `compact/` generation directory NEXT TO the fragment store —
+    // the atomic-cutover discipline: serves switch to the new generation
+    // only after it is fully written, and the fragments stay for
+    // rollback until reaped. The registered query fragments the corpus
+    // index into 8 per-batch directories (the q52g accumulation shape),
+    // compacts, and serves from the COMPACTED store via the standard
+    // shortlist + rerank — the oracle is x3k's serve oracle text
+    // verbatim, so the hash gate IS the compaction-preserves-the-index
+    // proof (same device as append/delete-equals-rebuild). ScaleBench
+    // additionally records file counts before/after and serve-time
+    // parity at 30×.
+    Q("x3n_pq_index_compact",
+      (s, d) => {
+        val idxDir = graft.Tmp.sessionDir(s, "x3n_idx")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+        val corpus = quantFrame(s, d)
+        val (codes, norms, cb) = pqBuildFrom(corpus)
+        // the accumulated-store shape: 8 per-batch directories each
+        // holding a slice of the code/norm rows (what 8 micro-batches of
+        // q52g/x3l leave behind)
+        Caching.withPersistedAll(Seq(codes, norms)) {
+          (0 until 8).foreach { b =>
+            codes.filter(pmod(col("vec_id"), lit(8)) === b)
+              .write.mode("overwrite").parquet(s"$idxDir/frag/codes/batch=$b")
+            norms.filter(pmod(col("vec_id"), lit(8)) === b)
+              .write.mode("overwrite").parquet(s"$idxDir/frag/norms/batch=$b")
+          }
+          cb.write.mode("overwrite").parquet(s"$idxDir/codebook.parquet")
+        }
+        compactPqStore(s, idxDir, shardBudgetBytes = 16L << 20)
+        // serve ONLY from the compacted generation + the codebook
+        val lcb = s.read.parquet(s"$idxDir/codebook.parquet")
+        pqServe(
+          s.read.parquet(s"$idxDir/compact/codes"),
+          s.read.parquet(s"$idxDir/compact/norms"), lcb, corpus)
+      },
+      Some(PqRerankOracleSql)),
 
     // X3i: IVF-PQ + exact refine — the COMPOSED production index (the
     // FAISS `IVFx,PQy` + refine shape) assembled from the three pieces

@@ -31,8 +31,18 @@ object TextQueries {
     * why the same frame streams unchanged in append mode.
     */
   private[graft] def filterFunnelVerdict(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("lang"), col("n_chars"),
-        split(col("text"), " ").as("w"))
+    withFunnelVerdict(docs)
+      .select(col("doc_id"), col("lang"), col("n").as("n_tok"), col("drop_rule"))
+
+  /** The same rule chain, ADDING `drop_rule` (and the intermediate stats)
+    * while KEEPING the input columns — q52x's composed ingest pipeline
+    * needs the verdict attached without losing `text` (the dedup and
+    * decontam stages downstream consume it). One expression chain, two
+    * projections: this and [[filterFunnelVerdict]] cannot drift.
+    */
+  private[graft] def withFunnelVerdict(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("w", split(col("text"), " "))
       .withColumn("n", size(col("w")).cast(LongType))
       .withColumn("bg", expr("CASE WHEN size(w) >= 2 THEN " +
         "transform(sequence(1, size(w)-1), i -> concat(element_at(w, i), ' ', element_at(w, i+1))) " +
@@ -49,7 +59,6 @@ object TextQueries {
           .when(col("db_ppm") >= 200000L, "repetitive")
           .when(col("ttr_ppm") < 300000L, "low_diversity")
           .otherwise("kept"))
-      .select(col("doc_id"), col("lang"), col("n").as("n_tok"), col("drop_rule"))
 
   /** The per-doc verdict oracle (q52h; x4j's oracle aggregates the same
     * CTE text).

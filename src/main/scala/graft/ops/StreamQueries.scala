@@ -189,18 +189,32 @@ object StreamQueries {
       val q = df.writeStream.format("memory").queryName(name)
         .outputMode(mode).option("checkpointLocation", cp)
         .trigger(Trigger.ProcessingTime("200 milliseconds")).start()
-      val deadline = System.nanoTime() + 300_000_000_000L
-      def quiescent: Boolean = {
-        val ps = q.recentProgress
-        ps.exists(_.numInputRows > 0) && ps.length >= 2 &&
-          ps.takeRight(2).forall(_.numInputRows == 0)
-      }
-      while (!quiescent && System.nanoTime() < deadline) Thread.sleep(100)
-      val done = quiescent
-      q.stop()
-      require(done, s"$name never quiesced within the drain deadline")
+      awaitQuiescence(q, name)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     df.sparkSession.table(name)
+  }
+
+  /** The quiescence observation [[drainUntilQuiescent]] and the q52x
+    * pipeline drain share: a data batch followed by two empty ones, AND
+    * (ADVICE r12) every source committed through its latest known offset
+    * — two empty batches alone can lie if the source ever splits input
+    * across triggers (e.g. a session-wide maxFilesPerTrigger). Stops the
+    * query; fails loudly on deadline.
+    */
+  private def awaitQuiescence(q: org.apache.spark.sql.streaming.StreamingQuery,
+      name: String): Unit = {
+    val deadline = System.nanoTime() + 300_000_000_000L
+    def quiescent: Boolean = {
+      val ps = q.recentProgress
+      ps.exists(_.numInputRows > 0) && ps.length >= 2 &&
+        ps.takeRight(2).forall(_.numInputRows == 0) &&
+        ps.last.sources.forall(sp =>
+          sp.latestOffset == null || sp.endOffset == sp.latestOffset)
+    }
+    while (!quiescent && System.nanoTime() < deadline) Thread.sleep(100)
+    val done = quiescent
+    q.stop()
+    require(done, s"$name never quiesced within the drain deadline")
   }
 
   /** The q52d/q52f dedup-at-ingest plan, parameterized on processor + time
@@ -261,6 +275,176 @@ object StreamQueries {
           (md5(text) IN (SELECT dig FROM idx)) AS dup_of_index
         FROM documents WHERE (doc_id * 2654435761) % 100 >= 80
         GROUP BY md5(text)""".stripMargin
+
+  /** The q52x per-batch tail: decontam-probe the ADMITTED docs against the
+    * static eval index, PQ-encode the clean survivors' embeddings against
+    * the frozen codebook, and land (dig, vec_id, s, code) rows in the
+    * batch's own overwrite directory (q52g's effectively-once device).
+    * Factored out so the restart-chaos spec can drive the identical
+    * writer body under injected crashes.
+    */
+  private[graft] def pipelineBatchWriter(eBuckets: DataFrame, shEval: DataFrame,
+      emb: DataFrame, cb: DataFrame, out: String)(batch: DataFrame, id: Long): Unit = {
+    // ProcessingTime TTL maintenance schedules EMPTY batches forever (see
+    // [[drainUntilQuiescent]]) — skip them, or the store fills with empty
+    // batch=<id> dirs and every maintenance tick pays a decontam plan
+    if (batch.isEmpty) return
+    val (verdict, caches) =
+      graft.ext.DedupQueries.streamDecontamPlan(batch, eBuckets, shEval)
+    try {
+      val clean = verdict.filter(!col("contaminated"))
+        .select(col("doc_id").as("vec_id"))
+      val vecs = emb.join(broadcast(clean), Seq("vec_id"))
+      graft.ext.SimilarityQueries.pqEncode(vecs, cb)
+        .select(col("vec_id"), col("s"), col("code"))
+        .join(broadcast(batch.select(col("doc_id").as("vec_id"), col("dig"))),
+          Seq("vec_id"))
+        .write.mode("overwrite").parquet(s"$out/batch=$id")
+    } finally caches.foreach(_.unpersist())
+  }
+
+  /** Q52X (r13, VERDICT r12 #1): the four ingest shapes COMPOSED into one
+    * continuous pipeline — the reference's entire architecture is exactly
+    * one such always-on loop (decode → project → batch → sink,
+    * `main.go:111-175`); its LLM-corpus analogue is quality-filter →
+    * dedup-state → decontam-probe → index-encode run as ONE stream under
+    * ONE checkpoint, which q52d/e/f/g/h prove only separately. The
+    * composition is the untested interaction: a stateless in-plan map
+    * (q52h's funnel), a `transformWithState` admission operator (q52d/f's
+    * state with q52f's 7-day TTL), and a foreachBatch tail doing the
+    * stateless probes + idempotent columnar append (q52e/g) — stateless
+    * and stateful operators in a single incremental plan.
+    *
+    * Stage semantics (each inherited verbatim from its standalone proof):
+    *   1. FILTER — [[graft.ext.TextQueries.withFunnelVerdict]] inside the
+    *      streaming plan, keep only 'kept' (shared body with x4j/q52h:
+    *      rule-for-rule identical);
+    *   2. DEDUP — [[graft.streaming.AdmitFirstProcessor]] keyed by
+    *      md5(text) with a 7-day RocksDB state TTL: admits only
+    *      improvements of the per-digest min doc_id, so the final
+    *      admitted set is min(doc_id) per digest under ANY micro-batch
+    *      split (the split-invariance that keeps the oracle
+    *      deterministic), and per-batch emission is bounded by the
+    *      batch's distinct digests;
+    *   3. DECONTAM — per-batch LSH probe against the static eval index
+    *      (bucket ≥ 90), [[graft.ext.DedupQueries.streamDecontamPlan]],
+    *      stateless, O(batch + collisions);
+    *   4. INDEX — PQ-encode the clean admitted docs' embeddings (static
+    *      lookup on vec_id = doc_id: the upstream-embedding-service
+    *      shape) against the codebook FROZEN from the standing corpus
+    *      (the FAISS add contract), landed in per-batch overwrite dirs
+    *      (q52g's effectively-once device; PipelineRestartSpec proves
+    *      crash-replay).
+    *
+    * Readback: per-digest argmin over the accumulated store (a superseded
+    * representative's rows — possible only under multi-batch admission
+    * improvements — are shadowed; identical text ⇒ identical dig ⇒
+    * identical contamination verdict, so verdicts can never disagree
+    * within a digest). The DuckDB oracle replays funnel → min-per-digest
+    * → brute-Jaccard decontam → code assignment in SQL, so the hash gate
+    * pins every stage composed — and re-proves the band join's recall
+    * 1.0 at j ≥ 0.8 on this corpus (the oracle is ground truth, not an
+    * LSH replay). 100 TB posture: stage 1 is per-row map arithmetic;
+    * stage 2 state is bounded by the TTL window's distinct-content rate;
+    * stages 3–4 are O(batch) against broadcast/on-disk assets; the drain
+    * observes quiescence because the ProcessingTime TTL clock defeats
+    * AvailableNow (see [[drainUntilQuiescent]]).
+    */
+  private[graft] def streamPipelinePlan(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    val dirBase = graft.Tmp.sessionDir(s, "q52x")
+    val out = s"$dirBase/out"
+    val cp = s"$dirBase/cp"
+    org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(out).toFile)
+    org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(cp).toFile)
+    val bucket = pmod(col("doc_id") * 2654435761L, lit(100L))
+    // static assets, computed once OUTSIDE the stream — the production
+    // deployment: the eval index and the codebook are on-disk artifacts
+    val evalIdx = Tables.documents(s, d).filter(bucket >= 90)
+      .select(col("doc_id"), col("text"), md5(col("text")).as("dig"))
+    val (_, eBuckets, shEval, idxCaches) =
+      graft.ext.DedupQueries.indexArtifactsFrom(evalIdx)
+    val emb = graft.ext.SimilarityQueries.quantFrame(s, d)
+    val cb = graft.ext.SimilarityQueries.pqBuildFrom(emb)._3
+      .localCheckpoint() // 128 rows
+    val prevProv = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", 8)
+    try {
+      val spark = s
+      import spark.implicits._
+      val admitted = graft.ext.TextQueries.withFunnelVerdict(
+          documentsStream(s, d).filter(bucket < 80))
+        .filter(col("drop_rule") === "kept")
+        .select(md5(col("text")).as("dig"), col("doc_id"), col("text"))
+        .as[(String, Long, String)]
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.AdmitFirstProcessor(
+            TTLConfig(java.time.Duration.ofMillis(7L * 24 * 3600 * 1000))),
+          TimeMode.ProcessingTime(),
+          OutputMode.Update())
+        .toDF("dig", "doc_id", "text")
+      val q = admitted.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.ProcessingTime("200 milliseconds"))
+        .foreachBatch(pipelineBatchWriter(eBuckets, shEval, emb, cb, out) _)
+        .start()
+      awaitQuiescence(q, "q52x")
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProv match {
+        case Some(p) =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      idxCaches.foreach(_.unpersist())
+    }
+    val st = s.read.parquet(out).select("dig", "vec_id", "s", "code")
+    val minPerDig = st.groupBy("dig").agg(min(col("vec_id")).as("vec_id"))
+    st.join(minPerDig, Seq("dig", "vec_id"))
+      .select(col("vec_id").as("doc_id"), col("s"), col("code"))
+  }
+
+  /** DuckDB replay of the composed pipeline: funnel verdict CTEs (shared
+    * text with x4j/q52h) → admitted = min(doc_id) per md5(text) over the
+    * kept train docs → brute-Jaccard decontamination against the raw
+    * eval split (same shingle definition as the q52e oracle) → the
+    * shared PQ code-assignment chain over the FULL embeddings table
+    * (codebook = vectors 0..15, exactly the frozen standing-corpus
+    * codebook), filtered to the admitted-clean ids at the end.
+    */
+  private val StreamPipelineOracle: String = {
+    val sh =
+      """CASE WHEN len(w) >= 3
+        THEN list_distinct(list_transform(generate_series(1, len(w)-2),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        ELSE [text] END"""
+    s"""${graft.ext.TextQueries.FilterFunnelVerdictCte},
+      kept AS (SELECT dd.doc_id, dd.text FROM documents dd
+        JOIN v ON v.doc_id = dd.doc_id
+        WHERE v.drop_rule = 'kept' AND (dd.doc_id * 2654435761) % 100 < 80),
+      admt AS (SELECT k.doc_id, k.text FROM kept k
+        JOIN (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)) a
+          ON a.doc_id = k.doc_id),
+      asets AS (SELECT doc_id, $sh AS sh FROM
+        (SELECT doc_id, text, string_split(text, ' ') AS w FROM admt)),
+      esets AS (SELECT $sh AS sh FROM
+        (SELECT text, string_split(text, ' ') AS w FROM documents
+         WHERE (doc_id * 2654435761) % 100 >= 90)),
+      cont AS (SELECT DISTINCT a.doc_id FROM asets a JOIN esets e2
+        ON len(list_intersect(a.sh, e2.sh))::DOUBLE /
+           (len(a.sh) + len(e2.sh) - len(list_intersect(a.sh, e2.sh))) >= 0.8),
+      clean AS (SELECT doc_id FROM admt
+        WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+      ${graft.ext.SimilarityQueries.pqCodesCteBody}
+      SELECT c.vec_id AS doc_id, CAST(c.cs AS INTEGER) AS s, c.code
+      FROM codes c JOIN clean ON clean.doc_id = c.vec_id"""
+  }
 
   private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast(LongType)
 
@@ -1078,8 +1262,13 @@ object StreamQueries {
     // across restarts from the checkpoint).
     Q("q52g_stream_ann_ingest",
       (s, d) => {
-        val out = s"$tmpRoot/q52g_out"
-        val cp = s"$tmpRoot/cp/q52g_sink"
+        // session-scoped (ADVICE r12): a concurrent Bench + ScalaTest pair
+        // otherwise delete/overwrite each other's store and checkpoint
+        // mid-stream — the same hazard the x3k/x3l/x3m index dirs and the
+        // q04 Derby path already guard against
+        val base = graft.Tmp.sessionDir(s, "q52g")
+        val out = s"$base/out"
+        val cp = s"$base/cp"
         org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(out).toFile)
         org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(cp).toFile)
         val cb = graft.ext.SimilarityQueries
@@ -1122,6 +1311,15 @@ object StreamQueries {
         "q52h_sink", "append"),
       Some(s"""${graft.ext.TextQueries.FilterFunnelVerdictCte}
         SELECT doc_id, lang, n_tok, drop_rule FROM v""".stripMargin)),
+
+    // Q52X (r13): the four ingest shapes composed into ONE continuous
+    // pipeline under ONE checkpoint — filter → TTL-dedup-state →
+    // decontam-probe → PQ-encode. See [[streamPipelinePlan]] for the full
+    // design; PipelineRestartSpec proves crash-replay; the 30× tier
+    // carries the end-to-end drain.
+    Q("q52x_stream_pipeline_e2e",
+      (s, d) => streamPipelinePlan(s, d),
+      Some(StreamPipelineOracle)),
 
     // Q52e (r11): streaming DECONTAMINATION at ingest — the x7 shape made
     // streaming: train documents arriving as files are checked against a

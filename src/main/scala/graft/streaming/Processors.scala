@@ -89,3 +89,37 @@ sealed class DedupIngestProcessor(ttl: TTLConfig)
   */
 final class DedupIngestTtlProcessor(ttlMs: Long)
     extends DedupIngestProcessor(TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+
+/** The q52x ADMISSION face of dedup-at-ingest: keyed by content digest,
+  * state is the smallest doc_id admitted so far; a batch EMITS its
+  * (dig, doc_id, text) row only when it improves that minimum (a new
+  * digest, or — under replays / late micro-batch splits — a smaller id).
+  * Downstream pipeline stages therefore see each distinct content at most
+  * once per batch, and the FINAL admitted set is min(doc_id) per digest
+  * regardless of how the stream was micro-batched — the split-invariance
+  * that makes the q52x DuckDB oracle deterministic (first-arrival-wins
+  * would depend on file listing order). The superseded representative's
+  * downstream rows are shadowed at readback by a per-digest argmin.
+  * Bounded emission like [[DedupIngestProcessor]]: per-batch output ≤
+  * distinct digests IN the batch, never O(state). TTL semantics as in
+  * [[DedupIngestTtlProcessor]]: an expired digest re-admits as new.
+  */
+final class AdmitFirstProcessor(ttl: TTLConfig)
+    extends StatefulProcessor[String, (String, Long, String), (String, Long, String)] {
+  def this() = this(TTLConfig.NONE)
+
+  @transient private var minDoc: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    minDoc = getHandle.getValueState[Long]("minDoc", Encoders.scalaLong, ttl)
+
+  override def handleInputRows(key: String, rows: Iterator[(String, Long, String)],
+      timerValues: TimerValues): Iterator[(String, Long, String)] = {
+    var best: (String, Long, String) = null
+    rows.foreach { r => if (best == null || r._2 < best._2) best = r }
+    if (best != null && (!minDoc.exists() || best._2 < minDoc.get())) {
+      minDoc.update(best._2)
+      Iterator.single(best)
+    } else Iterator.empty
+  }
+}
