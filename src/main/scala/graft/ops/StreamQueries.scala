@@ -362,48 +362,58 @@ object StreamQueries {
     // deployment: the eval index and the codebook are on-disk artifacts
     val evalIdx = Tables.documents(s, d).filter(bucket >= 90)
       .select(col("doc_id"), col("text"), md5(col("text")).as("dig"))
-    val (_, eBuckets, shEval, idxCaches) =
+    val (_, eBucketsL, shEvalL, idxCaches) =
       graft.ext.DedupQueries.indexArtifactsFrom(evalIdx)
     val emb = graft.ext.SimilarityQueries.quantFrame(s, d)
     val cb = graft.ext.SimilarityQueries.pqBuildFrom(emb)._3
       .localCheckpoint() // 128 rows
-    val prevProv = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", 8)
-    try {
-      val spark = s
-      import spark.implicits._
-      val admitted = graft.ext.TextQueries.withFunnelVerdict(
-          documentsStream(s, d).filter(bucket < 80))
-        .filter(col("drop_rule") === "kept")
-        .select(md5(col("text")).as("dig"), col("doc_id"), col("text"))
-        .as[(String, Long, String)]
-        .groupByKey(_._1)
-        .transformWithState(
-          new graft.streaming.AdmitFirstProcessor(
-            TTLConfig(java.time.Duration.ofMillis(7L * 24 * 3600 * 1000))),
-          TimeMode.ProcessingTime(),
-          OutputMode.Update())
-        .toDF("dig", "doc_id", "text")
-      val q = admitted.writeStream
-        .outputMode("update")
-        .option("checkpointLocation", cp)
-        .trigger(Trigger.ProcessingTime("200 milliseconds"))
-        .foreachBatch(pipelineBatchWriter(eBuckets, shEval, emb, cb, out) _)
-        .start()
-      awaitQuiescence(q, "q52x")
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      prevProv match {
-        case Some(p) =>
-          s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None =>
-          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
-      idxCaches.foreach(_.unpersist())
-    }
+    // eval artifacts localCheckpoint-PINNED for the stream's lifetime
+    // (scoped release): every DATA batch's decontam plan reads the
+    // materialized bucket/shingle frames instead of re-deriving
+    // shingles → signatures → buckets from the eval split — on a
+    // long-running stream that recompute would be paid per batch; in
+    // production these are the on-disk artifacts of the x2h story and
+    // the pin is their in-memory equivalent
+    try graft.ext.Caching.withLocalCheckpointed(eBucketsL, shEvalL) {
+      case Seq(eBuckets, shEval) =>
+        val prevProv =
+          s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", 8)
+        try {
+          val spark = s
+          import spark.implicits._
+          val admitted = graft.ext.TextQueries.withFunnelVerdict(
+              documentsStream(s, d).filter(bucket < 80))
+            .filter(col("drop_rule") === "kept")
+            .select(md5(col("text")).as("dig"), col("doc_id"), col("text"))
+            .as[(String, Long, String)]
+            .groupByKey(_._1)
+            .transformWithState(
+              new graft.streaming.AdmitFirstProcessor(
+                TTLConfig(java.time.Duration.ofMillis(7L * 24 * 3600 * 1000))),
+              TimeMode.ProcessingTime(),
+              OutputMode.Update())
+            .toDF("dig", "doc_id", "text")
+          val q = admitted.writeStream
+            .outputMode("update")
+            .option("checkpointLocation", cp)
+            .trigger(Trigger.ProcessingTime("200 milliseconds"))
+            .foreachBatch(pipelineBatchWriter(eBuckets, shEval, emb, cb, out) _)
+            .start()
+          awaitQuiescence(q, "q52x")
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          prevProv match {
+            case Some(p) =>
+              s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+            case None =>
+              s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+          }
+        }
+    } finally idxCaches.foreach(_.unpersist())
     val st = s.read.parquet(out).select("dig", "vec_id", "s", "code")
     val minPerDig = st.groupBy("dig").agg(min(col("vec_id")).as("vec_id"))
     st.join(minPerDig, Seq("dig", "vec_id"))

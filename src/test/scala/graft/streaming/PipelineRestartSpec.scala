@@ -26,6 +26,12 @@ import graft.SparkSpec
   * resume must land exactly where a crash-free batch computation does,
   * including the cross-batch dedup (batch 1 re-sends a digest batch 0
   * admitted: state must suppress it through the crash-replay).
+  *
+  * `TimeMode.None` here (vs the registered query's ProcessingTime TTL):
+  * crash-replay is the state-commit EPOCH contract, orthogonal to the TTL
+  * clock — the expiry contract itself is pinned separately in
+  * StreamingPlanSpec — and the no-TTL mode lets `processAllAvailable`
+  * drive deterministic batch boundaries for the injection.
   */
 class PipelineRestartSpec extends SparkSpec {
 
@@ -101,6 +107,14 @@ class PipelineRestartSpec extends SparkSpec {
 
         val q2 = start()
         q2.processAllAvailable()
+        // the composed plan's shape: exactly ONE stateful operator (the
+        // admission state) — the funnel is stateless in-plan map work and
+        // the probes/encode live in the foreachBatch tail, so no hidden
+        // aggregation state rides the incremental plan
+        val ops = q2.lastProgress.stateOperators.map(_.operatorName).toSeq
+        assert(ops.length == 1 &&
+          ops.head.toLowerCase.contains("transformwithstate"),
+          s"expected exactly the admission transformWithState operator, got $ops")
         q2.stop()
         assert(injected.get(), "the crash injection never fired")
 
