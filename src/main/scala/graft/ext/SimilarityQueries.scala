@@ -1127,16 +1127,16 @@ object SimilarityQueries {
         val (codes, norms, cb) = pqBuildFrom(corpus)
         // the accumulated-store shape: 8 per-batch directories each
         // holding a slice of the code/norm rows (what 8 micro-batches of
-        // q52g/x3l leave behind)
-        Caching.withPersistedAll(Seq(codes, norms)) {
-          (0 until 8).foreach { b =>
-            codes.filter(pmod(col("vec_id"), lit(8)) === b)
-              .write.mode("overwrite").parquet(s"$idxDir/frag/codes/batch=$b")
-            norms.filter(pmod(col("vec_id"), lit(8)) === b)
-              .write.mode("overwrite").parquet(s"$idxDir/frag/norms/batch=$b")
-          }
-          cb.write.mode("overwrite").parquet(s"$idxDir/codebook.parquet")
-        }
+        // q52g/x3l leave behind) — ONE partitionBy write per frame (the
+        // identical batch=<b> dir layout in 2 jobs, not 16 filter+write
+        // passes over the same rows)
+        codes.withColumn("batch", pmod(col("vec_id"), lit(8)))
+          .write.partitionBy("batch").mode("overwrite")
+          .parquet(s"$idxDir/frag/codes")
+        norms.withColumn("batch", pmod(col("vec_id"), lit(8)))
+          .write.partitionBy("batch").mode("overwrite")
+          .parquet(s"$idxDir/frag/norms")
+        cb.write.mode("overwrite").parquet(s"$idxDir/codebook.parquet")
         compactPqStore(s, idxDir, shardBudgetBytes = 16L << 20)
         // serve ONLY from the compacted generation + the codebook
         val lcb = s.read.parquet(s"$idxDir/codebook.parquet")

@@ -19,14 +19,10 @@ class CompactionSpec extends SparkSpec {
     FileUtils.deleteQuietly(new java.io.File(idxDir))
     val corpus = SimilarityQueries.quantFrame(spark, sf)
     val (codes, norms, _) = SimilarityQueries.pqBuildFrom(corpus)
-    Caching.withPersistedAll(Seq(codes, norms)) {
-      (0 until 8).foreach { b =>
-        codes.filter(pmod(col("vec_id"), lit(8)) === b)
-          .write.mode("overwrite").parquet(s"$idxDir/frag/codes/batch=$b")
-        norms.filter(pmod(col("vec_id"), lit(8)) === b)
-          .write.mode("overwrite").parquet(s"$idxDir/frag/norms/batch=$b")
-      }
-    }
+    codes.withColumn("batch", pmod(col("vec_id"), lit(8)))
+      .write.partitionBy("batch").mode("overwrite").parquet(s"$idxDir/frag/codes")
+    norms.withColumn("batch", pmod(col("vec_id"), lit(8)))
+      .write.partitionBy("batch").mode("overwrite").parquet(s"$idxDir/frag/norms")
     val fragListing = SimilarityQueries.partFiles(s"$idxDir/frag")
       .map(f => (f.getAbsolutePath, f.length)).sorted
 
