@@ -285,22 +285,32 @@ object StreamQueries {
     */
   private[graft] def pipelineBatchWriter(eBuckets: DataFrame, shEval: DataFrame,
       emb: DataFrame, cb: DataFrame, out: String)(batch: DataFrame, id: Long): Unit = {
-    // ProcessingTime TTL maintenance schedules EMPTY batches forever (see
-    // [[drainUntilQuiescent]]) — skip them, or the store fills with empty
-    // batch=<id> dirs and every maintenance tick pays a decontam plan
-    if (batch.isEmpty) return
-    val (verdict, caches) =
-      graft.ext.DedupQueries.streamDecontamPlan(batch, eBuckets, shEval)
+    // a foreachBatch frame RE-EXECUTES its whole micro-batch plan (file
+    // read → funnel → RocksDB state operator) on EVERY action — persist
+    // it so the four consumers below (emptiness probe, decontam group,
+    // verdict join, dig mapping) read ONE materialization instead of
+    // running the state operator four times per batch (measured A/B at
+    // sf0.1: q52x warm 13.4 s → 11.0 s); released before return
+    val b = batch.persist()
     try {
-      val clean = verdict.filter(!col("contaminated"))
-        .select(col("doc_id").as("vec_id"))
-      val vecs = emb.join(broadcast(clean), Seq("vec_id"))
-      graft.ext.SimilarityQueries.pqEncode(vecs, cb)
-        .select(col("vec_id"), col("s"), col("code"))
-        .join(broadcast(batch.select(col("doc_id").as("vec_id"), col("dig"))),
-          Seq("vec_id"))
-        .write.mode("overwrite").parquet(s"$out/batch=$id")
-    } finally caches.foreach(_.unpersist())
+      // ProcessingTime TTL maintenance schedules EMPTY batches forever
+      // (see [[drainUntilQuiescent]]) — skip them, or the store fills
+      // with empty batch=<id> dirs and every maintenance tick pays a
+      // decontam plan
+      if (b.isEmpty) return
+      val (verdict, caches) =
+        graft.ext.DedupQueries.streamDecontamPlan(b, eBuckets, shEval)
+      try {
+        val clean = verdict.filter(!col("contaminated"))
+          .select(col("doc_id").as("vec_id"))
+        val vecs = emb.join(broadcast(clean), Seq("vec_id"))
+        graft.ext.SimilarityQueries.pqEncode(vecs, cb)
+          .select(col("vec_id"), col("s"), col("code"))
+          .join(broadcast(b.select(col("doc_id").as("vec_id"), col("dig"))),
+            Seq("vec_id"))
+          .write.mode("overwrite").parquet(s"$out/batch=$id")
+      } finally caches.foreach(_.unpersist())
+    } finally b.unpersist()
   }
 
   /** Q52X (r13, VERDICT r12 #1): the four ingest shapes COMPOSED into one
@@ -1360,10 +1370,16 @@ object StreamQueries {
           .option("checkpointLocation", cp)
           .trigger(Trigger.AvailableNow())
           .foreachBatch { (batch: DataFrame, _: Long) =>
-            val (v, caches) =
-              graft.ext.DedupQueries.streamDecontamPlan(batch, eBuckets, shEval)
-            try v.write.mode("append").parquet(out)
-            finally caches.foreach(_.unpersist())
+            // persist: the decontam plan consumes the batch twice (group
+            // + verdict join) and each action would re-run the micro-
+            // batch plan (see pipelineBatchWriter)
+            val b = batch.persist()
+            try {
+              val (v, caches) =
+                graft.ext.DedupQueries.streamDecontamPlan(b, eBuckets, shEval)
+              try v.write.mode("append").parquet(out)
+              finally caches.foreach(_.unpersist())
+            } finally b.unpersist()
           }
           .start()
         try q.awaitTermination()
