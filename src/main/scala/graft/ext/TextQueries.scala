@@ -417,8 +417,131 @@ object TextQueries {
         SELECT doc_id, n_bigrams,
           CAST(round(bits * 10000) AS BIGINT) AS bits_e4,
           CAST(round(bits * 10000) AS BIGINT) > 50000 AS is_outlier
-        FROM sc""".stripMargin))
+        FROM sc""".stripMargin)),
+
+    // X4k: distributed BPE tokenizer TRAINING (Sennrich et al. 2016,
+    // arXiv:1508.07909) — the missing piece between the token-counting
+    // heuristics (x4c's whitespace+regex count) and a real subword
+    // vocabulary: learn the first 8 merge rules from the corpus itself.
+    //
+    // Distribution shape (the reason this scales where naive BPE can't):
+    // the ONLY corpus-sized work is the word-frequency aggregation (one
+    // shuffle, map-side combine); every merge iteration then runs over
+    // the DISTINCT-WORD frame — vocab-sized, millions of rows at 100 TB,
+    // still cluster work — and reduces to a 1-row argmax scalar
+    // certificate (the k-means device, KMeans.scala:87). Words are kept
+    // as space-delimited symbol strings; a merge is TWO chained literal
+    // `replace` passes, which equals greedy left-to-right non-overlapping
+    // pair merging exactly (pass 1 can miss a pair only when its leading
+    // delimiter was consumed by the preceding match, and two such missed
+    // pairs can never be adjacent — BpeSpec pins the 'a a a a' case).
+    // The DuckDB oracle replays all 8 stages with the same two-pass
+    // replace, so the hash gate proves merge-for-merge equality.
+    Q("x4k_bpe_train",
+      (s, d) => bpeTrain(s, bpeWordFreq(Tables.documents(s, d)), BpeMerges),
+      Some(bpeOracle(BpeMerges)))
   )
+
+  private val BpeMerges = 8
+
+  /** Corpus → word-frequency frame for BPE: `(sym, cnt)` where `sym` is
+    * the word as a space-delimited, space-PADDED character sequence
+    * (' h e l l o '). The padding makes ' l r ' a symbol-boundary-exact
+    * literal match: without it a pair pattern could match across symbol
+    * boundaries once symbols grow multi-char ('ab c' contains 'b c').
+    * This is the single corpus-sized aggregation of the operator.
+    */
+  private[graft] def bpeWordFreq(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit(" "), concat_ws(" ", expr(
+          "transform(sequence(1, char_length(word)), i -> substring(word, i, 1))")),
+        lit(" ")).as("sym"), col("cnt"))
+
+  /** The BPE training loop over a `(sym, cnt)` word-frequency frame:
+    * `nMerges` rounds of (count adjacent symbol pairs weighted by word
+    * frequency → argmax with lexicographic tie-break → merge the winning
+    * pair in every word). Returns the learned merge table
+    * `(step, pair, merged, cnt)` — the trained artifact a tokenizer
+    * ships. Each round localCheckpoints the rewritten vocab frame so the
+    * per-round plan stays flat instead of stacking `nMerges` replace
+    * layers of lineage; all pins are released before returning (the
+    * result rows are the per-round scalar certificates).
+    */
+  private[graft] def bpeTrain(s: SparkSession, wordsInit: DataFrame,
+      nMerges: Int): DataFrame = {
+    val pinned = scala.collection.mutable.Buffer.empty[DataFrame]
+    val merges = scala.collection.mutable.Buffer.empty[(Int, String, String, Long)]
+    try {
+      var words = wordsInit.localCheckpoint()
+      pinned += words
+      for (step <- 1 to nMerges) {
+        val best = words
+          .withColumn("l", split(trim(col("sym")), " "))
+          .select(col("cnt"), explode(expr("CASE WHEN size(l) >= 2 THEN " +
+            "transform(sequence(1, size(l) - 1), " +
+            "i -> concat(element_at(l, i), ' ', element_at(l, i + 1))) " +
+            "ELSE array() END")).as("pair"))
+          .groupBy("pair").agg(sum(col("cnt")).as("c"))
+          .orderBy(col("c").desc, col("pair").asc)
+          .limit(1).collect()
+        require(best.nonEmpty, s"BPE merge $step: no adjacent pairs left")
+        val pair = best(0).getString(0)
+        val cnt = best(0).getLong(1)
+        val merged = pair.replace(" ", "")
+        merges += ((step, pair, merged, cnt))
+        // two chained literal replaces = exact greedy non-overlapping
+        // merge (see the registration comment); symbols never contain
+        // spaces, so the padded pattern is boundary-exact
+        def rep(c: Column): Column =
+          org.apache.spark.sql.functions.replace(c,
+            lit(s" $pair "), lit(s" $merged "))
+        words = words.select(rep(rep(col("sym"))).as("sym"), col("cnt"))
+          .localCheckpoint()
+        pinned += words
+      }
+      import s.implicits._
+      merges.toSeq.toDF("step", "pair", "merged", "cnt")
+    } finally pinned.foreach(_.unpersist())
+  }
+
+  /** DuckDB replay of [[bpeTrain]]: stage i derives pair counts from
+    * w(i-1), picks the argmax via ORDER BY c DESC, pair LIMIT 1 (both
+    * engines binary collation), and rewrites w(i) with the identical
+    * two-pass padded replace. The UNION of the per-stage winners is the
+    * merge table. Every CTE is AS MATERIALIZED: DuckDB inlines plain
+    * CTEs, and with each stage referencing its predecessor ~5 times
+    * (scalar subqueries ×4 + the frame) the inlined plan is 5^nMerges
+    * copies of the base scan — materialization keeps the replay linear,
+    * mirroring the engine's per-round localCheckpoint.
+    */
+  private def bpeOracle(nMerges: Int): String = {
+    val w0 =
+      """w0 AS MATERIALIZED (SELECT ' ' || array_to_string(
+          list_transform(generate_series(1, len(word)), i -> word[i]), ' ')
+          || ' ' AS sym, cnt
+        FROM (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+              FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+              WHERE len(word) > 0 GROUP BY word))"""
+    val stages = (1 to nMerges).map { i =>
+      s"""b$i AS MATERIALIZED (SELECT pair, replace(pair, ' ', '') AS merged, c
+          FROM (SELECT pair, SUM(cnt) AS c FROM (
+            SELECT cnt, unnest(list_transform(generate_series(1, len(l) - 1),
+              j -> l[j] || ' ' || l[j + 1])) AS pair
+            FROM (SELECT cnt, string_split(trim(sym), ' ') AS l FROM w${i - 1}))
+          GROUP BY pair)
+          ORDER BY c DESC, pair LIMIT 1),
+        w$i AS MATERIALIZED (SELECT replace(replace(sym,
+            ' ' || (SELECT pair FROM b$i) || ' ', ' ' || (SELECT merged FROM b$i) || ' '),
+            ' ' || (SELECT pair FROM b$i) || ' ', ' ' || (SELECT merged FROM b$i) || ' ') AS sym,
+          cnt FROM w${i - 1})"""
+    }
+    val sel = (1 to nMerges).map(i =>
+      s"SELECT $i AS step, pair, merged, CAST(c AS BIGINT) AS cnt FROM b$i")
+      .mkString(" UNION ALL ")
+    s"WITH $w0, ${stages.mkString(", ")} $sel"
+  }
 
   private val bm25Terms = Seq("spark", "merge", "vector", "customer")
 
