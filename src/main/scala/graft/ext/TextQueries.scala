@@ -37,28 +37,29 @@ object TextQueries {
   /** The same rule chain, ADDING `drop_rule` (and the intermediate stats)
     * while KEEPING the input columns — q52x's composed ingest pipeline
     * needs the verdict attached without losing `text` (the dedup and
-    * decontam stages downstream consume it). One expression chain, two
+    * decontam stages downstream consume it). One definition, two
     * projections: this and [[filterFunnelVerdict]] cannot drift.
+    *
+    * r13: the rule chain moved into the one-pass `funnel_stats` codegen
+    * kernel ([[graft.functions.FunnelStats]]). The previous expression
+    * formulation (split → bigram transform → array_distinct → CASE) was
+    * correct but FILTER-hostile: q52x/q52h filter on `drop_rule`, Catalyst
+    * pushes the predicate below these projections by inlining every
+    * alias, and the inlined CASE expands to ~15 `split(text)` + 3
+    * `array_distinct` evaluations per row (measured 0.4 s → 6.3 s on the
+    * sf0.1 corpus, single scan task). The kernel inlines as ONE pass.
+    * Arithmetic is byte-for-byte identical; the DuckDB oracle CTE below
+    * is untouched and keeps proving it.
     */
   private[graft] def withFunnelVerdict(docs: DataFrame): DataFrame =
     docs
-      .withColumn("w", split(col("text"), " "))
-      .withColumn("n", size(col("w")).cast(LongType))
-      .withColumn("bg", expr("CASE WHEN size(w) >= 2 THEN " +
-        "transform(sequence(1, size(w)-1), i -> concat(element_at(w, i), ' ', element_at(w, i+1))) " +
-        "ELSE array() END"))
-      .withColumn("db_ppm", expr("CASE WHEN size(bg) > 0 THEN " +
-        "(CAST(size(bg) - size(array_distinct(bg)) AS BIGINT) * 1000000) DIV size(bg) " +
-        "ELSE CAST(0 AS BIGINT) END"))
-      .withColumn("ttr_ppm",
-        expr("(CAST(size(array_distinct(w)) AS BIGINT) * 1000000) DIV size(w)"))
-      .withColumn("drop_rule",
-        when(col("n") < 20, "too_short")
-          // DIV, not `/`: Spark's `/` on integers is DOUBLE division
-          .when(expr("n_chars * 100 DIV n") >= 600L, "long_words")
-          .when(col("db_ppm") >= 200000L, "repetitive")
-          .when(col("ttr_ppm") < 300000L, "low_diversity")
-          .otherwise("kept"))
+      .withColumn("fs",
+        graft.functions.Kernels.funnel_stats(col("text"), col("n_chars")))
+      .withColumn("n", col("fs.n_tok"))
+      .withColumn("db_ppm", col("fs.db_ppm"))
+      .withColumn("ttr_ppm", col("fs.ttr_ppm"))
+      .withColumn("drop_rule", col("fs.drop_rule"))
+      .drop("fs")
 
   /** The per-doc verdict oracle (q52h; x4j's oracle aggregates the same
     * CTE text).

@@ -286,6 +286,74 @@ object VecKernel {
     * summing in other orders differ by ulps, so oracles must compare at a
     * rounded precision (x4g ships round(H·10⁴) as BIGINT).
     */
+  private val RuleTooShort =
+    org.apache.spark.unsafe.types.UTF8String.fromString("too_short")
+  private val RuleLongWords =
+    org.apache.spark.unsafe.types.UTF8String.fromString("long_words")
+  private val RuleRepetitive =
+    org.apache.spark.unsafe.types.UTF8String.fromString("repetitive")
+  private val RuleLowDiversity =
+    org.apache.spark.unsafe.types.UTF8String.fromString("low_diversity")
+  private val RuleKept =
+    org.apache.spark.unsafe.types.UTF8String.fromString("kept")
+
+  /** One-pass x4j funnel verdict: token count, duplicate-bigram ppm,
+    * type-token-ratio ppm, and the FIRST-failing-rule attribution, all in
+    * a single scan of the space-token stream. Byte-for-byte the same
+    * arithmetic as the expression formulation it replaces (split +
+    * transform + array_distinct + ppm floor-divs; the DuckDB oracle CTE is
+    * unchanged): consecutive spaces yield empty tokens exactly like
+    * `split(text, ' ')`, bigrams are the ' '-joined adjacent token pairs
+    * (injective — tokens cannot contain the separator), and all ppm math
+    * is non-negative integer floor division.
+    *
+    * Why a kernel: the verdict is FILTERED on at ingest (q52x/q52h), and
+    * Catalyst pushes that predicate below the stacked withColumn projects
+    * by inlining every alias — the expression formulation expands to ~15
+    * `split(text)` + 3 `array_distinct` evaluations per row inside the
+    * predicate (measured 0.4 s → 6.3 s on the sf0.1 corpus). Inlining
+    * THIS expression costs one pass. Null text/n_chars now yields a null
+    * verdict (nullSafeEval) instead of the CASE chain's 'kept'; the
+    * corpus schema declares both non-null.
+    */
+  def funnelStats(s: org.apache.spark.unsafe.types.UTF8String,
+      nChars: Long): org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    val toks = new java.util.HashSet[String]()
+    val bgs = new java.util.HashSet[String]()
+    val len = str.length
+    var n = 0L
+    var nbg = 0L
+    var nbgDup = 0L
+    var start = 0
+    var i = 0
+    var prev: String = null
+    while (i <= len) {
+      if (i == len || str.charAt(i) == ' ') {
+        val tok = str.substring(start, i)
+        toks.add(tok)
+        if (prev != null) {
+          nbg += 1
+          if (!bgs.add(prev + " " + tok)) nbgDup += 1
+        }
+        prev = tok
+        n += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    val dbPpm = if (nbg > 0) nbgDup * 1000000L / nbg else 0L
+    val ttrPpm = toks.size.toLong * 1000000L / n
+    val rule =
+      if (n < 20L) RuleTooShort
+      else if (nChars * 100L / n >= 600L) RuleLongWords
+      else if (dbPpm >= 200000L) RuleRepetitive
+      else if (ttrPpm < 300000L) RuleLowDiversity
+      else RuleKept
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, dbPpm, ttrPpm, rule))
+  }
+
   def tokenStats(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
     val str = s.toString
     val counts = new java.util.HashMap[String, Integer]()
@@ -620,6 +688,42 @@ case class TokenStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `funnel_stats(text, n_chars)` — STRUCT<n_tok BIGINT, db_ppm BIGINT,
+  * ttr_ppm BIGINT, drop_rule STRING>: the x4j quality-funnel metrics and
+  * first-failing-rule verdict in one native pass
+  * (see [[VecKernel.funnelStats]] for semantics and why this is a kernel).
+  */
+case class FunnelStats(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_tok", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("db_ppm", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("ttr_ppm", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("drop_rule", StringType,
+      nullable = false)))
+  override def prettyName: String = "funnel_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (STRING, BIGINT) inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+
+  override protected def nullSafeEval(s: Any, c: Any): Any =
+    VecKernel.funnelStats(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      c.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (s, c) => s"graft.functions.VecKernel.funnelStats($s, $c)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `interleave_bits(x, y)` — Morton/Z-order code of two nonnegative BIGINT
   * coordinates (low 31 bits each; see [[VecKernel.interleaveBits]]).
   * Inputs outside [0, 2³¹) are NULL — a silent mask would reorder large
@@ -767,6 +871,12 @@ object Kernels {
     */
   def token_stats(text: Column): Column =
     Shim.column(TokenStats(Shim.expression(text)))
+
+  /** Column API: one-pass x4j funnel metrics + first-failing-rule verdict
+    * over a STRING column and its BIGINT char count.
+    */
+  def funnel_stats(text: Column, nChars: Column): Column =
+    Shim.column(FunnelStats(Shim.expression(text), Shim.expression(nChars)))
 
   /** Column API: Morton/Z-order interleave of two nonnegative BIGINT
     * columns (low 31 bits each); null outside [0, 2³¹).
