@@ -437,6 +437,81 @@ object SimilarityQueries {
     (frags.size, partFiles(s"$idxDir/compact").size)
   }
 
+  // ---- q52y generational PQ store (compaction INSIDE the ingest loop) ----
+
+  private def idDirs(parent: java.io.File,
+      prefix: String): Seq[(Long, java.io.File)] =
+    Option(parent.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+      .map(f => (f.getName.stripPrefix(prefix).toLong, f))
+
+  /** Newest generation directory that finished writing (`_SUCCESS`
+    * present) — an interrupted generation write is invisible to readers.
+    */
+  private[graft] def latestCompleteGen(base: String): Option[(Long, java.io.File)] =
+    idDirs(new java.io.File(base), "gen=")
+      .filter { case (_, f) => new java.io.File(f, "_SUCCESS").exists() }
+      .sortBy(_._1).lastOption
+
+  /** The q52y maintenance step, run INSIDE the ingest loop every K
+    * batches: fold the previous generation (if any) and the fragment dirs
+    * up to `upTo` into one byte-budget-sharded `gen=<upTo>` directory,
+    * then drop the consumed inputs. x3n proves the same rewrite as an
+    * offline pass; this is the always-on form — the store's file count
+    * stays O(K + shards) forever instead of growing one dir per
+    * micro-batch (the classic streaming-sink scale-killer at 100 TB:
+    * ~8.6k dirs/day at 10 s triggers).
+    *
+    * Crash-safe at every window, composed with the stream's whole-batch
+    * replay (a foreachBatch that dies replays its batch id from the
+    * checkpoint):
+    *   - die MID-GENERATION-WRITE: no `_SUCCESS`, so readers and the
+    *     replay ignore the torn dir; no input was deleted yet, so the
+    *     replay recomputes from intact inputs (the overwrite replaces the
+    *     torn files — q52g's effectively-once device);
+    *   - die AFTER `_SUCCESS`, BEFORE/MID input deletion: the replay (and
+    *     any reader) takes the complete generation and IGNORES fragments
+    *     ≤ its id, so half-deleted inputs can't double-count; the replay
+    *     short-circuits the recompute and finishes the deletions.
+    * Deletion strictly AFTER `_SUCCESS` is the invariant that makes every
+    * window safe: consumed bytes exist in two places or one, never zero.
+    */
+  private[graft] def maintainPqStore(s: SparkSession, base: String, upTo: Long,
+      shardBudgetBytes: Long = 16L << 20): Unit = {
+    val genDir = new java.io.File(base, s"gen=$upTo")
+    if (!new java.io.File(genDir, "_SUCCESS").exists()) {
+      val prevGen = latestCompleteGen(base).filter(_._1 < upTo)
+      val frags = idDirs(new java.io.File(base, "frag"), "batch=")
+        .filter { case (id, _) => id <= upTo && prevGen.forall(id > _._1) }
+      val inputs = (prevGen.toSeq ++ frags).map(_._2.getAbsolutePath)
+      val totalBytes = inputs.flatMap(p => partFiles(p)).map(_.length).sum
+      val shards = math.max(1L,
+        (totalBytes + shardBudgetBytes - 1) / shardBudgetBytes).toInt
+      s.read.parquet(inputs: _*).repartition(shards)
+        .write.mode("overwrite").parquet(genDir.getAbsolutePath)
+    }
+    // idempotent tail — inputs dropped only once the generation is
+    // complete; a replay that finds `_SUCCESS` skips straight here
+    idDirs(new java.io.File(base, "frag"), "batch=").filter(_._1 <= upTo)
+      .foreach { case (_, f) => org.apache.commons.io.FileUtils.deleteQuietly(f) }
+    idDirs(new java.io.File(base), "gen=").filter(_._1 < upTo)
+      .foreach { case (_, f) => org.apache.commons.io.FileUtils.deleteQuietly(f) }
+  }
+
+  /** Reader of the q52y store: newest complete generation ∪ fragments
+    * NEWER than it (older fragments are either deleted or consumed-but-
+    * not-yet-deleted — reading them would double-count). Correct in every
+    * crash window [[maintainPqStore]] can leave behind.
+    */
+  private[graft] def readPqStore(s: SparkSession, base: String): DataFrame = {
+    val gen = latestCompleteGen(base)
+    val frags = idDirs(new java.io.File(base, "frag"), "batch=")
+      .filter { case (id, _) => gen.forall(id > _._1) }
+    val paths = (gen.toSeq ++ frags).map(_._2.getAbsolutePath)
+    require(paths.nonEmpty, s"empty PQ store at $base")
+    s.read.parquet(paths: _*)
+  }
+
   /** approx_cos from (adot, qn2, cn2) — the shared ADC tail. */
   private def adcCos(adots: DataFrame, norms: DataFrame): DataFrame =
     adots.filter(col("c_id") =!= col("q_id"))

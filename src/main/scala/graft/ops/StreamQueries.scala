@@ -313,6 +313,25 @@ object StreamQueries {
     } finally b.unpersist()
   }
 
+  /** The q52y per-batch body: q52g's frozen-codebook PQ encode into the
+    * batch's own overwrite fragment dir, then every `every`-th batch the
+    * generational compaction [[graft.ext.SimilarityQueries.maintainPqStore]]
+    * folds the accumulated fragments into one sharded generation INSIDE
+    * the loop. Factored out so the restart-chaos spec drives the
+    * identical writer under injected crashes.
+    */
+  private[graft] def annMaintainBatchWriter(cb: DataFrame, store: String,
+      every: Int)(batch: DataFrame, id: Long): Unit = {
+    val qb = batch.select(col("vec_id"),
+      graft.functions.Kernels.float_vec_quant(col("embedding")).as("qe"),
+      col("label"))
+    graft.ext.SimilarityQueries.pqEncode(qb, cb)
+      .select(col("vec_id"), col("s"), col("code"))
+      .write.mode("overwrite").parquet(s"$store/frag/batch=$id")
+    if ((id + 1) % every == 0)
+      graft.ext.SimilarityQueries.maintainPqStore(batch.sparkSession, store, id)
+  }
+
   /** Q52X (r13, VERDICT r12 #1): the four ingest shapes COMPOSED into one
     * continuous pipeline — the reference's entire architecture is exactly
     * one such always-on loop (decode → project → batch → sink,
@@ -1310,6 +1329,50 @@ object StreamQueries {
         q.awaitTermination()
         // partition discovery surfaces `batch` as a column; project it away
         s.read.parquet(out).select("vec_id", "s", "code")
+      },
+      Some(graft.ext.SimilarityQueries.pqCodesOracleSql)),
+
+    // Q52y (r13): streaming ANN ingest WITH MAINTENANCE IN THE LOOP —
+    // q52g's per-batch overwrite dirs are effectively-once but accumulate
+    // one directory per micro-batch (x3n bounds that offline; at 100 TB
+    // with 10 s triggers it's ~8.6k dirs/day). Here the compaction runs
+    // INSIDE the running stream: every 4th batch folds the previous
+    // generation + accumulated fragments into one byte-budget-sharded
+    // `gen=<id>` dir and drops the consumed inputs, so the store's file
+    // count is O(K + shards) FOREVER while the stream never stops — the
+    // always-on form of index maintenance every vector store runs.
+    // Crash-safety is generational: _SUCCESS gates visibility, deletion
+    // happens strictly after it, and readers take newest-complete-gen ∪
+    // newer fragments — StoreMaintainSpec pins every crash window and the
+    // whole-batch-replay composition. The fixture is ONE parquet file
+    // (= one AvailableNow batch), so arrivals are staged as 6 files
+    // admitted one per trigger; the oracle is q52g's code-assignment SQL
+    // verbatim — the hash gate proves ingest-with-maintenance ≡ plain
+    // ingest ≡ batch build, and the readback exercises the gen∪frag union
+    // (4-batch cadence over 6 batches ends mid-cycle by design).
+    Q("q52y_stream_index_maintain",
+      (s, d) => {
+        val base = graft.Tmp.sessionDir(s, "q52y")
+        val store = s"$base/store"
+        val cp = s"$base/cp"
+        val src = s"$base/src"
+        org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(store).toFile)
+        org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(cp).toFile)
+        val emb = Tables.embeddings(s, d)
+        emb.repartition(6).write.mode("overwrite").parquet(src)
+        val cb = graft.ext.SimilarityQueries
+          .pqBuildFrom(graft.ext.SimilarityQueries.quantFrame(s, d))._3
+          .localCheckpoint() // 128 rows, frozen outside the stream
+        val q = s.readStream.schema(emb.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+          .writeStream
+          .option("checkpointLocation", cp)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch(annMaintainBatchWriter(cb, store, 4) _)
+          .start()
+        q.awaitTermination()
+        graft.ext.SimilarityQueries.readPqStore(s, store)
+          .select("vec_id", "s", "code")
       },
       Some(graft.ext.SimilarityQueries.pqCodesOracleSql)),
 

@@ -1,0 +1,149 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.commons.io.FileUtils
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ext.SimilarityQueries
+
+/** q52y's generational store mechanics: [[SimilarityQueries.maintainPqStore]]
+  * must be idempotent and loss-free in EVERY crash window (the scaladoc's
+  * two-places-or-one invariant), and [[SimilarityQueries.readPqStore]]
+  * must return the exact row multiset in each of those windows. The
+  * registered query's oracle proves maintained-ingest ≡ batch build; this
+  * pins the windows the oracle can't reach (a clean drain never leaves a
+  * torn generation behind) plus the whole-batch-replay composition.
+  */
+class StoreMaintainSpec extends SparkSpec {
+
+  private def freshStore(tag: String): String = {
+    val dir = s"${graft.Tmp.root}/storemaint-$tag"
+    FileUtils.deleteQuietly(new java.io.File(dir))
+    dir
+  }
+
+  /** Six synthetic fragment dirs, 10 rows each: (vec_id, s, code). */
+  private def writeFrags(store: String): Unit = {
+    import spark.implicits._
+    (0 to 5).foreach { id =>
+      (0 until 10).map(i => (id * 10L + i, i % 8, i % 16))
+        .toDF("vec_id", "s", "code")
+        .coalesce(1).write.mode("overwrite").parquet(s"$store/frag/batch=$id")
+    }
+  }
+
+  private def rowSet(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  private def allRows: Set[String] =
+    (0 to 5).flatMap(id => (0 until 10).map(i =>
+      s"[${id * 10 + i},${i % 8},${i % 16}]")).toSet
+
+  test("maintain folds frags into one generation; reader unions gen with newer frags") {
+    val store = freshStore("clean")
+    writeFrags(store)
+    SimilarityQueries.maintainPqStore(spark, store, upTo = 3L)
+    // frags 0..3 consumed and dropped; 4,5 remain; one complete generation
+    val fragIds = Option(new java.io.File(s"$store/frag").listFiles())
+      .getOrElse(Array.empty).map(_.getName).sorted.toSeq
+    assert(fragIds == Seq("batch=4", "batch=5"), fragIds)
+    assert(new java.io.File(s"$store/gen=3/_SUCCESS").exists())
+    assert(rowSet(SimilarityQueries.readPqStore(spark, store)) == allRows)
+    // a second maintenance folds gen=3 with the tail and reaps the old gen
+    SimilarityQueries.maintainPqStore(spark, store, upTo = 5L)
+    assert(!new java.io.File(s"$store/gen=3").exists(), "old gen not reaped")
+    assert(new java.io.File(s"$store/gen=5/_SUCCESS").exists())
+    assert(Option(new java.io.File(s"$store/frag").listFiles())
+      .getOrElse(Array.empty).isEmpty, "all frags should be consumed")
+    assert(rowSet(SimilarityQueries.readPqStore(spark, store)) == allRows)
+  }
+
+  test("crash window: complete generation, deletions not yet run") {
+    val store = freshStore("postgen")
+    writeFrags(store)
+    SimilarityQueries.maintainPqStore(spark, store, upTo = 3L)
+    // simulate the replayed batch re-encoding its fragment AND the crashed
+    // attempt having deleted nothing: recreate frags 0..3 beside gen=3
+    writeFrags(store)
+    // reader must NOT double-count frags ≤ gen id
+    assert(rowSet(SimilarityQueries.readPqStore(spark, store)) == allRows)
+    val genFiles = SimilarityQueries.partFiles(s"$store/gen=3")
+      .map(f => (f.getName, f.length)).sorted
+    // replayed maintenance: short-circuits the recompute, finishes deletions
+    SimilarityQueries.maintainPqStore(spark, store, upTo = 3L)
+    assert(SimilarityQueries.partFiles(s"$store/gen=3")
+      .map(f => (f.getName, f.length)).sorted == genFiles,
+      "a complete generation must not be rewritten on replay")
+    assert(!new java.io.File(s"$store/frag/batch=0").exists())
+    assert(rowSet(SimilarityQueries.readPqStore(spark, store)) == allRows)
+  }
+
+  test("crash window: torn generation without _SUCCESS is invisible and rebuilt") {
+    val store = freshStore("torn")
+    writeFrags(store)
+    // a torn gen=3: parquet-ish junk, no _SUCCESS
+    val torn = new java.io.File(s"$store/gen=3")
+    torn.mkdirs()
+    java.nio.file.Files.write(torn.toPath.resolve("part-00000.parquet"),
+      Array[Byte](1, 2, 3))
+    // readers ignore it entirely
+    assert(rowSet(SimilarityQueries.readPqStore(spark, store)) == allRows)
+    // the replay rebuilds it from the intact inputs
+    SimilarityQueries.maintainPqStore(spark, store, upTo = 3L)
+    assert(new java.io.File(s"$store/gen=3/_SUCCESS").exists())
+    assert(rowSet(SimilarityQueries.readPqStore(spark, store)) == allRows)
+  }
+
+  test("stream composition: crash after in-loop maintenance, whole-batch replay") {
+    val base = s"${graft.Tmp.root}/storemaint-stream"
+    FileUtils.deleteQuietly(new java.io.File(base))
+    val store = s"$base/store"
+    val cp = s"$base/cp"
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+      .toSeq
+    val cb = SimilarityQueries
+      .pqBuildFrom(SimilarityQueries.quantFrame(spark, sf))._3.localCheckpoint()
+    val ms = MemoryStream[(Long, Seq[Float], Int)]
+    val injected = new AtomicBoolean(false)
+    def writer(b: org.apache.spark.sql.Dataset[(Long, Seq[Float], Int)],
+        id: Long): Unit = {
+      val batch = b.toDF("vec_id", "embedding", "label")
+      graft.ops.StreamQueries.annMaintainBatchWriter(cb, store, 4)(batch, id)
+      if (id == 3L && !injected.getAndSet(true))
+        throw new RuntimeException(
+          "injected crash after in-loop maintenance, before offset commit")
+    }
+    def start() = ms.toDS().writeStream
+      .option("checkpointLocation", cp).foreachBatch(writer _).start()
+    val groups = corpus.grouped(math.max(1, corpus.length / 6 + 1)).toSeq
+    val q1 = start()
+    groups.zipWithIndex.foreach { case (g, i) =>
+      ms.addData(g)
+      if (i < 3) q1.processAllAvailable()
+    }
+    intercept[Exception] { q1.processAllAvailable(); q1.awaitTermination() }
+    assert(!q1.isActive, "query must have died on the injected crash")
+    assert(new java.io.File(s"$store/gen=3/_SUCCESS").exists(),
+      "maintenance ran before the injected crash")
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = SimilarityQueries.readPqStore(spark, store)
+      .select("vec_id", "s", "code")
+    val want = SimilarityQueries.pqEncode(
+        SimilarityQueries.quantFrame(spark, sf), cb)
+      .select(col("vec_id"), col("s"), col("code"))
+    assert(rowSet(got) == rowSet(want),
+      "replayed maintenance must land exactly on the batch-computed codes")
+    assert(injected.get(), "the crash injection never fired")
+  }
+}
