@@ -94,6 +94,14 @@ object ScaleBench {
       // r13 index compaction: fragment + O(index) shard rewrite + serve —
       // linear in the store, never touching raw vectors
       "x3n_pq_index_compact",
+      // r13: ingest with in-loop generational compaction — per-batch cost
+      // tracks the batch, maintenance cost tracks the store, both linear;
+      // the bounded-store gate below pins the file-count claim
+      "q52y_stream_index_maintain",
+      // r13 BPE training: ONE corpus-sized word-frequency shuffle, then 8
+      // vocab-frame rounds — the ratio proves the rounds don't secretly
+      // rescan the corpus; the merge-stability gate below pins semantics
+      "x4k_bpe_train",
       // quality-filter-at-ingest: all four continuous ingest shapes are
       // now tier-gated; pure per-row map, the streaming linear control
       "q52h_stream_quality_ingest",
@@ -859,6 +867,45 @@ object ScaleBench {
       ((rows, nb, tr, tf), ok)
     }
 
+    // x4k merge stability at 30× (r13): replication copies every text ×30
+    // verbatim, so the learned merge SEQUENCE (step, pair, merged) must be
+    // identical to the base corpus's — BPE trained on a replicated corpus
+    // learns the same vocabulary (the planted x5g/x2e rows are 100-odd
+    // docs of noise against 150k and cannot reach the top-8 pair counts,
+    // so their presence perturbs counts, never the argmax order; counts
+    // are reported, not gated, for exactly that reason).
+    val (x4kBaseMerges, x4kScaledMerges, x4kStableOk) = {
+      val dir = fixture(tiers.head._1)
+      def merges(d: String): Seq[(Int, String, String)] =
+        SparkEntry.queries("x4k_bpe_train")(spark, d)
+          .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+          .sortBy(_._1).toSeq
+      val b = merges(base); val s = merges(dir)
+      val ok = b.nonEmpty && b == s
+      System.err.println(s"[scale] x4k merge stability at 30x: $ok " +
+        s"(base ${b.map(_._3).mkString(",")} vs ${s.map(_._3).mkString(",")})")
+      (b, s, ok)
+    }
+
+    // q52y bounded store at 30× (r13): after the tier's drain (6 staged
+    // batches, maintenance every 4th) the session store must hold exactly
+    // ONE complete generation and the 2-batch uncompacted tail — 6
+    // fragment dirs shrunk to gen + 2, the in-loop form of x3n's
+    // file-count win, held while the stream was still running.
+    val (q52yGens, q52yFrags, q52yOk) = {
+      val store = s"${graft.Tmp.sessionDir(spark, "q52y")}/store"
+      val gens = Option(new java.io.File(store).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .count(f => f.getName.startsWith("gen=") &&
+          new java.io.File(f, "_SUCCESS").exists())
+      val frags = Option(new java.io.File(s"$store/frag").listFiles())
+        .getOrElse(Array.empty[java.io.File]).count(_.isDirectory)
+      val ok = gens == 1 && frags == 2
+      System.err.println(
+        s"[scale] q52y store after drain: $gens gen(s) + $frags frag dir(s), ok=$ok")
+      (gens, frags, ok)
+    }
+
     // box calibration (VERDICT r10 #9: Bench carries it; BENCH_SCALE
     // ratios are within-run pairs — fine — but CROSS-round ratio drift was
     // unattributable without the same fixed-work yardstick here): the ONE
@@ -868,7 +915,8 @@ object ScaleBench {
     val ok = rows.forall { case (_, scale, b, s, r, _, _) =>
       b > 0 && s > 0 && r <= maxRatio(scale)
     } && recallOk && incrEqual && annOk && x2hIndexFlatOk &&
-      x5gOk && x2jCollapseOk && x2jSemOk && ingestInvOk && x3lFlatOk && x3lAppendEqual && q12bAbOk && x3nOk
+      x5gOk && x2jCollapseOk && x2jSemOk && ingestInvOk && x3lFlatOk &&
+      x3lAppendEqual && q12bAbOk && x3nOk && x4kStableOk && q52yOk
     val json = {
       val qs = rows.map { case (n, scale, b, s, r, sm, sd) =>
         f""""$n":{"scale":$scale,"base_sec":$b%.3f,"scaled_sec":$s%.3f,""" +
@@ -920,6 +968,13 @@ object ScaleBench {
         s""""x3n_compaction_30x":{"files_before":$x3nFilesBefore,""" +
         s""""files_after":$x3nFilesAfter,"serve_parity":$x3nServeEqual,""" +
         s""""ok":$x3nOk},""" +
+        s""""x4k_merge_stability_30x":{"n_merges":${x4kBaseMerges.size},""" +
+        s""""merged":[${x4kScaledMerges.map(m => s""""${m._3}"""").mkString(",")}],""" +
+        s""""base_equals_scaled":${x4kBaseMerges == x4kScaledMerges},""" +
+        s""""ok":$x4kStableOk},""" +
+        s""""q52y_bounded_store_30x":{"batches":6,"maintain_every":4,""" +
+        s""""gens":$q52yGens,"frag_dirs":$q52yFrags,""" +
+        s""""gate":"gens == 1 AND frag_dirs == 2","ok":$q52yOk},""" +
         s""""q12b_bucket_rule_30x":{"rows":${q12bAb._1},""" +
         s""""rule_buckets":${q12bAb._2},""" +
         f""""rule_sec":${q12bAb._3}%.3f,"fixed8_sec":${q12bAb._4}%.3f,""" +
