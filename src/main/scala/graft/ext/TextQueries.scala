@@ -440,7 +440,43 @@ object TextQueries {
     // replace, so the hash gate proves merge-for-merge equality.
     Q("x4k_bpe_train",
       (s, d) => bpeTrain(s, bpeWordFreq(Tables.documents(s, d)), BpeMerges),
-      Some(bpeOracle(BpeMerges)))
+      Some(bpeOracle(BpeMerges))),
+
+    // X4l: APPLY the trained BPE vocabulary — the token-budget counter a
+    // pipeline actually runs once a subword tokenizer exists (x4c counts
+    // whitespace tokens; real budgets count SUBWORD tokens). Train (x4k's
+    // loop) collects the 8 merge rules as driver scalars, then tokenizes
+    // every document with them: per (doc, word) the padded char sequence
+    // gets the 8 merges replayed in rank order (each the same two-pass
+    // greedy replace the trainer used — apply ≡ train rewrite by
+    // construction), subword count = symbols left. One explode + one
+    // groupBy(doc_id) with map-side combine; the merges ride into the
+    // executors as 8 literal constants, never a join. The oracle re-runs
+    // the training CTE chain and applies b1..b8 via the same scalar-
+    // subquery replaces, so the hash gate proves train+apply end-to-end:
+    // a drifted merge rule would shift some document's token count.
+    Q("x4l_bpe_apply",
+      (s, d) => {
+        val merges = bpeTrain(s, bpeWordFreq(Tables.documents(s, d)), BpeMerges)
+          .collect().sortBy(_.getInt(0))
+          .map(r => (r.getString(1), r.getString(2)))
+        val sym0 = concat(lit(" "), concat_ws(" ", expr(
+            "transform(sequence(1, char_length(word)), i -> substring(word, i, 1))")),
+          lit(" "))
+        val tokenized = merges.foldLeft(sym0) { case (c, (pair, merged)) =>
+          def rep(x: Column): Column = org.apache.spark.sql.functions
+            .replace(x, lit(s" $pair "), lit(s" $merged "))
+          rep(rep(c))
+        }
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+          .select(col("doc_id"),
+            size(split(trim(tokenized), " ")).cast(LongType).as("n_sub"))
+          .groupBy("doc_id")
+          .agg(sum(col("n_sub")).as("n_subword"), count(lit(1)).as("n_words"))
+      },
+      Some(bpeApplyOracle(BpeMerges)))
   )
 
   private val BpeMerges = 8
@@ -517,7 +553,7 @@ object TextQueries {
     * copies of the base scan — materialization keeps the replay linear,
     * mirroring the engine's per-round localCheckpoint.
     */
-  private def bpeOracle(nMerges: Int): String = {
+  private def bpeCtes(nMerges: Int): String = {
     val w0 =
       """w0 AS MATERIALIZED (SELECT ' ' || array_to_string(
           list_transform(generate_series(1, len(word)), i -> word[i]), ' ')
@@ -538,10 +574,40 @@ object TextQueries {
             ' ' || (SELECT pair FROM b$i) || ' ', ' ' || (SELECT merged FROM b$i) || ' ') AS sym,
           cnt FROM w${i - 1})"""
     }
+    s"$w0, ${stages.mkString(", ")}"
+  }
+
+  private def bpeOracle(nMerges: Int): String = {
     val sel = (1 to nMerges).map(i =>
       s"SELECT $i AS step, pair, merged, CAST(c AS BIGINT) AS cnt FROM b$i")
       .mkString(" UNION ALL ")
-    s"WITH $w0, ${stages.mkString(", ")} $sel"
+    s"WITH ${bpeCtes(nMerges)} $sel"
+  }
+
+  /** x4l's replay: the x4k training chain (unused trailing CTEs cost
+    * nothing) feeding a per-(doc, word) application chain — t(i) replays
+    * merge i with the identical two-pass padded replace, subword count =
+    * symbols left after t(nMerges).
+    */
+  private def bpeApplyOracle(nMerges: Int): String = {
+    val t0 =
+      """docw AS MATERIALIZED (SELECT doc_id, word FROM
+          (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+          WHERE len(word) > 0),
+        t0 AS MATERIALIZED (SELECT doc_id, ' ' || array_to_string(
+          list_transform(generate_series(1, len(word)), i -> word[i]), ' ')
+          || ' ' AS sym FROM docw)"""
+    val apps = (1 to nMerges).map { i =>
+      s"""t$i AS MATERIALIZED (SELECT doc_id, replace(replace(sym,
+          ' ' || (SELECT pair FROM b$i) || ' ', ' ' || (SELECT merged FROM b$i) || ' '),
+          ' ' || (SELECT pair FROM b$i) || ' ', ' ' || (SELECT merged FROM b$i) || ' ') AS sym
+        FROM t${i - 1})"""
+    }
+    s"""WITH ${bpeCtes(nMerges)}, $t0, ${apps.mkString(", ")}
+      SELECT doc_id,
+        CAST(SUM(len(string_split(trim(sym), ' '))) AS BIGINT) AS n_subword,
+        CAST(count(*) AS BIGINT) AS n_words
+      FROM t$nMerges GROUP BY doc_id"""
   }
 
   private val bm25Terms = Seq("spark", "merge", "vector", "customer")
