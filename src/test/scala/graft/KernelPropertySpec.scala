@@ -135,6 +135,38 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("property: funnelStats equals the expression-formulation reference") {
+    // the r13 kernel replaced split/transform/array_distinct/CASE columns
+    // (TextQueries.withFunnelVerdict) — this is that retired formulation
+    // as a direct reference, over texts with consecutive/leading/trailing
+    // spaces (split keeps the empty tokens; so must the kernel)
+    def ref(text: String, nChars: Long): (Long, Long, Long, String) = {
+      val w = text.split(" ", -1) // limit -1 = Spark split semantics
+      val n = w.length.toLong
+      val bg = if (w.length >= 2) w.sliding(2).map(_.mkString(" ")).toSeq else Nil
+      val dbPpm =
+        if (bg.nonEmpty) (bg.length - bg.distinct.length).toLong * 1000000L / bg.length
+        else 0L
+      val ttrPpm = w.distinct.length.toLong * 1000000L / n
+      val rule =
+        if (n < 20L) "too_short"
+        else if (nChars * 100L / n >= 600L) "long_words"
+        else if (dbPpm >= 200000L) "repetitive"
+        else if (ttrPpm < 300000L) "low_diversity"
+        else "kept"
+      (n, dbPpm, ttrPpm, rule)
+    }
+    val textGen = Gen.chooseNum(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', ' ', ' ')).map(_.mkString))
+    check(Prop.forAll(textGen, Gen.chooseNum(0L, 5000L)) {
+      (text: String, nChars: Long) =>
+        val row = VecKernel.funnelStats(UTF8String.fromString(text), nChars)
+        val got = (row.getLong(0), row.getLong(1), row.getLong(2),
+          row.getUTF8String(3).toString)
+        got == ref(text, nChars)
+    })
+  }
+
   test("property: sortedIntersectSize equals the set-intersection size") {
     val setGen = Gen.chooseNum(0, 40).flatMap(n =>
       Gen.listOfN(n, Gen.alphaNumStr.map(_.take(4))))
