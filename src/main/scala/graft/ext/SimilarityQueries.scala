@@ -502,6 +502,16 @@ object SimilarityQueries {
     * NEWER than it (older fragments are either deleted or consumed-but-
     * not-yet-deleted — reading them would double-count). Correct in every
     * crash window [[maintainPqStore]] can leave behind.
+    *
+    * Contract bound: the listing happens HERE, the file reads happen at
+    * the consumer's action — a maintenance pass running in between can
+    * delete a listed fragment, which fails the read loudly
+    * (FileNotFoundException; never a silent row loss, since a fragment
+    * either reads fully or throws). Every call site drains the stream
+    * before reading, so the window is unreachable today; serving
+    * CONCURRENTLY with maintenance would need deletion deferred by a
+    * grace period and reader retry — the snapshot-isolation pattern
+    * Iceberg/Delta use — not a different store layout.
     */
   private[graft] def readPqStore(s: SparkSession, base: String): DataFrame = {
     val gen = latestCompleteGen(base)
