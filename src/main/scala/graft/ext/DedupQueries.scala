@@ -780,7 +780,6 @@ object DedupQueries {
         // must produce it; a dropped band-key column, a broken chunk
         // extraction, or a lost collapse all fail the witness.
         val c = collapsedLsh(s, d)
-        Caching.withPersistedAll(c.caches) {
         val simReps = c.shReps.select(col("doc_id"),
           graft.functions.Kernels.simhash_sig(col("sh")).as("sim"))
         // deterministic witness group: smallest digest among duplicate
@@ -794,7 +793,12 @@ object DedupQueries {
         val injected = dupGroup
           .join(simReps, col("doc_id") === col("wa"))
           .select(col("wb").as("doc_id"), col("sim"))
+        // persisted: consumed TWICE below (the witness semi-join and the
+        // full pair-count anchor) — without the pin the simhash + band
+        // join subtree executes once per consumer (measured: most of the
+        // query's wall time at fixture scale was this second execution)
         val lshPairs = simhashLshPairs(simReps.unionByName(injected))
+        Caching.withPersistedAll(c.caches :+ lshPairs) {
         val witnessed = lshPairs
           .join(dupGroup.select(col("wa").as("a"), col("wb").as("b")),
             Seq("a", "b"), "left_semi")
