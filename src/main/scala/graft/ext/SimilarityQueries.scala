@@ -1435,6 +1435,10 @@ object SimilarityQueries {
           .agg(sort_array(collect_list(struct(col("pos"), col("lo"), col("hi")))).as("t"))
           .select(transform(col("t"), x => x.getField("lo")).as("lo_arr"),
             transform(col("t"), x => x.getField("hi")).as("hi_arr"))
+          // 1 row; pinned so the per-dim min/max pass (posexplode of the
+          // whole corpus) runs once — the broadcast query side, the
+          // corpus scoring side, and the dequantizer all reference it
+          .localCheckpoint()
         val codes = e.crossJoin(broadcast(arrs)).select(col("vec_id"),
           expr("""transform(sequence(1, 64), i ->
               CASE WHEN element_at(hi_arr, i) = element_at(lo_arr, i) THEN 0L
