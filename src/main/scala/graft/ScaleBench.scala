@@ -888,10 +888,11 @@ object ScaleBench {
     }
 
     // q52y bounded store at 30× (r13): after the tier's drain (6 staged
-    // batches, maintenance every 4th) the session store must hold exactly
-    // ONE complete generation and the 2-batch uncompacted tail — 6
-    // fragment dirs shrunk to gen + 2, the in-loop form of x3n's
-    // file-count win, held while the stream was still running.
+    // batches, maintenance every 2nd, expiry one cycle late) the session
+    // store must hold exactly the newest TWO complete generations (the
+    // read-grace retention) and the last cycle's 2 consumed-but-retained
+    // fragments — 6 fragment dirs bounded to 2 gens + 2, the in-loop form
+    // of x3n's file-count win, held while the stream was still running.
     val (q52yGens, q52yFrags, q52yOk) = {
       val store = s"${graft.Tmp.sessionDir(spark, "q52y")}/store"
       val gens = Option(new java.io.File(store).listFiles())
@@ -900,7 +901,7 @@ object ScaleBench {
           new java.io.File(f, "_SUCCESS").exists())
       val frags = Option(new java.io.File(s"$store/frag").listFiles())
         .getOrElse(Array.empty[java.io.File]).count(_.isDirectory)
-      val ok = gens == 1 && frags == 2
+      val ok = gens == 2 && frags == 2
       System.err.println(
         s"[scale] q52y store after drain: $gens gen(s) + $frags frag dir(s), ok=$ok")
       (gens, frags, ok)
@@ -972,9 +973,10 @@ object ScaleBench {
         s""""merged":[${x4kScaledMerges.map(m => s""""${m._3}"""").mkString(",")}],""" +
         s""""base_equals_scaled":${x4kBaseMerges == x4kScaledMerges},""" +
         s""""ok":$x4kStableOk},""" +
-        s""""q52y_bounded_store_30x":{"batches":6,"maintain_every":4,""" +
-        s""""gens":$q52yGens,"frag_dirs":$q52yFrags,""" +
-        s""""gate":"gens == 1 AND frag_dirs == 2","ok":$q52yOk},""" +
+        s""""q52y_bounded_store_30x":{"batches":6,"maintain_every":2,""" +
+        s""""grace":"expiry one cycle late","gens":$q52yGens,""" +
+        s""""frag_dirs":$q52yFrags,""" +
+        s""""gate":"gens == 2 AND frag_dirs == 2","ok":$q52yOk},""" +
         s""""q12b_bucket_rule_30x":{"rows":${q12bAb._1},""" +
         s""""rule_buckets":${q12bAb._2},""" +
         f""""rule_sec":${q12bAb._3}%.3f,"fixed8_sec":${q12bAb._4}%.3f,""" +

@@ -456,46 +456,69 @@ object SimilarityQueries {
   /** The q52y maintenance step, run INSIDE the ingest loop every K
     * batches: fold the previous generation (if any) and the fragment dirs
     * up to `upTo` into one byte-budget-sharded `gen=<upTo>` directory,
-    * then drop the consumed inputs. x3n proves the same rewrite as an
-    * offline pass; this is the always-on form — the store's file count
-    * stays O(K + shards) forever instead of growing one dir per
-    * micro-batch (the classic streaming-sink scale-killer at 100 TB:
-    * ~8.6k dirs/day at 10 s triggers).
+    * then expire inputs consumed by the cycle BEFORE this one. x3n proves
+    * the same rewrite as an offline pass; this is the always-on form —
+    * the store's file count stays O(2·K + shards) forever instead of
+    * growing one dir per micro-batch (the classic streaming-sink
+    * scale-killer at 100 TB: ~8.6k dirs/day at 10 s triggers).
+    *
+    * Expiry is deferred by ONE maintenance cycle (the Iceberg/Delta
+    * snapshot-expiry contract): a reader that planned against the
+    * pre-`gen=<upTo>` listing keeps reading the fragments and previous
+    * generation it listed — they stay on disk until the NEXT cycle — so
+    * serving stays correct WHILE maintenance runs, provided a read
+    * completes within one cycle (production tunes the cadence to its
+    * slowest reader; StoreMaintainSpec pins plan → maintain → collect).
     *
     * Crash-safe at every window, composed with the stream's whole-batch
     * replay (a foreachBatch that dies replays its batch id from the
     * checkpoint):
     *   - die MID-GENERATION-WRITE: no `_SUCCESS`, so readers and the
-    *     replay ignore the torn dir; no input was deleted yet, so the
+    *     replay ignore the torn dir; nothing was expired yet, so the
     *     replay recomputes from intact inputs (the overwrite replaces the
     *     torn files — q52g's effectively-once device);
-    *   - die AFTER `_SUCCESS`, BEFORE/MID input deletion: the replay (and
-    *     any reader) takes the complete generation and IGNORES fragments
-    *     ≤ its id, so half-deleted inputs can't double-count; the replay
-    *     short-circuits the recompute and finishes the deletions.
-    * Deletion strictly AFTER `_SUCCESS` is the invariant that makes every
-    * window safe: consumed bytes exist in two places or one, never zero.
+    *   - die AFTER `_SUCCESS`, BEFORE/MID expiry: the replay (and any
+    *     reader) takes the newest complete generation and IGNORES
+    *     fragments ≤ its id, so half-expired inputs can't double-count;
+    *     the replay short-circuits the recompute and finishes the expiry.
+    * Expiry strictly AFTER `_SUCCESS`, one cycle late, is the invariant:
+    * consumed bytes exist in two places or one, never zero — and stay
+    * readable for the cycle a planned read may still need them.
     */
   private[graft] def maintainPqStore(s: SparkSession, base: String, upTo: Long,
       shardBudgetBytes: Long = 16L << 20): Unit = {
     val genDir = new java.io.File(base, s"gen=$upTo")
+    // newest complete generation STRICTLY below upTo — not "newest overall
+    // if it happens to be below": on a replay, gen=<upTo> itself is the
+    // newest, and deriving None here would skip the expiry the crashed
+    // attempt owed (caught by StoreMaintainSpec's replay window)
+    val prevGenId = idDirs(new java.io.File(base), "gen=")
+      .filter { case (id, f) =>
+        id < upTo && new java.io.File(f, "_SUCCESS").exists() }
+      .map(_._1).sorted.lastOption
     if (!new java.io.File(genDir, "_SUCCESS").exists()) {
-      val prevGen = latestCompleteGen(base).filter(_._1 < upTo)
       val frags = idDirs(new java.io.File(base, "frag"), "batch=")
-        .filter { case (id, _) => id <= upTo && prevGen.forall(id > _._1) }
-      val inputs = (prevGen.toSeq ++ frags).map(_._2.getAbsolutePath)
+        .filter { case (id, _) => id <= upTo && prevGenId.forall(id > _) }
+      val prevGen = prevGenId.map(p => new java.io.File(base, s"gen=$p"))
+      val inputs = (prevGen.toSeq ++ frags.map(_._2)).map(_.getAbsolutePath)
       val totalBytes = inputs.flatMap(p => partFiles(p)).map(_.length).sum
       val shards = math.max(1L,
         (totalBytes + shardBudgetBytes - 1) / shardBudgetBytes).toInt
       s.read.parquet(inputs: _*).repartition(shards)
         .write.mode("overwrite").parquet(genDir.getAbsolutePath)
     }
-    // idempotent tail — inputs dropped only once the generation is
-    // complete; a replay that finds `_SUCCESS` skips straight here
-    idDirs(new java.io.File(base, "frag"), "batch=").filter(_._1 <= upTo)
-      .foreach { case (_, f) => org.apache.commons.io.FileUtils.deleteQuietly(f) }
-    idDirs(new java.io.File(base), "gen=").filter(_._1 < upTo)
-      .foreach { case (_, f) => org.apache.commons.io.FileUtils.deleteQuietly(f) }
+    // idempotent expiry tail — one cycle LATE: drop fragments consumed by
+    // the PREVIOUS generation and generations older than it; what this
+    // cycle consumed survives until the next one (the read grace period).
+    // A replay that finds `_SUCCESS` skips straight here.
+    prevGenId.foreach { p =>
+      idDirs(new java.io.File(base, "frag"), "batch=").filter(_._1 <= p)
+        .foreach { case (_, f) =>
+          org.apache.commons.io.FileUtils.deleteQuietly(f) }
+      idDirs(new java.io.File(base), "gen=").filter(_._1 < p)
+        .foreach { case (_, f) =>
+          org.apache.commons.io.FileUtils.deleteQuietly(f) }
+    }
   }
 
   /** Reader of the q52y store: newest complete generation ∪ fragments
@@ -503,15 +526,14 @@ object SimilarityQueries {
     * not-yet-deleted — reading them would double-count). Correct in every
     * crash window [[maintainPqStore]] can leave behind.
     *
-    * Contract bound: the listing happens HERE, the file reads happen at
-    * the consumer's action — a maintenance pass running in between can
-    * delete a listed fragment, which fails the read loudly
-    * (FileNotFoundException; never a silent row loss, since a fragment
-    * either reads fully or throws). Every call site drains the stream
-    * before reading, so the window is unreachable today; serving
-    * CONCURRENTLY with maintenance would need deletion deferred by a
-    * grace period and reader retry — the snapshot-isolation pattern
-    * Iceberg/Delta use — not a different store layout.
+    * Serve-while-maintain contract: the listing happens HERE, the file
+    * reads happen at the consumer's action. [[maintainPqStore]] expires
+    * consumed inputs ONE CYCLE LATE, so a read that plans against the
+    * pre-maintenance listing stays valid across the next maintenance
+    * cycle — the snapshot-expiry grace Iceberg/Delta give readers. A plan
+    * held across TWO cycles fails loudly (FileNotFoundException; never a
+    * silent row loss — a listed fragment either reads fully or throws).
+    * StoreMaintainSpec pins both sides of the bound.
     */
   private[graft] def readPqStore(s: SparkSession, base: String): DataFrame = {
     val gen = latestCompleteGen(base)

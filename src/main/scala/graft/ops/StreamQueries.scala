@@ -1336,20 +1336,22 @@ object StreamQueries {
     // q52g's per-batch overwrite dirs are effectively-once but accumulate
     // one directory per micro-batch (x3n bounds that offline; at 100 TB
     // with 10 s triggers it's ~8.6k dirs/day). Here the compaction runs
-    // INSIDE the running stream: every 4th batch folds the previous
+    // INSIDE the running stream: every 2nd batch folds the previous
     // generation + accumulated fragments into one byte-budget-sharded
-    // `gen=<id>` dir and drops the consumed inputs, so the store's file
-    // count is O(K + shards) FOREVER while the stream never stops — the
-    // always-on form of index maintenance every vector store runs.
-    // Crash-safety is generational: _SUCCESS gates visibility, deletion
-    // happens strictly after it, and readers take newest-complete-gen ∪
-    // newer fragments — StoreMaintainSpec pins every crash window and the
-    // whole-batch-replay composition. The fixture is ONE parquet file
-    // (= one AvailableNow batch), so arrivals are staged as 6 files
-    // admitted one per trigger; the oracle is q52g's code-assignment SQL
-    // verbatim — the hash gate proves ingest-with-maintenance ≡ plain
-    // ingest ≡ batch build, and the readback exercises the gen∪frag union
-    // (4-batch cadence over 6 batches ends mid-cycle by design).
+    // `gen=<id>` dir, and inputs consumed by the PREVIOUS cycle expire —
+    // one cycle late, the Iceberg/Delta snapshot-expiry grace that keeps
+    // reads planned before a cycle valid through it (serve WHILE
+    // maintaining) — so the store's file count is O(2·K + shards) FOREVER
+    // while the stream never stops. Crash-safety is generational:
+    // _SUCCESS gates visibility, expiry runs strictly after it, and
+    // readers take newest-complete-gen ∪ newer fragments —
+    // StoreMaintainSpec pins every crash window, the whole-batch-replay
+    // composition, and both sides of the one-cycle read grace. The
+    // fixture is ONE parquet file (= one AvailableNow batch), so arrivals
+    // are staged as 6 files admitted one per trigger (3 maintenance
+    // cycles); the oracle is q52g's code-assignment SQL verbatim — the
+    // hash gate proves ingest-with-maintenance ≡ plain ingest ≡ batch
+    // build.
     Q("q52y_stream_index_maintain",
       (s, d) => {
         val base = graft.Tmp.sessionDir(s, "q52y")
@@ -1368,7 +1370,7 @@ object StreamQueries {
           .writeStream
           .option("checkpointLocation", cp)
           .trigger(Trigger.AvailableNow())
-          .foreachBatch(annMaintainBatchWriter(cb, store, 4) _)
+          .foreachBatch(annMaintainBatchWriter(cb, store, 2) _)
           .start()
         q.awaitTermination()
         graft.ext.SimilarityQueries.readPqStore(s, store)

@@ -43,43 +43,71 @@ class StoreMaintainSpec extends SparkSpec {
     (0 to 5).flatMap(id => (0 until 10).map(i =>
       s"[${id * 10 + i},${i % 8},${i % 16}]")).toSet
 
-  test("maintain folds frags into one generation; reader unions gen with newer frags") {
+  test("maintain folds frags into generations; expiry runs one cycle late") {
     val store = freshStore("clean")
     writeFrags(store)
     SimilarityQueries.maintainPqStore(spark, store, upTo = 3L)
-    // frags 0..3 consumed and dropped; 4,5 remain; one complete generation
+    // first cycle: gen=3 complete; consumed frags RETAINED (read grace —
+    // there is no previous cycle whose inputs could expire yet)
+    assert(new java.io.File(s"$store/gen=3/_SUCCESS").exists())
     val fragIds = Option(new java.io.File(s"$store/frag").listFiles())
       .getOrElse(Array.empty).map(_.getName).sorted.toSeq
-    assert(fragIds == Seq("batch=4", "batch=5"), fragIds)
-    assert(new java.io.File(s"$store/gen=3/_SUCCESS").exists())
+    assert(fragIds == (0 to 5).map(i => s"batch=$i"), fragIds)
     assert(rowSet(SimilarityQueries.readPqStore(spark, store)) == allRows)
-    // a second maintenance folds gen=3 with the tail and reaps the old gen
+    // second cycle: gen=5 folds gen=3 + frags 4,5; the PREVIOUS cycle's
+    // inputs (frags ≤ 3) expire; gen=3 itself is retained for readers
+    // planned before this cycle
     SimilarityQueries.maintainPqStore(spark, store, upTo = 5L)
-    assert(!new java.io.File(s"$store/gen=3").exists(), "old gen not reaped")
     assert(new java.io.File(s"$store/gen=5/_SUCCESS").exists())
-    assert(Option(new java.io.File(s"$store/frag").listFiles())
-      .getOrElse(Array.empty).isEmpty, "all frags should be consumed")
+    assert(new java.io.File(s"$store/gen=3").exists(), "grace gen reaped early")
+    val after = Option(new java.io.File(s"$store/frag").listFiles())
+      .getOrElse(Array.empty).map(_.getName).sorted.toSeq
+    assert(after == Seq("batch=4", "batch=5"), after)
     assert(rowSet(SimilarityQueries.readPqStore(spark, store)) == allRows)
   }
 
-  test("crash window: complete generation, deletions not yet run") {
+  test("crash window: complete generation, expiry not yet run") {
     val store = freshStore("postgen")
     writeFrags(store)
+    SimilarityQueries.maintainPqStore(spark, store, upTo = 1L)
     SimilarityQueries.maintainPqStore(spark, store, upTo = 3L)
     // simulate the replayed batch re-encoding its fragment AND the crashed
-    // attempt having deleted nothing: recreate frags 0..3 beside gen=3
+    // attempt having expired nothing: recreate all frags beside gen=3
     writeFrags(store)
     // reader must NOT double-count frags ≤ gen id
     assert(rowSet(SimilarityQueries.readPqStore(spark, store)) == allRows)
     val genFiles = SimilarityQueries.partFiles(s"$store/gen=3")
       .map(f => (f.getName, f.length)).sorted
-    // replayed maintenance: short-circuits the recompute, finishes deletions
+    // replayed maintenance: short-circuits the recompute, finishes the
+    // expiry of the PREVIOUS cycle's inputs (≤ gen=1); this cycle's own
+    // inputs keep their grace
     SimilarityQueries.maintainPqStore(spark, store, upTo = 3L)
     assert(SimilarityQueries.partFiles(s"$store/gen=3")
       .map(f => (f.getName, f.length)).sorted == genFiles,
       "a complete generation must not be rewritten on replay")
     assert(!new java.io.File(s"$store/frag/batch=0").exists())
+    assert(new java.io.File(s"$store/frag/batch=2").exists(),
+      "this cycle's consumed inputs must keep their read grace")
     assert(rowSet(SimilarityQueries.readPqStore(spark, store)) == allRows)
+  }
+
+  test("read grace: a plan survives one maintenance cycle, not two") {
+    val store = freshStore("grace")
+    writeFrags(store)
+    SimilarityQueries.maintainPqStore(spark, store, upTo = 1L)
+    // planned against the post-cycle-1 listing: gen=1 ∪ frags 2..5
+    val planned = SimilarityQueries.readPqStore(spark, store)
+    SimilarityQueries.maintainPqStore(spark, store, upTo = 3L)
+    // one cycle later every listed path is still on disk (frags ≤ 1
+    // expired, but the plan reads gen=1, which is retained)
+    assert(rowSet(planned) == allRows,
+      "a plan must stay valid across one maintenance cycle")
+    val planned2 = SimilarityQueries.readPqStore(spark, store)
+    SimilarityQueries.maintainPqStore(spark, store, upTo = 5L)
+    assert(rowSet(planned2) == allRows)
+    // two cycles later gen=1 and frags ≤ 3 are expired: the stale plan
+    // fails LOUDLY — never a silent partial row set
+    intercept[Exception] { planned.collect() }
   }
 
   test("crash window: torn generation without _SUCCESS is invisible and rebuilt") {
@@ -117,7 +145,7 @@ class StoreMaintainSpec extends SparkSpec {
     def writer(b: org.apache.spark.sql.Dataset[(Long, Seq[Float], Int)],
         id: Long): Unit = {
       val batch = b.toDF("vec_id", "embedding", "label")
-      graft.ops.StreamQueries.annMaintainBatchWriter(cb, store, 4)(batch, id)
+      graft.ops.StreamQueries.annMaintainBatchWriter(cb, store, 2)(batch, id)
       if (id == 3L && !injected.getAndSet(true))
         throw new RuntimeException(
           "injected crash after in-loop maintenance, before offset commit")
