@@ -476,7 +476,71 @@ object TextQueries {
           .groupBy("doc_id")
           .agg(sum(col("n_sub")).as("n_subword"), count(lit(1)).as("n_words"))
       },
-      Some(bpeApplyOracle(BpeMerges)))
+      Some(bpeApplyOracle(BpeMerges))),
+
+    // X3p: HYBRID retrieval with reciprocal-rank fusion — the serving
+    // pattern RAG stacks actually run: a lexical ranker (x4f's BM25, one
+    // term per query) and a vector ranker (x3's exact quantized cosine,
+    // one query vector per query) each produce a top-20 list, fused as
+    // Σ 1/(60+rank) over a full-outer join (Cormack et al. 2009's RRF —
+    // rank-based, so the two scorers' incomparable scales never meet).
+    // Four hybrid queries: query i = (term i, query vector i). 100 TB
+    // posture: the lexical side is one scan + a 1-row broadcast stats
+    // frame + a per-qid top-20 window over docs that CONTAIN the term;
+    // the vector side is the brute baseline here (x3c/x3i are the scale
+    // path — swap the ranker, the fusion is unchanged); fusion joins two
+    // 80-row frames. Ranks tie-break on doc_id and every float is the
+    // same expression text on both sides, so the RRF doubles are
+    // IEEE-exact against the oracle.
+    Q("x3p_hybrid_rrf",
+      (s, d) => {
+        val w = split(col("text"), " ")
+        val base = Tables.documents(s, d).select(
+          col("doc_id") +: size(w).as("dl") +:
+            bm25Terms.zipWithIndex.map { case (t, i) =>
+              size(filter(w, x => x === lit(t))).as(s"tf$i") }: _*)
+        val stats = base.agg(
+          count(lit(1)).as("n"),
+          sum(col("dl")).as("sumdl") +:
+            bm25Terms.indices.map(i =>
+              sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+          .withColumn("avgdl",
+            col("sumdl").cast(DoubleType) / col("n").cast(DoubleType))
+        val arms = bm25Terms.indices.map(i => struct(
+          lit(i).as("qid"), col(s"tf$i").as("tf"), col(s"df$i").as("df")))
+        val lex = base.crossJoin(broadcast(stats))
+          .select(col("doc_id"), col("dl"), col("n"), col("avgdl"),
+            explode(array(arms: _*)).as("t"))
+          .filter(col("t.tf") > 0)
+          .select(col("t.qid").as("qid"), col("doc_id"),
+            bm25Contrib(col("t.tf"), col("t.df"), col("n"), col("dl"),
+              col("avgdl")).as("score"))
+        val wl = Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("doc_id"))
+        val lt = lex.withColumn("rl", row_number().over(wl))
+          .filter(col("rl") <= 20).select("qid", "doc_id", "rl")
+        val e = SimilarityQueries.quantFrame(s, d)
+          .select(col("vec_id"), col("qe"))
+        val q = e.filter(col("vec_id") < 4)
+          .select(col("vec_id").cast(IntegerType).as("qid"),
+            col("qe").as("qemb"))
+        val wv = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("doc_id"))
+        val vt = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("doc_id"),
+            SimilarityQueries.qcos(col("qemb"), col("qe")).as("cos"))
+          .withColumn("rv", row_number().over(wv))
+          .filter(col("rv") <= 20).select("qid", "doc_id", "rv")
+        val f = lt.join(vt, Seq("qid", "doc_id"), "full_outer")
+          .select(col("qid"), col("doc_id"),
+            (coalesce(lit(1.0) / (lit(60) + col("rl")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0))).as("rrf"))
+        val wf = Window.partitionBy(col("qid"))
+          .orderBy(col("rrf").desc, col("doc_id"))
+        f.withColumn("rank", row_number().over(wf)).filter(col("rank") <= 10)
+          .select(col("qid"), col("rank"), col("doc_id"), col("rrf"))
+      },
+      Some(hybridRrfSql))
   )
 
   private val BpeMerges = 8
@@ -644,24 +708,67 @@ object TextQueries {
       .limit(10)
   }
 
-  private def bm25Sql: String = {
+  /** One term's BM25 contribution as SQL — the character-for-character
+    * mirror of [[bm25Contrib]], shared by the x4f oracle (summed) and the
+    * x3p hybrid oracle (per-term).
+    */
+  private def sqlBm25Contrib(i: Int): String =
+    s"(((CAST(n - df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5)) * " +
+      s"((CAST(tf$i AS DOUBLE) * 2.2) / (CAST(tf$i AS DOUBLE) + " +
+      s"(1.2 * (0.25 + (0.75 * (CAST(dl AS DOUBLE) / avgdl)))))))"
+
+  /** The shared base/stats CTE text behind x4f and x3p: per-doc term
+    * frequencies + the 1-row corpus statistics.
+    */
+  private def bm25BaseCtes: String = {
     val tfs = bm25Terms.zipWithIndex
       .map { case (t, i) => s"len(list_filter(w, x -> x = '$t')) AS tf$i" }
       .mkString(", ")
     val dfs = bm25Terms.indices
       .map(i => s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
       .mkString(", ")
-    val contribs = bm25Terms.indices.map(i =>
-      s"(((CAST(n - df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5)) * " +
-        s"((CAST(tf$i AS DOUBLE) * 2.2) / (CAST(tf$i AS DOUBLE) + " +
-        s"(1.2 * (0.25 + (0.75 * (CAST(dl AS DOUBLE) / avgdl)))))))")
-      .mkString(" + ")
-    s"""WITH base AS (SELECT doc_id, len(w) AS dl, $tfs
+    s"""base AS (SELECT doc_id, len(w) AS dl, $tfs
         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
       stats AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl, $dfs,
-        CAST(SUM(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM base)
+        CAST(SUM(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM base)"""
+  }
+
+  private def bm25Sql: String = {
+    val contribs = bm25Terms.indices.map(sqlBm25Contrib).mkString(" + ")
+    s"""WITH $bm25BaseCtes
       SELECT doc_id, $contribs AS score
       FROM base CROSS JOIN stats
       ORDER BY score DESC, doc_id LIMIT 10"""
+  }
+
+  /** x3p's oracle: lexical top-20 per term (single-term BM25, rank ties
+    * by doc_id), vector top-20 per query vector (exact quantized cosine,
+    * the ScoredCte device), full-outer RRF fusion at k=60, top-10. Every
+    * floating intermediate is the identical expression text on both
+    * sides, so ranks and the two-term RRF sum are IEEE-exact.
+    */
+  private def hybridRrfSql: String = {
+    val lexArms = bm25Terms.indices.map(i =>
+      s"""SELECT $i AS qid, doc_id, ${sqlBm25Contrib(i)} AS score
+          FROM base CROSS JOIN stats WHERE tf$i > 0""").mkString(" UNION ALL ")
+    s"""WITH $bm25BaseCtes,
+      lex AS (SELECT qid, doc_id, row_number() OVER
+          (PARTITION BY qid ORDER BY score DESC, doc_id) AS rl
+        FROM ($lexArms)),
+      e AS (SELECT vec_id, ${SimilarityQueries.sqlQuant("embedding")} AS qe FROM embeddings),
+      q AS (SELECT CAST(vec_id AS INTEGER) AS qid, qe AS qemb FROM e WHERE vec_id < 4),
+      vecr AS (SELECT qid, c.vec_id AS doc_id, row_number() OVER
+          (PARTITION BY qid ORDER BY ${SimilarityQueries.sqlQcos("q.qemb", "c.qe")} DESC, c.vec_id) AS rv
+        FROM q JOIN e c ON c.vec_id <> q.qid),
+      lt AS (SELECT qid, doc_id, rl FROM lex WHERE rl <= 20),
+      vt AS (SELECT qid, doc_id, rv FROM vecr WHERE rv <= 20),
+      f AS (SELECT COALESCE(lt.qid, vt.qid) AS qid,
+          COALESCE(lt.doc_id, vt.doc_id) AS doc_id,
+          COALESCE(CAST(1 AS DOUBLE) / (60 + rl), CAST(0 AS DOUBLE))
+            + COALESCE(CAST(1 AS DOUBLE) / (60 + rv), CAST(0 AS DOUBLE)) AS rrf
+        FROM lt FULL OUTER JOIN vt ON lt.qid = vt.qid AND lt.doc_id = vt.doc_id)
+      SELECT qid, CAST(rank AS INTEGER) AS rank, doc_id, rrf FROM
+        (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rank FROM f)
+      WHERE rank <= 10"""
   }
 }
