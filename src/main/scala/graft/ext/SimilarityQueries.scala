@@ -477,10 +477,12 @@ object SimilarityQueries {
     *     replay ignore the torn dir; nothing was expired yet, so the
     *     replay recomputes from intact inputs (the overwrite replaces the
     *     torn files — q52g's effectively-once device);
-    *   - die AFTER `_SUCCESS`, BEFORE/MID expiry: the replay (and any
-    *     reader) takes the newest complete generation and IGNORES
-    *     fragments ≤ its id, so half-expired inputs can't double-count;
-    *     the replay short-circuits the recompute and finishes the expiry.
+    *   - die AFTER `_SUCCESS`, BEFORE/MID expiry: readers take the newest
+    *     complete generation and IGNORE fragments ≤ its id, so
+    *     half-expired inputs can't double-count; the replay REBUILDS the
+    *     generation from its (grace-retained, therefore intact) inputs —
+    *     never trusting the crashed attempt's fold, whose fragment may
+    *     have been partial — and finishes the expiry.
     * Expiry strictly AFTER `_SUCCESS`, one cycle late, is the invariant:
     * consumed bytes exist in two places or one, never zero — and stay
     * readable for the cycle a planned read may still need them.
@@ -496,7 +498,16 @@ object SimilarityQueries {
       .filter { case (id, f) =>
         id < upTo && new java.io.File(f, "_SUCCESS").exists() }
       .map(_._1).sorted.lastOption
-    if (!new java.io.File(genDir, "_SUCCESS").exists()) {
+    // ALWAYS rebuild — never short-circuit on an existing complete
+    // gen=<upTo>: a crashed attempt may have folded a batch whose
+    // fragment landed PARTIALLY before the crash, and the replay (which
+    // rewrites the fragment whole) must fold the full content, not trust
+    // the crashed attempt's. The rebuild's inputs are guaranteed intact:
+    // the one-cycle expiry grace means nothing in (prevGen, upTo] — nor
+    // prevGen itself — was deleted by the crashed attempt's tail. In
+    // normal (non-replay) operation gen=<upTo> never pre-exists, so the
+    // unconditional rebuild costs nothing.
+    locally {
       val frags = idDirs(new java.io.File(base, "frag"), "batch=")
         .filter { case (id, _) => id <= upTo && prevGenId.forall(id > _) }
       val prevGen = prevGenId.map(p => new java.io.File(base, s"gen=$p"))
@@ -509,8 +520,8 @@ object SimilarityQueries {
     }
     // idempotent expiry tail — one cycle LATE: drop fragments consumed by
     // the PREVIOUS generation and generations older than it; what this
-    // cycle consumed survives until the next one (the read grace period).
-    // A replay that finds `_SUCCESS` skips straight here.
+    // cycle consumed survives until the next one (the read grace period,
+    // which is also what guarantees the rebuild above its inputs).
     prevGenId.foreach { p =>
       idDirs(new java.io.File(base, "frag"), "batch=").filter(_._1 <= p)
         .foreach { case (_, f) =>

@@ -278,10 +278,11 @@ object StreamQueries {
 
   /** The q52x per-batch tail: decontam-probe the ADMITTED docs against the
     * static eval index, PQ-encode the clean survivors' embeddings against
-    * the frozen codebook, and land (dig, vec_id, s, code) rows in the
-    * batch's own overwrite directory (q52g's effectively-once device).
-    * Factored out so the restart-chaos spec can drive the identical
-    * writer body under injected crashes.
+    * the frozen codebook, land (dig, vec_id, s, code) rows in the batch's
+    * own overwrite fragment directory (q52g's effectively-once device),
+    * then run q52y's generational maintenance on the store. Factored out
+    * so the restart-chaos spec can drive the identical writer body under
+    * injected crashes.
     */
   private[graft] def pipelineBatchWriter(eBuckets: DataFrame, shEval: DataFrame,
       emb: DataFrame, cb: DataFrame, out: String)(batch: DataFrame, id: Long): Unit = {
@@ -308,7 +309,14 @@ object StreamQueries {
           .select(col("vec_id"), col("s"), col("code"))
           .join(broadcast(b.select(col("doc_id").as("vec_id"), col("dig"))),
             Seq("vec_id"))
-          .write.mode("overwrite").parquet(s"$out/batch=$id")
+          .write.mode("overwrite").parquet(s"$out/frag/batch=$id")
+        // q52y's generational maintenance, IN the flagship loop: cadence 1
+        // so the fixture's single data batch drives the maintained-store
+        // path through the oracle end-to-end (production amortizes the
+        // O(store) fold with a K-batch cadence — q52y runs K=2 and gates
+        // the bounded-store claim at 30×); empty TTL ticks return above,
+        // so maintenance never churns generations on an idle stream
+        graft.ext.SimilarityQueries.maintainPqStore(b.sparkSession, out, id)
       } finally caches.foreach(_.unpersist())
     } finally b.unpersist()
   }
@@ -361,11 +369,14 @@ object StreamQueries {
     *   4. INDEX — PQ-encode the clean admitted docs' embeddings (static
     *      lookup on vec_id = doc_id: the upstream-embedding-service
     *      shape) against the codebook FROZEN from the standing corpus
-    *      (the FAISS add contract), landed in per-batch overwrite dirs
-    *      (q52g's effectively-once device; PipelineRestartSpec proves
-    *      crash-replay).
+    *      (the FAISS add contract), landed in per-batch overwrite
+    *      fragment dirs (q52g's effectively-once device;
+    *      PipelineRestartSpec proves crash-replay), with q52y's
+    *      generational maintenance folding the store IN the loop — the
+    *      flagship runs filter → dedup → decontam → encode → compact, the
+    *      full always-on corpus loop.
     *
-    * Readback: per-digest argmin over the accumulated store (a superseded
+    * Readback: per-digest argmin over the maintained store (a superseded
     * representative's rows — possible only under multi-batch admission
     * improvements — are shadowed; identical text ⇒ identical dig ⇒
     * identical contamination verdict, so verdicts can never disagree
@@ -443,7 +454,8 @@ object StreamQueries {
           }
         }
     } finally idxCaches.foreach(_.unpersist())
-    val st = s.read.parquet(out).select("dig", "vec_id", "s", "code")
+    val st = graft.ext.SimilarityQueries.readPqStore(s, out)
+      .select("dig", "vec_id", "s", "code")
     val minPerDig = st.groupBy("dig").agg(min(col("vec_id")).as("vec_id"))
     st.join(minPerDig, Seq("dig", "vec_id"))
       .select(col("vec_id").as("doc_id"), col("s"), col("code"))

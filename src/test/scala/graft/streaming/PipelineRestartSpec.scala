@@ -137,7 +137,8 @@ class PipelineRestartSpec extends SparkSpec {
             .collect().map(_.toString).sorted.toSeq
         } finally caches.foreach(_.unpersist())
 
-        val st = spark.read.parquet(out).select("dig", "vec_id", "s", "code")
+        val st = graft.ext.SimilarityQueries.readPqStore(spark, out)
+          .select("dig", "vec_id", "s", "code")
         val got = st.join(
             st.groupBy("dig").agg(min(col("vec_id")).as("vec_id")),
             Seq("dig", "vec_id"))

@@ -66,29 +66,30 @@ class StoreMaintainSpec extends SparkSpec {
     assert(rowSet(SimilarityQueries.readPqStore(spark, store)) == allRows)
   }
 
-  test("crash window: complete generation, expiry not yet run") {
+  test("crash window: complete generation from a PARTIAL fragment is rebuilt on replay") {
     val store = freshStore("postgen")
     writeFrags(store)
     SimilarityQueries.maintainPqStore(spark, store, upTo = 1L)
+    // crashed attempt of cycle 3: its fragment landed PARTIALLY (batch=3
+    // holds half its rows), maintenance folded that partial content into
+    // a COMPLETE gen=3, then the function died before the offset commit
+    import spark.implicits._
+    (0 until 5).map(i => (30L + i, i % 8, i % 16))
+      .toDF("vec_id", "s", "code")
+      .coalesce(1).write.mode("overwrite").parquet(s"$store/frag/batch=3")
     SimilarityQueries.maintainPqStore(spark, store, upTo = 3L)
-    // simulate the replayed batch re-encoding its fragment AND the crashed
-    // attempt having expired nothing: recreate all frags beside gen=3
+    // the replay rewrites the fragment WHOLE and re-runs maintenance: the
+    // rebuild must fold the full content — trusting the crashed attempt's
+    // gen=3 would lose batch 3's other half forever
     writeFrags(store)
-    // reader must NOT double-count frags ≤ gen id
-    assert(rowSet(SimilarityQueries.readPqStore(spark, store)) == allRows)
-    val genFiles = SimilarityQueries.partFiles(s"$store/gen=3")
-      .map(f => (f.getName, f.length)).sorted
-    // replayed maintenance: short-circuits the recompute, finishes the
-    // expiry of the PREVIOUS cycle's inputs (≤ gen=1); this cycle's own
-    // inputs keep their grace
     SimilarityQueries.maintainPqStore(spark, store, upTo = 3L)
-    assert(SimilarityQueries.partFiles(s"$store/gen=3")
-      .map(f => (f.getName, f.length)).sorted == genFiles,
-      "a complete generation must not be rewritten on replay")
+    assert(rowSet(SimilarityQueries.readPqStore(spark, store)) == allRows,
+      "replayed maintenance must fold the replayed fragment's full content")
+    // and the expiry owed by the crashed attempt is finished: frags ≤
+    // gen=1 gone, this cycle's own inputs keep their read grace
     assert(!new java.io.File(s"$store/frag/batch=0").exists())
     assert(new java.io.File(s"$store/frag/batch=2").exists(),
       "this cycle's consumed inputs must keep their read grace")
-    assert(rowSet(SimilarityQueries.readPqStore(spark, store)) == allRows)
   }
 
   test("read grace: a plan survives one maintenance cycle, not two") {
