@@ -669,10 +669,15 @@ object ScaleBench {
       val dir = fixture(tiers.head._1)
       val pairs = plantedPairs
       val involved = pairs.flatMap(p => Seq(p._1, p._2))
-      val v = SparkEntry.queries("x2j_semantic_dedup")(spark, dir)
+      val frame = SparkEntry.queries("x2j_semantic_dedup")(spark, dir)
+      val v = try frame
         .filter(col("vec_id").isin(involved: _*))
         .select(col("vec_id"), col("cluster"), col("keep")).collect()
         .map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+      // the plan ends in a corpus-sized localCheckpoint — release the
+      // pinned blocks once the ~100 involved rows are out
+      finally org.apache.spark.sql.graftshim.Shim.backingRdds(frame)
+        .foreach(_.unpersist(blocking = false))
       val same = pairs.filter { case (a, b) =>
         v.contains(a) && v.contains(b) && v(a)._1 == v(b)._1 }
       val prunedGivenSame =
@@ -697,11 +702,14 @@ object ScaleBench {
       val dir = fixture(tiers.head._1)
       val pairs = plantedPairs
       val involved = pairs.flatMap(p => Seq(p._1, p._2))
-      val v = ext.SimilarityQueries
+      val frame = ext.SimilarityQueries
         .semanticDedupPlan(spark, dir, trainRounds = 0)
+      val v = try frame
         .filter(col("vec_id").isin(involved: _*))
         .select(col("vec_id"), col("cluster")).collect()
         .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      finally org.apache.spark.sql.graftshim.Shim.backingRdds(frame)
+        .foreach(_.unpersist(blocking = false))
       pairs.count { case (a, b) =>
         v.contains(a) && v.contains(b) && v(a) == v(b)
       }.toDouble / pairs.size
@@ -820,8 +828,9 @@ object ScaleBench {
       val dir = fixture(tiers.head._1)
       val servedCompact = SparkEntry.queries("x3n_pq_index_compact")(spark, dir)
         .collect().map(_.toString).sorted.toSeq
-      val idxDir =
-        s"${graft.Tmp.root}/x3n_idx/${spark.sparkContext.applicationId}"
+      // sessionDir is idempotent — same path the registered query used;
+      // one definition of the session layout
+      val idxDir = graft.Tmp.sessionDir(spark, "x3n_idx")
       val before = sq.partFiles(s"$idxDir/frag").size
       val after = sq.partFiles(s"$idxDir/compact").size
       val lcb = spark.read.parquet(s"$idxDir/codebook.parquet")

@@ -424,17 +424,22 @@ object SimilarityQueries {
 
   private[graft] def compactPqStore(s: SparkSession, idxDir: String,
       shardBudgetBytes: Long): (Int, Int) = {
-    val frags = partFiles(s"$idxDir/frag")
-    val totalBytes = frags.map(_.length).sum
-    val shards =
-      math.max(1L, (totalBytes + shardBudgetBytes - 1) / shardBudgetBytes).toInt
+    // shard count PER FRAME from that frame's own bytes — a combined
+    // count would split the small norms frame into as many shards as the
+    // large codes frame needs, re-creating the tiny files the compaction
+    // exists to bound
+    def shardsOf(sub: String): Int = math.max(1L,
+      (partFiles(s"$idxDir/frag/$sub").map(_.length).sum +
+        shardBudgetBytes - 1) / shardBudgetBytes).toInt
     // `batch` is the partition-discovery column of the per-batch dirs —
     // a fragment-store artifact, not index data; dropped by the rewrite
-    s.read.parquet(s"$idxDir/frag/codes").drop("batch").repartition(shards)
+    s.read.parquet(s"$idxDir/frag/codes").drop("batch")
+      .repartition(shardsOf("codes"))
       .write.mode("overwrite").parquet(s"$idxDir/compact/codes")
-    s.read.parquet(s"$idxDir/frag/norms").drop("batch").repartition(shards)
+    s.read.parquet(s"$idxDir/frag/norms").drop("batch")
+      .repartition(shardsOf("norms"))
       .write.mode("overwrite").parquet(s"$idxDir/compact/norms")
-    (frags.size, partFiles(s"$idxDir/compact").size)
+    (partFiles(s"$idxDir/frag").size, partFiles(s"$idxDir/compact").size)
   }
 
   // ---- q52y generational PQ store (compaction INSIDE the ingest loop) ----
@@ -606,20 +611,14 @@ object SimilarityQueries {
         if (trainRounds == 0) init
         else KMeans.train(reps.select(col("rep_id").as("vec_id"), col("qe")),
           init, dim = 64, maxIters = trainRounds)._1
-      // argmin over (rep_id, dc) ONLY — the vector must not ride through
-      // the reps×k aggregate: first()/min(struct) plan as SortAggregate,
-      // and sorting reps·k rows that each carry a 512-byte array spilled
-      // 6.5 GB at the 30× gate (60k reps × k=236); with the 24-byte
-      // struct rows the same sort is ~300 MB and the vector rejoins from
-      // the cached rep frame afterwards (one broadcast-sized hash join)
-      val nearest = reps.crossJoin(broadcast(cent))
-        .select(col("rep_id"),
-          struct(graft.functions.Kernels.long_vec_dist2(col("qe"), col("c")).as("d"),
-            col("cid")).as("dc"))
-        .groupBy("rep_id").agg(min(col("dc")).as("dc"))
-      val asg = reps.join(nearest, Seq("rep_id"))
-        .select(col("rep_id"), col("qe"),
-          col("dc.cid").as("cluster"), col("dc.d").as("d2"))
+      // broadcast-argmin assignment = KMeans.assign (ONE definition of
+      // the strip-vector-then-rejoin device — see its scaladoc for why
+      // the 512-byte vector must not ride the min(struct) SortAggregate:
+      // the 6.5 GB spill this query hit at its 30× gate)
+      val asg = KMeans.assign(
+          reps.select(col("rep_id").as("vec_id"), col("qe")), cent)
+        .select(col("vec_id").as("rep_id"), col("qe"),
+          col("cluster"), col("d2"))
       Caching.withPersistedAll(Seq(asg)) {
         val o = asg.select(col("rep_id").as("o_id"), col("qe").as("o_qe"),
           col("cluster").as("o_cl"), col("d2").as("o_d2"))

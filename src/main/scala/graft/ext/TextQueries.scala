@@ -604,7 +604,12 @@ object TextQueries {
       }
       import s.implicits._
       merges.toSeq.toDF("step", "pair", "merged", "cnt")
-    } finally pinned.foreach(_.unpersist())
+    } finally pinned.foreach(df =>
+      // Dataset.unpersist is a no-op for localCheckpoint storage (no
+      // CacheManager entry) — release the backing RDD blocks directly,
+      // the Caching.withLocalCheckpointed discipline
+      org.apache.spark.sql.graftshim.Shim.backingRdds(df)
+        .foreach(_.unpersist(blocking = false)))
   }
 
   /** DuckDB replay of [[bpeTrain]]: stage i derives pair counts from
