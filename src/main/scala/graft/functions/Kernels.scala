@@ -427,6 +427,68 @@ object VecKernel {
     }
     c
   }
+
+  /** Greedy BPE merge application: tokenize the input (per-CHARACTER when
+    * `fromChars`, else split the space-padded symbol string), then for
+    * each merge rule in rank order run ONE greedy left-to-right
+    * non-overlapping pass, and return the space-padded symbol string.
+    *
+    * The greedy pass is the left fold `if (out.last == l && t == r)
+    * out.last = l+r else out += t` — equal to the textbook scan-and-skip
+    * because a token just merged THIS pass can never re-merge: the merged
+    * token `l+r` is strictly longer than `l`, so `out.last == l` is false
+    * right after a merge (BpePropertySpec hammers the equivalence;
+    * BpeSpec pins the `l == r` run cases ' a a a a a ' → ' aa aa a ' that
+    * the previous two-chained-`replace` formulation got WRONG — the
+    * consumed-delimiter miss phase-shifts pass 2 onto the wrong pair,
+    * ADVICE r13). `merges` is laid out flat as (l, r, l+r) triples so the
+    * codegen reference object is a plain String[].
+    */
+  def bpeApply(s: org.apache.spark.unsafe.types.UTF8String,
+      merges: Array[String], fromChars: Boolean): org.apache.spark.unsafe.types.UTF8String = {
+    val toks = new java.util.ArrayList[String]()
+    if (fromChars) {
+      val str = s.toString
+      var i = 0
+      while (i < str.length) { toks.add(String.valueOf(str.charAt(i))); i += 1 }
+    } else {
+      val t = s.toString.trim
+      if (t.nonEmpty) {
+        var start = 0
+        var i = 0
+        while (i <= t.length) {
+          if (i == t.length || t.charAt(i) == ' ') {
+            toks.add(t.substring(start, i))
+            start = i + 1
+          }
+          i += 1
+        }
+      }
+    }
+    var mi = 0
+    while (mi < merges.length) {
+      val l = merges(mi)
+      val r = merges(mi + 1)
+      val m = merges(mi + 2)
+      // in-place greedy fold with a write pointer
+      var w = 0
+      var i = 0
+      val n = toks.size
+      while (i < n) {
+        val t = toks.get(i)
+        if (w > 0 && toks.get(w - 1) == l && t == r) toks.set(w - 1, m)
+        else { toks.set(w, t); w += 1 }
+        i += 1
+      }
+      while (toks.size > w) toks.remove(toks.size - 1)
+      mi += 3
+    }
+    val sb = new java.lang.StringBuilder(s.numBytes + 2)
+    sb.append(' ')
+    var i = 0
+    while (i < toks.size) { sb.append(toks.get(i)).append(' '); i += 1 }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
 }
 
 /** `float_vec_quant(a)` — float array → fixed-point BIGINT array at 2^20
@@ -832,6 +894,51 @@ case class RademacherSig(child: Expression, planes: Array[Byte],
     copy(child = newChild)
 }
 
+/** `bpe_apply(s, merges, fromChars)` — greedy BPE tokenization: apply the
+  * trained merge rules in rank order to a word (`fromChars = true`, the
+  * x4l serving path) or to an already-tokenized space-padded symbol
+  * string (`fromChars = false`, the per-round trainer rewrite), returning
+  * the space-padded symbol string (see [[VecKernel.bpeApply]] for the
+  * greedy-fold semantics and why the two-pass `replace` it replaces was
+  * wrong on `l == r` runs). The merge table rides into codegen as ONE
+  * plan-referenced String[] — at a production vocab (32k merges) that is
+  * a single broadcast-with-the-plan object and one kernel call per word,
+  * where the previous formulation was 2×|merges| nested `replace`
+  * expressions (a plan that does not survive past a few dozen merges).
+  */
+case class BpeApply(child: Expression, merges: Seq[(String, String)],
+    fromChars: Boolean) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "bpe_apply"
+
+  // flat (l, r, l+r) triples: a String[] codegen reference object
+  private lazy val flat: Array[String] =
+    merges.flatMap { case (l, r) => Seq(l, r, l + r) }.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if merges.forall { case (l, r) =>
+        l.nonEmpty && r.nonEmpty && !l.contains(' ') && !r.contains(' ') } =>
+      TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName merge symbols must be non-empty and space-free")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    VecKernel.bpeApply(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], flat, fromChars)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mergesRef = ctx.addReferenceObj("bpeMerges", flat, "java.lang.String[]")
+    defineCodeGen(ctx, ev, s =>
+      s"graft.functions.VecKernel.bpeApply($s, $mergesRef, $fromChars)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object Kernels {
   /** Column API: fixed-point 2^20 quantization of an ARRAY<FLOAT> column. */
   def float_vec_quant(a: Column): Column =
@@ -899,4 +1006,12 @@ object Kernels {
       numBands: Int, bandBits: Int): Column =
     Shim.column(RademacherSig(Shim.expression(qe), planes, numBands, bandBits,
       asBandStructs = true))
+
+  /** Column API: greedy BPE merge application — rank-ordered merges over
+    * a raw word (`fromChars = true`) or a space-padded symbol string,
+    * returning the space-padded symbol string ([[BpeApply]]).
+    */
+  def bpe_apply(s: Column, merges: Seq[(String, String)],
+      fromChars: Boolean): Column =
+    Shim.column(BpeApply(Shim.expression(s), merges, fromChars))
 }

@@ -4,22 +4,35 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** x4k's merge semantics in isolation: the two-pass padded replace must
-  * equal GREEDY left-to-right non-overlapping pair merging (the classic
-  * BPE rewrite), including the overlapping-run case a single replace pass
-  * gets wrong, and the argmax tie-break must be lexicographic. The
-  * registered query's oracle proves merge-for-merge equality against
-  * DuckDB on the fixture corpus; this pins the algebra on adversarial
-  * inputs the fixture never produces.
+/** x4k's merge semantics in isolation: the kernel rewrite must be GREEDY
+  * left-to-right non-overlapping pair merging (the classic BPE rewrite),
+  * including the l == r runs ≥ 5 that the previous two-chained-`replace`
+  * formulation got WRONG (ADVICE r13: the consumed delimiter phase-shifts
+  * pass 2 onto the wrong pair — ' a a a a a ' two-pass gives
+  * ' aa a aa ', greedy gives ' aa aa a ', and a 6-run splits 4 tokens vs
+  * greedy's 3), the argmax tie-break must be lexicographic, and the
+  * batched disjoint selection must degrade to exact sequential BPE at
+  * picksPerRound = 1. The registered query's oracle proves
+  * selection-for-selection equality against DuckDB on the fixture corpus;
+  * this pins the algebra on adversarial inputs the fixture never
+  * produces.
   */
 class BpeSpec extends SparkSpec {
 
-  private def train(corpus: Seq[String], n: Int) = {
+  private def train(corpus: Seq[String], rounds: Int, picks: Int = 1) = {
     import spark.implicits._
     val docs = corpus.toDF("text")
-    TextQueries.bpeTrain(spark, TextQueries.bpeWordFreq(docs), n)
+    TextQueries.bpeTrain(spark, TextQueries.bpeWordFreq(docs), rounds, picks)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
         r.getLong(3))).toSeq
+  }
+
+  private def applyKernel(word: String, merges: Seq[(String, String)],
+      fromChars: Boolean = true): String = {
+    import spark.implicits._
+    Seq(word).toDF("w")
+      .select(graft.functions.Kernels.bpe_apply(col("w"), merges, fromChars))
+      .as[String].head()
   }
 
   test("merge frequency order and lexicographic tie-break") {
@@ -32,31 +45,70 @@ class BpeSpec extends SparkSpec {
     assert(t == Seq((1, "a b", "ab", 1L)))
   }
 
-  test("overlapping run merges greedily: aaaa -> [aa aa], aaa -> [aa a]") {
-    import spark.implicits._
-    val docs = Seq("aaaa aaa").toDF("text")
-    val words = TextQueries.bpeWordFreq(docs).localCheckpoint()
-    try {
-      // one merge of (a a): count = 3 (aaaa) + 2 (aaa) = 5
-      val m = TextQueries.bpeTrain(spark, words, 1).collect()
-      assert(m.map(r => (r.getString(1), r.getLong(3))).toSeq ==
-        Seq(("a a", 5L)))
-      // replay the rewrite the trainer applied and inspect the vocab:
-      // greedy non-overlapping, so ' a a a a ' -> ' aa aa ' and
-      // ' a a a ' -> ' aa a ' (NOT ' a aa ' or ' aa aa ')
-      def rep(c: org.apache.spark.sql.Column) =
-        org.apache.spark.sql.functions.replace(c, lit(" a a "), lit(" aa "))
-      val rewritten = words.select(rep(rep(col("sym"))).as("sym"))
-        .as[String].collect().toSet
-      assert(rewritten == Set(" aa aa ", " aa a "))
-    } finally words.unpersist()
+  test("l == r runs merge greedily: the ADVICE r13 counterexamples") {
+    // 5-run: greedy pairs left to right -> [aa aa a]; the retired
+    // two-pass replace produced [aa a aa] (wrong order), and on the
+    // 6-run FOUR tokens [aa a aa a] where greedy has THREE [aa aa aa]
+    assert(applyKernel("aaaaa", Seq(("a", "a"))) == " aa aa a ")
+    assert(applyKernel("aaaaaa", Seq(("a", "a"))) == " aa aa aa ")
+    assert(applyKernel("aaaa", Seq(("a", "a"))) == " aa aa ")
+    assert(applyKernel("aaa", Seq(("a", "a"))) == " aa a ")
+    // and the trainer counts the pre-merge pairs: 4 + 2 within one word
+    val m = train(Seq("aaaaa aaa"), 1)
+    assert(m.map(r => (r._2, r._4)) == Seq(("a a", 6L)))
+  }
+
+  test("a just-merged token never chains within a round") {
+    // ' a b b ' with merge (a, b): greedy takes (a b) -> 'ab', and the
+    // new 'ab' must NOT merge with the following 'b' (the pair is (a, b),
+    // not (ab, b)) — the fold's out.last == 'ab' != 'a' guarantees it
+    assert(applyKernel("abb", Seq(("a", "b"))) == " ab b ")
+    // alternating run: all non-overlapping pairs merge in one pass
+    assert(applyKernel("ababab", Seq(("a", "b"))) == " ab ab ab ")
   }
 
   test("multi-char symbols never match across symbol boundaries") {
     // after merging (a b) the word 'ab c' must NOT let a later pair
-    // (b c) match inside it — the padding guarantees boundary exactness
+    // (b c) match inside it — token-exact comparison guarantees it
     val m = train(Seq("abc abc bc"), 2)
     // counts: (a b)=2, (b c)=3 -> merge1 = (b c) cnt 3; then (a bc)=2
     assert(m == Seq((1, "b c", "bc", 3L), (2, "a bc", "abc", 2L)))
+    // and applying in rank order reproduces the training tokenization
+    assert(applyKernel("abc", Seq(("b", "c"), ("a", "bc"))) == " abc ")
+  }
+
+  test("sym-input mode applies merges to an existing tokenization") {
+    assert(applyKernel(" ab c ab ", Seq(("ab", "c")), fromChars = false)
+      == " abc ab ")
+  }
+
+  test("batched disjoint picks keep certificates exact vs sequential BPE") {
+    // corpus where the top pairs are symbol-disjoint: one 2-pick round
+    // must select and count exactly what two 1-pick rounds would
+    val corpus = Seq("ab ab ab cd cd")
+    val batched = train(corpus, 1, picks = 2)
+    val sequential = train(corpus, 2, picks = 1)
+    assert(batched == Seq((1, "a b", "ab", 3L), (2, "c d", "cd", 2L)))
+    assert(batched == sequential)
+    // conflicting runner-up is deferred, not miscounted: with (a b) = 3
+    // and (b c) = 2, (a b) wins round 1 and (b c) must NOT be batched
+    // with it (shared 'b' — its count would go stale mid-round), so the
+    // round yields ONE pick even though picksPerRound = 2
+    val conflict = train(Seq("abc abc ab"), 1, picks = 2)
+    assert(conflict == Seq((1, "a b", "ab", 3L)),
+      s"conflicting pair batched: $conflict")
+  }
+
+  test("x4l serves from the persisted artifact: load equals retrain") {
+    val d = sf
+    val loaded = TextQueries.loadOrTrainMerges(spark, d)
+    val retrained = TextQueries.trainAndPersistMerges(spark, d)
+      .collect().sortBy(_.getInt(0))
+      .map { r => val Array(l, rr) = r.getString(1).split(" ", 2); (l, rr) }
+      .toSeq
+    assert(loaded == retrained)
+    assert(loaded.size == 64)
+    // second load hits the parquet artifact (no retrain) and agrees
+    assert(TextQueries.loadOrTrainMerges(spark, d) == loaded)
   }
 }

@@ -25,7 +25,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * re-probed (seventh attempt): client 28.2.2 at /usr/local/bin/docker,
   * `docker info` reports "Cannot connect to the Docker daemon at
   * unix:///var/run/docker.sock", no socket, no dockerd/podman/clickhouse
-  * binaries — unchanged.
+  * binaries — unchanged; r14 — re-probed (eighth attempt): client at
+  * /usr/local/bin/docker only, still no /var/run/docker.sock, no
+  * dockerd/podman binary, no native clickhouse/clickhouse-server on
+  * PATH — unchanged.
   * What therefore stays unproven in-sandbox is exactly: live-server
   * type coercion and clickhouse-jdbc batching against a real 24.12; both
   * replay-gated (ClickHouseReplaySpec over the recorded transcript,
