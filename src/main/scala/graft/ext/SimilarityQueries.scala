@@ -56,31 +56,53 @@ object SimilarityQueries {
   private[ext] def sqlQcos(a: String, b: String): String =
     s"(CAST(${sqlQdot(a, b)} AS DOUBLE) / (sqrt(CAST(${sqlQdot(a, a)} AS DOUBLE)) * sqrt(CAST(${sqlQdot(b, b)} AS DOUBLE))))"
 
-  /** Banding geometry for the x2e/x7e embedding-LSH: 8 bands × 8-bit
-    * keys = 256 buckets per band from a 64-plane pool. Scale law (the
+  /** Banding geometry for the x2e/x7e embedding-LSH: 8 bands × 12-bit
+    * keys = 4096 buckets per band from a 96-plane pool. Scale law (the
     * r08 verdict's finding #1): expected bucket occupancy is n / 2^bits,
     * so the band self-join reads Θ(bands · n²/2^bits) candidate rows —
     * the old 4×4-bit layout capped at 16 buckets/band and went quadratic
-    * at 10× the fixture. 8-bit keys put saturation at ~256× more corpus;
-    * growing a corpus past that means raising [[LshBandBits]] (more
-    * planes, narrower buckets, lower per-band recall — compensate with
-    * [[LshNumBands]]), a two-constant change both engines replay.
+    * at 10× the fixture.
+    *
+    * r14 (VERDICT r13 #6): 8×8 produced 76M verify candidates for 60k
+    * near-uniform vectors at 30× (~1.2k per vector). The geometry sweep,
+    * measured on the real 30× corpus (candidates / planted-pair recall /
+    * τ=0.4 boundary recall at sf0.01): 8×8 → 76.2M / 50⁄50 / 0.22;
+    * 6×10 → 19.5M / 50⁄50 / 0.02; 8×12 → 10.7M / 50⁄50 / 0.03;
+    * 4×16 → 2.6M / 49⁄50 / 0.00. 8×12 takes the 7.1× candidate cut and
+    * keeps planted near-dup recall perfect — the trade is BOUNDARY
+    * recall (pairs at cos 0.4–0.5, the verify threshold's safety margin,
+    * not the dedup target): every ≥5×-cut geometry crushes it, because
+    * at p = 1−θ/π ≈ 0.63 a 12-plane band agrees with probability p¹² ≈
+    * 0.004. Declared: the candidate generator is tuned for the NEAR-DUP
+    * operating point (cos ≳ 0.9, p ≳ 0.95, per-band agreement ≳ 0.54,
+    * miss probability (1−p¹²)⁸ < 1e-2); LshAuditSpec gates that point
+    * with planted fixture-scale near-dups and REPORTS the boundary
+    * number; ScaleBench carries the 8×8-vs-8×12 A/B at 30×. Growing the
+    * corpus past bucket saturation (~4096× fixture) means raising
+    * [[LshBandBits]] again — a two-constant change both engines replay
+    * (the plane pool extends deterministically; a prefix of it is
+    * byte-identical across geometries).
     */
   private[ext] val LshNumBands = 8
-  private[ext] val LshBandBits = 8
+  private[ext] val LshBandBits = 12
 
-  /** 64 fixed ±1 (Rademacher) hyperplanes for the x2e/x7e embedding-LSH —
+  /** Fixed ±1 (Rademacher) hyperplanes for the x2e/x7e embedding-LSH —
     * generated once from a seeded java.util.Random (the LCG algorithm is
     * specified, so the values are stable across JVMs) and embedded as
     * LITERALS in both the Spark plan and the DuckDB oracle, which lets the
-    * oracle replay the whole LSH pipeline bit-for-bit. Package-private:
+    * oracle replay the whole LSH pipeline bit-for-bit. The draw is
+    * sequential, so a SMALLER geometry's pool is a prefix of a larger
+    * one's — what lets ScaleBench A/B the retired 8×8 geometry against
+    * the registered one on identical planes. Package-private:
     * LshAuditSpec reuses them for the recall-vs-brute-force audit.
     */
-  private[ext] val LshPlanes: IndexedSeq[Seq[Long]] = {
+  private[graft] def lshPlanesFor(n: Int): IndexedSeq[Seq[Long]] = {
     val rnd = new java.util.Random(42)
-    IndexedSeq.fill(LshNumBands * LshBandBits)(
-      Seq.fill(64)(if (rnd.nextBoolean()) 1L else -1L))
+    IndexedSeq.fill(n)(Seq.fill(64)(if (rnd.nextBoolean()) 1L else -1L))
   }
+
+  private[ext] val LshPlanes: IndexedSeq[Seq[Long]] =
+    lshPlanesFor(LshNumBands * LshBandBits)
 
   /** The flat ±1 sign table [[graft.functions.RademacherSig]] scans —
     * plane-major flattening of [[LshPlanes]], frozen once.
@@ -409,16 +431,32 @@ object SimilarityQueries {
     * ScaleBench can record the win. Shared by the registered x3n query
     * and the 30× gate.
     */
-  /** Recursive parquet part-file listing (driver-side; gate/compaction
-    * bookkeeping only).
+  /** The (FileSystem, Path) a store path resolves to. EVERY list / probe
+    * / delete in the store layer goes through this (VERDICT r13 #4: the
+    * `java.io.File` formulation it replaces was local-disk-only; the
+    * stream's template registry already ran through the checkpoint's
+    * Hadoop FileSystem, and the store now does the same, so pointing a
+    * store at HDFS/S3 is a path string, not a rewrite).
     */
-  private[graft] def partFiles(dir: String): Seq[java.io.File] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
-    def walk(f: java.io.File): Unit =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(walk)
-      else if (f.getName.endsWith(".parquet")) out += f
-    walk(new java.io.File(dir))
+  private def fsAndPath(s: SparkSession,
+      dir: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(s.sessionState.newHadoopConf()), p)
+  }
+
+  /** Recursive parquet part-file listing as (path, bytes) — driver-side
+    * gate/compaction bookkeeping only, via the path's Hadoop FileSystem.
+    */
+  private[graft] def partFiles(s: SparkSession, dir: String): Seq[(String, Long)] = {
+    val (fs, p) = fsAndPath(s, dir)
+    if (!fs.exists(p)) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet"))
+        out += ((f.getPath.toString, f.getLen))
+    }
     out.toSeq
   }
 
@@ -429,7 +467,7 @@ object SimilarityQueries {
     // large codes frame needs, re-creating the tiny files the compaction
     // exists to bound
     def shardsOf(sub: String): Int = math.max(1L,
-      (partFiles(s"$idxDir/frag/$sub").map(_.length).sum +
+      (partFiles(s, s"$idxDir/frag/$sub").map(_._2).sum +
         shardBudgetBytes - 1) / shardBudgetBytes).toInt
     // `batch` is the partition-discovery column of the per-batch dirs —
     // a fragment-store artifact, not index data; dropped by the rewrite
@@ -439,38 +477,94 @@ object SimilarityQueries {
     s.read.parquet(s"$idxDir/frag/norms").drop("batch")
       .repartition(shardsOf("norms"))
       .write.mode("overwrite").parquet(s"$idxDir/compact/norms")
-    (partFiles(s"$idxDir/frag").size, partFiles(s"$idxDir/compact").size)
+    (partFiles(s, s"$idxDir/frag").size, partFiles(s, s"$idxDir/compact").size)
   }
 
-  // ---- q52y generational PQ store (compaction INSIDE the ingest loop) ----
+  // ---- q52y generational PQ store: TIERED / log-structured (r14) ----
 
-  private def idDirs(parent: java.io.File,
-      prefix: String): Seq[(Long, java.io.File)] =
-    Option(parent.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
-      .map(f => (f.getName.stripPrefix(prefix).toLong, f))
-
-  /** Newest generation directory that finished writing (`_SUCCESS`
-    * present) — an interrupted generation write is invisible to readers.
+  /** One complete generation `gen=<lo>-<hi>-L<level>`: the fold of
+    * fragment batches lo..hi (inclusive) living at tier `level`. Level 0
+    * gens are per-maintenance-cycle folds of FRAGMENTS ONLY; a level-l+1
+    * gen is the merge of `fanout` adjacent level-l gens. Ranges therefore
+    * tile [0, maxHi] and any two gens' ranges are either disjoint or one
+    * strictly contains the other — the containment hierarchy readers and
+    * expiry key on.
     */
-  private[graft] def latestCompleteGen(base: String): Option[(Long, java.io.File)] =
-    idDirs(new java.io.File(base), "gen=")
-      .filter { case (_, f) => new java.io.File(f, "_SUCCESS").exists() }
-      .sortBy(_._1).lastOption
+  private[graft] final case class Gen(lo: Long, hi: Long, level: Int,
+      path: org.apache.hadoop.fs.Path) {
+    def containsStrictly(o: Gen): Boolean =
+      lo <= o.lo && o.hi <= hi && (lo < o.lo || o.hi < hi)
+  }
+
+  private def genName(lo: Long, hi: Long, level: Int) = s"gen=$lo-$hi-L$level"
+
+  private val GenRe = """gen=(\d+)-(\d+)-L(\d+)""".r
+
+  /** Complete (`_SUCCESS`-gated) generations — an interrupted write is
+    * invisible to readers, merges, and expiry alike.
+    */
+  private[graft] def completeGens(s: SparkSession, base: String): Seq[Gen] = {
+    val (fs, basePath) = fsAndPath(s, base)
+    if (!fs.exists(basePath)) return Seq.empty
+    fs.listStatus(basePath).toSeq
+      .filter(_.isDirectory)
+      .flatMap(st => st.getPath.getName match {
+        case GenRe(lo, hi, lvl) => Some(Gen(lo.toLong, hi.toLong, lvl.toInt, st.getPath))
+        case _ => None
+      })
+      .filter(g => fs.exists(new org.apache.hadoop.fs.Path(g.path, "_SUCCESS")))
+  }
+
+  /** Gens not superseded by a (complete) strictly-containing gen — the
+    * read set. During the one-cycle expiry grace a merged gen and its
+    * inputs coexist on disk; containment shadows the inputs, so readers
+    * never double-count.
+    */
+  private[graft] def liveGens(gens: Seq[Gen]): Seq[Gen] =
+    gens.filterNot(g => gens.exists(_.containsStrictly(g)))
+
+  private def fragDirs(s: SparkSession,
+      base: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val (fs, basePath) = fsAndPath(s, base)
+    val fragBase = new org.apache.hadoop.fs.Path(basePath, "frag")
+    if (!fs.exists(fragBase)) return Seq.empty
+    fs.listStatus(fragBase).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(st => (st.getPath.getName.stripPrefix("batch=").toLong, st.getPath))
+  }
+
+  /** What one maintenance cycle folded — the scale ledger ScaleBench
+    * gates on (per-cycle L0 fold bytes must track the CYCLE'S fragment
+    * input, never the store size; merge bytes amortize geometrically).
+    */
+  private[graft] final case class MaintainStats(upTo: Long, l0InputBytes: Long,
+      mergeInputBytes: Long, mergesFired: Int, liveGenCount: Int)
+
+  /** Per-store maintenance ledger (in-JVM; gate bookkeeping only). */
+  private[graft] val maintainLedger =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.CopyOnWriteArrayList[MaintainStats]]()
 
   /** The q52y maintenance step, run INSIDE the ingest loop every K
-    * batches: fold the previous generation (if any) and the fragment dirs
-    * up to `upTo` into one byte-budget-sharded `gen=<upTo>` directory,
-    * then expire inputs consumed by the cycle BEFORE this one. x3n proves
-    * the same rewrite as an offline pass; this is the always-on form —
-    * the store's file count stays O(2·K + shards) forever instead of
-    * growing one dir per micro-batch (the classic streaming-sink
-    * scale-killer at 100 TB: ~8.6k dirs/day at 10 s triggers).
+    * batches — TIERED (log-structured) since r14, VERDICT r13 #1: the
+    * previous form folded prevGen ∪ fragments — the WHOLE store — every
+    * cycle, O(n²/K) over a stream's lifetime. Now a cycle folds ONLY its
+    * fragments into a level-0 generation `gen=<lo>-<upTo>-L0`, and
+    * levels merge geometrically: whenever `fanout` adjacent live gens
+    * exist at level l, the oldest `fanout` merge into one level-l+1 gen
+    * (the LSM/tiered-compaction shape) — amortized O(n log n) total fold
+    * bytes, per-cycle cost = cycle input + (occasionally) one merged
+    * level, never store size. File count stays O(fanout · log n +
+    * shards) forever instead of one dir per micro-batch (the classic
+    * streaming-sink scale-killer at 100 TB: ~8.6k dirs/day at 10 s
+    * triggers).
     *
     * Expiry is deferred by ONE maintenance cycle (the Iceberg/Delta
-    * snapshot-expiry contract): a reader that planned against the
-    * pre-`gen=<upTo>` listing keeps reading the fragments and previous
-    * generation it listed — they stay on disk until the NEXT cycle — so
+    * snapshot-expiry contract), uniformly across tiers: this cycle
+    * deletes only inputs that were ALREADY superseded when the cycle
+    * began (fragments covered by an entry-complete gen; gens strictly
+    * contained in an entry-complete gen), so everything a pre-cycle
+    * reader could have listed as live stays on disk through the cycle —
     * serving stays correct WHILE maintenance runs, provided a read
     * completes within one cycle (production tunes the cadence to its
     * slowest reader; StoreMaintainSpec pins plan → maintain → collect).
@@ -478,69 +572,120 @@ object SimilarityQueries {
     * Crash-safe at every window, composed with the stream's whole-batch
     * replay (a foreachBatch that dies replays its batch id from the
     * checkpoint):
-    *   - die MID-GENERATION-WRITE: no `_SUCCESS`, so readers and the
-    *     replay ignore the torn dir; nothing was expired yet, so the
-    *     replay recomputes from intact inputs (the overwrite replaces the
-    *     torn files — q52g's effectively-once device);
-    *   - die AFTER `_SUCCESS`, BEFORE/MID expiry: readers take the newest
-    *     complete generation and IGNORE fragments ≤ its id, so
-    *     half-expired inputs can't double-count; the replay REBUILDS the
-    *     generation from its (grace-retained, therefore intact) inputs —
-    *     never trusting the crashed attempt's fold, whose fragment may
-    *     have been partial — and finishes the expiry.
+    *   - die MID-WRITE (L0 fold or a level merge): no `_SUCCESS`, so
+    *     readers, merges, and expiry ignore the torn dir; nothing was
+    *     expired yet, so the replay recomputes from intact inputs (the
+    *     overwrite replaces the torn files — q52g's effectively-once
+    *     device). A level merge whose write tore re-fires because its
+    *     inputs are still live (≥ fanout at that level);
+    *   - die AFTER a `_SUCCESS`, BEFORE/MID expiry: containment shadows
+    *     the not-yet-deleted inputs, so readers can't double-count; the
+    *     replay REBUILDS the L0 fold from its (grace-retained, therefore
+    *     intact) fragments — never trusting the crashed attempt's fold,
+    *     whose fragment may have been partial — skips already-complete
+    *     level merges (their inputs were `_SUCCESS`-complete gens, which
+    *     cannot be partial), and finishes the owed expiry.
     * Expiry strictly AFTER `_SUCCESS`, one cycle late, is the invariant:
     * consumed bytes exist in two places or one, never zero — and stay
     * readable for the cycle a planned read may still need them.
     */
   private[graft] def maintainPqStore(s: SparkSession, base: String, upTo: Long,
-      shardBudgetBytes: Long = 16L << 20): Unit = {
-    val genDir = new java.io.File(base, s"gen=$upTo")
-    // newest complete generation STRICTLY below upTo — not "newest overall
-    // if it happens to be below": on a replay, gen=<upTo> itself is the
-    // newest, and deriving None here would skip the expiry the crashed
-    // attempt owed (caught by StoreMaintainSpec's replay window)
-    val prevGenId = idDirs(new java.io.File(base), "gen=")
-      .filter { case (id, f) =>
-        id < upTo && new java.io.File(f, "_SUCCESS").exists() }
-      .map(_._1).sorted.lastOption
-    // ALWAYS rebuild — never short-circuit on an existing complete
-    // gen=<upTo>: a crashed attempt may have folded a batch whose
-    // fragment landed PARTIALLY before the crash, and the replay (which
-    // rewrites the fragment whole) must fold the full content, not trust
-    // the crashed attempt's. The rebuild's inputs are guaranteed intact:
-    // the one-cycle expiry grace means nothing in (prevGen, upTo] — nor
-    // prevGen itself — was deleted by the crashed attempt's tail. In
-    // normal (non-replay) operation gen=<upTo> never pre-exists, so the
-    // unconditional rebuild costs nothing.
-    locally {
-      val frags = idDirs(new java.io.File(base, "frag"), "batch=")
-        .filter { case (id, _) => id <= upTo && prevGenId.forall(id > _) }
-      val prevGen = prevGenId.map(p => new java.io.File(base, s"gen=$p"))
-      val inputs = (prevGen.toSeq ++ frags.map(_._2)).map(_.getAbsolutePath)
-      val totalBytes = inputs.flatMap(p => partFiles(p)).map(_.length).sum
-      val shards = math.max(1L,
-        (totalBytes + shardBudgetBytes - 1) / shardBudgetBytes).toInt
-      s.read.parquet(inputs: _*).repartition(shards)
-        .write.mode("overwrite").parquet(genDir.getAbsolutePath)
+      shardBudgetBytes: Long = 16L << 20, fanout: Int = 4): MaintainStats = {
+    require(fanout >= 2, s"fanout must be >= 2, got $fanout")
+    val (fs, basePath) = fsAndPath(s, base)
+    def subPath(name: String) = new org.apache.hadoop.fs.Path(basePath, name)
+    def shardsFor(bytes: Long): Int = math.max(1L,
+      (bytes + shardBudgetBytes - 1) / shardBudgetBytes).toInt
+    def bytesOf(paths: Seq[String]): Long =
+      paths.flatMap(p => partFiles(s, p)).map(_._2).sum
+    // the ENTRY snapshot — expiry at the end deletes only what was
+    // already superseded HERE, which is exactly the one-cycle grace
+    val entry = completeGens(s, base)
+
+    // 1. L0 fold: fragments in (newest entry hi strictly below upTo,
+    // upTo]. "Strictly below" is the replay device (r13): on a replay
+    // gen=<lo>-<upTo> itself already exists, and deriving lo from it
+    // would skip the rebuild and the expiry the crashed attempt owed.
+    // ALWAYS rebuild — never short-circuit on an existing complete L0
+    // gen: the crashed attempt may have folded a PARTIALLY-landed
+    // fragment; the replay rewrites the fragment whole and must fold the
+    // full content. Inputs are intact by the grace invariant.
+    val lo = entry.filter(_.hi < upTo).map(_.hi).maxOption.map(_ + 1L).getOrElse(0L)
+    val cycleFrags = fragDirs(s, base)
+      .filter { case (id, _) => id >= lo && id <= upTo }
+    val l0Bytes = bytesOf(cycleFrags.map(_._2.toString))
+    if (cycleFrags.nonEmpty)
+      s.read.parquet(cycleFrags.map(_._2.toString): _*)
+        .repartition(shardsFor(l0Bytes))
+        .write.mode("overwrite").parquet(subPath(genName(lo, upTo, 0)).toString)
+
+    // 2. cascade level merges: sweep levels bottom-up, merging the
+    // `fanout` OLDEST live gens of a level into one gen a level up,
+    // until a full sweep fires nothing. Re-listing after every merge
+    // makes the sweep idempotent under replay: gens superseded by an
+    // already-complete merge drop out of the live set and never
+    // re-merge.
+    var mergeBytes = 0L
+    var mergesFired = 0
+    var fired = true
+    while (fired) {
+      fired = false
+      val live = liveGens(completeGens(s, base))
+      live.groupBy(_.level).toSeq.sortBy(_._1).foreach { case (level, gens) =>
+        if (!fired && gens.size >= fanout) {
+          val pick = gens.sortBy(_.lo).take(fanout)
+          pick.sliding(2).foreach {
+            case Seq(a, b) => require(b.lo == a.hi + 1,
+              s"non-contiguous level-$level gens at $base: $a then $b")
+            case _ =>
+          }
+          val inputs = pick.map(_.path.toString)
+          val bytes = bytesOf(inputs)
+          s.read.parquet(inputs: _*)
+            .repartition(shardsFor(bytes))
+            .write.mode("overwrite")
+            .parquet(subPath(genName(pick.head.lo, pick.last.hi, level + 1)).toString)
+          mergeBytes += bytes
+          mergesFired += 1
+          fired = true
+        }
+      }
     }
-    // idempotent expiry tail — one cycle LATE: drop fragments consumed by
-    // the PREVIOUS generation and generations older than it; what this
-    // cycle consumed survives until the next one (the read grace period,
-    // which is also what guarantees the rebuild above its inputs).
-    prevGenId.foreach { p =>
-      idDirs(new java.io.File(base, "frag"), "batch=").filter(_._1 <= p)
-        .foreach { case (_, f) =>
-          org.apache.commons.io.FileUtils.deleteQuietly(f) }
-      idDirs(new java.io.File(base), "gen=").filter(_._1 < p)
-        .foreach { case (_, f) =>
-          org.apache.commons.io.FileUtils.deleteQuietly(f) }
-    }
+
+    // 3. idempotent expiry tail — one cycle LATE: drop fragments covered
+    // by a basis gen and gens strictly contained in a basis gen, where
+    // the basis is the entry snapshot MINUS gens with hi == upTo. Every
+    // gen a cycle writes (the L0 fold and every cascading merge) ends at
+    // upTo, so on a REPLAY the exclusion reconstructs the crashed
+    // attempt's own entry state — this cycle's consumed inputs keep
+    // their read grace even when the crashed attempt already published
+    // its `_SUCCESS`es (a reader that planned before them may still hold
+    // those inputs); in normal operation no entry gen ends at upTo and
+    // the basis IS the entry snapshot.
+    val basis = entry.filter(_.hi < upTo)
+    val basisMaxHi = basis.map(_.hi).maxOption.getOrElse(-1L)
+    fragDirs(s, base).filter(_._1 <= basisMaxHi)
+      .foreach { case (_, p) => fs.delete(p, true) }
+    completeGens(s, base)
+      .filter(g => basis.exists(_.containsStrictly(g)))
+      .foreach(g => fs.delete(g.path, true))
+
+    val stats = MaintainStats(upTo, l0Bytes, mergeBytes, mergesFired,
+      liveGens(completeGens(s, base)).size)
+    maintainLedger
+      .computeIfAbsent(base, _ =>
+        new java.util.concurrent.CopyOnWriteArrayList[MaintainStats]())
+      .add(stats)
+    stats
   }
 
-  /** Reader of the q52y store: newest complete generation ∪ fragments
-    * NEWER than it (older fragments are either deleted or consumed-but-
-    * not-yet-deleted — reading them would double-count). Correct in every
-    * crash window [[maintainPqStore]] can leave behind.
+  /** Reader of the q52y store: LIVE generations (complete, not strictly
+    * contained in another complete gen — containment shadows merge
+    * inputs during their grace cycle) ∪ fragments NEWER than every
+    * complete gen (older fragments are either deleted or consumed-but-
+    * not-yet-deleted — reading them would double-count). Generation
+    * ranges tile [0, maxHi] by construction, so the union is exact in
+    * every crash window [[maintainPqStore]] can leave behind.
     *
     * Serve-while-maintain contract: the listing happens HERE, the file
     * reads happen at the consumer's action. [[maintainPqStore]] expires
@@ -549,13 +694,13 @@ object SimilarityQueries {
     * cycle — the snapshot-expiry grace Iceberg/Delta give readers. A plan
     * held across TWO cycles fails loudly (FileNotFoundException; never a
     * silent row loss — a listed fragment either reads fully or throws).
-    * StoreMaintainSpec pins both sides of the bound.
+    * StoreMaintainSpec pins both sides of the bound, per tier.
     */
   private[graft] def readPqStore(s: SparkSession, base: String): DataFrame = {
-    val gen = latestCompleteGen(base)
-    val frags = idDirs(new java.io.File(base, "frag"), "batch=")
-      .filter { case (id, _) => gen.forall(id > _._1) }
-    val paths = (gen.toSeq ++ frags).map(_._2.getAbsolutePath)
+    val gens = completeGens(s, base)
+    val maxHi = gens.map(_.hi).maxOption.getOrElse(-1L)
+    val frags = fragDirs(s, base).filter(_._1 > maxHi)
+    val paths = (liveGens(gens).map(_.path) ++ frags.map(_._2)).map(_.toString)
     require(paths.nonEmpty, s"empty PQ store at $base")
     s.read.parquet(paths: _*)
   }
@@ -705,6 +850,67 @@ object SimilarityQueries {
     * end). Same single definition of the code-assignment SQL.
     */
   private[graft] def pqCodesCteBody: String = PqScoredCte.stripPrefix("WITH ")
+
+  /** The scored CTE chain with `label` riding through (x3i's variant),
+    * minus its leading `WITH` — for splicing into a composed oracle that
+    * already opened its own chain (x3q: BM25 lexical CTEs first, then
+    * this, then probes/shortlist/rerank/fusion). One definition shared
+    * with the x3i oracle.
+    */
+  private[ext] def pqScoredWithLabelCteBody: String =
+    pqScoredCteFrom(
+      s"SELECT vec_id, label, ${sqlQuant("embedding")} AS qe FROM embeddings")
+      .stripPrefix("WITH ")
+
+  /** x3i's IVF-PQ serving chain as a ranked list: per query `q_id <
+    * nQueries`, coarse-probe `nprobe` of the label partitions, ADC-score
+    * only admitted code rows, shortlist `shortlist` deep, exact-rerank
+    * the shortlist, and return every shortlisted candidate with its
+    * post-rerank rank `rv` (1-based, ties by c_id). This is the vector
+    * ranker x3q's hybrid fusion composes over — the declared scale path
+    * of x3p's brute arm: per-query fan-out is bounded by nprobe BEFORE
+    * any scoring, raw vectors move for `shortlist` rows per query.
+    */
+  private[ext] def ivfPqTopK(s: SparkSession, d: String, nQueries: Int,
+      nprobe: Int = 8, shortlist: Int = 20): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      quant(col("embedding")).as("qe"), col("label"))
+    val sc = graft.functions.Aggregators.elementwise_sum_count(64)
+    val cent = e.groupBy(col("label"))
+      .agg(sc(col("qe")).as("sc"))
+      .select(col("label").as("cl"),
+        transform(slice(col("sc"), 1, 64),
+          x => round(x.cast(DoubleType) /
+            element_at(col("sc"), 65).cast(DoubleType)).cast(LongType)).as("c_emb"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("qe").as("q_emb"))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cl"))
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("q_id"), col("cl"), qcos(col("q_emb"), col("c_emb")).as("ccos"))
+      .withColumn("pr", row_number().over(wq)).filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("cl"))
+    val (codes, pd, norms) = pqFrames(s, d)
+    val adm = codes.join(broadcast(probes), col("label") === col("cl"))
+    val adots = adm.join(broadcast(pd),
+        adm("q_id") === pd("q_id") && adm("s") === pd("s") &&
+          adm("code") === pd("k"))
+      .groupBy(adm("q_id"), col("vec_id").as("c_id"))
+      .agg(sum(col("pdot")).as("adot"))
+    val scored = adcCos(adots, norms)
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_cos").desc, col("c_id"))
+    val short = scored.withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= shortlist)
+      .select(col("q_id"), col("c_id"))
+    val shortQ = short.join(broadcast(q), "q_id")
+    val rr = e.select(col("vec_id").as("c_id"), col("qe").as("c_emb"))
+      .join(broadcast(shortQ), "c_id")
+      .select(col("q_id"), col("c_id"),
+        qcos(col("q_emb"), col("c_emb")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    rr.withColumn("rv", row_number().over(w))
+      .select(col("q_id"), col("c_id"), col("rv"))
+  }
 
   /** The shared x3h/x3k oracle: ADC 20-deep shortlist + exact rerank to
     * top-5, recall annotated against the global exact top-5. x3k serves

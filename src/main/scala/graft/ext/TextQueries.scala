@@ -484,6 +484,53 @@ object TextQueries {
       },
       Some(bpeApplyOracle)),
 
+    // X4n (r14): the BPE VOCABULARY as a hash-gated artifact — the table
+    // a tokenizer actually ships beside its merge rules: corpus alphabet
+    // (binary-sorted single characters, ids 0..|A|-1) then each merge's
+    // symbol at id = |A| + step - 1. The oracle derives the alphabet
+    // from the training chain's own w0 frame and the merge ids from the
+    // per-round pick CTEs, so a drifted id assignment — the bug class
+    // that silently corrupts every downstream token stream — is caught
+    // at the hash gate, not in training.
+    Q("x4n_bpe_vocab",
+      (s, d) => {
+        import s.implicits._
+        bpeVocab(s, d).toDF("token_id", "token", "kind")
+      },
+      Some(bpeVocabOracle)),
+
+    // X4m (r14): ENCODE documents to token-id streams — what a training
+    // pipeline materializes from a corpus once a tokenizer exists (x4l
+    // counts subwords; training consumes ids). Per (doc, word): one
+    // bpe_apply kernel call (char-split + all 64 merges greedily in rank
+    // order), subtokens resolved to ids through a LITERAL vocab map
+    // (~90 entries riding with the plan — never a join), output one row
+    // per subword token keyed (doc_id, word_pos, sub_pos): a complete
+    // deterministic ordering without any corpus-wide window. 100 TB
+    // posture: pure per-row map + generator work, zero shuffles, zero
+    // driver data beyond the vocab certificate; the oracle replays
+    // tokenization via the distinct-word join against the final vocab
+    // state and the identical min-id resolution, so every single token
+    // id in the corpus stream is hash-pinned.
+    Q("x4m_bpe_encode",
+      (s, d) => {
+        val merges = loadOrTrainMerges(s, d)
+        val idMap = bpeVocab(s, d).groupBy(_._2)
+          .map { case (t, xs) => (t, xs.map(_._1).min) }
+        val docsW = Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .toDF("doc_id", "word_pos", "word")
+          .filter(length(col("word")) > 0)
+        docsW
+          .select(col("doc_id"), col("word_pos"),
+            posexplode(split(trim(graft.functions.Kernels.bpe_apply(col("word"),
+              merges, fromChars = true)), " ")))
+          .toDF("doc_id", "word_pos", "sub_pos", "token")
+          .select(col("doc_id"), col("word_pos"), col("sub_pos"),
+            element_at(typedLit(idMap), col("token")).as("token_id"))
+      },
+      Some(bpeEncodeOracle)),
+
     // X3p: HYBRID retrieval with reciprocal-rank fusion — the serving
     // pattern RAG stacks actually run: a lexical ranker (x4f's BM25, one
     // term per query) and a vector ranker (x3's exact quantized cosine,
@@ -499,55 +546,102 @@ object TextQueries {
     // same expression text on both sides, so the RRF doubles are
     // IEEE-exact against the oracle.
     Q("x3p_hybrid_rrf",
+      (s, d) => fuseRrf(lexTop20(s, d), bruteVecTop20(s, d)),
+      Some(hybridRrfSql)),
+
+    // X3q (r14, VERDICT r13 #3): the hybrid fusion SERVED FROM THE INDEX
+    // — x3p's lexical arm and RRF fusion verbatim, with the vector arm
+    // swapped from the brute broadcast cross-join to x3i's IVF-PQ chain
+    // (coarse-probe 8 partitions → ADC-score admitted code rows →
+    // 20-deep shortlist → exact rerank), i.e. the declared scale path:
+    // per-query work is bounded by nprobe BEFORE any scoring and raw
+    // vectors move for 20 rows per query, where x3p's arm scans every
+    // vector per query. `in_brute_vec_top20` annotates each fused result
+    // against the brute arm's top-20 (the x3p baseline), so the
+    // fusion-level overlap — what swapping the ranker actually changes —
+    // is measured IN the hash-gated output, not eyeballed. The oracle
+    // replays centroids → probes → ADC → shortlist → rerank (the x3i
+    // device) and then the identical fusion text, so every rank and
+    // every RRF double is IEEE-exact against an independent replay.
+    Q("x3q_hybrid_ivfpq",
       (s, d) => {
-        val w = split(col("text"), " ")
-        val base = Tables.documents(s, d).select(
-          col("doc_id") +: size(w).as("dl") +:
-            bm25Terms.zipWithIndex.map { case (t, i) =>
-              size(filter(w, x => x === lit(t))).as(s"tf$i") }: _*)
-        val stats = base.agg(
-          count(lit(1)).as("n"),
-          sum(col("dl")).as("sumdl") +:
-            bm25Terms.indices.map(i =>
-              sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
-          .withColumn("avgdl",
-            col("sumdl").cast(DoubleType) / col("n").cast(DoubleType))
-        val arms = bm25Terms.indices.map(i => struct(
-          lit(i).as("qid"), col(s"tf$i").as("tf"), col(s"df$i").as("df")))
-        val lex = base.crossJoin(broadcast(stats))
-          .select(col("doc_id"), col("dl"), col("n"), col("avgdl"),
-            explode(array(arms: _*)).as("t"))
-          .filter(col("t.tf") > 0)
-          .select(col("t.qid").as("qid"), col("doc_id"),
-            bm25Contrib(col("t.tf"), col("t.df"), col("n"), col("dl"),
-              col("avgdl")).as("score"))
-        val wl = Window.partitionBy(col("qid"))
-          .orderBy(col("score").desc, col("doc_id"))
-        val lt = lex.withColumn("rl", row_number().over(wl))
-          .filter(col("rl") <= 20).select("qid", "doc_id", "rl")
-        val e = SimilarityQueries.quantFrame(s, d)
-          .select(col("vec_id"), col("qe"))
-        val q = e.filter(col("vec_id") < 4)
-          .select(col("vec_id").cast(IntegerType).as("qid"),
-            col("qe").as("qemb"))
-        val wv = Window.partitionBy(col("qid"))
-          .orderBy(col("cos").desc, col("doc_id"))
-        val vt = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id").as("doc_id"),
-            SimilarityQueries.qcos(col("qemb"), col("qe")).as("cos"))
-          .withColumn("rv", row_number().over(wv))
-          .filter(col("rv") <= 20).select("qid", "doc_id", "rv")
-        val f = lt.join(vt, Seq("qid", "doc_id"), "full_outer")
-          .select(col("qid"), col("doc_id"),
-            (coalesce(lit(1.0) / (lit(60) + col("rl")), lit(0.0)) +
-              coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0))).as("rrf"))
-        val wf = Window.partitionBy(col("qid"))
-          .orderBy(col("rrf").desc, col("doc_id"))
-        f.withColumn("rank", row_number().over(wf)).filter(col("rank") <= 10)
-          .select(col("qid"), col("rank"), col("doc_id"), col("rrf"))
+        val vt = SimilarityQueries.ivfPqTopK(s, d, nQueries = 4)
+          .select(col("q_id").cast(IntegerType).as("qid"),
+            col("c_id").as("doc_id"), col("rv"))
+        val fused = fuseRrf(lexTop20(s, d), vt)
+        val bt = bruteVecTop20(s, d)
+          .select(col("qid"), col("doc_id"), lit(true).as("hit"))
+        fused.join(bt, Seq("qid", "doc_id"), "left")
+          .select(col("qid"), col("rank"), col("doc_id"), col("rrf"),
+            coalesce(col("hit"), lit(false)).as("in_brute_vec_top20"))
       },
-      Some(hybridRrfSql))
+      Some(hybridIvfPqSql))
   )
+
+  /** x3p/x3q's shared lexical ranker: per-term BM25 over documents that
+    * CONTAIN the term, top-20 per qid — `(qid, doc_id, rl)`.
+    */
+  private def lexTop20(s: SparkSession, d: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val base = Tables.documents(s, d).select(
+      col("doc_id") +: size(w).as("dl") +:
+        bm25Terms.zipWithIndex.map { case (t, i) =>
+          size(filter(w, x => x === lit(t))).as(s"tf$i") }: _*)
+    val stats = base.agg(
+      count(lit(1)).as("n"),
+      sum(col("dl")).as("sumdl") +:
+        bm25Terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+      .withColumn("avgdl",
+        col("sumdl").cast(DoubleType) / col("n").cast(DoubleType))
+    val arms = bm25Terms.indices.map(i => struct(
+      lit(i).as("qid"), col(s"tf$i").as("tf"), col(s"df$i").as("df")))
+    val lex = base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"), col("n"), col("avgdl"),
+        explode(array(arms: _*)).as("t"))
+      .filter(col("t.tf") > 0)
+      .select(col("t.qid").as("qid"), col("doc_id"),
+        bm25Contrib(col("t.tf"), col("t.df"), col("n"), col("dl"),
+          col("avgdl")).as("score"))
+    val wl = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    lex.withColumn("rl", row_number().over(wl))
+      .filter(col("rl") <= 20).select("qid", "doc_id", "rl")
+  }
+
+  /** x3p's brute vector ranker (and x3q's overlap baseline): exact
+    * quantized cosine of every vector against queries 0..3, top-20 —
+    * `(qid, doc_id, rv)`.
+    */
+  private def bruteVecTop20(s: SparkSession, d: String): DataFrame = {
+    val e = SimilarityQueries.quantFrame(s, d)
+      .select(col("vec_id"), col("qe"))
+    val q = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast(IntegerType).as("qid"),
+        col("qe").as("qemb"))
+    val wv = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("doc_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        SimilarityQueries.qcos(col("qemb"), col("qe")).as("cos"))
+      .withColumn("rv", row_number().over(wv))
+      .filter(col("rv") <= 20).select("qid", "doc_id", "rv")
+  }
+
+  /** The RRF fusion tail shared by x3p/x3q: full-outer join of the two
+    * ranked arms, Σ 1/(60+rank), top-10 per qid — rank-based, so the
+    * arms' incomparable score scales never meet (Cormack et al. 2009).
+    */
+  private def fuseRrf(lt: DataFrame, vt: DataFrame): DataFrame = {
+    val f = lt.join(vt, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"),
+        (coalesce(lit(1.0) / (lit(60) + col("rl")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0))).as("rrf"))
+    val wf = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    f.withColumn("rank", row_number().over(wf)).filter(col("rank") <= 10)
+      .select(col("qid"), col("rank"), col("doc_id"), col("rrf"))
+  }
 
   private val BpeRounds = 8
   private val BpePicksPerRound = 8
@@ -674,12 +768,16 @@ object TextQueries {
     s.read.parquet(mergesPath(s, d))
   }
 
-  /** x4l's merge source: LOAD the persisted x4k artifact, training and
-    * persisting it first only if absent (so x4l is order-independent of
-    * x4k within a session, and deterministic either way — BpeSpec pins
-    * load ≡ retrain). Returns (l, r) in rank order.
+  /** x4l/x4m/x4n's merge source: LOAD the persisted x4k artifact,
+    * training and persisting it first only if absent (so the serve
+    * queries are order-independent of x4k within a session, and
+    * deterministic either way — BpeSpec pins load ≡ retrain). Returns
+    * (step, l, r) in rank order; ids derive from STEP, not position, so
+    * a round that found fewer than 8 disjoint picks cannot shift every
+    * later token id.
     */
-  private[graft] def loadOrTrainMerges(s: SparkSession, d: String): Seq[(String, String)] = {
+  private[graft] def loadOrTrainMergeRows(s: SparkSession,
+      d: String): Seq[(Int, String, String)] = {
     val path = mergesPath(s, d)
     val table =
       if (new java.io.File(path, "_SUCCESS").exists()) s.read.parquet(path)
@@ -687,8 +785,31 @@ object TextQueries {
     table.collect().sortBy(_.getInt(0))
       .map { r =>
         val Array(l, rr) = r.getString(1).split(" ", 2)
-        (l, rr)
+        (r.getInt(0), l, rr)
       }.toSeq
+  }
+
+  private[graft] def loadOrTrainMerges(s: SparkSession, d: String): Seq[(String, String)] =
+    loadOrTrainMergeRows(s, d).map { case (_, l, r) => (l, r) }
+
+  /** The BPE VOCABULARY: the corpus alphabet (distinct single characters
+    * of the word stream, binary-sorted, ids 0..|A|-1) followed by the
+    * merge symbols at id = |A| + step - 1. Alphabet-sized driver data
+    * (tens of strings) — the certificate pattern. A merge result that
+    * collides with an existing token keeps both rows in the table (ids
+    * are the identity); ENCODING resolves a token string to its MINIMUM
+    * id, identically on both engines.
+    */
+  private[graft] def bpeVocab(s: SparkSession, d: String): Seq[(Int, String, String)] = {
+    val chars = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(explode(expr(
+        "transform(sequence(1, char_length(word)), i -> substring(word, i, 1))")).as("c"))
+      .distinct().collect().map(_.getString(0)).sorted
+    chars.zipWithIndex.map { case (c, i) => (i, c, "char") }.toSeq ++
+      loadOrTrainMergeRows(s, d).map { case (step, l, r) =>
+        (chars.length + step - 1, l + r, "merge") }
   }
 
   /** The greedy-fold rewrite as DuckDB SQL: tokens re-padded to
@@ -791,6 +912,54 @@ object TextQueries {
       FROM docw JOIN w${BpeRounds}_$BpePicksPerRound w USING (word)
       GROUP BY doc_id"""
 
+  /** The vocab CTEs over the training chain: `alpha` (alphabet with
+    * row-number ids), `nalpha`, and `vtab` (alphabet ∪ merge symbols at
+    * id = |A| + step - 1, empty pick slots contributing nothing — ids
+    * derive from STEP on both engines).
+    */
+  private def bpeVocabCtes: String = {
+    val mSel = (for (i <- 1 to BpeRounds; j <- 1 to BpePicksPerRound) yield
+      s"SELECT merged AS token, ${(i - 1) * BpePicksPerRound + j - 1} + " +
+        s"(SELECT n FROM nalpha) AS id, 'merge' AS kind FROM b${i}_$j")
+      .mkString(" UNION ALL ")
+    s"""alpha AS (SELECT c AS token,
+          CAST(row_number() OVER (ORDER BY c) - 1 AS BIGINT) AS id,
+          'char' AS kind
+        FROM (SELECT DISTINCT unnest(list_transform(
+            generate_series(1, len(word)), i -> word[i])) AS c FROM w0_0)),
+      nalpha AS (SELECT CAST(count(*) AS BIGINT) AS n FROM alpha),
+      vtab AS (SELECT token, id, kind FROM alpha UNION ALL $mSel)"""
+  }
+
+  private def bpeVocabOracle: String =
+    s"""WITH ${bpeCtes()}, $bpeVocabCtes
+      SELECT CAST(id AS INTEGER) AS token_id, token, kind FROM vtab"""
+
+  /** x4m's replay: tokenize via the distinct-word join against the final
+    * vocab state (the x4l device), positions from in-expression
+    * generate_series structs (0-based to match posexplode), token →
+    * MIN(id) through `vtab`.
+    */
+  private def bpeEncodeOracle: String =
+    s"""WITH ${bpeCtes()}, $bpeVocabCtes,
+      vocab AS (SELECT token, CAST(MIN(id) AS INTEGER) AS token_id
+        FROM vtab GROUP BY token),
+      docw AS (SELECT doc_id, CAST(z.pos - 1 AS INTEGER) AS word_pos,
+          z.tok AS word
+        FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)),
+            i -> {'tok': w[i], 'pos': i})) AS z
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+        WHERE len(z.tok) > 0),
+      toks AS (SELECT doc_id, word_pos, CAST(z2.pos - 1 AS INTEGER) AS sub_pos,
+          z2.tok AS token
+        FROM (SELECT doc_id, word_pos,
+            unnest(list_transform(generate_series(1, len(subs)),
+              j -> {'tok': subs[j], 'pos': j})) AS z2
+          FROM (SELECT d.doc_id, d.word_pos,
+              string_split(trim(f.sym), ' ') AS subs
+            FROM docw d JOIN w${BpeRounds}_$BpePicksPerRound f ON f.word = d.word)))
+      SELECT doc_id, word_pos, sub_pos, token_id FROM toks JOIN vocab USING (token)"""
+
   private val bm25Terms = Seq("spark", "merge", "vector", "customer")
 
   /** One term's BM25 contribution, k1=1.2 b=0.75 — parenthesization is
@@ -886,6 +1055,65 @@ object TextQueries {
         FROM lt FULL OUTER JOIN vt ON lt.qid = vt.qid AND lt.doc_id = vt.doc_id)
       SELECT qid, CAST(rank AS INTEGER) AS rank, doc_id, rrf FROM
         (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rank FROM f)
+      WHERE rank <= 10"""
+  }
+
+  /** x3q's oracle: the BM25 lexical CTEs, the x3i PQ/scored chain (with
+    * `label`), centroids → probes (queries 0..3) → IVF-pruned ADC →
+    * 20-deep shortlist → exact rerank as the vector arm, x3p's fusion
+    * text verbatim, and the brute top-20 LEFT-JOINED in as the overlap
+    * annotation. Every floating intermediate is the identical expression
+    * text the x3i and x3p oracles use, so ranks, RRF doubles, and the
+    * boolean are exact.
+    */
+  private def hybridIvfPqSql: String = {
+    val lexArms = bm25Terms.indices.map(i =>
+      s"""SELECT $i AS qid, doc_id, ${sqlBm25Contrib(i)} AS score
+          FROM base CROSS JOIN stats WHERE tf$i > 0""").mkString(" UNION ALL ")
+    s"""WITH $bm25BaseCtes,
+      ${SimilarityQueries.pqScoredWithLabelCteBody},
+      cent AS (SELECT label AS cl, list(m ORDER BY pos) AS c_emb FROM (
+          SELECT label, pos, CAST(round(avg(qe[pos])) AS BIGINT) AS m
+          FROM e, generate_series(1, 64) AS g(pos) GROUP BY label, pos)
+        GROUP BY label),
+      probes AS (SELECT q_id, cl FROM (
+          SELECT q.vec_id AS q_id, cent.cl,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY ${SimilarityQueries.sqlQcos("q.qe", "cent.c_emb")} DESC, cent.cl) AS pr
+          FROM e q, cent WHERE q.vec_id < 4) WHERE pr <= 8),
+      ivf AS (SELECT s.q_id, s.c_id, s.approx_cos FROM scored s
+        JOIN e c ON c.vec_id = s.c_id
+        JOIN probes p ON p.q_id = s.q_id AND p.cl = c.label),
+      vshort AS (SELECT q_id, c_id FROM (
+          SELECT q_id, c_id, row_number() OVER
+            (PARTITION BY q_id ORDER BY approx_cos DESC, c_id) AS adc_rank FROM ivf)
+        WHERE adc_rank <= 20),
+      vrr AS (SELECT s.q_id, s.c_id, ${SimilarityQueries.sqlQcos("eq.qe", "ec.qe")} AS cos
+        FROM vshort s JOIN e eq ON eq.vec_id = s.q_id
+          JOIN e ec ON ec.vec_id = s.c_id),
+      vt AS (SELECT CAST(q_id AS INTEGER) AS qid, c_id AS doc_id,
+          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rv
+        FROM vrr),
+      lex AS (SELECT qid, doc_id, row_number() OVER
+          (PARTITION BY qid ORDER BY score DESC, doc_id) AS rl
+        FROM ($lexArms)),
+      lt AS (SELECT qid, doc_id, rl FROM lex WHERE rl <= 20),
+      bvec AS (SELECT qid, doc_id FROM (
+          SELECT CAST(q.vec_id AS INTEGER) AS qid, c.vec_id AS doc_id,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY ${SimilarityQueries.sqlQcos("q.qe", "c.qe")} DESC, c.vec_id) AS brv
+          FROM e q JOIN e c ON q.vec_id < 4 AND c.vec_id <> q.vec_id)
+        WHERE brv <= 20),
+      f AS (SELECT COALESCE(lt.qid, vt.qid) AS qid,
+          COALESCE(lt.doc_id, vt.doc_id) AS doc_id,
+          COALESCE(CAST(1 AS DOUBLE) / (60 + rl), CAST(0 AS DOUBLE))
+            + COALESCE(CAST(1 AS DOUBLE) / (60 + rv), CAST(0 AS DOUBLE)) AS rrf
+        FROM lt FULL OUTER JOIN vt ON lt.qid = vt.qid AND lt.doc_id = vt.doc_id)
+      SELECT qid, CAST(rank AS INTEGER) AS rank, doc_id, rrf,
+        coalesce(b.hit, false) AS in_brute_vec_top20
+      FROM (SELECT *, row_number() OVER
+          (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rank FROM f) t
+      LEFT JOIN (SELECT qid, doc_id, true AS hit FROM bvec) b USING (qid, doc_id)
       WHERE rank <= 10"""
   }
 }

@@ -41,6 +41,11 @@ class RegistrySpec extends SparkSpec {
     "qf3_port_scan", "x2c_dedup_ngram", "x3b_cosine_pairs",
     "q46_stream_tumbling", "q47_stream_sliding", "x7c_decontam_fuzzy",
     "x7e_decontam_semantic",
+    // r14's 8×12 banding declares the cos 0.4–0.5 boundary pairs — the
+    // fixture's ONLY τ-passing pairs — out of the candidate generator's
+    // operating point; the positive near-dup contract is pinned in
+    // LshAuditSpec on planted pairs
+    "x2e_dedup_embed",
     // no sub-threshold aHash pair exists in the dup-free fixtures (min
     // pairwise Hamming 8 at sf0.01) — the positive pair contract is
     // pinned in MultimodalSpec on synthetic payloads

@@ -23,8 +23,7 @@ class CompactionSpec extends SparkSpec {
       .write.partitionBy("batch").mode("overwrite").parquet(s"$idxDir/frag/codes")
     norms.withColumn("batch", pmod(col("vec_id"), lit(8)))
       .write.partitionBy("batch").mode("overwrite").parquet(s"$idxDir/frag/norms")
-    val fragListing = SimilarityQueries.partFiles(s"$idxDir/frag")
-      .map(f => (f.getAbsolutePath, f.length)).sorted
+    val fragListing = SimilarityQueries.partFiles(spark, s"$idxDir/frag").sorted
 
     val (before, after) =
       SimilarityQueries.compactPqStore(spark, idxDir, shardBudgetBytes = 16L << 20)
@@ -41,8 +40,7 @@ class CompactionSpec extends SparkSpec {
     assert(rows(s"$idxDir/compact/norms") == rows(s"$idxDir/frag/norms"),
       "compaction changed the norm row set")
 
-    val fragAfter = SimilarityQueries.partFiles(s"$idxDir/frag")
-      .map(f => (f.getAbsolutePath, f.length)).sorted
+    val fragAfter = SimilarityQueries.partFiles(spark, s"$idxDir/frag").sorted
     assert(fragAfter == fragListing,
       "compaction touched the fragment generation (rollback contract broken)")
   }

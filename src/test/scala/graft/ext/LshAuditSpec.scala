@@ -43,21 +43,53 @@ class LshAuditSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // verification makes every emitted pair TRUE — soundness is exact
     assert(found.subsetOf(truth), s"LSH emitted non-pairs: ${found.diff(truth).take(5)}")
-    // recall floor: random embeddings at the τ=0.4 signal/noise boundary
-    // give P[>=1 of 8 8-bit bands] = 1-(1-p^8)^8 ≈ 0.18 per true pair
-    // (p ≈ 0.63); 5% is a conservative floor whenever the truth set is
-    // big enough to measure (the fixture + frozen planes make the actual
-    // value deterministic — the floor only guards fixture regeneration)
-    if (truth.size >= 10)
-      assert(found.size.toDouble / truth.size >= 0.05,
-        s"recall ${found.size}/${truth.size} under floor")
-    else assert(truth.nonEmpty || found.isEmpty)
+    // boundary recall is REPORTED, not floored (r14): the 8×12 geometry
+    // deliberately trades pairs at the cos 0.4–0.5 verify boundary for a
+    // 7× verify-candidate cut at 30× (see the LshNumBands scaladoc); the
+    // near-dup OPERATING POINT is what the planted audit below and the
+    // ScaleBench 30× gate floor. The fixture's truth set at τ=0.4 is
+    // entirely boundary pairs (max cos ≈ 0.51), so a floor here would
+    // gate exactly the regime the geometry declares out of scope.
+    info(s"x2e boundary (τ=0.4) recall at fixture scale: " +
+      s"${found.size}/${truth.size}")
+  }
+
+  test("x2e geometry finds planted near-dups at fixture scale") {
+    // the operating-point audit (r14): plant 20 known near-dups — each a
+    // base vector scaled elementwise by (1 ± 0.1) alternating, the
+    // ScaleBench construction, cos ≈ 0.995 regardless of the source —
+    // and require the band join to surface EVERY pair. At p ≈ 0.968
+    // plane agreement the 8×12 miss probability is (1−p¹²)⁸ ≈ 2e-4 per
+    // pair; a miss here is a geometry regression, not noise.
+    val quant = (c: org.apache.spark.sql.Column) =>
+      transform(c, x => round(x.cast(DoubleType) * 1048576d).cast(LongType))
+    val base = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val planted = base.orderBy("vec_id").limit(20)
+      .select((col("vec_id") + 800000000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> CAST(x * (CASE WHEN i % 2 = 0 " +
+          "THEN 1.1 ELSE 0.9 END) AS FLOAT))").as("embedding"))
+    val e = base.unionByName(planted)
+      .select(col("vec_id"), quant(col("embedding")).as("qe"))
+    val bands = e.select(col("vec_id"),
+        explode(SimilarityQueries.lshBandStructsKernel(col("qe"))).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = base.orderBy("vec_id").limit(20).collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 800000000L)).toSet
+    val missed = want.diff(cand)
+    assert(missed.isEmpty, s"band join missed planted near-dups: $missed")
   }
 
   test("x2e band-bucket occupancy stays near n/2^bits — the O(n) candidate bound") {
     // the r08 verdict's scale finding: 4-bit keys capped at 16 buckets per
     // band, so occupancy grew as n/16 and the band self-join went
-    // quadratic. With 8-bit keys the expected occupancy is n/256; assert
+    // quadratic. With 2^LshBandBits buckets the expected occupancy is
+    // n / 2^bits (n/4096 at the r14 12-bit keys); assert
     // the LARGEST bucket stays within a small multiple of that, so the
     // per-band candidate count is provably O(n · maxOcc) = O(n)
     val quant = (c: org.apache.spark.sql.Column) =>
@@ -121,13 +153,16 @@ class LshAuditSpec extends SparkSpec {
     // desync Spark and DuckDB silently at the gate, so freeze a prefix
     val p = SimilarityQueries.LshPlanes
     assert(p.length == SimilarityQueries.LshNumBands * SimilarityQueries.LshBandBits
-      && p.length == 64 && p.forall(_.length == 64))
+      && p.length == 96 && p.forall(_.length == 64))
     assert(p.forall(_.forall(v => v == 1L || v == -1L)))
     // determinism across invocations of the generator (java.util.Random's
     // LCG is part of its spec, so this also pins cross-JVM stability)
     val rnd = new java.util.Random(42)
-    val regen = IndexedSeq.fill(64)(Seq.fill(64)(if (rnd.nextBoolean()) 1L else -1L))
+    val regen = IndexedSeq.fill(96)(Seq.fill(64)(if (rnd.nextBoolean()) 1L else -1L))
     assert(regen == p)
+    // the sequential draw makes a smaller geometry's pool a strict prefix
+    // (what ScaleBench's 8×8-vs-8×12 A/B relies on)
+    assert(SimilarityQueries.lshPlanesFor(64) == p.take(64))
     // not degenerate: roughly balanced signs per plane
     assert(p.forall(pl => math.abs(pl.sum) < 40))
   }

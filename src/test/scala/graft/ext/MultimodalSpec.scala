@@ -54,6 +54,58 @@ class MultimodalSpec extends SparkSpec {
     assert(f2.getDouble(3) == (0 + 16 + 32 + 127 + 255 + 240).toDouble / 6)
   }
 
+  test("realDecode: constructed PNG bytes decode to exact dimensions and channel mean") {
+    // a 3×2 image with known channel values: PNG is lossless, so the
+    // decoded raster — and therefore the R/G/B mean — is exact
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val pixels = Seq( // (x, y, r, g, b)
+      (0, 0, 255, 0, 0), (1, 0, 0, 255, 0), (2, 0, 0, 0, 255),
+      (0, 1, 10, 20, 30), (1, 1, 40, 50, 60), (2, 1, 70, 80, 90))
+    pixels.foreach { case (x, y, r, g, b) =>
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val png = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", png))
+    val Some((w, h, mean)) = Multimodal.realDecode(png.toByteArray)
+    assert(w == 3 && h == 2)
+    val want = pixels.flatMap { case (_, _, r, g, b) => Seq(r, g, b) }
+    assert(mean == want.sum.toDouble / want.size.toDouble,
+      s"channel mean $mean != ${want.sum.toDouble / want.size}")
+    // JPEG: lossy, so pin dimensions and mean plausibility only
+    val jpg = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", jpg))
+    val Some((jw, jh, jmean)) = Multimodal.realDecode(jpg.toByteArray)
+    assert(jw == 3 && jh == 2 && jmean >= 0.0 && jmean <= 255.0)
+    // non-image bytes are None — the declared stub-fallback trigger
+    assert(Multimodal.realDecode("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("decodeFeaturesReal: codec path runs on executors, stub fallback for non-images") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(4, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 4).foreach(x => (0 until 3).foreach(y =>
+      img.setRGB(x, y, (100 << 16) | (150 << 8) | 200)))
+    val png = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", png)
+    val synthetic = "hello world".getBytes("UTF-8")
+    val df = Seq((1L, png.toByteArray), (2L, synthetic)).toDF("doc_id", "payload")
+      .repartition(2) // force both rows through the executor-side kernel
+    val rows = Multimodal.decodeFeaturesReal(df).orderBy("doc_id").collect()
+    // row 1: real decode — uniform image, exact mean (100+150+200)/3
+    assert(rows(0).getInt(1) == 4 && rows(0).getInt(2) == 3)
+    assert(rows(0).getDouble(3) == 150.0)
+    assert(rows(0).getInt(4) == png.toByteArray.length)
+    // row 2: undecodable — identical numbers to the stub path
+    assert(rows(1).getInt(1) == 1 + (synthetic(0) & 0xff) % 64)
+    assert(rows(1).getDouble(3) ==
+      synthetic.map(_ & 0xff).sum.toDouble / synthetic.length)
+    // and the real path's schema/plan shape equals the stub path's
+    assert(Multimodal.decodeFeaturesReal(df).schema ==
+      Multimodal.decodeFeatures(df).schema)
+  }
+
   test("sampleFrames: boundary frames and sampling stride are exact") {
     import org.apache.spark.sql.Row
     val rows = Multimodal.sampleFrames(media, frameBytes = 4, every = 2)

@@ -10,13 +10,16 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.ext.SimilarityQueries
 
-/** q52y's generational store mechanics: [[SimilarityQueries.maintainPqStore]]
-  * must be idempotent and loss-free in EVERY crash window (the scaladoc's
-  * two-places-or-one invariant), and [[SimilarityQueries.readPqStore]]
-  * must return the exact row multiset in each of those windows. The
-  * registered query's oracle proves maintained-ingest ≡ batch build; this
-  * pins the windows the oracle can't reach (a clean drain never leaves a
-  * torn generation behind) plus the whole-batch-replay composition.
+/** q52y's TIERED generational store mechanics (r14):
+  * [[SimilarityQueries.maintainPqStore]] must be idempotent and loss-free
+  * in EVERY crash window (the scaladoc's two-places-or-one invariant) —
+  * including the level-merge windows the r13 whole-store fold didn't
+  * have — and [[SimilarityQueries.readPqStore]] must return the exact
+  * row multiset in each of those windows. The registered query's oracle
+  * proves maintained-ingest ≡ batch build; this pins the windows the
+  * oracle can't reach (a clean drain never leaves a torn generation
+  * behind) plus the whole-batch-replay composition. ScaleBench gates the
+  * amortization claim (per-cycle L0 fold bytes track cycle input).
   */
 class StoreMaintainSpec extends SparkSpec {
 
@@ -43,26 +46,51 @@ class StoreMaintainSpec extends SparkSpec {
     (0 to 5).flatMap(id => (0 until 10).map(i =>
       s"[${id * 10 + i},${i % 8},${i % 16}]")).toSet
 
-  test("maintain folds frags into generations; expiry runs one cycle late") {
+  private def exists(p: String): Boolean = new java.io.File(p).exists()
+
+  test("maintain folds ONLY the cycle's frags into L0; expiry runs one cycle late") {
     val store = freshStore("clean")
     writeFrags(store)
     SimilarityQueries.maintainPqStore(spark, store, upTo = 3L)
-    // first cycle: gen=3 complete; consumed frags RETAINED (read grace —
-    // there is no previous cycle whose inputs could expire yet)
-    assert(new java.io.File(s"$store/gen=3/_SUCCESS").exists())
+    // first cycle: L0 gen over [0,3]; consumed frags RETAINED (read
+    // grace — there is no previous cycle whose inputs could expire yet)
+    assert(exists(s"$store/gen=0-3-L0/_SUCCESS"))
     val fragIds = Option(new java.io.File(s"$store/frag").listFiles())
       .getOrElse(Array.empty).map(_.getName).sorted.toSeq
     assert(fragIds == (0 to 5).map(i => s"batch=$i"), fragIds)
     assert(rowSet(SimilarityQueries.readPqStore(spark, store)) == allRows)
-    // second cycle: gen=5 folds gen=3 + frags 4,5; the PREVIOUS cycle's
-    // inputs (frags ≤ 3) expire; gen=3 itself is retained for readers
-    // planned before this cycle
-    SimilarityQueries.maintainPqStore(spark, store, upTo = 5L)
-    assert(new java.io.File(s"$store/gen=5/_SUCCESS").exists())
-    assert(new java.io.File(s"$store/gen=3").exists(), "grace gen reaped early")
+    // second cycle folds ONLY frags 4..5 — the tiered contract: the L0
+    // fold never re-reads the standing store (gen=0-3 is not an input)
+    val stats = SimilarityQueries.maintainPqStore(spark, store, upTo = 5L)
+    assert(exists(s"$store/gen=4-5-L0/_SUCCESS"))
+    assert(exists(s"$store/gen=0-3-L0"), "standing gen must be untouched")
+    assert(stats.mergesFired == 0)
     val after = Option(new java.io.File(s"$store/frag").listFiles())
       .getOrElse(Array.empty).map(_.getName).sorted.toSeq
     assert(after == Seq("batch=4", "batch=5"), after)
+    assert(rowSet(SimilarityQueries.readPqStore(spark, store)) == allRows)
+  }
+
+  test("level merge: fanout adjacent L0 gens fold into L1; inputs keep one-cycle grace") {
+    val store = freshStore("tiered")
+    writeFrags(store)
+    SimilarityQueries.maintainPqStore(spark, store, upTo = 1L, fanout = 2)
+    val s2 = SimilarityQueries.maintainPqStore(spark, store, upTo = 3L, fanout = 2)
+    // cycle 2 wrote L0[2,3] and the L1 merge of the two L0 gens
+    assert(exists(s"$store/gen=2-3-L0/_SUCCESS"))
+    assert(exists(s"$store/gen=0-3-L1/_SUCCESS"))
+    assert(s2.mergesFired == 1)
+    // merge INPUTS are grace-retained this cycle; containment shadows
+    // them, so the reader takes L1 ∪ frags > 3 — never a double count
+    assert(exists(s"$store/gen=0-1-L0"))
+    assert(exists(s"$store/gen=2-3-L0"))
+    assert(rowSet(SimilarityQueries.readPqStore(spark, store)) == allRows)
+    // next cycle expires the superseded L0 gens (one cycle late)
+    SimilarityQueries.maintainPqStore(spark, store, upTo = 5L, fanout = 2)
+    assert(!exists(s"$store/gen=0-1-L0"), "superseded L0 gen outlived its grace")
+    assert(!exists(s"$store/gen=2-3-L0"))
+    assert(exists(s"$store/gen=0-3-L1"))
+    assert(exists(s"$store/gen=4-5-L0/_SUCCESS"))
     assert(rowSet(SimilarityQueries.readPqStore(spark, store)) == allRows)
   }
 
@@ -70,9 +98,10 @@ class StoreMaintainSpec extends SparkSpec {
     val store = freshStore("postgen")
     writeFrags(store)
     SimilarityQueries.maintainPqStore(spark, store, upTo = 1L)
-    // crashed attempt of cycle 3: its fragment landed PARTIALLY (batch=3
+    // crashed attempt of cycle 2: its fragment landed PARTIALLY (batch=3
     // holds half its rows), maintenance folded that partial content into
-    // a COMPLETE gen=3, then the function died before the offset commit
+    // a COMPLETE gen over [2,3], then the function died before the
+    // offset commit
     import spark.implicits._
     (0 until 5).map(i => (30L + i, i % 8, i % 16))
       .toDF("vec_id", "s", "code")
@@ -80,42 +109,46 @@ class StoreMaintainSpec extends SparkSpec {
     SimilarityQueries.maintainPqStore(spark, store, upTo = 3L)
     // the replay rewrites the fragment WHOLE and re-runs maintenance: the
     // rebuild must fold the full content — trusting the crashed attempt's
-    // gen=3 would lose batch 3's other half forever
+    // gen would lose batch 3's other half forever
     writeFrags(store)
     SimilarityQueries.maintainPqStore(spark, store, upTo = 3L)
     assert(rowSet(SimilarityQueries.readPqStore(spark, store)) == allRows,
       "replayed maintenance must fold the replayed fragment's full content")
     // and the expiry owed by the crashed attempt is finished: frags ≤
-    // gen=1 gone, this cycle's own inputs keep their read grace
-    assert(!new java.io.File(s"$store/frag/batch=0").exists())
-    assert(new java.io.File(s"$store/frag/batch=2").exists(),
+    // gen [0,1] gone, this cycle's own inputs keep their read grace —
+    // even though the crashed attempt already published gen=2-3's
+    // _SUCCESS (the expiry basis excludes gens ending at upTo)
+    assert(!exists(s"$store/frag/batch=0"))
+    assert(exists(s"$store/frag/batch=2"),
       "this cycle's consumed inputs must keep their read grace")
   }
 
-  test("read grace: a plan survives one maintenance cycle, not two") {
+  test("read grace: a plan survives one maintenance cycle, not two (tiers included)") {
     val store = freshStore("grace")
     writeFrags(store)
-    SimilarityQueries.maintainPqStore(spark, store, upTo = 1L)
-    // planned against the post-cycle-1 listing: gen=1 ∪ frags 2..5
+    SimilarityQueries.maintainPqStore(spark, store, upTo = 1L, fanout = 2)
+    // planned against the post-cycle-1 listing: L0[0,1] ∪ frags 2..5
     val planned = SimilarityQueries.readPqStore(spark, store)
-    SimilarityQueries.maintainPqStore(spark, store, upTo = 3L)
-    // one cycle later every listed path is still on disk (frags ≤ 1
-    // expired, but the plan reads gen=1, which is retained)
+    SimilarityQueries.maintainPqStore(spark, store, upTo = 3L, fanout = 2)
+    // one cycle later every listed path is still on disk — the L1 merge
+    // fired, but its L0 inputs are grace-retained and frags ≤ 1 were the
+    // only expiry
     assert(rowSet(planned) == allRows,
       "a plan must stay valid across one maintenance cycle")
     val planned2 = SimilarityQueries.readPqStore(spark, store)
-    SimilarityQueries.maintainPqStore(spark, store, upTo = 5L)
-    assert(rowSet(planned2) == allRows)
-    // two cycles later gen=1 and frags ≤ 3 are expired: the stale plan
+    SimilarityQueries.maintainPqStore(spark, store, upTo = 5L, fanout = 2)
+    assert(rowSet(planned2) == allRows,
+      "a plan planned between cycles must survive the next one")
+    // two cycles later L0[0,1] and frags 2,3 are expired: the stale plan
     // fails LOUDLY — never a silent partial row set
     intercept[Exception] { planned.collect() }
   }
 
-  test("crash window: torn generation without _SUCCESS is invisible and rebuilt") {
+  test("crash window: torn L0 generation without _SUCCESS is invisible and rebuilt") {
     val store = freshStore("torn")
     writeFrags(store)
-    // a torn gen=3: parquet-ish junk, no _SUCCESS
-    val torn = new java.io.File(s"$store/gen=3")
+    // a torn L0 gen: parquet-ish junk, no _SUCCESS
+    val torn = new java.io.File(s"$store/gen=0-3-L0")
     torn.mkdirs()
     java.nio.file.Files.write(torn.toPath.resolve("part-00000.parquet"),
       Array[Byte](1, 2, 3))
@@ -123,7 +156,41 @@ class StoreMaintainSpec extends SparkSpec {
     assert(rowSet(SimilarityQueries.readPqStore(spark, store)) == allRows)
     // the replay rebuilds it from the intact inputs
     SimilarityQueries.maintainPqStore(spark, store, upTo = 3L)
-    assert(new java.io.File(s"$store/gen=3/_SUCCESS").exists())
+    assert(exists(s"$store/gen=0-3-L0/_SUCCESS"))
+    assert(rowSet(SimilarityQueries.readPqStore(spark, store)) == allRows)
+  }
+
+  test("crash window: torn LEVEL MERGE is invisible and re-fires while inputs are live") {
+    val store = freshStore("tornmerge")
+    writeFrags(store)
+    // two complete L0 gens, no merge yet (fanout high enough)
+    SimilarityQueries.maintainPqStore(spark, store, upTo = 1L, fanout = 9)
+    SimilarityQueries.maintainPqStore(spark, store, upTo = 3L, fanout = 9)
+    // a crashed merge attempt left a torn L1 dir
+    val torn = new java.io.File(s"$store/gen=0-3-L1")
+    torn.mkdirs()
+    java.nio.file.Files.write(torn.toPath.resolve("part-00000.parquet"),
+      Array[Byte](1, 2, 3))
+    // readers ignore it: live = the two L0 gens ∪ frags 4..5
+    assert(rowSet(SimilarityQueries.readPqStore(spark, store)) == allRows)
+    // the next cycle re-fires the merge (its L0 inputs are still live)
+    // and the overwrite replaces the torn files
+    val stats = SimilarityQueries.maintainPqStore(spark, store, upTo = 5L, fanout = 2)
+    assert(stats.mergesFired >= 1)
+    assert(exists(s"$store/gen=0-3-L1/_SUCCESS"))
+    assert(rowSet(SimilarityQueries.readPqStore(spark, store)) == allRows)
+  }
+
+  test("replay after a complete merge does NOT re-merge (idempotent sweep)") {
+    val store = freshStore("remerge")
+    writeFrags(store)
+    SimilarityQueries.maintainPqStore(spark, store, upTo = 1L, fanout = 2)
+    SimilarityQueries.maintainPqStore(spark, store, upTo = 3L, fanout = 2)
+    // whole-batch replay of cycle 2: the L0 fold rebuilds, but the L1
+    // merge's inputs are now superseded — the sweep must not fire again
+    val replay = SimilarityQueries.maintainPqStore(spark, store, upTo = 3L, fanout = 2)
+    assert(replay.mergesFired == 0,
+      "replay re-merged an already-complete level merge")
     assert(rowSet(SimilarityQueries.readPqStore(spark, store)) == allRows)
   }
 
@@ -161,7 +228,7 @@ class StoreMaintainSpec extends SparkSpec {
     }
     intercept[Exception] { q1.processAllAvailable(); q1.awaitTermination() }
     assert(!q1.isActive, "query must have died on the injected crash")
-    assert(new java.io.File(s"$store/gen=3/_SUCCESS").exists(),
+    assert(exists(s"$store/gen=2-3-L0/_SUCCESS"),
       "maintenance ran before the injected crash")
     val q2 = start()
     q2.processAllAvailable()
