@@ -507,7 +507,7 @@ object ScaleBench {
               .rademacher_band_structs(col("qe"), planes, nb, bits)).as("bk"))
             .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
           val cand = keyed.groupBy("band", "key").agg(count(lit(1)).as("m"))
-            .agg(sum(col("m") * (col("m") - 1) / 2)).collect()(0).getLong(0)
+            .agg(sum(expr("m * (m - 1) DIV 2"))).collect()(0).getLong(0)
           val pp = plantedPairs
           val keysById = keyed.filter(col("vec_id").isin(
               pp.flatMap(p => Seq(p._1, p._2)): _*))

@@ -513,23 +513,62 @@ object TextQueries {
     // state and the identical min-id resolution, so every single token
     // id in the corpus stream is hash-pinned.
     Q("x4m_bpe_encode",
-      (s, d) => {
-        val merges = loadOrTrainMerges(s, d)
-        val idMap = bpeVocab(s, d).groupBy(_._2)
-          .map { case (t, xs) => (t, xs.map(_._1).min) }
-        val docsW = Tables.documents(s, d)
-          .select(col("doc_id"), posexplode(split(col("text"), " ")))
-          .toDF("doc_id", "word_pos", "word")
-          .filter(length(col("word")) > 0)
-        docsW
-          .select(col("doc_id"), col("word_pos"),
-            posexplode(split(trim(graft.functions.Kernels.bpe_apply(col("word"),
-              merges, fromChars = true)), " ")))
-          .toDF("doc_id", "word_pos", "sub_pos", "token")
-          .select(col("doc_id"), col("word_pos"), col("sub_pos"),
-            element_at(typedLit(idMap), col("token")).as("token_id"))
-      },
+      (s, d) => bpeTokenStream(s, d),
       Some(bpeEncodeOracle)),
+
+    // X6p (r14): PACK token streams into fixed-length TRAINING SEQUENCES
+    // — the last step between a tokenized corpus and a pretraining data
+    // loader: x4m's token stream in its canonical (doc_id, word_pos,
+    // sub_pos) order, concatenated ACROSS document boundaries and cut
+    // into L=64-token sequences (the GPT-style pack; x6b packs whole
+    // docs by token BUDGET, this packs the tokens themselves). The
+    // global token index is NEVER a corpus-wide window: within-doc
+    // ordinals from a doc-partitioned window (state bounded by one
+    // document), doc offsets from the x6b/x6g two-phase distributed
+    // prefix sum (range partition by doc_id → P-row offset table →
+    // broadcast). Output is per-sequence: token count, spanned docs, and
+    // a position-weighted integer checksum Σ token_id·(pos+1) that pins
+    // CONTENT AND ORDER of every sequence at the hash gate — a
+    // token-order regression anywhere in the pipeline shifts some
+    // sequence's checksum. The oracle replays tokenization (the x4m
+    // chain) and derives the same sequences from one global row_number.
+    Q("x6p_pack_tokens",
+      (s, d) => {
+        val L = 64L
+        val toks = bpeTokenStream(s, d)
+        val wDoc = Window.partitionBy(col("doc_id"))
+          .orderBy(col("word_pos"), col("sub_pos"))
+        val wi = toks.withColumn("widx",
+          row_number().over(wDoc).cast(LongType) - 1L)
+        // two passes over the map-only tokenization (counts + the final
+        // join) — at 100 TB recomputing a cheap map beats materializing
+        // the token stream; the prefix-sum side is doc-count-sized
+        val counts = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+          .repartitionByRange(8, col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+        val wOff = Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = counts.groupBy("pid").agg(sum(col("n_tok")).as("psum"))
+          .withColumn("offset", coalesce(sum(col("psum")).over(wOff), lit(0L)))
+          .select("pid", "offset") // ≤ #partitions rows — broadcastable
+        val wLocal = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val docOff = counts.join(broadcast(offsets), "pid")
+          .withColumn("doc_off",
+            coalesce(sum(col("n_tok")).over(wLocal), lit(0L)) + col("offset"))
+          .select("doc_id", "doc_off")
+        wi.join(docOff, "doc_id")
+          .withColumn("gidx", col("doc_off") + col("widx"))
+          .withColumn("seq_id", floor(col("gidx") / L))
+          .withColumn("pos", col("gidx") % L)
+          .groupBy("seq_id")
+          .agg(count(lit(1)).as("n_tok"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            min(col("doc_id")).as("first_doc"),
+            sum(col("token_id").cast(LongType) * (col("pos") + 1L))
+              .as("order_checksum"))
+      },
+      Some(packTokensOracle)),
 
     // X3p: HYBRID retrieval with reciprocal-rank fusion — the serving
     // pattern RAG stacks actually run: a lexical ranker (x4f's BM25, one
@@ -901,7 +940,7 @@ object TextQueries {
     * DISTINCT-WORD join — tokenization is a function of the word alone —
     * and subword counts aggregate per document.
     */
-  private def bpeApplyOracle: String =
+  private[graft] def bpeApplyOracle: String =
     s"""WITH ${bpeCtes()},
       docw AS MATERIALIZED (SELECT doc_id, word FROM
         (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
@@ -935,13 +974,35 @@ object TextQueries {
     s"""WITH ${bpeCtes()}, $bpeVocabCtes
       SELECT CAST(id AS INTEGER) AS token_id, token, kind FROM vtab"""
 
-  /** x4m's replay: tokenize via the distinct-word join against the final
-    * vocab state (the x4l device), positions from in-expression
-    * generate_series structs (0-based to match posexplode), token →
-    * MIN(id) through `vtab`.
+  /** x4m's engine body, shared with x6p: documents → one row per subword
+    * token `(doc_id, word_pos, sub_pos, token_id)`, via one kernel call
+    * per word and the literal vocab map (MIN-id resolution on
+    * collision). Pure per-row map + generator work — zero shuffles.
     */
-  private def bpeEncodeOracle: String =
-    s"""WITH ${bpeCtes()}, $bpeVocabCtes,
+  private[graft] def bpeTokenStream(s: SparkSession, d: String): DataFrame = {
+    val merges = loadOrTrainMerges(s, d)
+    val idMap = bpeVocab(s, d).groupBy(_._2)
+      .map { case (t, xs) => (t, xs.map(_._1).min) }
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "word_pos", "word")
+      .filter(length(col("word")) > 0)
+      .select(col("doc_id"), col("word_pos"),
+        posexplode(split(trim(graft.functions.Kernels.bpe_apply(col("word"),
+          merges, fromChars = true)), " ")))
+      .toDF("doc_id", "word_pos", "sub_pos", "token")
+      .select(col("doc_id"), col("word_pos"), col("sub_pos"),
+        element_at(typedLit(idMap), col("token")).as("token_id"))
+  }
+
+  /** The token-stream CTE chain shared by the x4m and x6p oracles:
+    * tokenize via the distinct-word join against the final vocab state
+    * (the x4l device), positions from in-expression generate_series
+    * structs (0-based to match posexplode), token → MIN(id) through
+    * `vtab`. Ends at `tid(doc_id, word_pos, sub_pos, token_id)`.
+    */
+  private def bpeTokenCtes: String =
+    s"""${bpeCtes()}, $bpeVocabCtes,
       vocab AS (SELECT token, CAST(MIN(id) AS INTEGER) AS token_id
         FROM vtab GROUP BY token),
       docw AS (SELECT doc_id, CAST(z.pos - 1 AS INTEGER) AS word_pos,
@@ -957,8 +1018,29 @@ object TextQueries {
               j -> {'tok': subs[j], 'pos': j})) AS z2
           FROM (SELECT d.doc_id, d.word_pos,
               string_split(trim(f.sym), ' ') AS subs
-            FROM docw d JOIN w${BpeRounds}_$BpePicksPerRound f ON f.word = d.word)))
-      SELECT doc_id, word_pos, sub_pos, token_id FROM toks JOIN vocab USING (token)"""
+            FROM docw d JOIN w${BpeRounds}_$BpePicksPerRound f ON f.word = d.word))),
+      tid AS (SELECT doc_id, word_pos, sub_pos, token_id
+        FROM toks JOIN vocab USING (token))"""
+
+  private def bpeEncodeOracle: String =
+    s"""WITH $bpeTokenCtes
+      SELECT doc_id, word_pos, sub_pos, token_id FROM tid"""
+
+  /** x6p's replay: ONE global row_number over the token stream's
+    * canonical order, sequences of 64, the identical position-weighted
+    * checksum.
+    */
+  private def packTokensOracle: String =
+    s"""WITH $bpeTokenCtes,
+      g AS (SELECT doc_id, token_id,
+          row_number() OVER (ORDER BY doc_id, word_pos, sub_pos) - 1 AS gidx
+        FROM tid)
+      SELECT CAST(gidx // 64 AS BIGINT) AS seq_id,
+        CAST(count(*) AS BIGINT) AS n_tok,
+        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        min(doc_id) AS first_doc,
+        CAST(SUM(token_id * (gidx % 64 + 1)) AS BIGINT) AS order_checksum
+      FROM g GROUP BY 1"""
 
   private val bm25Terms = Seq("spark", "merge", "vector", "customer")
 

@@ -1442,6 +1442,41 @@ object StreamQueries {
       (s, d) => streamPipelinePlan(s, d),
       Some(StreamPipelineOracle)),
 
+    // Q52z (r14): streaming TOKENIZATION at ingest — the tokenizer's
+    // streaming face, the fifth continuous-pipeline shape beside
+    // q52d/e/g/h (filter, dedup, decontam, index — and now token
+    // budgeting: what a production corpus stream computes per arriving
+    // document once a tokenizer exists). The merge table is the FROZEN
+    // on-disk artifact x4k persisted (loaded OUTSIDE the stream — the
+    // frozen-codebook contract q52g established for the ANN face:
+    // ingest never retrains), and the per-doc subword count runs as ONE
+    // `aggregate` HOF over the word array with the `bpe_apply` kernel
+    // inside the lambda — pure per-row map arithmetic, so it streams
+    // natively in append mode with NO state operator, no explode, no
+    // shuffle at all (x4l's batch form pays one map-side-combined
+    // groupBy; the streaming form folds within the row). The oracle is
+    // x4l's train+apply SQL verbatim, so the hash gate proves
+    // stream-tokenize ≡ batch-tokenize ≡ train+apply end-to-end under
+    // any micro-batch split.
+    Q("q52z_stream_tokenize_ingest",
+      (s, d) => {
+        val merges = graft.ext.TextQueries.loadOrTrainMerges(s, d)
+        val words = split(col("text"), " ")
+        def subCount(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          when(length(w) > 0,
+            size(split(trim(graft.functions.Kernels.bpe_apply(w, merges,
+              fromChars = true)), " ")).cast(LongType))
+            .otherwise(0L)
+        drain(documentsStream(s, d)
+          .select(col("doc_id"),
+            aggregate(words, lit(0L), (acc, w) => acc + subCount(w))
+              .as("n_subword"),
+            size(filter(words, w => length(w) > 0)).cast(LongType)
+              .as("n_words")),
+          "q52z_sink", "append")
+      },
+      Some(graft.ext.TextQueries.bpeApplyOracle)),
+
     // Q52e (r11): streaming DECONTAMINATION at ingest — the x7 shape made
     // streaming: train documents arriving as files are checked against a
     // static eval index (LSH buckets + shingle sets, precomputed once via

@@ -116,6 +116,14 @@ class PlanSpec extends SparkSpec {
     assert(!physical(df).contains("Exchange"), physical(df))
   }
 
+  test("x4m token encoding is a pure map: zero exchanges in the plan") {
+    // the scaladoc's 100 TB claim — one kernel call per word, ids via a
+    // literal map, never a join or shuffle; a regression that sneaks a
+    // vocab JOIN or a repartition in shows up as an Exchange here
+    val df = Registry.queries("x4m_bpe_encode")(spark, sf)
+    assert(!physical(df).contains("Exchange"), physical(df))
+  }
+
   test("broadcast knn query does not shuffle the corpus side before top-k") {
     val df = Registry.queries("x3_knn_brute")(spark, sf)
     val plan = physical(df)
