@@ -99,6 +99,49 @@ class BpeSpec extends SparkSpec {
       s"conflicting pair batched: $conflict")
   }
 
+  test("the training loop scales in rounds: 32 rounds / 256-merge budget stays sound") {
+    // the registered query trains 8×8; the 32k-vocab claim rests on the
+    // loop shape (one vocab-frame job + one ≤64-row collect per round).
+    // Drive 32 rounds on the fixture corpus and check the invariants a
+    // deep vocab must keep: steps strictly increasing, counts
+    // non-increasing WITHIN a round's disjoint picks (the ordered-scan
+    // certificate), every merged symbol the concatenation of its pair,
+    // and apply-with-all-merges consistent with the trained vocab (every
+    // token of the final tokenization is a char or a learned symbol).
+    val d = sf
+    val words = TextQueries.bpeWordFreq(graft.Tables.documents(spark, d))
+    val m = TextQueries.bpeTrain(spark, words, rounds = 32, picksPerRound = 8)
+      .collect().sortBy(_.getInt(0))
+    assert(m.length > 64, s"expected a deep vocab, got ${m.length} merges")
+    m.foreach { r =>
+      val Array(l, rr) = r.getString(1).split(" ", 2)
+      assert(l + rr == r.getString(2))
+    }
+    m.groupBy(r => (r.getInt(0) - 1) / 8).values.foreach { round =>
+      round.sortBy(_.getInt(0)).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(3) >= b.getLong(3),
+            s"round picks out of count order: $a then $b")
+        case _ =>
+      }
+    }
+    val merges = m.map { r =>
+      val Array(l, rr) = r.getString(1).split(" ", 2); (l, rr)
+    }.toSeq
+    val learned = merges.map { case (l, r) => l + r }.toSet
+    import spark.implicits._
+    val toks = graft.Tables.documents(spark, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+      .select(graft.functions.Kernels.bpe_apply(col("w"), merges,
+        fromChars = true).as("sym"))
+      .as[String].collect()
+      .flatMap(_.trim.split(" "))
+    assert(toks.forall(t => t.length == 1 || learned(t)),
+      s"tokenization emitted a symbol the vocab never learned: " +
+        toks.filterNot(t => t.length == 1 || learned(t)).take(3).toSeq)
+  }
+
   test("x4l serves from the persisted artifact: load equals retrain") {
     val d = sf
     val loaded = TextQueries.loadOrTrainMerges(spark, d)
