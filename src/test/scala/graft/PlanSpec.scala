@@ -182,7 +182,11 @@ class PlanSpec extends SparkSpec {
     // a plan regression to CartesianProduct would silently reintroduce
     // O(n²) at scale
     for (name <- Seq("x4_langid", "x4e_tfidf", "x4h_perplexity", "qf6_salted_join",
-        "x3f_pq_adc", "x2b_dedup_simhash")) {
+        "x3f_pq_adc", "x2b_dedup_simhash",
+        // r14: the hybrid-over-index fusion (its 1-row stats and tiny
+        // centroid cross-joins must plan broadcast-NL, never cartesian)
+        // and the token packer (prefix-sum joins only)
+        "x3q_hybrid_ivfpq", "x6p_pack_tokens")) {
       val plan = physical(Registry.queries(name)(spark, sf))
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
     }
