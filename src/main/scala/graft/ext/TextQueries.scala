@@ -926,6 +926,15 @@ object TextQueries {
     ctes.mkString(", ")
   }
 
+  /** The training-chain CTE body (no leading WITH), for splicing into a
+    * composed oracle that already opened its own chain (q52x's pipeline
+    * replay tokenizes admitted docs against the final vocab state).
+    */
+  private[graft] def bpeTrainCteBody: String = bpeCtes()
+
+  /** Name of the final vocab-state CTE in [[bpeTrainCteBody]]. */
+  private[graft] def bpeFinalVocabCte: String = s"w${BpeRounds}_$BpePicksPerRound"
+
   private def bpeOracle: String = {
     val sel = (for (i <- 1 to BpeRounds; j <- 1 to BpePicksPerRound) yield
       s"SELECT ${(i - 1) * BpePicksPerRound + j} AS step, pair, merged, " +

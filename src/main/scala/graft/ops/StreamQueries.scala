@@ -278,14 +278,18 @@ object StreamQueries {
 
   /** The q52x per-batch tail: decontam-probe the ADMITTED docs against the
     * static eval index, PQ-encode the clean survivors' embeddings against
-    * the frozen codebook, land (dig, vec_id, s, code) rows in the batch's
-    * own overwrite fragment directory (q52g's effectively-once device),
-    * then run q52y's generational maintenance on the store. Factored out
-    * so the restart-chaos spec can drive the identical writer body under
-    * injected crashes.
+    * the frozen codebook, count each admitted doc's SUBWORD TOKENS
+    * against the frozen merge artifact (r14 — q52z's stage composed in:
+    * one `aggregate` HOF folding the `bpe_apply` kernel within the row,
+    * pure per-row arithmetic), and land (dig, vec_id, n_subword, s,
+    * code) rows in the batch's own overwrite fragment directory (q52g's
+    * effectively-once device), then run q52y's generational maintenance
+    * on the store. Factored out so the restart-chaos spec can drive the
+    * identical writer body under injected crashes.
     */
   private[graft] def pipelineBatchWriter(eBuckets: DataFrame, shEval: DataFrame,
-      emb: DataFrame, cb: DataFrame, out: String, every: Int = 2)(
+      emb: DataFrame, cb: DataFrame, merges: Seq[(String, String)],
+      out: String, every: Int = 2)(
       batch: DataFrame, id: Long): Unit = {
     // a foreachBatch frame RE-EXECUTES its whole micro-batch plan (file
     // read → funnel → RocksDB state operator) on EVERY action — persist
@@ -306,10 +310,20 @@ object StreamQueries {
         val clean = verdict.filter(!col("contaminated"))
           .select(col("doc_id").as("vec_id"))
         val vecs = emb.join(broadcast(clean), Seq("vec_id"))
+        // TOKENIZE stage (r14): per-doc subword count against the frozen
+        // vocab, folded within the row — shares q52z's exact form
+        val words = split(col("text"), " ")
+        def subCount(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          when(length(w) > 0,
+            size(split(trim(graft.functions.Kernels.bpe_apply(w, merges,
+              fromChars = true)), " ")).cast(org.apache.spark.sql.types.LongType))
+            .otherwise(0L)
+        val toked = b.select(col("doc_id").as("vec_id"), col("dig"),
+          aggregate(words, lit(0L), (acc, w) => acc + subCount(w))
+            .as("n_subword"))
         graft.ext.SimilarityQueries.pqEncode(vecs, cb)
           .select(col("vec_id"), col("s"), col("code"))
-          .join(broadcast(b.select(col("doc_id").as("vec_id"), col("dig"))),
-            Seq("vec_id"))
+          .join(broadcast(toked), Seq("vec_id"))
           .write.mode("overwrite").parquet(s"$out/frag/batch=$id")
         // q52y's tiered generational maintenance, IN the flagship loop at
         // cadence K = `every` (r14, VERDICT r13 #5: K was hard-coded to 1
@@ -370,7 +384,11 @@ object StreamQueries {
     *   3. DECONTAM — per-batch LSH probe against the static eval index
     *      (bucket ≥ 90), [[graft.ext.DedupQueries.streamDecontamPlan]],
     *      stateless, O(batch + collisions);
-    *   4. INDEX — PQ-encode the clean admitted docs' embeddings (static
+    *   4. TOKENIZE (r14) — per-admitted-doc subword counts against the
+    *      FROZEN x4k merge artifact (q52z's stage: one `aggregate` HOF
+    *      folding the `bpe_apply` kernel within the row — stateless,
+    *      zero shuffles), carried on every fragment row;
+    *   5. INDEX — PQ-encode the clean admitted docs' embeddings (static
     *      lookup on vec_id = doc_id: the upstream-embedding-service
     *      shape) against the codebook FROZEN from the standing corpus
     *      (the FAISS add contract), landed in per-batch overwrite
@@ -411,6 +429,9 @@ object StreamQueries {
     val emb = graft.ext.SimilarityQueries.quantFrame(s, d)
     val cb = graft.ext.SimilarityQueries.pqBuildFrom(emb)._3
       .localCheckpoint() // 128 rows
+    // the frozen tokenizer artifact (r14): merges loaded OUTSIDE the
+    // stream like the codebook — ingest never retrains
+    val merges = graft.ext.TextQueries.loadOrTrainMerges(s, d)
     // eval artifacts localCheckpoint-PINNED for the stream's lifetime
     // (scoped release): every DATA batch's decontam plan reads the
     // materialized bucket/shingle frames instead of re-deriving
@@ -458,7 +479,8 @@ object StreamQueries {
             .outputMode("update")
             .option("checkpointLocation", cp)
             .trigger(Trigger.ProcessingTime("200 milliseconds"))
-            .foreachBatch(pipelineBatchWriter(eBuckets, shEval, emb, cb, out) _)
+            .foreachBatch(
+              pipelineBatchWriter(eBuckets, shEval, emb, cb, merges, out) _)
             .start()
           awaitQuiescence(q, "q52x")
         } finally {
@@ -472,10 +494,10 @@ object StreamQueries {
         }
     } finally idxCaches.foreach(_.unpersist())
     val st = graft.ext.SimilarityQueries.readPqStore(s, out)
-      .select("dig", "vec_id", "s", "code")
+      .select("dig", "vec_id", "n_subword", "s", "code")
     val minPerDig = st.groupBy("dig").agg(min(col("vec_id")).as("vec_id"))
     st.join(minPerDig, Seq("dig", "vec_id"))
-      .select(col("vec_id").as("doc_id"), col("s"), col("code"))
+      .select(col("vec_id").as("doc_id"), col("n_subword"), col("s"), col("code"))
   }
 
   /** DuckDB replay of the composed pipeline: funnel verdict CTEs (shared
@@ -509,9 +531,16 @@ object StreamQueries {
            (len(a.sh) + len(e2.sh) - len(list_intersect(a.sh, e2.sh))) >= 0.8),
       clean AS (SELECT doc_id FROM admt
         WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+      ${graft.ext.TextQueries.bpeTrainCteBody},
+      nsub AS (SELECT dw.doc_id,
+          CAST(SUM(len(string_split(trim(f.sym), ' '))) AS BIGINT) AS n_subword
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM admt) dw
+        JOIN ${graft.ext.TextQueries.bpeFinalVocabCte} f ON f.word = dw.word
+        WHERE len(dw.word) > 0 GROUP BY dw.doc_id),
       ${graft.ext.SimilarityQueries.pqCodesCteBody}
-      SELECT c.vec_id AS doc_id, CAST(c.cs AS INTEGER) AS s, c.code
-      FROM codes c JOIN clean ON clean.doc_id = c.vec_id"""
+      SELECT c.vec_id AS doc_id, ns.n_subword, CAST(c.cs AS INTEGER) AS s, c.code
+      FROM codes c JOIN clean ON clean.doc_id = c.vec_id
+      JOIN nsub ns ON ns.doc_id = c.vec_id"""
   }
 
   private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast(LongType)
@@ -1433,11 +1462,13 @@ object StreamQueries {
       Some(s"""${graft.ext.TextQueries.FilterFunnelVerdictCte}
         SELECT doc_id, lang, n_tok, drop_rule FROM v""".stripMargin)),
 
-    // Q52X (r13): the four ingest shapes composed into ONE continuous
-    // pipeline under ONE checkpoint — filter → TTL-dedup-state →
-    // decontam-probe → PQ-encode. See [[streamPipelinePlan]] for the full
-    // design; PipelineRestartSpec proves crash-replay; the 30× tier
-    // carries the end-to-end drain.
+    // Q52X (r13; r14 adds the TOKENIZE stage and the K=2 cadence): the
+    // FIVE ingest shapes composed into ONE continuous pipeline under ONE
+    // checkpoint — filter → TTL-dedup-state → decontam-probe →
+    // tokenize-count → PQ-encode, with tiered maintenance in the loop.
+    // See [[streamPipelinePlan]] for the full design;
+    // PipelineRestartSpec proves crash-replay; the 30× tier carries the
+    // end-to-end drain.
     Q("q52x_stream_pipeline_e2e",
       (s, d) => streamPipelinePlan(s, d),
       Some(StreamPipelineOracle)),

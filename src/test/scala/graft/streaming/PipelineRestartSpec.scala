@@ -79,7 +79,8 @@ class PipelineRestartSpec extends SparkSpec {
 
         val injected = new AtomicBoolean(false)
         val realWriter =
-          graft.ops.StreamQueries.pipelineBatchWriter(eBuckets, shEval, emb, cb, out) _
+          graft.ops.StreamQueries.pipelineBatchWriter(eBuckets, shEval, emb, cb,
+            graft.ext.TextQueries.loadOrTrainMerges(spark, sf), out) _
         def writer(b: DataFrame, id: Long): Unit = {
           if (id == 1L && !injected.getAndSet(true)) {
             // the tail writes a PARTIAL batch=1 dir, then dies before the
@@ -199,7 +200,9 @@ class PipelineRestartSpec extends SparkSpec {
             .outputMode("update")
             .option("checkpointLocation", cp)
             .foreachBatch(graft.ops.StreamQueries
-              .pipelineBatchWriter(eBuckets, shEval, emb, cb, out, every = k) _)
+              .pipelineBatchWriter(eBuckets, shEval, emb, cb,
+                graft.ext.TextQueries.loadOrTrainMerges(spark, sf), out,
+                every = k) _)
             .start()
           thirds.foreach { g => ms.addData(g.toSeq); q.processAllAvailable() }
           q.stop()
