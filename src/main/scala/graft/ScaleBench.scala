@@ -98,6 +98,14 @@ object ScaleBench {
       // tracks the batch, maintenance cost tracks the store, both linear;
       // the bounded-store gate below pins the file-count claim
       "q52y_stream_index_maintain",
+      // r14 boilerplate scrub: the 30× replicas make EVERY ≥8-token doc's
+      // windows hot (each occurs in 30 docs), so this is the worst case —
+      // hot set = all distinct window hashes (still vocabulary-sized and
+      // broadcastable), coverage explode 8× the window frame, full-corpus
+      // rebuild. The ratio proves the one content-keyed shuffle + per-row
+      // rebuild stay linear when the scrub degenerates to near-total
+      // removal
+      "x2k_boilerplate_scrub",
       // r13 BPE training: ONE corpus-sized word-frequency shuffle, then 8
       // vocab-frame rounds — the ratio proves the rounds don't secretly
       // rescan the corpus; the merge-stability gate below pins semantics

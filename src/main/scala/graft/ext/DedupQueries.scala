@@ -927,6 +927,84 @@ object DedupQueries {
           coalesce(p.n_shared, 0) > 0 AS has_dup_span
         FROM docs d LEFT JOIN perdoc p ON d.doc_id = p.doc_id""".stripMargin)),
 
+    // X2k (r14): boilerplate SCRUB — the REMOVAL counterpart of x2g's
+    // detection, the step the exact-substring-dedup pipelines actually
+    // ship (Lee et al. 2107.06499 drop duplicated spans; RefinedWeb's
+    // line/repetition scrub): a token is contaminated when ANY 8-token
+    // window covering it occurs in MORE THAN ONE document (cross-corpus
+    // boilerplate; intra-doc repetition is x4i/x7b's axis), and the
+    // scrubbed corpus keeps every other token in original order. Scale
+    // shape: the only corpus-sized shuffle is the window-hash groupBy
+    // (uniform keys, map-side partial — skew-robust when one boilerplate
+    // window has millions of copies); the HOT set (distinct hashes seen
+    // in ≥ 2 docs — vocabulary-sized, not corpus-sized) broadcasts back
+    // onto the window frame, contaminated positions fold per doc_id, and
+    // the rebuild is one per-row indexed-HOF pass. The hot set joins
+    // back by SHUFFLE on the same hash key the count aggregation just
+    // partitioned by — in a real crawl the boilerplate-window set is
+    // huge (every nav bar × every site), so it is NOT assumed
+    // broadcastable; AQE still demotes the exchange to broadcast when a
+    // corpus's hot set happens to be small. The oracle replays window →
+    // hot → coverage → rebuild independently, so the md5 of every
+    // scrubbed document is hash-gated — a single token kept or dropped
+    // wrongly anywhere in the corpus flips its digest.
+    Q("x2k_boilerplate_scrub",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("tok"))
+        // ALL windows with start positions: dedup=false keeps document
+        // order, so posexplode's pos IS the 0-based window start
+        val wins = docs
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), posexplode(
+            graft.functions.Kernels.window_md5(col("tok"), 8,
+              dedup = false)))
+          .toDF("doc_id", "p", "h")
+        // wins feeds two consumers (hot counts + coverage join)
+        Caching.withPersisted(wins) {
+          val hot = wins.groupBy("h")
+            .agg(countDistinct(col("doc_id")).as("docs_with"))
+            .filter(col("docs_with") > 1).select("h")
+          val bad = wins.join(hot, Seq("h"))
+            .select(col("doc_id"),
+              explode(sequence(col("p"), col("p") + 7)).as("bp"))
+            .groupBy("doc_id").agg(collect_set(col("bp")).as("bad"))
+          docs.join(bad, Seq("doc_id"), "left_outer")
+            .select(col("doc_id"),
+              size(col("tok")).cast(LongType).as("n_tokens"),
+              filter(col("tok"), (_, i) =>
+                col("bad").isNull || !array_contains(col("bad"), i))
+                .as("kept"))
+            .select(col("doc_id"), col("n_tokens"),
+              (col("n_tokens") - size(col("kept"))).as("n_removed"),
+              md5(concat_ws(" ", col("kept"))).as("scrubbed_md5"))
+            .localCheckpoint() // one row per doc; eager so the cache can go
+        }
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+          FROM documents),
+        wins AS (SELECT doc_id, unnest(list_transform(
+              generate_series(1, len(w) - 7),
+              i -> {'p': i - 1,
+                    'h': md5(array_to_string(list_slice(w, i, i + 7), ' '))}),
+            recursive := true)
+          FROM t WHERE len(w) >= 8),
+        hot AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS dw
+            FROM wins GROUP BY h) WHERE dw > 1),
+        bad AS (SELECT doc_id,
+            list_distinct(flatten(list(list_transform(
+              generate_series(0, 7), k -> p + k)))) AS bp
+          FROM wins JOIN hot USING (h) GROUP BY doc_id),
+        scrub AS (SELECT t.doc_id, t.w,
+            list_filter(list_transform(generate_series(1, len(t.w)),
+              i -> CASE WHEN b.bp IS NULL OR NOT list_contains(b.bp, i - 1)
+                THEN t.w[i] END), x -> x IS NOT NULL) AS kept
+          FROM t LEFT JOIN bad b USING (doc_id))
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+          CAST(len(w) - len(kept) AS BIGINT) AS n_removed,
+          md5(coalesce(array_to_string(kept, ' '), '')) AS scrubbed_md5
+        FROM scrub""".stripMargin)),
+
     // X2h: INCREMENTAL dedup — the shape a production corpus actually
     // runs: an already-deduplicated INDEX (x6's train-side buckets,
     // standing in for yesterday's corpus) receives a new BATCH (the

@@ -570,6 +570,43 @@ object TextQueries {
       },
       Some(packTokensOracle)),
 
+    // X4o (r14): the TOKENIZER CARD — the per-language audit a vocab
+    // rollout reads before switching tokenizers: document/word/subword
+    // volumes, characters per subword (the compression ratio, as an
+    // exact ×1000 integer — the headline number BPE exists to improve),
+    // and the single-char-token count (high = the vocab hasn't learned
+    // the language's units; the fallback-rate analogue of byte-level
+    // tokenizers). One explode + one map-side-combined groupBy(lang);
+    // per-word work is one bpe_apply kernel call. The oracle replays
+    // tokenization via the distinct-word join, so every per-language
+    // aggregate is exact-integer hash-gated.
+    Q("x4o_tokenizer_card",
+      (s, d) => {
+        val merges = loadOrTrainMerges(s, d)
+        val sym = trim(graft.functions.Kernels.bpe_apply(col("word"), merges,
+          fromChars = true))
+        val toks = split(sym, " ")
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+          .select(col("doc_id"), col("lang"),
+            size(toks).cast(LongType).as("n_sub"),
+            size(filter(toks, t => length(t) === 1)).cast(LongType)
+              .as("n_single"),
+            length(col("word")).cast(LongType).as("n_char"))
+          .groupBy("lang")
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_words"),
+            sum(col("n_sub")).as("n_subwords"),
+            sum(col("n_single")).as("n_single_char_tokens"),
+            sum(col("n_char")).as("word_chars"))
+          .select(col("lang"), col("n_docs"), col("n_words"),
+            col("n_subwords"), col("n_single_char_tokens"), col("word_chars"),
+            expr("word_chars * 1000 DIV n_subwords").as("chars_per_subword_e3"))
+      },
+      Some(tokenizerCardOracle)),
+
     // X3p: HYBRID retrieval with reciprocal-rank fusion — the serving
     // pattern RAG stacks actually run: a lexical ranker (x4f's BM25, one
     // term per query) and a vector ranker (x3's exact quantized cosine,
@@ -934,6 +971,29 @@ object TextQueries {
 
   /** Name of the final vocab-state CTE in [[bpeTrainCteBody]]. */
   private[graft] def bpeFinalVocabCte: String = s"w${BpeRounds}_$BpePicksPerRound"
+
+  /** x4o's replay: per-(doc, word) tokenization via the distinct-word
+    * join, three integer measures per word, grouped by language.
+    */
+  private def tokenizerCardOracle: String =
+    s"""WITH ${bpeCtes()},
+      docw AS (SELECT doc_id, lang, word FROM
+        (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+         FROM documents)
+        WHERE len(word) > 0),
+      m AS (SELECT dw.doc_id, dw.lang,
+          len(string_split(trim(f.sym), ' ')) AS n_sub,
+          len(list_filter(string_split(trim(f.sym), ' '), t -> len(t) = 1)) AS n_single,
+          len(dw.word) AS n_char
+        FROM docw dw JOIN $bpeFinalVocabCte f ON f.word = dw.word)
+      SELECT lang,
+        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        CAST(count(*) AS BIGINT) AS n_words,
+        CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+        CAST(SUM(n_single) AS BIGINT) AS n_single_char_tokens,
+        CAST(SUM(n_char) AS BIGINT) AS word_chars,
+        CAST(SUM(n_char) * 1000 // SUM(n_sub) AS BIGINT) AS chars_per_subword_e3
+      FROM m GROUP BY lang"""
 
   private def bpeOracle: String = {
     val sel = (for (i <- 1 to BpeRounds; j <- 1 to BpePicksPerRound) yield

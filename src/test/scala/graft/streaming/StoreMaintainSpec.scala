@@ -194,6 +194,21 @@ class StoreMaintainSpec extends SparkSpec {
     assert(rowSet(SimilarityQueries.readPqStore(spark, store)) == allRows)
   }
 
+  test("store layer speaks Hadoop FileSystem: file: URIs work end to end") {
+    // VERDICT r13 #4 — every list/probe/delete routes through the
+    // path's FileSystem, so a URI-addressed store (the HDFS/S3 shape)
+    // maintains and serves identically to a bare local path
+    val raw = freshStore("uri")
+    val store = s"file:$raw"
+    writeFrags(store)
+    SimilarityQueries.maintainPqStore(spark, store, upTo = 3L)
+    assert(exists(s"$raw/gen=0-3-L0/_SUCCESS"))
+    assert(rowSet(SimilarityQueries.readPqStore(spark, store)) == allRows)
+    SimilarityQueries.maintainPqStore(spark, store, upTo = 5L)
+    assert(!exists(s"$raw/frag/batch=0"), "expiry must run through the FS too")
+    assert(rowSet(SimilarityQueries.readPqStore(spark, store)) == allRows)
+  }
+
   test("stream composition: crash after in-loop maintenance, whole-batch replay") {
     val base = s"${graft.Tmp.root}/storemaint-stream"
     FileUtils.deleteQuietly(new java.io.File(base))
