@@ -503,12 +503,15 @@ object TextQueries {
     // pipeline materializes from a corpus once a tokenizer exists (x4l
     // counts subwords; training consumes ids). Per (doc, word): one
     // bpe_apply kernel call (char-split + all 64 merges greedily in rank
-    // order), subtokens resolved to ids through a LITERAL vocab map
-    // (~90 entries riding with the plan — never a join), output one row
-    // per subword token keyed (doc_id, word_pos, sub_pos): a complete
-    // deterministic ordering without any corpus-wide window. 100 TB
-    // posture: pure per-row map + generator work, zero shuffles, zero
-    // driver data beyond the vocab certificate; the oracle replays
+    // order), subtokens resolved to ids through a BROADCAST HASH JOIN
+    // against the vocab frame (min-id on collision pre-folded, so the
+    // join key is unique) — O(1) hashed lookup per subword; the literal
+    // plan-map alternative pays GetMapValue's LINEAR key scan per row,
+    // which dies at a 32k production vocab — output one row per subword
+    // token keyed (doc_id, word_pos, sub_pos): a complete deterministic
+    // ordering without any corpus-wide window. 100 TB posture: per-row
+    // map + generator work and one broadcast exchange, zero shuffles,
+    // zero driver data beyond the vocab certificate; the oracle replays
     // tokenization via the distinct-word join against the final vocab
     // state and the identical min-id resolution, so every single token
     // id in the corpus stream is hash-pinned.
@@ -1045,13 +1048,19 @@ object TextQueries {
 
   /** x4m's engine body, shared with x6p: documents → one row per subword
     * token `(doc_id, word_pos, sub_pos, token_id)`, via one kernel call
-    * per word and the literal vocab map (MIN-id resolution on
-    * collision). Pure per-row map + generator work — zero shuffles.
+    * per word and a broadcast hash join against the vocab frame (MIN-id
+    * pre-folded per token, so the key is unique and the inner join is
+    * total — every kernel output symbol is a corpus char or a merge
+    * symbol by construction). Per-row map + generator work + one
+    * broadcast exchange — zero shuffles; hashed O(1) id resolution where
+    * a plan-literal map would linear-scan its keys per subword.
     */
   private[graft] def bpeTokenStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val merges = loadOrTrainMerges(s, d)
-    val idMap = bpeVocab(s, d).groupBy(_._2)
-      .map { case (t, xs) => (t, xs.map(_._1).min) }
+    val vocabIds = bpeVocab(s, d).groupBy(_._2)
+      .map { case (t, xs) => (t, xs.map(_._1).min) }.toSeq
+      .toDF("token", "token_id")
     Tables.documents(s, d)
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .toDF("doc_id", "word_pos", "word")
@@ -1060,8 +1069,9 @@ object TextQueries {
         posexplode(split(trim(graft.functions.Kernels.bpe_apply(col("word"),
           merges, fromChars = true)), " ")))
       .toDF("doc_id", "word_pos", "sub_pos", "token")
+      .join(broadcast(vocabIds), Seq("token"))
       .select(col("doc_id"), col("word_pos"), col("sub_pos"),
-        element_at(typedLit(idMap), col("token")).as("token_id"))
+        col("token_id"))
   }
 
   /** The token-stream CTE chain shared by the x4m and x6p oracles:
