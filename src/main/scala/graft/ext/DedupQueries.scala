@@ -938,8 +938,8 @@ object DedupQueries {
     // (uniform keys, map-side partial — skew-robust when one boilerplate
     // window has millions of copies); the HOT set (distinct hashes seen
     // in ≥ 2 docs — vocabulary-sized, not corpus-sized) broadcasts back
-    // onto the window frame, contaminated positions fold per doc_id, and
-    // the rebuild is one per-row indexed-HOF pass. The hot set joins
+    // onto the window frame, hot window STARTS fold per doc_id, and the
+    // rebuild is one scrub_tokens merge-scan kernel pass. The hot set joins
     // back by SHUFFLE on the same hash key the count aggregation just
     // partitioned by — in a real crawl the boilerplate-window set is
     // huge (every nav bar × every site), so it is NOT assumed
@@ -965,15 +965,20 @@ object DedupQueries {
           val hot = wins.groupBy("h")
             .agg(countDistinct(col("doc_id")).as("docs_with"))
             .filter(col("docs_with") > 1).select("h")
+          // hot-window START positions only (sorted) — coverage expands
+          // inside the one-pass scrub_tokens merge-scan kernel, so there
+          // is no 8× position explode before the fold and the rebuild is
+          // O(tokens + windows) per doc where the HOF
+          // filter+array_contains form is O(tokens × covered positions)
+          // — quadratic on a long mostly-boilerplate crawl doc
           val bad = wins.join(hot, Seq("h"))
-            .select(col("doc_id"),
-              explode(sequence(col("p"), col("p") + 7)).as("bp"))
-            .groupBy("doc_id").agg(collect_set(col("bp")).as("bad"))
+            .groupBy("doc_id")
+            .agg(sort_array(collect_set(col("p"))).as("starts"))
           docs.join(bad, Seq("doc_id"), "left_outer")
             .select(col("doc_id"),
               size(col("tok")).cast(LongType).as("n_tokens"),
-              filter(col("tok"), (_, i) =>
-                col("bad").isNull || !array_contains(col("bad"), i))
+              graft.functions.Kernels.scrub_tokens(col("tok"),
+                coalesce(col("starts"), typedLit(Seq.empty[Int])), 8)
                 .as("kept"))
             .select(col("doc_id"), col("n_tokens"),
               (col("n_tokens") - size(col("kept"))).as("n_removed"),

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.Shim
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 
 /** Codegen-native kernels for the hot integer-vector and MinHash paths.
   *
@@ -428,6 +428,37 @@ object VecKernel {
     c
   }
 
+  /** One-pass boilerplate scrub: drop every token covered by a window
+    * `[s, s + span)` for some `s` in `starts` (sorted ascending,
+    * duplicates allowed). A merge scan — a cursor over `starts` folds
+    * the running max coverage end while the token pointer advances — so
+    * per-doc cost is O(|tok| + |starts|) where the HOF
+    * `filter(tok, (_, i) -> !array_contains(bad, i))` over the
+    * 8×-exploded position set pays O(|tok| · |bad|): quadratic in doc
+    * length when most of a long document is boilerplate, the exact
+    * regime a crawl scrub runs in.
+    */
+  def scrubTokens(tok: ArrayData, starts: ArrayData, span: Int): ArrayData = {
+    val n = tok.numElements()
+    val m = starts.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n)
+    var p = 0
+    var maxEnd = -1L
+    var i = 0
+    while (i < n) {
+      while (p < m && !starts.isNullAt(p) && starts.getInt(p) <= i) {
+        val e = starts.getInt(p).toLong + span
+        if (e > maxEnd) maxEnd = e
+        p += 1
+      }
+      if (i >= maxEnd) {
+        out += (if (tok.isNullAt(i)) null else tok.getUTF8String(i))
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Greedy BPE merge application: tokenize the input (per-CHARACTER when
     * `fromChars`, else split the space-padded symbol string), then for
     * each merge rule in rank order run ONE greedy left-to-right
@@ -680,6 +711,41 @@ case class WindowMd5(child: Expression, n: Int, dedup: Boolean = true)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** `scrub_tokens(tok, starts, span)` — the tokens of `tok` NOT covered
+  * by any `span`-token window starting at a position in `starts`
+  * (sorted ascending INT positions, duplicates allowed; x2k's
+  * hot-window starts). One merge scan per document
+  * ([[VecKernel.scrubTokens]]); order-preserving.
+  */
+case class ScrubTokens(left: Expression, right: Expression, span: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = left.dataType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "scrub_tokens"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType,
+    right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(IntegerType, _)) if span > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, ARRAY<INT> inputs and " +
+        s"span > 0, got ${left.dataType.simpleString} / " +
+        s"${right.dataType.simpleString}, span=$span")
+  }
+
+  override protected def nullSafeEval(tok: Any, starts: Any): Any =
+    VecKernel.scrubTokens(tok.asInstanceOf[ArrayData],
+      starts.asInstanceOf[ArrayData], span)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (tok, st) =>
+      s"graft.functions.VecKernel.scrubTokens($tok, $st, $span)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `sorted_intersect_size(a, b)` — intersection cardinality of two
@@ -965,6 +1031,12 @@ object Kernels {
     */
   def sorted_intersect_size(a: Column, b: Column): Column =
     Shim.column(SortedIntersectSize(Shim.expression(a), Shim.expression(b)))
+
+  /** Column API: drop the tokens covered by any `span`-token window
+    * starting at a sorted position in `starts` ([[ScrubTokens]]).
+    */
+  def scrub_tokens(tok: Column, starts: Column, span: Int): Column =
+    Shim.column(ScrubTokens(Shim.expression(tok), Shim.expression(starts), span))
 
   /** Column API: md5 hex digests of every n-token sliding window of an
     * ARRAY<STRING> column (distinct by default; `dedup = false` keeps

@@ -58,4 +58,45 @@ class ScrubSpec extends SparkSpec {
       7L -> ((11L, 9L, md5hex("x71 x72"))))
     assert(got == want, got)
   }
+
+  test("scrub_tokens kernel: coverage algebra on constructed cases") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def run(tok: Seq[String], starts: Seq[Int], span: Int = 8): Seq[String] =
+      Seq((tok, starts)).toDF("tok", "st")
+        .select(graft.functions.Kernels.scrub_tokens(col("tok"), col("st"), span))
+        .collect()(0).getSeq[String](0)
+    val t = (0 until 12).map(i => s"t$i")
+    assert(run(t, Nil) == t, "empty starts keeps everything")
+    assert(run(t, Seq(0)) == t.drop(8), "one window drops [0,8)")
+    assert(run(t, Seq(0, 4)) == t.drop(12) && run(t, Seq(0, 4)).isEmpty,
+      "overlap unions to [0,12)")
+    assert(run(t, Seq(2, 2)) == t.take(2) ++ t.drop(10),
+      "duplicate starts are idempotent")
+    assert(run(t, Seq(10)) == t.take(10), "tail window clamps at doc end")
+    assert(run(t, Seq(0, 1, 2, 3, 4)).isEmpty, "full coverage scrubs all")
+    assert(run(t, Seq(1), span = 3) == (t.take(1) ++ t.drop(4)),
+      "span parameter honored")
+  }
+
+  test("scrub_tokens kernel == exploded-positions HOF formulation (random)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(14)
+    val rows = (1 to 200).map { id =>
+      val n = 1 + rnd.nextInt(40)
+      val tok = (0 until n).map(i => s"w${rnd.nextInt(6)}_$i")
+      val ns = rnd.nextInt(6)
+      val starts = Seq.fill(ns)(rnd.nextInt(n)).sorted
+      (id.toLong, tok, starts)
+    }
+    val df = rows.toDF("id", "tok", "st")
+    val kernel = df.select(col("id"),
+      graft.functions.Kernels.scrub_tokens(col("tok"), col("st"), 8).as("kept"))
+    val hof = df.select(col("id"),
+      filter(col("tok"), (_, i) => !exists(col("st"),
+        s => s <= i && i < s + 8)).as("kept"))
+    assert(kernel.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      == hof.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap)
+  }
 }
