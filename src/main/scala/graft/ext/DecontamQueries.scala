@@ -318,69 +318,8 @@ object DecontamQueries {
     // broadcast; regexes are precompiled per codegen'd operator, and the
     // whole select stays in one WholeStageCodegen span.
     Q("x8_pii_redact",
-      (s, d) => {
-        val did = col("doc_id")
-        def str(c: org.apache.spark.sql.Column) = c.cast(StringType)
-        val raw = concat(
-          col("text"),
-          when(pmod(did, lit(3L)) === 0,
-            concat(lit(" contact user"), str(did), lit("@example.com now")))
-            .otherwise(lit("")),
-          when(pmod(did, lit(4L)) === 0,
-            concat(lit(" call +1-555-"),
-              lpad(str(pmod(did * 7919L, lit(10000L))), 4, "0")))
-            .otherwise(lit("")),
-          when(pmod(did, lit(5L)) === 0,
-            concat(lit(" from 10."), str(pmod(did, lit(200L))), lit("."),
-              str(pmod(did * 31L, lit(256L))), lit("."),
-              str(pmod(did * 17L, lit(256L)))))
-            .otherwise(lit(""))).as("raw")
-        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-        val phoneRe = "\\+1-555-[0-9]{4}"
-        val ipRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
-        // email first (its local part may contain digits), then phone, then
-        // IP — same order on both sides, since replacement changes the text
-        // later patterns scan
-        def redact(c: org.apache.spark.sql.Column) =
-          regexp_replace(
-            regexp_replace(
-              regexp_replace(c, emailRe, "<EMAIL>"),
-              phoneRe, "<PHONE>"),
-            ipRe, "<IP>")
-        Tables.documents(s, d).select(did, raw)
-          .select(
-            did,
-            size(regexp_extract_all(col("raw"), lit(emailRe), lit(0))).as("n_emails"),
-            size(regexp_extract_all(col("raw"), lit(phoneRe), lit(0))).as("n_phones"),
-            size(regexp_extract_all(col("raw"), lit(ipRe), lit(0))).as("n_ips"),
-            (size(regexp_extract_all(col("raw"), lit(emailRe), lit(0))) +
-              size(regexp_extract_all(col("raw"), lit(phoneRe), lit(0))) +
-              size(regexp_extract_all(col("raw"), lit(ipRe), lit(0))) > 0).as("has_pii"),
-            md5(redact(col("raw"))).as("redacted_md5"),
-            length(redact(col("raw"))).as("n_chars_redacted"))
-      },
-      Some("""WITH raw AS (SELECT doc_id,
-          text ||
-          CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
-          CASE WHEN doc_id % 4 = 0 THEN ' call +1-555-' || lpad(CAST((doc_id * 7919) % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
-          CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.' || CAST((doc_id * 31) % 256 AS VARCHAR) || '.' || CAST((doc_id * 17) % 256 AS VARCHAR) ELSE '' END AS r
-          FROM documents)
-        SELECT doc_id,
-          CAST(len(regexp_extract_all(r, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
-          CAST(len(regexp_extract_all(r, '\+1-555-[0-9]{4}')) AS INTEGER) AS n_phones,
-          CAST(len(regexp_extract_all(r, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS INTEGER) AS n_ips,
-          len(regexp_extract_all(r, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
-            len(regexp_extract_all(r, '\+1-555-[0-9]{4}')) +
-            len(regexp_extract_all(r, '([0-9]{1,3}\.){3}[0-9]{1,3}')) > 0 AS has_pii,
-          md5(regexp_replace(regexp_replace(regexp_replace(r,
-            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-            '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
-            '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS redacted_md5,
-          CAST(length(regexp_replace(regexp_replace(regexp_replace(r,
-            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-            '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
-            '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS INTEGER) AS n_chars_redacted
-        FROM raw""".stripMargin)),
+      (s, d) => piiRedactVerdict(Tables.documents(s, d)),
+      Some(PiiRedactOracle)),
 
     // X7e: SEMANTIC cross-split decontamination — the third contamination
     // lens beside verbatim n-grams (x7) and fuzzy token overlap (x7c):
@@ -518,4 +457,82 @@ object DecontamQueries {
               WHERE len(words) >= $n)""").mkString(",\n          ")}
         """, "\n        UNION ALL ", "")))
   )
+
+  /** x8's shared body — PII synth + detect + redact over any frame with
+    * `(doc_id, text)`, batch or streaming (pure per-row map: no shuffle,
+    * no state operator, one WholeStageCodegen span; the streaming face
+    * q52w runs it verbatim in append mode). The fixture vocabulary
+    * carries no PII, so a synthetic contact tail is appended to a
+    * doc-dependent subset first (doc_id ≡ 0 mod 3 → email, mod 4 →
+    * phone, mod 5 → IP); replacement order email → phone → IP is part
+    * of the contract (replacement changes the text later patterns scan)
+    * and the oracle replays it byte-for-byte.
+    */
+  private[graft] def piiRedactVerdict(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val did = col("doc_id")
+    def str(c: org.apache.spark.sql.Column) = c.cast(StringType)
+    val raw = concat(
+      col("text"),
+      when(pmod(did, lit(3L)) === 0,
+        concat(lit(" contact user"), str(did), lit("@example.com now")))
+        .otherwise(lit("")),
+      when(pmod(did, lit(4L)) === 0,
+        concat(lit(" call +1-555-"),
+          lpad(str(pmod(did * 7919L, lit(10000L))), 4, "0")))
+        .otherwise(lit("")),
+      when(pmod(did, lit(5L)) === 0,
+        concat(lit(" from 10."), str(pmod(did, lit(200L))), lit("."),
+          str(pmod(did * 31L, lit(256L))), lit("."),
+          str(pmod(did * 17L, lit(256L)))))
+        .otherwise(lit(""))).as("raw")
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\+1-555-[0-9]{4}"
+    val ipRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    def redact(c: org.apache.spark.sql.Column) =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(c, emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>"),
+        ipRe, "<IP>")
+    docs.select(did, raw)
+      .select(
+        did,
+        size(regexp_extract_all(col("raw"), lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(phoneRe), lit(0))).as("n_phones"),
+        size(regexp_extract_all(col("raw"), lit(ipRe), lit(0))).as("n_ips"),
+        (size(regexp_extract_all(col("raw"), lit(emailRe), lit(0))) +
+          size(regexp_extract_all(col("raw"), lit(phoneRe), lit(0))) +
+          size(regexp_extract_all(col("raw"), lit(ipRe), lit(0))) > 0).as("has_pii"),
+        md5(redact(col("raw"))).as("redacted_md5"),
+        length(redact(col("raw"))).as("n_chars_redacted"))
+  }
+
+  /** The x8 replay, shared verbatim by q52w's streaming registration
+    * (redaction is a property of the document alone, so the batch SQL is
+    * exact under any micro-batch split).
+    */
+  private[graft] val PiiRedactOracle: String =
+    """WITH raw AS (SELECT doc_id,
+          text ||
+          CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+          CASE WHEN doc_id % 4 = 0 THEN ' call +1-555-' || lpad(CAST((doc_id * 7919) % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+          CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.' || CAST((doc_id * 31) % 256 AS VARCHAR) || '.' || CAST((doc_id * 17) % 256 AS VARCHAR) ELSE '' END AS r
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(r, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+          CAST(len(regexp_extract_all(r, '\+1-555-[0-9]{4}')) AS INTEGER) AS n_phones,
+          CAST(len(regexp_extract_all(r, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS INTEGER) AS n_ips,
+          len(regexp_extract_all(r, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+            len(regexp_extract_all(r, '\+1-555-[0-9]{4}')) +
+            len(regexp_extract_all(r, '([0-9]{1,3}\.){3}[0-9]{1,3}')) > 0 AS has_pii,
+          md5(regexp_replace(regexp_replace(regexp_replace(r,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+            '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS redacted_md5,
+          CAST(length(regexp_replace(regexp_replace(regexp_replace(r,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+            '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS INTEGER) AS n_chars_redacted
+        FROM raw""".stripMargin
 }

@@ -1508,6 +1508,22 @@ object StreamQueries {
       },
       Some(graft.ext.TextQueries.bpeApplyOracle)),
 
+    // Q52w (r14): streaming PII REDACTION at ingest — the scrub every
+    // corpus runs before release, made the sixth continuous-pipeline
+    // shape beside filter/dedup/decontam/tokenize/index: per arriving
+    // document, x8's shared body (synthetic PII tail + detect counts +
+    // ordered regex redaction) runs INSIDE the streaming plan — pure
+    // per-row map, append mode, no state operator, no shuffle, so it
+    // streams natively and per-batch cost is O(batch) regardless of
+    // stream history. Redaction is a property of the document alone, so
+    // the oracle is x8's batch SQL verbatim and the hash gate proves
+    // stream-redact ≡ batch-redact under any micro-batch split.
+    Q("q52w_stream_redact_ingest",
+      (s, d) => drain(
+        graft.ext.DecontamQueries.piiRedactVerdict(documentsStream(s, d)),
+        "q52w_sink", "append"),
+      Some(graft.ext.DecontamQueries.PiiRedactOracle)),
+
     // Q52e (r11): streaming DECONTAMINATION at ingest — the x7 shape made
     // streaming: train documents arriving as files are checked against a
     // static eval index (LSH buckets + shingle sets, precomputed once via
