@@ -91,6 +91,10 @@ object ScaleBench {
       // filter — the ratio must track the index, with the broadcast
       // tombstone list never forcing a vector shuffle
       "x3m_pq_index_delete",
+      // r14 index update: delete ∘ append in one pass — anti-join off the
+      // loaded frames + encode only the update batch; linear in the index
+      // like its two parents
+      "x3r_pq_index_update",
       // r13 index compaction: fragment + O(index) shard rewrite + serve —
       // linear in the store, never touching raw vectors
       "x3n_pq_index_compact",
