@@ -955,11 +955,16 @@ object DedupQueries {
         // ALL windows with start positions: dedup=false keeps document
         // order, so posexplode's pos IS the 0-based window start
         val wins = docs
-          .repartition(s.sparkContext.defaultParallelism)
+          .repartition(s.sparkContext.defaultParallelism) // explode width
           .select(col("doc_id"), posexplode(
             graft.functions.Kernels.window_md5(col("tok"), 8,
               dedup = false)))
           .toDF("doc_id", "p", "h")
+          // ONE hash-partitioning by h serves both consumers: the hot
+          // count aggregates exchange-free and the hot join probes
+          // co-partitioned — without this the window frame (the corpus's
+          // biggest) crosses the wire twice (agg partials + join)
+          .repartition(col("h"))
         // wins feeds two consumers (hot counts + coverage join)
         Caching.withPersisted(wins) {
           val hot = wins.groupBy("h")
