@@ -116,12 +116,18 @@ class PlanSpec extends SparkSpec {
     assert(!physical(df).contains("Exchange"), physical(df))
   }
 
-  test("x4m token encoding is a pure map: zero exchanges in the plan") {
+  test("x4m token encoding: zero shuffles, ids via broadcast hash join") {
     // the scaladoc's 100 TB claim — one kernel call per word, ids via a
-    // literal map, never a join or shuffle; a regression that sneaks a
-    // vocab JOIN or a repartition in shows up as an Exchange here
+    // BROADCAST hash join against the vocab frame (hashed O(1) per
+    // subword; a plan-literal map pays GetMapValue's linear key scan), and
+    // never a shuffle; a regression that repartitions or plans the vocab
+    // as a shuffled join shows up as a shuffle Exchange here
     val df = Registry.queries("x4m_bpe_encode")(spark, sf)
-    assert(!physical(df).contains("Exchange"), physical(df))
+    val plan = physical(df)
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning") &&
+      !plan.contains("Exchange RoundRobin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
   test("broadcast knn query does not shuffle the corpus side before top-k") {
@@ -186,7 +192,10 @@ class PlanSpec extends SparkSpec {
         // r14: the hybrid-over-index fusion (its 1-row stats and tiny
         // centroid cross-joins must plan broadcast-NL, never cartesian)
         // and the token packer (prefix-sum joins only)
-        "x3q_hybrid_ivfpq", "x6p_pack_tokens")) {
+        "x3q_hybrid_ivfpq", "x6p_pack_tokens",
+        // r14: the boilerplate scrub (hash-keyed equi-joins only) and the
+        // index update (broadcast tombstone anti-join + equi-join serve)
+        "x2k_boilerplate_scrub", "x3r_pq_index_update")) {
       val plan = physical(Registry.queries(name)(spark, sf))
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
     }
