@@ -373,7 +373,11 @@ object StreamQueries {
     * Stage semantics (each inherited verbatim from its standalone proof):
     *   1. FILTER — [[graft.ext.TextQueries.withFunnelVerdict]] inside the
     *      streaming plan, keep only 'kept' (shared body with x4j/q52h:
-    *      rule-for-rule identical);
+    *      rule-for-rule identical). q52w's PII redaction composes in this
+    *      same stateless per-row band (prepend
+    *      [[graft.ext.DecontamQueries.piiRedactVerdict]]'s redact
+    *      expression to the select) — registered standalone so the
+    *      flagship's oracle text stays stable across rounds;
     *   2. DEDUP — [[graft.streaming.AdmitFirstProcessor]] keyed by
     *      md5(text) with a 7-day RocksDB state TTL: admits only
     *      improvements of the per-digest min doc_id, so the final
