@@ -142,7 +142,12 @@ object ScaleBench {
       // every later stage runs on a base-sized survivor set; the ratio
       // measures that the composition inherits the collapse, not just
       // each stage in isolation
-      "x10_pipeline_e2e"),
+      "x10_pipeline_e2e",
+      // r14 batch flagship to training sequences: funnel → dedup →
+      // decontam → tokenize → pack; the clean filter applies at the DOC
+      // level before the explode, so the token stream never joins — the
+      // ratio proves the composed lineage stays linear end to end
+      "x10c_tokenized_build"),
     10 -> Seq("q12b_join_bucketed", "qf6_salted_join"))
 
   private def maxRatio(scale: Int): Double = 2.0 * scale

@@ -536,42 +536,53 @@ object TextQueries {
     // sequence's checksum. The oracle replays tokenization (the x4m
     // chain) and derives the same sequences from one global row_number.
     Q("x6p_pack_tokens",
-      (s, d) => {
-        val L = 64L
-        val toks = bpeTokenStream(s, d)
-        val wDoc = Window.partitionBy(col("doc_id"))
-          .orderBy(col("word_pos"), col("sub_pos"))
-        val wi = toks.withColumn("widx",
-          row_number().over(wDoc).cast(LongType) - 1L)
-        // two passes over the map-only tokenization (counts + the final
-        // join) — at 100 TB recomputing a cheap map beats materializing
-        // the token stream; the prefix-sum side is doc-count-sized
-        val counts = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
-          .repartitionByRange(8, col("doc_id"))
-          .withColumn("pid", spark_partition_id())
-        val wOff = Window.orderBy(col("pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val offsets = counts.groupBy("pid").agg(sum(col("n_tok")).as("psum"))
-          .withColumn("offset", coalesce(sum(col("psum")).over(wOff), lit(0L)))
-          .select("pid", "offset") // ≤ #partitions rows — broadcastable
-        val wLocal = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val docOff = counts.join(broadcast(offsets), "pid")
-          .withColumn("doc_off",
-            coalesce(sum(col("n_tok")).over(wLocal), lit(0L)) + col("offset"))
-          .select("doc_id", "doc_off")
-        wi.join(docOff, "doc_id")
-          .withColumn("gidx", col("doc_off") + col("widx"))
-          .withColumn("seq_id", floor(col("gidx") / L))
-          .withColumn("pos", col("gidx") % L)
-          .groupBy("seq_id")
-          .agg(count(lit(1)).as("n_tok"),
-            countDistinct(col("doc_id")).as("n_docs"),
-            min(col("doc_id")).as("first_doc"),
-            sum(col("token_id").cast(LongType) * (col("pos") + 1L))
-              .as("order_checksum"))
-      },
+      (s, d) => packTokenSeqs(bpeTokenStream(s, d), 64L),
       Some(packTokensOracle)),
+
+    // X10c (r14): the BATCH flagship carried to TRAINING SEQUENCES — the
+    // full corpus build a pretraining run actually consumes: quality
+    // funnel → first-per-digest exact dedup → LSH decontamination against
+    // the eval split → tokenize with the frozen x4k artifact → pack into
+    // fixed-length sequences. q52x is this loop's streaming face (stages
+    // 1–3 share its oracle CTEs VERBATIM via [[CleanCorpusCtes]]); x10
+    // composes the doc-level stages to shards, x10c composes the
+    // token-level tail to the tensor-shaped output. Scale shape: every
+    // stage keeps its standalone posture — the funnel is per-row map,
+    // dedup is one digest groupBy, decontam probes broadcast eval
+    // artifacts, the CLEAN filter applies at the doc level BEFORE the
+    // tokenize explode (the token stream itself never joins or
+    // shuffles), and the pack is the two-phase distributed prefix sum.
+    // The per-sequence position-weighted checksum pins content AND order
+    // of every training sequence, so a drift anywhere in the composed
+    // lineage — one wrongly admitted doc, one shifted token — flips some
+    // sequence's row at the hash gate.
+    Q("x10c_tokenized_build",
+      (s, d) => {
+        val bucket = pmod(col("doc_id") * 2654435761L, lit(100L))
+        val kept = withFunnelVerdict(
+            Tables.documents(s, d).filter(bucket < 80))
+          .filter(col("drop_rule") === "kept")
+          .select(md5(col("text")).as("dig"), col("doc_id"), col("text"))
+        val admitted = kept.groupBy("dig").agg(min(col("doc_id")).as("doc_id"))
+        val admDocs = kept.join(admitted, Seq("dig", "doc_id"))
+        val evalIdx = Tables.documents(s, d).filter(bucket >= 90)
+          .select(col("doc_id"), col("text"), md5(col("text")).as("dig"))
+        val (_, eBuckets, shEval, idxCaches) =
+          graft.ext.DedupQueries.indexArtifactsFrom(evalIdx)
+        try {
+          val (verdict, vCaches) =
+            graft.ext.DedupQueries.streamDecontamPlan(admDocs, eBuckets, shEval)
+          try {
+            val cleanDocs = admDocs
+              .join(verdict.filter(!col("contaminated")).select("doc_id"),
+                Seq("doc_id"))
+              .select(col("doc_id"), col("text"))
+            packTokenSeqs(tokenStreamFrom(s, cleanDocs, d), 64L)
+              .localCheckpoint() // eager: caches release on return
+          } finally vCaches.foreach(_.unpersist())
+        } finally idxCaches.foreach(_.unpersist())
+      },
+      Some(tokenizedBuildOracle)),
 
     // X4o (r14): the TOKENIZER CARD — the per-language audit a vocab
     // rollout reads before switching tokenizers: document/word/subword
@@ -1055,13 +1066,22 @@ object TextQueries {
     * broadcast exchange — zero shuffles; hashed O(1) id resolution where
     * a plan-literal map would linear-scan its keys per subword.
     */
-  private[graft] def bpeTokenStream(s: SparkSession, d: String): DataFrame = {
+  private[graft] def bpeTokenStream(s: SparkSession, d: String): DataFrame =
+    tokenStreamFrom(s, Tables.documents(s, d).select("doc_id", "text"), d)
+
+  /** The same token stream over an arbitrary `(doc_id, text)` frame —
+    * x10c tokenizes only the CLEAN survivor set, so the doc-level filter
+    * happens before the explode and the token stream itself never joins
+    * or shuffles.
+    */
+  private[graft] def tokenStreamFrom(s: SparkSession, docs: DataFrame,
+      d: String): DataFrame = {
     import s.implicits._
     val merges = loadOrTrainMerges(s, d)
     val vocabIds = bpeVocab(s, d).groupBy(_._2)
       .map { case (t, xs) => (t, xs.map(_._1).min) }.toSeq
       .toDF("token", "token_id")
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .toDF("doc_id", "word_pos", "word")
       .filter(length(col("word")) > 0)
@@ -1109,11 +1129,101 @@ object TextQueries {
     * canonical order, sequences of 64, the identical position-weighted
     * checksum.
     */
+  /** The funnel → dedup → decontam replay shared by q52x's and x10c's
+    * oracles: ends at `clean(doc_id)` — the kept, first-per-digest,
+    * decontaminated representative set of the train split. Kept as ONE
+    * constant so the streaming flagship and the batch flagship provably
+    * replay the identical admission semantics.
+    */
+  private[graft] val CleanCorpusCtes: String = {
+    val sh =
+      """CASE WHEN len(w) >= 3
+        THEN list_distinct(list_transform(generate_series(1, len(w)-2),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        ELSE [text] END"""
+    s"""$FilterFunnelVerdictCte,
+      kept AS (SELECT dd.doc_id, dd.text FROM documents dd
+        JOIN v ON v.doc_id = dd.doc_id
+        WHERE v.drop_rule = 'kept' AND (dd.doc_id * 2654435761) % 100 < 80),
+      admt AS (SELECT k.doc_id, k.text FROM kept k
+        JOIN (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)) a
+          ON a.doc_id = k.doc_id),
+      asets AS (SELECT doc_id, $sh AS sh FROM
+        (SELECT doc_id, text, string_split(text, ' ') AS w FROM admt)),
+      esets AS (SELECT $sh AS sh FROM
+        (SELECT text, string_split(text, ' ') AS w FROM documents
+         WHERE (doc_id * 2654435761) % 100 >= 90)),
+      cont AS (SELECT DISTINCT a.doc_id FROM asets a JOIN esets e2
+        ON len(list_intersect(a.sh, e2.sh))::DOUBLE /
+           (len(a.sh) + len(e2.sh) - len(list_intersect(a.sh, e2.sh))) >= 0.8),
+      clean AS (SELECT doc_id FROM admt
+        WHERE doc_id NOT IN (SELECT doc_id FROM cont))"""
+  }
+
+  /** x6p's pack body over an arbitrary token stream: within-doc ordinals
+    * from a doc-partitioned window (state bounded by one document), doc
+    * offsets from the x6b/x6g two-phase distributed prefix sum (range
+    * partition by doc_id → P-row offset table → broadcast), sequences of
+    * `L` tokens cut across document boundaries. Two passes over the
+    * map-only tokenization (counts + the final join) — at 100 TB
+    * recomputing a cheap map beats materializing the token stream; the
+    * prefix-sum side is doc-count-sized.
+    */
+  private[graft] def packTokenSeqs(toks: DataFrame, L: Long): DataFrame = {
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("word_pos"), col("sub_pos"))
+    val wi = toks.withColumn("widx",
+      row_number().over(wDoc).cast(LongType) - 1L)
+    val counts = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+      .repartitionByRange(8, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val wOff = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.groupBy("pid").agg(sum(col("n_tok")).as("psum"))
+      .withColumn("offset", coalesce(sum(col("psum")).over(wOff), lit(0L)))
+      .select("pid", "offset") // ≤ #partitions rows — broadcastable
+    val wLocal = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val docOff = counts.join(broadcast(offsets), "pid")
+      .withColumn("doc_off",
+        coalesce(sum(col("n_tok")).over(wLocal), lit(0L)) + col("offset"))
+      .select("doc_id", "doc_off")
+    wi.join(docOff, "doc_id")
+      .withColumn("gidx", col("doc_off") + col("widx"))
+      .withColumn("seq_id", floor(col("gidx") / L))
+      .withColumn("pos", col("gidx") % L)
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_tok"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        sum(col("token_id").cast(LongType) * (col("pos") + 1L))
+          .as("order_checksum"))
+  }
+
   private def packTokensOracle: String =
     s"""WITH $bpeTokenCtes,
       g AS (SELECT doc_id, token_id,
           row_number() OVER (ORDER BY doc_id, word_pos, sub_pos) - 1 AS gidx
         FROM tid)
+      SELECT CAST(gidx // 64 AS BIGINT) AS seq_id,
+        CAST(count(*) AS BIGINT) AS n_tok,
+        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        min(doc_id) AS first_doc,
+        CAST(SUM(token_id * (gidx % 64 + 1)) AS BIGINT) AS order_checksum
+      FROM g GROUP BY 1"""
+
+  /** x10c's replay: the shared clean-corpus chain (q52x's CTEs verbatim),
+    * tokenization restricted to the clean set, then x6p's sequence
+    * derivation over one global row_number.
+    */
+  private def tokenizedBuildOracle: String =
+    s"""$CleanCorpusCtes,
+      $bpeTokenCtes,
+      ctid AS (SELECT t.doc_id, t.word_pos, t.sub_pos, t.token_id
+        FROM tid t JOIN clean c USING (doc_id)),
+      g AS (SELECT doc_id, token_id,
+          row_number() OVER (ORDER BY doc_id, word_pos, sub_pos) - 1 AS gidx
+        FROM ctid)
       SELECT CAST(gidx // 64 AS BIGINT) AS seq_id,
         CAST(count(*) AS BIGINT) AS n_tok,
         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,

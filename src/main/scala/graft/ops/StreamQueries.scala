@@ -513,28 +513,7 @@ object StreamQueries {
     * codebook), filtered to the admitted-clean ids at the end.
     */
   private val StreamPipelineOracle: String = {
-    val sh =
-      """CASE WHEN len(w) >= 3
-        THEN list_distinct(list_transform(generate_series(1, len(w)-2),
-          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-        ELSE [text] END"""
-    s"""${graft.ext.TextQueries.FilterFunnelVerdictCte},
-      kept AS (SELECT dd.doc_id, dd.text FROM documents dd
-        JOIN v ON v.doc_id = dd.doc_id
-        WHERE v.drop_rule = 'kept' AND (dd.doc_id * 2654435761) % 100 < 80),
-      admt AS (SELECT k.doc_id, k.text FROM kept k
-        JOIN (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)) a
-          ON a.doc_id = k.doc_id),
-      asets AS (SELECT doc_id, $sh AS sh FROM
-        (SELECT doc_id, text, string_split(text, ' ') AS w FROM admt)),
-      esets AS (SELECT $sh AS sh FROM
-        (SELECT text, string_split(text, ' ') AS w FROM documents
-         WHERE (doc_id * 2654435761) % 100 >= 90)),
-      cont AS (SELECT DISTINCT a.doc_id FROM asets a JOIN esets e2
-        ON len(list_intersect(a.sh, e2.sh))::DOUBLE /
-           (len(a.sh) + len(e2.sh) - len(list_intersect(a.sh, e2.sh))) >= 0.8),
-      clean AS (SELECT doc_id FROM admt
-        WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+    s"""${graft.ext.TextQueries.CleanCorpusCtes},
       ${graft.ext.TextQueries.bpeTrainCteBody},
       nsub AS (SELECT dw.doc_id,
           CAST(SUM(len(string_split(trim(f.sym), ' '))) AS BIGINT) AS n_subword
