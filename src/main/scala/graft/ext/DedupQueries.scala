@@ -325,6 +325,88 @@ object DedupQueries {
     * `(doc_id, text, dig)` — x10b builds the index from a snapshot diff's
     * unchanged docs instead of the split hash.
     */
+  /** x2k's positional window frame over a `(doc_id, tok)` frame: ALL
+    * 8-token windows with start positions (`dedup = false` keeps document
+    * order, so posexplode's pos IS the 0-based window start), then ONE
+    * hash-partitioning by the window hash so both downstream consumers
+    * (hot counts + coverage join) are exchange-free — without it the
+    * window frame, the corpus's biggest, crosses the wire twice.
+    */
+  private[graft] def scrubWindows(docs: DataFrame, parallelism: Int): DataFrame =
+    docs
+      .repartition(parallelism) // explode width
+      .select(col("doc_id"), posexplode(
+        graft.functions.Kernels.window_md5(col("tok"), 8, dedup = false)))
+      .toDF("doc_id", "p", "h")
+      .repartition(col("h"))
+
+  /** The hot set: distinct window hashes seen in ≥ 2 documents —
+    * vocabulary-sized, not corpus-sized, but NOT assumed broadcastable (a
+    * crawl's boilerplate set is every nav bar × every site); it joins
+    * back by shuffle on the key the count aggregation just partitioned
+    * by, and AQE demotes to broadcast when a corpus's hot set is small.
+    */
+  private[graft] def hotWindows(wins: DataFrame): DataFrame =
+    wins.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("docs_with"))
+      .filter(col("docs_with") > 1).select("h")
+
+  /** The rebuild: hot-window START positions fold sorted per doc (no 8×
+    * position explode), then the one-pass `scrub_tokens` merge-scan
+    * kernel drops covered tokens — O(tokens + windows) per doc where the
+    * HOF filter+array_contains form is O(tokens × covered positions),
+    * quadratic on a long mostly-boilerplate crawl doc. Shared by x2k
+    * (hot set from the same corpus) and q52v (hot set frozen from the
+    * standing corpus, arriving docs scrubbed against it).
+    */
+  private[graft] def scrubAgainst(docs: DataFrame, wins: DataFrame,
+      hot: DataFrame): DataFrame = {
+    val bad = wins.join(hot, Seq("h"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("p"))).as("starts"))
+    docs.join(bad, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        size(col("tok")).cast(LongType).as("n_tokens"),
+        graft.functions.Kernels.scrub_tokens(col("tok"),
+          coalesce(col("starts"), typedLit(Seq.empty[Int])), 8)
+          .as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).as("n_removed"),
+        md5(concat_ws(" ", col("kept"))).as("scrubbed_md5"))
+  }
+
+  /** The scrub replay — window → hot → coverage → rebuild derived
+    * independently (an indexed list rewrite, not the kernel's merge
+    * scan), so every scrubbed document's md5 is hash-gated. Shared
+    * verbatim by q52v: the streamed corpus IS the standing corpus, so
+    * scrub-at-ingest against the frozen hot index must emit the same
+    * rows as the batch scrub.
+    */
+  private[graft] val ScrubOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+          FROM documents),
+        wins AS (SELECT doc_id, unnest(list_transform(
+              generate_series(1, len(w) - 7),
+              i -> {'p': i - 1,
+                    'h': md5(array_to_string(list_slice(w, i, i + 7), ' '))}),
+            recursive := true)
+          FROM t WHERE len(w) >= 8),
+        hot AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS dw
+            FROM wins GROUP BY h) WHERE dw > 1),
+        bad AS (SELECT doc_id,
+            list_distinct(flatten(list(list_transform(
+              generate_series(0, 7), k -> p + k)))) AS bp
+          FROM wins JOIN hot USING (h) GROUP BY doc_id),
+        scrub AS (SELECT t.doc_id, t.w,
+            list_filter(list_transform(generate_series(1, len(t.w)),
+              i -> CASE WHEN b.bp IS NULL OR NOT list_contains(b.bp, i - 1)
+                THEN t.w[i] END), x -> x IS NOT NULL) AS kept
+          FROM t LEFT JOIN bad b USING (doc_id))
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+          CAST(len(w) - len(kept) AS BIGINT) AS n_removed,
+          md5(coalesce(array_to_string(kept, ' '), '')) AS scrubbed_md5
+        FROM scrub""".stripMargin
+
   private[graft] def indexArtifactsFrom(index: DataFrame)
       : (DataFrame, DataFrame, DataFrame, Seq[DataFrame]) = {
     val indexDigs = index.select("dig").distinct()
@@ -952,68 +1034,14 @@ object DedupQueries {
       (s, d) => {
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), split(col("text"), " ").as("tok"))
-        // ALL windows with start positions: dedup=false keeps document
-        // order, so posexplode's pos IS the 0-based window start
-        val wins = docs
-          .repartition(s.sparkContext.defaultParallelism) // explode width
-          .select(col("doc_id"), posexplode(
-            graft.functions.Kernels.window_md5(col("tok"), 8,
-              dedup = false)))
-          .toDF("doc_id", "p", "h")
-          // ONE hash-partitioning by h serves both consumers: the hot
-          // count aggregates exchange-free and the hot join probes
-          // co-partitioned — without this the window frame (the corpus's
-          // biggest) crosses the wire twice (agg partials + join)
-          .repartition(col("h"))
+        val wins = scrubWindows(docs, s.sparkContext.defaultParallelism)
         // wins feeds two consumers (hot counts + coverage join)
         Caching.withPersisted(wins) {
-          val hot = wins.groupBy("h")
-            .agg(countDistinct(col("doc_id")).as("docs_with"))
-            .filter(col("docs_with") > 1).select("h")
-          // hot-window START positions only (sorted) — coverage expands
-          // inside the one-pass scrub_tokens merge-scan kernel, so there
-          // is no 8× position explode before the fold and the rebuild is
-          // O(tokens + windows) per doc where the HOF
-          // filter+array_contains form is O(tokens × covered positions)
-          // — quadratic on a long mostly-boilerplate crawl doc
-          val bad = wins.join(hot, Seq("h"))
-            .groupBy("doc_id")
-            .agg(sort_array(collect_set(col("p"))).as("starts"))
-          docs.join(bad, Seq("doc_id"), "left_outer")
-            .select(col("doc_id"),
-              size(col("tok")).cast(LongType).as("n_tokens"),
-              graft.functions.Kernels.scrub_tokens(col("tok"),
-                coalesce(col("starts"), typedLit(Seq.empty[Int])), 8)
-                .as("kept"))
-            .select(col("doc_id"), col("n_tokens"),
-              (col("n_tokens") - size(col("kept"))).as("n_removed"),
-              md5(concat_ws(" ", col("kept"))).as("scrubbed_md5"))
+          scrubAgainst(docs, wins, hotWindows(wins))
             .localCheckpoint() // one row per doc; eager so the cache can go
         }
       },
-      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
-          FROM documents),
-        wins AS (SELECT doc_id, unnest(list_transform(
-              generate_series(1, len(w) - 7),
-              i -> {'p': i - 1,
-                    'h': md5(array_to_string(list_slice(w, i, i + 7), ' '))}),
-            recursive := true)
-          FROM t WHERE len(w) >= 8),
-        hot AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS dw
-            FROM wins GROUP BY h) WHERE dw > 1),
-        bad AS (SELECT doc_id,
-            list_distinct(flatten(list(list_transform(
-              generate_series(0, 7), k -> p + k)))) AS bp
-          FROM wins JOIN hot USING (h) GROUP BY doc_id),
-        scrub AS (SELECT t.doc_id, t.w,
-            list_filter(list_transform(generate_series(1, len(t.w)),
-              i -> CASE WHEN b.bp IS NULL OR NOT list_contains(b.bp, i - 1)
-                THEN t.w[i] END), x -> x IS NOT NULL) AS kept
-          FROM t LEFT JOIN bad b USING (doc_id))
-        SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
-          CAST(len(w) - len(kept) AS BIGINT) AS n_removed,
-          md5(coalesce(array_to_string(kept, ' '), '')) AS scrubbed_md5
-        FROM scrub""".stripMargin)),
+      Some(ScrubOracle)),
 
     // X2h: INCREMENTAL dedup — the shape a production corpus actually
     // runs: an already-deduplicated INDEX (x6's train-side buckets,

@@ -1507,6 +1507,55 @@ object StreamQueries {
         "q52w_sink", "append"),
       Some(graft.ext.DecontamQueries.PiiRedactOracle)),
 
+    // Q52v (r14): streaming BOILERPLATE SCRUB at ingest — x2k's removal
+    // operator in its production deployment shape (RefinedWeb: the
+    // standing corpus defines the hot-window boilerplate index, arriving
+    // documents are scrubbed against it), the seventh continuous-pipeline
+    // shape: the hot set is computed ONCE outside the stream and pinned
+    // for its lifetime (the frozen-asset contract of q52e's eval index /
+    // q52g's codebook / q52z's merge table — ingest never recounts), and
+    // each micro-batch explodes ONLY its own windows, probes the hot
+    // index, and rebuilds via the scrub_tokens kernel — stateless,
+    // per-batch cost O(batch windows + collisions) regardless of stream
+    // history. The streamed corpus IS the standing corpus, so the oracle
+    // is x2k's batch SQL verbatim: the hash gate proves
+    // scrub-at-ingest ≡ batch scrub under any micro-batch split.
+    Q("q52v_stream_scrub_ingest",
+      (s, d) => {
+        val corpusDocs = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("tok"))
+        val corpusWins = graft.ext.DedupQueries.scrubWindows(corpusDocs,
+          s.sparkContext.defaultParallelism)
+        val hotL = graft.ext.DedupQueries.hotWindows(corpusWins)
+        val out = s"$tmpRoot/q52v_out"
+        val cp = s"$tmpRoot/cp/q52v_sink"
+        org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(out).toFile)
+        org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(cp).toFile)
+        graft.ext.Caching.withLocalCheckpointed(hotL) { case Seq(hot) =>
+          val q = documentsStream(s, d)
+            .select(col("doc_id"), split(col("text"), " ").as("tok"))
+            .writeStream
+            .option("checkpointLocation", cp)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              // persist: the scrub consumes the batch twice (window
+              // explode + rebuild join) and each action would re-run the
+              // micro-batch plan (see pipelineBatchWriter)
+              val b = batch.persist()
+              try {
+                val wins = graft.ext.DedupQueries.scrubWindows(b,
+                  b.sparkSession.sparkContext.defaultParallelism)
+                graft.ext.DedupQueries.scrubAgainst(b, wins, hot)
+                  .write.mode("append").parquet(out)
+              } finally b.unpersist()
+            }
+            .start()
+          q.awaitTermination()
+        }
+        s.read.parquet(out)
+      },
+      Some(graft.ext.DedupQueries.ScrubOracle)),
+
     // Q52e (r11): streaming DECONTAMINATION at ingest — the x7 shape made
     // streaming: train documents arriving as files are checked against a
     // static eval index (LSH buckets + shingle sets, precomputed once via
