@@ -621,6 +621,44 @@ object TextQueries {
       },
       Some(tokenizerCardOracle)),
 
+    // X4q (r14): DETOKENIZATION ROUND-TRIP — the soundness audit every
+    // tokenizer rollout runs before training on its ids: decode the x4m
+    // token-id stream back through the x4n vocab table (ids are unique
+    // per symbol, and the min-id collision fold composes with id→symbol
+    // to the identity on symbols) and the reassembled document must
+    // md5-match the whitespace-normalized original — a wrong merge, a
+    // drifted id, or a lost/reordered token anywhere in
+    // train→vocab→encode flips some document's digest. Decode is one
+    // broadcast join + two ordered per-group folds (sub_pos within word,
+    // word_pos within doc — both windows bounded by one document); the
+    // oracle replays decode via its own id→symbol map and DuckDB's
+    // ordered string_agg.
+    Q("x4q_detok_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        val idTok = bpeVocab(s, d).map { case (id, t, _) => (id, t) }
+          .toDF("token_id", "token")
+        val words = bpeTokenStream(s, d)
+          .join(broadcast(idTok), Seq("token_id"))
+          .groupBy("doc_id", "word_pos")
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("sub_pos"), col("token")))),
+            x => x.getField("token")), "").as("word"))
+        val rebuilt = words.groupBy("doc_id")
+          .agg(md5(array_join(transform(
+            array_sort(collect_list(struct(col("word_pos"), col("word")))),
+            x => x.getField("word")), " ")).as("detok_md5"))
+        val orig = Tables.documents(s, d)
+          .select(col("doc_id"),
+            md5(concat_ws(" ",
+              filter(split(col("text"), " "), w => length(w) > 0)))
+              .as("orig_md5"))
+        rebuilt.join(orig, Seq("doc_id"))
+          .select(col("doc_id"), col("detok_md5"), col("orig_md5"),
+            (col("detok_md5") === col("orig_md5")).as("roundtrip_ok"))
+      },
+      Some(detokOracle)),
+
     // X3p: HYBRID retrieval with reciprocal-rank fusion — the serving
     // pattern RAG stacks actually run: a lexical ranker (x4f's BM25, one
     // term per query) and a vector ranker (x3's exact quantized cosine,
@@ -1124,6 +1162,32 @@ object TextQueries {
   private def bpeEncodeOracle: String =
     s"""WITH $bpeTokenCtes
       SELECT doc_id, word_pos, sub_pos, token_id FROM tid"""
+
+  /** x4q's replay: decode the token-id stream through the vocab table's
+    * id→symbol map (ids are unique rows of `vtab`; ties on duplicated
+    * symbols resolve to the min id both ways, so decode∘encode is the
+    * identity on symbols), reassemble with ordered string_agg, and
+    * compare digests with the whitespace-normalized original.
+    */
+  private def detokOracle: String =
+    s"""WITH $bpeTokenCtes,
+      idtok AS (SELECT CAST(MIN(id) AS INTEGER) AS token_id, token
+        FROM vtab GROUP BY token),
+      dtok AS (SELECT t.doc_id, t.word_pos, t.sub_pos, i.token
+        FROM tid t JOIN idtok i USING (token_id)),
+      words AS (SELECT doc_id, word_pos,
+          string_agg(token, '' ORDER BY sub_pos) AS word
+        FROM dtok GROUP BY doc_id, word_pos),
+      rebuilt AS (SELECT doc_id,
+          md5(string_agg(word, ' ' ORDER BY word_pos)) AS detok_md5
+        FROM words GROUP BY doc_id),
+      orig AS (SELECT doc_id,
+          md5(array_to_string(list_filter(string_split(text, ' '),
+            w -> len(w) > 0), ' ')) AS orig_md5
+        FROM documents)
+      SELECT r.doc_id, r.detok_md5, o.orig_md5,
+        r.detok_md5 = o.orig_md5 AS roundtrip_ok
+      FROM rebuilt r JOIN orig o USING (doc_id)"""
 
   /** x6p's replay: ONE global row_number over the token stream's
     * canonical order, sequences of 64, the identical position-weighted
