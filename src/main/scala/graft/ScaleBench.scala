@@ -110,6 +110,10 @@ object ScaleBench {
       // rebuild stay linear when the scrub degenerates to near-total
       // removal
       "x2k_boilerplate_scrub",
+      // r14 scrub-at-ingest: same worst case as x2k but the hot index is
+      // frozen — the ratio proves the per-batch probe cost tracks the
+      // batch, not the store or stream history
+      "q52v_stream_scrub_ingest",
       // r13 BPE training: ONE corpus-sized word-frequency shuffle, then 8
       // vocab-frame rounds — the ratio proves the rounds don't secretly
       // rescan the corpus; the merge-stability gate below pins semantics
