@@ -621,6 +621,47 @@ object TextQueries {
       },
       Some(tokenizerCardOracle)),
 
+    // X4r (r14): the ZIPF CARD — the head-of-distribution audit a vocab
+    // sizing decision reads: the top-50 tokens by corpus frequency with
+    // rank, count, and CUMULATIVE coverage in exact integer ppm (what
+    // fraction of all token occurrences the top-k tokens absorb — the
+    // curve that says how much a k-entry vocab buys). One map-side-
+    // combined token count shuffle, a top-50 TakeOrdered, and a window
+    // over the 50-row result (never a corpus-wide window); total count
+    // rides in as a 1-row broadcast. Ties break lexicographically so the
+    // rank order is deterministic cross-engine; coverage is floor-div
+    // ppm per the integer float-parity rules.
+    Q("x4r_zipf_card",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+        // counts feeds two consumers (total + top-50) — pinned so the
+        // corpus-sized token shuffle runs once (the vocab-sized frame is
+        // the cheap thing to hold)
+        val counts = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
+        Caching.withPersisted(counts) {
+          val total = counts.agg(sum(col("cnt")).as("total"))
+          val top = counts.orderBy(col("cnt").desc, col("word")).limit(50)
+          val w = Window.orderBy(col("cnt").desc, col("word"))
+          top.crossJoin(broadcast(total))
+            .withColumn("rank", row_number().over(w).cast(LongType))
+            .withColumn("cum_ppm",
+              expr("sum(cnt) OVER (ORDER BY cnt DESC, word) * 1000000 DIV total"))
+            .select(col("rank"), col("word"), col("cnt"), col("cum_ppm"))
+            .localCheckpoint() // ≤50 rows; eager so the cache can go
+        }
+      },
+      Some("""WITH c AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            WHERE len(word) > 0 GROUP BY word),
+          tot AS (SELECT SUM(cnt) AS total FROM c),
+          top AS (SELECT word, cnt FROM c ORDER BY cnt DESC, word LIMIT 50)
+          SELECT CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rank,
+            word, cnt,
+            CAST(SUM(cnt) OVER (ORDER BY cnt DESC, word) * 1000000 // t.total AS BIGINT) AS cum_ppm
+          FROM top, tot t""".stripMargin)),
+
     // X4q (r14): DETOKENIZATION ROUND-TRIP — the soundness audit every
     // tokenizer rollout runs before training on its ids: decode the x4m
     // token-id stream back through the x4n vocab table (ids are unique
