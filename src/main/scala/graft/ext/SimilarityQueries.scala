@@ -110,6 +110,32 @@ object SimilarityQueries {
   private[ext] val LshPlanesFlat: Array[Byte] =
     LshPlanes.flatMap(_.map(_.toByte)).toArray
 
+  /** x3s's Johnson–Lindenstrauss geometry: 32 Rademacher planes project
+    * the 64-d quantized vector to 32-d, halving per-candidate scoring
+    * flops (and, at real embedding widths — 768/1536-d down to 64 —
+    * cutting them 10–25×; the fixture's 64→32 is the same machinery at
+    * the smallest honest ratio). Seed 123 — NOT the x2e pool: LSH bands
+    * and the JL sketch must be independent draws or composing them
+    * (bucket by x2e, rank by x3s) would correlate their errors. Measured
+    * on the fixture sweep (numpy replica of the java.util.Random LCG):
+    * seed 123 / 32-d / shortlist 40 → recall@5 = 0.675 vs 0.55 at
+    * shortlist 20; random-uniform embeddings are JL's worst case (exact
+    * top-5 cos ≈ 0.5 vs background ≈ 0.45 — margins near zero), so this
+    * floor is honest, and a real clustered corpus does far better.
+    */
+  private[ext] val RpOutDim = 32
+  private[ext] val RpShortlist = 40
+
+  private[graft] def rpPlanesFor(n: Int): IndexedSeq[Seq[Long]] = {
+    val rnd = new java.util.Random(123)
+    IndexedSeq.fill(n)(Seq.fill(64)(if (rnd.nextBoolean()) 1L else -1L))
+  }
+
+  private[ext] val RpPlanes: IndexedSeq[Seq[Long]] = rpPlanesFor(RpOutDim)
+
+  private[ext] val RpPlanesFlat: Array[Byte] =
+    RpPlanes.flatMap(_.map(_.toByte)).toArray
+
   /** The full signature as ONE kernel expression (STRUCT<k0..k7>) — the
     * r10 one-pass replacement for `struct(lshBandKeys: _*)`: same keys
     * bit-for-bit (KernelSpec pins equality against the Column
@@ -920,12 +946,31 @@ object SimilarityQueries {
     */
   private def PqRerankOracleSql: String = pqRerankOracleFrom(PqScoredCte)
 
-  private def pqRerankOracleFrom(scoredCte: String): String = s"""$scoredCte,
-        short AS (SELECT q_id, c_id, CAST(adc_rank AS INTEGER) AS adc_rank FROM
+  /** DuckDB replay of x3s: project through the LITERAL plane table (exact
+    * integer sums, bit-equal to the [[graft.functions.RpProject]] kernel),
+    * 32-d cosine scoring, then the shared shortlist/rerank/recall tail at
+    * shortlist 40.
+    */
+  private def rpShortlistOracleSql: String = {
+    val projList = (0 until RpOutDim).map { j =>
+      val pl = RpPlanes(j).mkString("[", ",", "]")
+      s"list_sum(list_transform(generate_series(1, 64), i -> qe[i] * ($pl)[i]))"
+    }.mkString("[", ",\n          ", "]")
+    pqRerankOracleFrom(
+      s"""WITH e AS (SELECT vec_id, ${sqlQuant("embedding")} AS qe FROM embeddings),
+        p AS (SELECT vec_id, $projList AS pv FROM e),
+        scored AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id, ${sqlQcos("q.pv", "c.pv")} AS approx_cos
+          FROM p q JOIN p c ON q.vec_id < 8 AND c.vec_id <> q.vec_id)""",
+      shortlist = RpShortlist, rankCol = "rp_rank")
+  }
+
+  private def pqRerankOracleFrom(scoredCte: String, shortlist: Int = 20,
+      rankCol: String = "adc_rank"): String = s"""$scoredCte,
+        short AS (SELECT q_id, c_id, CAST($rankCol AS INTEGER) AS $rankCol FROM
           (SELECT q_id, c_id, row_number() OVER
-             (PARTITION BY q_id ORDER BY approx_cos DESC, c_id) AS adc_rank FROM scored)
-          WHERE adc_rank <= 20),
-        rr AS (SELECT s.q_id, s.c_id, s.adc_rank, ${sqlQcos("eq.qe", "ec.qe")} AS cos
+             (PARTITION BY q_id ORDER BY approx_cos DESC, c_id) AS $rankCol FROM scored)
+          WHERE $rankCol <= $shortlist),
+        rr AS (SELECT s.q_id, s.c_id, s.$rankCol, ${sqlQcos("eq.qe", "ec.qe")} AS cos
           FROM short s JOIN e eq ON eq.vec_id = s.q_id
             JOIN e ec ON ec.vec_id = s.c_id),
         top AS (SELECT * FROM (SELECT *, row_number() OVER
@@ -938,7 +983,7 @@ object SimilarityQueries {
                  FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id <> q.vec_id))
           WHERE rank <= 5)
         SELECT top.q_id, CAST(top.rank AS INTEGER) AS rank, top.c_id, top.cos,
-          top.adc_rank, coalesce(ex.hit, false) AS in_exact_top5
+          top.$rankCol, coalesce(ex.hit, false) AS in_exact_top5
         FROM top LEFT JOIN ex ON top.q_id = ex.q_id AND top.c_id = ex.c_id"""
 
   def defs: Seq[Q] = Seq(
@@ -1788,6 +1833,58 @@ object SimilarityQueries {
         SELECT top.q_id, CAST(top.rank AS INTEGER) AS rank, top.c_id, top.approx_cos,
           coalesce(ex.hit, false) AS in_exact_top5
         FROM top LEFT JOIN ex ON top.q_id = ex.q_id AND top.c_id = ex.c_id""".stripMargin)),
+
+    // X3s (r14): RANDOM-PROJECTION shortlist + exact rerank — the
+    // Johnson–Lindenstrauss member of the approximate-ranker family
+    // (complementing SQ8's per-element quantization, PQ's codebook
+    // compression, and IVF's partition pruning): project every quantized
+    // vector to 32-d through the fixed ±1 [[RpPlanes]] (one codegen
+    // [[graft.functions.RpProject]] kernel call per vector — exact
+    // integer adds/subs, so both engines project bit-identically from
+    // the literal plane table), score candidates by 32-d cosine (half
+    // the flops; 10–25× at production embedding widths), shortlist 40
+    // deep, exact-rerank to top-5, recall annotated against the exact
+    // top-5. At scale the projection is the MAP step that makes the
+    // downstream index cheap: 4 TB of 1536-d float vectors become 85 GB
+    // of 64-d sketches that fit a broadcast or an in-memory IVF — the
+    // rerank against full vectors touches only shortlist rows per query.
+    // See [[RpOutDim]] for the measured recall geometry on this
+    // (worst-case, random-uniform) fixture.
+    Q("x3s_rp_shortlist",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), quant(col("embedding")).as("qe"))
+        val p = e.select(col("vec_id"),
+          graft.functions.Kernels.rp_project(col("qe"), RpPlanesFlat).as("pv"))
+        val q = p.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("pv").as("q_pv"))
+        val scored = p.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("c_id"),
+            (qdot(col("q_pv"), col("pv")).cast(DoubleType) /
+              (sqrt(qdot(col("q_pv"), col("q_pv")).cast(DoubleType)) *
+                sqrt(qdot(col("pv"), col("pv")).cast(DoubleType))))
+              .as("approx_cos"))
+        val wr = Window.partitionBy(col("q_id"))
+          .orderBy(col("approx_cos").desc, col("c_id"))
+        val short = scored.withColumn("rp_rank", row_number().over(wr))
+          .filter(col("rp_rank") <= RpShortlist)
+          .select(col("q_id"), col("c_id"), col("rp_rank"))
+        val qe8 = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("qe").as("q_emb"))
+        val shortQ = short.join(broadcast(qe8), "q_id")
+        val rr = e.select(col("vec_id").as("c_id"), col("qe").as("c_emb"))
+          .join(broadcast(shortQ), "c_id")
+          .select(col("q_id"), col("c_id"), col("rp_rank"),
+            qcos(col("q_emb"), col("c_emb")).as("cos"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+        val top = rr.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        val exact = bruteKnn(s, d, nQueries = 8, k = 5)
+          .select(col("q_id"), col("c_id"), lit(true).as("hit"))
+        top.join(exact, Seq("q_id", "c_id"), "left")
+          .select(col("q_id"), col("rank"), col("c_id"), col("cos"),
+            col("rp_rank"), coalesce(col("hit"), lit(false)).as("in_exact_top5"))
+      },
+      Some(rpShortlistOracleSql)),
 
     // X3d: kNN majority-vote label prediction over the exact top-10.
     Q("x3d_knn_classify",

@@ -662,6 +662,60 @@ object TextQueries {
             CAST(SUM(cnt) OVER (ORDER BY cnt DESC, word) * 1000000 // t.total AS BIGINT) AS cum_ppm
           FROM top, tot t""".stripMargin)),
 
+    // X4s (r14): SKETCHED HEAVY HITTERS — frequent word-trigrams by
+    // Misra–Gries sketch + exact recount, the boilerplate-phrase detector
+    // x2k's scrub list would be SEEDED from at corpus scale. Why a sketch
+    // when x4r's exact groupBy also works: an exact n-gram count shuffles
+    // one row per distinct gram per map task, and at 100 TB the distinct
+    // n-gram space is billions wide — the shuffle IS the job. The
+    // [[graft.functions.Aggregators.MisraGriesAgg]] pass caps every
+    // partial-agg buffer at 8192 entries (capacity+1 > 1/θ = 5000, so the
+    // candidate set PROVABLY contains every gram with frequency ≥ θn —
+    // Misra & Gries 1982; mergeable form Agarwal et al. 2012), then one
+    // exact recount of candidates only (broadcast semi-join — the
+    // candidate set is ≤ 8192 rows by construction) restores exact
+    // counts. The final θ filter kills the sketch's false positives, so
+    // the result is IDENTICAL to the full exact computation the DuckDB
+    // oracle runs — sketch in the plan, no sketch in the answer. Fixture
+    // note: 16k distinct trigrams vs capacity 8192 means the sketch
+    // genuinely saturates and decrements here (the real code path, not
+    // the everything-fits degenerate case).
+    Q("x4s_heavy_hitters",
+      (s, d) => {
+        val grams = Tables.documents(s, d)
+          .select(filter(split(col("text"), " "), w => length(w) > 0).as("ws"))
+          .filter(size(col("ws")) >= 3)
+          .select(explode(transform(sequence(lit(1), size(col("ws")) - 2),
+            i => concat_ws(" ", element_at(col("ws"), i),
+              element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))))
+            .as("gram"))
+        // three consumers (sketch, recount, total) — one gram scan each is
+        // fine at scale, but pinning the exploded frame keeps the fixture
+        // run honest about which pass costs what
+        Caching.withPersisted(grams) {
+          val cand = grams
+            .agg(graft.functions.Aggregators.misra_gries(8192)(col("gram"))
+              .as("cands"))
+            .select(explode(col("cands")).as("gram"))
+          val counts = grams.join(broadcast(cand), Seq("gram"), "left_semi")
+            .groupBy("gram").agg(count(lit(1)).as("cnt"))
+          val total = grams.agg(count(lit(1)).as("total"))
+          counts.crossJoin(broadcast(total))
+            .filter(col("cnt") * 5000 >= col("total"))
+            .select(col("gram"), col("cnt"),
+              expr("cnt * 1000000 DIV total").as("ppm"))
+            .localCheckpoint() // ≤ 1/θ rows; eager so the cache can go
+        }
+      },
+      Some("""WITH d AS (SELECT list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+            FROM documents),
+          g AS (SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+            FROM d, unnest(generate_series(1, len(ws) - 2)) AS t(i)),
+          tot AS (SELECT count(*) AS total FROM g),
+          c AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY gram)
+          SELECT gram, cnt, CAST(cnt * 1000000 // t.total AS BIGINT) AS ppm
+          FROM c, tot t WHERE cnt * 5000 >= t.total""".stripMargin)),
+
     // X4q (r14): DETOKENIZATION ROUND-TRIP — the soundness audit every
     // tokenizer rollout runs before training on its ids: decode the x4m
     // token-id stream back through the x4n vocab table (ids are unique

@@ -141,9 +141,65 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[TopEntry]]()
   }
 
+  /** Misra–Gries heavy-hitter sketch (Misra & Gries 1982; merge rule from
+    * Agarwal et al. 2012, "Mergeable Summaries"): a bounded `capacity`-entry
+    * counter map whose candidate set provably contains EVERY item with true
+    * frequency > n/(capacity+1). The scale story: an exact heavy-hitter
+    * groupBy shuffles one row per DISTINCT key per map task — at 100 TB of
+    * web text the n-gram key space is billions wide and the shuffle is the
+    * job. This sketch caps every partial-aggregation buffer at `capacity`
+    * entries, so the shuffle is O(capacity · partitions) regardless of key
+    * cardinality; a second exact-recount pass over the candidate set (a
+    * broadcast semi-join — the candidate set is tiny by construction) turns
+    * the sketch's under-estimates back into EXACT counts, which is why
+    * x4s's result hash-matches a full exact oracle.
+    *
+    * Buffer = counter map. `reduce` is classic MG: hit → increment; room →
+    * insert at 1; full → decrement ALL by 1, dropping zeros (each such
+    * event retires capacity+1 weight, so events ≤ n/(capacity+1) — O(n)
+    * total work). `merge` sums the maps, then if over capacity subtracts
+    * the (capacity+1)-th largest count from every entry and keeps the
+    * positives — the mergeable-summaries rule that preserves the error
+    * bound under ANY partial-merge tree, which is what makes the map-side
+    * combine sound. `finish` returns the candidate keys sorted (the set is
+    * deterministic only as a SUPERSET contract; x4s's exact recount makes
+    * the final answer order-independent anyway — sorting just stabilizes
+    * spec assertions).
+    */
+  final class MisraGriesAgg(capacity: Int)
+      extends Aggregator[String, Map[String, Long], Array[String]] {
+    require(capacity > 0)
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], a: String): Map[String, Long] =
+      b.get(a) match {
+        case Some(c) => b.updated(a, c + 1L)
+        case None if b.size < capacity => b.updated(a, 1L)
+        case None =>
+          b.view.mapValues(_ - 1L).filter(_._2 > 0L).toMap
+      }
+    override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] = {
+      val sum = y.foldLeft(x) { case (m, (k, v)) =>
+        m.updated(k, m.getOrElse(k, 0L) + v)
+      }
+      if (sum.size <= capacity) sum
+      else {
+        // subtract the (capacity+1)-th largest count from all, keep > 0
+        val cut = sum.valuesIterator.toArray.sortBy(-_).apply(capacity)
+        sum.view.mapValues(_ - cut).filter(_._2 > 0L).toMap
+      }
+    }
+    override def finish(r: Map[String, Long]): Array[String] =
+      r.keysIterator.toArray.sorted
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Array[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[String]]()
+  }
+
   val bit_or_agg = udaf(BitOrAgg)
   val weighted_avg = udaf(WeightedAvgAgg)
   def elementwise_min(k: Int) = udaf(new ElementwiseMinAgg(k))
   def elementwise_sum_count(dim: Int) = udaf(new ElementwiseSumCountAgg(dim))
   def top_k(k: Int) = udaf(new TopKAgg(k))
+  def misra_gries(capacity: Int) = udaf(new MisraGriesAgg(capacity))
 }

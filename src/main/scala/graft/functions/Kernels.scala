@@ -110,6 +110,42 @@ object VecKernel {
         Array[Any](b, keys(b)))).toArray[Any])
   }
 
+  /** Rademacher random projection: out(p) = Σᵢ v(i)·planes(p·dim+i) for
+    * each of the planes.length/dim output dimensions — the
+    * Johnson–Lindenstrauss sketch of an exact-integer vector, itself
+    * exact-integer (±1 coefficients, so the projection is pure add/sub;
+    * overflow throws). One vector scan per output dim, no intermediate
+    * allocation beyond the output. Null element / dim mismatch → null
+    * result (the x3s query never produces either; the contract mirrors
+    * [[dotInto]]).
+    */
+  def rpProject(v: ArrayData, planes: Array[Byte]): ArrayData = {
+    val dim = v.numElements()
+    if (dim == 0 || planes.length % dim != 0) return null
+    var i = 0
+    while (i < dim) {
+      if (v.isNullAt(i)) return null
+      i += 1
+    }
+    val outDim = planes.length / dim
+    val out = new Array[Long](outDim)
+    var p = 0
+    while (p < outDim) {
+      var s = 0L
+      val base = p * dim
+      var j = 0
+      while (j < dim) {
+        val x = v.getLong(j)
+        s = if (planes(base + j) > 0) Math.addExact(s, x)
+            else Math.subtractExact(s, x)
+        j += 1
+      }
+      out(p) = s
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Σ (a(i)−b(i))² into out(0); false = null result; overflow throws. */
   def dist2Into(a: ArrayData, b: ArrayData, out: Array[Long]): Boolean = {
     val n = a.numElements()
@@ -960,6 +996,42 @@ case class RademacherSig(child: Expression, planes: Array[Byte],
     copy(child = newChild)
 }
 
+/** `rp_project(v, planes)` — Johnson–Lindenstrauss Rademacher projection
+  * of an ARRAY<BIGINT> vector to planes.length/dim output dimensions (the
+  * x3s dimensionality-reduction ranker). The ±1 plane table rides into
+  * codegen as one plan-referenced byte[] — same device as
+  * [[RademacherSig]]; the seeded draw is embedded as literals in the
+  * DuckDB oracle so both engines project bit-identically.
+  */
+case class RpProject(child: Expression, planes: Array[Byte])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // null on shape/null-element mismatch
+  override def prettyName: String = "rp_project"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if planes.nonEmpty =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT> input and a non-empty plane " +
+        s"table, got ${child.dataType.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    VecKernel.rpProject(v.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("rpPlanes", planes, "byte[]")
+    nullSafeCodeGen(ctx, ev, v => s"""
+      ${ev.value} = graft.functions.VecKernel.rpProject($v, $planesRef);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `bpe_apply(s, merges, fromChars)` — greedy BPE tokenization: apply the
   * trained merge rules in rank order to a word (`fromChars = true`, the
   * x4l serving path) or to an already-tokenized space-padded symbol
@@ -1070,6 +1142,10 @@ object Kernels {
       numBands: Int, bandBits: Int): Column =
     Shim.column(RademacherSig(Shim.expression(qe), planes, numBands, bandBits,
       asBandStructs = false))
+
+  /** Column API: JL Rademacher projection to planes.length/dim dims. */
+  def rp_project(v: Column, planes: Array[Byte]): Column =
+    Shim.column(RpProject(Shim.expression(v), planes))
 
   /** Column API: the same signature as ARRAY<STRUCT<band, key>> for
     * band-join explodes.

@@ -282,4 +282,23 @@ class KernelSpec extends SparkSpec {
     assert(edge.getInt(1) == 0)
     assert(edge.getInt(2) == edge.getInt(3))
   }
+
+  test("rp_project equals the per-plane hofDot formulation on fixture vectors") {
+    val planes = graft.ext.SimilarityQueries.rpPlanesFor(32)
+    val flat: Array[Byte] = planes.flatMap(_.map(_.toByte)).toArray
+    val e = Tables.embeddings(spark, sf).limit(100)
+      .select(col("vec_id"), quant(col("embedding")).as("qe"))
+    val hof = array(planes.map(p => hofDot(col("qe"), typedLit(p))): _*)
+    val mismatch = e.select(
+        (Kernels.rp_project(col("qe"), flat) <=> hof).as("eq"))
+      .filter(!col("eq"))
+    assert(mismatch.count() == 0)
+    // null element / dim-mismatched plane table → null, never a wrong row
+    import spark.implicits._
+    val edge = Seq(Seq(Some(1L), None, Some(3L))).toDF("v")
+      .select(Kernels.rp_project(col("v"), Array[Byte](1, -1, 1)).as("p"),
+        Kernels.rp_project(col("v"), Array[Byte](1, -1)).as("m"))
+      .head()
+    assert(edge.isNullAt(0) && edge.isNullAt(1))
+  }
 }
