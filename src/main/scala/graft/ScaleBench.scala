@@ -128,6 +128,22 @@ object ScaleBench {
       // shape when the corpus grows 30×, where x3p's brute arm scales
       // with the corpus by design
       "x3q_hybrid_ivfpq",
+      // r14 random-projection ranker: one rp_project kernel call per
+      // vector + 32-d scoring — the ratio proves the projection pass and
+      // the shortlist window stay linear in the corpus; recall floor in
+      // the ANN gate below
+      "x3s_rp_shortlist",
+      // r14 sketched heavy hitters: the Misra–Gries pass must hold every
+      // partial-agg buffer at capacity while the distinct-trigram space
+      // grows with the corpus — the ratio proves sketch + broadcast
+      // recount stay linear where an exact-count shuffle would grow with
+      // the key space
+      "x4s_heavy_hitters",
+      // r14 heavy hitters at ingest: per-batch sketch + capacity-bounded
+      // cross-batch artifact fold — the ratio proves per-batch cost
+      // tracks the batch and the fold stays O(capacity) while the
+      // stream's distinct-gram space grows 30×
+      "q52t_stream_heavy_hitters",
       // quality-filter-at-ingest: all four continuous ingest shapes are
       // now tier-gated; pure per-row map, the streaming linear control
       "q52h_stream_quality_ingest",
@@ -660,11 +676,17 @@ object ScaleBench {
     // the minimum shortlist-feeding quality: below 0.45 the codebook
     // itself has degenerated (measured 0.525 at 30× in r10/r11) and the
     // rerank stages would be reranking noise.
+    // x3s carries 0.7 with the rerank-bearing family: its dial is
+    // shortlist depth (and projection width) — and the 30× corpus is the
+    // EASY regime for JL (each query's exact top-5 is its perturbed
+    // replicas at cos ≈ 1, far above the 0.5 background, and JL preserves
+    // large gaps), so a breach means the projection itself regressed.
     val annFloors = Map("x3f_pq_adc" -> 0.45, "x3h_pq_rerank" -> 0.7,
-      "x3i_ivf_pq" -> 0.7, "x3j_filtered_knn" -> 0.7)
+      "x3i_ivf_pq" -> 0.7, "x3j_filtered_knn" -> 0.7, "x3s_rp_shortlist" -> 0.7)
     val annRecall: Seq[(String, Double, Option[Double])] = {
       val dir = fixture(tiers.head._1)
-      Seq("x3f_pq_adc", "x3h_pq_rerank", "x3i_ivf_pq", "x3j_filtered_knn").map { n =>
+      Seq("x3f_pq_adc", "x3h_pq_rerank", "x3i_ivf_pq", "x3j_filtered_knn",
+        "x3s_rp_shortlist").map { n =>
         val rows = SparkEntry.queries(n)(spark, dir)
           .select(col("in_exact_top5")).collect()
         val r = rows.count(_.getBoolean(0)).toDouble / math.max(1, rows.length)

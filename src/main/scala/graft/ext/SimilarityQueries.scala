@@ -1880,7 +1880,7 @@ object SimilarityQueries {
         val top = rr.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
         val exact = bruteKnn(s, d, nQueries = 8, k = 5)
           .select(col("q_id"), col("c_id"), lit(true).as("hit"))
-        top.join(exact, Seq("q_id", "c_id"), "left")
+        top.join(broadcast(exact), Seq("q_id", "c_id"), "left")
           .select(col("q_id"), col("rank"), col("c_id"), col("cos"),
             col("rp_rank"), coalesce(col("hit"), lit(false)).as("in_exact_top5"))
       },

@@ -682,39 +682,20 @@ object TextQueries {
     // the everything-fits degenerate case).
     Q("x4s_heavy_hitters",
       (s, d) => {
-        val grams = Tables.documents(s, d)
-          .select(filter(split(col("text"), " "), w => length(w) > 0).as("ws"))
-          .filter(size(col("ws")) >= 3)
-          .select(explode(transform(sequence(lit(1), size(col("ws")) - 2),
-            i => concat_ws(" ", element_at(col("ws"), i),
-              element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))))
-            .as("gram"))
+        val grams = heavyHitterGrams(Tables.documents(s, d))
         // three consumers (sketch, recount, total) — one gram scan each is
         // fine at scale, but pinning the exploded frame keeps the fixture
         // run honest about which pass costs what
         Caching.withPersisted(grams) {
           val cand = grams
-            .agg(graft.functions.Aggregators.misra_gries(8192)(col("gram"))
-              .as("cands"))
-            .select(explode(col("cands")).as("gram"))
-          val counts = grams.join(broadcast(cand), Seq("gram"), "left_semi")
-            .groupBy("gram").agg(count(lit(1)).as("cnt"))
-          val total = grams.agg(count(lit(1)).as("total"))
-          counts.crossJoin(broadcast(total))
-            .filter(col("cnt") * 5000 >= col("total"))
-            .select(col("gram"), col("cnt"),
-              expr("cnt * 1000000 DIV total").as("ppm"))
-            .localCheckpoint() // ≤ 1/θ rows; eager so the cache can go
+            .agg(graft.functions.Aggregators.misra_gries(HhCapacity)(col("gram"))
+              .as("sk"))
+            .select(explode(map_keys(col("sk"))).as("gram"))
+          heavyHitterRecount(grams, cand)
+            .localCheckpoint() // ≤ 1/θ rows; eager so the gram cache can go
         }
       },
-      Some("""WITH d AS (SELECT list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
-            FROM documents),
-          g AS (SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
-            FROM d, unnest(generate_series(1, len(ws) - 2)) AS t(i)),
-          tot AS (SELECT count(*) AS total FROM g),
-          c AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY gram)
-          SELECT gram, cnt, CAST(cnt * 1000000 // t.total AS BIGINT) AS ppm
-          FROM c, tot t WHERE cnt * 5000 >= t.total""".stripMargin)),
+      Some(HeavyHittersOracle)),
 
     // X4q (r14): DETOKENIZATION ROUND-TRIP — the soundness audit every
     // tokenizer rollout runs before training on its ids: decode the x4m
@@ -865,6 +846,57 @@ object TextQueries {
     f.withColumn("rank", row_number().over(wf)).filter(col("rank") <= 10)
       .select(col("qid"), col("rank"), col("doc_id"), col("rrf"))
   }
+
+  /** x4s/q52t heavy-hitter geometry: θ = 1/HhThetaInv of the corpus's
+    * trigram occurrences; HhCapacity + 1 > HhThetaInv makes the
+    * Misra–Gries candidate set a PROVEN superset of the θ-heavy grams at
+    * any corpus size (error < n/(capacity+1) < θn).
+    */
+  private[graft] val HhCapacity = 8192
+  private[graft] val HhThetaInv = 5000L
+
+  /** Word-trigram frame over a `text` frame — the key space x4s/q52t
+    * sketch. Docs under 3 words contribute nothing (the oracle's
+    * generate_series(1, len-2) is empty there by construction).
+    */
+  private[graft] def heavyHitterGrams(docs: DataFrame): DataFrame =
+    docs
+      .select(filter(split(col("text"), " "), w => length(w) > 0).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - 2),
+        i => concat_ws(" ", element_at(col("ws"), i),
+          element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))))
+        .as("gram"))
+
+  /** The exact tail shared by x4s and q52t: recount ONLY the candidate
+    * grams (broadcast semi-join — the candidate frame is
+    * capacity-bounded), then the θ filter. Output is identical to the
+    * full exact computation whenever `cand` ⊇ the θ-heavy set, which the
+    * sketch guarantees.
+    */
+  private[graft] def heavyHitterRecount(grams: DataFrame,
+      cand: DataFrame): DataFrame = {
+    val counts = grams.join(broadcast(cand), Seq("gram"), "left_semi")
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+    val total = grams.agg(count(lit(1)).as("total"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("cnt") * HhThetaInv >= col("total"))
+      .select(col("gram"), col("cnt"),
+        expr("cnt * 1000000 DIV total").as("ppm"))
+  }
+
+  /** The full-exact DuckDB computation both x4s and q52t must equal —
+    * no sketch anywhere in the oracle.
+    */
+  private[graft] val HeavyHittersOracle: String =
+    """WITH d AS (SELECT list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+          FROM documents),
+        g AS (SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+          FROM d, unnest(generate_series(1, len(ws) - 2)) AS t(i)),
+        tot AS (SELECT count(*) AS total FROM g),
+        c AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY gram)
+        SELECT gram, cnt, CAST(cnt * 1000000 // t.total AS BIGINT) AS ppm
+        FROM c, tot t WHERE cnt * 5000 >= t.total""".stripMargin
 
   private val BpeRounds = 8
   private val BpePicksPerRound = 8

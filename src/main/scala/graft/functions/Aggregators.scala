@@ -161,13 +161,17 @@ object Aggregators {
     * the (capacity+1)-th largest count from every entry and keeps the
     * positives — the mergeable-summaries rule that preserves the error
     * bound under ANY partial-merge tree, which is what makes the map-side
-    * combine sound. `finish` returns the candidate keys sorted (the set is
-    * deterministic only as a SUPERSET contract; x4s's exact recount makes
-    * the final answer order-independent anyway — sorting just stabilizes
-    * spec assertions).
+    * combine sound. `finish` returns the counter map itself — consumers
+    * take `map_keys` for the candidate set (x4s), or persist the map as
+    * the cross-batch sketch state and fold further batches in with
+    * `merge` (q52t: the mergeable-summaries property is exactly what lets
+    * a stream carry ONE capacity-bounded artifact instead of a
+    * distinct-key-sized state store). The candidate set is deterministic
+    * only as a SUPERSET contract; the exact recount downstream makes the
+    * final answer order-independent.
     */
   final class MisraGriesAgg(capacity: Int)
-      extends Aggregator[String, Map[String, Long], Array[String]] {
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
     require(capacity > 0)
     override def zero: Map[String, Long] = Map.empty
     override def reduce(b: Map[String, Long], a: String): Map[String, Long] =
@@ -188,12 +192,11 @@ object Aggregators {
         sum.view.mapValues(_ - cut).filter(_._2 > 0L).toMap
       }
     }
-    override def finish(r: Map[String, Long]): Array[String] =
-      r.keysIterator.toArray.sorted
+    override def finish(r: Map[String, Long]): Map[String, Long] = r
     override def bufferEncoder: Encoder[Map[String, Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
-    override def outputEncoder: Encoder[Array[String]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[String]]()
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
   }
 
   val bit_or_agg = udaf(BitOrAgg)

@@ -358,6 +358,59 @@ object StreamQueries {
       graft.ext.SimilarityQueries.maintainPqStore(batch.sparkSession, store, id)
   }
 
+  /** q52t cross-batch sketch fold: the batch's Misra–Gries sketch merges
+    * into the persisted running sketch — the ONLY state that crosses
+    * batches, capacity-bounded by construction (≤ HhCapacity (gram, cnt)
+    * rows; ~200 KB at 8192). That bound is the point: a distinct-key
+    * state store grows with the stream's vocabulary (billions of n-grams
+    * at 100 TB), the sketch never does, and the mergeable-summaries rule
+    * (Agarwal et al. 2012) preserves the superset guarantee under this
+    * batch-by-batch fold exactly as under Spark's partial-agg tree. The
+    * driver-side merge of two capacity-bounded maps is the certificate
+    * device BPE's vocab-sized collects use — bounded by a constant, not
+    * by data. One generation dir per batch (`sketch/batch=<id>`,
+    * `_SUCCESS`-gated via the Hadoop FileSystem): a crash-replay of batch
+    * id rebuilds from the newest generation STRICTLY BELOW id (the
+    * maintainPqStore replay device), so a torn write is overwritten whole
+    * and the fold order — hence the final sketch — is deterministic under
+    * whole-batch replay. Generation count is bounded by the drain; an
+    * always-on deployment expires old generations like any artifact
+    * (q52y's tiered store is the general machinery).
+    */
+  private[graft] def heavyHitterSketchWriter(skDir: String)(
+      batch: DataFrame, id: Long): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val agg = new graft.functions.Aggregators.MisraGriesAgg(
+      graft.ext.TextQueries.HhCapacity)
+    val sk = graft.ext.TextQueries.heavyHitterGrams(batch)
+      .agg(graft.functions.Aggregators.misra_gries(
+        graft.ext.TextQueries.HhCapacity)(col("gram")).as("sk"))
+      .head().getMap[String, Long](0).toMap
+    val prev = latestSketchGen(s, skDir, below = id)
+      .map(p => s.read.parquet(p).as[(String, Long)].collect().toMap)
+      .getOrElse(Map.empty[String, Long])
+    agg.merge(prev, sk).toSeq.toDF("gram", "cnt")
+      .coalesce(1).write.mode("overwrite").parquet(s"$skDir/batch=$id")
+  }
+
+  /** Newest `_SUCCESS`-complete sketch generation with batch id strictly
+    * below `below` — Hadoop-FS listing so the store works wherever the
+    * checkpoint does.
+    */
+  private[graft] def latestSketchGen(s: SparkSession, skDir: String,
+      below: Long): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(skDir)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return None
+    fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(st => (st.getPath.getName.stripPrefix("batch=").toLong, st.getPath))
+      .filter { case (i, pp) => i < below &&
+        fs.exists(new org.apache.hadoop.fs.Path(pp, "_SUCCESS")) }
+      .sortBy(_._1).lastOption.map(_._2.toString)
+  }
+
   /** Q52X (r13, VERDICT r12 #1): the four ingest shapes COMPOSED into one
     * continuous pipeline — the reference's entire architecture is exactly
     * one such always-on loop (decode → project → batch → sink,
@@ -1555,6 +1608,45 @@ object StreamQueries {
         s.read.parquet(out)
       },
       Some(graft.ext.DedupQueries.ScrubOracle)),
+
+    // Q52t (r14): streaming HEAVY HITTERS at ingest — the trending-phrase
+    // monitor (x4s's streaming face), the eighth continuous-pipeline
+    // shape: per micro-batch ONE Misra–Gries sketch aggregation (map-side
+    // buffers capacity-bounded like the batch form), folded into a
+    // persisted capacity-bounded sketch artifact — the only state that
+    // crosses batches; see [[heavyHitterSketchWriter]] for the bound, the
+    // crash-replay fold, and why a distinct-key state store is the thing
+    // this exists to avoid. At drain end the final sketch's candidate set
+    // recounts EXACTLY over the standing corpus (the streamed corpus IS
+    // the corpus — q52v's device) and the θ filter kills the sketch's
+    // false positives, so the oracle is x4s's full-exact SQL verbatim:
+    // the hash gate proves stream-sketch ≡ batch-sketch ≡ exact under
+    // the 6-file micro-batch split.
+    Q("q52t_stream_heavy_hitters",
+      (s, d) => {
+        val base = graft.Tmp.sessionDir(s, "q52t")
+        val src = s"$base/src"
+        val cp = s"$base/cp"
+        val skDir = s"$base/sketch"
+        org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(cp).toFile)
+        org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(skDir).toFile)
+        val docs = Tables.documents(s, d)
+        docs.repartition(6).write.mode("overwrite").parquet(src)
+        val q = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+          .writeStream
+          .option("checkpointLocation", cp)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch(heavyHitterSketchWriter(skDir) _)
+          .start()
+        q.awaitTermination()
+        val fin = latestSketchGen(s, skDir, below = Long.MaxValue)
+          .getOrElse(sys.error(s"no sketch generation at $skDir"))
+        val cand = s.read.parquet(fin).select(col("gram"))
+        graft.ext.TextQueries.heavyHitterRecount(
+          graft.ext.TextQueries.heavyHitterGrams(Tables.documents(s, d)), cand)
+      },
+      Some(graft.ext.TextQueries.HeavyHittersOracle)),
 
     // Q52e (r11): streaming DECONTAMINATION at ingest — the x7 shape made
     // streaming: train documents arriving as files are checked against a

@@ -35,7 +35,7 @@ class MisraGriesSpec extends SparkSpec {
         (0 until 600).map(i => s"tail$i"))
     val buf = sketchSeq(agg, items)
     assert(buf.size <= cap)
-    val cands = agg.finish(buf).toSet
+    val cands = agg.finish(buf).keySet
     val truth = heavyTruth(items, cap)
     assert(truth.nonEmpty && truth.subsetOf(cands),
       s"missing heavy hitters: ${truth -- cands}")
@@ -58,7 +58,7 @@ class MisraGriesSpec extends SparkSpec {
       val bufs = rnd.shuffle(parts.map(p => sketchSeq(agg, p)))
       val merged = bufs.reduce(agg.merge)
       assert(merged.size <= cap, s"trial $trial: buffer over capacity")
-      val cands = agg.finish(merged).toSet
+      val cands = agg.finish(merged).keySet
       assert(truth.subsetOf(cands),
         s"trial $trial: missing ${truth -- cands} (truth $truth, cands $cands)")
     }
@@ -80,6 +80,37 @@ class MisraGriesSpec extends SparkSpec {
     }
   }
 
+  test("q52t sketch fold: batch replay is deterministic; torn generations are invisible") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mgsketch").toString
+    val sk = s"$dir/sketch"
+    def latest: Map[String, Long] = {
+      val p = ops.StreamQueries.latestSketchGen(spark, sk, Long.MaxValue)
+        .getOrElse(fail("no sketch generation"))
+      spark.read.parquet(p).as[(String, Long)].collect().toMap
+    }
+    val b0 = Seq.fill(20)("alpha beta gamma alpha beta").toDF("text")
+    val b1 = Seq.fill(20)("beta gamma delta beta gamma").toDF("text")
+    ops.StreamQueries.heavyHitterSketchWriter(sk)(b0, 0L)
+    val afterB0 = latest
+    ops.StreamQueries.heavyHitterSketchWriter(sk)(b1, 1L)
+    val afterB1 = latest
+    assert(afterB1 != afterB0)
+    // whole-batch replay of batch 1: the fold rebuilds from the newest
+    // generation STRICTLY below 1 (= batch 0), so the result is identical
+    ops.StreamQueries.heavyHitterSketchWriter(sk)(b1, 1L)
+    assert(latest == afterB1)
+    // a torn generation (no _SUCCESS) is invisible to the reader and to
+    // the next fold's strictly-below lookup
+    val torn = new java.io.File(s"$sk/batch=2")
+    assert(torn.mkdirs())
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$sk/batch=2/part-junk"),
+      Array[Byte](1, 2, 3))
+    assert(latest == afterB1)
+    assert(ops.StreamQueries.latestSketchGen(spark, sk, 3L)
+      .exists(_.endsWith("batch=1")))
+  }
+
   test("distributed sketch + exact recount equals the exact heavy-hitter set") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
@@ -90,7 +121,7 @@ class MisraGriesSpec extends SparkSpec {
     val n = items.size.toLong
     val cap = 16 // 1/theta = 10 < cap+1: superset guaranteed
     val cand = df.agg(Aggregators.misra_gries(cap)(col("gram")).as("c"))
-      .select(explode(col("c")).as("gram"))
+      .select(explode(map_keys(col("c"))).as("gram"))
     val got = df.join(broadcast(cand), Seq("gram"), "left_semi")
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * 10 >= n)

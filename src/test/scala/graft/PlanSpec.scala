@@ -509,4 +509,35 @@ class PlanSpec extends SparkSpec {
     // behind tree-drawing prefixes) — the kernel did not fall back
     assert(line.contains("*("), s"window_md5 outside codegen:\n$plan")
   }
+
+  test("x4s heavy-hitter sketch aggregates partially; recount joins broadcast-semi") {
+    val grams = ext.TextQueries.heavyHitterGrams(Tables.documents(spark, sf))
+    val cand = grams
+      .agg(functions.Aggregators.misra_gries(ext.TextQueries.HhCapacity)(col("gram"))
+        .as("sk"))
+      .select(explode(map_keys(col("sk"))).as("gram"))
+    // the sketch is a typed-imperative agg: ObjectHashAggregate planned
+    // partial + final, so only capacity-bounded buffers cross the shuffle
+    val skPlan = physical(cand)
+    assert("ObjectHashAggregate".r.findAllIn(skPlan).size >= 2,
+      s"expected partial+final sketch agg:\n$skPlan")
+    // the exact recount touches only candidates: a BROADCAST left-semi
+    // probe of the gram stream, never a shuffle keyed on the full gram
+    // space before the semi filter
+    val recPlan = physical(ext.TextQueries.heavyHitterRecount(grams, cand))
+    assert(recPlan.contains("BroadcastHashJoin") && recPlan.contains("LeftSemi"),
+      s"recount not broadcast-semi:\n$recPlan")
+    assert(!recPlan.contains("SortMergeJoin"), recPlan)
+  }
+
+  test("x3s projects via the rp_project kernel; query side broadcasts; corpus never shuffles before shortlist") {
+    val plan = physical(Registry.queries("x3s_rp_shortlist")(spark, sf))
+    assert(plan.contains("rp_project"), s"kernel missing from plan:\n$plan")
+    // the 8-row query side broadcasts (non-equi ⇒ BroadcastNestedLoopJoin,
+    // the x3g device); the corpus side must not sort-merge anywhere
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), s"query side not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
