@@ -530,6 +530,36 @@ class PlanSpec extends SparkSpec {
     assert(!recPlan.contains("SortMergeJoin"), recPlan)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // the 100 TB shape: a shuffle join whose build side carries a
+    // selective predicate should inject a runtime bloom filter on the
+    // probe side (Spark's runtime row-level filtering), so fact rows that
+    // cannot match die at the scan instead of crossing the exchange. The
+    // size thresholds exist for real clusters; pin the MECHANISM at
+    // fixture scale by lowering them, with broadcast off so the join
+    // actually shuffles.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dim = Tables.orders(spark, sf)
+        .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 200000)
+        .select(col("o_orderkey"))
+      val fact = Tables.lineitem(spark, sf)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val plan = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("x3s projects via the rp_project kernel; query side broadcasts; corpus never shuffles before shortlist") {
     val plan = physical(Registry.queries("x3s_rp_shortlist")(spark, sf))
     assert(plan.contains("rp_project"), s"kernel missing from plan:\n$plan")
