@@ -126,7 +126,9 @@ object ScaleBench {
       // arm is the IVF-PQ chain (probe-bounded fan-out, 20 raw vectors
       // per query) — the ratio proves the serving arm keeps the x3i
       // shape when the corpus grows 30×, where x3p's brute arm scales
-      // with the corpus by design
+      // with the corpus by design. The brute-overlap audit lives in
+      // HybridOverlapSpec, NOT in the registered plan, precisely so this
+      // entry times the serving path alone (r14 review finding)
       "x3q_hybrid_ivfpq",
       // r14 random-projection ranker: one rp_project kernel call per
       // vector + 32-d scoring — the ratio proves the projection pass and

@@ -576,8 +576,10 @@ object SimilarityQueries {
     * previous form folded prevGen ∪ fragments — the WHOLE store — every
     * cycle, O(n²/K) over a stream's lifetime. Now a cycle folds ONLY its
     * fragments into a level-0 generation `gen=<lo>-<upTo>-L0`, and
-    * levels merge geometrically: whenever `fanout` adjacent live gens
-    * exist at level l, the oldest `fanout` merge into one level-l+1 gen
+    * levels merge geometrically: whenever `fanout` adjacent live
+    * PRE-CYCLE gens (ending strictly below this cycle's fold — see the
+    * cascade comment for why the current fold must wait a cycle) exist
+    * at level l, the oldest `fanout` merge into one level-l+1 gen
     * (the LSM/tiered-compaction shape) — amortized O(n log n) total fold
     * bytes, per-cycle cost = cycle input + (occasionally) one merged
     * level, never store size. File count stays O(fanout · log n +
@@ -651,12 +653,27 @@ object SimilarityQueries {
     // makes the sweep idempotent under replay: gens superseded by an
     // already-complete merge drop out of the live set and never
     // re-merge.
+    //
+    // THIS CYCLE'S L0 FOLD IS NOT MERGE-ELIGIBLE (r14 review finding):
+    // only gens ending strictly below `lo` may merge. Without the
+    // restriction, the cycle that brings a level to `fanout` merges its
+    // own just-written L0 — and then a crash between the merge's
+    // `_SUCCESS` and the checkpoint commit defeats the ALWAYS-rebuild
+    // defense below: the replay rebuilds the L0 correctly, but the
+    // crashed attempt's completed merge strictly CONTAINS it, so
+    // containment shadows the rebuild forever and whatever the crashed
+    // attempt folded (the window the rebuild exists for) is baked into
+    // the store — silent permanent row loss. Restricted to pre-cycle
+    // gens, every merge input is a `_SUCCESS`-complete product of a
+    // COMMITTED earlier cycle, so a replayed merge is genuinely
+    // idempotent; the current fold simply becomes merge-eligible one
+    // cycle later (same amortized cost, one transient extra file).
     var mergeBytes = 0L
     var mergesFired = 0
     var fired = true
     while (fired) {
       fired = false
-      val live = liveGens(completeGens(s, base))
+      val live = liveGens(completeGens(s, base)).filter(_.hi < lo)
       live.groupBy(_.level).toSeq.sortBy(_._1).foreach { case (level, gens) =>
         if (!fired && gens.size >= fanout) {
           val pick = gens.sortBy(_.lo).take(fanout)

@@ -515,9 +515,19 @@ object VecKernel {
       merges: Array[String], fromChars: Boolean): org.apache.spark.unsafe.types.UTF8String = {
     val toks = new java.util.ArrayList[String]()
     if (fromChars) {
+      // split by Unicode CODE POINT, not UTF-16 unit: training
+      // (Spark substring/char_length), the vocab table, and the DuckDB
+      // oracles all treat a supplementary-plane character (emoji, plane-1
+      // math letters) as ONE symbol — a charAt split would emit two lone
+      // surrogates here, silently dropping those tokens at x4m's vocab
+      // join and flipping x4q's roundtrip digest (r14 review finding)
       val str = s.toString
       var i = 0
-      while (i < str.length) { toks.add(String.valueOf(str.charAt(i))); i += 1 }
+      while (i < str.length) {
+        val n = Character.charCount(str.codePointAt(i))
+        toks.add(str.substring(i, i + n))
+        i += n
+      }
     } else {
       val t = s.toString.trim
       if (t.nonEmpty) {

@@ -311,16 +311,10 @@ object StreamQueries {
           .select(col("doc_id").as("vec_id"))
         val vecs = emb.join(broadcast(clean), Seq("vec_id"))
         // TOKENIZE stage (r14): per-doc subword count against the frozen
-        // vocab, folded within the row — shares q52z's exact form
-        val words = split(col("text"), " ")
-        def subCount(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-          when(length(w) > 0,
-            size(split(trim(graft.functions.Kernels.bpe_apply(w, merges,
-              fromChars = true)), " ")).cast(org.apache.spark.sql.types.LongType))
-            .otherwise(0L)
+        // vocab, folded within the row — q52z's form by construction
+        // (one shared definition, TextQueries.subwordCountCol)
         val toked = b.select(col("doc_id").as("vec_id"), col("dig"),
-          aggregate(words, lit(0L), (acc, w) => acc + subCount(w))
-            .as("n_subword"))
+          graft.ext.TextQueries.subwordCountCol(merges).as("n_subword"))
         graft.ext.SimilarityQueries.pqEncode(vecs, cb)
           .select(col("vec_id"), col("s"), col("code"))
           .join(broadcast(toked), Seq("vec_id"))
@@ -1315,15 +1309,19 @@ object StreamQueries {
           .writeStream
           .option("checkpointLocation", cp)
           .trigger(Trigger.AvailableNow())
-          .foreachBatch { (batch: DataFrame, _: Long) =>
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            // per-batch OVERWRITE dir (q52g's effectively-once device,
+            // r14 review finding): a replayed batch rewrites its own dir
+            // instead of appending a second copy of every row
             graft.plans.AsOf.leftJoin(batch, pur,
                 "u", "pu", "err_ts", "pur_ts", "pur_id")
               .select(col("err_id"), col("pur_id").as("asof_purchase_id"))
-              .write.mode("append").parquet(out)
+              .write.mode("overwrite").parquet(s"$out/batch=$id")
           }
           .start()
         q.awaitTermination()
-        s.read.parquet(out)
+        // partition discovery surfaces `batch` as a column; project it away
+        s.read.parquet(out).select("err_id", "asof_purchase_id")
       },
       Some("""SELECT err_id, asof_purchase_id FROM (SELECT e.event_id AS err_id, p.event_id AS asof_purchase_id, row_number() OVER (PARTITION BY e.event_id ORDER BY p.ts DESC, p.event_id DESC) AS rn FROM events e LEFT JOIN events p ON p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts <= e.ts WHERE e.event_type = 'error') WHERE rn = 1""")),
 
@@ -1528,18 +1526,11 @@ object StreamQueries {
     Q("q52z_stream_tokenize_ingest",
       (s, d) => {
         val merges = graft.ext.TextQueries.loadOrTrainMerges(s, d)
-        val words = split(col("text"), " ")
-        def subCount(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-          when(length(w) > 0,
-            size(split(trim(graft.functions.Kernels.bpe_apply(w, merges,
-              fromChars = true)), " ")).cast(LongType))
-            .otherwise(0L)
         drain(documentsStream(s, d)
           .select(col("doc_id"),
-            aggregate(words, lit(0L), (acc, w) => acc + subCount(w))
-              .as("n_subword"),
-            size(filter(words, w => length(w) > 0)).cast(LongType)
-              .as("n_words")),
+            graft.ext.TextQueries.subwordCountCol(merges).as("n_subword"),
+            size(filter(split(col("text"), " "), w => length(w) > 0))
+              .cast(LongType).as("n_words")),
           "q52z_sink", "append")
       },
       Some(graft.ext.TextQueries.bpeApplyOracle)),
@@ -1590,7 +1581,7 @@ object StreamQueries {
             .writeStream
             .option("checkpointLocation", cp)
             .trigger(Trigger.AvailableNow())
-            .foreachBatch { (batch: DataFrame, _: Long) =>
+            .foreachBatch { (batch: DataFrame, id: Long) =>
               // persist: the scrub consumes the batch twice (window
               // explode + rebuild join) and each action would re-run the
               // micro-batch plan (see pipelineBatchWriter)
@@ -1598,14 +1589,18 @@ object StreamQueries {
               try {
                 val wins = graft.ext.DedupQueries.scrubWindows(b,
                   b.sparkSession.sparkContext.defaultParallelism)
+                // per-batch OVERWRITE dir (q52g's effectively-once
+                // device, r14 review finding): a replayed batch rewrites
+                // its own dir instead of appending duplicate rows
                 graft.ext.DedupQueries.scrubAgainst(b, wins, hot)
-                  .write.mode("append").parquet(out)
+                  .write.mode("overwrite").parquet(s"$out/batch=$id")
               } finally b.unpersist()
             }
             .start()
           q.awaitTermination()
         }
         s.read.parquet(out)
+          .select("doc_id", "n_tokens", "n_removed", "scrubbed_md5")
       },
       Some(graft.ext.DedupQueries.ScrubOracle)),
 
@@ -1676,7 +1671,7 @@ object StreamQueries {
           .writeStream
           .option("checkpointLocation", cp)
           .trigger(Trigger.AvailableNow())
-          .foreachBatch { (batch: DataFrame, _: Long) =>
+          .foreachBatch { (batch: DataFrame, id: Long) =>
             // persist: the decontam plan consumes the batch twice (group
             // + verdict join) and each action would re-run the micro-
             // batch plan (see pipelineBatchWriter)
@@ -1684,14 +1679,17 @@ object StreamQueries {
             try {
               val (v, caches) =
                 graft.ext.DedupQueries.streamDecontamPlan(b, eBuckets, shEval)
-              try v.write.mode("append").parquet(out)
+              // per-batch OVERWRITE dir (q52g's effectively-once device,
+              // r14 review finding): a replayed batch rewrites its own
+              // dir instead of appending duplicate verdicts
+              try v.write.mode("overwrite").parquet(s"$out/batch=$id")
               finally caches.foreach(_.unpersist())
             } finally b.unpersist()
           }
           .start()
         try q.awaitTermination()
         finally idxCaches.foreach(_.unpersist())
-        s.read.parquet(out)
+        s.read.parquet(out).select("doc_id", "contaminated")
       },
       Some("""WITH t AS (SELECT doc_id, string_split(text,' ') w, text,
           (doc_id * 2654435761) % 100 AS bkt FROM documents),

@@ -67,6 +67,31 @@ class BpeSpec extends SparkSpec {
     assert(applyKernel("ababab", Seq(("a", "b"))) == " ab ab ab ")
   }
 
+  test("supplementary-plane characters are ONE symbol end to end") {
+    // r14 review finding: charAt-based splitting emitted two lone
+    // surrogates per astral char, diverging from training (Spark
+    // substring = code points), the vocab, and the DuckDB oracles —
+    // tokens silently dropped at x4m's vocab join. Code-point split:
+    val emoji = new String(Character.toChars(0x1F600)) // 😀, 2 UTF-16 units
+    val math = new String(Character.toChars(0x1D54F)) // 𝕏
+    assert(applyKernel(s"a${emoji}b", Nil) == s" a $emoji b ")
+    // an astral char merges like any other symbol
+    assert(applyKernel(s"a$emoji", Seq(("a", emoji))) == s" a$emoji ")
+    assert(applyKernel(s"$emoji$emoji$emoji", Seq((emoji, emoji)))
+      == s" $emoji$emoji $emoji ")
+    // and the trainer sees the same symbol stream: the (a, 😀) pair counts
+    val m = train(Seq(s"a$emoji a$emoji"), 1)
+    assert(m.map(r => (r._2, r._3, r._4)) == Seq((s"a $emoji", s"a$emoji", 2L)))
+    // alphabet id order is CODE-POINT order (the oracle's UTF-8 binary
+    // ORDER BY), not UTF-16-unit order: U+E000 (private use, 1 unit)
+    // sorts BELOW U+1D54F even though its lead unit 0xE000 is larger
+    // than the surrogate 0xD835
+    val priv = ""
+    assert(Seq(math, priv).sortBy(_.codePointAt(0)) == Seq(priv, math))
+    assert(Seq(math, priv).sorted == Seq(math, priv),
+      "UTF-16 ordering would have inverted the ids — the bug this pins")
+  }
+
   test("multi-char symbols never match across symbol boundaries") {
     // after merging (a b) the word 'ab c' must NOT let a later pair
     // (b c) match inside it — token-exact comparison guarantees it

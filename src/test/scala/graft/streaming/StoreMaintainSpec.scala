@@ -71,27 +71,77 @@ class StoreMaintainSpec extends SparkSpec {
     assert(rowSet(SimilarityQueries.readPqStore(spark, store)) == allRows)
   }
 
-  test("level merge: fanout adjacent L0 gens fold into L1; inputs keep one-cycle grace") {
+  test("level merge: fanout PRE-CYCLE L0 gens fold into L1; inputs keep one-cycle grace") {
     val store = freshStore("tiered")
     writeFrags(store)
     SimilarityQueries.maintainPqStore(spark, store, upTo = 1L, fanout = 2)
     val s2 = SimilarityQueries.maintainPqStore(spark, store, upTo = 3L, fanout = 2)
-    // cycle 2 wrote L0[2,3] and the L1 merge of the two L0 gens
+    // the cycle that WRITES the fanout-th L0 does not merge it: this
+    // cycle's own fold is not merge-eligible (merging it would let a
+    // crashed attempt's completed merge shadow the replay's rebuild —
+    // see the maintainPqStore cascade comment and the bake test below)
     assert(exists(s"$store/gen=2-3-L0/_SUCCESS"))
+    assert(s2.mergesFired == 0)
+    assert(!exists(s"$store/gen=0-3-L1"))
+    // next cycle: both L0s are pre-cycle committed products → merge fires
+    val s3 = SimilarityQueries.maintainPqStore(spark, store, upTo = 5L, fanout = 2)
+    assert(s3.mergesFired == 1)
     assert(exists(s"$store/gen=0-3-L1/_SUCCESS"))
-    assert(s2.mergesFired == 1)
     // merge INPUTS are grace-retained this cycle; containment shadows
-    // them, so the reader takes L1 ∪ frags > 3 — never a double count
+    // them, so the reader takes L1 ∪ L0[4,5] ∪ newer frags — never a
+    // double count
     assert(exists(s"$store/gen=0-1-L0"))
     assert(exists(s"$store/gen=2-3-L0"))
     assert(rowSet(SimilarityQueries.readPqStore(spark, store)) == allRows)
-    // next cycle expires the superseded L0 gens (one cycle late)
+    // the following cycle (the replay shape: same upTo) finishes the owed
+    // expiry of the superseded L0 gens — one cycle late
     SimilarityQueries.maintainPqStore(spark, store, upTo = 5L, fanout = 2)
     assert(!exists(s"$store/gen=0-1-L0"), "superseded L0 gen outlived its grace")
     assert(!exists(s"$store/gen=2-3-L0"))
     assert(exists(s"$store/gen=0-3-L1"))
     assert(exists(s"$store/gen=4-5-L0/_SUCCESS"))
     assert(rowSet(SimilarityQueries.readPqStore(spark, store)) == allRows)
+  }
+
+  test("crash window: same-cycle merge cannot bake a crashed attempt's partial fold") {
+    // r14 review finding: with oldest-fanout-INCLUDING-current merging,
+    // the cycle that brings a level to fanout merges its own just-written
+    // L0 — and a crash between that merge's _SUCCESS and the offset
+    // commit shadows the replay's corrected L0 rebuild under the
+    // completed merge forever (silent permanent row loss in the declared
+    // whole-batch-replay model). Pre-cycle-only merging closes the
+    // window: every merge input is a committed earlier cycle's product.
+    val store = freshStore("bake")
+    writeFrags(store)
+    SimilarityQueries.maintainPqStore(spark, store, upTo = 1L, fanout = 3)
+    SimilarityQueries.maintainPqStore(spark, store, upTo = 3L, fanout = 3)
+    // crashed attempt of cycle 3: fragment batch=5 landed PARTIALLY (half
+    // its rows), the attempt folded it into a COMPLETE L0[4,5], and died
+    // before the offset commit. This is exactly the cycle that reaches
+    // fanout=3 at level 0 — the old rule would also have merged [0,5]
+    // here, baking the partial fold.
+    import spark.implicits._
+    (0 until 5).map(i => (50L + i, i % 8, i % 16)).toDF("vec_id", "s", "code")
+      .coalesce(1).write.mode("overwrite").parquet(s"$store/frag/batch=5")
+    val crashed = SimilarityQueries.maintainPqStore(spark, store, upTo = 5L, fanout = 3)
+    assert(exists(s"$store/gen=4-5-L0/_SUCCESS"))
+    assert(crashed.mergesFired == 0,
+      "this cycle's own fold must not be merge-eligible")
+    assert(!exists(s"$store/gen=0-5-L1"))
+    // whole-batch replay: the fragment is rewritten whole and maintenance
+    // re-runs — the rebuild lands unshadowed and the store serves complete
+    writeFrags(store)
+    SimilarityQueries.maintainPqStore(spark, store, upTo = 5L, fanout = 3)
+    assert(rowSet(SimilarityQueries.readPqStore(spark, store)) == allRows)
+    // the deferred merge fires on the next committed cycle, from fully
+    // committed inputs — amortization is kept, just one cycle later
+    (0 until 10).map(i => (60L + i, i % 8, i % 16)).toDF("vec_id", "s", "code")
+      .coalesce(1).write.mode("overwrite").parquet(s"$store/frag/batch=6")
+    val next = SimilarityQueries.maintainPqStore(spark, store, upTo = 6L, fanout = 3)
+    assert(next.mergesFired == 1)
+    assert(exists(s"$store/gen=0-5-L1/_SUCCESS"))
+    val batch6 = (0 until 10).map(i => s"[${60 + i},${i % 8},${i % 16}]").toSet
+    assert(rowSet(SimilarityQueries.readPqStore(spark, store)) == allRows ++ batch6)
   }
 
   test("crash window: complete generation from a PARTIAL fragment is rebuilt on replay") {
@@ -186,9 +236,12 @@ class StoreMaintainSpec extends SparkSpec {
     writeFrags(store)
     SimilarityQueries.maintainPqStore(spark, store, upTo = 1L, fanout = 2)
     SimilarityQueries.maintainPqStore(spark, store, upTo = 3L, fanout = 2)
-    // whole-batch replay of cycle 2: the L0 fold rebuilds, but the L1
+    // cycle 3 fires the (pre-cycle) L1 merge of L0[0,1] ∪ L0[2,3]
+    val s3 = SimilarityQueries.maintainPqStore(spark, store, upTo = 5L, fanout = 2)
+    assert(s3.mergesFired == 1)
+    // whole-batch replay of cycle 3: the L0 fold rebuilds, but the L1
     // merge's inputs are now superseded — the sweep must not fire again
-    val replay = SimilarityQueries.maintainPqStore(spark, store, upTo = 3L, fanout = 2)
+    val replay = SimilarityQueries.maintainPqStore(spark, store, upTo = 5L, fanout = 2)
     assert(replay.mergesFired == 0,
       "replay re-merged an already-complete level merge")
     assert(rowSet(SimilarityQueries.readPqStore(spark, store)) == allRows)
