@@ -54,10 +54,12 @@ object PipelineQueries {
     // every stage parallel.
     Q("x6b_pack",
       (s, d) => {
-        val toks = Tables.documents(s, d)
-          .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
-          .repartitionByRange(8, col("doc_id"))
-          .withColumn("pid", spark_partition_id())
+        // deterministic interpolated buckets (r14 review — see
+        // [[RangeBuckets]]): this frame feeds the offset table AND the
+        // join side; sampled range boundaries could diverge between them
+        val toks = RangeBuckets.longKey(Tables.documents(s, d)
+          .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok")),
+          "doc_id", 8)
         val wOff = Window.orderBy(col("pid"))
           .rowsBetween(Window.unboundedPreceding, -1)
         val offsets = toks.groupBy("pid").agg(sum(col("n_tok")).as("psum"))
@@ -204,10 +206,12 @@ object PipelineQueries {
     Q("x6g_shard_pack",
       (s, d) => {
         val budget = 10000L
-        val parts = Tables.documents(s, d)
-          .select(col("doc_id"), col("n_chars").cast(LongType).as("sz"))
-          .repartitionByRange(8, col("doc_id"))
-          .withColumn("pid", spark_partition_id())
+        // deterministic interpolated buckets (r14 review — see
+        // [[RangeBuckets]]); order-preserving, so the composition is
+        // still partition-count- AND boundary-invariant
+        val parts = RangeBuckets.longKey(Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars").cast(LongType).as("sz")),
+          "doc_id", 8)
         val local = parts.withColumn("local_cum",
           sum(col("sz")).over(
             Window.partitionBy(col("pid")).orderBy(col("doc_id"))))
@@ -768,8 +772,10 @@ object PipelineQueries {
     val seed = "graft-shuffle-42:"
     val keyed = Tables.documents(s, d).select(col("doc_id"),
       md5(concat(lit(seed), col("doc_id").cast(StringType))).as("shuffle_key"))
-    val parts = keyed.repartitionByRange(nPart, col("shuffle_key"))
-      .withColumn("pid", spark_partition_id())
+    // deterministic hex-interpolated buckets (r14 review — see
+    // [[RangeBuckets]]): pid is a pure function of the md5 key, so the
+    // offset table and the join side cannot disagree on boundaries
+    val parts = RangeBuckets.hexKey(keyed, "shuffle_key", nPart)
     val local = parts.withColumn("local_rn",
       row_number().over(
         Window.partitionBy(col("pid")).orderBy(col("shuffle_key"))))
@@ -818,8 +824,10 @@ object PipelineQueries {
           .withColumn("n_tok", size(col("w")).cast(LongType))
           .where(col("n_tok") >= 20 && size(array_distinct(col("w"))) >= 10)
           .select(col("doc_id"), col("n_tok"), col("sz"))
-        val parts = quality.repartitionByRange(8, col("doc_id"))
-          .withColumn("pid", spark_partition_id())
+        // deterministic interpolated buckets (r14 review — see
+        // [[RangeBuckets]]): this frame feeds the offset table AND the
+        // join side; sampled boundaries could diverge between them
+        val parts = RangeBuckets.longKey(quality, "doc_id", 8)
         val wLocal = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
         val local = parts
           .withColumn("ltok", sum(col("n_tok")).over(wLocal))

@@ -508,23 +508,34 @@ object SimilarityQueries {
 
   // ---- q52y generational PQ store: TIERED / log-structured (r14) ----
 
-  /** One complete generation `gen=<lo>-<hi>-L<level>`: the fold of
-    * fragment batches lo..hi (inclusive) living at tier `level`. Level 0
+  /** One complete generation `gen=<lo>-<hi>-L<level>-u<cycle>`: the fold
+    * of fragment batches lo..hi (inclusive) living at tier `level`,
+    * WRITTEN BY maintenance cycle `cycle` (= that cycle's upTo). Level 0
     * gens are per-maintenance-cycle folds of FRAGMENTS ONLY; a level-l+1
     * gen is the merge of `fanout` adjacent level-l gens. Ranges therefore
     * tile [0, maxHi] and any two gens' ranges are either disjoint or one
     * strictly contains the other — the containment hierarchy readers and
-    * expiry key on.
+    * expiry key on. The cycle stamp exists for ONE consumer: the expiry
+    * basis must reconstruct the crashed attempt's entry snapshot on a
+    * whole-batch replay, and `hi == upTo` only identifies the attempt's
+    * L0 fold — its level MERGES end strictly below upTo (they consume
+    * pre-cycle gens), so without the stamp a replay would treat them as
+    * prior-cycle gens and expire their grace-retained inputs one cycle
+    * early, breaking the serve-while-maintain read contract (r14 review
+    * finding; StoreMaintainSpec's replay-grace test pins it). The stamp
+    * rides in the NAME so it is atomic with the directory itself — a
+    * marker file could land after `_SUCCESS` and lie about the cycle.
     */
   private[graft] final case class Gen(lo: Long, hi: Long, level: Int,
-      path: org.apache.hadoop.fs.Path) {
+      wrote: Long, path: org.apache.hadoop.fs.Path) {
     def containsStrictly(o: Gen): Boolean =
       lo <= o.lo && o.hi <= hi && (lo < o.lo || o.hi < hi)
   }
 
-  private def genName(lo: Long, hi: Long, level: Int) = s"gen=$lo-$hi-L$level"
+  private def genName(lo: Long, hi: Long, level: Int, wrote: Long) =
+    s"gen=$lo-$hi-L$level-u$wrote"
 
-  private val GenRe = """gen=(\d+)-(\d+)-L(\d+)""".r
+  private val GenRe = """gen=(\d+)-(\d+)-L(\d+)-u(\d+)""".r
 
   /** Complete (`_SUCCESS`-gated) generations — an interrupted write is
     * invisible to readers, merges, and expiry alike.
@@ -535,7 +546,8 @@ object SimilarityQueries {
     fs.listStatus(basePath).toSeq
       .filter(_.isDirectory)
       .flatMap(st => st.getPath.getName match {
-        case GenRe(lo, hi, lvl) => Some(Gen(lo.toLong, hi.toLong, lvl.toInt, st.getPath))
+        case GenRe(lo, hi, lvl, u) =>
+          Some(Gen(lo.toLong, hi.toLong, lvl.toInt, u.toLong, st.getPath))
         case _ => None
       })
       .filter(g => fs.exists(new org.apache.hadoop.fs.Path(g.path, "_SUCCESS")))
@@ -645,7 +657,7 @@ object SimilarityQueries {
     if (cycleFrags.nonEmpty)
       s.read.parquet(cycleFrags.map(_._2.toString): _*)
         .repartition(shardsFor(l0Bytes))
-        .write.mode("overwrite").parquet(subPath(genName(lo, upTo, 0)).toString)
+        .write.mode("overwrite").parquet(subPath(genName(lo, upTo, 0, upTo)).toString)
 
     // 2. cascade level merges: sweep levels bottom-up, merging the
     // `fanout` OLDEST live gens of a level into one gen a level up,
@@ -687,7 +699,8 @@ object SimilarityQueries {
           s.read.parquet(inputs: _*)
             .repartition(shardsFor(bytes))
             .write.mode("overwrite")
-            .parquet(subPath(genName(pick.head.lo, pick.last.hi, level + 1)).toString)
+            .parquet(subPath(genName(pick.head.lo, pick.last.hi, level + 1,
+              upTo)).toString)
           mergeBytes += bytes
           mergesFired += 1
           fired = true
@@ -697,15 +710,18 @@ object SimilarityQueries {
 
     // 3. idempotent expiry tail — one cycle LATE: drop fragments covered
     // by a basis gen and gens strictly contained in a basis gen, where
-    // the basis is the entry snapshot MINUS gens with hi == upTo. Every
-    // gen a cycle writes (the L0 fold and every cascading merge) ends at
-    // upTo, so on a REPLAY the exclusion reconstructs the crashed
+    // the basis is the entry snapshot MINUS gens STAMPED by this cycle
+    // (wrote == upTo). On a REPLAY the exclusion reconstructs the crashed
     // attempt's own entry state — this cycle's consumed inputs keep
     // their read grace even when the crashed attempt already published
     // its `_SUCCESS`es (a reader that planned before them may still hold
-    // those inputs); in normal operation no entry gen ends at upTo and
-    // the basis IS the entry snapshot.
-    val basis = entry.filter(_.hi < upTo)
+    // those inputs). The stamp, not `hi == upTo`, is the correct filter
+    // (r14 review finding): the attempt's LEVEL MERGES end strictly
+    // below upTo — filtering on hi would admit a crashed merge into the
+    // basis and expire its grace-retained inputs one cycle early. In
+    // normal operation no entry gen carries this cycle's stamp and the
+    // basis IS the entry snapshot.
+    val basis = entry.filter(_.wrote < upTo)
     val basisMaxHi = basis.map(_.hi).maxOption.getOrElse(-1L)
     fragDirs(s, base).filter(_._1 <= basisMaxHi)
       .foreach { case (_, p) => fs.delete(p, true) }

@@ -1398,9 +1398,12 @@ object TextQueries {
       .orderBy(col("word_pos"), col("sub_pos"))
     val wi = toks.withColumn("widx",
       row_number().over(wDoc).cast(LongType) - 1L)
-    val counts = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
-      .repartitionByRange(8, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
+    // deterministic interpolated buckets, not repartitionByRange +
+    // spark_partition_id (r14 review finding — see [[RangeBuckets]]):
+    // `counts` feeds two consumers, and sampled boundaries could diverge
+    // between them if the shuffle ever evaluated twice
+    val counts = RangeBuckets.longKey(
+      toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok")), "doc_id", 8)
     val wOff = Window.orderBy(col("pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = counts.groupBy("pid").agg(sum(col("n_tok")).as("psum"))
@@ -1555,11 +1558,13 @@ object TextQueries {
 
   /** x3q's oracle: the BM25 lexical CTEs, the x3i PQ/scored chain (with
     * `label`), centroids → probes (queries 0..3) → IVF-pruned ADC →
-    * 20-deep shortlist → exact rerank as the vector arm, x3p's fusion
-    * text verbatim, and the brute top-20 LEFT-JOINED in as the overlap
-    * annotation. Every floating intermediate is the identical expression
-    * text the x3i and x3p oracles use, so ranks, RRF doubles, and the
-    * boolean are exact.
+    * 20-deep shortlist → exact rerank as the vector arm, and x3p's fusion
+    * text verbatim — fused ranking ONLY. The brute-overlap audit lives in
+    * HybridOverlapSpec, not here (r14: keeping it in the registered
+    * output re-ran the O(corpus×queries) cross-join the query exists to
+    * replace). Every floating intermediate is the identical expression
+    * text the x3i and x3p oracles use, so ranks and RRF doubles are
+    * exact.
     */
   private def hybridIvfPqSql: String = {
     val lexArms = bm25Terms.indices.map(i =>

@@ -482,9 +482,15 @@ object VecKernel {
     var maxEnd = -1L
     var i = 0
     while (i < n) {
-      while (p < m && !starts.isNullAt(p) && starts.getInt(p) <= i) {
-        val e = starts.getInt(p).toLong + span
-        if (e > maxEnd) maxEnd = e
+      // a null start contributes no window and is SKIPPED — stopping the
+      // cursor at it would silently ignore every later window (r14
+      // review; call sites can't produce nulls, but the Column API's
+      // contract must not degrade silently on adversarial input)
+      while (p < m && (starts.isNullAt(p) || starts.getInt(p) <= i)) {
+        if (!starts.isNullAt(p)) {
+          val e = starts.getInt(p).toLong + span
+          if (e > maxEnd) maxEnd = e
+        }
         p += 1
       }
       if (i >= maxEnd) {

@@ -1530,7 +1530,12 @@ object StreamQueries {
           .select(col("doc_id"),
             graft.ext.TextQueries.subwordCountCol(merges).as("n_subword"),
             size(filter(split(col("text"), " "), w => length(w) > 0))
-              .cast(LongType).as("n_words")),
+              .cast(LongType).as("n_words"))
+          // a no-word document has no row in x4l's explode + groupBy
+          // engine NOR in the shared oracle's len(word)>0 CTE — the
+          // per-row streaming form must drop it too or the row SETS
+          // diverge on the first empty-text doc (r14 review finding)
+          .filter(col("n_words") > 0),
           "q52z_sink", "append")
       },
       Some(graft.ext.TextQueries.bpeApplyOracle)),
@@ -1638,8 +1643,15 @@ object StreamQueries {
         val fin = latestSketchGen(s, skDir, below = Long.MaxValue)
           .getOrElse(sys.error(s"no sketch generation at $skDir"))
         val cand = s.read.parquet(fin).select(col("gram"))
-        graft.ext.TextQueries.heavyHitterRecount(
-          graft.ext.TextQueries.heavyHitterGrams(Tables.documents(s, d)), cand)
+        // pin the gram frame across the recount's two consumers (counts +
+        // total) like x4s does — without it each consumer re-runs the
+        // corpus-sized trigram explode (r14 review finding)
+        val grams = graft.ext.TextQueries
+          .heavyHitterGrams(Tables.documents(s, d))
+        graft.ext.Caching.withPersisted(grams) {
+          graft.ext.TextQueries.heavyHitterRecount(grams, cand)
+            .localCheckpoint() // ≤ 1/θ rows; eager so the cache can go
+        }
       },
       Some(graft.ext.TextQueries.HeavyHittersOracle)),
 

@@ -54,7 +54,7 @@ class StoreMaintainSpec extends SparkSpec {
     SimilarityQueries.maintainPqStore(spark, store, upTo = 3L)
     // first cycle: L0 gen over [0,3]; consumed frags RETAINED (read
     // grace — there is no previous cycle whose inputs could expire yet)
-    assert(exists(s"$store/gen=0-3-L0/_SUCCESS"))
+    assert(exists(s"$store/gen=0-3-L0-u3/_SUCCESS"))
     val fragIds = Option(new java.io.File(s"$store/frag").listFiles())
       .getOrElse(Array.empty).map(_.getName).sorted.toSeq
     assert(fragIds == (0 to 5).map(i => s"batch=$i"), fragIds)
@@ -62,8 +62,8 @@ class StoreMaintainSpec extends SparkSpec {
     // second cycle folds ONLY frags 4..5 — the tiered contract: the L0
     // fold never re-reads the standing store (gen=0-3 is not an input)
     val stats = SimilarityQueries.maintainPqStore(spark, store, upTo = 5L)
-    assert(exists(s"$store/gen=4-5-L0/_SUCCESS"))
-    assert(exists(s"$store/gen=0-3-L0"), "standing gen must be untouched")
+    assert(exists(s"$store/gen=4-5-L0-u5/_SUCCESS"))
+    assert(exists(s"$store/gen=0-3-L0-u3"), "standing gen must be untouched")
     assert(stats.mergesFired == 0)
     val after = Option(new java.io.File(s"$store/frag").listFiles())
       .getOrElse(Array.empty).map(_.getName).sorted.toSeq
@@ -80,26 +80,27 @@ class StoreMaintainSpec extends SparkSpec {
     // cycle's own fold is not merge-eligible (merging it would let a
     // crashed attempt's completed merge shadow the replay's rebuild —
     // see the maintainPqStore cascade comment and the bake test below)
-    assert(exists(s"$store/gen=2-3-L0/_SUCCESS"))
+    assert(exists(s"$store/gen=2-3-L0-u3/_SUCCESS"))
     assert(s2.mergesFired == 0)
-    assert(!exists(s"$store/gen=0-3-L1"))
+    assert(!exists(s"$store/gen=0-3-L1-u3"))
     // next cycle: both L0s are pre-cycle committed products → merge fires
     val s3 = SimilarityQueries.maintainPqStore(spark, store, upTo = 5L, fanout = 2)
     assert(s3.mergesFired == 1)
-    assert(exists(s"$store/gen=0-3-L1/_SUCCESS"))
+    assert(exists(s"$store/gen=0-3-L1-u5/_SUCCESS"))
     // merge INPUTS are grace-retained this cycle; containment shadows
     // them, so the reader takes L1 ∪ L0[4,5] ∪ newer frags — never a
     // double count
-    assert(exists(s"$store/gen=0-1-L0"))
-    assert(exists(s"$store/gen=2-3-L0"))
+    assert(exists(s"$store/gen=0-1-L0-u1"))
+    assert(exists(s"$store/gen=2-3-L0-u3"))
     assert(rowSet(SimilarityQueries.readPqStore(spark, store)) == allRows)
-    // the following cycle (the replay shape: same upTo) finishes the owed
-    // expiry of the superseded L0 gens — one cycle late
-    SimilarityQueries.maintainPqStore(spark, store, upTo = 5L, fanout = 2)
-    assert(!exists(s"$store/gen=0-1-L0"), "superseded L0 gen outlived its grace")
-    assert(!exists(s"$store/gen=2-3-L0"))
-    assert(exists(s"$store/gen=0-3-L1"))
-    assert(exists(s"$store/gen=4-5-L0/_SUCCESS"))
+    // the NEXT cycle (upTo advances — a same-upTo replay deliberately
+    // preserves grace under the stamped basis, see the replay-grace test)
+    // finishes the owed expiry of the superseded L0 gens — one cycle late
+    SimilarityQueries.maintainPqStore(spark, store, upTo = 6L, fanout = 2)
+    assert(!exists(s"$store/gen=0-1-L0-u1"), "superseded L0 gen outlived its grace")
+    assert(!exists(s"$store/gen=2-3-L0-u3"))
+    assert(exists(s"$store/gen=0-3-L1-u5"))
+    assert(exists(s"$store/gen=4-5-L0-u5/_SUCCESS"))
     assert(rowSet(SimilarityQueries.readPqStore(spark, store)) == allRows)
   }
 
@@ -124,10 +125,10 @@ class StoreMaintainSpec extends SparkSpec {
     (0 until 5).map(i => (50L + i, i % 8, i % 16)).toDF("vec_id", "s", "code")
       .coalesce(1).write.mode("overwrite").parquet(s"$store/frag/batch=5")
     val crashed = SimilarityQueries.maintainPqStore(spark, store, upTo = 5L, fanout = 3)
-    assert(exists(s"$store/gen=4-5-L0/_SUCCESS"))
+    assert(exists(s"$store/gen=4-5-L0-u5/_SUCCESS"))
     assert(crashed.mergesFired == 0,
       "this cycle's own fold must not be merge-eligible")
-    assert(!exists(s"$store/gen=0-5-L1"))
+    assert(!exists(s"$store/gen=0-5-L1-u5"))
     // whole-batch replay: the fragment is rewritten whole and maintenance
     // re-runs — the rebuild lands unshadowed and the store serves complete
     writeFrags(store)
@@ -139,9 +140,37 @@ class StoreMaintainSpec extends SparkSpec {
       .coalesce(1).write.mode("overwrite").parquet(s"$store/frag/batch=6")
     val next = SimilarityQueries.maintainPqStore(spark, store, upTo = 6L, fanout = 3)
     assert(next.mergesFired == 1)
-    assert(exists(s"$store/gen=0-5-L1/_SUCCESS"))
+    assert(exists(s"$store/gen=0-5-L1-u6/_SUCCESS"))
     val batch6 = (0 until 10).map(i => s"[${60 + i},${i % 8},${i % 16}]").toSet
     assert(rowSet(SimilarityQueries.readPqStore(spark, store)) == allRows ++ batch6)
+  }
+
+  test("replay after a crashed merge keeps the pre-cycle reader's grace (stamped basis)") {
+    // r14 review finding: the expiry basis used to exclude only gens with
+    // hi == upTo, but a level MERGE ends strictly below upTo (it consumes
+    // pre-cycle gens) — so on a whole-batch replay the crashed attempt's
+    // completed merge slipped into the basis and its grace-retained
+    // inputs were expired ONE CYCLE EARLY, failing a reader that planned
+    // before the cycle (inside the promised one-cycle grace). The cycle
+    // stamp in the gen name (-u<cycle>) reconstructs the original entry.
+    val store = freshStore("replaygrace")
+    writeFrags(store)
+    SimilarityQueries.maintainPqStore(spark, store, upTo = 1L, fanout = 2)
+    SimilarityQueries.maintainPqStore(spark, store, upTo = 3L, fanout = 2)
+    // reader plans against the post-cycle-3 listing: L0[0,1] ∪ L0[2,3] ∪
+    // frags 4,5
+    val planned = SimilarityQueries.readPqStore(spark, store)
+    // cycle 5 fires the (pre-cycle) merge, then "crashes" before its
+    // offset commit; the whole batch replays and maintenance re-runs
+    SimilarityQueries.maintainPqStore(spark, store, upTo = 5L, fanout = 2)
+    SimilarityQueries.maintainPqStore(spark, store, upTo = 5L, fanout = 2)
+    // the replay must NOT treat the crashed attempt's merge as a
+    // prior-cycle gen: its inputs keep their one-cycle grace and the
+    // pre-cycle plan still reads complete
+    assert(rowSet(planned) == allRows,
+      "replay expired the crashed cycle's merge inputs one cycle early")
+    assert(exists(s"$store/gen=0-1-L0-u1") && exists(s"$store/gen=2-3-L0-u3"),
+      "merge inputs must survive the replayed cycle")
   }
 
   test("crash window: complete generation from a PARTIAL fragment is rebuilt on replay") {
@@ -198,7 +227,7 @@ class StoreMaintainSpec extends SparkSpec {
     val store = freshStore("torn")
     writeFrags(store)
     // a torn L0 gen: parquet-ish junk, no _SUCCESS
-    val torn = new java.io.File(s"$store/gen=0-3-L0")
+    val torn = new java.io.File(s"$store/gen=0-3-L0-u3")
     torn.mkdirs()
     java.nio.file.Files.write(torn.toPath.resolve("part-00000.parquet"),
       Array[Byte](1, 2, 3))
@@ -206,7 +235,7 @@ class StoreMaintainSpec extends SparkSpec {
     assert(rowSet(SimilarityQueries.readPqStore(spark, store)) == allRows)
     // the replay rebuilds it from the intact inputs
     SimilarityQueries.maintainPqStore(spark, store, upTo = 3L)
-    assert(exists(s"$store/gen=0-3-L0/_SUCCESS"))
+    assert(exists(s"$store/gen=0-3-L0-u3/_SUCCESS"))
     assert(rowSet(SimilarityQueries.readPqStore(spark, store)) == allRows)
   }
 
@@ -217,7 +246,7 @@ class StoreMaintainSpec extends SparkSpec {
     SimilarityQueries.maintainPqStore(spark, store, upTo = 1L, fanout = 9)
     SimilarityQueries.maintainPqStore(spark, store, upTo = 3L, fanout = 9)
     // a crashed merge attempt left a torn L1 dir
-    val torn = new java.io.File(s"$store/gen=0-3-L1")
+    val torn = new java.io.File(s"$store/gen=0-3-L1-u5")
     torn.mkdirs()
     java.nio.file.Files.write(torn.toPath.resolve("part-00000.parquet"),
       Array[Byte](1, 2, 3))
@@ -227,7 +256,7 @@ class StoreMaintainSpec extends SparkSpec {
     // and the overwrite replaces the torn files
     val stats = SimilarityQueries.maintainPqStore(spark, store, upTo = 5L, fanout = 2)
     assert(stats.mergesFired >= 1)
-    assert(exists(s"$store/gen=0-3-L1/_SUCCESS"))
+    assert(exists(s"$store/gen=0-3-L1-u5/_SUCCESS"))
     assert(rowSet(SimilarityQueries.readPqStore(spark, store)) == allRows)
   }
 
@@ -255,7 +284,7 @@ class StoreMaintainSpec extends SparkSpec {
     val store = s"file:$raw"
     writeFrags(store)
     SimilarityQueries.maintainPqStore(spark, store, upTo = 3L)
-    assert(exists(s"$raw/gen=0-3-L0/_SUCCESS"))
+    assert(exists(s"$raw/gen=0-3-L0-u3/_SUCCESS"))
     assert(rowSet(SimilarityQueries.readPqStore(spark, store)) == allRows)
     SimilarityQueries.maintainPqStore(spark, store, upTo = 5L)
     assert(!exists(s"$raw/frag/batch=0"), "expiry must run through the FS too")
@@ -296,7 +325,7 @@ class StoreMaintainSpec extends SparkSpec {
     }
     intercept[Exception] { q1.processAllAvailable(); q1.awaitTermination() }
     assert(!q1.isActive, "query must have died on the injected crash")
-    assert(exists(s"$store/gen=2-3-L0/_SUCCESS"),
+    assert(exists(s"$store/gen=2-3-L0-u3/_SUCCESS"),
       "maintenance ran before the injected crash")
     val q2 = start()
     q2.processAllAvailable()
