@@ -883,17 +883,18 @@ object TextQueries {
   }
 
   /** The full-exact DuckDB computation both x4s and q52t must equal —
-    * no sketch anywhere in the oracle.
+    * no sketch anywhere in the oracle; θ interpolated from the SAME
+    * constant the engine filters on, so the two sides cannot drift.
     */
   private[graft] val HeavyHittersOracle: String =
-    """WITH d AS (SELECT list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+    s"""WITH d AS (SELECT list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
           FROM documents),
         g AS (SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
           FROM d, unnest(generate_series(1, len(ws) - 2)) AS t(i)),
         tot AS (SELECT count(*) AS total FROM g),
         c AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY gram)
         SELECT gram, cnt, CAST(cnt * 1000000 // t.total AS BIGINT) AS ppm
-        FROM c, tot t WHERE cnt * 5000 >= t.total""".stripMargin
+        FROM c, tot t WHERE cnt * $HhThetaInv >= t.total""".stripMargin
 
   private val BpeRounds = 8
   private val BpePicksPerRound = 8
