@@ -42,6 +42,15 @@ object RangeBuckets {
     val r = df.agg(min(col(key)), max(col(key))).head()
     if (r.isNullAt(0)) return df.withColumn("pid", lit(0))
     val (lo, hi) = (r.getLong(0), r.getLong(1))
+    // `(v − lo) · n` runs under Spark's default (non-ANSI) arithmetic, so
+    // an overflow would WRAP silently — non-monotone pids, silently
+    // shifted prefix sums: the exact failure class this utility exists to
+    // eliminate. lo/hi are driver values, so fail loudly here instead:
+    // the span must fit a Long and (span+1)·n must not overflow.
+    val span = hi - lo
+    require(span >= 0 && span < Long.MaxValue / n,
+      s"RangeBuckets.longKey($key): span [$lo, $hi] * n=$n would overflow " +
+        "Long under non-ANSI arithmetic; bucket by a narrower key")
     df.withColumn("pid",
       expr(s"CAST((($key - ${lo}L) * $n) DIV (${hi}L - ${lo}L + 1L) AS INT)"))
   }
@@ -53,6 +62,12 @@ object RangeBuckets {
     * construction).
     */
   def hexKey(df: DataFrame, key: String, n: Int): DataFrame =
+    // conv() returns STRING — cast it to BIGINT explicitly so the chain is
+    // integer-typed end to end. The implicit string·int coercion went
+    // through DOUBLE (exact at these magnitudes, but ANSI mode or a Spark
+    // upgrade could fail analysis or change the narrowing), and boundary
+    // determinism is the whole point of this helper.
     df.withColumn("pid",
-      expr(s"CAST(conv(substring($key, 1, 4), 16, 10) * $n DIV 65536 AS INT)"))
+      expr(s"CAST(CAST(conv(substring($key, 1, 4), 16, 10) AS BIGINT)" +
+        s" * $n DIV 65536 AS INT)"))
 }

@@ -464,7 +464,7 @@ object SimilarityQueries {
     * Hadoop FileSystem, and the store now does the same, so pointing a
     * store at HDFS/S3 is a path string, not a rewrite).
     */
-  private def fsAndPath(s: SparkSession,
+  private[graft] def fsAndPath(s: SparkSession,
       dir: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
     val p = new org.apache.hadoop.fs.Path(dir)
     (p.getFileSystem(s.sessionState.newHadoopConf()), p)
@@ -537,6 +537,15 @@ object SimilarityQueries {
 
   private val GenRe = """gen=(\d+)-(\d+)-L(\d+)-u(\d+)""".r
 
+  /** The pre-r14 name shape, before the cycle stamp. A durable store
+    * written by the old format would be INVISIBLE to the current parser —
+    * and since its consumed fragments were already expired, readers would
+    * silently serve only the surviving fragments (silent row loss) rather
+    * than fail. There is no in-place migration (the stamp must be atomic
+    * with the directory), so reject loudly instead of losing rows.
+    */
+  private val OldGenRe = """gen=(\d+)-(\d+)-L(\d+)""".r
+
   /** Complete (`_SUCCESS`-gated) generations — an interrupted write is
     * invisible to readers, merges, and expiry alike.
     */
@@ -548,6 +557,13 @@ object SimilarityQueries {
       .flatMap(st => st.getPath.getName match {
         case GenRe(lo, hi, lvl, u) =>
           Some(Gen(lo.toLong, hi.toLong, lvl.toInt, u.toLong, st.getPath))
+        case OldGenRe(_, _, _) =>
+          throw new IllegalStateException(
+            s"PQ store at $base contains a pre-cycle-stamp generation " +
+              s"'${st.getPath.getName}' (gen=lo-hi-L<l> without -u<cycle>). " +
+              "Reading past it would silently drop its rows (the fragments " +
+              "it folded are already expired); rebuild the store from its " +
+              "source instead.")
         case _ => None
       })
       .filter(g => fs.exists(new org.apache.hadoop.fs.Path(g.path, "_SUCCESS")))

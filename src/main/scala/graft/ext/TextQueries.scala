@@ -938,13 +938,28 @@ object TextQueries {
     picks.toSeq
   }
 
+  /** Frequency-weighted adjacent-symbol pair counts of a `(sym, cnt)`
+    * frame — BPE's one aggregation shape, shared by the round-1
+    * initialization, the per-round delta recounts over affected words,
+    * and the full-recount reference path the equality spec pins against.
+    */
+  private[graft] def adjacentPairCounts(words: DataFrame): DataFrame =
+    words
+      .withColumn("l", split(trim(col("sym")), " "))
+      .select(col("cnt"), explode(expr("CASE WHEN size(l) >= 2 THEN " +
+        "transform(sequence(1, size(l) - 1), " +
+        "i -> concat(element_at(l, i), ' ', element_at(l, i + 1))) " +
+        "ELSE array() END")).as("pair"))
+      .groupBy("pair").agg(sum(col("cnt")).as("c"))
+
   /** The BPE training loop over a `(sym, cnt)` word-frequency frame:
-    * `rounds` rounds of (count adjacent symbol pairs weighted by word
-    * frequency → collect the top-`candLimit` candidates → greedily select
-    * up to `picksPerRound` SYMBOL-DISJOINT pairs in (count DESC, pair
-    * ASC) order → rewrite every word with the round's picks in rank order
-    * via one greedy [[graft.functions.BpeApply]] kernel pass). Returns
-    * the learned merge table `(step, pair, merged, cnt)` with
+    * `rounds` rounds of (take the top-`candLimit` pairs from a MAINTAINED
+    * pair-count frame → greedily select up to `picksPerRound`
+    * SYMBOL-DISJOINT pairs in (count DESC, pair ASC) order → rewrite the
+    * AFFECTED words with the round's picks in rank order via one greedy
+    * [[graft.functions.BpeApply]] kernel pass → fold the affected words'
+    * before/after pair-count DELTA back into the maintained frame).
+    * Returns the learned merge table `(step, pair, merged, cnt)` with
     * `step = (round-1)·picksPerRound + pickIndex` — the trained artifact
     * a tokenizer ships.
     *
@@ -956,28 +971,51 @@ object TextQueries {
     * recount-free step at a time. Pairs a merge CREATES (e.g. (ab, c)
     * after (a, b)) enter the candidate pool next round. `picksPerRound
     * = 1` degenerates to exact sequential BPE (BpeSpec's algebra cases
-    * run there). Each round localCheckpoints the rewritten vocab frame
-    * so the plan stays flat; driver traffic is one ≤`candLimit`-row
-    * collect per ROUND — 8 round-trips for a 64-merge vocab (VERDICT
-    * r13 #3), and the same loop shape holds at a 32k vocab (4k rounds)
-    * where per-merge selection would pay 32k job launches.
+    * run there).
+    *
+    * Incremental maintenance (VERDICT r14 #2): a word's sym can change
+    * this round iff it contains some pick's ADJACENCY `" l r "` before
+    * the pass — disjointness means no pick can create or destroy another
+    * pick's adjacency within the round (a merge's new adjacencies all
+    * involve its output symbol m, and every other pick's l/r ≠ m), so the
+    * pre-round containment predicate is exact, and the kernel, the
+    * explode, and the shuffle all touch AFFECTED WORDS ONLY — round cost
+    * is rounds × |affected words|, not rounds × |whole frame| (the full
+    * pair frame is exploded exactly once, at round 1). The maintained
+    * count frame is kept to true counts > 0 (delta exactness means a
+    * count can reach 0 but never go below), so its top-`candLimit` prefix
+    * is identical to a full recount's — BpeDeltaSpec pins delta ≡ recount
+    * merge-for-merge, and `incremental = false` preserves the recount
+    * path as the reference. Each round localCheckpoints the rewritten
+    * vocab + count frames so the plan stays flat (at a 4k-round
+    * production vocab the unchanged-rows copy could amortize further by
+    * checkpointing every C rounds); driver traffic is one
+    * ≤`candLimit`-row collect per ROUND — 8 round-trips for a 64-merge
+    * vocab (VERDICT r13 #3).
+    *
+    * `ledger`, when supplied (ScaleBench), records one
+    * `(round, affectedWords, totalWords)` row per round that picked —
+    * the measured shrink of per-round work as the vocabulary grows.
     */
   private[graft] def bpeTrain(s: SparkSession, wordsInit: DataFrame,
       rounds: Int, picksPerRound: Int = 1,
-      candLimit: Int = BpeCandLimit): DataFrame = {
+      candLimit: Int = BpeCandLimit,
+      incremental: Boolean = true,
+      ledger: Option[scala.collection.mutable.Buffer[(Int, Long, Long)]] = None)
+      : DataFrame = {
     val pinned = scala.collection.mutable.Buffer.empty[DataFrame]
     val merges = scala.collection.mutable.Buffer.empty[(Int, String, String, Long)]
     try {
       var words = wordsInit.localCheckpoint()
       pinned += words
+      var counts: DataFrame = null
+      if (incremental) {
+        counts = adjacentPairCounts(words).localCheckpoint()
+        pinned += counts
+      }
       for (round <- 1 to rounds) {
-        val cand = words
-          .withColumn("l", split(trim(col("sym")), " "))
-          .select(col("cnt"), explode(expr("CASE WHEN size(l) >= 2 THEN " +
-            "transform(sequence(1, size(l) - 1), " +
-            "i -> concat(element_at(l, i), ' ', element_at(l, i + 1))) " +
-            "ELSE array() END")).as("pair"))
-          .groupBy("pair").agg(sum(col("cnt")).as("c"))
+        val candFrame = if (incremental) counts else adjacentPairCounts(words)
+        val cand = candFrame
           .orderBy(col("c").desc, col("pair").asc)
           .limit(candLimit).collect()
           .map(r => (r.getString(0), r.getLong(1))).toSeq
@@ -986,10 +1024,38 @@ object TextQueries {
           ((round - 1) * picksPerRound + j + 1, s"$l $r", m, c)
         }
         if (picks.nonEmpty) {
-          words = words.select(graft.functions.Kernels.bpe_apply(col("sym"),
-              picks.map(p => (p._1, p._2)), fromChars = false).as("sym"),
-            col("cnt")).localCheckpoint()
-          pinned += words
+          if (incremental) {
+            // syms are space-padded and single-space-delimited, so plain
+            // substring containment of " l r " is whole-symbol adjacency
+            val affPred = picks.map(p =>
+              col("sym").contains(s" ${p._1} ${p._2} ")).reduce(_ || _)
+            val aff = words.filter(affPred)
+            val newAff = aff.select(graft.functions.Kernels.bpe_apply(
+                col("sym"), picks.map(p => (p._1, p._2)),
+                fromChars = false).as("sym"),
+              col("cnt")).localCheckpoint()
+            pinned += newAff
+            ledger.foreach(_ += ((round, newAff.count(), words.count())))
+            val delta = adjacentPairCounts(newAff).withColumnRenamed("c", "ca")
+              .join(adjacentPairCounts(aff).withColumnRenamed("c", "cb"),
+                Seq("pair"), "full_outer")
+              .select(col("pair"), (coalesce(col("ca"), lit(0L)) -
+                coalesce(col("cb"), lit(0L))).as("d"))
+              .filter(col("d") =!= 0L)
+            counts = counts.join(delta, Seq("pair"), "full_outer")
+              .select(col("pair"), (coalesce(col("c"), lit(0L)) +
+                coalesce(col("d"), lit(0L))).as("c"))
+              .filter(col("c") > 0L)
+              .localCheckpoint()
+            pinned += counts
+            words = words.filter(!affPred).unionByName(newAff).localCheckpoint()
+            pinned += words
+          } else {
+            words = words.select(graft.functions.Kernels.bpe_apply(col("sym"),
+                picks.map(p => (p._1, p._2)), fromChars = false).as("sym"),
+              col("cnt")).localCheckpoint()
+            pinned += words
+          }
         }
       }
       import s.implicits._
@@ -1032,8 +1098,15 @@ object TextQueries {
   private[graft] def loadOrTrainMergeRows(s: SparkSession,
       d: String): Seq[(Int, String, String)] = {
     val path = mergesPath(s, d)
+    // Probe through the path's Hadoop FileSystem, exactly like the PQ
+    // store and the template registry (VERDICT r14 #1: the java.io.File
+    // probe this replaces was local-disk-only, so pointing the frozen
+    // tokenizer artifact — the one asset every downstream consumer
+    // (x4l/x4m/x4o/q52z/x10c) loads — at HDFS/S3 silently retrained).
+    val (fs, p) = SimilarityQueries.fsAndPath(s, path)
     val table =
-      if (new java.io.File(path, "_SUCCESS").exists()) s.read.parquet(path)
+      if (fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+        s.read.parquet(path)
       else trainAndPersistMerges(s, d)
     table.collect().sortBy(_.getInt(0))
       .map { r =>

@@ -28,6 +28,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * binaries — unchanged; r14 — re-probed (eighth attempt): client at
   * /usr/local/bin/docker only, still no /var/run/docker.sock, no
   * dockerd/podman binary, no native clickhouse/clickhouse-server on
+  * PATH — unchanged; r15 — re-probed (ninth attempt): docker client
+  * 28.2.2 only, `docker info` still cannot reach a daemon, no
+  * /var/run/docker.sock, no dockerd/podman/clickhouse binaries on
   * PATH — unchanged.
   * What therefore stays unproven in-sandbox is exactly: live-server
   * type coercion and clickhouse-jdbc batching against a real 24.12; both
