@@ -996,43 +996,60 @@ object ScaleBench {
     // to BPE, the reason real tokenizers version their training set),
     // not a replication-invariance bug, so it is REPORTED (first
     // divergence depth with plants included) rather than gated.
-    val (x4kBaseMerges, x4kScaledMerges, x4kPlantDiverge, x4kStableOk) = {
+    val (x4kBaseMerges, x4kScaledMerges, x4kPlantDiverge, x4kStableOk,
+        x4kDeltaLedger, x4kDeltaOk) = {
       val dir = fixture(tiers.head._1)
-      def merges(d: String, excludePlants: Boolean): Seq[(Int, String, String)] = {
+      def merges(d: String, excludePlants: Boolean,
+          ledger: Option[scala.collection.mutable.Buffer[(Int, Long, Long)]]
+            = None): Seq[(Int, String, String)] = {
         val docs = spark.read.parquet(s"$d/documents.parquet")
         val src = if (excludePlants) docs.filter(col("doc_id") < PlantDocBase)
                   else docs
         ext.TextQueries.bpeTrain(spark, ext.TextQueries.bpeWordFreq(src),
-            rounds = 8, picksPerRound = 8)
+            rounds = 8, picksPerRound = 8, ledger = ledger)
           .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
           .sortBy(_._1).toSeq
       }
       val b = merges(base, excludePlants = false) // base has no plants
-      val s = merges(dir, excludePlants = true)
+      // the incremental-train ledger (VERDICT r14 #2): per round,
+      // (affected words, total words) — the measured shrink of per-round
+      // work under delta pair-count maintenance; gated as a strict
+      // subset in some round (the whole point — a full recount touches
+      // total every round), declining trend reported
+      val ledger = scala.collection.mutable.Buffer.empty[(Int, Long, Long)]
+      val s = merges(dir, excludePlants = true, ledger = Some(ledger))
       val withPlants = merges(dir, excludePlants = false)
       val diverge = b.zip(withPlants).indexWhere { case (x, y) => x != y } match {
         case -1 => math.min(b.size, withPlants.size)
         case i => i
       }
       val ok = b.nonEmpty && b == s
+      val deltaOk = ledger.nonEmpty &&
+        ledger.exists { case (_, aff, total) => aff < total } &&
+        ledger.last._2 <= ledger.head._2
       System.err.println(s"[scale] x4k merge stability at 30x: $ok " +
         s"(${b.size} merges; with plants diverges at depth $diverge) " +
-        s"(base ${b.map(_._3).mkString(",")} vs ${s.map(_._3).mkString(",")})")
-      (b, s, diverge, ok)
+        s"(base ${b.map(_._3).mkString(",")} vs ${s.map(_._3).mkString(",")}); " +
+        s"delta rounds affected/total " +
+        s"${ledger.map(l => s"${l._2}/${l._3}").mkString(",")} ok=$deltaOk")
+      (b, s, diverge, ok, ledger.toSeq, deltaOk)
     }
 
-    // q52y TIERED maintenance at 30× (r14, VERDICT r13 #1): drive the
-    // in-loop store over TWELVE staged batches (maintenance every 2nd =
-    // 6 cycles, fanout 4) against the 30× embeddings and gate the thing
-    // the whole-store fold could never show — that per-cycle L0 fold
-    // bytes track the CYCLE'S fragment input (flat across cycles), not
-    // the store size, while level merges amortize: exactly ONE L1 merge
-    // fires (cycle 4, folding the four L0 gens), total fold bytes =
-    // 12 batch-units L0 + 8 merge vs the old scheme's 2+4+…+12 = 42.
-    // End state: 3 live gens (L1[0,7] + two L0) + the last cycle's 2
-    // grace-retained fragments, and serving parity against a direct
-    // batch encode of the full corpus.
-    val (q52yLedger, q52yGens, q52yFrags, q52yServeEqual, q52yOk) = {
+    // q52y TIERED maintenance at 30× (r14, VERDICT r13 #1; r15 extends
+    // the window per VERDICT r14 #5 so a SECOND-LEVEL merge lands under
+    // the fold-bytes gate): drive the in-loop store over THIRTY-SIX
+    // staged batches (maintenance every 2nd = 18 cycles, fanout 4)
+    // against the 30× embeddings and gate the thing the whole-store fold
+    // could never show — per-cycle L0 fold bytes track the CYCLE'S
+    // fragment input (flat across cycles), not the store size, while
+    // level merges amortize GEOMETRICALLY across levels: L1 merges fire
+    // at cycles 5/9/13/17 (4 L0 gens each), and cycle 17's fourth L1
+    // immediately cascades into the ONE L2 merge (4 L1 gens ≈ fanout ×
+    // L1 size = 16 batch-units) — 5 merges total, the log-structured
+    // shape at two levels. End state: 3 live gens (L2[0,31] + two L0) +
+    // the last cycle's 2 grace-retained fragments — LOGARITHMIC in the
+    // 18 cycles — and serving parity against a direct batch encode.
+    val (q52yLedger, q52yGens, q52yFrags, q52yServeEqual, q52yL2Bytes, q52yOk) = {
       val sq = ext.SimilarityQueries
       val dir = fixture(tiers.head._1)
       val base = graft.Tmp.sessionDir(spark, "q52y_tiered")
@@ -1043,7 +1060,7 @@ object ScaleBench {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
       sq.maintainLedger.remove(store)
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-      emb.repartition(12).write.mode("overwrite").parquet(src)
+      emb.repartition(36).write.mode("overwrite").parquet(src)
       val cb = sq.pqBuildFrom(sq.quantFrame(spark, dir))._3.localCheckpoint()
       val q = spark.readStream.schema(emb.schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
@@ -1056,7 +1073,8 @@ object ScaleBench {
       val ledger = Option(sq.maintainLedger.get(store))
         .map(l => scala.jdk.CollectionConverters.ListHasAsScala(l).asScala.toSeq)
         .getOrElse(Seq.empty)
-      val gens = sq.liveGens(sq.completeGens(spark, store)).size
+      val live = sq.liveGens(sq.completeGens(spark, store))
+      val gens = live.size
       val frags = Option(new java.io.File(s"$store/frag").listFiles())
         .getOrElse(Array.empty[java.io.File]).count(_.isDirectory)
       val served = sq.readPqStore(spark, store).select("vec_id", "s", "code")
@@ -1067,12 +1085,28 @@ object ScaleBench {
       val l0 = ledger.map(_.l0InputBytes)
       val l0Flat = l0.nonEmpty && l0.max <= 2L * l0.min // input-sized, not store-sized
       val merges = ledger.map(_.mergesFired).sum
-      val ok = ledger.size == 6 && l0Flat && merges == 1 &&
-        gens == 3 && frags == 2 && serveEqual
-      System.err.println(s"[scale] q52y tiered store after 12 batches: " +
+      // the L1→L2 evidence (VERDICT r14 #5): one live level-2 gen
+      // spanning [0, 31], and the cascade cycle's merge fold ≈ fanout ×
+      // L1 size — its mergeInputBytes carry one L1 merge (4 L0 units) +
+      // the L2 merge (4 L1 units ≈ 16 L0 units) ≈ 5× a plain L1 cycle's
+      val l2Live = live.count(g => g.level == 2 && g.lo == 0L && g.hi == 31L)
+      val mergeCycles = ledger.filter(_.mergesFired > 0)
+      val l1OnlyBytes = mergeCycles.filter(_.mergesFired == 1)
+        .map(_.mergeInputBytes)
+      val cascadeBytes = mergeCycles.filter(_.mergesFired == 2)
+        .map(_.mergeInputBytes)
+      val l2BytesOk = l1OnlyBytes.size == 3 && cascadeBytes.size == 1 &&
+        cascadeBytes.head >= 4 * l1OnlyBytes.max &&
+        cascadeBytes.head <= 6 * l1OnlyBytes.min
+      val ok = ledger.size == 18 && l0Flat && merges == 5 && l2Live == 1 &&
+        l2BytesOk && gens == 3 && frags == 2 && serveEqual
+      System.err.println(s"[scale] q52y tiered store after 36 batches: " +
         s"$gens live gen(s) + $frags frag dir(s), l0 bytes/cycle " +
-        s"${l0.mkString(",")}, merges $merges, serve parity $serveEqual, ok=$ok")
-      (ledger, gens, frags, serveEqual, ok)
+        s"${l0.mkString(",")}, merges $merges (L2 live $l2Live, cascade " +
+        s"bytes ${cascadeBytes.mkString(",")} vs L1 ${l1OnlyBytes.mkString(",")}), " +
+        s"serve parity $serveEqual, ok=$ok")
+      (ledger, gens, frags, serveEqual,
+        cascadeBytes.headOption.getOrElse(0L), ok)
     }
 
     // box calibration (VERDICT r10 #9: Bench carries it; BENCH_SCALE
@@ -1085,7 +1119,8 @@ object ScaleBench {
       b > 0 && s > 0 && r <= maxRatio(scale)
     } && recallOk && incrEqual && annOk && x2hIndexFlatOk &&
       x5gOk && x2jCollapseOk && x2jSemOk && ingestInvOk && x3lFlatOk &&
-      x3lAppendEqual && q12bAbOk && x3nOk && x4kStableOk && q52yOk && x2eAbOk
+      x3lAppendEqual && q12bAbOk && x3nOk && x4kStableOk && x4kDeltaOk &&
+      q52yOk && x2eAbOk
     val json = {
       val qs = rows.map { case (n, scale, b, s, r, sm, sd) =>
         f""""$n":{"scale":$scale,"base_sec":$b%.3f,"scaled_sec":$s%.3f,""" +
@@ -1149,16 +1184,23 @@ object ScaleBench {
         s""""with_plants_first_divergence_depth":$x4kPlantDiverge,""" +
         s""""merged":[${x4kScaledMerges.map(m => s""""${m._3}"""").mkString(",")}],""" +
         s""""base_equals_scaled":${x4kBaseMerges == x4kScaledMerges},""" +
-        s""""ok":$x4kStableOk},""" +
-        s""""q52y_tiered_store_30x":{"batches":12,"maintain_every":2,""" +
+        s""""ok":$x4kStableOk,""" +
+        s""""delta_rounds_affected_total":[${x4kDeltaLedger
+          .map(l => s"[${l._1},${l._2},${l._3}]").mkString(",")}],""" +
+        s""""delta_gate":"some round touches a strict subset AND last """ +
+        s"""round affected <= round 1 affected","delta_ok":$x4kDeltaOk},""" +
+        s""""q52y_tiered_store_30x":{"batches":36,"maintain_every":2,""" +
         s""""fanout":4,"grace":"expiry one cycle late",""" +
         s""""l0_fold_bytes_per_cycle":[${q52yLedger.map(_.l0InputBytes).mkString(",")}],""" +
         s""""merge_fold_bytes_per_cycle":[${q52yLedger.map(_.mergeInputBytes).mkString(",")}],""" +
         s""""merges_fired":${q52yLedger.map(_.mergesFired).sum},""" +
+        s""""l2_cascade_cycle_fold_bytes":$q52yL2Bytes,""" +
         s""""live_gens":$q52yGens,"frag_dirs":$q52yFrags,""" +
         s""""serve_parity":$q52yServeEqual,""" +
-        s""""gate":"6 cycles AND max(l0)<=2*min(l0) AND merges==1 AND """ +
-        s"""live_gens==3 AND frag_dirs==2 AND serve_parity","ok":$q52yOk},""" +
+        s""""gate":"18 cycles AND max(l0)<=2*min(l0) AND merges==5 AND """ +
+        s"""one live L2 gen [0,31] AND cascade cycle fold in [4*maxL1, """ +
+        s"""6*minL1] AND live_gens==3 AND frag_dirs==2 AND serve_parity",""" +
+        s""""ok":$q52yOk},""" +
         s""""q12b_bucket_rule_30x":{"rows":${q12bAb._1},""" +
         s""""rule_buckets":${q12bAb._2},""" +
         f""""rule_sec":${q12bAb._3}%.3f,"fixed8_sec":${q12bAb._4}%.3f,""" +

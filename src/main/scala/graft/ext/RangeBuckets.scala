@@ -39,8 +39,19 @@ object RangeBuckets {
     * sampler also ran one extra pass over the child.
     */
   def longKey(df: DataFrame, key: String, n: Int): DataFrame = {
-    val r = df.agg(min(col(key)), max(col(key))).head()
-    if (r.isNullAt(0)) return df.withColumn("pid", lit(0))
+    // Pin ONCE (r15 — the x2j/x10 bench-drift chase, VERDICT r14 #6):
+    // this helper's min/max action evaluates the caller's child, and
+    // every caller consumes the bucketed frame at least twice more
+    // (offset table + join side) — in x10 that child is the whole
+    // dedup→decontam→quality chain, re-run per consumer. The frames
+    // bucketed here are key-count-sized prefix-sum inputs (doc counts,
+    // not the corpus), and checkpoint blocks are the ContextCleaner-
+    // reclaimed class the registry's leak audit permits. The pin also
+    // makes the two-consumers-can't-disagree property STRUCTURAL rather
+    // than relying on the interpolation being a pure function.
+    val pinned = df.localCheckpoint()
+    val r = pinned.agg(min(col(key)), max(col(key))).head()
+    if (r.isNullAt(0)) return pinned.withColumn("pid", lit(0))
     val (lo, hi) = (r.getLong(0), r.getLong(1))
     // `(v − lo) · n` runs under Spark's default (non-ANSI) arithmetic, so
     // an overflow would WRAP silently — non-monotone pids, silently
@@ -51,7 +62,7 @@ object RangeBuckets {
     require(span >= 0 && span < Long.MaxValue / n,
       s"RangeBuckets.longKey($key): span [$lo, $hi] * n=$n would overflow " +
         "Long under non-ANSI arithmetic; bucket by a narrower key")
-    df.withColumn("pid",
+    pinned.withColumn("pid",
       expr(s"CAST((($key - ${lo}L) * $n) DIV (${hi}L - ${lo}L + 1L) AS INT)"))
   }
 

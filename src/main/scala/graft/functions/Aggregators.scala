@@ -199,10 +199,54 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
   }
 
+  /** WEIGHTED Misra–Gries (q52u, VERDICT r14 #3): heavy hitters by
+    * arbitrary positive weight — bytes per `src_addr`, not occurrence
+    * count. The decrement algebra changes: instead of "subtract 1 from
+    * all on overflow", BOTH reduce and merge apply the one trim rule —
+    * when the map exceeds `capacity`, subtract the (capacity+1)-th
+    * largest value from every entry and keep the positives. Each trim
+    * retires at least (capacity+1)·cut total weight while charging any
+    * single key at most cut, so a key's under-estimate is bounded by
+    * W/(capacity+1) for total weight W — every key with true weight
+    * > W/(capacity+1) survives, under ANY partial-merge tree (the
+    * Agarwal et al. 2012 argument verbatim; weights just replace unit
+    * increments). All-1 weights degenerate EXACTLY to the unweighted
+    * sketch: after inserting a new key at 1 the (capacity+1)-th largest
+    * is 1, so the trim is the classic decrement-all — WeightedMisraGries-
+    * Spec pins the equivalence. Non-positive weights are ignored (a
+    * zero-byte flow carries no evidence; negatives would break the
+    * potential argument).
+    */
+  final case class WeightedKeyIn(key: String, w: Long)
+  final class WeightedMisraGriesAgg(capacity: Int)
+      extends Aggregator[WeightedKeyIn, Map[String, Long], Map[String, Long]] {
+    require(capacity > 0)
+    private def trim(m: Map[String, Long]): Map[String, Long] =
+      if (m.size <= capacity) m
+      else {
+        val cut = m.valuesIterator.toArray.sortBy(-_).apply(capacity)
+        m.view.mapValues(_ - cut).filter(_._2 > 0L).toMap
+      }
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], a: WeightedKeyIn): Map[String, Long] =
+      if (a.w <= 0L) b
+      else trim(b.updated(a.key, b.getOrElse(a.key, 0L) + a.w))
+    override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] =
+      trim(y.foldLeft(x) { case (m, (k, v)) =>
+        m.updated(k, m.getOrElse(k, 0L) + v)
+      })
+    override def finish(r: Map[String, Long]): Map[String, Long] = r
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
   val bit_or_agg = udaf(BitOrAgg)
   val weighted_avg = udaf(WeightedAvgAgg)
   def elementwise_min(k: Int) = udaf(new ElementwiseMinAgg(k))
   def elementwise_sum_count(dim: Int) = udaf(new ElementwiseSumCountAgg(dim))
   def top_k(k: Int) = udaf(new TopKAgg(k))
   def misra_gries(capacity: Int) = udaf(new MisraGriesAgg(capacity))
+  def weighted_misra_gries(capacity: Int) = udaf(new WeightedMisraGriesAgg(capacity))
 }

@@ -370,22 +370,98 @@ object StreamQueries {
     * whole-batch replay. Generation count is bounded by the drain; an
     * always-on deployment expires old generations like any artifact
     * (q52y's tiered store is the general machinery).
+    *
+    * Periodic recount cadence (r15, VERDICT r14 #4): an always-on stream
+    * never drains, so without a mid-stream recount the monitor would
+    * serve sketch CANDIDATES (a superset with under-estimated counts)
+    * until shutdown. With `rowsDir`/`hhDir`/`recountEvery` set, each
+    * batch additionally lands whole in `rowsDir/batch=<id>` (per-batch
+    * OVERWRITE, q52g's effectively-once device) and every
+    * `recountEvery`-th batch recounts the CURRENT sketch's candidate set
+    * exactly over the rows ingested so far — the watermark-consistent
+    * θ-filtered answer — overwriting `hhDir/batch=<id>` (`_SUCCESS`-
+    * gated), mirroring q52y's maintenance-cadence contract. Crash-replay
+    * of batch id overwrites its rows dir FIRST, rebuilds the sketch from
+    * the generation strictly below id, and re-derives the identical hh
+    * artifact; batches before id completed their writes before the
+    * stream advanced, so the rows-so-far glob never sees a torn dir
+    * other than the one being overwritten. The drain-end answer is
+    * unchanged — the cadence only adds the always-on serving artifact.
     */
-  private[graft] def heavyHitterSketchWriter(skDir: String)(
+  private[graft] def heavyHitterSketchWriter(skDir: String,
+      rowsDir: String = null, hhDir: String = null, recountEvery: Int = 0)(
       batch: DataFrame, id: Long): Unit = {
     val s = batch.sparkSession
     import s.implicits._
     val agg = new graft.functions.Aggregators.MisraGriesAgg(
       graft.ext.TextQueries.HhCapacity)
-    val sk = graft.ext.TextQueries.heavyHitterGrams(batch)
-      .agg(graft.functions.Aggregators.misra_gries(
-        graft.ext.TextQueries.HhCapacity)(col("gram")).as("sk"))
-      .head().getMap[String, Long](0).toMap
-    val prev = latestSketchGen(s, skDir, below = id)
-      .map(p => s.read.parquet(p).as[(String, Long)].collect().toMap)
-      .getOrElse(Map.empty[String, Long])
-    agg.merge(prev, sk).toSeq.toDF("gram", "cnt")
-      .coalesce(1).write.mode("overwrite").parquet(s"$skDir/batch=$id")
+    // with the cadence on, the batch has two consumers (rows sink +
+    // sketch agg) — persist so each doesn't re-run the micro-batch plan
+    val b = if (rowsDir != null) batch.persist() else batch
+    try {
+      if (rowsDir != null)
+        b.write.mode("overwrite").parquet(s"$rowsDir/batch=$id")
+      val sk = graft.ext.TextQueries.heavyHitterGrams(b)
+        .agg(graft.functions.Aggregators.misra_gries(
+          graft.ext.TextQueries.HhCapacity)(col("gram")).as("sk"))
+        .head().getMap[String, Long](0).toMap
+      val prev = latestSketchGen(s, skDir, below = id)
+        .map(p => s.read.parquet(p).as[(String, Long)].collect().toMap)
+        .getOrElse(Map.empty[String, Long])
+      val merged = agg.merge(prev, sk)
+      merged.toSeq.toDF("gram", "cnt")
+        .coalesce(1).write.mode("overwrite").parquet(s"$skDir/batch=$id")
+      if (recountEvery > 0 && (id + 1) % recountEvery == 0) {
+        val soFar = s.read.parquet(s"$rowsDir/batch=*")
+        val cand = merged.keys.toSeq.toDF("gram")
+        val grams = graft.ext.TextQueries.heavyHitterGrams(soFar)
+        graft.ext.Caching.withPersisted(grams) {
+          graft.ext.TextQueries.heavyHitterRecount(grams, cand)
+            .coalesce(1).write.mode("overwrite").parquet(s"$hhDir/batch=$id")
+        }
+      }
+    } finally if (rowsDir != null) b.unpersist()
+  }
+
+  /** q52u flows-domain geometry: θ = 1/50 of total BYTES (a talker owning
+    * ≥ 2% of traffic is "top"), capacity 64 — capacity + 1 > θ⁻¹ makes
+    * the weighted sketch's candidate set a guaranteed superset of the
+    * θ-heavy talkers (under-estimate ≤ W/65 < W/50).
+    */
+  private[graft] val FlowHhCapacity = 64
+  private[graft] val FlowHhThetaInv = 50L
+
+  /** q52u cross-batch WEIGHTED sketch fold (VERDICT r14 #3): the batch's
+    * bytes-weighted Misra–Gries sketch over `src_addr` merges into the
+    * persisted running sketch — q52t's fold device verbatim (strictly-
+    * below generation replay, `_SUCCESS` gating, capacity-bounded state),
+    * with weights replacing unit increments (the decrement algebra change
+    * lives in [[graft.functions.Aggregators.WeightedMisraGriesAgg]]). The
+    * batch additionally lands whole in `outDir/batch=<id>` (per-batch
+    * OVERWRITE — q52g's effectively-once device) because the drain-end
+    * exact recount needs the ingested corpus: over UDP there is no
+    * standing source table to recount against, the stream IS the corpus.
+    */
+  private[graft] def topTalkerSketchWriter(skDir: String, outDir: String)(
+      batch: DataFrame, id: Long): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    // persist: two consumers (rows sink + sketch agg) would each re-run
+    // the micro-batch plan (see pipelineBatchWriter)
+    val b = batch.persist()
+    try {
+      b.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      val agg = new graft.functions.Aggregators.WeightedMisraGriesAgg(
+        FlowHhCapacity)
+      val sk = b.agg(graft.functions.Aggregators.weighted_misra_gries(
+          FlowHhCapacity)(col("src_addr"), col("bytes")).as("sk"))
+        .head().getMap[String, Long](0).toMap
+      val prev = latestSketchGen(s, skDir, below = id)
+        .map(p => s.read.parquet(p).as[(String, Long)].collect().toMap)
+        .getOrElse(Map.empty[String, Long])
+      agg.merge(prev, sk).toSeq.toDF("src_addr", "w")
+        .coalesce(1).write.mode("overwrite").parquet(s"$skDir/batch=$id")
+    } finally b.unpersist()
   }
 
   /** Newest `_SUCCESS`-complete sketch generation with batch id strictly
@@ -1628,8 +1704,10 @@ object StreamQueries {
         val src = s"$base/src"
         val cp = s"$base/cp"
         val skDir = s"$base/sketch"
-        org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(cp).toFile)
-        org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(skDir).toFile)
+        val rowsDir = s"$base/rows"
+        val hhDir = s"$base/hh"
+        Seq(cp, skDir, rowsDir, hhDir).foreach(p =>
+          org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(p).toFile))
         val docs = Tables.documents(s, d)
         docs.repartition(6).write.mode("overwrite").parquet(src)
         val q = s.readStream.schema(docs.schema)
@@ -1637,7 +1715,11 @@ object StreamQueries {
           .writeStream
           .option("checkpointLocation", cp)
           .trigger(Trigger.AvailableNow())
-          .foreachBatch(heavyHitterSketchWriter(skDir) _)
+          // recountEvery = 2: the always-on serving cadence (VERDICT r14
+          // #4) runs INSIDE the registered query — 3 mid-stream hh
+          // artifacts over the 6-batch split; the drain-end answer below
+          // is unchanged, so the oracle text is untouched
+          .foreachBatch(heavyHitterSketchWriter(skDir, rowsDir, hhDir, 2) _)
           .start()
         q.awaitTermination()
         val fin = latestSketchGen(s, skDir, below = Long.MaxValue)
@@ -1654,6 +1736,109 @@ object StreamQueries {
         }
       },
       Some(graft.ext.TextQueries.HeavyHittersOracle)),
+
+    // Q52u (r15, VERDICT r14 #3): streaming WEIGHTED heavy hitters on the
+    // flows domain — bytes-weighted top talkers per src_addr folded at
+    // LIVE UDP ingest (qf1, the reference deployment's signature query,
+    // made continuous): per micro-batch one WeightedMisraGriesAgg sketch
+    // over (src_addr, bytes), merged into the persisted capacity-bounded
+    // artifact exactly like q52t's gram sketch; at drain the final
+    // candidate set recounts EXACTLY over the ingested corpus and the θ
+    // filter (≥ 1/FlowHhThetaInv of total bytes) kills false positives.
+    // The record set is closed-form (3 heavy talkers at ~30/20/17% of
+    // bytes over a ~350-address tail, every tail talker < 0.7%), so the
+    // oracle recomputes the exact weighted top talkers from
+    // generate_series — the wire encode, the live listener, the v5
+    // decode, the IP render, the weighted sketch fold across batches,
+    // and the recount all have to agree for the hash to match. Blind
+    // re-sends + (sender, flow_sequence) dedup make UDP loss unable to
+    // flake the result, exactly as in q45c.
+    Q("q52u_stream_top_talkers",
+      (s, d) => {
+        import graft.sources.{NetFlowV5, UdpFlowSource}
+        def rec(i: Int): NetFlowV5.Rec = {
+          val src: Array[Byte] =
+            if (i % 10 < 3) Array[Byte](10, 0, 0, 1)
+            else if (i % 10 < 5) Array[Byte](10, 0, 0, 2)
+            else if (i % 10 == 5) Array[Byte](10, 0, 0, 3)
+            else Array[Byte](10, 1, ((i >> 8) & 0xff).toByte, (i & 0xff).toByte)
+          NetFlowV5.Rec(src = src, dst = Array[Byte](-64, -88, 0, 1),
+            pkts = 1L + i % 64, octets = 100L + i % 1000,
+            firstMs = i * 10L, lastMs = i * 10L + 5L,
+            srcPort = 1000 + i % 50, dstPort = 443, tcpFlags = 18, proto = 6)
+        }
+        val packets = (0 until 20).map { p =>
+          NetFlowV5.encode(sysUptimeMs = 3600000L, unixSecs = 1700000000L,
+            unixNsecs = 0L, flowSequence = 25L * p, samplingInterval = 1000,
+            records = (25 * p until 25 * p + 25).map(rec))
+        }
+        val base = graft.Tmp.sessionDir(s, "q52u")
+        val cp = s"$base/cp"
+        val skDir = s"$base/sketch"
+        val out = s"$base/rows"
+        Seq(cp, skDir, out).foreach(p =>
+          org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(p).toFile))
+        val raw = s.readStream.format("nflv5-udp")
+          .option("name", "q52u").option("port", 0)
+          .option("maxPacketsPerBatch", 5).option("numPartitions", 4)
+          .option("dedupSequence", true).load()
+        val q = graft.streaming.FlowPipeline.normalize(raw)
+          .writeStream
+          .option("checkpointLocation", cp)
+          .foreachBatch(topTalkerSketchWriter(skDir, out) _)
+          .start()
+        val sock = new java.net.DatagramSocket()
+        try {
+          val deadline = System.nanoTime() + 90_000_000_000L
+          var port = 0
+          while (port == 0 && System.nanoTime() < deadline) {
+            port = UdpFlowSource.boundPort("q52u").getOrElse(0)
+            if (port == 0) Thread.sleep(20)
+          }
+          require(port > 0, "UDP source never bound")
+          val addr = java.net.InetAddress.getByName("127.0.0.1")
+          def landed(): Long =
+            scala.util.Try(s.read.parquet(s"$out/batch=*").count()).getOrElse(0L)
+          while (landed() < 500 && System.nanoTime() < deadline) {
+            packets.foreach(b =>
+              sock.send(new java.net.DatagramPacket(b, b.length, addr, port)))
+            q.processAllAvailable()
+          }
+        } finally { sock.close(); q.stop() }
+        val fin = latestSketchGen(s, skDir, below = Long.MaxValue)
+          .getOrElse(sys.error(s"no sketch generation at $skDir"))
+        val cand = s.read.parquet(fin).select(col("src_addr"))
+        // the ingested rows ARE the corpus — pin them across the
+        // recount's two consumers (per-talker sums + total), q52t's
+        // discipline
+        val ingested = s.read.parquet(s"$out/batch=*")
+          .select(col("src_addr"), col("bytes"))
+        graft.ext.Caching.withPersisted(ingested) {
+          val talkers = ingested
+            .join(broadcast(cand), Seq("src_addr"), "left_semi")
+            .groupBy("src_addr").agg(sum(col("bytes")).as("sum_bytes"),
+              count(lit(1)).as("n_flows"))
+          val total = ingested.agg(sum(col("bytes")).as("total"))
+          talkers.crossJoin(broadcast(total))
+            .filter(col("sum_bytes") * FlowHhThetaInv >= col("total"))
+            .select(col("src_addr"), col("sum_bytes"), col("n_flows"),
+              expr("sum_bytes * 1000000 DIV total").as("ppm"))
+            .localCheckpoint() // ≤ θ⁻¹ rows; eager so the cache can go
+        }
+      },
+      Some(s"""WITH gen AS (SELECT unnest(generate_series(0, 499)) AS i),
+        f AS (SELECT CASE WHEN i % 10 < 3 THEN '10.0.0.1'
+            WHEN i % 10 < 5 THEN '10.0.0.2'
+            WHEN i % 10 = 5 THEN '10.0.0.3'
+            ELSE '10.1.' || CAST(i // 256 AS VARCHAR) || '.' ||
+              CAST(i % 256 AS VARCHAR) END AS src_addr,
+          100 + i % 1000 AS bytes FROM gen),
+        tot AS (SELECT SUM(bytes) AS total FROM f),
+        c AS (SELECT src_addr, CAST(SUM(bytes) AS BIGINT) AS sum_bytes,
+          count(*) AS n_flows FROM f GROUP BY src_addr)
+        SELECT src_addr, sum_bytes, n_flows,
+          CAST(sum_bytes * 1000000 // t.total AS BIGINT) AS ppm
+        FROM c, tot t WHERE sum_bytes * $FlowHhThetaInv >= t.total""".stripMargin)),
 
     // Q52e (r11): streaming DECONTAMINATION at ingest — the x7 shape made
     // streaming: train documents arriving as files are checked against a
