@@ -1029,7 +1029,11 @@ object TextQueries {
             // substring containment of " l r " is whole-symbol adjacency
             val affPred = picks.map(p =>
               col("sym").contains(s" ${p._1} ${p._2} ")).reduce(_ || _)
-            val aff = words.filter(affPred)
+            // pin aff: it has three consumers (kernel rewrite, the
+            // delta's before-side recount — and without the pin each
+            // would re-scan the whole words frame for the filter)
+            val aff = words.filter(affPred).localCheckpoint()
+            pinned += aff
             val newAff = aff.select(graft.functions.Kernels.bpe_apply(
                 col("sym"), picks.map(p => (p._1, p._2)),
                 fromChars = false).as("sym"),

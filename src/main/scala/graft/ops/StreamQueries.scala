@@ -391,6 +391,9 @@ object StreamQueries {
   private[graft] def heavyHitterSketchWriter(skDir: String,
       rowsDir: String = null, hhDir: String = null, recountEvery: Int = 0)(
       batch: DataFrame, id: Long): Unit = {
+    require(recountEvery <= 0 || (rowsDir != null && hhDir != null),
+      "recountEvery > 0 needs rowsDir and hhDir — the recount reads the " +
+        "rows-so-far sink and writes the hh artifact")
     val s = batch.sparkSession
     import s.implicits._
     val agg = new graft.functions.Aggregators.MisraGriesAgg(
@@ -442,8 +445,11 @@ object StreamQueries {
     * exact recount needs the ingested corpus: over UDP there is no
     * standing source table to recount against, the stream IS the corpus.
     */
-  private[graft] def topTalkerSketchWriter(skDir: String, outDir: String)(
+  private[graft] def topTalkerSketchWriter(skDir: String, outDir: String,
+      hhDir: String = null, recountEvery: Int = 0)(
       batch: DataFrame, id: Long): Unit = {
+    require(recountEvery <= 0 || hhDir != null,
+      "recountEvery > 0 needs hhDir — the recount writes the hh artifact")
     val s = batch.sparkSession
     import s.implicits._
     // persist: two consumers (rows sink + sketch agg) would each re-run
@@ -459,9 +465,42 @@ object StreamQueries {
       val prev = latestSketchGen(s, skDir, below = id)
         .map(p => s.read.parquet(p).as[(String, Long)].collect().toMap)
         .getOrElse(Map.empty[String, Long])
-      agg.merge(prev, sk).toSeq.toDF("src_addr", "w")
+      val merged = agg.merge(prev, sk)
+      merged.toSeq.toDF("src_addr", "w")
         .coalesce(1).write.mode("overwrite").parquet(s"$skDir/batch=$id")
+      // periodic recount cadence, q52t's always-on contract on the flows
+      // domain: every recountEvery-th batch, the exact θ-filtered top
+      // talkers over the bytes ingested SO FAR overwrite an _SUCCESS-
+      // gated hh artifact — what a live traffic monitor serves
+      if (recountEvery > 0 && (id + 1) % recountEvery == 0) {
+        val soFar = s.read.parquet(s"$outDir/batch=*")
+          .select(col("src_addr"), col("bytes"))
+        val cand = merged.keys.toSeq.toDF("src_addr")
+        graft.ext.Caching.withPersisted(soFar) {
+          topTalkerRecount(soFar, cand)
+            .coalesce(1).write.mode("overwrite").parquet(s"$hhDir/batch=$id")
+        }
+      }
     } finally b.unpersist()
+  }
+
+  /** The exact tail shared by q52u's drain answer and its mid-stream
+    * cadence artifacts (one definition — the heavyHitterRecount
+    * discipline): recount ONLY the candidate talkers (broadcast semi-
+    * join; the candidate frame is capacity-bounded), then the θ filter.
+    * Output equals the full exact computation whenever `cand` ⊇ the
+    * θ-heavy set, which the weighted sketch guarantees.
+    */
+  private[graft] def topTalkerRecount(rows: DataFrame,
+      cand: DataFrame): DataFrame = {
+    val talkers = rows.join(broadcast(cand), Seq("src_addr"), "left_semi")
+      .groupBy("src_addr").agg(sum(col("bytes")).as("sum_bytes"),
+        count(lit(1)).as("n_flows"))
+    val total = rows.agg(sum(col("bytes")).as("total"))
+    talkers.crossJoin(broadcast(total))
+      .filter(col("sum_bytes") * FlowHhThetaInv >= col("total"))
+      .select(col("src_addr"), col("sum_bytes"), col("n_flows"),
+        expr("sum_bytes * 1000000 DIV total").as("ppm"))
   }
 
   /** Newest `_SUCCESS`-complete sketch generation with batch id strictly
@@ -1745,9 +1784,9 @@ object StreamQueries {
     // artifact exactly like q52t's gram sketch; at drain the final
     // candidate set recounts EXACTLY over the ingested corpus and the θ
     // filter (≥ 1/FlowHhThetaInv of total bytes) kills false positives.
-    // The record set is closed-form (3 heavy talkers at ~30/20/17% of
-    // bytes over a ~350-address tail, every tail talker < 0.7%), so the
-    // oracle recomputes the exact weighted top talkers from
+    // The record set is closed-form (3 heavy talkers at ~30/20/10% of
+    // total bytes over a 200-address tail, every tail talker < 0.4%), so
+    // the oracle recomputes the exact weighted top talkers from
     // generate_series — the wire encode, the live listener, the v5
     // decode, the IP render, the weighted sketch fold across batches,
     // and the recount all have to agree for the hash to match. Blind
@@ -1776,7 +1815,8 @@ object StreamQueries {
         val cp = s"$base/cp"
         val skDir = s"$base/sketch"
         val out = s"$base/rows"
-        Seq(cp, skDir, out).foreach(p =>
+        val hhDir = s"$base/hh"
+        Seq(cp, skDir, out, hhDir).foreach(p =>
           org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(p).toFile))
         val raw = s.readStream.format("nflv5-udp")
           .option("name", "q52u").option("port", 0)
@@ -1785,7 +1825,10 @@ object StreamQueries {
         val q = graft.streaming.FlowPipeline.normalize(raw)
           .writeStream
           .option("checkpointLocation", cp)
-          .foreachBatch(topTalkerSketchWriter(skDir, out) _)
+          // recountEvery = 2: the always-on serving cadence runs inside
+          // the registered query, q52t's contract on the flows domain;
+          // the drain answer below is unchanged
+          .foreachBatch(topTalkerSketchWriter(skDir, out, hhDir, 2) _)
           .start()
         val sock = new java.net.DatagramSocket()
         try {
@@ -1810,19 +1853,12 @@ object StreamQueries {
         val cand = s.read.parquet(fin).select(col("src_addr"))
         // the ingested rows ARE the corpus — pin them across the
         // recount's two consumers (per-talker sums + total), q52t's
-        // discipline
+        // discipline; the tail is topTalkerRecount, the one definition
+        // the mid-stream cadence artifacts also go through
         val ingested = s.read.parquet(s"$out/batch=*")
           .select(col("src_addr"), col("bytes"))
         graft.ext.Caching.withPersisted(ingested) {
-          val talkers = ingested
-            .join(broadcast(cand), Seq("src_addr"), "left_semi")
-            .groupBy("src_addr").agg(sum(col("bytes")).as("sum_bytes"),
-              count(lit(1)).as("n_flows"))
-          val total = ingested.agg(sum(col("bytes")).as("total"))
-          talkers.crossJoin(broadcast(total))
-            .filter(col("sum_bytes") * FlowHhThetaInv >= col("total"))
-            .select(col("src_addr"), col("sum_bytes"), col("n_flows"),
-              expr("sum_bytes * 1000000 DIV total").as("ppm"))
+          topTalkerRecount(ingested, cand)
             .localCheckpoint() // ≤ θ⁻¹ rows; eager so the cache can go
         }
       },

@@ -15,6 +15,18 @@ class RegistrySpec extends SparkSpec {
     assert(Registry.oracleSql.keySet.subsetOf(Registry.queries.keySet))
   }
 
+  test("SURVEY §8's oracle-green headline matches the registry") {
+    // the r14 round shipped with a stale headline (VERDICT r14 #7) —
+    // keep the doc in lockstep with the registry mechanically
+    val header = scala.io.Source.fromFile("/root/repo/SURVEY.md", "UTF-8")
+      .getLines().find(_.startsWith("## 8. Coverage map")).get
+    val cited = "(\\d+) oracle-green queries".r
+      .findFirstMatchIn(header).get.group(1).toInt
+    assert(cited == Registry.oracleSql.size,
+      s"SURVEY §8 cites $cited oracle-green queries; registry has " +
+        s"${Registry.oracleSql.size} — update the headline")
+  }
+
   test("every SURVEY §2.2 operator row Q1–Q56 is covered") {
     val covered = Registry.all.map(_.name)
       .flatMap(n => "^q(\\d+)".r.findFirstMatchIn(n).map(_.group(1).toInt))

@@ -69,6 +69,38 @@ class HhRecountCadenceSpec extends SparkSpec {
     }
   }
 
+  test("q52u's weighted cadence artifacts are watermark-exact too") {
+    import spark.implicits._
+    import graft.ops.StreamQueries.{topTalkerSketchWriter, FlowHhThetaInv}
+    val dir = base("flows")
+    val (sk, rows, hh) = (s"$dir/sketch", s"$dir/rows", s"$dir/hh")
+    // skewed byte weights: one talker owns most of the traffic
+    def flowBatch(ids: Range) = ids.map(i =>
+      (if (i % 3 == 0) "10.0.0.1" else s"10.1.0.${i % 250}",
+        if (i % 3 == 0) 50000L else 100L + i)).toDF("src_addr", "bytes")
+    val writer = topTalkerSketchWriter(sk, rows, hh, 2) _
+    (0 to 3).foreach(id => writer(flowBatch(id * 20 until id * 20 + 20), id))
+    val fs = new org.apache.hadoop.fs.Path(hh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(Seq(1, 3).forall(i => fs.exists(
+      new org.apache.hadoop.fs.Path(s"$hh/batch=$i/_SUCCESS"))))
+    Seq(1, 3).foreach { id =>
+      val got = spark.read.parquet(s"$hh/batch=$id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // sketch-free exact recomputation at the watermark
+      val all = flowBatch(0 until (id + 1) * 20)
+        .groupBy("src_addr").agg(sum("bytes").as("sum_bytes"),
+          count(org.apache.spark.sql.functions.lit(1)).as("n_flows"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val total = all.map(_._2).sum
+      val want = all.filter(_._2 * FlowHhThetaInv >= total)
+        .map(t => (t._1, t._2, t._3, t._2 * 1000000L / total)).toSet
+      assert(want.nonEmpty, s"degenerate fixture at watermark $id")
+      assert(got == want, s"watermark $id: $got != $want")
+    }
+  }
+
   test("whole-batch replay re-derives the identical hh artifact") {
     val dir = base("replay")
     val (sk, rows, hh) = (s"$dir/sketch", s"$dir/rows", s"$dir/hh")
