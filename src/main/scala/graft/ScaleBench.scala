@@ -149,6 +149,36 @@ object ScaleBench {
       // quality-filter-at-ingest: all four continuous ingest shapes are
       // now tier-gated; pure per-row map, the streaming linear control
       "q52h_stream_quality_ingest",
+      // r15 containment dedup: the 30-copy exact-dup groups collapse to
+      // base-sized representatives in front of the prefix-filter join —
+      // the ratio proves the inverted-index probe inherits the collapse
+      // (without it every group would put its 900 pair candidates into
+      // the index join)
+      "x2l_containment",
+      // r15 KL domain-shift card: two keyed token shuffles + a vocab-
+      // sized marginal join — the ratio proves the card stays linear
+      // when every source grows 30×
+      "x4u_kl_divergence",
+      // r15 reference-LM filter: the reference split replicates 30× with
+      // the corpus, so the LM table's keyed shuffles and the two scoring
+      // joins (bigram + backoff marginal) must all track the corpus —
+      // the ratio catches any accidental broadcast of the grown LM or a
+      // re-scan per join
+      "x4t_lm_filter",
+      // r15 matryoshka ranker: a column slice + broadcast-query scoring
+      // pass — strictly less work than x3s (no projection kernel), gated
+      // beside it so the two approximate rankers stay comparable
+      "x3t_matryoshka",
+      // r15 flows k-anonymity: one keyed shuffle to the QI class frame,
+      // threshold sweep over classes only — the ratio proves the sweep
+      // never re-keys the flow table
+      "qf9_k_anonymity",
+      // r15 fan-in entropy: the two-level (dst,src)→dst re-aggregation —
+      // the ratio proves level 2 runs on the pair frame, not the flows
+      "qf10_dst_fanin",
+      // r15 format sniff: pure per-row probe map, a scan-only linear
+      // control for the multimodal family
+      "x5h_format_sniff",
       // r13: the four ingest shapes COMPOSED under one checkpoint (filter
       // → TTL-dedup-state → decontam-probe → PQ-encode): the gate proves
       // the composition stays linear when every stage's input grows 30×

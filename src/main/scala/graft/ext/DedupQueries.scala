@@ -675,6 +675,56 @@ object DedupQueries {
         SELECT e.dst AS v, reach.r FROM reach JOIN edges e ON e.src = reach.v),
       comp AS (SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v)"""
 
+  /** X2l core over an arbitrary (doc_id, text) frame so ContainmentSpec
+    * can plant the pairs the fixture only has by accident. A row
+    * (a, b, c) asserts c = |W(a) ∩ W(b)| / |W(a)| ≥ 0.9 over the docs'
+    * distinct 8-token window sets — ASYMMETRIC subset detection (a quote
+    * or wire story carried inside a longer article), the direction
+    * Jaccard near-dup (x2c) structurally misses: a 20-token doc fully
+    * contained in a 200-token doc has Jaccard ≈ 0.1 and containment 1.0.
+    *
+    * Scale shape — PPJoin-family PREFIX FILTERING (Chaudhuri et al. 2006;
+    * Xiao et al. 2008), not bands: c ≥ τ ⇔ misses ≤ na − ceil(τ·na), so
+    * if the (na − ceil(τ·na) + 1) SMALLEST windows of A (any canonical
+    * total order — the sorted digest order here) all miss B, containment
+    * is impossible. Candidates therefore come from an EQUI-JOIN of A's
+    * prefix windows against the full inverted index — per doc the probe
+    * side carries ~(1−τ)·|W| ≈ 10% of its windows, and a window's
+    * candidate fan-out is its document frequency, never all-pairs. Exact
+    * merge-scan verify on candidates only; exact-dup collapse in front
+    * (identical texts share every window — the x2/x2b defense), so
+    * emitted pairs are REPRESENTATIVE-level. Integer arithmetic end to
+    * end in the bound (ceil(9·na/10) = (9·na+9) div 10) — no float
+    * prefix-length edge.
+    */
+  private[ext] def containmentPairs(docs: DataFrame): DataFrame = {
+    val reps = docs.groupBy(md5(col("text")).as("dig"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("text")).as("text"))
+    val sets = reps.select(col("doc_id"),
+        array_sort(graft.functions.Kernels
+          .window_md5(split(col("text"), " "), 8)).as("g"))
+      .where(size(col("g")) >= 1)
+      .withColumn("na", size(col("g")))
+    val pref = sets.select(col("doc_id").as("a"), col("na"),
+      explode(slice(col("g"), lit(1),
+        col("na") - expr("(na * 9 + 9) div 10") + lit(1))).as("h"))
+    val idx = sets.select(col("doc_id").as("b"), col("na").as("nb"),
+      explode(col("g")).as("h"))
+    val cand = pref.join(idx, Seq("h"))
+      // nb ≥ ceil(0.9·na) ⇔ 10·nb ≥ 9·na (integers): B too small to hold
+      // A's windows can't contain — pruned before the verify join
+      .where(col("a") =!= col("b") && col("nb") * 10 >= col("na") * 9)
+      .select("a", "b").distinct()
+    val ga = sets.select(col("doc_id").as("a"), col("g").as("ga"), col("na"))
+    val gb = sets.select(col("doc_id").as("b"), col("g").as("gb"))
+    cand.join(ga, Seq("a")).join(gb, Seq("b"))
+      .withColumn("inter", graft.functions.Kernels
+        .sorted_intersect_size(col("ga"), col("gb")))
+      .select(col("a"), col("b"),
+        (col("inter").cast(DoubleType) / col("na").cast(DoubleType)).as("c"))
+      .filter(col("c") >= 0.9)
+  }
+
   def defs: Seq[Q] = Seq(
     // X1: exact dedup — group by text digest (documents bodies never
     // shuffle at scale; only the 32-byte digest + doc_id do). The fixture
@@ -947,6 +997,23 @@ object DedupQueries {
           AND len(x.g) * 10 >= len(y.g) * 8 AND len(y.g) * 10 >= len(x.g) * 8
         WHERE len(list_intersect(x.g, y.g))::DOUBLE /
             (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) >= 0.8""".stripMargin)),
+
+    // X2l (r15): CONTAINMENT dedup — see [[containmentPairs]]. The oracle
+    // is the brute-force containment truth set over representative docs
+    // (window STRINGS instead of their md5s — equal set sizes absent
+    // digest collisions, the x2g device), which passing PROVES the prefix
+    // filter lossless on this corpus: a candidate the prefix probe missed
+    // would be a missing output row.
+    Q("x2l_containment",
+      (s, d) => containmentPairs(Tables.documents(s, d)),
+      Some("""WITH reps AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        w AS (SELECT doc_id, string_split(text, ' ') AS w FROM reps),
+        g AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w) - 7),
+              i -> array_to_string(w[i:i+7], ' '))) AS g FROM w WHERE len(w) >= 8)
+        SELECT x.doc_id AS a, y.doc_id AS b,
+          CAST(len(list_intersect(x.g, y.g)) AS DOUBLE) / CAST(len(x.g) AS DOUBLE) AS c
+        FROM g x JOIN g y ON x.doc_id <> y.doc_id
+        WHERE CAST(len(list_intersect(x.g, y.g)) AS DOUBLE) / CAST(len(x.g) AS DOUBLE) >= 0.9""".stripMargin)),
 
     // X2g: repeated-span detection — the exact-substring-dedup shape
     // (Lee et al., "Deduplicating Training Data Makes Language Models

@@ -182,6 +182,69 @@ object MultimodalQueries {
           bit_count(xor(CAST(xa.bl[3] AS BIGINT), CAST(xb.bl[3] AS BIGINT))) +
           bit_count(xor(CAST(xa.bl[4] AS BIGINT), CAST(xb.bl[4] AS BIGINT))) <= 3""".stripMargin)),
 
+    // X5h (r15): magic-byte FORMAT SNIFF — the container-integrity audit a
+    // crawl pipeline runs before any decode: trust the bytes, not the
+    // declared content-type (mislabeled media is a top-3 decode-crash
+    // cause at corpus scale). Each payload gets a deterministic container
+    // header prepended (doc_id%4 → PNG / JPEG / GIF89a / RIFF-WAVE — the
+    // four classic signatures) while the DECLARED mime comes from an
+    // independent modulus (doc_id%3), so declared-vs-sniffed disagreement
+    // is structural and both directions of the audit are exercised. The
+    // Spark side sniffs REAL bytes: substring/hex prefix probes on the
+    // binary column, exactly the first-16-bytes check file(1) does; the
+    // oracle replays the probes over the same hex stream. Pure per-row
+    // map — no shuffle, one codegen span; at 100 TB this is a scan-only
+    // pass whose selectivity (mismatch rows) feeds the quarantine sink.
+    Q("x5h_format_sniff",
+      (s, d) => {
+        val pngHdr = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+        val jpgHdr = Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte)
+        val gifHdr = "GIF89a".getBytes("UTF-8")
+        val rifHdr = "RIFF0000WAVE".getBytes("UTF-8")
+        val m = media(s, d)
+        val hdr = when(pmod(col("doc_id"), lit(4)) === 0, lit(pngHdr))
+          .when(pmod(col("doc_id"), lit(4)) === 1, lit(jpgHdr))
+          .when(pmod(col("doc_id"), lit(4)) === 2, lit(gifHdr))
+          .otherwise(lit(rifHdr))
+        val withBlob = m.select(col("doc_id"),
+          concat(hdr, col("payload")).as("blob"))
+        val probe = hex(substring(col("blob"), 1, 12))
+        val sniffed = when(substring(probe, 1, 16) === "89504E470D0A1A0A", "image/png")
+          .when(substring(probe, 1, 6) === "FFD8FF", "image/jpeg")
+          .when(substring(probe, 1, 8) === "47494638", "image/gif")
+          .when(substring(probe, 1, 8) === "52494646" &&
+            substring(probe, 17, 8) === "57415645", "audio/wav")
+          .otherwise("application/octet-stream")
+        val declared = when(pmod(col("doc_id"), lit(3)) === 0, "image/png")
+          .when(pmod(col("doc_id"), lit(3)) === 1, "image/jpeg")
+          .otherwise("image/gif")
+        withBlob.select(col("doc_id"),
+          declared.as("declared_mime"),
+          sniffed.as("sniffed_mime"),
+          (declared =!= sniffed).as("mismatch"),
+          length(col("blob")).as("n_bytes"))
+      },
+      Some("""WITH b AS (SELECT doc_id,
+          concat(CASE doc_id % 4 WHEN 0 THEN '89504E470D0A1A0A' WHEN 1 THEN 'FFD8FFE0'
+            WHEN 2 THEN '474946383961' ELSE '524946463030303057415645' END,
+            upper(hex(substr(text, 1, 12)::BLOB))) AS hx,
+          CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 6 ELSE 12 END
+            + octet_length(text::BLOB) AS n_bytes,
+          CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+            ELSE 'image/gif' END AS declared_mime
+        FROM documents),
+        sn AS (SELECT doc_id, declared_mime, n_bytes,
+          CASE WHEN substr(hx, 1, 16) = '89504E470D0A1A0A' THEN 'image/png'
+            WHEN substr(hx, 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+            WHEN substr(hx, 1, 8) = '47494638' THEN 'image/gif'
+            WHEN substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '57415645' THEN 'audio/wav'
+            ELSE 'application/octet-stream' END AS sniffed_mime
+        FROM b)
+        SELECT doc_id, declared_mime, sniffed_mime,
+          declared_mime <> sniffed_mime AS mismatch,
+          CAST(n_bytes AS INTEGER) AS n_bytes
+        FROM sn""".stripMargin)),
+
     // X5d: multimodal columns carried through §2.2 operators — binary +
     // embedding joined, grouped, aggregated (the "typed metadata travels
     // with the blob" contract).

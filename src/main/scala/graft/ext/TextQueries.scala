@@ -420,6 +420,134 @@ object TextQueries {
           CAST(round(bits * 10000) AS BIGINT) > 50000 AS is_outlier
         FROM sc""".stripMargin)),
 
+    // X4t (r15): reference-LM quality filter — the CCNet shape (Wenzek
+    // et al. 2020, arXiv:1911.00359): train the n-gram LM on a TRUSTED
+    // reference split only (there Wikipedia; here sources src0–src2),
+    // then score EVERY document against it and keep the low-perplexity
+    // side. This is the piece x4h (self-trained, no split) cannot do:
+    // quality is defined relative to a curated distribution, and scoring
+    // must handle bigrams the reference never saw — stupid backoff
+    // (Brants et al. 2007): P(w2|w1) = cb/cu when the reference has the
+    // bigram, else 0.4 · P_uni(w2), both sides add-0.5 smoothed so the
+    // log is total.
+    //
+    // 100 TB posture (same as x4h): the LM stays a DISTRIBUTED table —
+    // bigram scores join on (w1,w2), the backoff marginal joins on w2,
+    // each with map-side partial aggregation in front; only the 1-row
+    // (total, vocab) certificate broadcasts. A production reference
+    // split is ~1% of the corpus, so training cost is a keyed shuffle
+    // over that slice, and scoring is two hash joins per corpus bigram.
+    Q("x4t_lm_filter",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val w = tokens
+        val n = size(w)
+        val refSrc = Seq("src0", "src1", "src2")
+        val bgAll = docs.select(col("doc_id"), col("source"),
+          explode(zip_with(slice(w, lit(1), n - 1), slice(w, lit(2), n - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("z"))
+          .select(col("doc_id"), col("source"),
+            col("z.w1").as("w1"), col("z.w2").as("w2"))
+        val ref = bgAll.filter(col("source").isin(refSrc: _*))
+        val cb = ref.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+        val cu = ref.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+        val refTok = docs.filter(col("source").isin(refSrc: _*))
+          .select(explode(w).as("t"))
+        val uni = refTok.groupBy(col("t")).agg(count(lit(1)).as("u"))
+          .withColumnRenamed("t", "w2")
+        val tot = refTok.agg(count(lit(1)).as("tt"),
+          countDistinct(col("t")).as("v"))
+        val docbg = bgAll.groupBy(col("doc_id"), col("w1"), col("w2"))
+          .agg(count(lit(1)).as("occ"))
+        val vD = col("v").cast(DoubleType)
+        val logp = when(col("cb").isNotNull,
+          log2((col("cb").cast(DoubleType) + lit(0.5)) /
+            (col("cu").cast(DoubleType) + lit(0.5) * vD)))
+          .otherwise(log2(lit(0.4) *
+            (coalesce(col("u"), lit(0L)).cast(DoubleType) + lit(0.5)) /
+            (col("tt").cast(DoubleType) + lit(0.5) * vD)))
+        docbg
+          .join(cb, Seq("w1", "w2"), "left")
+          .join(cu, Seq("w1"), "left")
+          .join(uni, Seq("w2"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"), col("occ"), logp.as("logp"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("occ")).as("n_bigrams"),
+            ((sum(col("occ").cast(DoubleType) * col("logp")) * lit(-1.0)) /
+              sum(col("occ")).cast(DoubleType)).as("bits"))
+          .select(col("doc_id"), col("n_bigrams"),
+            round(col("bits") * 10000).cast(LongType).as("bits_e4"),
+            (round(col("bits") * 10000).cast(LongType) <= lit(52000L)).as("keep"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        bg AS (SELECT doc_id, source, z[1] AS w1, z[2] AS w2
+               FROM (SELECT doc_id, source, unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS z FROM d)),
+        ref AS (SELECT * FROM bg WHERE source IN ('src0', 'src1', 'src2')),
+        cb AS (SELECT w1, w2, count(*) AS cb FROM ref GROUP BY 1, 2),
+        cu AS (SELECT w1, count(*) AS cu FROM ref GROUP BY 1),
+        rt AS (SELECT unnest(w) AS t FROM d WHERE source IN ('src0', 'src1', 'src2')),
+        uni AS (SELECT t AS w2, count(*) AS u FROM rt GROUP BY 1),
+        tot AS (SELECT count(*) AS tt, count(DISTINCT t) AS v FROM rt),
+        docbg AS (SELECT doc_id, w1, w2, count(*) AS occ FROM bg GROUP BY 1, 2, 3),
+        sc AS (SELECT doc_id, SUM(occ) AS nb,
+                 SUM(CAST(occ AS DOUBLE) * CASE WHEN cb.cb IS NOT NULL
+                   THEN log2((CAST(cb.cb AS DOUBLE) + 0.5) / (CAST(cu.cu AS DOUBLE) + 0.5 * CAST(tot.v AS DOUBLE)))
+                   ELSE log2(0.4 * (CAST(coalesce(uni.u, 0) AS DOUBLE) + 0.5) / (CAST(tot.tt AS DOUBLE) + 0.5 * CAST(tot.v AS DOUBLE))) END) AS slogp
+               FROM docbg LEFT JOIN cb USING (w1, w2) LEFT JOIN cu USING (w1) LEFT JOIN uni USING (w2) CROSS JOIN tot
+               GROUP BY doc_id)
+        SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams,
+          CAST(round((-slogp) / CAST(nb AS DOUBLE) * 10000) AS BIGINT) AS bits_e4,
+          CAST(round((-slogp) / CAST(nb AS DOUBLE) * 10000) AS BIGINT) <= 52000 AS keep
+        FROM sc""".stripMargin)),
+
+    // X4u (r15): per-source KL-divergence domain-shift card — the mixture
+    // designer's diagnostic (DoReMi/Pile-style weighting starts from
+    // exactly this table): for each source s, KL(p_s ‖ p_corpus) over the
+    // token unigram distributions, plus volume. High-KL sources are the
+    // distribution outliers a reweighting or a curriculum treats
+    // specially; KL ≈ 0 sources are interchangeable with the mix. Every
+    // source token occurs in the corpus by construction (q is a superset
+    // mixture of the p's), so the log is total with NO smoothing — the
+    // one divergence that needs none.
+    //
+    // 100 TB posture: two keyed token shuffles (per-(source,token) and
+    // per-token marginals, map-side combined), one broadcast of the
+    // source-totals frame (|sources| rows) and the 1-row corpus total;
+    // the KL sum reduces per source. The token-level join keys on t —
+    // the corpus marginal stays DISTRIBUTED (vocab-sized, not
+    // driver/broadcast) because a production vocab is 10⁷+ grams.
+    Q("x4u_kl_divergence",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("source"), explode(tokens).as("t"))
+        val st = tok.groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+        val srcTot = st.groupBy(col("source")).agg(sum(col("c")).as("cs"))
+        val ct = tok.groupBy(col("t")).agg(count(lit(1)).as("ct"))
+        val tot = tok.agg(count(lit(1)).as("ctot"))
+        val p = col("c").cast(DoubleType) / col("cs").cast(DoubleType)
+        val q = col("ct").cast(DoubleType) / col("ctot").cast(DoubleType)
+        st.join(ct, Seq("t"))
+          .join(broadcast(srcTot), Seq("source"))
+          .crossJoin(broadcast(tot))
+          .select(col("source"), col("cs"), (p * log2(p / q)).as("term"))
+          .groupBy(col("source"))
+          .agg(max(col("cs")).as("n_tokens"),
+            round(sum(col("term")) * 10000).cast(LongType).as("kl_e4"))
+          .select(col("source"), col("n_tokens"), col("kl_e4"))
+      },
+      Some("""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+        st AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        srct AS (SELECT source, CAST(SUM(c) AS BIGINT) AS cs FROM st GROUP BY 1),
+        ct AS (SELECT t, count(*) AS ct FROM tok GROUP BY 1),
+        tot AS (SELECT count(*) AS ctot FROM tok)
+        SELECT source, max(cs) AS n_tokens,
+          CAST(round(SUM((CAST(c AS DOUBLE) / CAST(cs AS DOUBLE)) *
+            log2((CAST(c AS DOUBLE) / CAST(cs AS DOUBLE)) /
+                 (CAST(ct AS DOUBLE) / CAST(ctot AS DOUBLE)))) * 10000) AS BIGINT) AS kl_e4
+        FROM st JOIN ct USING (t) JOIN srct USING (source) CROSS JOIN tot
+        GROUP BY source""".stripMargin)),
+
     // X4k: distributed BPE tokenizer TRAINING (Sennrich et al. 2016,
     // arXiv:1508.07909) — the missing piece between the token-counting
     // heuristics (x4c's whitespace+regex count) and a real subword

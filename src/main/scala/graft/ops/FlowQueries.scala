@@ -203,6 +203,79 @@ object FlowQueries {
         WHERE proto = 6 AND (tcp_flags & 2) <> 0 AND (tcp_flags & 16) = 0
         GROUP BY src_addr HAVING count(*) >= 2""".stripMargin)),
 
+    // QF9 (r15): k-anonymity audit — the privacy gate a flow archive runs
+    // before sharing/retention (Sweeney 2002, k-anonymity). Records are
+    // generalized to the quasi-identifier (src /24, dst /24, proto,
+    // dst_port); a record is k-exposed when its QI equivalence class
+    // holds fewer than k rows. Emits the audit card for k ∈ {2, 5, 10}:
+    // class count, violating classes, and rows exposed at that k.
+    //
+    // Scale posture: ONE keyed shuffle builds the class frame (map-side
+    // combine on the generalized tuple); the threshold sweep then runs
+    // over the class frame — QI-cardinality, orders of magnitude smaller
+    // than the flow table — so the 3× explode is on the small side.
+    Q("qf9_k_anonymity",
+      (s, d) => flows(s, d)
+        .select(
+          substring_index(col("src_addr"), ".", 3).as("src24"),
+          substring_index(col("dst_addr"), ".", 3).as("dst24"),
+          col("proto"), col("dst_port"))
+        .groupBy("src24", "dst24", "proto", "dst_port")
+        .agg(count(lit(1)).as("k"))
+        .select(explode(array(lit(2L), lit(5L), lit(10L))).as("k_threshold"),
+          col("k"))
+        .groupBy("k_threshold")
+        .agg(count(lit(1)).as("n_classes"),
+          sum(when(col("k") < col("k_threshold"), 1L).otherwise(0L))
+            .as("n_small_classes"),
+          sum(when(col("k") < col("k_threshold"), col("k")).otherwise(0L))
+            .as("n_exposed_rows")),
+      Some(s"""$FlowsCte,
+        cls AS (SELECT array_to_string(string_split(src_addr, '.')[1:3], '.') AS src24,
+            array_to_string(string_split(dst_addr, '.')[1:3], '.') AS dst24,
+            proto, dst_port, count(*) AS k
+          FROM flows GROUP BY 1, 2, 3, 4)
+        SELECT CAST(t.k_threshold AS BIGINT) AS k_threshold, count(*) AS n_classes,
+          CAST(SUM(CASE WHEN k < t.k_threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_small_classes,
+          CAST(SUM(CASE WHEN k < t.k_threshold THEN k ELSE 0 END) AS BIGINT) AS n_exposed_rows
+        FROM cls, (VALUES (2), (5), (10)) AS t(k_threshold) GROUP BY 1""".stripMargin)),
+
+    // QF10 (r15): destination fan-in + source entropy — the DDoS /
+    // amplification lens (complement of qf3's source fan-OUT): for each
+    // destination, how many distinct sources hit it and how CONCENTRATED
+    // the per-source flow distribution is. Low entropy + high fan-in =
+    // a few sources hammering (amplification); high entropy + high
+    // fan-in = broad botnet. Entropy in exact integer-derived form:
+    // H = log2(S) − Σ c·log2(c) / S over per-source flow counts c —
+    // both engines compute the identical expression, compared at e4.
+    //
+    // Scale posture: two-level aggregation — (dst, src) partial counts
+    // shuffle once with map-side combine, then re-key by dst (the
+    // classic fan-in shape that never materializes per-flow rows twice);
+    // top-15 via TakeOrdered, not a global sort.
+    Q("qf10_dst_fanin",
+      (s, d) => flows(s, d)
+        .groupBy("dst_addr", "src_addr").agg(count(lit(1)).as("c"))
+        .groupBy("dst_addr")
+        .agg(count(lit(1)).as("n_srcs"),
+          sum(col("c")).as("n_flows"),
+          (log2(sum(col("c")).cast(DoubleType)) -
+            sum(col("c").cast(DoubleType) * log2(col("c").cast(DoubleType))) /
+              sum(col("c")).cast(DoubleType)).as("h"))
+        .select(col("dst_addr"), col("n_srcs"), col("n_flows"),
+          round(col("h") * 10000).cast(LongType).as("src_entropy_e4"))
+        .orderBy(col("n_srcs").desc, col("dst_addr"))
+        .limit(15),
+      Some(s"""$FlowsCte,
+        ps AS (SELECT dst_addr, src_addr, count(*) AS c FROM flows GROUP BY 1, 2),
+        agg AS (SELECT dst_addr, count(*) AS n_srcs, CAST(SUM(c) AS BIGINT) AS n_flows,
+            log2(CAST(SUM(c) AS DOUBLE)) -
+              SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE) AS h
+          FROM ps GROUP BY 1)
+        SELECT dst_addr, n_srcs, n_flows,
+          CAST(round(h * 10000) AS BIGINT) AS src_entropy_e4
+        FROM agg ORDER BY n_srcs DESC, dst_addr LIMIT 15""".stripMargin)),
+
     // Skew-handled large×large join (100 TB posture): dst_port has 3 hot
     // keys carrying ~all rows — a plain shuffle join puts each hot key on
     // one reducer. Salting fans each hot key over 16 reducers: the left

@@ -560,6 +560,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x3t scores on a prefix slice; query side broadcasts; no sort-merge or cartesian") {
+    val plan = physical(Registry.queries("x3t_matryoshka")(spark, sf))
+    // no projection kernel — the shortlist scorer reads a SLICE of the
+    // stored vector (that absence is x3t's whole point vs x3s)
+    assert(!plan.contains("rp_project"), s"x3t must not project:\n$plan")
+    assert(plan.contains("slice"), s"prefix slice missing from plan:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), s"query side not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("x3s projects via the rp_project kernel; query side broadcasts; corpus never shuffles before shortlist") {
     val plan = physical(Registry.queries("x3s_rp_shortlist")(spark, sf))
     assert(plan.contains("rp_project"), s"kernel missing from plan:\n$plan")
