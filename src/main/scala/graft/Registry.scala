@@ -35,7 +35,8 @@ object Registry {
       ext.MultimodalQueries.defs ++
       ext.PipelineQueries.defs ++
       ext.DecontamQueries.defs ++
-      ext.LayoutQueries.defs
+      ext.LayoutQueries.defs ++
+      ext.SeriesQueries.defs
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

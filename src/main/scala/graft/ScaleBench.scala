@@ -149,6 +149,12 @@ object ScaleBench {
       // quality-filter-at-ingest: all four continuous ingest shapes are
       // now tier-gated; pure per-row map, the streaming linear control
       "q52h_stream_quality_ingest",
+      // r15 series kNN: 30× replication multiplies every user's event
+      // HISTORY, not the user count — the ratio proves the first-N
+      // row_number prune caps per-series work before any array
+      // materializes (collect-then-slice would carry 30× histories
+      // through the shuffle)
+      "x11_series_knn",
       // r15 containment dedup: the 30-copy exact-dup groups collapse to
       // base-sized representatives in front of the prefix-filter join —
       // the ratio proves the inverted-index probe inherits the collapse

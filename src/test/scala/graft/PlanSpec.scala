@@ -560,6 +560,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x11 prunes to first-N per user before any array; query side broadcasts") {
+    val plan = physical(Registry.queries("x11_series_knn")(spark, sf))
+    assert(plan.contains("row_number"), s"first-N prune missing:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), s"query side not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("x3t scores on a prefix slice; query side broadcasts; no sort-merge or cartesian") {
     val plan = physical(Registry.queries("x3t_matryoshka")(spark, sf))
     // no projection kernel — the shortlist scorer reads a SLICE of the
