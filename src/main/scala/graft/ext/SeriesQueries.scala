@@ -41,10 +41,12 @@ object SeriesQueries {
   private val NQ = 4          // query series = the NQ smallest user_ids
 
   /** Per-user z-normalized length-N series + PAA sketch from an events
-    * frame (user_id, ts, event_id, value). Package-private so
-    * SeriesKnnSpec can plant series the fixture lacks.
+    * frame (user_id, ts, event_id, value). private[graft]: SeriesKnnSpec
+    * plants series the fixture lacks, and PlanSpec asserts the first-N
+    * prune on THIS frame's plan (the kNN stage's own row_number windows
+    * would make the same assert on the full plan vacuous — r15 review).
     */
-  private[ext] def seriesFrame(events: DataFrame): DataFrame = {
+  private[graft] def seriesFrame(events: DataFrame): DataFrame = {
     // first-N prune BEFORE the array build: row_number caps every user's
     // contribution at N rows, so no unbounded per-user list is ever
     // materialized (a collect-then-slice would carry the user's whole
@@ -93,14 +95,24 @@ object SeriesQueries {
       .select(col("user_id").as("q_user"), col("z").as("q_z"), col("paa").as("q_paa"))
     val c = sf.select(col("user_id").as("c_user"), col("z").as("c_z"),
       col("paa").as("c_paa"))
-    // PAA lower bound: width · Σ(seg means diff)² ≤ true d² (Keogh 2001)
-    val scored = c.join(broadcast(q), col("q_user") =!= col("c_user"))
-      .select(col("q_user"), col("c_user"), col("q_z"), col("c_z"),
+    // PAA lower bound: width · Σ(seg means diff)² ≤ true d² (Keogh 2001).
+    // The shortlist stage carries ONLY (ids, dpaa) — the full z vectors
+    // join back for shortlisted rows alone (the x3s/x3h device; hauling
+    // z through the all-pairs frame and its shortlist shuffle would move
+    // ~N/Segs× more bytes than the sketch scan this stage exists to be)
+    val scored = c.drop("c_z").join(
+        broadcast(q.select(col("q_user"), col("q_paa"))),
+        col("q_user") =!= col("c_user"))
+      .select(col("q_user"), col("c_user"),
         (d2(col("q_paa"), col("c_paa")) * lit((N / Segs).toDouble)).as("dpaa"))
     val wS = Window.partitionBy(col("q_user"))
       .orderBy(col("dpaa").asc, col("c_user"))
     val short = scored.withColumn("paa_rank", row_number().over(wS))
       .where(col("paa_rank") <= Shortlist)
+      .select(col("q_user"), col("c_user"), col("paa_rank"))
+      .join(broadcast(q.select(col("q_user"), col("q_z"))), Seq("q_user"))
+      .join(sf.select(col("user_id").as("c_user"), col("z").as("c_z")),
+        Seq("c_user"))
       .select(col("q_user"), col("c_user"), col("paa_rank"),
         d2(col("q_z"), col("c_z")).as("dist2"))
     val wR = Window.partitionBy(col("q_user"))
@@ -140,7 +152,7 @@ object SeriesQueries {
       FROM sums WHERE s2 * $N - s1 * s1 > 0),
     sf AS (SELECT user_id, z,
         list_transform(generate_series(0, ${Segs - 1}), j ->
-          (z[4*j + 1] + z[4*j + 2] + z[4*j + 3] + z[4*j + 4]) / 4.0) AS paa
+          (${(0 until N / Segs).map(o => s"z[${N / Segs}*j + ${o + 1}]").mkString(" + ")}) / ${N / Segs}.0) AS paa
       FROM zf)"""
 
   private def sqlD2(a: String, b: String): String =

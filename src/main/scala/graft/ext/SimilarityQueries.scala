@@ -1031,6 +1031,48 @@ object SimilarityQueries {
       shortlist = RpShortlist, rankCol = "rp_rank")
   }
 
+  /** The shared sketch-shortlist + exact-rerank + recall-annotation
+    * scaffold behind x3s and x3t (the Spark-side mirror of
+    * [[pqRerankOracleFrom]], extracted per the r15 review — the two
+    * rankers are documented as directly comparable, so their serving
+    * scaffold must be ONE definition): `sketch` maps the quantized
+    * vector column to the per-vector sketch the shortlist stage scores
+    * (x3s: rp_project; x3t: a prefix slice); cosine over sketches
+    * proposes a `depth`-deep shortlist, full vectors join back for
+    * shortlisted rows only, exact quantized-cosine rerank to top-5,
+    * `in_exact_top5` annotated against the brute truth set.
+    */
+  private def sketchShortlistRerank(s: SparkSession, d: String,
+      sketch: Column => Column, rankCol: String, depth: Int): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), quant(col("embedding")).as("qe"))
+    val p = e.select(col("vec_id"), sketch(col("qe")).as("sv"))
+    val q = p.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("sv").as("q_sv"))
+    val scored = p.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        qcos(col("q_sv"), col("sv")).as("approx_cos"))
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_cos").desc, col("c_id"))
+    val short = scored.withColumn(rankCol, row_number().over(wr))
+      .filter(col(rankCol) <= depth)
+      .select(col("q_id"), col("c_id"), col(rankCol))
+    val qe8 = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("qe").as("q_emb"))
+    val shortQ = short.join(broadcast(qe8), "q_id")
+    val rr = e.select(col("vec_id").as("c_id"), col("qe").as("c_emb"))
+      .join(broadcast(shortQ), "c_id")
+      .select(col("q_id"), col("c_id"), col(rankCol),
+        qcos(col("q_emb"), col("c_emb")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    val top = rr.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+    val exact = bruteKnn(s, d, nQueries = 8, k = 5)
+      .select(col("q_id"), col("c_id"), lit(true).as("hit"))
+    top.join(broadcast(exact), Seq("q_id", "c_id"), "left")
+      .select(col("q_id"), col("rank"), col("c_id"), col("cos"),
+        col(rankCol), coalesce(col("hit"), lit(false)).as("in_exact_top5"))
+  }
+
   /** x3t oracle: prefix-slice shortlist replayed with DuckDB list
     * slicing (`qe[1:16]`) — same rerank/recall scaffold as x3s/x3h.
     */
@@ -1929,39 +1971,9 @@ object SimilarityQueries {
     // See [[RpOutDim]] for the measured recall geometry on this
     // (worst-case, random-uniform) fixture.
     Q("x3s_rp_shortlist",
-      (s, d) => {
-        val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), quant(col("embedding")).as("qe"))
-        val p = e.select(col("vec_id"),
-          graft.functions.Kernels.rp_project(col("qe"), RpPlanesFlat).as("pv"))
-        val q = p.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("q_id"), col("pv").as("q_pv"))
-        val scored = p.join(broadcast(q), col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id").as("c_id"),
-            (qdot(col("q_pv"), col("pv")).cast(DoubleType) /
-              (sqrt(qdot(col("q_pv"), col("q_pv")).cast(DoubleType)) *
-                sqrt(qdot(col("pv"), col("pv")).cast(DoubleType))))
-              .as("approx_cos"))
-        val wr = Window.partitionBy(col("q_id"))
-          .orderBy(col("approx_cos").desc, col("c_id"))
-        val short = scored.withColumn("rp_rank", row_number().over(wr))
-          .filter(col("rp_rank") <= RpShortlist)
-          .select(col("q_id"), col("c_id"), col("rp_rank"))
-        val qe8 = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("q_id"), col("qe").as("q_emb"))
-        val shortQ = short.join(broadcast(qe8), "q_id")
-        val rr = e.select(col("vec_id").as("c_id"), col("qe").as("c_emb"))
-          .join(broadcast(shortQ), "c_id")
-          .select(col("q_id"), col("c_id"), col("rp_rank"),
-            qcos(col("q_emb"), col("c_emb")).as("cos"))
-        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-        val top = rr.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
-        val exact = bruteKnn(s, d, nQueries = 8, k = 5)
-          .select(col("q_id"), col("c_id"), lit(true).as("hit"))
-        top.join(broadcast(exact), Seq("q_id", "c_id"), "left")
-          .select(col("q_id"), col("rank"), col("c_id"), col("cos"),
-            col("rp_rank"), coalesce(col("hit"), lit(false)).as("in_exact_top5"))
-      },
+      (s, d) => sketchShortlistRerank(s, d,
+        sketch = qe => graft.functions.Kernels.rp_project(qe, RpPlanesFlat),
+        rankCol = "rp_rank", depth = RpShortlist),
       Some(rpShortlistOracleSql)),
 
     // X3t (r15): MATRYOSHKA prefix-dimension shortlist + exact rerank —
@@ -1979,38 +1991,9 @@ object SimilarityQueries {
     // streams once through the prefix scorer, full vectors touched only
     // for shortlist rows.
     Q("x3t_matryoshka",
-      (s, d) => {
-        val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), quant(col("embedding")).as("qe"))
-        val p = e.select(col("vec_id"), slice(col("qe"), 1, MrPrefixDim).as("mr"))
-        val q = p.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("q_id"), col("mr").as("q_mr"))
-        val scored = p.join(broadcast(q), col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id").as("c_id"),
-            (qdot(col("q_mr"), col("mr")).cast(DoubleType) /
-              (sqrt(qdot(col("q_mr"), col("q_mr")).cast(DoubleType)) *
-                sqrt(qdot(col("mr"), col("mr")).cast(DoubleType))))
-              .as("approx_cos"))
-        val wr = Window.partitionBy(col("q_id"))
-          .orderBy(col("approx_cos").desc, col("c_id"))
-        val short = scored.withColumn("mr_rank", row_number().over(wr))
-          .filter(col("mr_rank") <= MrShortlist)
-          .select(col("q_id"), col("c_id"), col("mr_rank"))
-        val qe8 = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("q_id"), col("qe").as("q_emb"))
-        val shortQ = short.join(broadcast(qe8), "q_id")
-        val rr = e.select(col("vec_id").as("c_id"), col("qe").as("c_emb"))
-          .join(broadcast(shortQ), "c_id")
-          .select(col("q_id"), col("c_id"), col("mr_rank"),
-            qcos(col("q_emb"), col("c_emb")).as("cos"))
-        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-        val top = rr.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
-        val exact = bruteKnn(s, d, nQueries = 8, k = 5)
-          .select(col("q_id"), col("c_id"), lit(true).as("hit"))
-        top.join(broadcast(exact), Seq("q_id", "c_id"), "left")
-          .select(col("q_id"), col("rank"), col("c_id"), col("cos"),
-            col("mr_rank"), coalesce(col("hit"), lit(false)).as("in_exact_top5"))
-      },
+      (s, d) => sketchShortlistRerank(s, d,
+        sketch = qe => slice(qe, 1, MrPrefixDim),
+        rankCol = "mr_rank", depth = MrShortlist),
       Some(mrShortlistOracleSql)),
 
     // X3d: kNN majority-vote label prediction over the exact top-10.

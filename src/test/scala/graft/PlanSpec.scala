@@ -561,8 +561,14 @@ class PlanSpec extends SparkSpec {
   }
 
   test("x11 prunes to first-N per user before any array; query side broadcasts") {
+    // assert the prune on the series-build frame ALONE: the kNN stage's
+    // shortlist/rerank windows also plan row_number, so the same check
+    // on the full plan would pass even with the prune deleted
+    val build = physical(
+      ext.SeriesQueries.seriesFrame(Tables.events(spark, sf)))
+    assert(build.contains("row_number"), s"first-N prune missing:\n$build")
+    assert(build.contains("collect_list"), build)
     val plan = physical(Registry.queries("x11_series_knn")(spark, sf))
-    assert(plan.contains("row_number"), s"first-N prune missing:\n$plan")
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastHashJoin"), s"query side not broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
