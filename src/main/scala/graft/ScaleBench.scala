@@ -149,6 +149,16 @@ object ScaleBench {
       // quality-filter-at-ingest: all four continuous ingest shapes are
       // now tier-gated; pure per-row map, the streaming linear control
       "q52h_stream_quality_ingest",
+      // r15 LM filter at ingest: the LM trains once from the 30× corpus's
+      // reference split, batches score against the pinned frames — the
+      // ratio proves per-batch cost tracks the batch's bigrams and the
+      // pinned LM join doesn't degrade as both sides grow
+      "q52s_stream_lm_filter",
+      // r15 elastic series kNN: the LB_Keogh pass is one sequential scan
+      // per (query, candidate) and the DP kernel runs on shortlist rows
+      // plus the linear truth arm — the ratio proves the lower bound
+      // keeps the O(n·band) DP off the full candidate set
+      "x11b_dtw_knn",
       // r15 series kNN: 30× replication multiplies every user's event
       // HISTORY, not the user count — the ratio proves the first-N
       // row_number prune caps per-series work before any array
@@ -175,6 +185,14 @@ object ScaleBench {
       // pass — strictly less work than x3s (no projection kernel), gated
       // beside it so the two approximate rankers stay comparable
       "x3t_matryoshka",
+      // r15 windowFunnel: two forward as-of passes over 30× the events —
+      // the ratio proves the sort-merge as-of keeps its one-streamed-pass
+      // shape when anchors and steps both grow (a pair-exploding range
+      // join would go quadratic in the per-user event density)
+      "qf11_window_funnel",
+      // r15 retention: one user-keyed aggregation, no joins — the flows
+      // family's linear control
+      "qf12_retention",
       // r15 flows k-anonymity: one keyed shuffle to the QI class frame,
       // threshold sweep over classes only — the ratio proves the sweep
       // never re-keys the flow table

@@ -137,7 +137,9 @@ object SeriesQueries {
 
   /** DuckDB CTE producing the identical series frame: list(... ORDER BY)
     * for the deterministic window, integer power sums, the same z/PAA
-    * expression text, `list_reduce` for the sequential folds.
+    * expression text, `list_reduce` for the sequential folds. The body
+    * (sans WITH) is shared with x11b's oracle, which needs the
+    * WITH RECURSIVE form for its DP replay.
     */
   private val SeriesCte: String = s"""WITH pts AS (
       SELECT user_id, (list(CAST(round(value*100) AS BIGINT) ORDER BY ts, event_id))[1:$N] AS vc
@@ -180,9 +182,152 @@ object SeriesQueries {
       coalesce(ex.hit, false) AS in_exact_top3
     FROM top LEFT JOIN ex ON top.q_user = ex.q_user AND top.c_user = ex.c_user"""
 
+  // ---- x11b: LB_Keogh shortlist + banded-DTW rerank (the UCR-suite
+  // serving shape: Keogh & Ratanamahatana 2005) ----
+
+  private val DtwR = 4          // Sakoe–Chiba band (± points)
+  private val DtwShortlist = 12 // LB_Keogh shortlist depth
+
+  /** Query-side warping envelope over z: U_i / L_i = max / min of
+    * z[i−r .. i+r] — exact (max/min of doubles round nothing).
+    */
+  private def envelope(z: Column, agg: Column => Column): Column =
+    transform(sequence(lit(1), lit(N)), i => {
+      val lo = greatest(lit(1), i - DtwR)
+      val hi = least(lit(N), i + DtwR)
+      agg(slice(z, lo, hi - lo + lit(1)))
+    })
+
+  /** LB_Keogh(Q, C) = Σ_i dist(c_i, [L_i, U_i]) under the |·| cost —
+    * provably ≤ banded DTW with the same band, so the shortlist loses
+    * nothing it doesn't declare (recall annotated like the ANN family).
+    */
+  private def lbKeogh(cz: Column, uEnv: Column, lEnv: Column): Column = {
+    val env = zip_with(uEnv, lEnv, (u, l) => struct(u.as("u"), l.as("l")))
+    val pen = zip_with(cz, env, (c, e) =>
+      when(c > e.getField("u"), c - e.getField("u"))
+        .when(c < e.getField("l"), e.getField("l") - c)
+        .otherwise(lit(0.0)))
+    aggregate(pen, lit(0.0), (acc, x) => acc + x)
+  }
+
+  /** The elastic-distance serving plan: LB_Keogh shortlist (ids only
+    * cross the shortlist shuffle), one [[graft.functions.DtwBand]]
+    * kernel call per shortlisted pair, exact top-K, recall annotated
+    * against the all-candidate DTW truth set.
+    */
+  private[ext] def dtwKnn(sf: DataFrame): DataFrame = {
+    val ranked = sf.withColumn("qrank",
+      row_number().over(Window.orderBy(col("user_id"))))
+    val q = ranked.where(col("qrank") <= NQ)
+      .select(col("user_id").as("q_user"), col("z").as("q_z"),
+        envelope(col("z"), array_max).as("u_env"),
+        envelope(col("z"), array_min).as("l_env"))
+    val c = sf.select(col("user_id").as("c_user"), col("z").as("c_z"))
+    val scored = c.join(broadcast(q.select(col("q_user"), col("u_env"), col("l_env"))),
+        col("q_user") =!= col("c_user"))
+      .select(col("q_user"), col("c_user"),
+        lbKeogh(col("c_z"), col("u_env"), col("l_env")).as("lb"))
+    val wS = Window.partitionBy(col("q_user")).orderBy(col("lb").asc, col("c_user"))
+    val short = scored.withColumn("lb_rank", row_number().over(wS))
+      .where(col("lb_rank") <= DtwShortlist)
+      .select(col("q_user"), col("c_user"), col("lb_rank"))
+      .join(broadcast(q.select(col("q_user"), col("q_z"))), Seq("q_user"))
+      .join(c, Seq("c_user"))
+      .select(col("q_user"), col("c_user"), col("lb_rank"),
+        graft.functions.Kernels.dtw_band(col("q_z"), col("c_z"), DtwR).as("dtw"))
+    val wR = Window.partitionBy(col("q_user")).orderBy(col("dtw").asc, col("c_user"))
+    val top = short.withColumn("rank", row_number().over(wR)).where(col("rank") <= K)
+    val exact = c.join(broadcast(q.select(col("q_user"), col("q_z"))),
+        col("q_user") =!= col("c_user"))
+      .select(col("q_user"), col("c_user"),
+        graft.functions.Kernels.dtw_band(col("q_z"), col("c_z"), DtwR).as("ed"))
+      .withColumn("erank", row_number().over(
+        Window.partitionBy(col("q_user")).orderBy(col("ed").asc, col("c_user"))))
+      .where(col("erank") <= K)
+      .select(col("q_user"), col("c_user"), lit(true).as("hit"))
+    top.join(broadcast(exact), Seq("q_user", "c_user"), "left")
+      .select(col("q_user"), col("rank"), col("c_user"),
+        round(col("dtw") * 10000).cast(LongType).as("dtw_e4"),
+        col("lb_rank"),
+        coalesce(col("hit"), lit(false)).as("in_exact_top3"))
+  }
+
+  /** x11b oracle: the DP replayed CELL BY CELL in a recursive CTE (one
+    * iteration per DP cell, state = previous + growing current row as
+    * list columns) — DuckDB 1.0's `list_reduce` has no init form and no
+    * nested-lambda capture, so the recursion is the only sequential-fold
+    * surface that can express the left-to-right cell dependency. The
+    * arithmetic per cell is the kernel's, literally: |a_i−b_j| +
+    * least(d[i−1][j], d[i][j−1], d[i−1][j−1]), 1e30 band sentinel, one
+    * rounding per cell — bit-identical doubles.
+    */
+  private def dtwOracle: String = {
+    val nn = N * N
+    s"""WITH RECURSIVE ${SeriesCte.stripPrefix("WITH ")},
+    q AS (SELECT user_id AS q_user, z AS q_z,
+        list_transform(generate_series(1, $N), i -> list_max(q0.z[greatest(1, i - $DtwR):least($N, i + $DtwR)])) AS u_env,
+        list_transform(generate_series(1, $N), i -> list_min(q0.z[greatest(1, i - $DtwR):least($N, i + $DtwR)])) AS l_env
+      FROM (SELECT *, row_number() OVER (ORDER BY user_id) AS qrank FROM sf) q0
+      WHERE qrank <= $NQ),
+    allp AS (SELECT q_user, c.user_id AS c_user, q_z AS a, c.z AS b,
+        list_reduce(list_transform(generate_series(1, $N), i ->
+          CASE WHEN c.z[i] > u_env[i] THEN c.z[i] - u_env[i]
+               WHEN c.z[i] < l_env[i] THEN l_env[i] - c.z[i]
+               ELSE 0.0 END), (acc, x) -> acc + x) AS lb
+      FROM q JOIN sf c ON c.user_id <> q.q_user),
+    dp AS (
+      SELECT q_user, c_user, a, b, 0 AS k,
+        list_prepend(0.0, list_transform(generate_series(1, $N), x -> 1e30)) AS prev,
+        [1e30]::DOUBLE[] AS cur
+      FROM allp
+      UNION ALL
+      SELECT q_user, c_user, a, b, k + 1,
+        CASE WHEN j = $N THEN list_append(cur, cell) ELSE prev END,
+        CASE WHEN j = $N THEN [1e30]::DOUBLE[] ELSE list_append(cur, cell) END
+      FROM (
+        SELECT q_user, c_user, a, b, k, prev, cur, (k % $N) + 1 AS j,
+          CASE WHEN abs((k // $N + 1) - ((k % $N) + 1)) > $DtwR THEN 1e30
+               ELSE abs(a[k // $N + 1] - b[(k % $N) + 1]) +
+                    least(prev[(k % $N) + 2], cur[(k % $N) + 1], prev[(k % $N) + 1]) END AS cell
+        FROM dp WHERE k < $nn)),
+    d AS (SELECT q_user, c_user, prev[$N + 1] AS dtw FROM dp WHERE k = $nn),
+    short AS (SELECT q_user, c_user, lb_rank FROM
+      (SELECT q_user, c_user, row_number() OVER (PARTITION BY q_user ORDER BY lb ASC, c_user) AS lb_rank FROM allp)
+      WHERE lb_rank <= $DtwShortlist),
+    top AS (SELECT * FROM
+      (SELECT s.q_user, s.c_user, s.lb_rank, d.dtw,
+         row_number() OVER (PARTITION BY s.q_user ORDER BY d.dtw ASC, s.c_user) AS rank
+       FROM short s JOIN d ON d.q_user = s.q_user AND d.c_user = s.c_user)
+      WHERE rank <= $K),
+    ex AS (SELECT q_user, c_user, true AS hit FROM
+      (SELECT q_user, c_user, row_number() OVER (PARTITION BY q_user ORDER BY dtw ASC, c_user) AS erank FROM d)
+      WHERE erank <= $K)
+    SELECT top.q_user, CAST(top.rank AS INTEGER) AS rank, top.c_user,
+      CAST(round(top.dtw * 10000) AS BIGINT) AS dtw_e4,
+      CAST(top.lb_rank AS INTEGER) AS lb_rank,
+      coalesce(ex.hit, false) AS in_exact_top3
+    FROM top LEFT JOIN ex ON top.q_user = ex.q_user AND top.c_user = ex.c_user"""
+  }
+
   def defs: Seq[Q] = Seq(
     Q("x11_series_knn",
       (s, d) => seriesKnn(seriesFrame(Tables.events(s, d))),
-      Some(KnnOracle))
+      Some(KnnOracle)),
+
+    // X11b (r15): ELASTIC top-k — banded DTW with the LB_Keogh
+    // lower-bound shortlist, the UCR-suite serving shape (Keogh &
+    // Ratanamahatana 2005): the envelope lower bound is computed from
+    // the broadcast query side only, candidates cross the shortlist
+    // shuffle as (ids, lb), and the O(n·band) DP kernel
+    // ([[graft.functions.DtwBand]] — the custom-Expression tier: an
+    // imperative recurrence no declarative operator expresses) runs
+    // once per SHORTLISTED pair plus the annotated truth arm. At 100 TB
+    // the lower bound is the whole economics: LB_Keogh is one
+    // sequential pass per pair vs the DP's n·band, and it prunes before
+    // any full-series shuffle.
+    Q("x11b_dtw_knn",
+      (s, d) => dtwKnn(seriesFrame(Tables.events(s, d))),
+      Some(dtwOracle))
   )
 }

@@ -85,6 +85,101 @@ object TextQueries {
                ELSE 'kept' END AS drop_rule
           FROM m)"""
 
+  /** The frozen reference-LM asset behind x4t and its streaming face
+    * q52s: bigram counts, context counts, the backoff unigram marginal,
+    * and the 1-row (total tokens, vocab) certificate — all trained from
+    * the TRUSTED source split only. Every frame is a DataFrame because
+    * at corpus scale the LM is a distributed table (a production vocab
+    * is 10⁷+ grams), never a broadcast map.
+    */
+  private[graft] case class RefLm(cb: DataFrame, cu: DataFrame,
+      uni: DataFrame, tot: DataFrame) {
+    def frames: Seq[DataFrame] = Seq(cb, cu, uni, tot)
+  }
+
+  private[graft] val RefLmSources = Seq("src0", "src1", "src2")
+
+  /** Per-doc bigram explode of a (doc_id, [source,] text) frame. */
+  private def bigrams(docs: DataFrame): DataFrame = {
+    val w = tokens
+    val n = size(w)
+    val carried = docs.columns.filter(_ != "text").map(col).toSeq
+    docs.select(carried :+
+      explode(zip_with(slice(w, lit(1), n - 1), slice(w, lit(2), n - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("z"): _*)
+      .select(carried :+ col("z.w1").as("w1") :+ col("z.w2").as("w2"): _*)
+  }
+
+  /** Train the stupid-backoff bigram LM from `docs`' reference split. */
+  private[graft] def trainRefLm(docs: DataFrame): RefLm = {
+    val ref = bigrams(docs.select(col("doc_id"), col("source"), col("text")))
+      .filter(col("source").isin(RefLmSources: _*))
+    val cb = ref.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cu = ref.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val refTok = docs.filter(col("source").isin(RefLmSources: _*))
+      .select(explode(tokens).as("t"))
+    val uni = refTok.groupBy(col("t")).agg(count(lit(1)).as("u"))
+      .withColumnRenamed("t", "w2")
+    val tot = refTok.agg(count(lit(1)).as("tt"), countDistinct(col("t")).as("v"))
+    RefLm(cb, cu, uni, tot)
+  }
+
+  /** Score every multi-token document in `docs` against the frozen LM:
+    * P(w2|w1) = add-0.5-smoothed bigram when the reference saw it, else
+    * stupid backoff 0.4·P_uni(w2) — total by construction, so every doc
+    * gets a finite bits-per-bigram and the keep verdict at 5.2 bits.
+    */
+  private[graft] def lmScore(docs: DataFrame, lm: RefLm): DataFrame = {
+    val docbg = bigrams(docs.select(col("doc_id"), col("text")))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("occ"))
+    val vD = col("v").cast(DoubleType)
+    val logp = when(col("cb").isNotNull,
+      log2((col("cb").cast(DoubleType) + lit(0.5)) /
+        (col("cu").cast(DoubleType) + lit(0.5) * vD)))
+      .otherwise(log2(lit(0.4) *
+        (coalesce(col("u"), lit(0L)).cast(DoubleType) + lit(0.5)) /
+        (col("tt").cast(DoubleType) + lit(0.5) * vD)))
+    docbg
+      .join(lm.cb, Seq("w1", "w2"), "left")
+      .join(lm.cu, Seq("w1"), "left")
+      .join(lm.uni, Seq("w2"), "left")
+      .crossJoin(broadcast(lm.tot))
+      .select(col("doc_id"), col("occ"), logp.as("logp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("occ")).as("n_bigrams"),
+        ((sum(col("occ").cast(DoubleType) * col("logp")) * lit(-1.0)) /
+          sum(col("occ")).cast(DoubleType)).as("bits"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("bits") * 10000).cast(LongType).as("bits_e4"),
+        (round(col("bits") * 10000).cast(LongType) <= lit(52000L)).as("keep"))
+  }
+
+  /** x4t's oracle — shared verbatim by q52s (the streamed corpus IS the
+    * standing corpus, so stream-score ≡ batch-score under the hash gate).
+    */
+  private[graft] val LmFilterOracle: String =
+    """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        bg AS (SELECT doc_id, source, z[1] AS w1, z[2] AS w2
+               FROM (SELECT doc_id, source, unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS z FROM d)),
+        ref AS (SELECT * FROM bg WHERE source IN ('src0', 'src1', 'src2')),
+        cb AS (SELECT w1, w2, count(*) AS cb FROM ref GROUP BY 1, 2),
+        cu AS (SELECT w1, count(*) AS cu FROM ref GROUP BY 1),
+        rt AS (SELECT unnest(w) AS t FROM d WHERE source IN ('src0', 'src1', 'src2')),
+        uni AS (SELECT t AS w2, count(*) AS u FROM rt GROUP BY 1),
+        tot AS (SELECT count(*) AS tt, count(DISTINCT t) AS v FROM rt),
+        docbg AS (SELECT doc_id, w1, w2, count(*) AS occ FROM bg GROUP BY 1, 2, 3),
+        sc AS (SELECT doc_id, SUM(occ) AS nb,
+                 SUM(CAST(occ AS DOUBLE) * CASE WHEN cb.cb IS NOT NULL
+                   THEN log2((CAST(cb.cb AS DOUBLE) + 0.5) / (CAST(cu.cu AS DOUBLE) + 0.5 * CAST(tot.v AS DOUBLE)))
+                   ELSE log2(0.4 * (CAST(coalesce(uni.u, 0) AS DOUBLE) + 0.5) / (CAST(tot.tt AS DOUBLE) + 0.5 * CAST(tot.v AS DOUBLE))) END) AS slogp
+               FROM docbg LEFT JOIN cb USING (w1, w2) LEFT JOIN cu USING (w1) LEFT JOIN uni USING (w2) CROSS JOIN tot
+               GROUP BY doc_id)
+        SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams,
+          CAST(round((-slogp) / CAST(nb AS DOUBLE) * 10000) AS BIGINT) AS bits_e4,
+          CAST(round((-slogp) / CAST(nb AS DOUBLE) * 10000) AS BIGINT) <= 52000 AS keep
+        FROM sc"""
+
   def defs: Seq[Q] = Seq(
     // X4: corpus-profile language ID. score(doc, lang) = Σ_tok count_corpus
     // (lang, tok) over the doc's token multiset (integer naive-Bayes-ish
@@ -440,66 +535,9 @@ object TextQueries {
     Q("x4t_lm_filter",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val w = tokens
-        val n = size(w)
-        val refSrc = Seq("src0", "src1", "src2")
-        val bgAll = docs.select(col("doc_id"), col("source"),
-          explode(zip_with(slice(w, lit(1), n - 1), slice(w, lit(2), n - 1),
-            (a, b) => struct(a.as("w1"), b.as("w2")))).as("z"))
-          .select(col("doc_id"), col("source"),
-            col("z.w1").as("w1"), col("z.w2").as("w2"))
-        val ref = bgAll.filter(col("source").isin(refSrc: _*))
-        val cb = ref.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-        val cu = ref.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
-        val refTok = docs.filter(col("source").isin(refSrc: _*))
-          .select(explode(w).as("t"))
-        val uni = refTok.groupBy(col("t")).agg(count(lit(1)).as("u"))
-          .withColumnRenamed("t", "w2")
-        val tot = refTok.agg(count(lit(1)).as("tt"),
-          countDistinct(col("t")).as("v"))
-        val docbg = bgAll.groupBy(col("doc_id"), col("w1"), col("w2"))
-          .agg(count(lit(1)).as("occ"))
-        val vD = col("v").cast(DoubleType)
-        val logp = when(col("cb").isNotNull,
-          log2((col("cb").cast(DoubleType) + lit(0.5)) /
-            (col("cu").cast(DoubleType) + lit(0.5) * vD)))
-          .otherwise(log2(lit(0.4) *
-            (coalesce(col("u"), lit(0L)).cast(DoubleType) + lit(0.5)) /
-            (col("tt").cast(DoubleType) + lit(0.5) * vD)))
-        docbg
-          .join(cb, Seq("w1", "w2"), "left")
-          .join(cu, Seq("w1"), "left")
-          .join(uni, Seq("w2"), "left")
-          .crossJoin(broadcast(tot))
-          .select(col("doc_id"), col("occ"), logp.as("logp"))
-          .groupBy(col("doc_id"))
-          .agg(sum(col("occ")).as("n_bigrams"),
-            ((sum(col("occ").cast(DoubleType) * col("logp")) * lit(-1.0)) /
-              sum(col("occ")).cast(DoubleType)).as("bits"))
-          .select(col("doc_id"), col("n_bigrams"),
-            round(col("bits") * 10000).cast(LongType).as("bits_e4"),
-            (round(col("bits") * 10000).cast(LongType) <= lit(52000L)).as("keep"))
+        lmScore(docs, trainRefLm(docs))
       },
-      Some("""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
-        bg AS (SELECT doc_id, source, z[1] AS w1, z[2] AS w2
-               FROM (SELECT doc_id, source, unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS z FROM d)),
-        ref AS (SELECT * FROM bg WHERE source IN ('src0', 'src1', 'src2')),
-        cb AS (SELECT w1, w2, count(*) AS cb FROM ref GROUP BY 1, 2),
-        cu AS (SELECT w1, count(*) AS cu FROM ref GROUP BY 1),
-        rt AS (SELECT unnest(w) AS t FROM d WHERE source IN ('src0', 'src1', 'src2')),
-        uni AS (SELECT t AS w2, count(*) AS u FROM rt GROUP BY 1),
-        tot AS (SELECT count(*) AS tt, count(DISTINCT t) AS v FROM rt),
-        docbg AS (SELECT doc_id, w1, w2, count(*) AS occ FROM bg GROUP BY 1, 2, 3),
-        sc AS (SELECT doc_id, SUM(occ) AS nb,
-                 SUM(CAST(occ AS DOUBLE) * CASE WHEN cb.cb IS NOT NULL
-                   THEN log2((CAST(cb.cb AS DOUBLE) + 0.5) / (CAST(cu.cu AS DOUBLE) + 0.5 * CAST(tot.v AS DOUBLE)))
-                   ELSE log2(0.4 * (CAST(coalesce(uni.u, 0) AS DOUBLE) + 0.5) / (CAST(tot.tt AS DOUBLE) + 0.5 * CAST(tot.v AS DOUBLE))) END) AS slogp
-               FROM docbg LEFT JOIN cb USING (w1, w2) LEFT JOIN cu USING (w1) LEFT JOIN uni USING (w2) CROSS JOIN tot
-               GROUP BY doc_id)
-        SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams,
-          CAST(round((-slogp) / CAST(nb AS DOUBLE) * 10000) AS BIGINT) AS bits_e4,
-          CAST(round((-slogp) / CAST(nb AS DOUBLE) * 10000) AS BIGINT) <= 52000 AS keep
-        FROM sc""".stripMargin)),
+      Some(LmFilterOracle)),
 
     // X4u (r15): per-source KL-divergence domain-shift card — the mixture
     // designer's diagnostic (DoReMi/Pile-style weighting starts from

@@ -46,6 +46,51 @@ object VecKernel {
     true
   }
 
+  /** Banded (Sakoe–Chiba) DTW distance between two equal-length
+    * ARRAY<DOUBLE> series into out(0); false = null result (shape/null
+    * mismatch). Cost = |aᵢ − bⱼ|, recurrence
+    * d[i][j] = cost + min(d[i−1][j], d[i][j−1], d[i−1][j−1]), cells with
+    * |i − j| > band pinned at the 1e30 sentinel (the band keeps a
+    * feasible diagonal path, so the sentinel never reaches the answer).
+    * The arithmetic ORDER is fixed (row-major, one rounding per cell:
+    * the add; min is exact), which is what lets the DuckDB oracle replay
+    * the identical doubles cell for cell.
+    */
+  def dtwBandInto(a: ArrayData, b: ArrayData, band: Int,
+      out: Array[Double]): Boolean = {
+    val n = a.numElements()
+    if (b.numElements() != n || n == 0) return false
+    val av = new Array[Double](n)
+    val bv = new Array[Double](n)
+    var x = 0
+    while (x < n) {
+      if (a.isNullAt(x) || b.isNullAt(x)) return false
+      av(x) = a.getDouble(x); bv(x) = b.getDouble(x); x += 1
+    }
+    val INF = 1e30
+    var prev = new Array[Double](n + 1)
+    var cur = new Array[Double](n + 1)
+    prev(0) = 0.0
+    var j = 1
+    while (j <= n) { prev(j) = INF; j += 1 }
+    var i = 1
+    while (i <= n) {
+      cur(0) = INF
+      j = 1
+      while (j <= n) {
+        cur(j) =
+          if (math.abs(i - j) > band) INF
+          else math.abs(av(i - 1) - bv(j - 1)) +
+            math.min(math.min(prev(j), cur(j - 1)), prev(j - 1))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    out(0) = prev(n)
+    true
+  }
+
   /** All numBands×bandBits Rademacher plane sign bits of `qe` in one
     * pass, packed into per-band keys (bit j of band b set iff
     * Σ qe(i)·planes(b·bandBits+j)(i) ≥ 0). `planes` is the flat ±1 sign
@@ -648,6 +693,52 @@ case class LongVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `dtw_band(a, b, band)` — Sakoe–Chiba-banded dynamic-time-warping
+  * distance of two equal-length ARRAY<DOUBLE> series (|·| point cost).
+  * The imperative O(n·band) DP is exactly the loop a SQL engine cannot
+  * express declaratively — the (c)-tier custom-Expression case: one
+  * kernel call per pair, inside whole-stage codegen via the static
+  * [[VecKernel.dtwBandInto]] helper.
+  */
+case class DtwBand(left: Expression, right: Expression, band: Int)
+    extends BinaryExpression {
+  require(band >= 1, s"dtw_band: band must be >= 1, got $band")
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dtw_band"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(e => e.dataType.isInstanceOf[ArrayType] &&
+        e.dataType.asInstanceOf[ArrayType].elementType ==
+          org.apache.spark.sql.types.DoubleType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<DOUBLE> inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val out = new Array[Double](1)
+    if (VecKernel.dtwBandInto(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData], band, out)) out(0)
+    else null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val buf = ctx.addMutableState("double[]", "dtwBuf", v => s"$v = new double[1];")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if (graft.functions.VecKernel.dtwBandInto($a, $b, $band, $buf)) {
+        ${ev.value} = $buf[0];
+      } else {
+        ${ev.isNull} = true;
+      }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `long_vec_dist2(a, b)` — exact integer squared Euclidean distance. */
 case class LongVecDist2(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -1113,6 +1204,12 @@ object Kernels {
   /** Column API: 64-bit SimHash of an ARRAY<STRING> column. */
   def simhash_sig(shingles: Column): Column =
     Shim.column(SimHashSig(Shim.expression(shingles)))
+
+  /** Column API: Sakoe–Chiba-banded DTW distance of two equal-length
+    * ARRAY<DOUBLE> series.
+    */
+  def dtw_band(a: Column, b: Column, band: Int): Column =
+    Shim.column(DtwBand(Shim.expression(a), Shim.expression(b), band))
 
   /** Column API: merge-scan |a ∩ b| of two sorted distinct ARRAY<STRING>
     * columns.

@@ -276,6 +276,111 @@ object FlowQueries {
           CAST(round(h * 10000) AS BIGINT) AS src_entropy_e4
         FROM agg ORDER BY n_srcs DESC, dst_addr LIMIT 15""".stripMargin)),
 
+    // QF11 (r15): windowFunnel — ClickHouse's signature parametric
+    // aggregate (`windowFunnel(window)(ts, cond1, cond2, ...)`), part of
+    // the query surface a reference deployment actually runs, rebuilt
+    // Spark-first as a COMPOSITION over the native as-of operator: per
+    // funnel anchor (a 'view' event) the earliest 'click' at-or-after it
+    // within the window is ONE forward+tolerance as-of join (q18e/q18f
+    // machinery), the earliest 'purchase' after that click is a second,
+    // and the per-user level is a distinct-user max over anchors.
+    // Greedy-earliest is complete: if ANY chain (b', c') exists for an
+    // anchor, the earliest b also admits c' (tb ≤ tb' ⇒ c' ∈ [tb, ta+W]),
+    // so taking min at each step never loses a level. Semantics declared:
+    // non-strict ordering (t_next ≥ t_prev), window anchored at cond1
+    // (t_k − t_1 ≤ W), level 0 for users with no anchor — matching
+    // ClickHouse's default (non-strict) mode. Time is integer µs on both
+    // engines so the window bound has no ns-vs-µs truncation edge.
+    //
+    // 100 TB posture: two sort-merge as-of passes (each one streamed
+    // pass per sorted side — the operator's whole point vs the
+    // pair-exploding range join) + user-keyed distinct/max aggregations.
+    Q("qf11_window_funnel",
+      (s, d) => {
+        // 6 h: the window that separates the fixture's levels (7 days put
+        // every user at level 3 — correct but a degenerate hash fixture)
+        val W = 6L * 3600 * 1000000L
+        val ev = Tables.events(s, d).select(col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("t"), col("event_id"))
+        def step(tpe: String, u: String, t: String, id: String) =
+          ev.filter(col("event_type") === tpe)
+            .select(col("user_id").as(u), col("t").as(t), col("event_id").as(id))
+        val a = step("view", "u", "ta", "aid")
+        val ab = graft.plans.AsOf.join(a, step("click", "bu", "tb", "bid"),
+          "u", "bu", "ta", "tb", "bid", direction = "forward", tolerance = W)
+        val abc = graft.plans.AsOf.join(ab, step("purchase", "cu", "tc", "cid"),
+          "u", "cu", "tb", "tc", "cid", leftOuter = true,
+          direction = "forward", tolerance = W)
+        val l3 = abc.where(col("tc").isNotNull && col("tc") - col("ta") <= W)
+          .select(col("u")).distinct().withColumn("l3", lit(1))
+        val l2 = ab.select(col("u")).distinct().withColumn("l2", lit(1))
+        val l1 = a.select(col("u")).distinct().withColumn("l1", lit(1))
+        ev.select(col("user_id")).distinct()
+          .join(l1.withColumnRenamed("u", "user_id"), Seq("user_id"), "left")
+          .join(l2.withColumnRenamed("u", "user_id"), Seq("user_id"), "left")
+          .join(l3.withColumnRenamed("u", "user_id"), Seq("user_id"), "left")
+          .select(col("user_id"),
+            when(col("l3").isNotNull, 3).when(col("l2").isNotNull, 2)
+              .when(col("l1").isNotNull, 1).otherwise(0).as("level"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        u AS (SELECT DISTINCT user_id FROM ev),
+        a AS (SELECT user_id, t AS ta FROM ev WHERE event_type = 'view'),
+        ab AS (SELECT a.user_id, a.ta,
+            (SELECT min(b.t) FROM ev b WHERE b.user_id = a.user_id AND b.event_type = 'click'
+               AND b.t >= a.ta AND b.t - a.ta <= 21600000000) AS tb FROM a),
+        l3 AS (SELECT DISTINCT user_id FROM ab WHERE tb IS NOT NULL AND EXISTS (
+            SELECT 1 FROM ev c WHERE c.user_id = ab.user_id AND c.event_type = 'purchase'
+              AND c.t >= ab.tb AND c.t - ab.ta <= 21600000000)),
+        l2 AS (SELECT DISTINCT user_id FROM ab WHERE tb IS NOT NULL),
+        l1 AS (SELECT DISTINCT user_id FROM a)
+        SELECT u.user_id,
+          CASE WHEN l3.user_id IS NOT NULL THEN 3 WHEN l2.user_id IS NOT NULL THEN 2
+            WHEN l1.user_id IS NOT NULL THEN 1 ELSE 0 END AS level
+        FROM u LEFT JOIN l3 ON u.user_id = l3.user_id
+          LEFT JOIN l2 ON u.user_id = l2.user_id
+          LEFT JOIN l1 ON u.user_id = l1.user_id""".stripMargin)),
+
+    // QF12 (r15): retention — ClickHouse's other signature parametric
+    // aggregate (`retention(cond1, ..., condN)`): r1 = cond1 fired for
+    // the user, r_i = r1 AND cond_i; the report is Σr_i — the
+    // week-over-week retention curve every activation dashboard serves.
+    // Conditions here: activity in week k of 2024-01 (k = 1..4),
+    // integer-µs window bounds on both engines. One user-keyed
+    // aggregation with map-side combine, then a 1-row total — the
+    // cheapest possible distributed shape (no joins at all).
+    Q("qf12_retention",
+      (s, d) => {
+        val base = 1704067200000000L // 2024-01-01T00:00:00Z in µs
+        val day = 86400000000L
+        // single DAYS 1/10/20/30 (week windows are saturated on this
+        // fixture — every user is active every week, a degenerate hash)
+        val days = Seq(0L, 9L, 19L, 29L)
+        val t = unix_micros(col("ts"))
+        def onDay(k: Int) = max(when(
+          t >= base + days(k) * day && t < base + (days(k) + 1) * day, 1)
+          .otherwise(0))
+        Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(onDay(0).as("w1"), onDay(1).as("w2"),
+            onDay(2).as("w3"), onDay(3).as("w4"))
+          .agg(sum(col("w1")).as("n_day1"),
+            sum(col("w1") * col("w2")).as("ret_day10"),
+            sum(col("w1") * col("w3")).as("ret_day20"),
+            sum(col("w1") * col("w4")).as("ret_day30"))
+      },
+      Some("""WITH per AS (SELECT user_id,
+          max(CASE WHEN epoch_us(ts) >= 1704067200000000 AND epoch_us(ts) < 1704153600000000 THEN 1 ELSE 0 END) AS w1,
+          max(CASE WHEN epoch_us(ts) >= 1704844800000000 AND epoch_us(ts) < 1704931200000000 THEN 1 ELSE 0 END) AS w2,
+          max(CASE WHEN epoch_us(ts) >= 1705708800000000 AND epoch_us(ts) < 1705795200000000 THEN 1 ELSE 0 END) AS w3,
+          max(CASE WHEN epoch_us(ts) >= 1706572800000000 AND epoch_us(ts) < 1706659200000000 THEN 1 ELSE 0 END) AS w4
+        FROM events GROUP BY user_id)
+        SELECT CAST(SUM(w1) AS BIGINT) AS n_day1,
+          CAST(SUM(w1 * w2) AS BIGINT) AS ret_day10,
+          CAST(SUM(w1 * w3) AS BIGINT) AS ret_day20,
+          CAST(SUM(w1 * w4) AS BIGINT) AS ret_day30
+        FROM per""".stripMargin)),
+
     // Skew-handled large×large join (100 TB posture): dst_port has 3 hot
     // keys carrying ~all rows — a plain shuffle join puts each hot key on
     // one reducer. Salting fans each hot key over 16 reducers: the left

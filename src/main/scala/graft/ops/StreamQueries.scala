@@ -1724,6 +1724,48 @@ object StreamQueries {
       },
       Some(graft.ext.DedupQueries.ScrubOracle)),
 
+    // Q52s (r15): streaming REFERENCE-LM QUALITY FILTER at ingest —
+    // x4t's CCNet filter in its deployment shape: the stupid-backoff
+    // bigram LM is trained ONCE from the standing corpus's trusted split
+    // and pinned for the stream's lifetime (the frozen-asset contract of
+    // q52e's eval index / q52g's codebook / q52z's merge table / q52v's
+    // hot-window index — ingest never retrains), and each micro-batch
+    // scores ONLY its own documents: explode the batch's bigrams, two
+    // hash joins against the pinned LM frames, one per-doc aggregation —
+    // per-batch cost O(batch bigrams), stateless across batches.
+    // foreachBatch with per-batch OVERWRITE dirs (the q52g
+    // effectively-once device) because per-doc scoring aggregates within
+    // the batch. The streamed corpus IS the standing corpus, so the
+    // oracle is x4t's SQL verbatim: the hash gate proves
+    // score-at-ingest ≡ batch score under any micro-batch split.
+    Q("q52s_stream_lm_filter",
+      (s, d) => {
+        val lm = graft.ext.TextQueries.trainRefLm(Tables.documents(s, d))
+        val out = s"$tmpRoot/q52s_out"
+        val cp = s"$tmpRoot/cp/q52s_sink"
+        org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(out).toFile)
+        org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(cp).toFile)
+        graft.ext.Caching.withLocalCheckpointed(lm.frames: _*) {
+          case Seq(cb, cu, uni, tot) =>
+            val pinned = graft.ext.TextQueries.RefLm(cb, cu, uni, tot)
+            val q = documentsStream(s, d)
+              .select(col("doc_id"), col("text"))
+              .writeStream
+              .option("checkpointLocation", cp)
+              .trigger(Trigger.AvailableNow())
+              .foreachBatch { (batch: DataFrame, id: Long) =>
+                graft.ext.TextQueries.lmScore(batch, pinned)
+                  .write.mode("overwrite").parquet(s"$out/batch=$id")
+              }
+              .start()
+            q.awaitTermination()
+            s.read.parquet(out)
+              .select("doc_id", "n_bigrams", "bits_e4", "keep")
+              .localCheckpoint()
+        }
+      },
+      Some(graft.ext.TextQueries.LmFilterOracle)),
+
     // Q52t (r14): streaming HEAVY HITTERS at ingest — the trending-phrase
     // monitor (x4s's streaming face), the eighth continuous-pipeline
     // shape: per micro-batch ONE Misra–Gries sketch aggregation (map-side

@@ -31,6 +31,16 @@ class LmFilterSpec extends SparkSpec {
     }
   }
 
+  test("the streaming face (q52s) emits exactly the batch verdicts") {
+    // independent of the shared oracle text: stream-score over
+    // micro-batches must equal batch-score row for row
+    val batch = out.collect().map(_.toSeq).toSet
+    val stream = Registry.queries("q52s_stream_lm_filter")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(stream == batch,
+      s"stream/batch diverge: ${(stream diff batch).take(3)} vs ${(batch diff stream).take(3)}")
+  }
+
   test("the filter separates: both verdicts occur on the fixture") {
     val keeps = out.groupBy(col("keep")).count().collect()
       .map(r => r.getAs[Boolean]("keep") -> r.getAs[Long]("count")).toMap

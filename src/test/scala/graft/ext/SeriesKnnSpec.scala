@@ -48,6 +48,19 @@ class SeriesKnnSpec extends SparkSpec {
     }
   }
 
+  test("x11b: the z-identical pair is also DTW-0 at rank 1") {
+    val out = SeriesQueries.dtwKnn(SeriesQueries.seriesFrame(planted)).collect()
+    val q1top = out.filter(r => r.getAs[Long]("q_user") == 1L &&
+      r.getAs[Int]("rank") == 1).head
+    assert(q1top.getAs[Long]("c_user") == 2L &&
+      q1top.getAs[Long]("dtw_e4") == 0L, s"$q1top")
+    assert(q1top.getAs[Boolean]("in_exact_top3"))
+    out.groupBy(_.getAs[Long]("q_user")).foreach { case (qu, rows) =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == Seq(1, 2, 3), s"q $qu")
+      assert(rows.forall(_.getAs[Int]("lb_rank") <= 12), s"q $qu")
+    }
+  }
+
   test("PAA segment distance lower-bounds the true distance on every pair") {
     val sf = SeriesQueries.seriesFrame(planted)
       .select(col("user_id"), col("z"), col("paa")).collect()

@@ -32,6 +32,37 @@ class FlowAuditSpec extends SparkSpec {
     }
   }
 
+  test("qf11: funnel levels are consistent with per-step event presence") {
+    import org.apache.spark.sql.functions._
+    val out = Registry.queries("qf11_window_funnel")(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("level")).toMap
+    val ev = graft.Tables.events(spark, sf)
+    val users = ev.select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(out.keySet == users, "one verdict per user")
+    assert(out.values.forall(l => l >= 0 && l <= 3))
+    def withType(t: String) = ev.where(col("event_type") === t)
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    val (v, c, p) = (withType("view"), withType("click"), withType("purchase"))
+    // level >= k implies the step-k event type exists for the user at all
+    // (the window can only REMOVE levels, never add them)
+    out.foreach { case (u, l) =>
+      if (l >= 1) assert(v(u), s"user $u level $l without a view")
+      if (l >= 2) assert(c(u), s"user $u level $l without a click")
+      if (l >= 3) assert(p(u), s"user $u level $l without a purchase")
+    }
+    // ...and a user with a view can never be level 0
+    users.foreach { u => if (v(u)) assert(out(u) >= 1, s"user $u") }
+  }
+
+  test("qf12: retention counts are bounded by the day-1 cohort") {
+    val r = Registry.queries("qf12_retention")(spark, sf).collect().head
+    val n = r.getAs[Long]("n_day1")
+    Seq("ret_day10", "ret_day20", "ret_day30").foreach { c =>
+      val v = r.getAs[Long](c)
+      assert(v >= 0 && v <= n, s"$c=$v outside [0, $n]")
+    }
+  }
+
   test("qf10: entropy lies in [0, log2(n_srcs)] and counts are consistent") {
     val rows = Registry.queries("qf10_dst_fanin")(spark, sf).collect()
     assert(rows.length == 15)
