@@ -193,6 +193,10 @@ object ScaleBench {
       // r15 retention: one user-keyed aggregation, no joins — the flows
       // family's linear control
       "qf12_retention",
+      // r15 pagerank: three unrolled contribution shuffles over 30× the
+      // edge set — the ratio proves each iteration is one keyed shuffle
+      // and the dangling/teleport certificates stay 1-row broadcasts
+      "qf13_pagerank",
       // r15 flows k-anonymity: one keyed shuffle to the QI class frame,
       // threshold sweep over classes only — the ratio proves the sweep
       // never re-keys the flow table

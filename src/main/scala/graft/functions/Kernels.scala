@@ -75,13 +75,21 @@ object VecKernel {
     while (j <= n) { prev(j) = INF; j += 1 }
     var i = 1
     while (i <= n) {
-      cur(0) = INF
-      j = 1
-      while (j <= n) {
-        cur(j) =
-          if (math.abs(i - j) > band) INF
-          else math.abs(av(i - 1) - bv(j - 1)) +
-            math.min(math.min(prev(j), cur(j - 1)), prev(j - 1))
+      // true O(n·band): only the in-band cells [lo, hi] are computed;
+      // the two cells the recurrence can read just OUTSIDE the band are
+      // pinned to the sentinel (cur(lo-1) left of this row's range, and
+      // prev(i+band) one above the previous row's range — everything
+      // else out-of-band is never read), so the result is cell-for-cell
+      // identical to the full-row sweep (DtwSpec pins bit-equality
+      // against the full-matrix reference)
+      val lo = math.max(1, i - band)
+      val hi = math.min(n, i + band)
+      cur(lo - 1) = INF
+      if (i + band <= n) prev(i + band) = INF
+      j = lo
+      while (j <= hi) {
+        cur(j) = math.abs(av(i - 1) - bv(j - 1)) +
+          math.min(math.min(prev(j), cur(j - 1)), prev(j - 1))
         j += 1
       }
       val t = prev; prev = cur; cur = t

@@ -309,9 +309,9 @@ object FlowQueries {
         val ab = graft.plans.AsOf.join(a, step("click", "bu", "tb", "bid"),
           "u", "bu", "ta", "tb", "bid", direction = "forward", tolerance = W)
         val abc = graft.plans.AsOf.join(ab, step("purchase", "cu", "tc", "cid"),
-          "u", "cu", "tb", "tc", "cid", leftOuter = true,
+          "u", "cu", "tb", "tc", "cid",
           direction = "forward", tolerance = W)
-        val l3 = abc.where(col("tc").isNotNull && col("tc") - col("ta") <= W)
+        val l3 = abc.where(col("tc") - col("ta") <= W)
           .select(col("u")).distinct().withColumn("l3", lit(1))
         val l2 = ab.select(col("u")).distinct().withColumn("l2", lit(1))
         val l1 = a.select(col("u")).distinct().withColumn("l1", lit(1))
@@ -345,8 +345,10 @@ object FlowQueries {
     // aggregate (`retention(cond1, ..., condN)`): r1 = cond1 fired for
     // the user, r_i = r1 AND cond_i; the report is Σr_i — the
     // week-over-week retention curve every activation dashboard serves.
-    // Conditions here: activity in week k of 2024-01 (k = 1..4),
-    // integer-µs window bounds on both engines. One user-keyed
+    // Conditions here: activity on SINGLE DAYS 1/10/20/30 of 2024-01
+    // (week windows saturate this ~2-events/user/day fixture — every
+    // user is active every week, a degenerate hash), integer-µs window
+    // bounds on both engines. One user-keyed
     // aggregation with map-side combine, then a 1-row total — the
     // cheapest possible distributed shape (no joins at all).
     Q("qf12_retention",
@@ -380,6 +382,81 @@ object FlowQueries {
           CAST(SUM(w1 * w3) AS BIGINT) AS ret_day20,
           CAST(SUM(w1 * w4) AS BIGINT) AS ret_day30
         FROM per""".stripMargin)),
+
+    // QF13 (r15): weighted PageRank over the src→dst flow graph — the
+    // network-centrality lens (which hosts matter structurally, not just
+    // by volume — top-talkers rank bytes, PageRank ranks position), the
+    // iterative-graph member beyond x2d/x2f's connected components.
+    // Brin & Page 1998 with flow-count edge weights, damping 85/100,
+    // THREE unrolled iterations (the x3e unrolled-k-means device), and
+    // dangling mass redistributed uniformly each round (this bipartite
+    // graph makes dangling handling load-bearing: every dst-only address
+    // has no out-edges).
+    //
+    // Exactness device: FIXED-POINT INTEGER ranks (S = 1e9 nano-rank
+    // units; contributions R(u)·85·w(u,v) div (100·W(u)) — max operand
+    // ~1e9·85·1e5 ≈ 8.5e15, far under Long range even at 30×). Every
+    // operation is integer multiply/div/sum, so iteration order and
+    // engine cannot perturb a single unit — no float-summation hazard,
+    // no e4 rounding needed; floor losses are deterministic and
+    // identical on both engines.
+    //
+    // 100 TB posture: per iteration ONE keyed shuffle (contributions
+    // summed per dst with map-side combine) + a 1-row dangling/teleport
+    // certificate crossJoined broadcast; edges/out-weights build once.
+    Q("qf13_pagerank",
+      (s, d) => {
+        val S = 1000000000L
+        val f = flows(s, d)
+        val edges = f.groupBy(col("src_addr").as("u"), col("dst_addr").as("v"))
+          .agg(count(lit(1)).as("w"))
+        val outW = edges.groupBy(col("u")).agg(sum(col("w")).as("wu"))
+        val nodes = f.select(col("src_addr").as("addr"))
+          .union(f.select(col("dst_addr").as("addr"))).distinct()
+        val nCnt = nodes.agg(count(lit(1)).as("n"))
+        var r = nodes.crossJoin(broadcast(nCnt))
+          .select(col("addr"), expr(s"${S}L div n").as("r"))
+        for (_ <- 1 to 3) {
+          val contrib = edges.join(outW, Seq("u"))
+            .join(r.select(col("addr").as("u"), col("r").as("ru")), Seq("u"))
+            .select(col("v").as("addr"),
+              expr("ru * 85 * w div (100 * wu)").as("c"))
+            .groupBy(col("addr")).agg(sum(col("c")).as("cin"))
+          val dangle = r.join(outW.select(col("u").as("addr")), Seq("addr"), "left_anti")
+            .agg(coalesce(sum(col("r")), lit(0L)).as("dg"))
+          r = nodes.crossJoin(broadcast(nCnt)).crossJoin(broadcast(dangle))
+            .join(contrib, Seq("addr"), "left")
+            .select(col("addr"),
+              (expr(s"${S * 15}L div (100 * n)") +
+                expr("(dg * 85) div (100 * n)") +
+                coalesce(col("cin"), lit(0L))).as("r"))
+        }
+        r.orderBy(col("r").desc, col("addr")).limit(20)
+          .select(col("addr"), col("r").as("rank_nano"))
+      },
+      Some(s"""$FlowsCte,
+        edges AS (SELECT src_addr AS u, dst_addr AS v, count(*) AS w FROM flows GROUP BY 1, 2),
+        outw AS (SELECT u, CAST(SUM(w) AS BIGINT) AS wu FROM edges GROUP BY 1),
+        nodes AS (SELECT DISTINCT addr FROM (SELECT src_addr AS addr FROM flows UNION ALL SELECT dst_addr FROM flows)),
+        nc AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (SELECT addr, CAST(1000000000 AS BIGINT) // n AS r FROM nodes, nc),
+        c1 AS (SELECT v AS addr, CAST(SUM(ru * 85 * w // (100 * wu)) AS BIGINT) AS cin FROM
+          (SELECT e.v, r0.r AS ru, e.w, o.wu FROM edges e JOIN outw o ON e.u = o.u JOIN r0 ON r0.addr = e.u) GROUP BY 1),
+        d1 AS (SELECT coalesce(SUM(r), 0) AS dg FROM r0 WHERE addr NOT IN (SELECT u FROM outw)),
+        r1 AS (SELECT nodes.addr, 15000000000 // (100 * n) + (dg * 85) // (100 * n) + coalesce(cin, 0) AS r
+          FROM nodes LEFT JOIN c1 ON c1.addr = nodes.addr CROSS JOIN nc CROSS JOIN d1),
+        c2 AS (SELECT v AS addr, CAST(SUM(ru * 85 * w // (100 * wu)) AS BIGINT) AS cin FROM
+          (SELECT e.v, r1.r AS ru, e.w, o.wu FROM edges e JOIN outw o ON e.u = o.u JOIN r1 ON r1.addr = e.u) GROUP BY 1),
+        d2 AS (SELECT coalesce(SUM(r), 0) AS dg FROM r1 WHERE addr NOT IN (SELECT u FROM outw)),
+        r2 AS (SELECT nodes.addr, 15000000000 // (100 * n) + (dg * 85) // (100 * n) + coalesce(cin, 0) AS r
+          FROM nodes LEFT JOIN c2 ON c2.addr = nodes.addr CROSS JOIN nc CROSS JOIN d2),
+        c3 AS (SELECT v AS addr, CAST(SUM(ru * 85 * w // (100 * wu)) AS BIGINT) AS cin FROM
+          (SELECT e.v, r2.r AS ru, e.w, o.wu FROM edges e JOIN outw o ON e.u = o.u JOIN r2 ON r2.addr = e.u) GROUP BY 1),
+        d3 AS (SELECT coalesce(SUM(r), 0) AS dg FROM r2 WHERE addr NOT IN (SELECT u FROM outw)),
+        r3 AS (SELECT nodes.addr, 15000000000 // (100 * n) + (dg * 85) // (100 * n) + coalesce(cin, 0) AS r
+          FROM nodes LEFT JOIN c3 ON c3.addr = nodes.addr CROSS JOIN nc CROSS JOIN d3)
+        SELECT addr, CAST(r AS BIGINT) AS rank_nano FROM r3
+        ORDER BY r DESC, addr LIMIT 20""".stripMargin)),
 
     // Skew-handled large×large join (100 TB posture): dst_port has 3 hot
     // keys carrying ~all rows — a plain shuffle join puts each hot key on

@@ -1730,9 +1730,12 @@ object StreamQueries {
     // and pinned for the stream's lifetime (the frozen-asset contract of
     // q52e's eval index / q52g's codebook / q52z's merge table / q52v's
     // hot-window index — ingest never retrains), and each micro-batch
-    // scores ONLY its own documents: explode the batch's bigrams, two
-    // hash joins against the pinned LM frames, one per-doc aggregation —
-    // per-batch cost O(batch bigrams), stateless across batches.
+    // scores ONLY its own documents: explode the batch's bigrams, three
+    // hash joins against the pinned LM frames (bigram, context, backoff
+    // marginal) plus the 1-row certificate crossJoin, one per-doc
+    // aggregation — per-batch cost O(batch bigrams + LM probe),
+    // stateless across batches (the LM side is pinned but still
+    // LM-sized; at production scale the joins shuffle on their keys).
     // foreachBatch with per-batch OVERWRITE dirs (the q52g
     // effectively-once device) because per-doc scoring aggregates within
     // the batch. The streamed corpus IS the standing corpus, so the

@@ -63,6 +63,26 @@ class FlowAuditSpec extends SparkSpec {
     }
   }
 
+  test("qf13: pagerank mass flows to destinations; teleport floor holds") {
+    import org.apache.spark.sql.functions._
+    val rows = Registry.queries("qf13_pagerank")(spark, sf).collect()
+    assert(rows.length == 20)
+    val ranks = rows.map(_.getAs[Long]("rank_nano"))
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b },
+      "top-20 not rank-ordered")
+    // the flow graph is bipartite src(10.x) → dst(192.168.x): every dst
+    // is a sink, so after any iteration the top centrality nodes must be
+    // destinations (sources only ever hold teleport + dangling share)
+    assert(rows.forall(_.getAs[String]("addr").startsWith("192.168.")),
+      s"non-destination in top-20: ${rows.map(_.get(0)).toSeq}")
+    // every rank includes the uniform teleport floor
+    val f = FlowQueries.flows(spark, sf)
+    val n = f.select(col("src_addr")).union(f.select(col("dst_addr")))
+      .distinct().count()
+    val floor = (1000000000L * 15) / (100 * n)
+    assert(ranks.forall(_ >= floor), s"rank below teleport floor $floor")
+  }
+
   test("qf10: entropy lies in [0, log2(n_srcs)] and counts are consistent") {
     val rows = Registry.queries("qf10_dst_fanin")(spark, sf).collect()
     assert(rows.length == 15)
