@@ -149,6 +149,11 @@ object ScaleBench {
       // quality-filter-at-ingest: all four continuous ingest shapes are
       // now tier-gated; pure per-row map, the streaming linear control
       "q52h_stream_quality_ingest",
+      // r15 series assembly at ingest: per-user state is CAPPED at N
+      // points while 30× longer histories stream through — the ratio
+      // proves state size tracks keys (not history) and the per-batch
+      // merge-truncate stays O(batch + keys·N)
+      "q52r_stream_series_ingest",
       // r15 LM filter at ingest: the LM trains once from the 30× corpus's
       // reference split, batches score against the pinned frames — the
       // ratio proves per-batch cost tracks the batch's bigrams and the

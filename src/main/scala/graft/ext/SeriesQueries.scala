@@ -59,8 +59,19 @@ object SeriesQueries {
       .agg(array_sort(collect_list(struct(col("rn"), col("value")))).as("pts"))
       .where(size(col("pts")) === N)
       .select(col("user_id"),
-        transform(col("pts"), p =>
-          round(p.getField("value") * 100).cast(LongType)).as("vc"))
+        transform(col("pts"), p => p.getField("value")).as("vals"))
+    zPaaFrame(ordered)
+  }
+
+  /** The z-normalize + PAA stage over an already-assembled
+    * (user_id, vals: ARRAY<DOUBLE> in series order) frame — split out so
+    * the streaming assembler (q52r) and the batch first-N build share
+    * ONE definition of the cents conversion, power sums, z and PAA
+    * expressions (they provably cannot drift).
+    */
+  private[graft] def zPaaFrame(assembled: DataFrame): DataFrame = {
+    val ordered = assembled.select(col("user_id"),
+      transform(col("vals"), v => round(v * 100).cast(LongType)).as("vc"))
     // integer power sums -> exact mean/std inputs; zero-variance series
     // excluded on the INTEGER check (no float boundary)
     val sums = ordered
@@ -88,7 +99,7 @@ object SeriesQueries {
   /** The full shortlist + rerank + recall-annotation plan over a series
     * frame; shared by the registration and the spec.
     */
-  private[ext] def seriesKnn(sf: DataFrame): DataFrame = {
+  private[graft] def seriesKnn(sf: DataFrame): DataFrame = {
     val ranked = sf.withColumn("qrank",
       row_number().over(Window.orderBy(col("user_id"))))
     val q = ranked.where(col("qrank") <= NQ)
@@ -160,7 +171,7 @@ object SeriesQueries {
   private def sqlD2(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (acc, x) -> acc + x)"
 
-  private val KnnOracle: String = s"""$SeriesCte,
+  private[graft] val KnnOracle: String = s"""$SeriesCte,
     q AS (SELECT user_id AS q_user, z AS q_z, paa AS q_paa FROM
       (SELECT *, row_number() OVER (ORDER BY user_id) AS qrank FROM sf) WHERE qrank <= $NQ),
     scored AS (SELECT q_user, c.user_id AS c_user, q_z, c.z AS c_z,

@@ -1724,6 +1724,54 @@ object StreamQueries {
       },
       Some(graft.ext.DedupQueries.ScrubOracle)),
 
+    // Q52r (r15): streaming SERIES ASSEMBLY at ingest — x11's per-user
+    // series built as keyed STATE while events arrive, the tenth
+    // continuous-pipeline shape and the one that genuinely needs a state
+    // store (the frozen-asset shapes are stateless; dedup state is a
+    // flag — this is a bounded STRUCTURE per key): a transformWithState
+    // processor holds each user's N smallest (ts, event_id) points —
+    // capacity N per key no matter how long the history streams, the
+    // q32b bounded-heap discipline as state — and emits the running
+    // series with a monotone seen counter, so the update-mode sink reads
+    // back as last-emission-per-key (q51b's contract). At drain the
+    // assembled series feed the SAME zPaaFrame + seriesKnn definitions
+    // the batch x11 uses, and the oracle is x11's SQL verbatim: the hash
+    // gate proves assemble-at-ingest ≡ batch first-N build under any
+    // micro-batch split (merge-then-truncate to the N smallest is
+    // associative — the processor scaladoc carries the argument).
+    Q("q52r_stream_series_ingest",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val typed = eventsStream(s, d)
+            .select(col("user_id"), unix_micros(col("ts")).as("t"),
+              col("event_id"), col("value"))
+            .as[(Long, Long, Long, Double)]
+          val assembled = typed.groupByKey(_._1)
+            .transformWithState(new graft.streaming.SeriesAssemblerProcessor(32),
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              org.apache.spark.sql.streaming.OutputMode.Update())
+          val sunk = drain(assembled.toDF(), "q52r_sink", "update")
+          val last = sunk.withColumn("rn", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col("user_id")).orderBy(col("seen").desc)))
+            .where(col("rn") === 1 && col("complete"))
+            .select(col("user_id"), col("vals"))
+          graft.ext.SeriesQueries.seriesKnn(
+            graft.ext.SeriesQueries.zPaaFrame(last))
+        } finally {
+          prev match {
+            case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+            case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+          }
+        }
+      },
+      Some(graft.ext.SeriesQueries.KnnOracle)),
+
     // Q52s (r15): streaming REFERENCE-LM QUALITY FILTER at ingest —
     // x4t's CCNet filter in its deployment shape: the stupid-backoff
     // bigram LM is trained ONCE from the standing corpus's trusted split

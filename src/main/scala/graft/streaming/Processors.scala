@@ -123,3 +123,51 @@ final class AdmitFirstProcessor(ttl: TTLConfig)
     } else Iterator.empty
   }
 }
+
+/** Q52r: per-user SERIES ASSEMBLY at ingest — the stateful face of x11's
+  * batch first-N build. State per user = the N SMALLEST (ts, event_id)
+  * points seen so far (the q32b bounded-heap discipline as keyed state:
+  * capacity N per key regardless of how many events the user's history
+  * streams — a collect-everything state would grow with history, the
+  * telemetry skew trap the batch form's row_number prune avoids), plus a
+  * MONOTONE seen counter so an update-mode sink reads back as
+  * last-emission-per-key (max seen per user; q51/q51b's contract). The
+  * final state is the N smallest points of the whole stream regardless of
+  * micro-batch split — merge-then-truncate is associative — so the drained
+  * series equals the batch build's exactly.
+  */
+final case class SeriesState(ts: Array[Long], ids: Array[Long], vs: Array[Double])
+final case class SeriesEmit(user_id: Long, seen: Long, complete: Boolean,
+    vals: Array[Double])
+
+final class SeriesAssemblerProcessor(n: Int)
+    extends StatefulProcessor[Long, (Long, Long, Long, Double), SeriesEmit] {
+
+  @transient private var st: ValueState[SeriesState] = _
+  @transient private var seen: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    st = getHandle.getValueState[SeriesState]("series",
+      Encoders.product[SeriesState], TTLConfig.NONE)
+    seen = getHandle.getValueState[Long]("seen", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long, Double)],
+      timerValues: TimerValues): Iterator[SeriesEmit] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    if (st.exists()) {
+      val cur = st.get()
+      var i = 0
+      while (i < cur.ts.length) {
+        buf += ((cur.ts(i), cur.ids(i), cur.vs(i))); i += 1
+      }
+    }
+    var c = if (seen.exists()) seen.get() else 0L
+    rows.foreach { case (_, t, id, v) => buf += ((t, id, v)); c += 1 }
+    val kept = buf.sortBy(p => (p._1, p._2)).take(n)
+    st.update(SeriesState(kept.map(_._1).toArray, kept.map(_._2).toArray,
+      kept.map(_._3).toArray))
+    seen.update(c)
+    Iterator.single(SeriesEmit(key, c, kept.length == n, kept.map(_._3).toArray))
+  }
+}
