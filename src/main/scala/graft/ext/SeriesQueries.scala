@@ -34,7 +34,7 @@ import graft.{Q, Tables}
   */
 object SeriesQueries {
 
-  private val N = 32          // series length (first N events per user)
+  private[graft] val N = 32   // series length (first N events per user)
   private val Segs = 8        // PAA segments (width N/Segs = 4)
   private val Shortlist = 12  // PAA shortlist depth
   private val K = 3           // exact top-k

@@ -68,6 +68,9 @@ object VecKernel {
       av(x) = a.getDouble(x); bv(x) = b.getDouble(x); x += 1
     }
     val INF = 1e30
+    // clamp: band >= n is the unbanded DP, and an unclamped huge band
+    // would Int-overflow the i+band pin below (r15 review)
+    val bnd = math.min(band, n)
     var prev = new Array[Double](n + 1)
     var cur = new Array[Double](n + 1)
     prev(0) = 0.0
@@ -82,10 +85,10 @@ object VecKernel {
       // else out-of-band is never read), so the result is cell-for-cell
       // identical to the full-row sweep (DtwSpec pins bit-equality
       // against the full-matrix reference)
-      val lo = math.max(1, i - band)
-      val hi = math.min(n, i + band)
+      val lo = math.max(1, i - bnd)
+      val hi = math.min(n, i + bnd)
       cur(lo - 1) = INF
-      if (i + band <= n) prev(i + band) = INF
+      if (i + bnd <= n) prev(i + bnd) = INF
       j = lo
       while (j <= hi) {
         cur(j) = math.abs(av(i - 1) - bv(j - 1)) +

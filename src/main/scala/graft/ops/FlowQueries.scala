@@ -430,6 +430,13 @@ object FlowQueries {
               (expr(s"${S * 15}L div (100 * n)") +
                 expr("(dg * 85) div (100 * n)") +
                 coalesce(col("cin"), lit(0L))).as("r"))
+            // lineage truncation per round (the KMeans.iterate device,
+            // r15 review): r feeds TWO consumers next round (contrib +
+            // dangle), so without the checkpoint each iteration embeds
+            // the previous round's whole plan twice — 2^iters copies of
+            // the flows scan by round 3, unplannable at 10 rounds. The
+            // checkpoint is |nodes| rows.
+            .localCheckpoint()
         }
         r.orderBy(col("r").desc, col("addr")).limit(20)
           .select(col("addr"), col("r").as("rank_nano"))

@@ -222,15 +222,28 @@ object StreamQueries {
     * TimeMode.ProcessingTime) — one body so the two registrations cannot
     * drift. See the q52d registration scaladoc for the full design.
     */
+  /** Run `body` with the RocksDB state store provider pinned on the
+    * session, restoring the previous setting after — ONE definition for
+    * every stateful registration (r15 review: this was four
+    * hand-maintained copies of session-global config mutation).
+    */
+  private def withRocksDbStateStore[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(p) => s.conf.set(key, p)
+      case None => s.conf.unset(key)
+    }
+  }
+
   private def dedupIngestPlan(s: SparkSession, d: String, sink: String,
       proc: graft.streaming.DedupIngestProcessor,
       timeMode: org.apache.spark.sql.streaming.TimeMode): DataFrame = {
     val spark = s
     import spark.implicits._
-    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDbStateStore(s) {
       val bucket = pmod(col("doc_id") * 2654435761L, lit(100L))
       val idx = Tables.documents(s, d).filter(bucket < 80)
         .select(md5(col("text")).as("dig")).distinct()
@@ -256,11 +269,6 @@ object StreamQueries {
         .groupBy("dig").agg(max(col("n_copies")).as("n_copies"),
           min(col("first_doc")).as("first_doc"),
           max(col("dup_of_index")).as("dup_of_index"))
-    } finally {
-      prev match {
-        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
     }
   }
 
@@ -606,11 +614,7 @@ object StreamQueries {
     // production these are the on-disk artifacts of the x2h story and
     // the pin is their in-memory equivalent
     try graft.ext.Caching.withLocalCheckpointed(eBucketsL, shEvalL) {
-      case Seq(eBuckets, shEval) =>
-        val prevProv =
-          s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-        s.conf.set("spark.sql.streaming.stateStore.providerClass",
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      case Seq(eBuckets, shEval) => withRocksDbStateStore(s) {
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", 8)
         try {
@@ -649,15 +653,8 @@ object StreamQueries {
               pipelineBatchWriter(eBuckets, shEval, emb, cb, merges, out) _)
             .start()
           awaitQuiescence(q, "q52x")
-        } finally {
-          s.conf.set("spark.sql.shuffle.partitions", prevParts)
-          prevProv match {
-            case Some(p) =>
-              s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-            case None =>
-              s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-          }
-        }
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
     } finally idxCaches.foreach(_.unpersist())
     val st = graft.ext.SimilarityQueries.readPqStore(s, out)
       .select("dig", "vec_id", "n_subword", "s", "code")
@@ -830,10 +827,7 @@ object StreamQueries {
       (s, d) => {
         val spark = s
         import spark.implicits._
-        val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-        s.conf.set("spark.sql.streaming.stateStore.providerClass",
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        try {
+        withRocksDbStateStore(s) {
           // flows synthesis over the streamed events (same arithmetic as
           // FlowQueries.flows, restricted to the two columns needed)
           val eid = col("event_id")
@@ -853,11 +847,6 @@ object StreamQueries {
           // safe, same reasoning as q51)
           drain(tracked, "q51b_sink", "update")
             .groupBy("src").agg(max(col("syn_only")).as("syn_only"))
-        } finally {
-          prev match {
-            case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-            case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-          }
         }
       },
       Some("""SELECT '10.' || CAST((user_id * 7919) % 200 AS VARCHAR) AS src,
@@ -1743,16 +1732,16 @@ object StreamQueries {
       (s, d) => {
         val spark = s
         import spark.implicits._
-        val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-        s.conf.set("spark.sql.streaming.stateStore.providerClass",
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        try {
+        withRocksDbStateStore(s) {
           val typed = eventsStream(s, d)
             .select(col("user_id"), unix_micros(col("ts")).as("t"),
               col("event_id"), col("value"))
             .as[(Long, Long, Long, Double)]
           val assembled = typed.groupByKey(_._1)
-            .transformWithState(new graft.streaming.SeriesAssemblerProcessor(32),
+            .transformWithState(
+              // the SHARED series length — retuning SeriesQueries.N moves
+              // batch build, oracle, and this state cap together
+              new graft.streaming.SeriesAssemblerProcessor(graft.ext.SeriesQueries.N),
               org.apache.spark.sql.streaming.TimeMode.None(),
               org.apache.spark.sql.streaming.OutputMode.Update())
           val sunk = drain(assembled.toDF(), "q52r_sink", "update")
@@ -1763,11 +1752,6 @@ object StreamQueries {
             .select(col("user_id"), col("vals"))
           graft.ext.SeriesQueries.seriesKnn(
             graft.ext.SeriesQueries.zPaaFrame(last))
-        } finally {
-          prev match {
-            case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-            case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-          }
         }
       },
       Some(graft.ext.SeriesQueries.KnnOracle)),
