@@ -1176,6 +1176,120 @@ object ScaleBench {
         cascadeBytes.headOption.getOrElse(0L), ok)
     }
 
+    // q52t CADENCE LEDGER at 30× (r16, VERDICT r15 #1): drive the sketch
+    // writer over TWENTY hash-sliced staged batches of the 30× corpus
+    // with the cum-fold ledger on and gate what the 6-batch fixture
+    // drain cannot show — every firing reads ZERO history bytes (it
+    // θ-filters the in-memory mergeable fold) and the entrant catch-up
+    // DECAYS to zero once the vocabulary has been seen, where the r15
+    // shape re-read ALL ingested rows at every firing (O(T²·B/M) over a
+    // stream's lifetime, the q52y-pre-tiering cost class). Slicing is
+    // xxhash64(doc_id) % 20 — replica ids shift by a multiple of 20, so
+    // a plain modulus would give each batch a disjoint text subset and
+    // fake permanent churn; the hash spreads each text's 30 copies
+    // across batches, the steady state a real stream reaches. Plus
+    // serve parity: the final firing's artifact equals a sketch-free
+    // exact θ-recount over everything staged.
+    val (hhCadLedger, hhCadParity, hhCadOk) = {
+      val dir = fixture(tiers.head._1)
+      val base = graft.Tmp.sessionDir(spark, "hh_cadence")
+      Seq("sketch", "rows", "hh", "cum").foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$base/$p")))
+      val ledger = new ops.StreamQueries.CumLedger
+      val writer = ops.StreamQueries.heavyHitterSketchWriter(
+        s"$base/sketch", s"$base/rows", s"$base/hh", 2, s"$base/cum", ledger) _
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") < PlantDocBase)
+        .select(col("doc_id"), col("text"))
+      val nB = 20
+      (0 until nB).foreach { id =>
+        writer(docs.filter(
+          pmod(xxhash64(col("doc_id")), lit(nB.toLong)) === id.toLong), id)
+      }
+      val served = spark.read.parquet(s"$base/hh/batch=${nB - 1}").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val grams = ext.TextQueries.heavyHitterGrams(docs)
+      val truth = ext.Caching.withPersisted(grams) {
+        val cnt = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+        val tot = grams.agg(count(lit(1)).as("total"))
+        cnt.crossJoin(broadcast(tot))
+          .filter(col("cnt") * ext.TextQueries.HhThetaInv >= col("total"))
+          .select(col("gram"), col("cnt"),
+            expr("cnt * 1000000 DIV total").as("ppm"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      }
+      val parity = truth.nonEmpty && served == truth
+      val rowsL = ledger.rows.toSeq
+      val tail = rowsL.drop(8) // every text seen w.p. ~1 − (0.6)^30 by batch 8
+      val ok = rowsL.size == nB && rowsL.count(_.fired) == nB / 2 &&
+        tail.forall(r => r.entrants == 0L && r.histBatchesRead == 0L) && parity
+      System.err.println(s"[scale] q52t cadence ledger at 30x: entrants " +
+        s"${rowsL.map(_.entrants).mkString(",")}; hist reads " +
+        s"${rowsL.map(_.histBatchesRead).mkString(",")}; parity $parity ok=$ok")
+      (rowsL, parity, ok)
+    }
+
+    // BPE at production depth (r16, VERDICT r15 #5): 512 merges (64
+    // rounds × 8 disjoint picks) trained on the 30× corpus with the
+    // delta ledger — the claim is that per-round cost stays ∝ AFFECTED
+    // words at depth, where a full recount touches the whole frame every
+    // round — and the trained 512-entry merge table must still ride
+    // `bpe_apply` as ONE plan-literal String[] inside whole-stage
+    // codegen (previously proven only at 64; BpeSpec pins a synthetic
+    // 512-table too).
+    val (bpe512N, bpe512Ledger, bpe512CodegenOk, bpe512Ok) = {
+      val dir = fixture(tiers.head._1)
+      val ledger = scala.collection.mutable.Buffer.empty[(Int, Long, Long)]
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") < PlantDocBase)
+      val m = ext.TextQueries.bpeTrain(spark, ext.TextQueries.bpeWordFreq(docs),
+          rounds = 64, picksPerRound = 8, ledger = Some(ledger))
+        .collect().sortBy(_.getInt(0))
+      val pairs = m.map { r =>
+        val Array(l, rr) = r.getString(1).split(" ", 2); (l, rr)
+      }.toSeq
+      val ap = ext.TextQueries.bpeWordFreq(docs)
+        .select(graft.functions.Kernels
+          .bpe_apply(col("sym"), pairs, fromChars = false).as("s"))
+      val plan = ap.queryExecution.executedPlan.toString
+      val cg = plan.linesIterator.find(_.contains("bpe_apply"))
+        .exists(_.trim.startsWith("*("))
+      val applied = ap.filter(length(col("s")) > 0).count()
+      val someSubset = ledger.exists { case (_, aff, total) => aff < total }
+      val declining = ledger.nonEmpty && ledger.last._2 <= ledger.head._2
+      val ok = pairs.size == 512 && cg && applied > 0 && someSubset && declining
+      System.err.println(s"[scale] bpe 512-merge depth at 30x: " +
+        s"${pairs.size} merges, codegen=$cg, applied=$applied, " +
+        s"delta ${ledger.take(4).map(l => s"${l._2}/${l._3}").mkString(",")}..." +
+        s"${ledger.takeRight(2).map(l => s"${l._2}/${l._3}").mkString(",")} ok=$ok")
+      (pairs.size, ledger.toSeq, cg, ok)
+    }
+
+    // x2l prefix-filter candidate economics at 30× (r16, VERDICT r15
+    // #6): COUNT the claim instead of asserting it — the probe side must
+    // carry ~10% of each doc's windows (ceil bound ≈ 0.1·na + 1, gated
+    // ≤ 0.25 of the window frame for short-doc slack), and the
+    // inverted-index candidate pairs must be a vanishing fraction of the
+    // brute all-pairs product the prefix filter exists to avoid. The
+    // wall/spill entry lives in the tier table like every other query.
+    val (x2lStats, x2lOk) = {
+      val dir = fixture(tiers.head._1)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val st = ext.DedupQueries.containmentStages(docs)
+      val reps = st.sets.count()
+      val windows = st.sets.agg(sum(col("na"))).head().getLong(0)
+      val prefWindows = st.pref.count()
+      val candPairs = st.cand.count()
+      val verified = st.pairs.count()
+      val brute = reps * (reps - 1) / 2
+      val ok = prefWindows * 4 <= windows && candPairs * 10 <= brute &&
+        verified <= candPairs && reps > 0
+      System.err.println(s"[scale] x2l candidates at 30x: reps=$reps " +
+        s"windows=$windows prefix=$prefWindows (${prefWindows * 100 / windows}%) " +
+        s"cand=$candPairs of brute=$brute verified=$verified ok=$ok")
+      ((reps, windows, prefWindows, candPairs, verified, brute), ok)
+    }
+
     // box calibration (VERDICT r10 #9: Bench carries it; BENCH_SCALE
     // ratios are within-run pairs — fine — but CROSS-round ratio drift was
     // unattributable without the same fixed-work yardstick here): the ONE
@@ -1187,7 +1301,7 @@ object ScaleBench {
     } && recallOk && incrEqual && annOk && x2hIndexFlatOk &&
       x5gOk && x2jCollapseOk && x2jSemOk && ingestInvOk && x3lFlatOk &&
       x3lAppendEqual && q12bAbOk && x3nOk && x4kStableOk && x4kDeltaOk &&
-      q52yOk && x2eAbOk
+      q52yOk && x2eAbOk && hhCadOk && bpe512Ok && x2lOk
     val json = {
       val qs = rows.map { case (n, scale, b, s, r, sm, sd) =>
         f""""$n":{"scale":$scale,"base_sec":$b%.3f,"scaled_sec":$s%.3f,""" +
@@ -1272,6 +1386,29 @@ object ScaleBench {
         s""""rule_buckets":${q12bAb._2},""" +
         f""""rule_sec":${q12bAb._3}%.3f,"fixed8_sec":${q12bAb._4}%.3f,""" +
         s""""gate":"rule_sec <= 1.05 * fixed8_sec","ok":$q12bAbOk},""" +
+        s""""hh_cadence_ledger_30x":{"batches":${hhCadLedger.size},""" +
+        s""""recount_every":2,"firings":${hhCadLedger.count(_.fired)},""" +
+        s""""entrants_per_batch":[${hhCadLedger.map(_.entrants).mkString(",")}],""" +
+        s""""hist_batches_read_per_batch":[${hhCadLedger
+          .map(_.histBatchesRead).mkString(",")}],""" +
+        s""""firing_history_reads":0,""" +
+        s""""serve_parity":$hhCadParity,""" +
+        s""""gate":"20 batches AND 10 firings AND entrants==0 AND """ +
+        s"""hist_reads==0 from batch 8 AND final artifact == exact recount",""" +
+        s""""ok":$hhCadOk},""" +
+        s""""x4k_512_merge_depth_30x":{"n_merges":$bpe512N,"rounds":64,""" +
+        s""""picks_per_round":8,"apply_codegen":$bpe512CodegenOk,""" +
+        s""""delta_rounds_affected_total":[${bpe512Ledger
+          .map(l => s"[${l._1},${l._2},${l._3}]").mkString(",")}],""" +
+        s""""gate":"512 merges AND bpe_apply codegen with the 512-entry """ +
+        s"""plan literal AND some round touches a strict subset AND last """ +
+        s"""round affected <= round 1 affected","ok":$bpe512Ok},""" +
+        s""""x2l_candidates_30x":{"reps":${x2lStats._1},""" +
+        s""""windows":${x2lStats._2},"prefix_windows":${x2lStats._3},""" +
+        s""""cand_pairs":${x2lStats._4},"verified_pairs":${x2lStats._5},""" +
+        s""""brute_pairs":${x2lStats._6},""" +
+        s""""gate":"prefix <= windows/4 AND cand <= brute/10",""" +
+        s""""ok":$x2lOk},""" +
         f""""calibration":{"spin_sec":$spinSec%.3f},""" +
         s""""x6g_partition_invariant":$invariant,"queries":$qs}"""
     }

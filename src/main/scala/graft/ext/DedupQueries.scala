@@ -697,7 +697,21 @@ object DedupQueries {
     * end in the bound (ceil(9·na/10) = (9·na+9) div 10) — no float
     * prefix-length edge.
     */
-  private[ext] def containmentPairs(docs: DataFrame): DataFrame = {
+  private[ext] def containmentPairs(docs: DataFrame): DataFrame =
+    containmentStages(docs).pairs
+
+  /** The x2l plan with every stage exposed, so the 30× gate can COUNT the
+    * prefix-filter economics instead of asserting them (VERDICT r15 #6):
+    * `sets` = one row per representative with its sorted window-digest
+    * array, `pref` = the probe side (the (na − ceil(0.9·na) + 1) smallest
+    * windows per doc — the ~10% claim under measure), `cand` = the
+    * distinct candidate pairs out of the inverted-index equi-join,
+    * `pairs` = the verified c ≥ 0.9 output.
+    */
+  private[graft] final case class ContainmentStages(sets: DataFrame,
+      pref: DataFrame, cand: DataFrame, pairs: DataFrame)
+
+  private[graft] def containmentStages(docs: DataFrame): ContainmentStages = {
     val reps = docs.groupBy(md5(col("text")).as("dig"))
       .agg(min(col("doc_id")).as("doc_id"), min(col("text")).as("text"))
     val sets = reps.select(col("doc_id"),
@@ -717,12 +731,13 @@ object DedupQueries {
       .select("a", "b").distinct()
     val ga = sets.select(col("doc_id").as("a"), col("g").as("ga"), col("na"))
     val gb = sets.select(col("doc_id").as("b"), col("g").as("gb"))
-    cand.join(ga, Seq("a")).join(gb, Seq("b"))
+    val pairs = cand.join(ga, Seq("a")).join(gb, Seq("b"))
       .withColumn("inter", graft.functions.Kernels
         .sorted_intersect_size(col("ga"), col("gb")))
       .select(col("a"), col("b"),
         (col("inter").cast(DoubleType) / col("na").cast(DoubleType)).as("c"))
       .filter(col("c") >= 0.9)
+    ContainmentStages(sets, pref, cand, pairs)
   }
 
   def defs: Seq[Q] = Seq(

@@ -245,6 +245,36 @@ object MultimodalQueries {
           CAST(n_bytes AS INTEGER) AS n_bytes
         FROM sn""".stripMargin)),
 
+    // X5i (r16, VERDICT r15 #3): REAL image decode under the oracle gate —
+    // the round that retires the multimodal family's one `partial` mark.
+    // The x5h closed-form-binary-oracle device applied to a real codec:
+    // every doc gets a planted solid-color PNG whose geometry and RGB are
+    // pure doc_id arithmetic ([[Multimodal.plantPngMedia]], encoded by
+    // javax.imageio ON EXECUTORS), the Spark side decodes the actual
+    // bytes back through [[Multimodal.realDecode]] (ImageIO read, per-
+    // pixel RGB channel mean), and the oracle states what a CORRECT
+    // decode must recover — dimensions and channel mean from the same
+    // arithmetic, never touching a byte. PNG being lossless makes the
+    // planted raster the unique correct answer; `real_decoded` must be
+    // true on every row, so a silent stub fallback fails the hash gate
+    // (fallback count = 0 is IN the oracle, not asserted beside it).
+    // mean_e4 exactness: the decoder computes w·h·(r+g+b) / (3·w·h) and
+    // the oracle (r+g+b)/3 — operands exact in double, one correctly-
+    // rounded division each, identical quotient, so e4 rounding agrees.
+    Q("x5i_real_decode",
+      (s, d) => Multimodal.decodeFeaturesAudited(
+          Multimodal.plantPngMedia(Tables.documents(s, d)))
+        .select(col("doc_id"), col("width"), col("height"),
+          round(col("mean_rgb") * 10000).cast(LongType).as("mean_rgb_e4"),
+          col("real_decoded")),
+      Some("""SELECT doc_id,
+        CAST(1 + doc_id % 4 AS INTEGER) AS width,
+        CAST(1 + doc_id % 3 AS INTEGER) AS height,
+        CAST(round((doc_id % 256 + (doc_id * 7) % 256 + (doc_id * 13) % 256)
+          / 3.0 * 10000) AS BIGINT) AS mean_rgb_e4,
+        true AS real_decoded
+        FROM documents""".stripMargin)),
+
     // X5d: multimodal columns carried through §2.2 operators — binary +
     // embedding joined, grouped, aggregated (the "typed metadata travels
     // with the blob" contract).
@@ -361,6 +391,69 @@ object Multimodal {
         }
       }
       .toDF()
+  }
+
+  /** Deterministic REAL-PNG payloads for x5i (r16, VERDICT r15 #3): one
+    * solid-color w×h PNG per doc, every parameter pure doc_id arithmetic —
+    * so the DECODED channel means are closed-form and the DuckDB oracle
+    * can state them without ever seeing a byte (the x5h
+    * closed-form-binary-oracle device applied to a real codec). Encoding
+    * runs in `mapPartitions` on EXECUTORS (`javax.imageio.ImageIO.write`),
+    * and nothing downstream depends on the encoder's exact byte stream —
+    * only on what a correct PNG decode recovers, which for a lossless
+    * format is the planted raster exactly.
+    */
+  def plantPngMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 1 + (id % 4).toInt
+          val h = 1 + (id % 3).toInt
+          val r = (id % 256).toInt
+          val g = ((id * 7) % 256).toInt
+          val b = ((id * 13) % 256).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (r << 16) | (g << 8) | b
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** [[decodeFeaturesReal]] with the fallback made VISIBLE: emits
+    * `real_decoded` = whether [[realDecode]] succeeded, so a gate can pin
+    * "stub fallback count = 0" instead of trusting it. Used by x5i, whose
+    * oracle asserts `real_decoded` true on every planted row — an
+    * ImageIO failure (or a corrupt planted payload) flips the column and
+    * fails the hash gate rather than silently riding the stub.
+    */
+  def decodeFeaturesAudited(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          realDecode(payload) match {
+            case Some((w, h, mean)) => (id, w, h, mean, true)
+            case None =>
+              val (w, h, mean) = stubDecode(payload)
+              (id, w, h, mean, false)
+          }
+        }
+      }
+      .toDF("doc_id", "width", "height", "mean_rgb", "real_decoded")
   }
 
   /** Frame sampling: split the payload into fixed-size frames, keep every

@@ -70,14 +70,24 @@ object SeriesQueries {
     * expressions (they provably cannot drift).
     */
   private[graft] def zPaaFrame(assembled: DataFrame): DataFrame = {
+    // supported value-magnitude bound (ADVICE r15): the cents conversion
+    // holds |vc| exactly for |value| < ~9e16 (Long), and the POWER SUMS
+    // hold exactly for |vc| ≤ ~5e8 per point (s2 ≤ N·vc² ≤ 9.2e18).
+    // The zero-variance GUARD below is the tightest spot — s2·N − s1²
+    // wraps silently in Long where DuckDB raises — so it is computed in
+    // Decimal(38,0): checked-exact far past any Long-held vc, making the
+    // Spark verdict correct (not wrapped) wherever the sums themselves
+    // fit, and the divergence-in-failure-mode with the oracle moot.
     val ordered = assembled.select(col("user_id"),
       transform(col("vals"), v => round(v * 100).cast(LongType)).as("vc"))
     // integer power sums -> exact mean/std inputs; zero-variance series
     // excluded on the INTEGER check (no float boundary)
+    val dec = DecimalType(38, 0)
     val sums = ordered
       .withColumn("s1", aggregate(col("vc"), lit(0L), (a, x) => a + x))
       .withColumn("s2", aggregate(col("vc"), lit(0L), (a, x) => a + x * x))
-      .where(col("s2") * N - col("s1") * col("s1") > 0)
+      .where(col("s2").cast(dec) * N -
+        col("s1").cast(dec) * col("s1").cast(dec) > 0)
     val nD = lit(N.toDouble)
     val std = sqrt((col("s2").cast(DoubleType) -
       col("s1").cast(DoubleType) * col("s1").cast(DoubleType) / nD) / nD)
@@ -91,6 +101,25 @@ object SeriesQueries {
           .reduce(_ + _) / lit(w.toDouble)).as("paa"))
   }
 
+  /** The NQ query series = the NQ smallest user_ids (ADVICE r15: the old
+    * global `row_number().over(Window.orderBy(user_id))` funneled the
+    * ENTIRE series frame through one partition just to pick NQ rows —
+    * a scale smell even though only NQ rows survive). This selects the
+    * ids with a TakeOrdered on the 8-byte key column alone (no z/paa
+    * hauled through the global sort) and broadcast-semi-joins them back;
+    * the selected SET is identical because user_id is unique.
+    */
+  private def querySide(sf: DataFrame): DataFrame = {
+    // eager TakeOrdered on the key column alone — NQ longs, a bounded
+    // certificate (the sketch-collect device); the main plan then gets a
+    // LITERAL IN predicate that pushes down, rather than a second scan
+    // in a self-semi-join (which also trips Spark's self-join
+    // deduplication when sf is a memory-sink view — q52r/q52p)
+    val ids = sf.select(col("user_id")).orderBy(col("user_id")).limit(NQ)
+      .collect().map(_.getLong(0)).toSeq
+    if (ids.isEmpty) sf.limit(0) else sf.where(col("user_id").isin(ids: _*))
+  }
+
   /** Strictly sequential Σ(a[i]−b[i])² — Spark side of the shared fold. */
   private def d2(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
@@ -100,9 +129,7 @@ object SeriesQueries {
     * frame; shared by the registration and the spec.
     */
   private[graft] def seriesKnn(sf: DataFrame): DataFrame = {
-    val ranked = sf.withColumn("qrank",
-      row_number().over(Window.orderBy(col("user_id"))))
-    val q = ranked.where(col("qrank") <= NQ)
+    val q = querySide(sf)
       .select(col("user_id").as("q_user"), col("z").as("q_z"), col("paa").as("q_paa"))
     val c = sf.select(col("user_id").as("c_user"), col("z").as("c_z"),
       col("paa").as("c_paa"))
@@ -152,8 +179,8 @@ object SeriesQueries {
     * (sans WITH) is shared with x11b's oracle, which needs the
     * WITH RECURSIVE form for its DP replay.
     */
-  private val SeriesCte: String = s"""WITH pts AS (
-      SELECT user_id, (list(CAST(round(value*100) AS BIGINT) ORDER BY ts, event_id))[1:$N] AS vc
+  private def seriesCte(slice: String): String = s"""WITH pts AS (
+      SELECT user_id, (list(CAST(round(value*100) AS BIGINT) ORDER BY ts, event_id))$slice AS vc
       FROM events GROUP BY user_id HAVING count(*) >= $N),
     sums AS (SELECT user_id, vc,
         list_reduce(vc, (a, x) -> a + x) AS s1,
@@ -171,7 +198,18 @@ object SeriesQueries {
   private def sqlD2(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (acc, x) -> acc + x)"
 
-  private[graft] val KnnOracle: String = s"""$SeriesCte,
+  private val SeriesCte: String = seriesCte(s"[1:$N]")
+
+  private[graft] val KnnOracle: String = knnOracleFrom(SeriesCte)
+
+  /** q52p's batch truth: identical kNN SQL over the LAST-N window —
+    * the list slice is the only difference (DuckDB negative slicing
+    * keeps ascending order, exactly the recent assembler's contract).
+    */
+  private[graft] val KnnOracleRecent: String =
+    knnOracleFrom(seriesCte(s"[-$N:]"))
+
+  private def knnOracleFrom(cte: String): String = s"""$cte,
     q AS (SELECT user_id AS q_user, z AS q_z, paa AS q_paa FROM
       (SELECT *, row_number() OVER (ORDER BY user_id) AS qrank FROM sf) WHERE qrank <= $NQ),
     scored AS (SELECT q_user, c.user_id AS c_user, q_z, c.z AS c_z,
@@ -228,9 +266,7 @@ object SeriesQueries {
     * against the all-candidate DTW truth set.
     */
   private[ext] def dtwKnn(sf: DataFrame): DataFrame = {
-    val ranked = sf.withColumn("qrank",
-      row_number().over(Window.orderBy(col("user_id"))))
-    val q = ranked.where(col("qrank") <= NQ)
+    val q = querySide(sf)
       .select(col("user_id").as("q_user"), col("z").as("q_z"),
         envelope(col("z"), array_max).as("u_env"),
         envelope(col("z"), array_min).as("l_env"))
@@ -272,6 +308,17 @@ object SeriesQueries {
     * arithmetic per cell is the kernel's, literally: |a_i−b_j| +
     * least(d[i−1][j], d[i][j−1], d[i−1][j−1]), 1e30 band sentinel, one
     * rounding per cell — bit-identical doubles.
+    *
+    * Oracle cost bound (ADVICE r15): the recursion runs N² = 1024
+    * iterations per (query, candidate) pair over ALL pairs — the recall
+    * annotation's truth set needs every pair's DTW, so the gate's oracle
+    * is O(pairs · N² · N) list copies by construction. At sf0.01 that is
+    * NQ=4 × ~470 candidates ≈ 1.9k pairs (~2 min of DuckDB); it scales
+    * with the events fixture's user count, not its history length (the
+    * series window is fixed at N), so the driver-gate cost grows only
+    * linearly in users — acceptable, but this is the slowest oracle in
+    * the suite and intentionally so: it is the only sequential-fold
+    * surface DuckDB offers that can express the DP's cell dependency.
     */
   private def dtwOracle: String = {
     val nn = N * N

@@ -555,6 +555,19 @@ object TextQueries {
     // the KL sum reduces per source. The token-level join keys on t —
     // the corpus marginal stays DISTRIBUTED (vocab-sized, not
     // driver/broadcast) because a production vocab is 10⁷+ grams.
+    //
+    // e4-rounding determinism (ADVICE r15): the per-token double terms
+    // sum under partial aggregation, whose order differs between engines
+    // (unlike the series family's strictly sequential folds). The hash
+    // gate stays deterministic because the reordering error is bounded
+    // far below the rounding half-ulp: with ~n ≤ 10⁴ terms each |term|
+    // ≤ ~15 bits, any summation order differs from any other by at most
+    // ~n²·ε·max|term| ≈ 10⁸·2.2e-16·15 ≈ 3e-7, while a kl_e4 flip needs
+    // the true value within that distance of a 0.5e-4 boundary — the
+    // fixture's KL values sit O(1e-2..1) away from boundaries, 5 orders
+    // of magnitude more margin than the bound (same argument at qf10's
+    // entropy sum). A production deployment comparing across engines at
+    // much larger n should widen to a ±1 e4 tolerance instead.
     Q("x4u_kl_divergence",
       (s, d) => {
         val tok = Tables.documents(s, d)

@@ -379,29 +379,51 @@ object StreamQueries {
     * always-on deployment expires old generations like any artifact
     * (q52y's tiered store is the general machinery).
     *
-    * Periodic recount cadence (r15, VERDICT r14 #4): an always-on stream
-    * never drains, so without a mid-stream recount the monitor would
-    * serve sketch CANDIDATES (a superset with under-estimated counts)
-    * until shutdown. With `rowsDir`/`hhDir`/`recountEvery` set, each
-    * batch additionally lands whole in `rowsDir/batch=<id>` (per-batch
-    * OVERWRITE, q52g's effectively-once device) and every
-    * `recountEvery`-th batch recounts the CURRENT sketch's candidate set
-    * exactly over the rows ingested so far — the watermark-consistent
-    * θ-filtered answer — overwriting `hhDir/batch=<id>` (`_SUCCESS`-
-    * gated), mirroring q52y's maintenance-cadence contract. Crash-replay
-    * of batch id overwrites its rows dir FIRST, rebuilds the sketch from
-    * the generation strictly below id, and re-derives the identical hh
-    * artifact; batches before id completed their writes before the
+    * Periodic recount cadence (r15, VERDICT r14 #4; refolded r16, VERDICT
+    * r15 #1): an always-on stream never drains, so without a mid-stream
+    * recount the monitor would serve sketch CANDIDATES (a superset with
+    * under-estimated counts) until shutdown. With `rowsDir`/`hhDir`/
+    * `cumDir`/`recountEvery` set, each batch additionally lands whole in
+    * `rowsDir/batch=<id>` (per-batch OVERWRITE, q52g's effectively-once
+    * device) and the writer maintains MERGEABLE per-batch candidate
+    * partials in `cumDir/batch=<id>`: exact cumulative counts through
+    * batch id for every POSSIBLY-θ-HEAVY candidate (sketch count ≥ the
+    * safe floor of n/θinv − n/(cap+1) — a proven superset of the θ-heavy
+    * set; the cut drops the sketch's churny boundary tail, which on a
+    * vocabulary ≫ capacity would otherwise trigger catch-ups forever),
+    * plus the running gram total (a sentinel row — [[CumTotalKey]]
+    * contains no space, so it can never collide with a trigram). Per
+    * batch the
+    * fold costs O(batch + capacity): candidates that survived get
+    * prev-cum + this batch's exact count (a capacity-bounded semi-join
+    * on batch grams only); candidates that ENTERED this batch pay a
+    * one-time residual catch-up over the rows-so-far glob (the only
+    * history read — it decays to zero as the sketch converges, and the
+    * `ledger` records it so the 30× tier can gate flatness). Every
+    * `recountEvery`-th batch the hh artifact is then a pure θ-filter of
+    * the in-memory cumulative fold — ZERO history bytes at the firing —
+    * overwriting `hhDir/batch=<id>` (`_SUCCESS`-gated). The r15 shape
+    * (re-read ALL rows every firing) made total recount work O(T²·B/M)
+    * over a stream's lifetime, the same super-linear class q52y's
+    * maintenance had before tiering; the fold is exact by induction
+    * (entrants catch up from history, survivors accumulate), so the
+    * artifact is unchanged: θ-heavy ⊆ candidates (the sketch guarantee)
+    * and candidate counts are exact at the watermark. Crash-replay of
+    * batch id overwrites its rows dir FIRST, rebuilds sketch AND cum
+    * from the generations strictly below id, and re-derives identical
+    * artifacts; batches before id completed their writes before the
     * stream advanced, so the rows-so-far glob never sees a torn dir
     * other than the one being overwritten. The drain-end answer is
     * unchanged — the cadence only adds the always-on serving artifact.
     */
   private[graft] def heavyHitterSketchWriter(skDir: String,
-      rowsDir: String = null, hhDir: String = null, recountEvery: Int = 0)(
+      rowsDir: String = null, hhDir: String = null, recountEvery: Int = 0,
+      cumDir: String = null, ledger: CumLedger = null)(
       batch: DataFrame, id: Long): Unit = {
-    require(recountEvery <= 0 || (rowsDir != null && hhDir != null),
-      "recountEvery > 0 needs rowsDir and hhDir — the recount reads the " +
-        "rows-so-far sink and writes the hh artifact")
+    require(recountEvery <= 0 ||
+      (rowsDir != null && hhDir != null && cumDir != null),
+      "recountEvery > 0 needs rowsDir, hhDir and cumDir — the cadence " +
+        "folds per-batch candidate partials and writes the hh artifact")
     val s = batch.sparkSession
     import s.implicits._
     val agg = new graft.functions.Aggregators.MisraGriesAgg(
@@ -412,26 +434,113 @@ object StreamQueries {
     try {
       if (rowsDir != null)
         b.write.mode("overwrite").parquet(s"$rowsDir/batch=$id")
-      val sk = graft.ext.TextQueries.heavyHitterGrams(b)
-        .agg(graft.functions.Aggregators.misra_gries(
-          graft.ext.TextQueries.HhCapacity)(col("gram")).as("sk"))
-        .head().getMap[String, Long](0).toMap
-      val prev = latestSketchGen(s, skDir, below = id)
-        .map(p => s.read.parquet(p).as[(String, Long)].collect().toMap)
-        .getOrElse(Map.empty[String, Long])
-      val merged = agg.merge(prev, sk)
-      merged.toSeq.toDF("gram", "cnt")
-        .coalesce(1).write.mode("overwrite").parquet(s"$skDir/batch=$id")
-      if (recountEvery > 0 && (id + 1) % recountEvery == 0) {
-        val soFar = s.read.parquet(s"$rowsDir/batch=*")
-        val cand = merged.keys.toSeq.toDF("gram")
-        val grams = graft.ext.TextQueries.heavyHitterGrams(soFar)
-        graft.ext.Caching.withPersisted(grams) {
-          graft.ext.TextQueries.heavyHitterRecount(grams, cand)
-            .coalesce(1).write.mode("overwrite").parquet(s"$hhDir/batch=$id")
+      val gb = graft.ext.TextQueries.heavyHitterGrams(b)
+      val gbp = if (recountEvery > 0) gb.persist() else gb
+      try {
+        val sk = gbp
+          .agg(graft.functions.Aggregators.misra_gries(
+            graft.ext.TextQueries.HhCapacity)(col("gram")).as("sk"))
+          .head().getMap[String, Long](0).toMap
+        val prev = latestSketchGen(s, skDir, below = id)
+          .map(p => s.read.parquet(p).as[(String, Long)].collect().toMap)
+          .getOrElse(Map.empty[String, Long])
+        val merged = agg.merge(prev, sk)
+        merged.toSeq.toDF("gram", "cnt")
+          .coalesce(1).write.mode("overwrite").parquet(s"$skDir/batch=$id")
+        if (recountEvery > 0) {
+          val batchTotal = gbp.count()
+          val candDF = merged.keys.toSeq.toDF("gram")
+          // exact per-candidate counts for THIS batch only — ≤ capacity
+          // rows out, one batch-sized semi-join (the bounded-collect
+          // device the sketch itself uses)
+          val batchCnt = gbp.join(broadcast(candDF), Seq("gram"), "left_semi")
+            .groupBy("gram").agg(count(lit(1)).as("cnt"))
+            .as[(String, Long)].collect().toMap
+          val (prevCum, prevTotal) = readCumGen(s, cumDir, below = id)
+          val newTotal0 = prevTotal + batchTotal
+          // maintain exact cums ONLY for candidates that could possibly
+          // be θ-heavy: a θ-heavy gram's sketch count is ≥ n/θinv −
+          // n/(cap+1) (the MG under-estimate bound), so cutting below
+          // the safe integer floor of that threshold keeps a SUPERSET
+          // of the θ-heavy set while dropping the sketch's churny
+          // boundary tail — without this cut, top-capacity boundary
+          // keys rotate every batch on a vocabulary ≫ capacity and the
+          // entrant catch-up would scan history indefinitely
+          val cap1 = graft.ext.TextQueries.HhCapacity + 1L
+          val floorThresh = math.max(0L,
+            newTotal0 / graft.ext.TextQueries.HhThetaInv -
+              (newTotal0 + cap1 - 1L) / cap1)
+          val pruned = merged.filter { case (_, w) => w >= floorThresh }
+          val entrants = pruned.keySet -- prevCum.keySet
+          // one-time residual catch-up for candidates that newly entered
+          // the sketch: their exact count over ALL rows through batch id
+          // (the glob includes the just-written batch dir, so no
+          // batch-count add-back for entrants)
+          val catchup: Map[String, Long] =
+            if (entrants.isEmpty) Map.empty
+            else {
+              val eDF = entrants.toSeq.toDF("gram")
+              graft.ext.TextQueries
+                .heavyHitterGrams(s.read.parquet(s"$rowsDir/batch=*"))
+                .join(broadcast(eDF), Seq("gram"), "left_semi")
+                .groupBy("gram").agg(count(lit(1)).as("cnt"))
+                .as[(String, Long)].collect().toMap
+            }
+          val newTotal = newTotal0
+          val newCum = pruned.keysIterator.map { g =>
+            g -> (if (entrants(g)) catchup.getOrElse(g, 0L)
+                  else prevCum(g) + batchCnt.getOrElse(g, 0L))
+          }.toMap
+          (newCum.toSeq :+ (CumTotalKey -> newTotal)).toDF("gram", "cnt")
+            .coalesce(1).write.mode("overwrite").parquet(s"$cumDir/batch=$id")
+          val fired = (id + 1) % recountEvery == 0
+          if (ledger != null)
+            ledger.rows += CumLedgerRow(id, entrants.size,
+              histBatchesRead = if (entrants.isEmpty) 0 else id + 1, fired)
+          if (fired) {
+            // the firing is a pure θ-filter of the cumulative fold —
+            // no history bytes read here, ever
+            newCum.toSeq
+              .filter { case (_, c) =>
+                c * graft.ext.TextQueries.HhThetaInv >= newTotal }
+              .map { case (g, c) => (g, c, c * 1000000L / newTotal) }
+              .toDF("gram", "cnt", "ppm")
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$hhDir/batch=$id")
+          }
         }
-      }
+      } finally if (recountEvery > 0) gbp.unpersist()
     } finally if (rowsDir != null) b.unpersist()
+  }
+
+  /** Sentinel key carrying the running total inside a cumulative-partial
+    * generation: contains no space (a word trigram always has two) and is
+    * not a renderable IP address, so it cannot collide with either key
+    * space.
+    */
+  private[graft] val CumTotalKey = "\u0000TOTAL"
+
+  /** Per-batch cadence accounting for the 30× tier: how many candidates
+    * entered the sketch this batch and how many history batch dirs the
+    * residual catch-up had to read (0 in steady state — the claim the
+    * scale gate measures).
+    */
+  private[graft] final case class CumLedgerRow(batchId: Long, entrants: Long,
+      histBatchesRead: Long, fired: Boolean)
+  private[graft] final class CumLedger {
+    val rows = scala.collection.mutable.Buffer.empty[CumLedgerRow]
+  }
+
+  /** Newest complete cumulative-partial generation strictly below `below`:
+    * (candidate → exact cumulative count, running total). Empty at batch 0.
+    */
+  private[graft] def readCumGen(s: SparkSession, cumDir: String,
+      below: Long): (Map[String, Long], Long) = {
+    import s.implicits._
+    latestSketchGen(s, cumDir, below).map { p =>
+      val m = s.read.parquet(p).as[(String, Long)].collect().toMap
+      (m - CumTotalKey, m.getOrElse(CumTotalKey, 0L))
+    }.getOrElse((Map.empty[String, Long], 0L))
   }
 
   /** q52u flows-domain geometry: θ = 1/50 of total BYTES (a talker owning
@@ -454,10 +563,12 @@ object StreamQueries {
     * standing source table to recount against, the stream IS the corpus.
     */
   private[graft] def topTalkerSketchWriter(skDir: String, outDir: String,
-      hhDir: String = null, recountEvery: Int = 0)(
+      hhDir: String = null, recountEvery: Int = 0, cumDir: String = null,
+      ledger: CumLedger = null)(
       batch: DataFrame, id: Long): Unit = {
-    require(recountEvery <= 0 || hhDir != null,
-      "recountEvery > 0 needs hhDir — the recount writes the hh artifact")
+    require(recountEvery <= 0 || (hhDir != null && cumDir != null),
+      "recountEvery > 0 needs hhDir and cumDir — the cadence folds " +
+        "per-batch candidate partials and writes the hh artifact")
     val s = batch.sparkSession
     import s.implicits._
     // persist: two consumers (rows sink + sketch agg) would each re-run
@@ -476,20 +587,84 @@ object StreamQueries {
       val merged = agg.merge(prev, sk)
       merged.toSeq.toDF("src_addr", "w")
         .coalesce(1).write.mode("overwrite").parquet(s"$skDir/batch=$id")
-      // periodic recount cadence, q52t's always-on contract on the flows
-      // domain: every recountEvery-th batch, the exact θ-filtered top
-      // talkers over the bytes ingested SO FAR overwrite an _SUCCESS-
-      // gated hh artifact — what a live traffic monitor serves
-      if (recountEvery > 0 && (id + 1) % recountEvery == 0) {
-        val soFar = s.read.parquet(s"$outDir/batch=*")
-          .select(col("src_addr"), col("bytes"))
-        val cand = merged.keys.toSeq.toDF("src_addr")
-        graft.ext.Caching.withPersisted(soFar) {
-          topTalkerRecount(soFar, cand)
+      // mergeable cadence fold, heavyHitterSketchWriter's r16 device on
+      // the flows domain (weights replace unit increments): per batch,
+      // exact (sum_bytes, n_flows) partials for the CURRENT candidate
+      // set accumulate in cumDir generations — survivors add this
+      // batch's capacity-bounded aggregate, entrants pay a one-time
+      // catch-up over the rows-so-far glob — and each firing θ-filters
+      // the in-memory fold, reading ZERO history bytes (r15 re-read all
+      // ingested rows every firing: O(T²·B/M) over a stream's lifetime)
+      if (recountEvery > 0) {
+        val batchAgg = b.groupBy("src_addr")
+          .agg(sum(col("bytes")).as("sb"), count(lit(1)).as("nf"))
+          .join(broadcast(merged.keys.toSeq.toDF("src_addr")),
+            Seq("src_addr"), "left_semi")
+          .as[(String, Long, Long)].collect()
+          .map(t => t._1 -> (t._2, t._3)).toMap
+        // coalesce: an all-duplicate UDP batch dedups to EMPTY, and
+        // sum over zero rows is NULL
+        val bt = b.agg(coalesce(sum(col("bytes")), lit(0L)).as("tb"),
+            count(lit(1)).as("tf"))
+          .as[(Long, Long)].head()
+        val (prevCum, prevTotals) = readTalkerCumGen(s, cumDir, below = id)
+        val newTotals = (prevTotals._1 + bt._1, prevTotals._2 + bt._2)
+        // possibly-θ-heavy cut on sketch WEIGHT (heavyHitterSketchWriter's
+        // r16 device with bytes for unit counts): W/θinv − W/(cap+1),
+        // safe integer floor — keeps a superset of the θ-heavy talkers,
+        // drops the sketch's churny boundary tail
+        val cap1 = FlowHhCapacity + 1L
+        val floorThresh = math.max(0L,
+          newTotals._1 / FlowHhThetaInv - (newTotals._1 + cap1 - 1L) / cap1)
+        val pruned = merged.filter { case (_, w) => w >= floorThresh }
+        val entrants = pruned.keySet -- prevCum.keySet
+        val catchup: Map[String, (Long, Long)] =
+          if (entrants.isEmpty) Map.empty
+          else s.read.parquet(s"$outDir/batch=*")
+            .select(col("src_addr"), col("bytes"))
+            .join(broadcast(entrants.toSeq.toDF("src_addr")),
+              Seq("src_addr"), "left_semi")
+            .groupBy("src_addr")
+            .agg(sum(col("bytes")).as("sb"), count(lit(1)).as("nf"))
+            .as[(String, Long, Long)].collect()
+            .map(t => t._1 -> (t._2, t._3)).toMap
+        val newCum = pruned.keysIterator.map { a =>
+          a -> (if (entrants(a)) catchup.getOrElse(a, (0L, 0L))
+                else {
+                  val p = prevCum(a); val c = batchAgg.getOrElse(a, (0L, 0L))
+                  (p._1 + c._1, p._2 + c._2)
+                })
+        }.toMap
+        (newCum.toSeq.map { case (a, (sb, nf)) => (a, sb, nf) } :+
+          ((CumTotalKey, newTotals._1, newTotals._2)))
+          .toDF("src_addr", "sum_bytes", "n_flows")
+          .coalesce(1).write.mode("overwrite").parquet(s"$cumDir/batch=$id")
+        val fired = (id + 1) % recountEvery == 0
+        if (ledger != null)
+          ledger.rows += CumLedgerRow(id, entrants.size,
+            histBatchesRead = if (entrants.isEmpty) 0 else id + 1, fired)
+        if (fired) {
+          newCum.toSeq
+            .filter { case (_, (sb, _)) => sb * FlowHhThetaInv >= newTotals._1 }
+            .map { case (a, (sb, nf)) => (a, sb, nf, sb * 1000000L / newTotals._1) }
+            .toDF("src_addr", "sum_bytes", "n_flows", "ppm")
             .coalesce(1).write.mode("overwrite").parquet(s"$hhDir/batch=$id")
         }
       }
     } finally b.unpersist()
+  }
+
+  /** Weighted analogue of [[readCumGen]]: (talker → (exact cumulative
+    * sum_bytes, n_flows), (total bytes, total flows)). Empty at batch 0.
+    */
+  private[graft] def readTalkerCumGen(s: SparkSession, cumDir: String,
+      below: Long): (Map[String, (Long, Long)], (Long, Long)) = {
+    import s.implicits._
+    latestSketchGen(s, cumDir, below).map { p =>
+      val m = s.read.parquet(p).as[(String, Long, Long)].collect()
+        .map(t => t._1 -> (t._2, t._3)).toMap
+      (m - CumTotalKey, m.getOrElse(CumTotalKey, (0L, 0L)))
+    }.getOrElse((Map.empty[String, (Long, Long)], (0L, 0L)))
   }
 
   /** The exact tail shared by q52u's drain answer and its mid-stream
@@ -1756,6 +1931,51 @@ object StreamQueries {
       },
       Some(graft.ext.SeriesQueries.KnnOracle)),
 
+    // Q52p (r16, VERDICT r15 #4): the SLIDING face of series assembly —
+    // q52r holds each user's FIRST-N points forever (the oracle-parity
+    // choice); a real monitor serves the N MOST-RECENT. Same plan with
+    // [[graft.streaming.RecentSeriesAssemblerProcessor]]: state per user
+    // is the N largest (ts, event_id) points (bounded min-evicting
+    // structure — same capacity discipline, opposite end) under a 7-day
+    // state TTL on RocksDB, so an idle user's series ages out wholesale
+    // (q52f's rolling-window contract; TimeMode.ProcessingTime, hence
+    // the quiescence drain — the TTL clock defeats AvailableNow). The
+    // drained series feed the SAME zPaaFrame + seriesKnn definitions,
+    // and the oracle is x11's SQL with the list slice flipped to
+    // [-N:] — the batch last-N build — so the hash gate proves
+    // recent-assemble-at-ingest ≡ batch last-N under any micro-batch
+    // split (merge-then-truncate to the N largest is associative;
+    // RecentSeriesSpec pins the eviction order under controlled
+    // batches).
+    Q("q52p_stream_series_recent",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        withRocksDbStateStore(s) {
+          val typed = eventsStream(s, d)
+            .select(col("user_id"), unix_micros(col("ts")).as("t"),
+              col("event_id"), col("value"))
+            .as[(Long, Long, Long, Double)]
+          val assembled = typed.groupByKey(_._1)
+            .transformWithState(
+              new graft.streaming.RecentSeriesAssemblerProcessor(
+                graft.ext.SeriesQueries.N,
+                org.apache.spark.sql.streaming.TTLConfig(
+                  java.time.Duration.ofDays(7))),
+              org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+              org.apache.spark.sql.streaming.OutputMode.Update())
+          val sunk = drainUntilQuiescent(assembled.toDF(), "q52p_sink", "update")
+          val last = sunk.withColumn("rn", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col("user_id")).orderBy(col("seen").desc)))
+            .where(col("rn") === 1 && col("complete"))
+            .select(col("user_id"), col("vals"))
+          graft.ext.SeriesQueries.seriesKnn(
+            graft.ext.SeriesQueries.zPaaFrame(last))
+        }
+      },
+      Some(graft.ext.SeriesQueries.KnnOracleRecent)),
+
     // Q52s (r15): streaming REFERENCE-LM QUALITY FILTER at ingest —
     // x4t's CCNet filter in its deployment shape: the stupid-backoff
     // bigram LM is trained ONCE from the standing corpus's trusted split
@@ -1822,7 +2042,8 @@ object StreamQueries {
         val skDir = s"$base/sketch"
         val rowsDir = s"$base/rows"
         val hhDir = s"$base/hh"
-        Seq(cp, skDir, rowsDir, hhDir).foreach(p =>
+        val cumDir = s"$base/cum"
+        Seq(cp, skDir, rowsDir, hhDir, cumDir).foreach(p =>
           org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(p).toFile))
         val docs = Tables.documents(s, d)
         docs.repartition(6).write.mode("overwrite").parquet(src)
@@ -1832,10 +2053,12 @@ object StreamQueries {
           .option("checkpointLocation", cp)
           .trigger(Trigger.AvailableNow())
           // recountEvery = 2: the always-on serving cadence (VERDICT r14
-          // #4) runs INSIDE the registered query — 3 mid-stream hh
-          // artifacts over the 6-batch split; the drain-end answer below
-          // is unchanged, so the oracle text is untouched
-          .foreachBatch(heavyHitterSketchWriter(skDir, rowsDir, hhDir, 2) _)
+          // #4, refolded to mergeable per-batch partials r16) runs
+          // INSIDE the registered query — 3 mid-stream hh artifacts over
+          // the 6-batch split; the drain-end answer below is unchanged,
+          // so the oracle text is untouched
+          .foreachBatch(
+            heavyHitterSketchWriter(skDir, rowsDir, hhDir, 2, cumDir) _)
           .start()
         q.awaitTermination()
         val fin = latestSketchGen(s, skDir, below = Long.MaxValue)
@@ -1893,7 +2116,8 @@ object StreamQueries {
         val skDir = s"$base/sketch"
         val out = s"$base/rows"
         val hhDir = s"$base/hh"
-        Seq(cp, skDir, out, hhDir).foreach(p =>
+        val cumDir = s"$base/cum"
+        Seq(cp, skDir, out, hhDir, cumDir).foreach(p =>
           org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(p).toFile))
         val raw = s.readStream.format("nflv5-udp")
           .option("name", "q52u").option("port", 0)
@@ -1902,10 +2126,11 @@ object StreamQueries {
         val q = graft.streaming.FlowPipeline.normalize(raw)
           .writeStream
           .option("checkpointLocation", cp)
-          // recountEvery = 2: the always-on serving cadence runs inside
-          // the registered query, q52t's contract on the flows domain;
-          // the drain answer below is unchanged
-          .foreachBatch(topTalkerSketchWriter(skDir, out, hhDir, 2) _)
+          // recountEvery = 2: the always-on serving cadence (mergeable
+          // per-batch partials, r16) runs inside the registered query,
+          // q52t's contract on the flows domain; the drain answer below
+          // is unchanged
+          .foreachBatch(topTalkerSketchWriter(skDir, out, hhDir, 2, cumDir) _)
           .start()
         val sock = new java.net.DatagramSocket()
         try {

@@ -35,6 +35,29 @@ class BpeSpec extends SparkSpec {
       .as[String].head()
   }
 
+  test("a 512-entry merge table rides codegen as one plan object (r16)") {
+    import spark.implicits._
+    // the plan-literal String[] claim at production depth (VERDICT r15
+    // #5): 512 merges — 8× the trained x4k artifact — must still travel
+    // as ONE ctx.addReferenceObj and keep the expression inside
+    // whole-stage codegen (the retired nested-replace formulation died
+    // at a few dozen)
+    val merges = (0 until 512).map(i => (s"a$i", s"b$i"))
+    // spark.range, not a local Seq: ConvertToLocalRelation would fold the
+    // projection eagerly and leave no codegen stage to assert on
+    val df = spark.range(2).select(
+        when(col("id") === 0, " a7 b7 a100 b100 a511 b511 x ")
+          .otherwise(" b7 a7 x ").as("w"))
+      .select(graft.functions.Kernels
+        .bpe_apply(col("w"), merges, fromChars = false).as("s"))
+    val plan = df.queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.contains("bpe_apply")).getOrElse("")
+    assert(line.trim.startsWith("*("),
+      s"bpe_apply at 512 merges fell out of codegen:\n$plan")
+    assert(df.as[String].collect().sorted.toSeq ==
+      Seq(" a7b7 a100b100 a511b511 x ", " b7 a7 x ").sorted)
+  }
+
   test("merge frequency order and lexicographic tie-break") {
     // 'ab' appears twice, 'cd' once -> (a b) first; then within the
     // rewritten vocab 'cd' is the only remaining pair

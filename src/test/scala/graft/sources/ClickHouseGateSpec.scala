@@ -31,7 +31,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * PATH — unchanged; r15 — re-probed (ninth attempt): docker client
   * 28.2.2 only, `docker info` still cannot reach a daemon, no
   * /var/run/docker.sock, no dockerd/podman/clickhouse binaries on
-  * PATH — unchanged.
+  * PATH — unchanged; r16 — re-probed (tenth attempt): docker client
+  * 28.2.2 at /usr/local/bin/docker, no /var/run/docker.sock, no
+  * dockerd/podman/clickhouse/clickhouse-server on PATH — unchanged.
   * What therefore stays unproven in-sandbox is exactly: live-server
   * type coercion and clickhouse-jdbc batching against a real 24.12; both
   * replay-gated (ClickHouseReplaySpec over the recorded transcript,

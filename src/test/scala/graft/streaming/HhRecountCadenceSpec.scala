@@ -49,8 +49,9 @@ class HhRecountCadenceSpec extends SparkSpec {
 
   test("cadence fires on schedule and each artifact is watermark-exact") {
     val dir = base("sched")
-    val (sk, rows, hh) = (s"$dir/sketch", s"$dir/rows", s"$dir/hh")
-    val writer = heavyHitterSketchWriter(sk, rows, hh, 2) _
+    val (sk, rows, hh, cum) =
+      (s"$dir/sketch", s"$dir/rows", s"$dir/hh", s"$dir/cum")
+    val writer = heavyHitterSketchWriter(sk, rows, hh, 2, cum) _
     (0 to 5).foreach(id => writer(docsBatch(id * 10 until id * 10 + 10), id))
     val fs = new org.apache.hadoop.fs.Path(hh)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -73,12 +74,13 @@ class HhRecountCadenceSpec extends SparkSpec {
     import spark.implicits._
     import graft.ops.StreamQueries.{topTalkerSketchWriter, FlowHhThetaInv}
     val dir = base("flows")
-    val (sk, rows, hh) = (s"$dir/sketch", s"$dir/rows", s"$dir/hh")
+    val (sk, rows, hh, cum) =
+      (s"$dir/sketch", s"$dir/rows", s"$dir/hh", s"$dir/cum")
     // skewed byte weights: one talker owns most of the traffic
     def flowBatch(ids: Range) = ids.map(i =>
       (if (i % 3 == 0) "10.0.0.1" else s"10.1.0.${i % 250}",
         if (i % 3 == 0) 50000L else 100L + i)).toDF("src_addr", "bytes")
-    val writer = topTalkerSketchWriter(sk, rows, hh, 2) _
+    val writer = topTalkerSketchWriter(sk, rows, hh, 2, cum) _
     (0 to 3).foreach(id => writer(flowBatch(id * 20 until id * 20 + 20), id))
     val fs = new org.apache.hadoop.fs.Path(hh)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -101,10 +103,44 @@ class HhRecountCadenceSpec extends SparkSpec {
     }
   }
 
+  test("cadence firings read zero history once the candidate set settles") {
+    import graft.ops.StreamQueries.CumLedger
+    val dir = base("flat")
+    val (sk, rows, hh, cum) =
+      (s"$dir/sketch", s"$dir/rows", s"$dir/hh", s"$dir/cum")
+    val ledger = new CumLedger
+    val writer = heavyHitterSketchWriter(sk, rows, hh, 2, cum, ledger) _
+    // hot trigram everywhere, bounded tail vocabulary so the sketch's
+    // candidate set goes quiet after the early batches
+    def batch(ids: Range) = {
+      import spark.implicits._
+      ids.map(i => (i.toLong,
+        s"alpha beta gamma tail${i % 7} x${i % 5} z")).toDF("doc_id", "text")
+    }
+    (0 to 9).foreach(id => writer(batch(id * 10 until id * 10 + 10), id))
+    assert(ledger.rows.size == 10)
+    // the O(T²) claim, inverted: after the vocabulary is fully seen (the
+    // (i%7, i%5) pair space cycles with period 35, so by the end of batch
+    // 3 every gram has appeared), NO batch — and in particular no cadence
+    // firing — reads any history
+    val tail = ledger.rows.drop(4)
+    assert(tail.forall(_.entrants == 0L),
+      s"late entrants: ${ledger.rows.map(_.entrants).mkString(",")}")
+    assert(tail.forall(_.histBatchesRead == 0L),
+      s"late history reads: ${ledger.rows.map(_.histBatchesRead).mkString(",")}")
+    assert(ledger.rows.count(_.fired) == 5)
+    // and the fold is still watermark-exact at the last firing
+    val got = spark.read.parquet(s"$hh/batch=9")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = exactAt(batch(0 until 100))
+    assert(want.nonEmpty && got == want)
+  }
+
   test("whole-batch replay re-derives the identical hh artifact") {
     val dir = base("replay")
-    val (sk, rows, hh) = (s"$dir/sketch", s"$dir/rows", s"$dir/hh")
-    val writer = heavyHitterSketchWriter(sk, rows, hh, 2) _
+    val (sk, rows, hh, cum) =
+      (s"$dir/sketch", s"$dir/rows", s"$dir/hh", s"$dir/cum")
+    val writer = heavyHitterSketchWriter(sk, rows, hh, 2, cum) _
     (0 to 3).foreach(id => writer(docsBatch(id * 10 until id * 10 + 10), id))
     val before = spark.read.parquet(s"$hh/batch=3")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
