@@ -275,6 +275,41 @@ object MultimodalQueries {
         true AS real_decoded
         FROM documents""".stripMargin)),
 
+    // X5j (r16): REAL audio decode under the oracle gate — x5i's device on
+    // the audio modality: planted 16-bit mono PCM clips whose sample
+    // values are pure doc_id arithmetic, containerized as WAV by
+    // javax.sound.sampled on executors ([[Multimodal.plantWavMedia]]),
+    // parsed back through AudioSystem ([[Multimodal.realDecodeWav]]:
+    // format + frame count + exact integer sample sum), oracle states
+    // sample count and Σ samples from the same arithmetic without seeing
+    // a byte (WAV PCM is lossless). `real_decoded` must be true on every
+    // row — a parse failure or silent fallback fails the hash gate. All
+    // emitted values are exact integers: no float edge anywhere.
+    Q("x5j_real_wav_decode",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        Multimodal.plantWavMedia(Tables.documents(s, d))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { rows =>
+            rows.map { case (id, payload) =>
+              Multimodal.realDecodeWav(payload) match {
+                case Some((rate, n, sum)) => (id, rate, n, sum, true)
+                case None => (id, 0, 0L, 0L, false)
+              }
+            }
+          }
+          .toDF("doc_id", "sample_rate", "n_samples", "sum_samples",
+            "real_decoded")
+      },
+      Some("""SELECT doc_id,
+        8000 AS sample_rate,
+        CAST(8 + doc_id % 8 AS BIGINT) AS n_samples,
+        CAST(list_sum(list_transform(generate_series(0, CAST(7 + doc_id % 8 AS INTEGER)),
+          k -> (doc_id * 31 + k * 17) % 65536 - 32768)) AS BIGINT) AS sum_samples,
+        true AS real_decoded
+        FROM documents""".stripMargin)),
+
     // X5d: multimodal columns carried through §2.2 operators — binary +
     // embedding joined, grouped, aggregated (the "typed metadata travels
     // with the blob" contract).
@@ -430,6 +465,64 @@ object Multimodal {
       }
       .toDF("doc_id", "payload")
   }
+
+  /** Deterministic REAL-WAV payloads for x5j (r16): one 16-bit mono PCM
+    * clip per doc, every sample pure doc_id arithmetic, CONTAINERIZED by
+    * `javax.sound.sampled.AudioSystem.write` on executors — the audio
+    * analogue of [[plantPngMedia]]. WAV PCM is lossless, so a correct
+    * parse recovers the planted samples exactly and the oracle can state
+    * sample count and sum without seeing a byte.
+    */
+  def plantWavMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = 8 + (id % 8).toInt
+          val samples = Array.tabulate(n)(k =>
+            (((id * 31 + k * 17) % 65536) - 32768).toShort)
+          val pcm = java.nio.ByteBuffer.allocate(n * 2)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          samples.foreach(pcm.putShort)
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+            true, false) // signed, little-endian — PCM_SIGNED
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm.array()), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** REAL audio decode (r16): parse the WAV container back through
+    * `AudioSystem.getAudioInputStream` — format, frame count, and the
+    * exact integer sample sum (the decode arithmetic a feature extractor
+    * starts from). None when the payload is not a parseable audio
+    * container, so callers choose the fallback explicitly, like
+    * [[realDecode]].
+    */
+  def realDecodeWav(payload: Array[Byte]): Option[(Int, Long, Long)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      val n = ais.getFrameLength
+      val raw = ais.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(raw).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      var sum = 0L
+      var i = 0
+      while (i < n) { sum += bb.getShort(i * 2); i += 1 }
+      Some((fmt.getSampleRate.toInt, n, sum))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
 
   /** [[decodeFeaturesReal]] with the fallback made VISIBLE: emits
     * `real_decoded` = whether [[realDecode]] succeeded, so a gate can pin

@@ -418,16 +418,24 @@ object StreamQueries {
     */
   private[graft] def heavyHitterSketchWriter(skDir: String,
       rowsDir: String = null, hhDir: String = null, recountEvery: Int = 0,
-      cumDir: String = null, ledger: CumLedger = null)(
+      cumDir: String = null, ledger: CumLedger = null,
+      // capacity/θ parametrized so HhCadencePropertySpec can force
+      // candidate churn + pruning (capacity ≪ vocabulary) while keeping
+      // the superset precondition capacity + 1 > θinv; registrations use
+      // the x4s geometry via the defaults
+      capacity: Int = graft.ext.TextQueries.HhCapacity,
+      thetaInv: Long = graft.ext.TextQueries.HhThetaInv)(
       batch: DataFrame, id: Long): Unit = {
     require(recountEvery <= 0 ||
       (rowsDir != null && hhDir != null && cumDir != null),
       "recountEvery > 0 needs rowsDir, hhDir and cumDir — the cadence " +
         "folds per-batch candidate partials and writes the hh artifact")
+    require(capacity + 1 > thetaInv,
+      "capacity + 1 must exceed thetaInv or the sketch candidate set is " +
+        "not a guaranteed superset of the θ-heavy grams")
     val s = batch.sparkSession
     import s.implicits._
-    val agg = new graft.functions.Aggregators.MisraGriesAgg(
-      graft.ext.TextQueries.HhCapacity)
+    val agg = new graft.functions.Aggregators.MisraGriesAgg(capacity)
     // with the cadence on, the batch has two consumers (rows sink +
     // sketch agg) — persist so each doesn't re-run the micro-batch plan
     val b = if (rowsDir != null) batch.persist() else batch
@@ -437,10 +445,15 @@ object StreamQueries {
       val gb = graft.ext.TextQueries.heavyHitterGrams(b)
       val gbp = if (recountEvery > 0) gb.persist() else gb
       try {
-        val sk = gbp
-          .agg(graft.functions.Aggregators.misra_gries(
-            graft.ext.TextQueries.HhCapacity)(col("gram")).as("sk"))
-          .head().getMap[String, Long](0).toMap
+        // ONE aggregation job yields sketch + batch total (these writers
+        // are job-count-bound: 6+ tiny jobs per micro-batch dominate at
+        // fixture scale, so every fused job is ~15% of the query)
+        val skRow = gbp
+          .agg(graft.functions.Aggregators.misra_gries(capacity)(
+            col("gram")).as("sk"), count(lit(1)).as("n"))
+          .head()
+        val sk = skRow.getMap[String, Long](0).toMap
+        val batchTotal = skRow.getLong(1)
         val prev = latestSketchGen(s, skDir, below = id)
           .map(p => s.read.parquet(p).as[(String, Long)].collect().toMap)
           .getOrElse(Map.empty[String, Long])
@@ -448,7 +461,6 @@ object StreamQueries {
         merged.toSeq.toDF("gram", "cnt")
           .coalesce(1).write.mode("overwrite").parquet(s"$skDir/batch=$id")
         if (recountEvery > 0) {
-          val batchTotal = gbp.count()
           val candDF = merged.keys.toSeq.toDF("gram")
           // exact per-candidate counts for THIS batch only — ≤ capacity
           // rows out, one batch-sized semi-join (the bounded-collect
@@ -466,10 +478,9 @@ object StreamQueries {
           // boundary tail — without this cut, top-capacity boundary
           // keys rotate every batch on a vocabulary ≫ capacity and the
           // entrant catch-up would scan history indefinitely
-          val cap1 = graft.ext.TextQueries.HhCapacity + 1L
+          val cap1 = capacity + 1L
           val floorThresh = math.max(0L,
-            newTotal0 / graft.ext.TextQueries.HhThetaInv -
-              (newTotal0 + cap1 - 1L) / cap1)
+            newTotal0 / thetaInv - (newTotal0 + cap1 - 1L) / cap1)
           val pruned = merged.filter { case (_, w) => w >= floorThresh }
           val entrants = pruned.keySet -- prevCum.keySet
           // one-time residual catch-up for candidates that newly entered
@@ -502,7 +513,7 @@ object StreamQueries {
             // no history bytes read here, ever
             newCum.toSeq
               .filter { case (_, c) =>
-                c * graft.ext.TextQueries.HhThetaInv >= newTotal }
+                c * thetaInv >= newTotal }
               .map { case (g, c) => (g, c, c * 1000000L / newTotal) }
               .toDF("gram", "cnt", "ppm")
               .coalesce(1).write.mode("overwrite")
@@ -578,9 +589,16 @@ object StreamQueries {
       b.write.mode("overwrite").parquet(s"$outDir/batch=$id")
       val agg = new graft.functions.Aggregators.WeightedMisraGriesAgg(
         FlowHhCapacity)
-      val sk = b.agg(graft.functions.Aggregators.weighted_misra_gries(
-          FlowHhCapacity)(col("src_addr"), col("bytes")).as("sk"))
-        .head().getMap[String, Long](0).toMap
+      // one fused job: sketch + batch byte/flow totals (job-count-bound —
+      // see heavyHitterSketchWriter); coalesce because an all-duplicate
+      // UDP batch dedups to EMPTY and sum over zero rows is NULL
+      val skRow = b.agg(graft.functions.Aggregators.weighted_misra_gries(
+          FlowHhCapacity)(col("src_addr"), col("bytes")).as("sk"),
+          coalesce(sum(col("bytes")), lit(0L)).as("tb"),
+          count(lit(1)).as("tf"))
+        .head()
+      val sk = skRow.getMap[String, Long](0).toMap
+      val bt = (skRow.getLong(1), skRow.getLong(2))
       val prev = latestSketchGen(s, skDir, below = id)
         .map(p => s.read.parquet(p).as[(String, Long)].collect().toMap)
         .getOrElse(Map.empty[String, Long])
@@ -602,11 +620,6 @@ object StreamQueries {
             Seq("src_addr"), "left_semi")
           .as[(String, Long, Long)].collect()
           .map(t => t._1 -> (t._2, t._3)).toMap
-        // coalesce: an all-duplicate UDP batch dedups to EMPTY, and
-        // sum over zero rows is NULL
-        val bt = b.agg(coalesce(sum(col("bytes")), lit(0L)).as("tb"),
-            count(lit(1)).as("tf"))
-          .as[(Long, Long)].head()
         val (prevCum, prevTotals) = readTalkerCumGen(s, cumDir, below = id)
         val newTotals = (prevTotals._1 + bt._1, prevTotals._2 + bt._2)
         // possibly-θ-heavy cut on sketch WEIGHT (heavyHitterSketchWriter's
