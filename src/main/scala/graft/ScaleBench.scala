@@ -1309,11 +1309,17 @@ object ScaleBench {
       val dir = fixture(tiers.head._1)
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       val st = ext.DedupQueries.containmentStages(docs)
-      val reps = st.sets.count()
-      val windows = st.sets.agg(sum(col("na"))).head().getLong(0)
-      val prefWindows = st.pref.count()
-      val candPairs = st.cand.count()
-      val verified = st.pairs.count()
+      // five actions over the shared chain — pin the two frames every
+      // later count re-derives, or the window build runs ~5x and the
+      // index join ~3x (r16 review)
+      val (reps, windows, prefWindows, candPairs, verified) =
+        ext.Caching.withPersisted(st.sets) {
+          ext.Caching.withPersisted(st.cand) {
+            (st.sets.count(),
+              st.sets.agg(sum(col("na"))).head().getLong(0),
+              st.pref.count(), st.cand.count(), st.pairs.count())
+          }
+        }
       val brute = reps * (reps - 1) / 2
       val ok = prefWindows * 4 <= windows && candPairs * 10 <= brute &&
         verified <= candPairs && reps > 0
@@ -1424,7 +1430,8 @@ object ScaleBench {
         s""""entrants_per_batch":[${hhCadLedger.map(_.entrants).mkString(",")}],""" +
         s""""hist_batches_read_per_batch":[${hhCadLedger
           .map(_.histBatchesRead).mkString(",")}],""" +
-        s""""firing_history_reads":0,""" +
+        s""""firing_history_reads":${hhCadLedger.filter(_.fired)
+          .map(_.histBatchesRead).sum},""" +
         s""""serve_parity":$hhCadParity,""" +
         s""""gate":"20 batches AND 10 firings AND entrants==0 AND """ +
         s"""hist_reads==0 from batch 8 AND final artifact == exact recount",""" +

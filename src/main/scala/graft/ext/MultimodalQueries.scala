@@ -510,15 +510,28 @@ object Multimodal {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
       val fmt = ais.getFormat
-      val n = ais.getFrameLength
-      val raw = ais.readAllBytes()
-      val bb = java.nio.ByteBuffer.wrap(raw).order(
-        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
-        else java.nio.ByteOrder.LITTLE_ENDIAN)
-      var sum = 0L
-      var i = 0
-      while (i < n) { sum += bb.getShort(i * 2); i += 1 }
-      Some((fmt.getSampleRate.toInt, n, sum))
+      // the sum arithmetic below assumes 16-bit signed PCM, one channel,
+      // 2-byte frames (r16 review): any other valid layout — stereo,
+      // 8/24-bit, float PCM — must return None (the declared fallback),
+      // not a silently wrong sum or an index crash past the raw buffer
+      if (fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+          fmt.getFrameSize != 2) None
+      else {
+        val n = ais.getFrameLength
+        val raw = ais.readAllBytes()
+        if (n < 0 || raw.length < n * 2) None
+        else {
+          val bb = java.nio.ByteBuffer.wrap(raw).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          var sum = 0L
+          var i = 0
+          while (i < n) { sum += bb.getShort(i * 2); i += 1 }
+          Some((fmt.getSampleRate.toInt, n, sum))
+        }
+      }
     } catch {
       case _: javax.sound.sampled.UnsupportedAudioFileException => None
       case _: java.io.IOException => None

@@ -86,54 +86,88 @@ object FlowQueries {
       3232235520 + ((event_id * 13) % 250) * 256 + ((event_id * 7) % 254) + 1 AS dst_ip
     FROM events))"""
 
-  /** qf13's iteration core: weighted PageRank over the src→dst flow graph
-    * in FIXED-POINT INTEGER nano-rank units (see the qf13 registration
-    * comment for the exactness argument).
-    *
-    * Single-scan discipline (r16, VERDICT r15 #2): `edges` is
-    * `localCheckpoint()`ed eagerly — the ONLY consumer of the flows scan —
-    * and `outW`/`nodes` derive from the checkpointed edges (every flow
-    * contributes an edge, so {u} ∪ {v} ≡ {src} ∪ {dst}), then checkpoint
-    * themselves because the loop re-reads them every round. Previously the
-    * per-round eager checkpoint of `r` re-ran the flows scan + edge build
-    * each iteration (3× at the unrolled depth, 10–20× at convergence
-    * depth); now every iteration reads graph-sized LogicalRDDs only.
-    * The per-round checkpoint of `r` stays: r feeds TWO consumers next
-    * round (contrib + dangle), so without it each iteration embeds the
-    * previous round's plan twice — 2^iters plan copies by round 3.
+  /** qf13's fixed-point-integer rank unit: nano-ranks, 1e9 per unit of
+    * probability mass (see the qf13 registration comment for the
+    * exactness argument). Single-scan discipline (r16, VERDICT r15 #2):
+    * [[buildGraph]] below runs the flows scan exactly once (every flow
+    * contributes an edge, so {u} ∪ {v} ≡ {src} ∪ {dst} and nodes derive
+    * from the checkpointed edges); previously each round's eager
+    * checkpoint of `r` re-ran the scan + edge build (3× at the unrolled
+    * depth, 10–20× at convergence depth). The per-round checkpoint of `r`
+    * stays: r feeds TWO consumers next round (contrib + dangle), so
+    * without it each iteration embeds the previous round's plan twice —
+    * 2^iters plan copies by round 3.
     */
-  private[graft] def pageRank(f: DataFrame, iters: Int): DataFrame = {
-    val S = 1000000000L
+  private val RankScale = 1000000000L
+
+  /** The checkpointed flow graph both PageRank modes iterate over — ONE
+    * definition so the single-scan discipline cannot drift between them
+    * (r16 review). Building it runs the flows scan exactly once (edges is
+    * the scan's only consumer; outW/nodes derive from the checkpointed
+    * edges). `release()` frees the graph's pinned RDD blocks once a mode
+    * has materialized its answer — the bpeTrain hygiene; without it every
+    * invocation leaks three graph-sized block sets for the session's
+    * lifetime.
+    */
+  private final case class FlowGraph(edges: DataFrame, outW: DataFrame,
+      nodes: DataFrame, nCnt: DataFrame) {
+    def release(): Unit =
+      Seq(edges, outW, nodes).foreach(releaseBacking)
+  }
+
+  /** Unpersist a checkpoint-rooted frame's backing RDD blocks. Callers
+    * must pass frames whose analyzed plan IS their own checkpoint (the
+    * pageRankStep outputs and the graph members) — a derived frame would
+    * surrender its PARENT's blocks.
+    */
+  private def releaseBacking(df: DataFrame): Unit =
+    org.apache.spark.sql.graftshim.Shim.backingRdds(df)
+      .foreach(_.unpersist(blocking = false))
+
+  private def buildGraph(f: DataFrame): FlowGraph = {
     val edges = f.groupBy(col("src_addr").as("u"), col("dst_addr").as("v"))
       .agg(count(lit(1)).as("w")).localCheckpoint()
     val outW = edges.groupBy(col("u")).agg(sum(col("w")).as("wu"))
       .localCheckpoint()
     val nodes = edges.select(col("u").as("addr"))
       .union(edges.select(col("v").as("addr"))).distinct().localCheckpoint()
-    val nCnt = nodes.agg(count(lit(1)).as("n"))
-    var r = nodes.crossJoin(broadcast(nCnt))
-      .select(col("addr"), expr(s"${S}L div n").as("r"))
-    for (_ <- 1 to iters) r = pageRankStep(r, edges, outW, nodes, nCnt, S)
-    r
+    FlowGraph(edges, outW, nodes, nodes.agg(count(lit(1)).as("n")))
+  }
+
+  private def initRanks(g: FlowGraph): DataFrame =
+    g.nodes.crossJoin(broadcast(g.nCnt))
+      .select(col("addr"), expr(s"${RankScale}L div n").as("r"))
+      .localCheckpoint()
+
+  private[graft] def pageRank(f: DataFrame, iters: Int): DataFrame = {
+    val g = buildGraph(f)
+    try {
+      var r = initRanks(g)
+      for (_ <- 1 to iters) {
+        val next = pageRankStep(r, g)
+        releaseBacking(r) // next is eager — the previous round's blocks can go
+        r = next
+      }
+      r
+    } finally g.release()
   }
 
   /** One PageRank round: contributions shuffled per dst with map-side
     * combine, dangling mass as a 1-row broadcast certificate, eager
     * lineage truncation on the result (node-sized).
     */
-  private def pageRankStep(r: DataFrame, edges: DataFrame, outW: DataFrame,
-      nodes: DataFrame, nCnt: DataFrame, S: Long): DataFrame = {
-    val contrib = edges.join(outW, Seq("u"))
+  private def pageRankStep(r: DataFrame, g: FlowGraph): DataFrame = {
+    val contrib = g.edges.join(g.outW, Seq("u"))
       .join(r.select(col("addr").as("u"), col("r").as("ru")), Seq("u"))
       .select(col("v").as("addr"),
         expr("ru * 85 * w div (100 * wu)").as("c"))
       .groupBy(col("addr")).agg(sum(col("c")).as("cin"))
-    val dangle = r.join(outW.select(col("u").as("addr")), Seq("addr"), "left_anti")
+    val dangle = r.join(g.outW.select(col("u").as("addr")), Seq("addr"), "left_anti")
       .agg(coalesce(sum(col("r")), lit(0L)).as("dg"))
-    nodes.crossJoin(broadcast(nCnt)).crossJoin(broadcast(dangle))
+    g.nodes.crossJoin(broadcast(g.nCnt)).crossJoin(broadcast(dangle))
       .join(contrib, Seq("addr"), "left")
       .select(col("addr"),
-        (expr(s"${S * 15}L div (100 * n)") +
+        (expr(s"${RankScale * 15}L div (100 * n)") +
           expr("(dg * 85) div (100 * n)") +
           coalesce(col("cin"), lit(0L))).as("r"))
       .localCheckpoint()
@@ -149,27 +183,22 @@ object FlowQueries {
     */
   private[graft] def pageRankFixedPoint(f: DataFrame,
       maxIters: Int = 50): (DataFrame, Int) = {
-    val S = 1000000000L
-    val edges = f.groupBy(col("src_addr").as("u"), col("dst_addr").as("v"))
-      .agg(count(lit(1)).as("w")).localCheckpoint()
-    val outW = edges.groupBy(col("u")).agg(sum(col("w")).as("wu"))
-      .localCheckpoint()
-    val nodes = edges.select(col("u").as("addr"))
-      .union(edges.select(col("v").as("addr"))).distinct().localCheckpoint()
-    val nCnt = nodes.agg(count(lit(1)).as("n"))
-    var r = nodes.crossJoin(broadcast(nCnt))
-      .select(col("addr"), expr(s"${S}L div n").as("r")).localCheckpoint()
-    var it = 0
-    var converged = false
-    while (!converged && it < maxIters) {
-      val next = pageRankStep(r, edges, outW, nodes, nCnt, S)
-      val delta = next.join(r.withColumnRenamed("r", "rp"), Seq("addr"))
-        .agg(max(abs(col("r") - col("rp"))).as("d")).head().getLong(0)
-      converged = delta == 0L
-      r = next
-      it += 1
-    }
-    (r, it)
+    val g = buildGraph(f)
+    try {
+      var r = initRanks(g)
+      var it = 0
+      var converged = false
+      while (!converged && it < maxIters) {
+        val next = pageRankStep(r, g)
+        val delta = next.join(r.withColumnRenamed("r", "rp"), Seq("addr"))
+          .agg(max(abs(col("r") - col("rp"))).as("d")).head().getLong(0)
+        converged = delta == 0L
+        releaseBacking(r) // the delta action above was r's last consumer
+        r = next
+        it += 1
+      }
+      (r, it)
+    } finally g.release()
   }
 
   def defs: Seq[Q] = Seq(
@@ -498,9 +527,10 @@ object FlowQueries {
     // certificate crossJoined broadcast; edges/out-weights build ONCE —
     // pageRank checkpoints the graph before the loop (r16, VERDICT r15
     // #2), so the flows scan + edge aggregation run exactly once no
-    // matter the iteration depth (PageRankSpec pins zero file scans in
-    // the iterated plan). A detected-fixed-point mode lives alongside
-    // in [[pageRankFixedPoint]] for real (non-oracle-parity) use.
+    // matter the iteration depth (PageRankSpec COUNTS executed file
+    // scans through a QueryExecutionListener — exactly 1 at depth 1 and
+    // at depth 4). A detected-fixed-point mode lives alongside in
+    // [[pageRankFixedPoint]] for real (non-oracle-parity) use.
     Q("qf13_pagerank",
       (s, d) => pageRank(flows(s, d), iters = 3)
         .orderBy(col("r").desc, col("addr")).limit(20)

@@ -227,7 +227,7 @@ object StreamQueries {
     * every stateful registration (r15 review: this was four
     * hand-maintained copies of session-global config mutation).
     */
-  private def withRocksDbStateStore[T](s: SparkSession)(body: => T): T = {
+  private[graft] def withRocksDbStateStore[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.getOption(key)
     s.conf.set(key,
@@ -469,7 +469,7 @@ object StreamQueries {
             .groupBy("gram").agg(count(lit(1)).as("cnt"))
             .as[(String, Long)].collect().toMap
           val (prevCum, prevTotal) = readCumGen(s, cumDir, below = id)
-          val newTotal0 = prevTotal + batchTotal
+          val newTotal = prevTotal + batchTotal
           // maintain exact cums ONLY for candidates that could possibly
           // be θ-heavy: a θ-heavy gram's sketch count is ≥ n/θinv −
           // n/(cap+1) (the MG under-estimate bound), so cutting below
@@ -480,7 +480,7 @@ object StreamQueries {
           // entrant catch-up would scan history indefinitely
           val cap1 = capacity + 1L
           val floorThresh = math.max(0L,
-            newTotal0 / thetaInv - (newTotal0 + cap1 - 1L) / cap1)
+            newTotal / thetaInv - (newTotal + cap1 - 1L) / cap1)
           val pruned = merged.filter { case (_, w) => w >= floorThresh }
           val entrants = pruned.keySet -- prevCum.keySet
           // one-time residual catch-up for candidates that newly entered
@@ -497,7 +497,6 @@ object StreamQueries {
                 .groupBy("gram").agg(count(lit(1)).as("cnt"))
                 .as[(String, Long)].collect().toMap
             }
-          val newTotal = newTotal0
           val newCum = pruned.keysIterator.map { g =>
             g -> (if (entrants(g)) catchup.getOrElse(g, 0L)
                   else prevCum(g) + batchCnt.getOrElse(g, 0L))
@@ -512,8 +511,7 @@ object StreamQueries {
             // the firing is a pure θ-filter of the cumulative fold —
             // no history bytes read here, ever
             newCum.toSeq
-              .filter { case (_, c) =>
-                c * thetaInv >= newTotal }
+              .filter { case (_, c) => c * thetaInv >= newTotal }
               .map { case (g, c) => (g, c, c * 1000000L / newTotal) }
               .toDF("gram", "cnt", "ppm")
               .coalesce(1).write.mode("overwrite")
@@ -1978,9 +1976,13 @@ object StreamQueries {
               org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
               org.apache.spark.sql.streaming.OutputMode.Update())
           val sunk = drainUntilQuiescent(assembled.toDF(), "q52p_sink", "update")
+          // latest-per-key by PROCESSING TIME first (r16 review): after a
+          // TTL expiry `seen` restarts smaller, so seen alone would pick
+          // the stale pre-expiry emission; as_of is strictly later
           val last = sunk.withColumn("rn", row_number().over(
               org.apache.spark.sql.expressions.Window
-                .partitionBy(col("user_id")).orderBy(col("seen").desc)))
+                .partitionBy(col("user_id"))
+                .orderBy(col("as_of").desc, col("seen").desc)))
             .where(col("rn") === 1 && col("complete"))
             .select(col("user_id"), col("vals"))
           graft.ext.SeriesQueries.seriesKnn(

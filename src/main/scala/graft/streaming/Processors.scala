@@ -137,8 +137,19 @@ final class AdmitFirstProcessor(ttl: TTLConfig)
   * series equals the batch build's exactly.
   */
 final case class SeriesState(ts: Array[Long], ids: Array[Long], vs: Array[Double])
+
+/** `seen` is monotone per key — UNTIL a state TTL expires the key, after
+  * which it restarts (r16 review: a post-expiry emission with a SMALLER
+  * seen must still win the readback, or the sink serves the user's stale
+  * pre-expiry series forever). `as_of` carries the batch's processing
+  * time for exactly that: last-emission-per-key = max (as_of, seen),
+  * which is TTL-safe — expiry cannot happen within the same millisecond
+  * as the pre-expiry emission, and within a batch each key emits once.
+  * Under `TimeMode.None` (q52r, no TTL) `as_of` is a constant −1 and the
+  * ordering degenerates to the original monotone-seen contract.
+  */
 final case class SeriesEmit(user_id: Long, seen: Long, complete: Boolean,
-    vals: Array[Double])
+    vals: Array[Double], as_of: Long)
 
 sealed abstract class SeriesAssemblerBase(n: Int, recent: Boolean, ttl: TTLConfig)
     extends StatefulProcessor[Long, (Long, Long, Long, Double), SeriesEmit] {
@@ -171,7 +182,10 @@ sealed abstract class SeriesAssemblerBase(n: Int, recent: Boolean, ttl: TTLConfi
     st.update(SeriesState(kept.map(_._1).toArray, kept.map(_._2).toArray,
       kept.map(_._3).toArray))
     seen.update(c)
-    Iterator.single(SeriesEmit(key, c, kept.length == n, kept.map(_._3).toArray))
+    val asOf = try timerValues.getCurrentProcessingTimeInMs()
+      catch { case _: UnsupportedOperationException => -1L }
+    Iterator.single(SeriesEmit(key, c, kept.length == n,
+      kept.map(_._3).toArray, asOf))
   }
 }
 

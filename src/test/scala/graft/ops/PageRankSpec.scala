@@ -4,10 +4,13 @@ import graft.SparkSpec
 
 /** qf13's single-scan + fixed-point obligations (r16, VERDICT r15 #2).
   *
-  * 1. The iterated plan reads CHECKPOINTED graph RDDs only — no parquet
-  *    scan survives into the loop, so iteration depth cannot multiply the
-  *    flows-scan cost (the r15 finding: each eager per-round checkpoint
-  *    re-ran the scan + edge build).
+  * 1. The flows scan EXECUTES exactly once no matter the iteration depth
+  *    — counted through a QueryExecutionListener over the file scans in
+  *    every executed plan (r16 review: a plan-string check on the
+  *    returned frame is vacuous, because the final eager checkpoint's
+  *    plan is a bare RDD scan whether or not the graph build was pinned;
+  *    the r15 regression — every round re-running the scan + edge build —
+  *    is only visible in EXECUTION counts).
   * 2. The detected-fixed-point mode converges to an exact integer fixed
   *    point on the sf0.001 graph, its prefix agrees with the unrolled
   *    mode, and one extra unrolled round past convergence is a no-op
@@ -15,13 +18,40 @@ import graft.SparkSpec
   */
 class PageRankSpec extends SparkSpec {
 
-  test("iterated plan contains no file scans — graph checkpointed once") {
-    val r = FlowQueries.pageRank(FlowQueries.flows(spark, sf), iters = 3)
-    val plan = r.queryExecution.executedPlan.toString()
-    assert(!plan.toLowerCase.contains("filescan"),
-      s"iterated plan still embeds a file scan:\n$plan")
-    assert(!plan.toLowerCase.contains("parquet"),
-      s"iterated plan still embeds a parquet read:\n$plan")
+  /** Filesystem bytes actually READ while `body` runs — the Hadoop
+    * LocalFileSystem's global statistics, which only parquet/file scans
+    * touch (checkpoint blocks live in the block manager, shuffle uses raw
+    * local IO), so this measures scan EXECUTIONS where a plan-string
+    * check cannot (the checkpoint actions also bypass
+    * QueryExecutionListener, measured — a listener-based count reads 0).
+    */
+  private def fsBytesRead(body: => Unit): Long = {
+    def now: Long = Option(org.apache.hadoop.fs.FileSystem
+      .getGlobalStorageStatistics.get("file"))
+      .map(_.getLong("bytesRead").longValue()).getOrElse(0L)
+    val before = now
+    body
+    now - before
+  }
+
+  test("the flows scan executes exactly once regardless of iteration depth") {
+    // warm once so listing/footer caches don't skew the depth-1 baseline
+    FlowQueries.pageRank(FlowQueries.flows(spark, sf), iters = 1)
+    val shallow = fsBytesRead {
+      FlowQueries.pageRank(FlowQueries.flows(spark, sf), iters = 1)
+    }
+    // > 0 guards the instrument itself: the parquet scan must be visible
+    // here, or the assertion below would pass vacuously
+    assert(shallow > 0, "instrument saw no file bytes for the flows scan")
+    val deep = fsBytesRead {
+      FlowQueries.pageRank(FlowQueries.flows(spark, sf), iters = 4)
+    }
+    // re-scanning per round (the r15 regression) reads ~4x the bytes at
+    // depth 4; single-scan reads the same bytes at any depth (1.5x slack
+    // for footer/listing noise)
+    assert(deep < (shallow * 3) / 2,
+      s"iteration depth multiplied file reads: depth-1 $shallow B vs " +
+        s"depth-4 $deep B (the r15 regression)")
   }
 
   test("fixed-point mode converges and agrees with the unrolled mode") {

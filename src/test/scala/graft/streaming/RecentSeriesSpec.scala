@@ -22,12 +22,9 @@ class RecentSeriesSpec extends SparkSpec {
   test("recent assembler evicts oldest-first under controlled batches") {
     import spark.implicits._
     // transformWithState needs the RocksDB provider (multi-column-family
-    // state); restore the session default after
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    // state) — the one shared set/restore guard (r16 review: this spec
+    // previously duplicated it inline)
+    graft.ops.StreamQueries.withRocksDbStateStore(spark) {
     val n = 4
     val base = s"${graft.Tmp.root}/recent-series"
     FileUtils.deleteQuietly(new java.io.File(base))
@@ -71,9 +68,6 @@ class RecentSeriesSpec extends SparkSpec {
     assert(emits(1) == ((10L, Seq(12.0, 13.0, 14.0, 15.0))))
     // batch 2: two newer points displace the two oldest kept
     assert(emits(2) == ((12L, Seq(14.0, 15.0, 16.0, 17.0))))
-    } finally prev match {
-      case Some(p) => spark.conf.set(key, p)
-      case None => spark.conf.unset(key)
     }
   }
 }
