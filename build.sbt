@@ -10,6 +10,11 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Forked suites run one at a time (the sbt default for forked tests) —
+// pinned explicitly because PageRankSpec measures the JVM-GLOBAL Hadoop
+// FS read statistic and a future parallelization would silently turn
+// that instrument into noise (ADVICE r16).
+Test / testForkedParallel := false
 run / fork := true
 // Stale JUnit-XML reports from deleted specs otherwise survive in
 // target/test-reports and inflate (or mask) the next run's suite list —

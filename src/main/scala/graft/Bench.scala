@@ -50,6 +50,39 @@ object Bench {
     Seq.fill(3)(spinOnce()).min
   }
 
+  /** Fixed-work DISK calibration (r17, VERDICT r16 #1): the r16 bench
+    * deltas were dominated not by CPU — spin_sec moved ~4% — but by
+    * shuffle-file COMMIT latency: every stage barrier pays
+    * create+write+fsync+rename per map task, and that cost swung ~3× on
+    * this box within a single session (measured: all executor threads
+    * parked in IndexShuffleBlockResolver.writeMetadataFileAndCommit while
+    * identical vocabulary-frame rounds ran 18 s one hour and 10+ min the
+    * next). This kernel times exactly that syscall shape — 128 ×
+    * (create 4 KiB, fsync, rename) on the same filesystem shuffle files
+    * use — min-of-3, so cross-round comparison of stage-barrier-bound
+    * queries reads `fsync_sec` alongside `spin_sec` and attributes disk
+    * drift instead of misreading it as a plan regression.
+    */
+  private[graft] def measureFsyncSec(): Double = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fsync-cal")
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      val buf = new Array[Byte](4096)
+      var i = 0
+      while (i < 128) {
+        val p = dir.resolve(s"f$i.tmp")
+        val fos = new java.io.FileOutputStream(p.toFile)
+        fos.write(buf); fos.getFD.sync(); fos.close()
+        java.nio.file.Files.move(p, dir.resolve(s"f$i"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        i += 1
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    try Seq.fill(3)(once()).min
+    finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   private val quadraticBaselines = Set(
     "x2c_dedup_ngram",    // all-pairs char-ngram verification
     "x3b_cosine_pairs")   // all-pairs cosine self-join
@@ -101,8 +134,10 @@ object Bench {
     }
     sparkCalOnce() // warm the calibration plan itself
     val sparkCalSec = Seq.fill(3)(sparkCalOnce()).min
+    val fsyncSec = measureFsyncSec()
     val calibration =
-      s"""{"spin_sec":$spinSec,"spark_1task_sec":$sparkCalSec}"""
+      s"""{"spin_sec":$spinSec,"spark_1task_sec":$sparkCalSec,""" +
+        s""""fsync_sec":$fsyncSec}"""
 
     // Profile mode: `runMain graft.Bench <query>...` times the named
     // queries twice each (cold + warm) and exits — the dev loop for
@@ -122,12 +157,27 @@ object Bench {
     // "regression" on byte-identical code), and min-of-2 is the standard
     // robust wall-time estimator — interference only ever ADDS time. The
     // headline set additionally reports median-of-3 below.
+    //
+    // Streaming DRAINS get a THIRD sweep (VERDICT r16 #1): their wall is
+    // trigger scheduling + state-store commits + quiescence waits on top
+    // of the data work, the highest-variance family in the whole map (two
+    // identical-code r15 runs moved q52-family medians 8–72%), so two
+    // observations routinely fail to bracket the steady state. Min-of-3
+    // on exactly that family buys back most of the noise at ~1/6 the cost
+    // of a third full sweep.
     val names = Registry.all.map(_.name).filterNot(quadraticBaselines)
+    val streamingDrains: Set[String] =
+      names.filter(n => n.startsWith("q45") || n.startsWith("q46") ||
+        n.startsWith("q47") || n.startsWith("q48") || n.startsWith("q49") ||
+        n.startsWith("q50") || n.startsWith("q51") || n.startsWith("q52") ||
+        n.startsWith("q53")).toSet
     val sweep1 = names.map(n => n -> run(n)).toMap
     val results = names.map { n =>
       val a = sweep1(n)
       val b = run(n)
-      n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
+      val c = if (streamingDrains(n)) run(n) else -1.0
+      val obs = Seq(a, b, c).filter(_ >= 0)
+      n -> (if (obs.isEmpty) -1.0 else obs.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -396,10 +446,12 @@ object Bench {
     // per-query outlier to warm-up instead of the workload
     val qsSweep1 = names
       .map(n => "\"" + n + "\":" + sweep1(n)).mkString("{", ",", "}")
-    val warmup = """{"policy":"queries = per-query min of 2 full sweeps;""" +
-      """ sweep 1 is cold (JIT/codegen/page cache) and its raw times are""" +
-      """ queries_sweep1 — excluded from queries, do not compare maxima""" +
-      """ against it","headline_runs_order":"[min-of-2 sweep, fresh, fresh]"}"""
+    val warmup = """{"policy":"queries = per-query min of 2 full sweeps""" +
+      """ (min of 3 for streaming drains q45-q53 — the high-variance""" +
+      """ family, VERDICT r16 #1); sweep 1 is cold (JIT/codegen/page""" +
+      """ cache) and its raw times are queries_sweep1 — excluded from""" +
+      """ queries, do not compare maxima against it",""" +
+      """"headline_runs_order":"[min-of-sweeps, fresh, fresh]"}"""
     // x2d diagnostics (VERDICT r10 #4): the propagation fixed-point round
     // count of the last x2d run — tells convergence drift (corpus shape
     // added a round) from box noise when wall time moves round-over-round

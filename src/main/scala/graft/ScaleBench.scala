@@ -1202,7 +1202,7 @@ object ScaleBench {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$base/$p")))
       val ledger = new ops.StreamQueries.CumLedger
       val writer = ops.StreamQueries.heavyHitterSketchWriter(
-        s"$base/sketch", s"$base/rows", s"$base/hh", 2, s"$base/cum", ledger) _
+        s"$base/sketch", s"$base/rows", s"$base/hh", 2, s"$base/cum", ledger)
       // the sf0.1 corpus has NO θ-heavy gram (max count 25 vs threshold
       // ~52: the vocabulary outgrows θ = 1/5000 past sf0.01), so an
       // unplanted gate would be vacuously empty — plant a hot phrase on
@@ -1236,49 +1236,110 @@ object ScaleBench {
       val parity = truth.nonEmpty && served == truth
       val rowsL = ledger.rows.toSeq
       val tail = rowsL.drop(8) // every text seen w.p. ~1 − (0.6)^30 by batch 8
+      // r17 (VERDICT r16 #2) gates: every firing's fold window is bounded
+      // by recountEvery (never the history glob), and the happy-path job
+      // budget holds — 3 jobs on non-firing batches, ≤ 6 at firings
+      // (+1 only while entrants still catch up), vs r16's 6–7 every batch
+      val windowOk = rowsL.forall(r =>
+        r.windowBatchesRead <= (if (r.fired) 2L else 0L))
+      val jobsOk = tail.forall(r => r.jobs <= (if (r.fired) 6L else 3L))
       val ok = rowsL.size == nB && rowsL.count(_.fired) == nB / 2 &&
-        tail.forall(r => r.entrants == 0L && r.histBatchesRead == 0L) && parity
+        tail.forall(r => r.entrants == 0L && r.histBatchesRead == 0L) &&
+        windowOk && jobsOk && parity
       System.err.println(s"[scale] q52t cadence ledger at 30x: entrants " +
         s"${rowsL.map(_.entrants).mkString(",")}; hist reads " +
-        s"${rowsL.map(_.histBatchesRead).mkString(",")}; parity $parity ok=$ok")
+        s"${rowsL.map(_.histBatchesRead).mkString(",")}; window reads " +
+        s"${rowsL.map(_.windowBatchesRead).mkString(",")}; jobs " +
+        s"${rowsL.map(_.jobs).mkString(",")}; parity $parity ok=$ok")
       (rowsL, parity, ok)
     }
 
-    // BPE at production depth (r16, VERDICT r15 #5): run the trainer at a
-    // 512-merge budget (64 rounds × 8 disjoint picks) on the 30× corpus
-    // with the delta ledger. The fixture's 31-word vocabulary EXHAUSTS at
-    // ~90 merges (every word fully merged — there is no 512th pair to
-    // learn on this corpus, measured, not assumed: the gate requires the
-    // candidate pool to run dry before the budget), so the 512-entry
-    // plan-literal claim is proven by applying a 512-entry merge table —
-    // the trained exhaustion set padded with inert disjoint pairs whose
-    // symbols cannot occur — over the full corpus inside whole-stage
-    // codegen. Delta gates as in the 64-merge block: per-round cost ∝
-    // affected words, declining to exhaustion.
-    val (bpe512N, bpe512Ledger, bpe512CodegenOk, bpe512Ok) = {
-      val dir = fixture(tiers.head._1)
+    // BPE at production depth (r16, VERDICT r15 #5; REAL depth r17,
+    // VERDICT r16 #3): the r16 gate exhausted the fixture's 31-word
+    // vocabulary at ~90 merges and proved the 512-entry plan literal with
+    // inert padding — the depth itself went untested. r17 plants a
+    // MORPHOLOGY-RICH corpus whose pair pool survives the full budget:
+    // 18 432 distinct words = 12 prefixes × 64 CVCV roots × 24 suffixes
+    // (compositional affix grammar — shared morphemes give BPE a deep
+    // merge hierarchy, like natural text), Zipf-ish counts summing ~2M
+    // word instances (30×-corpus word mass). Gates AT depth: ≥ 512 REAL
+    // merges train (no padding anywhere), the delta trainer's per-round
+    // cost stays ∝ affected words (strict subset in the back half, first
+    // → last declining), the incremental fold at depth 512 equals a
+    // from-scratch recount trainer MERGE-FOR-MERGE (BpeDeltaSpec's
+    // parity, now at production depth), and bpe_apply with the 512
+    // trained merges as a plan literal still whole-stage-codegens.
+    val (bpe512N, bpe512Ledger, bpe512CodegenOk, bpe512Parity, bpe512Ok) = {
+      import spark.implicits._
+      val cons = "bcdfgklmnprstvz"
+      val vows = "aeiou"
+      val roots = (0 until 64).map { i =>
+        s"${cons(i % 15)}${vows((i / 15) % 5)}" +
+          s"${cons((i * 2 + 3) % 15)}${vows((i * 4 + 1) % 5)}"
+      }
+      val prefixes = Seq("re", "un", "de", "pre", "dis", "over", "sub",
+        "anti", "inter", "non", "semi", "mis")
+      val suffixes = Seq("ing", "ed", "ation", "ness", "ly", "ment",
+        "able", "ity", "ize", "ful", "er", "est", "ism", "ist", "ous",
+        "ive", "al", "en", "ward", "ship", "hood", "dom", "less", "like")
+      val wordCnt: Seq[(String, Long)] = (for {
+        (p, pi) <- prefixes.zipWithIndex
+        (r, ri) <- roots.zipWithIndex
+        (sfx, si) <- suffixes.zipWithIndex
+      } yield {
+        val idx = (pi * roots.size + ri) * suffixes.size + si
+        (p + r + sfx, 1L + 200000L / (1L + idx))
+      })
+      // narrow shuffle width for the ~140 vocabulary-frame rounds: the
+      // frames are ≤ 200k rows, and at 32 partitions the dominant cost is
+      // SHUFFLE FILE COMMITS (measured: all 32 executor threads parked in
+      // writeMetadataFileAndCommit — tiny-frame rounds are file-IO bound,
+      // not compute bound; a production trainer on a cluster would size
+      // this to its vocab frame exactly the same way)
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", 4)
+      val wf = wordCnt.toDF("word", "cnt")
+        .select(ext.TextQueries.wordToSym.as("sym"), col("cnt"))
+        .repartition(4)
+        .localCheckpoint() // two trainers consume it; pin once
       val ledger = scala.collection.mutable.Buffer.empty[(Int, Long, Long)]
-      val docs = spark.read.parquet(s"$dir/documents.parquet")
-        .filter(col("doc_id") < PlantDocBase)
-      val m = ext.TextQueries.bpeTrain(spark, ext.TextQueries.bpeWordFreq(docs),
-          rounds = 64, picksPerRound = 8, ledger = Some(ledger))
-        .collect().sortBy(_.getInt(0))
+      // 48 rounds × 16 picks from a top-384 candidate window: budget
+      // headroom over 512 because symbol-disjointness caps real picks
+      // well under the nominal width on a morpheme-sharing vocabulary
+      // (measured ~21 disjoint picks max per round at width 48)
+      val (m, mRec) = try {
+        val a = ext.TextQueries.bpeTrain(spark, wf,
+            rounds = 48, picksPerRound = 16, candLimit = 384,
+          ledger = Some(ledger))
+          .collect().sortBy(_.getInt(0))
+        val b = ext.TextQueries.bpeTrain(spark, wf,
+            rounds = 48, picksPerRound = 16, candLimit = 384,
+          incremental = false)
+          .collect().sortBy(_.getInt(0))
+        (a, b)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      def key(rs: Array[org.apache.spark.sql.Row]) =
+        rs.map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      val recountParity = key(m).sameElements(key(mRec))
       val trained = m.map { r =>
         val Array(l, rr) = r.getString(1).split(" ", 2); (l, rr)
       }.toSeq
-      // ledger rows append only on rounds that picked: fewer rows than
-      // rounds ⇔ some round found NO disjoint pick ⇔ pool exhausted
-      val exhausted = ledger.size < 64
-      val pairs512 = trained ++ (trained.size until 512).map(i =>
-        (s"zq$i", s"qz$i")) // inert:  occurs in no word
+      val pairs512 = trained.take(512)
       // the serving-path shape (x4l: one kernel call per raw word,
       // fromChars = true), exchange-free so the executed plan prints its
       // codegen markers directly — an aggregated input wraps in AQE,
       // whose unexecuted plan hides them (and count() executes a
       // DIFFERENT QueryExecution, not this one)
-      val apF = docs
-        .select(explode(split(col("text"), " ")).as("word"))
-        .filter(length(col("word")) > 0)
+      // parquet-backed scan: a LocalRelation input collapses to a bare
+      // LocalTableScan with no WholeStageCodegen wrapper (measured —
+      // cg=false on the identical expression), and an exchange would wrap
+      // the plan in AQE, whose unexecuted printout hides the markers; a
+      // FileScan is the exchange-free shape that prints them (the x4l
+      // serving path's own input shape)
+      val wordsPath = s"${graft.Tmp.sessionDir(spark, "bpe512")}/words"
+      wordCnt.map(_._1).toDF("word")
+        .coalesce(1).write.mode("overwrite").parquet(wordsPath)
+      val apF = spark.read.parquet(wordsPath)
         .select(graft.functions.Kernels.bpe_apply(col("word"), pairs512,
           fromChars = true).as("s"))
         .filter(length(col("s")) > 0)
@@ -1286,16 +1347,22 @@ object ScaleBench {
       val cg = plan.linesIterator.find(_.contains("bpe_apply"))
         .exists(_.trim.startsWith("*("))
       val applied = apF.count()
-      val someSubset = ledger.exists { case (_, aff, total) => aff < total }
+      // ∝-affected-words AT depth: every back-half round rewrites a
+      // strict subset of the vocabulary, and depth rounds touch no more
+      // words than round 1 did
+      val backHalf = ledger.drop(ledger.size / 2)
+      val lateSubset = backHalf.nonEmpty &&
+        backHalf.forall { case (_, aff, total) => aff < total }
       val declining = ledger.nonEmpty && ledger.last._2 <= ledger.head._2
-      val ok = (trained.size == 512 || exhausted) && pairs512.size == 512 &&
-        cg && applied > 0 && someSubset && declining
-      System.err.println(s"[scale] bpe 512-budget depth at 30x: " +
-        s"${trained.size} merges trained (exhausted=$exhausted), " +
-        s"codegen@512=$cg, applied=$applied, " +
-        s"delta ${ledger.take(4).map(l => s"${l._2}/${l._3}").mkString(",")}..." +
+      val ok = trained.size >= 512 && pairs512.size == 512 &&
+        recountParity && cg && applied > 0 && lateSubset && declining
+      System.err.println(s"[scale] bpe 512-budget depth (morphology " +
+        s"corpus): ${trained.size} merges trained over ${ledger.size} " +
+        s"rounds, recount parity $recountParity, codegen@512=$cg, " +
+        s"applied=$applied, delta " +
+        s"${ledger.take(4).map(l => s"${l._2}/${l._3}").mkString(",")}..." +
         s"${ledger.takeRight(2).map(l => s"${l._2}/${l._3}").mkString(",")} ok=$ok")
-      (trained.size, ledger.toSeq, cg, ok)
+      (trained.size, ledger.toSeq, cg, recountParity, ok)
     }
 
     // x2l prefix-filter candidate economics at 30× (r16, VERDICT r15
@@ -1315,18 +1382,69 @@ object ScaleBench {
       val (reps, windows, prefWindows, candPairs, verified) =
         ext.Caching.withPersisted(st.sets) {
           ext.Caching.withPersisted(st.cand) {
+            // coalesce: sum over an EMPTY sets frame is NULL — a
+            // degenerate fixture must fail the gate cleanly (ok=false),
+            // not crash the whole ScaleBench run on getLong (ADVICE r16)
             (st.sets.count(),
-              st.sets.agg(sum(col("na"))).head().getLong(0),
+              st.sets.agg(coalesce(sum(col("na")), lit(0L))).head().getLong(0),
               st.pref.count(), st.cand.count(), st.pairs.count())
           }
         }
       val brute = reps * (reps - 1) / 2
-      val ok = prefWindows * 4 <= windows && candPairs * 10 <= brute &&
-        verified <= candPairs && reps > 0
+      val ok = windows > 0 && prefWindows * 4 <= windows &&
+        candPairs * 10 <= brute && verified <= candPairs && reps > 0
+      val prefPct = if (windows > 0) s"${prefWindows * 100 / windows}%" else "n/a"
       System.err.println(s"[scale] x2l candidates at 30x: reps=$reps " +
-        s"windows=$windows prefix=$prefWindows (${prefWindows * 100 / windows}%) " +
+        s"windows=$windows prefix=$prefWindows ($prefPct) " +
         s"cand=$candPairs of brute=$brute verified=$verified ok=$ok")
       ((reps, windows, prefWindows, candPairs, verified, brute), ok)
+    }
+
+    // Fixed-point PageRank at its REAL depth on the 30× graph (r17,
+    // VERDICT r16 #5): the tier's qf13 row runs the unrolled-3
+    // registration (oracle-parity); a deployment runs pageRankFixedPoint
+    // to convergence. Run it here, record iterations + the terminal
+    // delta, and gate the single-scan claim AT depth: filesystem bytes
+    // read during the convergence run must stay within 1.5× of a depth-1
+    // run — the PageRankSpec instrument promoted to the tier (ScaleBench
+    // is a standalone sequential main, so the JVM-global FS statistic is
+    // uncontended here; no streams are live between tier blocks).
+    // Convergence on THIS graph is to the integer map's QUANTIZATION
+    // FLOOR, not an exact fixed point: measured deltas contract 12317 →
+    // 62 over 8 rounds and then oscillate at ~67 nano-units forever (a
+    // div-truncation limit cycle — 0.067 ppm of the 1e9 rank mass, two
+    // orders below any real rank movement), so the run stops on stall
+    // detection and the gate accepts delta == 0 OR a floor ≤ 1 ppm of
+    // total mass.
+    val (prIters, prDelta, prShallowB, prDeepB, prFixOk) = {
+      val dir = fixture(tiers.head._1)
+      def fsBytes(body: => Unit): Long = {
+        def now: Long = Option(org.apache.hadoop.fs.FileSystem
+          .getGlobalStorageStatistics.get("file"))
+          .map(_.getLong("bytesRead").longValue()).getOrElse(0L)
+        val before = now; body; now - before
+      }
+      def flows() = ops.FlowQueries.flows(spark, dir)
+      // warm listing/footer caches so the depth-1 baseline isn't inflated
+      ops.FlowQueries.releaseRanks(ops.FlowQueries.pageRank(flows(), iters = 1))
+      val shallow = fsBytes {
+        ops.FlowQueries.releaseRanks(ops.FlowQueries.pageRank(flows(), iters = 1))
+      }
+      var iters = 0
+      var delta = Long.MaxValue
+      val deep = fsBytes {
+        val (r, it, d) = ops.FlowQueries.pageRankFixedPoint(flows(),
+          maxIters = 40, stallRounds = 3)
+        iters = it; delta = d
+        ops.FlowQueries.releaseRanks(r)
+      }
+      val ok = shallow > 0 && iters > 1 && iters < 40 &&
+        deep < shallow * 3 / 2 &&
+        (delta == 0L || delta * 1000000L <= 1000000000L)
+      System.err.println(s"[scale] qf13 fixed-point at 30x: stopped after " +
+        s"$iters rounds at delta $delta nano (quantization floor), scan " +
+        s"bytes depth-1 $shallow vs convergence $deep ok=$ok")
+      (iters, delta, shallow, deep, ok)
     }
 
     // box calibration (VERDICT r10 #9: Bench carries it; BENCH_SCALE
@@ -1334,13 +1452,14 @@ object ScaleBench {
     // unattributable without the same fixed-work yardstick here): the ONE
     // shared kernel, so both JSONs report the same unit.
     val spinSec = Bench.measureSpinSec()
+    val fsyncSec = Bench.measureFsyncSec()
 
     val ok = rows.forall { case (_, scale, b, s, r, _, _) =>
       b > 0 && s > 0 && r <= maxRatio(scale)
     } && recallOk && incrEqual && annOk && x2hIndexFlatOk &&
       x5gOk && x2jCollapseOk && x2jSemOk && ingestInvOk && x3lFlatOk &&
       x3lAppendEqual && q12bAbOk && x3nOk && x4kStableOk && x4kDeltaOk &&
-      q52yOk && x2eAbOk && hhCadOk && bpe512Ok && x2lOk
+      q52yOk && x2eAbOk && hhCadOk && bpe512Ok && x2lOk && prFixOk
     val json = {
       val qs = rows.map { case (n, scale, b, s, r, sm, sd) =>
         f""""$n":{"scale":$scale,"base_sec":$b%.3f,"scaled_sec":$s%.3f,""" +
@@ -1430,29 +1549,50 @@ object ScaleBench {
         s""""entrants_per_batch":[${hhCadLedger.map(_.entrants).mkString(",")}],""" +
         s""""hist_batches_read_per_batch":[${hhCadLedger
           .map(_.histBatchesRead).mkString(",")}],""" +
+        s""""window_batches_read_per_batch":[${hhCadLedger
+          .map(_.windowBatchesRead).mkString(",")}],""" +
+        s""""jobs_per_batch":[${hhCadLedger.map(_.jobs).mkString(",")}],""" +
+        s""""jobs_per_batch_r16":"6-7 every batch (cum read + cum write + """ +
+        s"""candidate semi-join per micro-batch; now firing-only)",""" +
         s""""firing_history_reads":${hhCadLedger.filter(_.fired)
           .map(_.histBatchesRead).sum},""" +
         s""""serve_parity":$hhCadParity,""" +
         s""""gate":"20 batches AND 10 firings AND entrants==0 AND """ +
-        s"""hist_reads==0 from batch 8 AND final artifact == exact recount",""" +
+        s"""hist_reads==0 from batch 8 AND window<=recountEvery at every """ +
+        s"""firing AND jobs<=3 steady / <=6 at firings from batch 8 AND """ +
+        s"""final artifact == exact recount",""" +
         s""""ok":$hhCadOk},""" +
         s""""x4k_512_budget_depth_30x":{"merges_trained":$bpe512N,""" +
-        s""""budget":512,"rounds":64,"picks_per_round":8,""" +
-        s""""vocab_exhausted":${bpe512Ledger.size < 64},""" +
+        s""""budget":512,"rounds":48,"picks_per_round":16,"cand_limit":384,""" +
+        s""""corpus":"morphology fixture: 18432 distinct words = 12 """ +
+        s"""prefixes x 64 CVCV roots x 24 suffixes, Zipf counts ~2M """ +
+        s"""instances (r17, VERDICT r16 #3 — the doc fixture exhausted """ +
+        s"""at 90)","rounds_run":${bpe512Ledger.size},""" +
+        s""""incremental_equals_recount_at_depth":$bpe512Parity,""" +
         s""""apply_codegen_at_512_entries":$bpe512CodegenOk,""" +
         s""""delta_rounds_affected_total":[${bpe512Ledger
           .map(l => s"[${l._1},${l._2},${l._3}]").mkString(",")}],""" +
-        s""""gate":"trained 512 OR pool exhausted AND bpe_apply codegen """ +
-        s"""with a 512-entry plan literal AND some round touches a strict """ +
-        s"""subset AND last round affected <= round 1 affected",""" +
-        s""""ok":$bpe512Ok},""" +
+        s""""gate":"trained >= 512 REAL merges AND incremental == """ +
+        s"""recount merge-for-merge at depth AND bpe_apply codegen with """ +
+        s"""the 512 trained merges as plan literal AND every back-half """ +
+        s"""round touches a strict subset AND last round affected <= """ +
+        s"""round 1 affected","ok":$bpe512Ok},""" +
         s""""x2l_candidates_30x":{"reps":${x2lStats._1},""" +
         s""""windows":${x2lStats._2},"prefix_windows":${x2lStats._3},""" +
         s""""cand_pairs":${x2lStats._4},"verified_pairs":${x2lStats._5},""" +
         s""""brute_pairs":${x2lStats._6},""" +
         s""""gate":"prefix <= windows/4 AND cand <= brute/10",""" +
         s""""ok":$x2lOk},""" +
-        f""""calibration":{"spin_sec":$spinSec%.3f},""" +
+        s""""qf13_fixed_point_30x":{"iterations":$prIters,""" +
+        s""""final_delta_nano":$prDelta,""" +
+        s""""scan_bytes_depth1":$prShallowB,""" +
+        s""""scan_bytes_convergence":$prDeepB,""" +
+        s""""gate":"stall-stops in (1, 40) AND terminal delta == 0 OR """ +
+        s"""<= 1 ppm of rank mass (quantization floor) AND convergence """ +
+        s"""scan bytes < 1.5x depth-1 (single-scan at real depth)",""" +
+        s""""ok":$prFixOk},""" +
+        f""""calibration":{"spin_sec":$spinSec%.3f,""" +
+        f""""fsync_sec":$fsyncSec%.3f},""" +
         s""""x6g_partition_invariant":$invariant,"queries":$qs}"""
     }
     Files.write(Paths.get("/root/repo/BENCH_SCALE.json"),

@@ -29,6 +29,25 @@ object MultimodalQueries {
     Tables.documents(s, d).select(col("doc_id"), col("lang"),
       encode(col("text"), "UTF-8").as("payload"))
 
+  /** x5l oracle helper: planted channel value at block offset (dx, dy)
+    * of output pixel `i // 3`, channel `i % 3` — the (doc_id, x, y)
+    * arithmetic [[Multimodal.plantPngGridMedia]] rasterizes, restated in
+    * DuckDB SQL (x = 2·(opix%2)+dx ⇒ x·16 = (opix%2)·32 + dx·16;
+    * y = 2·(opix//2)+dy ⇒ y·32 = (opix//2)·64 + dy·32).
+    */
+  private def gridV(dx: Int, dy: Int): String =
+    "((CASE i % 3 WHEN 0 THEN doc_id WHEN 1 THEN doc_id*7 " +
+      "ELSE doc_id*13 END" +
+      s" + ((i // 3) % 2) * 32 + ${dx * 16}" +
+      s" + ((i // 3) // 2) * 64 + ${dy * 32}) % 64) * 4"
+
+  /** Exact 2×2-block box-filter mean of the planted grid, per (output
+    * pixel, channel) index i — all four operands are multiples of 4, so
+    * the // 4 is exact.
+    */
+  private def gridMean: String =
+    s"(${gridV(0, 0)} + ${gridV(1, 0)} + ${gridV(0, 1)} + ${gridV(1, 1)}) // 4"
+
   def defs: Seq[Q] = Seq(
     // X5: binary columns through the relational surface — length, digests,
     // slicing, group-by over binary-derived values.
@@ -307,6 +326,55 @@ object MultimodalQueries {
         CAST(8 + doc_id % 8 AS BIGINT) AS n_samples,
         CAST(list_sum(list_transform(generate_series(0, CAST(7 + doc_id % 8 AS INTEGER)),
           k -> (doc_id * 31 + k * 17) % 65536 - 32768)) AS BIGINT) AS sum_samples,
+        true AS real_decoded
+        FROM documents""".stripMargin)),
+
+    // X5k (r17, VERDICT r16 #4): REAL frame sampling under the oracle
+    // gate — x5e's shape with the stub arithmetic replaced end to end: a
+    // planted MULTI-FRAME container (K = 2 + id%3 solid-color PNGs per
+    // doc, concatenated — [[Multimodal.plantPngFramesMedia]]) is split by
+    // the REAL PNG chunk grammar ([[Multimodal.splitPngFrames]] — a
+    // structural walk, never a signature scan, so compressed IDAT bytes
+    // cannot fake a frame boundary), every 2nd frame decodes through the
+    // REAL codec, and the sampled rasters' exact integer channel/pixel
+    // sums must equal the oracle's closed-form (doc_id, k) arithmetic.
+    // `real_decoded` is inside the oracle hash: a split or codec failure
+    // fails the gate, not a side assertion (x5i's device).
+    Q("x5k_real_frame_sample",
+      (s, d) => Multimodal.realFrameSample(
+        Multimodal.plantPngFramesMedia(Tables.documents(s, d)), every = 2),
+      Some("""SELECT doc_id,
+        CAST(2 + doc_id % 3 AS INTEGER) AS n_frames,
+        CAST((3 + doc_id % 3) // 2 AS INTEGER) AS n_sampled,
+        CAST(list_sum(list_transform(
+          generate_series(0, CAST(1 + doc_id % 3 AS INTEGER), 2), f ->
+            (1 + (doc_id + f) % 4) * (1 + (doc_id + 2*f) % 3) *
+            ((doc_id + 11*f) % 256 + (doc_id*7 + 23*f) % 256 +
+             (doc_id*13 + 5*f) % 256))) AS BIGINT) AS channel_sum,
+        CAST(list_sum(list_transform(
+          generate_series(0, CAST(1 + doc_id % 3 AS INTEGER), 2), f ->
+            (1 + (doc_id + f) % 4) * (1 + (doc_id + 2*f) % 3)))
+          AS BIGINT) AS px_sum,
+        true AS real_decoded
+        FROM documents""".stripMargin)),
+
+    // X5l (r17, VERDICT r16 #4): REAL box-filter resize under the oracle
+    // gate — x5f's shape with real pixel math: a planted 4×4 PNG whose
+    // pixel channels are (doc_id, x, y) arithmetic in multiples of 4
+    // ([[Multimodal.plantPngGridMedia]]) decodes through the REAL codec
+    // and area-averages 2×2 blocks to a 2×2 output
+    // ([[Multimodal.realBoxResize]]); every output value is an exact
+    // integer mean, so the oracle states the resampled raster to the
+    // last bit without seeing a byte. `real_decoded` in-oracle as above.
+    Q("x5l_real_box_resize",
+      (s, d) => Multimodal.realBoxResize(
+        Multimodal.plantPngGridMedia(Tables.documents(s, d)),
+        outW = 2, outH = 2),
+      Some(s"""SELECT doc_id, 2 AS out_w, 2 AS out_h,
+        array_to_string(list_transform(generate_series(0, 11), i ->
+          CAST($gridMean AS VARCHAR)), ',') AS resized_csv,
+        CAST(list_sum(list_transform(generate_series(0, 11), i ->
+          $gridMean)) AS BIGINT) AS pixel_sum,
         true AS real_decoded
         FROM documents""".stripMargin)),
 
@@ -742,6 +810,234 @@ object Multimodal {
         expr("CAST(bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
           "bit_count(a2 ^ c2) + bit_count(a3 ^ c3) AS INT)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Deterministic MULTI-FRAME payloads for x5k (r17, VERDICT r16 #4):
+    * K = 2 + id%3 solid-color PNG frames per doc, concatenated into one
+    * binary payload — the planted-payload closed-form device (x5i)
+    * extended to a CONTAINER: frame k's geometry and RGB are pure
+    * (doc_id, k) arithmetic, each frame encoded by `javax.imageio` on
+    * executors, so a correct container split + real decode recovers
+    * closed-form per-frame rasters and the oracle can state the sampled
+    * sums without seeing a byte.
+    */
+  def plantPngFramesMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val k = 2 + (id % 3).toInt
+          val bos = new java.io.ByteArrayOutputStream()
+          var f = 0
+          while (f < k) {
+            val w = 1 + ((id + f) % 4).toInt
+            val h = 1 + ((id + 2L * f) % 3).toInt
+            val r = ((id + 11L * f) % 256).toInt
+            val g = ((id * 7 + 23L * f) % 256).toInt
+            val b = ((id * 13 + 5L * f) % 256).toInt
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val rgb = (r << 16) | (g << 8) | b
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+              y += 1
+            }
+            javax.imageio.ImageIO.write(img, "png", bos)
+            f += 1
+          }
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** REAL container split (r17): walk a concatenation of PNG streams by
+    * the PNG chunk grammar — 8-byte signature, then (length, type, data,
+    * crc) chunks through IEND — and return each stream's byte slice.
+    * This is structural parsing, not signature scanning: a signature
+    * byte pattern INSIDE compressed IDAT data can never split a frame,
+    * because the walk always knows where the current chunk ends. Returns
+    * None on any malformed structure (truncated chunk, missing
+    * signature), so callers choose the fallback explicitly.
+    */
+  def splitPngFrames(payload: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    val Sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    val frames = scala.collection.mutable.Buffer.empty[Array[Byte]]
+    var off = 0
+    while (off < payload.length) {
+      if (off + 8 > payload.length ||
+          !java.util.Arrays.equals(payload, off, off + 8, Sig, 0, 8))
+        return None
+      var p = off + 8
+      var done = false
+      while (!done) {
+        if (p + 8 > payload.length) return None
+        val len = ((payload(p) & 0xff) << 24) | ((payload(p + 1) & 0xff) << 16) |
+          ((payload(p + 2) & 0xff) << 8) | (payload(p + 3) & 0xff)
+        val typ = new String(payload, p + 4, 4, "US-ASCII")
+        val next = p + 8 + len + 4 // length + type + data + crc
+        if (len < 0 || next > payload.length) return None
+        p = next
+        done = typ == "IEND"
+      }
+      frames += java.util.Arrays.copyOfRange(payload, off, p)
+      off = p
+    }
+    if (frames.isEmpty) None else Some(frames.toSeq)
+  }
+
+  /** REAL frame sampling (r17, VERDICT r16 #4): split the container with
+    * [[splitPngFrames]], decode every `every`-th frame with the REAL
+    * codec (`ImageIO.read`), and accumulate exact integer channel sums
+    * over the sampled rasters — the x5e shape with the stub arithmetic
+    * replaced by a container walk + codec. `real_decoded` is true only
+    * when the split succeeded AND every sampled frame decoded; a parse
+    * or codec failure flips it and fails the hash gate (x5i's in-oracle
+    * fallback pin).
+    */
+  def realFrameSample(media: DataFrame, every: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          splitPngFrames(payload) match {
+            case None => (id, 0, 0, 0L, 0L, false)
+            case Some(frames) =>
+              var chanSum = 0L
+              var pxSum = 0L
+              var sampled = 0
+              var ok = true
+              var f = 0
+              while (f < frames.size) {
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(frames(f)))
+                if (img == null) ok = false
+                else {
+                  val w = img.getWidth
+                  val h = img.getHeight
+                  var y = 0
+                  while (y < h) {
+                    var x = 0
+                    while (x < w) {
+                      val rgb = img.getRGB(x, y)
+                      chanSum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                        (rgb & 0xff)
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  pxSum += w.toLong * h
+                }
+                sampled += 1
+                f += every
+              }
+              (id, frames.size, sampled, chanSum, pxSum, ok)
+          }
+        }
+      }
+      .toDF("doc_id", "n_frames", "n_sampled", "channel_sum", "px_sum",
+        "real_decoded")
+  }
+
+  /** Deterministic VARIED-PIXEL payloads for x5l (r17, VERDICT r16 #4):
+    * one 4×4 PNG per doc whose pixel (x, y) channel values are pure
+    * (doc_id, x, y) arithmetic, every value a multiple of 4 so a 2×2
+    * box-filter mean is an exact integer — the closed-form device that
+    * lets the oracle state a real resampler's output to the last bit.
+    */
+  def plantPngGridMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val img = new java.awt.image.BufferedImage(4, 4,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 4) {
+            var x = 0
+            while (x < 4) {
+              val r = (((id + x * 16L + y * 32L) % 64L) * 4L).toInt
+              val g = (((id * 7 + x * 16L + y * 32L) % 64L) * 4L).toInt
+              val b = (((id * 13 + x * 16L + y * 32L) % 64L) * 4L).toInt
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** REAL box-filter resize (r17, VERDICT r16 #4): decode the payload
+    * with the REAL codec, area-average uniform pixel blocks down to
+    * outW×outH per channel (integer-truncating division — exact whenever
+    * the block channel sum divides evenly, which the planted payloads
+    * guarantee), emit the resized pixels as CSV (r, g, b row-major) plus
+    * their total. Requires the raster dims to be exact multiples of the
+    * output dims (uniform blocks — the exactness contract); anything
+    * else, or an undecodable payload, flips `real_decoded` and emits
+    * zeros, failing the hash gate rather than approximating silently.
+    */
+  def realBoxResize(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          if (img == null || img.getWidth % outW != 0 ||
+              img.getHeight % outH != 0)
+            (id, outW, outH, "", 0L, false)
+          else {
+            val bw = img.getWidth / outW
+            val bh = img.getHeight / outH
+            val out = new Array[Int](outW * outH * 3)
+            var total = 0L
+            var oy = 0
+            while (oy < outH) {
+              var ox = 0
+              while (ox < outW) {
+                var rs = 0L; var gs = 0L; var bs = 0L
+                var y = oy * bh
+                while (y < (oy + 1) * bh) {
+                  var x = ox * bw
+                  while (x < (ox + 1) * bw) {
+                    val rgb = img.getRGB(x, y)
+                    rs += (rgb >> 16) & 0xff
+                    gs += (rgb >> 8) & 0xff
+                    bs += rgb & 0xff
+                    x += 1
+                  }
+                  y += 1
+                }
+                val n = bw.toLong * bh
+                val base = (oy * outW + ox) * 3
+                out(base) = (rs / n).toInt
+                out(base + 1) = (gs / n).toInt
+                out(base + 2) = (bs / n).toInt
+                total += out(base) + out(base + 1) + out(base + 2)
+                ox += 1
+              }
+              oy += 1
+            }
+            (id, outW, outH, out.mkString(","), total, true)
+          }
+        }
+      }
+      .toDF("doc_id", "out_w", "out_h", "resized_csv", "pixel_sum",
+        "real_decoded")
   }
 
   /** Byte histogram: exact integer bin counts plus the float feature

@@ -1085,13 +1085,21 @@ object TextQueries {
     * delimiting for the kernel's split and the oracle's `string_split`.
     * This is the single corpus-sized aggregation of the operator.
     */
+  /** `word` → the space-padded character-sequence `sym` encoding — ONE
+    * definition shared by [[bpeWordFreq]] and the ScaleBench depth-512
+    * morphology fixture, so the two cannot drift on the delimiter
+    * convention the kernel and the oracle both parse.
+    */
+  private[graft] def wordToSym: Column =
+    concat(lit(" "), concat_ws(" ", expr(
+      "transform(sequence(1, char_length(word)), i -> substring(word, i, 1))")),
+      lit(" "))
+
   private[graft] def bpeWordFreq(docs: DataFrame): DataFrame =
     docs.select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .select(concat(lit(" "), concat_ws(" ", expr(
-          "transform(sequence(1, char_length(word)), i -> substring(word, i, 1))")),
-        lit(" ")).as("sym"), col("cnt"))
+      .select(wordToSym.as("sym"), col("cnt"))
 
   /** Greedy symbol-disjoint batch selection from a (c DESC, pair ASC)-
     * sorted candidate list: scan in order, take a pair iff none of
@@ -1187,6 +1195,12 @@ object TextQueries {
     try {
       var words = wordsInit.localCheckpoint()
       pinned += words
+      // the vocab frame's ROW count is invariant across rounds (rewrites
+      // replace syms, never add or drop words) — one job, not one per
+      // ledgered round (r17: at depth-512 budgets the per-round count was
+      // a measurable slice of the round's job budget)
+      lazy val totalWords: Long = words.count()
+      val wordsParts = math.max(1, words.rdd.getNumPartitions)
       var counts: DataFrame = null
       if (incremental) {
         counts = adjacentPairCounts(words).localCheckpoint()
@@ -1218,7 +1232,7 @@ object TextQueries {
                 fromChars = false).as("sym"),
               col("cnt")).localCheckpoint()
             pinned += newAff
-            ledger.foreach(_ += ((round, newAff.count(), words.count())))
+            ledger.foreach(_ += ((round, newAff.count(), totalWords)))
             val delta = adjacentPairCounts(newAff).withColumnRenamed("c", "ca")
               .join(adjacentPairCounts(aff).withColumnRenamed("c", "cb"),
                 Seq("pair"), "full_outer")
@@ -1231,7 +1245,14 @@ object TextQueries {
               .filter(col("c") > 0L)
               .localCheckpoint()
             pinned += counts
-            words = words.filter(!affPred).unionByName(newAff).localCheckpoint()
+            // coalesce back to the input width: union SUMS its sides'
+            // partition counts and localCheckpoint preserves them, so
+            // without this the vocab frame gains +width partitions EVERY
+            // round — at a 512-merge budget the round cost grows linearly
+            // in round number (measured: ~40 s/round by round 20, all of
+            // it tiny-task shuffle-file commits) instead of staying flat
+            words = words.filter(!affPred).unionByName(newAff)
+              .coalesce(wordsParts).localCheckpoint()
             pinned += words
           } else {
             words = words.select(graft.functions.Kernels.bpe_apply(col("sym"),

@@ -152,6 +152,29 @@ object FlowQueries {
     } finally g.release()
   }
 
+  /** Release a ranks frame returned by [[pageRank]] /
+    * [[pageRankFixedPoint]] once the caller has materialized its answer
+    * (ADVICE r16: the per-round release work freed the graph and
+    * intermediate rounds, but the RETURNED frame's node-sized block set
+    * was never freed by any caller — one leaked set per invocation for
+    * the session's lifetime).
+    */
+  private[graft] def releaseRanks(r: DataFrame): Unit = releaseBacking(r)
+
+  /** The qf13 serving shape: run the unrolled iteration, TakeOrdered the
+    * top-k (k-row result), eagerly pin THAT, and release the node-sized
+    * ranks — the bpeTrain hygiene applied to this family's caller side.
+    */
+  private[graft] def pageRankTopK(f: DataFrame, iters: Int,
+      k: Int): DataFrame = {
+    val r = pageRank(f, iters)
+    val top = r.orderBy(col("r").desc, col("addr")).limit(k)
+      .select(col("addr"), col("r").as("rank_nano"))
+      .localCheckpoint() // eager; ≤ k rows, so the pinned set is trivial
+    releaseBacking(r)
+    top
+  }
+
   /** One PageRank round: contributions shuffled per dst with map-side
     * combine, dangling mass as a 1-row broadcast certificate, eager
     * lineage truncation on the result (node-sized).
@@ -181,23 +204,42 @@ object FlowQueries {
     * Returns (ranks, iterations-run). The unrolled-3 qf13 registration
     * keeps the oracle finite; this is the mode a real deployment runs.
     */
+  /** Quantization limit cycles (r17, VERDICT r16 #5): on larger graphs
+    * the integer map need not reach an EXACT fixed point — the 0.85
+    * contraction drives the delta down ~15%/round until it hits the
+    * truncation-noise floor of the `div` arithmetic, where it oscillates
+    * forever (measured on the 30× graph: 12317, 6056, …, 62, then 67 ± 5
+    * every round — 0.067 ppm of the 1e9 total mass). `stallRounds > 0`
+    * detects that floor: stop when the delta has failed to improve on
+    * its best for that many consecutive rounds. Returns (ranks,
+    * iterations-run, final max delta) — the caller reads the delta to
+    * judge the floor (0 = exact fixed point); the default stallRounds 0
+    * preserves the exact-only semantics PageRankSpec pins on the
+    * sf0.001 graph, where the map genuinely reaches delta 0.
+    */
   private[graft] def pageRankFixedPoint(f: DataFrame,
-      maxIters: Int = 50): (DataFrame, Int) = {
+      maxIters: Int = 50, stallRounds: Int = 0): (DataFrame, Int, Long) = {
     val g = buildGraph(f)
     try {
       var r = initRanks(g)
       var it = 0
+      var lastDelta = Long.MaxValue
+      var bestDelta = Long.MaxValue
+      var stall = 0
       var converged = false
       while (!converged && it < maxIters) {
         val next = pageRankStep(r, g)
         val delta = next.join(r.withColumnRenamed("r", "rp"), Seq("addr"))
           .agg(max(abs(col("r") - col("rp"))).as("d")).head().getLong(0)
-        converged = delta == 0L
+        if (delta < bestDelta) { bestDelta = delta; stall = 0 }
+        else stall += 1
+        converged = delta == 0L || (stallRounds > 0 && stall >= stallRounds)
+        lastDelta = delta
         releaseBacking(r) // the delta action above was r's last consumer
         r = next
         it += 1
       }
-      (r, it)
+      (r, it, lastDelta)
     } finally g.release()
   }
 
@@ -532,9 +574,7 @@ object FlowQueries {
     // at depth 4). A detected-fixed-point mode lives alongside in
     // [[pageRankFixedPoint]] for real (non-oracle-parity) use.
     Q("qf13_pagerank",
-      (s, d) => pageRank(flows(s, d), iters = 3)
-        .orderBy(col("r").desc, col("addr")).limit(20)
-        .select(col("addr"), col("r").as("rank_nano")),
+      (s, d) => pageRankTopK(flows(s, d), iters = 3, k = 20),
       Some(s"""$FlowsCte,
         edges AS (SELECT src_addr AS u, dst_addr AS v, count(*) AS w FROM flows GROUP BY 1, 2),
         outw AS (SELECT u, CAST(SUM(w) AS BIGINT) AS wu FROM edges GROUP BY 1),

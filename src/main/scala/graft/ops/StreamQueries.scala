@@ -186,9 +186,15 @@ object StreamQueries {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
     try {
+      // 50 ms: the trigger interval is pure drain latency here — the data
+      // is finite, so every boundary the engine waits out (plus the two
+      // empty batches quiescence needs) is idle wall-clock the bench pays
+      // (VERDICT r16 #6: q52p spent ~2 s of its 3.85 s waiting). The TTL
+      // readback no longer cares about batch wall-clock spacing (emit_seq
+      // is the order key), so a tight trigger cannot flake correctness.
       val q = df.writeStream.format("memory").queryName(name)
         .outputMode(mode).option("checkpointLocation", cp)
-        .trigger(Trigger.ProcessingTime("200 milliseconds")).start()
+        .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
       awaitQuiescence(q, name)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     df.sparkSession.table(name)
@@ -211,7 +217,7 @@ object StreamQueries {
         ps.last.sources.forall(sp =>
           sp.latestOffset == null || sp.endOffset == sp.latestOffset)
     }
-    while (!quiescent && System.nanoTime() < deadline) Thread.sleep(100)
+    while (!quiescent && System.nanoTime() < deadline) Thread.sleep(25)
     val done = quiescent
     q.stop()
     require(done, s"$name never quiesced within the drain deadline")
@@ -379,43 +385,85 @@ object StreamQueries {
     * always-on deployment expires old generations like any artifact
     * (q52y's tiered store is the general machinery).
     *
-    * Periodic recount cadence (r15, VERDICT r14 #4; refolded r16, VERDICT
-    * r15 #1): an always-on stream never drains, so without a mid-stream
-    * recount the monitor would serve sketch CANDIDATES (a superset with
+    * Periodic recount cadence (r15, VERDICT r14 #4; refolded mergeable
+    * r16, VERDICT r15 #1; firing-granularity fold r17, VERDICT r16 #2):
+    * an always-on stream never drains, so without a mid-stream recount
+    * the monitor would serve sketch CANDIDATES (a superset with
     * under-estimated counts) until shutdown. With `rowsDir`/`hhDir`/
     * `cumDir`/`recountEvery` set, each batch additionally lands whole in
     * `rowsDir/batch=<id>` (per-batch OVERWRITE, q52g's effectively-once
-    * device) and the writer maintains MERGEABLE per-batch candidate
-    * partials in `cumDir/batch=<id>`: exact cumulative counts through
-    * batch id for every POSSIBLY-θ-HEAVY candidate (sketch count ≥ the
-    * safe floor of n/θinv − n/(cap+1) — a proven superset of the θ-heavy
-    * set; the cut drops the sketch's churny boundary tail, which on a
-    * vocabulary ≫ capacity would otherwise trigger catch-ups forever),
-    * plus the running gram total (a sentinel row — [[CumTotalKey]]
-    * contains no space, so it can never collide with a trigram). Per
-    * batch the
-    * fold costs O(batch + capacity): candidates that survived get
-    * prev-cum + this batch's exact count (a capacity-bounded semi-join
-    * on batch grams only); candidates that ENTERED this batch pay a
-    * one-time residual catch-up over the rows-so-far glob (the only
-    * history read — it decays to zero as the sketch converges, and the
-    * `ledger` records it so the 30× tier can gate flatness). Every
-    * `recountEvery`-th batch the hh artifact is then a pure θ-filter of
-    * the in-memory cumulative fold — ZERO history bytes at the firing —
-    * overwriting `hhDir/batch=<id>` (`_SUCCESS`-gated). The r15 shape
-    * (re-read ALL rows every firing) made total recount work O(T²·B/M)
-    * over a stream's lifetime, the same super-linear class q52y's
-    * maintenance had before tiering; the fold is exact by induction
-    * (entrants catch up from history, survivors accumulate), so the
-    * artifact is unchanged: θ-heavy ⊆ candidates (the sketch guarantee)
-    * and candidate counts are exact at the watermark. Crash-replay of
-    * batch id overwrites its rows dir FIRST, rebuilds sketch AND cum
-    * from the generations strictly below id, and re-derives identical
-    * artifacts; batches before id completed their writes before the
-    * stream advanced, so the rows-so-far glob never sees a torn dir
-    * other than the one being overwritten. The drain-end answer is
-    * unchanged — the cadence only adds the always-on serving artifact.
+    * device), and every `recountEvery`-th batch the writer folds the cum
+    * store forward ONE WINDOW: exact cumulative counts through the
+    * firing batch for every POSSIBLY-θ-HEAVY candidate (sketch count ≥
+    * the safe floor of n/θinv − n/(cap+1) — a proven superset of the
+    * θ-heavy set; the cut drops the sketch's churny boundary tail, which
+    * on a vocabulary ≫ capacity would otherwise trigger catch-ups
+    * forever), computed as prev-cum + ONE capacity-bounded semi-join
+    * over the ≤ `recountEvery` rows dirs written since the previous
+    * firing — never the full history. Candidates that ENTERED the pruned
+    * set since the last firing pay a one-time residual catch-up over the
+    * rows-so-far glob (the only unbounded history read — it decays to
+    * zero as the sketch converges, and the `ledger` records it so the
+    * 30× tier can gate flatness). The hh artifact is a pure θ-filter of
+    * the fold, overwriting `hhDir/batch=<id>` (`_SUCCESS`-gated), and
+    * the cum generation (candidates + a running-total sentinel row —
+    * [[CumTotalKey]] contains no space, so it can never collide with a
+    * trigram) is durable ONLY at firings: r16 wrote it every batch and
+    * read the previous generation back every batch — 2 jobs + 1 small
+    * file per micro-batch of pure happy-path overhead, ~60% of q52t's
+    * fixture wall (VERDICT r16 finding #2).
+    *
+    * The happy path reads NOTHING back from disk: the returned closure
+    * carries the running sketch, the exact gram total, and the cum fold
+    * in memory ([[HhCadenceState]]), used only when the incoming batch
+    * id is exactly lastId + 1. Steady-state cost per micro-batch is 3
+    * jobs + 2 capacity-bounded writes (rows, fused sketch+total agg,
+    * sketch gen), with 3 more at firings (window semi-join, cum gen, hh
+    * artifact) — roughly half r16's 6–7 jobs + 3 writes every batch; the
+    * ledger's `jobs` column is the measured evidence. A restart or
+    * whole-batch replay misses the cache and rebuilds exactly: the
+    * sketch from the per-batch generation strictly below id, the cum +
+    * total from the newest durable cum generation plus a re-fold of the
+    * ≤ recountEvery rows dirs above it (bounded, crash-path only). The
+    * fold is exact by induction (entrants catch up from history,
+    * survivors accumulate window counts), so replay re-derives identical
+    * artifacts: θ-heavy ⊆ candidates (the sketch guarantee) and
+    * candidate counts are exact at the watermark. Batches before a
+    * replayed id completed their writes before the stream advanced, so
+    * the window and glob reads never see a torn dir other than the one
+    * being overwritten. The drain-end answer is unchanged — the cadence
+    * only adds the always-on serving artifact.
+    *
+    * Production churn assumption (ADVICE r16): the entrant catch-up is
+    * O(full history) per firing WHILE candidates keep entering the
+    * pruned set — fine for converging vocabularies (the sketch settles,
+    * the ledger goes flat), pathological under adversarial or unbounded
+    * key growth above the prune floor. The writer self-reports: after
+    * [[ChurnAlertFirings]] consecutive entrant-bearing firings it prints
+    * one stderr alert naming the glob it keeps re-reading, so an
+    * operator sees the regression long before the O(T²) lifetime cost
+    * accrues; a deployment with genuinely unbounded churn should tier
+    * the history (q52y's store machinery) so catch-up folds over
+    * generation summaries instead of raw rows.
     */
+  private[graft] final class HhCadenceState {
+    var lastId: Long = -1L
+    var sketch: Map[String, Long] = Map.empty
+    var total: Long = 0L
+    var cum: Map[String, Long] = Map.empty
+    var cumGenId: Long = -1L
+    var consecEntrantFirings: Int = 0
+    var churnWarned: Boolean = false
+  }
+
+  /** Consecutive entrant-bearing firings before a cadence writer prints
+    * its one-shot churn alert (see the cadence doc above).
+    */
+  private[graft] val ChurnAlertFirings = 8
+
+  private def genIdOf(path: String): Long =
+    path.split("batch=").last.toLong
+
   private[graft] def heavyHitterSketchWriter(skDir: String,
       rowsDir: String = null, hhDir: String = null, recountEvery: Int = 0,
       cumDir: String = null, ledger: CumLedger = null,
@@ -424,102 +472,169 @@ object StreamQueries {
       // the superset precondition capacity + 1 > θinv; registrations use
       // the x4s geometry via the defaults
       capacity: Int = graft.ext.TextQueries.HhCapacity,
-      thetaInv: Long = graft.ext.TextQueries.HhThetaInv)(
-      batch: DataFrame, id: Long): Unit = {
+      thetaInv: Long = graft.ext.TextQueries.HhThetaInv)
+      : (DataFrame, Long) => Unit = {
     require(recountEvery <= 0 ||
       (rowsDir != null && hhDir != null && cumDir != null),
       "recountEvery > 0 needs rowsDir, hhDir and cumDir — the cadence " +
-        "folds per-batch candidate partials and writes the hh artifact")
+        "folds firing-window candidate partials and writes the hh artifact")
     require(capacity + 1 > thetaInv,
       "capacity + 1 must exceed thetaInv or the sketch candidate set is " +
         "not a guaranteed superset of the θ-heavy grams")
-    val s = batch.sparkSession
-    import s.implicits._
-    val agg = new graft.functions.Aggregators.MisraGriesAgg(capacity)
-    // with the cadence on, the batch has two consumers (rows sink +
-    // sketch agg) — persist so each doesn't re-run the micro-batch plan
-    val b = if (rowsDir != null) batch.persist() else batch
-    try {
-      if (rowsDir != null)
-        b.write.mode("overwrite").parquet(s"$rowsDir/batch=$id")
-      val gb = graft.ext.TextQueries.heavyHitterGrams(b)
-      val gbp = if (recountEvery > 0) gb.persist() else gb
+    val st = new HhCadenceState
+    (batch: DataFrame, id: Long) => {
+      val s = batch.sparkSession
+      import s.implicits._
+      val agg = new graft.functions.Aggregators.MisraGriesAgg(capacity)
+      var jobs = 0L
+      // with the cadence on, the batch has two consumers (rows sink +
+      // sketch agg) — persist so each doesn't re-run the micro-batch plan
+      val b = if (rowsDir != null) batch.persist() else batch
       try {
-        // ONE aggregation job yields sketch + batch total (these writers
-        // are job-count-bound: 6+ tiny jobs per micro-batch dominate at
-        // fixture scale, so every fused job is ~15% of the query)
-        val skRow = gbp
+        if (rowsDir != null) {
+          b.write.mode("overwrite").parquet(s"$rowsDir/batch=$id")
+          jobs += 1
+        }
+        val hit = st.lastId == id - 1
+        // prev sketch: cache on the happy path; the per-batch generation
+        // strictly below id on restart/replay — identical by construction
+        // (sequential fold order is preserved either way)
+        val prev: Map[String, Long] =
+          if (hit) st.sketch
+          else latestSketchGen(s, skDir, below = id)
+            .map { p =>
+              jobs += 1
+              s.read.parquet(p).as[(String, Long)].collect().toMap
+            }.getOrElse(Map.empty[String, Long])
+        // prev cum + exact gram total through id − 1: cached, or rebuilt
+        // from the newest durable cum generation plus a re-count over the
+        // ≤ recountEvery rows dirs above it (bounded; crash-path only)
+        val (prevCum, prevTotal, prevGenId) =
+          if (recountEvery <= 0) (Map.empty[String, Long], 0L, -1L)
+          else if (hit) (st.cum, st.total, st.cumGenId)
+          else {
+            val (cumJ, totalJ, j) = latestSketchGen(s, cumDir, below = id)
+              .map { p =>
+                jobs += 1
+                val m = s.read.parquet(p).as[(String, Long)].collect().toMap
+                (m - CumTotalKey, m.getOrElse(CumTotalKey, 0L), genIdOf(p))
+              }.getOrElse((Map.empty[String, Long], 0L, -1L))
+            val mid = ((j + 1) until id).map(k => s"$rowsDir/batch=$k")
+            val total =
+              if (mid.isEmpty) totalJ
+              else {
+                jobs += 1
+                totalJ + graft.ext.TextQueries
+                  .heavyHitterGrams(s.read.parquet(mid: _*)).count()
+              }
+            (cumJ, total, j)
+          }
+        // ONE fused aggregation job yields sketch + batch gram total
+        // (these writers are job-count-bound: tiny jobs per micro-batch
+        // dominate at fixture scale, so every fused/skipped job counts)
+        val skRow = graft.ext.TextQueries.heavyHitterGrams(b)
           .agg(graft.functions.Aggregators.misra_gries(capacity)(
             col("gram")).as("sk"), count(lit(1)).as("n"))
           .head()
+        jobs += 1
         val sk = skRow.getMap[String, Long](0).toMap
         val batchTotal = skRow.getLong(1)
-        val prev = latestSketchGen(s, skDir, below = id)
-          .map(p => s.read.parquet(p).as[(String, Long)].collect().toMap)
-          .getOrElse(Map.empty[String, Long])
         val merged = agg.merge(prev, sk)
+        val newTotal = prevTotal + batchTotal
         merged.toSeq.toDF("gram", "cnt")
           .coalesce(1).write.mode("overwrite").parquet(s"$skDir/batch=$id")
-        if (recountEvery > 0) {
-          val candDF = merged.keys.toSeq.toDF("gram")
-          // exact per-candidate counts for THIS batch only — ≤ capacity
-          // rows out, one batch-sized semi-join (the bounded-collect
-          // device the sketch itself uses)
-          val batchCnt = gbp.join(broadcast(candDF), Seq("gram"), "left_semi")
-            .groupBy("gram").agg(count(lit(1)).as("cnt"))
-            .as[(String, Long)].collect().toMap
-          val (prevCum, prevTotal) = readCumGen(s, cumDir, below = id)
-          val newTotal = prevTotal + batchTotal
+        jobs += 1
+        var newCum = prevCum
+        var newGenId = prevGenId
+        var entrantsN = 0L
+        var histRead = 0L
+        var windowRead = 0L
+        val fired = recountEvery > 0 && (id + 1) % recountEvery == 0
+        if (fired) {
           // maintain exact cums ONLY for candidates that could possibly
           // be θ-heavy: a θ-heavy gram's sketch count is ≥ n/θinv −
           // n/(cap+1) (the MG under-estimate bound), so cutting below
           // the safe integer floor of that threshold keeps a SUPERSET
           // of the θ-heavy set while dropping the sketch's churny
           // boundary tail — without this cut, top-capacity boundary
-          // keys rotate every batch on a vocabulary ≫ capacity and the
+          // keys rotate every firing on a vocabulary ≫ capacity and the
           // entrant catch-up would scan history indefinitely
           val cap1 = capacity + 1L
           val floorThresh = math.max(0L,
             newTotal / thetaInv - (newTotal + cap1 - 1L) / cap1)
           val pruned = merged.filter { case (_, w) => w >= floorThresh }
           val entrants = pruned.keySet -- prevCum.keySet
-          // one-time residual catch-up for candidates that newly entered
-          // the sketch: their exact count over ALL rows through batch id
-          // (the glob includes the just-written batch dir, so no
-          // batch-count add-back for entrants)
-          val catchup: Map[String, Long] =
-            if (entrants.isEmpty) Map.empty
+          val survivors = pruned.keySet & prevCum.keySet
+          // window fold: exact counts for surviving candidates over the
+          // rows dirs written since the generation being folded from —
+          // ≤ recountEvery dirs, never the full history
+          val windowDirs = ((prevGenId + 1) to id)
+            .map(k => s"$rowsDir/batch=$k")
+          windowRead = windowDirs.size
+          val survCnt: Map[String, Long] =
+            if (survivors.isEmpty) Map.empty
             else {
-              val eDF = entrants.toSeq.toDF("gram")
+              jobs += 1
               graft.ext.TextQueries
-                .heavyHitterGrams(s.read.parquet(s"$rowsDir/batch=*"))
-                .join(broadcast(eDF), Seq("gram"), "left_semi")
+                .heavyHitterGrams(s.read.parquet(windowDirs: _*))
+                .join(broadcast(survivors.toSeq.toDF("gram")),
+                  Seq("gram"), "left_semi")
                 .groupBy("gram").agg(count(lit(1)).as("cnt"))
                 .as[(String, Long)].collect().toMap
             }
-          val newCum = pruned.keysIterator.map { g =>
+          // one-time residual catch-up for candidates that newly entered
+          // the pruned set: their exact count over ALL rows through batch
+          // id (the glob includes the just-written batch dir)
+          val catchup: Map[String, Long] =
+            if (entrants.isEmpty) Map.empty
+            else {
+              jobs += 1
+              graft.ext.TextQueries
+                .heavyHitterGrams(s.read.parquet(s"$rowsDir/batch=*"))
+                .join(broadcast(entrants.toSeq.toDF("gram")),
+                  Seq("gram"), "left_semi")
+                .groupBy("gram").agg(count(lit(1)).as("cnt"))
+                .as[(String, Long)].collect().toMap
+            }
+          newCum = pruned.keysIterator.map { g =>
             g -> (if (entrants(g)) catchup.getOrElse(g, 0L)
-                  else prevCum(g) + batchCnt.getOrElse(g, 0L))
+                  else prevCum(g) + survCnt.getOrElse(g, 0L))
           }.toMap
+          newGenId = id
+          entrantsN = entrants.size
+          histRead = if (entrants.isEmpty) 0L else id + 1
           (newCum.toSeq :+ (CumTotalKey -> newTotal)).toDF("gram", "cnt")
             .coalesce(1).write.mode("overwrite").parquet(s"$cumDir/batch=$id")
-          val fired = (id + 1) % recountEvery == 0
-          if (ledger != null)
-            ledger.rows += CumLedgerRow(id, entrants.size,
-              histBatchesRead = if (entrants.isEmpty) 0 else id + 1, fired)
-          if (fired) {
-            // the firing is a pure θ-filter of the cumulative fold —
-            // no history bytes read here, ever
-            newCum.toSeq
-              .filter { case (_, c) => c * thetaInv >= newTotal }
-              .map { case (g, c) => (g, c, c * 1000000L / newTotal) }
-              .toDF("gram", "cnt", "ppm")
-              .coalesce(1).write.mode("overwrite")
-              .parquet(s"$hhDir/batch=$id")
+          jobs += 1
+          // the artifact is a pure θ-filter of the fold
+          newCum.toSeq
+            .filter { case (_, c) => c * thetaInv >= newTotal }
+            .map { case (g, c) => (g, c, c * 1000000L / newTotal) }
+            .toDF("gram", "cnt", "ppm")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$hhDir/batch=$id")
+          jobs += 1
+          // churn self-report (ADVICE r16): persistent entrants mean the
+          // catch-up keeps paying O(full history) per firing
+          if (entrants.nonEmpty) st.consecEntrantFirings += 1
+          else st.consecEntrantFirings = 0
+          if (st.consecEntrantFirings >= ChurnAlertFirings && !st.churnWarned) {
+            st.churnWarned = true
+            System.err.println(s"[cadence] $hhDir: entrants on " +
+              s"${st.consecEntrantFirings} consecutive firings — candidate " +
+              s"churn above the prune floor keeps re-reading " +
+              s"$rowsDir/batch=*; tier the history (q52y) if the " +
+              "vocabulary genuinely grows without bound")
           }
         }
-      } finally if (recountEvery > 0) gbp.unpersist()
-    } finally if (rowsDir != null) b.unpersist()
+        if (ledger != null)
+          ledger.rows += CumLedgerRow(id, entrantsN, histRead, fired,
+            windowBatchesRead = windowRead, jobs = jobs)
+        st.sketch = merged; st.total = newTotal
+        st.cum = newCum; st.cumGenId = newGenId
+        st.lastId = id
+      } finally if (rowsDir != null) b.unpersist()
+    }
   }
 
   /** Sentinel key carrying the running total inside a cumulative-partial
@@ -530,26 +645,19 @@ object StreamQueries {
   private[graft] val CumTotalKey = "\u0000TOTAL"
 
   /** Per-batch cadence accounting for the 30× tier: how many candidates
-    * entered the sketch this batch and how many history batch dirs the
-    * residual catch-up had to read (0 in steady state — the claim the
-    * scale gate measures).
+    * entered the pruned set at this batch's firing, how many history
+    * batch dirs the residual catch-up had to read (0 in steady state —
+    * the flatness claim the scale gate measures), how many WINDOW dirs
+    * the firing fold read (≤ recountEvery by construction — the bounded-
+    * window claim), and how many Spark jobs the batch cost end to end
+    * (the r17 happy-path budget: 3 steady, 6 at firings — VERDICT r16
+    * #2's "roughly halved" evidence vs r16's 6–7 every batch).
     */
   private[graft] final case class CumLedgerRow(batchId: Long, entrants: Long,
-      histBatchesRead: Long, fired: Boolean)
+      histBatchesRead: Long, fired: Boolean,
+      windowBatchesRead: Long = 0L, jobs: Long = 0L)
   private[graft] final class CumLedger {
     val rows = scala.collection.mutable.Buffer.empty[CumLedgerRow]
-  }
-
-  /** Newest complete cumulative-partial generation strictly below `below`:
-    * (candidate → exact cumulative count, running total). Empty at batch 0.
-    */
-  private[graft] def readCumGen(s: SparkSession, cumDir: String,
-      below: Long): (Map[String, Long], Long) = {
-    import s.implicits._
-    latestSketchGen(s, cumDir, below).map { p =>
-      val m = s.read.parquet(p).as[(String, Long)].collect().toMap
-      (m - CumTotalKey, m.getOrElse(CumTotalKey, 0L))
-    }.getOrElse((Map.empty[String, Long], 0L))
   }
 
   /** q52u flows-domain geometry: θ = 1/50 of total BYTES (a talker owning
@@ -571,111 +679,181 @@ object StreamQueries {
     * exact recount needs the ingested corpus: over UDP there is no
     * standing source table to recount against, the stream IS the corpus.
     */
-  private[graft] def topTalkerSketchWriter(skDir: String, outDir: String,
-      hhDir: String = null, recountEvery: Int = 0, cumDir: String = null,
-      ledger: CumLedger = null)(
-      batch: DataFrame, id: Long): Unit = {
-    require(recountEvery <= 0 || (hhDir != null && cumDir != null),
-      "recountEvery > 0 needs hhDir and cumDir — the cadence folds " +
-        "per-batch candidate partials and writes the hh artifact")
-    val s = batch.sparkSession
-    import s.implicits._
-    // persist: two consumers (rows sink + sketch agg) would each re-run
-    // the micro-batch plan (see pipelineBatchWriter)
-    val b = batch.persist()
-    try {
-      b.write.mode("overwrite").parquet(s"$outDir/batch=$id")
-      val agg = new graft.functions.Aggregators.WeightedMisraGriesAgg(
-        FlowHhCapacity)
-      // one fused job: sketch + batch byte/flow totals (job-count-bound —
-      // see heavyHitterSketchWriter); coalesce because an all-duplicate
-      // UDP batch dedups to EMPTY and sum over zero rows is NULL
-      val skRow = b.agg(graft.functions.Aggregators.weighted_misra_gries(
-          FlowHhCapacity)(col("src_addr"), col("bytes")).as("sk"),
-          coalesce(sum(col("bytes")), lit(0L)).as("tb"),
-          count(lit(1)).as("tf"))
-        .head()
-      val sk = skRow.getMap[String, Long](0).toMap
-      val bt = (skRow.getLong(1), skRow.getLong(2))
-      val prev = latestSketchGen(s, skDir, below = id)
-        .map(p => s.read.parquet(p).as[(String, Long)].collect().toMap)
-        .getOrElse(Map.empty[String, Long])
-      val merged = agg.merge(prev, sk)
-      merged.toSeq.toDF("src_addr", "w")
-        .coalesce(1).write.mode("overwrite").parquet(s"$skDir/batch=$id")
-      // mergeable cadence fold, heavyHitterSketchWriter's r16 device on
-      // the flows domain (weights replace unit increments): per batch,
-      // exact (sum_bytes, n_flows) partials for the CURRENT candidate
-      // set accumulate in cumDir generations — survivors add this
-      // batch's capacity-bounded aggregate, entrants pay a one-time
-      // catch-up over the rows-so-far glob — and each firing θ-filters
-      // the in-memory fold, reading ZERO history bytes (r15 re-read all
-      // ingested rows every firing: O(T²·B/M) over a stream's lifetime)
-      if (recountEvery > 0) {
-        val batchAgg = b.groupBy("src_addr")
-          .agg(sum(col("bytes")).as("sb"), count(lit(1)).as("nf"))
-          .join(broadcast(merged.keys.toSeq.toDF("src_addr")),
-            Seq("src_addr"), "left_semi")
-          .as[(String, Long, Long)].collect()
-          .map(t => t._1 -> (t._2, t._3)).toMap
-        val (prevCum, prevTotals) = readTalkerCumGen(s, cumDir, below = id)
-        val newTotals = (prevTotals._1 + bt._1, prevTotals._2 + bt._2)
-        // possibly-θ-heavy cut on sketch WEIGHT (heavyHitterSketchWriter's
-        // r16 device with bytes for unit counts): W/θinv − W/(cap+1),
-        // safe integer floor — keeps a superset of the θ-heavy talkers,
-        // drops the sketch's churny boundary tail
-        val cap1 = FlowHhCapacity + 1L
-        val floorThresh = math.max(0L,
-          newTotals._1 / FlowHhThetaInv - (newTotals._1 + cap1 - 1L) / cap1)
-        val pruned = merged.filter { case (_, w) => w >= floorThresh }
-        val entrants = pruned.keySet -- prevCum.keySet
-        val catchup: Map[String, (Long, Long)] =
-          if (entrants.isEmpty) Map.empty
-          else s.read.parquet(s"$outDir/batch=*")
-            .select(col("src_addr"), col("bytes"))
-            .join(broadcast(entrants.toSeq.toDF("src_addr")),
-              Seq("src_addr"), "left_semi")
-            .groupBy("src_addr")
-            .agg(sum(col("bytes")).as("sb"), count(lit(1)).as("nf"))
-            .as[(String, Long, Long)].collect()
-            .map(t => t._1 -> (t._2, t._3)).toMap
-        val newCum = pruned.keysIterator.map { a =>
-          a -> (if (entrants(a)) catchup.getOrElse(a, (0L, 0L))
-                else {
-                  val p = prevCum(a); val c = batchAgg.getOrElse(a, (0L, 0L))
-                  (p._1 + c._1, p._2 + c._2)
-                })
-        }.toMap
-        (newCum.toSeq.map { case (a, (sb, nf)) => (a, sb, nf) } :+
-          ((CumTotalKey, newTotals._1, newTotals._2)))
-          .toDF("src_addr", "sum_bytes", "n_flows")
-          .coalesce(1).write.mode("overwrite").parquet(s"$cumDir/batch=$id")
-        val fired = (id + 1) % recountEvery == 0
-        if (ledger != null)
-          ledger.rows += CumLedgerRow(id, entrants.size,
-            histBatchesRead = if (entrants.isEmpty) 0 else id + 1, fired)
-        if (fired) {
-          newCum.toSeq
-            .filter { case (_, (sb, _)) => sb * FlowHhThetaInv >= newTotals._1 }
-            .map { case (a, (sb, nf)) => (a, sb, nf, sb * 1000000L / newTotals._1) }
-            .toDF("src_addr", "sum_bytes", "n_flows", "ppm")
-            .coalesce(1).write.mode("overwrite").parquet(s"$hhDir/batch=$id")
-        }
-      }
-    } finally b.unpersist()
+  private[graft] final class TalkerCadenceState {
+    var lastId: Long = -1L
+    var sketch: Map[String, Long] = Map.empty
+    var totBytes: Long = 0L
+    var totFlows: Long = 0L
+    var cum: Map[String, (Long, Long)] = Map.empty
+    var cumGenId: Long = -1L
+    var consecEntrantFirings: Int = 0
+    var churnWarned: Boolean = false
   }
 
-  /** Weighted analogue of [[readCumGen]]: (talker → (exact cumulative
-    * sum_bytes, n_flows), (total bytes, total flows)). Empty at batch 0.
-    */
-  private[graft] def readTalkerCumGen(s: SparkSession, cumDir: String,
-      below: Long): (Map[String, (Long, Long)], (Long, Long)) = {
-    import s.implicits._
-    latestSketchGen(s, cumDir, below).map { p =>
-      val m = s.read.parquet(p).as[(String, Long, Long)].collect()
-        .map(t => t._1 -> (t._2, t._3)).toMap
-      (m - CumTotalKey, m.getOrElse(CumTotalKey, (0L, 0L)))
-    }.getOrElse((Map.empty[String, (Long, Long)], (0L, 0L)))
+  private[graft] def topTalkerSketchWriter(skDir: String, outDir: String,
+      hhDir: String = null, recountEvery: Int = 0, cumDir: String = null,
+      ledger: CumLedger = null): (DataFrame, Long) => Unit = {
+    require(recountEvery <= 0 || (hhDir != null && cumDir != null),
+      "recountEvery > 0 needs hhDir and cumDir — the cadence folds " +
+        "firing-window candidate partials and writes the hh artifact")
+    val st = new TalkerCadenceState
+    (batch: DataFrame, id: Long) => {
+      val s = batch.sparkSession
+      import s.implicits._
+      var jobs = 0L
+      // persist: two consumers (rows sink + sketch agg) would each re-run
+      // the micro-batch plan (see pipelineBatchWriter)
+      val b = batch.persist()
+      try {
+        b.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        jobs += 1
+        val agg = new graft.functions.Aggregators.WeightedMisraGriesAgg(
+          FlowHhCapacity)
+        // one fused job: sketch + batch byte/flow totals (job-count-bound —
+        // see heavyHitterSketchWriter); coalesce because an all-duplicate
+        // UDP batch dedups to EMPTY and sum over zero rows is NULL
+        val skRow = b.agg(graft.functions.Aggregators.weighted_misra_gries(
+            FlowHhCapacity)(col("src_addr"), col("bytes")).as("sk"),
+            coalesce(sum(col("bytes")), lit(0L)).as("tb"),
+            count(lit(1)).as("tf"))
+          .head()
+        jobs += 1
+        val sk = skRow.getMap[String, Long](0).toMap
+        val bt = (skRow.getLong(1), skRow.getLong(2))
+        val hit = st.lastId == id - 1
+        val prev =
+          if (hit) st.sketch
+          else latestSketchGen(s, skDir, below = id)
+            .map { p =>
+              jobs += 1
+              s.read.parquet(p).as[(String, Long)].collect().toMap
+            }.getOrElse(Map.empty[String, Long])
+        // prev cum + exact totals through id − 1: cached, or rebuilt from
+        // the newest durable cum generation plus a re-count over the ≤
+        // recountEvery rows dirs above it (bounded; crash-path only)
+        val (prevCum, prevTB, prevTF, prevGenId) =
+          if (recountEvery <= 0)
+            (Map.empty[String, (Long, Long)], 0L, 0L, -1L)
+          else if (hit) (st.cum, st.totBytes, st.totFlows, st.cumGenId)
+          else {
+            val (cumJ, tbJ, tfJ, j) = latestSketchGen(s, cumDir, below = id)
+              .map { p =>
+                jobs += 1
+                val m = s.read.parquet(p).as[(String, Long, Long)].collect()
+                  .map(t => t._1 -> (t._2, t._3)).toMap
+                val tot = m.getOrElse(CumTotalKey, (0L, 0L))
+                (m - CumTotalKey, tot._1, tot._2, genIdOf(p))
+              }.getOrElse((Map.empty[String, (Long, Long)], 0L, 0L, -1L))
+            val mid = ((j + 1) until id).map(k => s"$outDir/batch=$k")
+            if (mid.isEmpty) (cumJ, tbJ, tfJ, j)
+            else {
+              jobs += 1
+              val r = s.read.parquet(mid: _*)
+                .agg(coalesce(sum(col("bytes")), lit(0L)), count(lit(1)))
+                .head()
+              (cumJ, tbJ + r.getLong(0), tfJ + r.getLong(1), j)
+            }
+          }
+        val merged = agg.merge(prev, sk)
+        merged.toSeq.toDF("src_addr", "w")
+          .coalesce(1).write.mode("overwrite").parquet(s"$skDir/batch=$id")
+        jobs += 1
+        val newTotals = (prevTB + bt._1, prevTF + bt._2)
+        // firing-granularity cadence fold, heavyHitterSketchWriter's r17
+        // device on the flows domain (weights replace unit increments):
+        // at each firing, survivors add ONE window aggregate over the ≤
+        // recountEvery rows dirs since the previous firing, entrants pay
+        // a one-time catch-up over the rows-so-far glob, and the artifact
+        // θ-filters the fold; between firings the fold lives in memory
+        // and nothing is read back (r16 paid a cum read + cum write +
+        // candidate semi-join EVERY batch)
+        var newCum = prevCum
+        var newGenId = prevGenId
+        var entrantsN = 0L
+        var histRead = 0L
+        var windowRead = 0L
+        val fired = recountEvery > 0 && (id + 1) % recountEvery == 0
+        if (fired) {
+          // possibly-θ-heavy cut on sketch WEIGHT: W/θinv − W/(cap+1),
+          // safe integer floor — keeps a superset of the θ-heavy talkers,
+          // drops the sketch's churny boundary tail
+          val cap1 = FlowHhCapacity + 1L
+          val floorThresh = math.max(0L,
+            newTotals._1 / FlowHhThetaInv - (newTotals._1 + cap1 - 1L) / cap1)
+          val pruned = merged.filter { case (_, w) => w >= floorThresh }
+          val entrants = pruned.keySet -- prevCum.keySet
+          val survivors = pruned.keySet & prevCum.keySet
+          val windowDirs = ((prevGenId + 1) to id)
+            .map(k => s"$outDir/batch=$k")
+          windowRead = windowDirs.size
+          val survAgg: Map[String, (Long, Long)] =
+            if (survivors.isEmpty) Map.empty
+            else {
+              jobs += 1
+              s.read.parquet(windowDirs: _*)
+                .select(col("src_addr"), col("bytes"))
+                .join(broadcast(survivors.toSeq.toDF("src_addr")),
+                  Seq("src_addr"), "left_semi")
+                .groupBy("src_addr")
+                .agg(sum(col("bytes")).as("sb"), count(lit(1)).as("nf"))
+                .as[(String, Long, Long)].collect()
+                .map(t => t._1 -> (t._2, t._3)).toMap
+            }
+          val catchup: Map[String, (Long, Long)] =
+            if (entrants.isEmpty) Map.empty
+            else {
+              jobs += 1
+              s.read.parquet(s"$outDir/batch=*")
+                .select(col("src_addr"), col("bytes"))
+                .join(broadcast(entrants.toSeq.toDF("src_addr")),
+                  Seq("src_addr"), "left_semi")
+                .groupBy("src_addr")
+                .agg(sum(col("bytes")).as("sb"), count(lit(1)).as("nf"))
+                .as[(String, Long, Long)].collect()
+                .map(t => t._1 -> (t._2, t._3)).toMap
+            }
+          newCum = pruned.keysIterator.map { a =>
+            a -> (if (entrants(a)) catchup.getOrElse(a, (0L, 0L))
+                  else {
+                    val p = prevCum(a); val c = survAgg.getOrElse(a, (0L, 0L))
+                    (p._1 + c._1, p._2 + c._2)
+                  })
+          }.toMap
+          newGenId = id
+          entrantsN = entrants.size
+          histRead = if (entrants.isEmpty) 0L else id + 1
+          (newCum.toSeq.map { case (a, (sb, nf)) => (a, sb, nf) } :+
+            ((CumTotalKey, newTotals._1, newTotals._2)))
+            .toDF("src_addr", "sum_bytes", "n_flows")
+            .coalesce(1).write.mode("overwrite").parquet(s"$cumDir/batch=$id")
+          jobs += 1
+          newCum.toSeq
+            .filter { case (_, (sb, _)) => sb * FlowHhThetaInv >= newTotals._1 }
+            .map { case (a, (sb, nf)) =>
+              (a, sb, nf, sb * 1000000L / newTotals._1) }
+            .toDF("src_addr", "sum_bytes", "n_flows", "ppm")
+            .coalesce(1).write.mode("overwrite").parquet(s"$hhDir/batch=$id")
+          jobs += 1
+          if (entrants.nonEmpty) st.consecEntrantFirings += 1
+          else st.consecEntrantFirings = 0
+          if (st.consecEntrantFirings >= ChurnAlertFirings && !st.churnWarned) {
+            st.churnWarned = true
+            System.err.println(s"[cadence] $hhDir: entrants on " +
+              s"${st.consecEntrantFirings} consecutive firings — talker " +
+              s"churn above the prune floor keeps re-reading " +
+              s"$outDir/batch=*; tier the history (q52y) if the talker " +
+              "space genuinely grows without bound")
+          }
+        }
+        if (ledger != null)
+          ledger.rows += CumLedgerRow(id, entrantsN, histRead, fired,
+            windowBatchesRead = windowRead, jobs = jobs)
+        st.sketch = merged
+        st.totBytes = newTotals._1; st.totFlows = newTotals._2
+        st.cum = newCum; st.cumGenId = newGenId
+        st.lastId = id
+      } finally b.unpersist()
+    }
   }
 
   /** The exact tail shared by q52u's drain answer and its mid-stream
@@ -1976,13 +2154,15 @@ object StreamQueries {
               org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
               org.apache.spark.sql.streaming.OutputMode.Update())
           val sunk = drainUntilQuiescent(assembled.toDF(), "q52p_sink", "update")
-          // latest-per-key by PROCESSING TIME first (r16 review): after a
-          // TTL expiry `seen` restarts smaller, so seen alone would pick
-          // the stale pre-expiry emission; as_of is strictly later
+          // latest-per-key by the STRICTLY MONOTONE emission counter
+          // (ADVICE r16): after a TTL expiry `seen` restarts smaller, and
+          // the r16 (as_of, seen) order silently depended on distinct
+          // batches never sharing a millisecond; emit_seq is TTL-free
+          // state, so it is unconditionally the last emission
           val last = sunk.withColumn("rn", row_number().over(
               org.apache.spark.sql.expressions.Window
                 .partitionBy(col("user_id"))
-                .orderBy(col("as_of").desc, col("seen").desc)))
+                .orderBy(col("emit_seq").desc)))
             .where(col("rn") === 1 && col("complete"))
             .select(col("user_id"), col("vals"))
           graft.ext.SeriesQueries.seriesKnn(
@@ -2073,7 +2253,7 @@ object StreamQueries {
           // the 6-batch split; the drain-end answer below is unchanged,
           // so the oracle text is untouched
           .foreachBatch(
-            heavyHitterSketchWriter(skDir, rowsDir, hhDir, 2, cumDir) _)
+            heavyHitterSketchWriter(skDir, rowsDir, hhDir, 2, cumDir))
           .start()
         q.awaitTermination()
         val fin = latestSketchGen(s, skDir, below = Long.MaxValue)
@@ -2145,7 +2325,7 @@ object StreamQueries {
           // per-batch partials, r16) runs inside the registered query,
           // q52t's contract on the flows domain; the drain answer below
           // is unchanged
-          .foreachBatch(topTalkerSketchWriter(skDir, out, hhDir, 2, cumDir) _)
+          .foreachBatch(topTalkerSketchWriter(skDir, out, hhDir, 2, cumDir))
           .start()
         val sock = new java.net.DatagramSocket()
         try {

@@ -141,26 +141,36 @@ final case class SeriesState(ts: Array[Long], ids: Array[Long], vs: Array[Double
 /** `seen` is monotone per key — UNTIL a state TTL expires the key, after
   * which it restarts (r16 review: a post-expiry emission with a SMALLER
   * seen must still win the readback, or the sink serves the user's stale
-  * pre-expiry series forever). `as_of` carries the batch's processing
-  * time for exactly that: last-emission-per-key = max (as_of, seen),
-  * which is TTL-safe — expiry cannot happen within the same millisecond
-  * as the pre-expiry emission, and within a batch each key emits once.
-  * Under `TimeMode.None` (q52r, no TTL) `as_of` is a constant −1 and the
-  * ordering degenerates to the original monotone-seen contract.
+  * pre-expiry series forever). `emit_seq` is the TTL-safe readback key
+  * (ADVICE r16): a STRICTLY MONOTONE per-key emission counter backed by
+  * TTL-free state, so last-emission-per-key = max(emit_seq) holds across
+  * expiry with no reliance on distinct data batches never sharing a
+  * wall-clock millisecond (the r16 `(as_of, seen)` ordering held only
+  * because the 200 ms drain trigger happened to guarantee that — nothing
+  * tied the two). The counter is the ONLY TTL-free state — 8 bytes per
+  * user ever seen, a deliberate trade: the window semantics (series
+  * forgotten wholesale) live in the TTL'd states, and a deployment that
+  * must also retire the counter would attach a cleanup timer, not weaken
+  * the readback. `as_of` (batch processing time; −1 under
+  * `TimeMode.None`) stays for observability.
   */
 final case class SeriesEmit(user_id: Long, seen: Long, complete: Boolean,
-    vals: Array[Double], as_of: Long)
+    vals: Array[Double], as_of: Long, emit_seq: Long)
 
 sealed abstract class SeriesAssemblerBase(n: Int, recent: Boolean, ttl: TTLConfig)
     extends StatefulProcessor[Long, (Long, Long, Long, Double), SeriesEmit] {
 
   @transient private var st: ValueState[SeriesState] = _
   @transient private var seen: ValueState[Long] = _
+  @transient private var emitSeq: ValueState[Long] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     st = getHandle.getValueState[SeriesState]("series",
       Encoders.product[SeriesState], ttl)
     seen = getHandle.getValueState[Long]("seen", Encoders.scalaLong, ttl)
+    // TTL-FREE on purpose — see the SeriesEmit scaladoc
+    emitSeq = getHandle.getValueState[Long]("emitSeq", Encoders.scalaLong,
+      TTLConfig.NONE)
   }
 
   override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long, Double)],
@@ -184,8 +194,10 @@ sealed abstract class SeriesAssemblerBase(n: Int, recent: Boolean, ttl: TTLConfi
     seen.update(c)
     val asOf = try timerValues.getCurrentProcessingTimeInMs()
       catch { case _: UnsupportedOperationException => -1L }
+    val seq = (if (emitSeq.exists()) emitSeq.get() else 0L) + 1L
+    emitSeq.update(seq)
     Iterator.single(SeriesEmit(key, c, kept.length == n,
-      kept.map(_._3).toArray, asOf))
+      kept.map(_._3).toArray, asOf, seq))
   }
 }
 

@@ -225,4 +225,59 @@ class MultimodalSpec extends SparkSpec {
     // and no self-pairs / inverted orderings
     assert(collapsed.forall { case (a, b, _) => a < b })
   }
+
+  test("x5k: PNG chunk-grammar split recovers planted frames; corrupt input flips real_decoded") {
+    import spark.implicits._
+    val docs = Seq(0L, 1L, 2L, 5L, 7L).toDF("doc_id")
+    val planted = Multimodal.plantPngFramesMedia(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    // the structural walk recovers exactly K frames, each independently
+    // decodable at the planted geometry
+    planted.foreach { case (id, payload) =>
+      val frames = Multimodal.splitPngFrames(payload)
+      assert(frames.isDefined, s"doc $id failed to split")
+      assert(frames.get.size == 2 + (id % 3).toInt, s"doc $id frame count")
+      frames.get.zipWithIndex.foreach { case (fb, f) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fb))
+        assert(img != null && img.getWidth == 1 + ((id + f) % 4).toInt &&
+          img.getHeight == 1 + ((id + 2L * f) % 3).toInt,
+          s"doc $id frame $f geometry")
+      }
+    }
+    // truncated container and missing signature both refuse (None), so
+    // the registered query's real_decoded flips instead of mis-summing
+    val whole = planted(1L)
+    assert(Multimodal.splitPngFrames(whole.dropRight(3)).isEmpty)
+    assert(Multimodal.splitPngFrames(whole.drop(1)).isEmpty)
+    val corrupt = Seq((1L, whole.dropRight(3))).toDF("doc_id", "payload")
+    val row = Multimodal.realFrameSample(corrupt, every = 2).head()
+    assert(!row.getBoolean(5) && row.getInt(1) == 0)
+  }
+
+  test("x5l: real box-filter resize equals driver-computed block means exactly") {
+    import spark.implicits._
+    val docs = Seq(0L, 3L, 11L, 42L).toDF("doc_id")
+    val out = Multimodal.realBoxResize(Multimodal.plantPngGridMedia(docs),
+        outW = 2, outH = 2).collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getLong(4), r.getBoolean(5)))
+    out.foreach { case (id, csv, total, ok) =>
+      assert(ok, s"doc $id fell back")
+      def v(base: Long, x: Int, y: Int): Long = ((base + x * 16 + y * 32) % 64) * 4
+      val want = for {
+        oy <- 0 until 2; ox <- 0 until 2
+        base <- Seq(id, id * 7, id * 13)
+      } yield (v(base, 2 * ox, 2 * oy) + v(base, 2 * ox + 1, 2 * oy) +
+        v(base, 2 * ox, 2 * oy + 1) + v(base, 2 * ox + 1, 2 * oy + 1)) / 4
+      assert(csv == want.mkString(","), s"doc $id resample mismatch")
+      assert(total == want.sum)
+    }
+    // a raster whose dims don't divide the output refuses (the exactness
+    // contract), flipping real_decoded rather than approximating
+    val img3 = new java.awt.image.BufferedImage(3, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img3, "png", bos)
+    val odd = Seq((9L, bos.toByteArray)).toDF("doc_id", "payload")
+    assert(!Multimodal.realBoxResize(odd, 2, 2).head().getBoolean(5))
+  }
 }

@@ -24,8 +24,18 @@ class PageRankSpec extends SparkSpec {
     * local IO), so this measures scan EXECUTIONS where a plan-string
     * check cannot (the checkpoint actions also bypass
     * QueryExecutionListener, measured — a listener-based count reads 0).
+    *
+    * The statistic is JVM-GLOBAL (ADVICE r16), so the measurement is
+    * sound only while nothing else in the JVM reads files. Two guards:
+    * the build runs forked test suites SEQUENTIALLY (`Test / fork` with
+    * `testForkedParallel := false` pinned in build.sbt — one suite at a
+    * time in the test JVM), and the assertion below refuses to measure
+    * while any streaming query is active (the one same-JVM background
+    * reader a prior suite could leak).
     */
   private def fsBytesRead(body: => Unit): Long = {
+    assert(spark.streams.active.isEmpty,
+      "active streaming queries would pollute the JVM-global FS statistic")
     def now: Long = Option(org.apache.hadoop.fs.FileSystem
       .getGlobalStorageStatistics.get("file"))
       .map(_.getLong("bytesRead").longValue()).getOrElse(0L)
@@ -34,18 +44,22 @@ class PageRankSpec extends SparkSpec {
     now - before
   }
 
+  /** Run a throwaway pageRank and free its result — every invocation in
+    * this suite releases what it materializes (ADVICE r16: the returned
+    * frame's blocks were the one leak the r16 release work missed).
+    */
+  private def runAndRelease(iters: Int): Unit =
+    FlowQueries.releaseRanks(
+      FlowQueries.pageRank(FlowQueries.flows(spark, sf), iters))
+
   test("the flows scan executes exactly once regardless of iteration depth") {
     // warm once so listing/footer caches don't skew the depth-1 baseline
-    FlowQueries.pageRank(FlowQueries.flows(spark, sf), iters = 1)
-    val shallow = fsBytesRead {
-      FlowQueries.pageRank(FlowQueries.flows(spark, sf), iters = 1)
-    }
+    runAndRelease(1)
+    val shallow = fsBytesRead { runAndRelease(1) }
     // > 0 guards the instrument itself: the parquet scan must be visible
     // here, or the assertion below would pass vacuously
     assert(shallow > 0, "instrument saw no file bytes for the flows scan")
-    val deep = fsBytesRead {
-      FlowQueries.pageRank(FlowQueries.flows(spark, sf), iters = 4)
-    }
+    val deep = fsBytesRead { runAndRelease(4) }
     // re-scanning per round (the r15 regression) reads ~4x the bytes at
     // depth 4; single-scan reads the same bytes at any depth (1.5x slack
     // for footer/listing noise)
@@ -56,8 +70,9 @@ class PageRankSpec extends SparkSpec {
 
   test("fixed-point mode converges and agrees with the unrolled mode") {
     val f = FlowQueries.flows(spark, sf)
-    val (rFix, it) = FlowQueries.pageRankFixedPoint(f, maxIters = 50)
+    val (rFix, it, d0) = FlowQueries.pageRankFixedPoint(f, maxIters = 50)
     assert(it > 0 && it < 50, s"did not converge inside the cap (it=$it)")
+    assert(d0 == 0L, s"sf0.001 must reach the EXACT fixed point (delta=$d0)")
     // independent certificate: one more unrolled round past the detected
     // fixed point changes no rank by a single nano-unit
     val again = FlowQueries.pageRank(f, iters = it + 1)
@@ -71,7 +86,7 @@ class PageRankSpec extends SparkSpec {
     val r3 = FlowQueries.pageRank(f, iters = 3)
     val rFix3 = {
       // re-run capped at 3 to compare the prefix
-      val (r, _) = FlowQueries.pageRankFixedPoint(f, maxIters = 3)
+      val (r, _, _) = FlowQueries.pageRankFixedPoint(f, maxIters = 3)
       r
     }
     val prefDiff = r3.withColumnRenamed("r", "ra").join(rFix3, Seq("addr"))
@@ -79,5 +94,6 @@ class PageRankSpec extends SparkSpec {
         org.apache.spark.sql.functions.col("r"))
       .count()
     assert(prefDiff == 0L, "fixed-point prefix diverges from unrolled mode")
+    Seq(rFix, again, r3, rFix3).foreach(FlowQueries.releaseRanks)
   }
 }

@@ -33,7 +33,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * /var/run/docker.sock, no dockerd/podman/clickhouse binaries on
   * PATH — unchanged; r16 — re-probed (tenth attempt): docker client
   * 28.2.2 at /usr/local/bin/docker, no /var/run/docker.sock, no
-  * dockerd/podman/clickhouse/clickhouse-server on PATH — unchanged.
+  * dockerd/podman/clickhouse/clickhouse-server on PATH — unchanged; r17 —
+  * re-probed (eleventh attempt): docker client 28.2.2 at
+  * /usr/local/bin/docker only, `docker info` shows client context but no
+  * reachable daemon, no /var/run/docker.sock, no dockerd/podman/
+  * clickhouse/clickhouse-server on PATH — unchanged.
   * What therefore stays unproven in-sandbox is exactly: live-server
   * type coercion and clickhouse-jdbc batching against a real 24.12; both
   * replay-gated (ClickHouseReplaySpec over the recorded transcript,

@@ -28,7 +28,7 @@ class HhCadencePropertySpec extends SparkSpec {
       val dir = s"${graft.Tmp.root}/hhprop-$trial"
       FileUtils.deleteQuietly(new java.io.File(dir))
       val writer = heavyHitterSketchWriter(s"$dir/sketch", s"$dir/rows",
-        s"$dir/hh", 2, s"$dir/cum", null, capacity = 16, thetaInv = 10L) _
+        s"$dir/hh", 2, s"$dir/cum", null, capacity = 16, thetaInv = 10L)
       // 4 batches × 8 docs; one hot phrase with ~1/3 density so the θ=1/10
       // filter has survivors, plus a rotating random tail that churns the
       // 16-slot sketch (distinct trigrams ≫ 16)

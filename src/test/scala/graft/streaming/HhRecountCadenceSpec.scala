@@ -51,7 +51,7 @@ class HhRecountCadenceSpec extends SparkSpec {
     val dir = base("sched")
     val (sk, rows, hh, cum) =
       (s"$dir/sketch", s"$dir/rows", s"$dir/hh", s"$dir/cum")
-    val writer = heavyHitterSketchWriter(sk, rows, hh, 2, cum) _
+    val writer = heavyHitterSketchWriter(sk, rows, hh, 2, cum)
     (0 to 5).foreach(id => writer(docsBatch(id * 10 until id * 10 + 10), id))
     val fs = new org.apache.hadoop.fs.Path(hh)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -80,7 +80,7 @@ class HhRecountCadenceSpec extends SparkSpec {
     def flowBatch(ids: Range) = ids.map(i =>
       (if (i % 3 == 0) "10.0.0.1" else s"10.1.0.${i % 250}",
         if (i % 3 == 0) 50000L else 100L + i)).toDF("src_addr", "bytes")
-    val writer = topTalkerSketchWriter(sk, rows, hh, 2, cum) _
+    val writer = topTalkerSketchWriter(sk, rows, hh, 2, cum)
     (0 to 3).foreach(id => writer(flowBatch(id * 20 until id * 20 + 20), id))
     val fs = new org.apache.hadoop.fs.Path(hh)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -109,7 +109,7 @@ class HhRecountCadenceSpec extends SparkSpec {
     val (sk, rows, hh, cum) =
       (s"$dir/sketch", s"$dir/rows", s"$dir/hh", s"$dir/cum")
     val ledger = new CumLedger
-    val writer = heavyHitterSketchWriter(sk, rows, hh, 2, cum, ledger) _
+    val writer = heavyHitterSketchWriter(sk, rows, hh, 2, cum, ledger)
     // hot trigram everywhere, bounded tail vocabulary so the sketch's
     // candidate set goes quiet after the early batches
     def batch(ids: Range) = {
@@ -140,7 +140,7 @@ class HhRecountCadenceSpec extends SparkSpec {
     val dir = base("replay")
     val (sk, rows, hh, cum) =
       (s"$dir/sketch", s"$dir/rows", s"$dir/hh", s"$dir/cum")
-    val writer = heavyHitterSketchWriter(sk, rows, hh, 2, cum) _
+    val writer = heavyHitterSketchWriter(sk, rows, hh, 2, cum)
     (0 to 3).foreach(id => writer(docsBatch(id * 10 until id * 10 + 10), id))
     val before = spark.read.parquet(s"$hh/batch=3")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
