@@ -195,7 +195,12 @@ object Bench {
       // r12: semantic dedup joins the tracked set — the newest family
       // (adaptive-k cluster + within-cluster prune) gets round-over-round
       // median tracking like the rest
-      "x2j_semantic_dedup")
+      "x2j_semantic_dedup",
+      // r17: the two cadence-refold rows and the TTL quiescence drain
+      // join the tracked set — they carry this round's perf claims
+      // (VERDICT r16 #2/#6), so cross-round comparison needs their
+      // median/min/max evidence, not just a min-of-sweeps point
+      "q52t_stream_heavy_hitters", "q52p_stream_series_recent")
     // The headline set reports the MEDIAN of three observations (the
     // min-of-2 sweep value plus two fresh runs) so one interfered run
     // can't masquerade as a regression in the driver-facing line.
