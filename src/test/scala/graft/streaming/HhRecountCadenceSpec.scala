@@ -154,4 +154,35 @@ class HhRecountCadenceSpec extends SparkSpec {
     assert(latestSketchGen(spark, sk, below = Long.MaxValue)
       .exists(_.endsWith("batch=3")))
   }
+
+  test("restart (cold cache) replays a NON-firing batch and continues exactly") {
+    // the r17 firing-granularity fold keeps its state in writer memory on
+    // the happy path; a restart starts from a FRESH closure, so the
+    // rebuild path — last durable cum generation + a re-count over the ≤
+    // recountEvery rows dirs above it — must reproduce the fold
+    // byte-exactly. Replaying a NON-firing batch is the interesting case:
+    // no durable cum gen exists at that id, so the next firing's window
+    // fold leans entirely on the rebuilt (cum, total) pair.
+    val dir = base("restart")
+    val (sk, rows, hh, cum) =
+      (s"$dir/sketch", s"$dir/rows", s"$dir/hh", s"$dir/cum")
+    val writer = heavyHitterSketchWriter(sk, rows, hh, 2, cum)
+    (0 to 3).foreach(id => writer(docsBatch(id * 10 until id * 10 + 10), id))
+    val hh3 = spark.read.parquet(s"$hh/batch=3")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // "crash" after batch 3, checkpoint replays from batch 2: a NEW
+    // writer (cold cache) re-runs 2 and 3, then continues with 4 and 5
+    val writer2 = heavyHitterSketchWriter(sk, rows, hh, 2, cum)
+    writer2(docsBatch(20 until 30), 2)
+    writer2(docsBatch(30 until 40), 3)
+    val hh3b = spark.read.parquet(s"$hh/batch=3")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(hh3b == hh3, "cold-cache replay diverged at the firing")
+    (4 to 5).foreach(id => writer2(docsBatch(id * 10 until id * 10 + 10), id))
+    // the post-restart firing must still be watermark-exact
+    val got = spark.read.parquet(s"$hh/batch=5")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = exactAt(docsBatch(0 until 60))
+    assert(want.nonEmpty && got == want, s"post-restart firing: $got != $want")
+  }
 }
