@@ -878,9 +878,11 @@ object Multimodal {
         val len = ((payload(p) & 0xff) << 24) | ((payload(p + 1) & 0xff) << 16) |
           ((payload(p + 2) & 0xff) << 8) | (payload(p + 3) & 0xff)
         val typ = new String(payload, p + 4, 4, "US-ASCII")
-        val next = p + 8 + len + 4 // length + type + data + crc
+        // Long arithmetic: a hostile length near 2^31 would wrap the Int
+        // sum negative, slip past the bounds check, and loop forever
+        val next = p.toLong + 8L + len.toLong + 4L // length + type + data + crc
         if (len < 0 || next > payload.length) return None
-        p = next
+        p = next.toInt
         done = typ == "IEND"
       }
       frames += java.util.Arrays.copyOfRange(payload, off, p)

@@ -249,6 +249,11 @@ class MultimodalSpec extends SparkSpec {
     val whole = planted(1L)
     assert(Multimodal.splitPngFrames(whole.dropRight(3)).isEmpty)
     assert(Multimodal.splitPngFrames(whole.drop(1)).isEmpty)
+    // hostile chunk length near 2^31 must refuse (Long bounds check), not
+    // wrap the Int offset negative and loop forever
+    val hostile = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A,
+      0x0A, 0x7F, 0xFF.toByte, 0xFF.toByte, 0xF8.toByte, 'I', 'D', 'A', 'T')
+    assert(Multimodal.splitPngFrames(hostile).isEmpty)
     val corrupt = Seq((1L, whole.dropRight(3))).toDF("doc_id", "payload")
     val row = Multimodal.realFrameSample(corrupt, every = 2).head()
     assert(!row.getBoolean(5) && row.getInt(1) == 0)

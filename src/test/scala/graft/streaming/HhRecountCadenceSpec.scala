@@ -185,4 +185,28 @@ class HhRecountCadenceSpec extends SparkSpec {
     val want = exactAt(docsBatch(0 until 60))
     assert(want.nonEmpty && got == want, s"post-restart firing: $got != $want")
   }
+
+  test("weighted cadence survives a cold-cache restart identically") {
+    import spark.implicits._
+    import graft.ops.StreamQueries.topTalkerSketchWriter
+    val dir = base("wrestart")
+    val (sk, rows, hh, cum) =
+      (s"$dir/sketch", s"$dir/rows", s"$dir/hh", s"$dir/cum")
+    def flowBatch(ids: Range) = ids.map(i =>
+      (if (i % 3 == 0) "10.0.0.1" else s"10.1.0.${i % 250}",
+        if (i % 3 == 0) 50000L else 100L + i)).toDF("src_addr", "bytes")
+    val w1 = topTalkerSketchWriter(sk, rows, hh, 2, cum)
+    (0 to 3).foreach(id => w1(flowBatch(id * 20 until id * 20 + 20), id))
+    val before = spark.read.parquet(s"$hh/batch=3").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // fresh writer = cold cache: replay the non-firing batch 2, re-fire 3
+    val w2 = topTalkerSketchWriter(sk, rows, hh, 2, cum)
+    w2(flowBatch(40 until 60), 2)
+    w2(flowBatch(60 until 80), 3)
+    val after = spark.read.parquet(s"$hh/batch=3").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(after == before, "weighted cold-cache replay diverged")
+  }
 }
