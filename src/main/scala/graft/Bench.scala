@@ -445,6 +445,15 @@ object Bench {
     val qsNorm = results
       .map { case (k, v) => "\"" + k + "\":" + (if (v < 0) -1.0 else v / spinSec) }
       .mkString("{", ",", "}")
+    // fsync-normalized map (VERDICT r17 #5): the streaming drains and
+    // other stage-barrier-bound queries pay shuffle-file commit latency,
+    // not CPU — dividing by `fsync_sec` isolates them from disk drift the
+    // same way `queries_per_spin` isolates CPU drift. Read BOTH maps:
+    // a query that moves in per_spin but holds in per_fsync moved with
+    // the disk, not the plan.
+    val qsFsyncNorm = results
+      .map { case (k, v) => "\"" + k + "\":" + (if (v < 0) -1.0 else v / fsyncSec) }
+      .mkString("{", ",", "}")
     // the first sweep's RAW per-query times (warm-up-bearing — see the
     // headline comment): `queries` already excludes them via min-of-2;
     // this map makes the exclusion visible so a reader can attribute any
@@ -461,10 +470,23 @@ object Bench {
     // count of the last x2d run — tells convergence drift (corpus shape
     // added a round) from box noise when wall time moves round-over-round
     val x2dRounds = ext.DedupQueries.lastPropagationRounds.get()
-    val full = s"""{"metric":"total_all_queries","value":$total,"unit":"sec","n_queries":${ok.size},"calibration":$calibration,"x2d_fixed_point_rounds":$x2dRounds,"ingest":$ingest,"udp_ingest":$udpIngest,"udp_listeners":$udpListeners,"warmup":$warmup,"queries":$qs,"queries_sweep1":$qsSweep1,"queries_per_spin":$qsNorm,"headline_runs":$headlineAll,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total_all_queries","value":$total,"unit":"sec","n_queries":${ok.size},"calibration":$calibration,"x2d_fixed_point_rounds":$x2dRounds,"ingest":$ingest,"udp_ingest":$udpIngest,"udp_listeners":$udpListeners,"warmup":$warmup,"queries":$qs,"queries_sweep1":$qsSweep1,"queries_per_spin":$qsNorm,"queries_per_fsync":$qsFsyncNorm,"headline_runs":$headlineAll,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("target/bench_full.json")
     java.nio.file.Files.createDirectories(fullPath.getParent)
     java.nio.file.Files.write(fullPath, full.getBytes("UTF-8"))
+    // Round-stamped archive (VERDICT r17 #5): target/bench_full.json is
+    // overwritten per run, which erased r16's full per-query map and left
+    // cross-round comparison leaning on verdict citations. The round
+    // number is inferred from the committed BENCH_r*.json files — the
+    // driver writes BENCH_r{N}.json AFTER this run, so max(existing)+1 is
+    // this round; repeated runs within a round overwrite the same archive
+    // (last run wins, matching what the driver reports).
+    val roundRe = "BENCH_r(\\d+)\\.json".r
+    val nextRound = Option(new java.io.File(".").list()).getOrElse(Array.empty)
+      .flatMap(n => roundRe.findFirstMatchIn(n).map(_.group(1).toInt))
+      .foldLeft(0)(math.max) + 1
+    val archivePath = java.nio.file.Paths.get(f"BENCH_r$nextRound%02d_full.json")
+    java.nio.file.Files.write(archivePath, full.getBytes("UTF-8"))
     println(s"""{"metric":"total_all_queries","value":$total,"unit":"sec","n_queries":${ok.size},"calibration":$calibration,"x2d_fixed_point_rounds":$x2dRounds,"ingest":$ingest,"udp_ingest":$udpIngest,"udp_listeners":$udpListeners,"queries":$headline,"full":"${fullPath.toAbsolutePath}","sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1237,9 +1237,12 @@ object ScaleBench {
       val rowsL = ledger.rows.toSeq
       val tail = rowsL.drop(8) // every text seen w.p. ~1 − (0.6)^30 by batch 8
       // r17 (VERDICT r16 #2) gates: every firing's fold window is bounded
-      // by recountEvery (never the history glob), and the happy-path job
-      // budget holds — 3 jobs on non-firing batches, ≤ 6 at firings
-      // (+1 only while entrants still catch up), vs r16's 6–7 every batch
+      // by recountEvery on the crash-free path this gate observes (a
+      // crash between a firing's rows write and its cum-gen write widens
+      // the NEXT window to ≤ 2·recountEvery−1 — still bounded, still
+      // exact; ADVICE r17 wording), and the happy-path job budget holds —
+      // 3 jobs on non-firing batches, ≤ 6 at firings (+1 only while
+      // entrants still catch up), vs r16's 6–7 every batch
       val windowOk = rowsL.forall(r =>
         r.windowBatchesRead <= (if (r.fired) 2L else 0L))
       val jobsOk = tail.forall(r => r.jobs <= (if (r.fired) 6L else 3L))
@@ -1252,6 +1255,92 @@ object ScaleBench {
         s"${rowsL.map(_.windowBatchesRead).mkString(",")}; jobs " +
         s"${rowsL.map(_.jobs).mkString(",")}; parity $parity ok=$ok")
       (rowsL, parity, ok)
+    }
+
+    // TIERED entrant catch-up under ADVERSARIAL churn at 30× (r18,
+    // VERDICT r17 #4): the ledger gate above proves catch-up DECAYS on a
+    // converging vocabulary; this one proves the deployment shape for
+    // the opposite regime — planted UNBOUNDED key growth above the prune
+    // floor. Every batch plants a fresh hot phrase (batch-id-derived, so
+    // the planted trigrams are unique per batch) on every 6th doc of
+    // that batch: ~1k occurrences each, far above the prune floor, so
+    // EVERY firing has entrants and the untiered writer would re-read
+    // the entire raw history per firing — the O(T²) lifetime class the
+    // churn alert warns about. With tierDir on, the catch-up folds the
+    // generational summary store (q52y's machinery + an additive gram
+    // fold) instead: per-firing catch-up read BYTES (task inputMetrics —
+    // actual bytes, not planned file sizes) must go FLAT once the
+    // organic vocabulary saturates, while the raw-history counterfactual
+    // (rowsDir bytes in scope at each firing — a listing, not a scan)
+    // keeps growing linearly. Exactness under tiering: the final
+    // firing's artifact equals the sketch-free exact θ-recount over
+    // everything staged, planted churn included.
+    val (hhChurnLedger, hhChurnBytes, hhChurnRaw, hhChurnParity, hhChurnOk) = {
+      val dir = fixture(tiers.head._1)
+      val base = graft.Tmp.sessionDir(spark, "hh_churn_tiered")
+      Seq("sketch", "rows", "hh", "cum", "tier").foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"$base/$p")))
+      val ledger = new ops.StreamQueries.CumLedger
+      val writer = ops.StreamQueries.heavyHitterSketchWriter(
+        s"$base/sketch", s"$base/rows", s"$base/hh", 2, s"$base/cum",
+        ledger, tierDir = s"$base/tier")
+      val nB = 24
+      // ONE churn-corpus definition (batch id derived from the same hash
+      // that slices batches) serves both the staged batches and the
+      // exact-recount truth — no drift between what was fed and what is
+      // recounted
+      val bid = pmod(xxhash64(col("doc_id")), lit(nB.toLong))
+      val churned = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") < PlantDocBase)
+        .select(col("doc_id"), bid.as("bid"),
+          when(pmod(col("doc_id"), lit(6L)) === 0L,
+            concat(lit("qq"), bid, lit("a qq"), bid, lit("b qq"), bid,
+              lit("c qq"), bid, lit("d qq"), bid, lit("e "),
+              col("text"))).otherwise(col("text")).as("text"))
+      (0 until nB).foreach { id =>
+        writer(churned.filter(col("bid") === id.toLong)
+          .select("doc_id", "text"), id.toLong)
+      }
+      // raw-history counterfactual per firing, from per-batch dir sizes
+      val batchBytes = (0 until nB).map(k => ext.SimilarityQueries
+        .partFiles(spark, s"$base/rows/batch=$k").map(_._2).sum)
+      val rowsL = ledger.rows.toSeq
+      val firings = rowsL.filter(_.fired)
+      val rawAt = firings.map(r => batchBytes.take(r.batchId.toInt + 1).sum)
+      val served = spark.read.parquet(s"$base/hh/batch=${nB - 1}").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val grams = ext.TextQueries.heavyHitterGrams(
+        churned.select("doc_id", "text"))
+      val truth = ext.Caching.withPersisted(grams) {
+        val cnt = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+        val tot = grams.agg(count(lit(1)).as("total"))
+        cnt.crossJoin(broadcast(tot))
+          .filter(col("cnt") * ext.TextQueries.HhThetaInv >= col("total"))
+          .select(col("gram"), col("cnt"),
+            expr("cnt * 1000000 DIV total").as("ppm"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      }
+      val parity = truth.nonEmpty && served == truth
+      val cb = firings.map(_.catchupBytes)
+      // churn precondition: entrants at EVERY firing, and the tier keeps
+      // raw-history batch reads at ZERO while still measuring a catch-up
+      val churny = firings.forall(r =>
+        r.entrants >= 1 && r.histBatchesRead == 0L && r.catchupBytes >= 0L)
+      // flatness once the organic vocabulary saturates (skip the first 3
+      // firings — the store is still accreting the base vocab)
+      val tail = cb.drop(3)
+      val flat = tail.nonEmpty && tail.max <= 2L * tail.min
+      // economics: the raw scan the untiered catch-up would pay at the
+      // LAST firing dwarfs what the tiered one actually read
+      val econ = rawAt.nonEmpty && cb.last > 0L && rawAt.last >= 3L * cb.last
+      val ok = rowsL.size == nB && firings.size == nB / 2 &&
+        churny && flat && econ && parity
+      System.err.println(s"[scale] hh churn-tiered at 30x: entrants " +
+        s"${firings.map(_.entrants).mkString(",")}; catchup bytes " +
+        s"${cb.mkString(",")}; raw-in-scope ${rawAt.mkString(",")}; jobs " +
+        s"${rowsL.map(_.jobs).mkString(",")}; parity $parity ok=$ok")
+      (rowsL, cb, rawAt, parity, ok)
     }
 
     // BPE at production depth (r16, VERDICT r15 #5; REAL depth r17,
@@ -1297,26 +1386,33 @@ object ScaleBench {
       // not compute bound; a production trainer on a cluster would size
       // this to its vocab frame exactly the same way)
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", 4)
-      val wf = wordCnt.toDF("word", "cnt")
-        .select(ext.TextQueries.wordToSym.as("sym"), col("cnt"))
-        .repartition(4)
-        .localCheckpoint() // two trainers consume it; pin once
       val ledger = scala.collection.mutable.Buffer.empty[(Int, Long, Long)]
       // 48 rounds × 16 picks from a top-384 candidate window: budget
       // headroom over 512 because symbol-disjointness caps real picks
       // well under the nominal width on a morpheme-sharing vocabulary
-      // (measured ~21 disjoint picks max per round at width 48)
+      // (measured ~21 disjoint picks max per round at width 48).
+      // The conf set, the wf build AND both trainers sit inside the
+      // try (ADVICE r17: a throw between set and the old try's entry
+      // leaked the 4-partition conf to the rest of the run), and wf's
+      // pinned checkpoint blocks are released once both trainers finish.
       val (m, mRec) = try {
-        val a = ext.TextQueries.bpeTrain(spark, wf,
-            rounds = 48, picksPerRound = 16, candLimit = 384,
-          ledger = Some(ledger))
-          .collect().sortBy(_.getInt(0))
-        val b = ext.TextQueries.bpeTrain(spark, wf,
-            rounds = 48, picksPerRound = 16, candLimit = 384,
-          incremental = false)
-          .collect().sortBy(_.getInt(0))
-        (a, b)
+        spark.conf.set("spark.sql.shuffle.partitions", 4)
+        val wf = wordCnt.toDF("word", "cnt")
+          .select(ext.TextQueries.wordToSym.as("sym"), col("cnt"))
+          .repartition(4)
+          .localCheckpoint() // two trainers consume it; pin once
+        try {
+          val a = ext.TextQueries.bpeTrain(spark, wf,
+              rounds = 48, picksPerRound = 16, candLimit = 384,
+            ledger = Some(ledger))
+            .collect().sortBy(_.getInt(0))
+          val b = ext.TextQueries.bpeTrain(spark, wf,
+              rounds = 48, picksPerRound = 16, candLimit = 384,
+            incremental = false)
+            .collect().sortBy(_.getInt(0))
+          (a, b)
+        } finally org.apache.spark.sql.graftshim.Shim.backingRdds(wf)
+          .foreach(_.unpersist(blocking = false))
       } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       def key(rs: Array[org.apache.spark.sql.Row]) =
         rs.map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
@@ -1459,7 +1555,8 @@ object ScaleBench {
     } && recallOk && incrEqual && annOk && x2hIndexFlatOk &&
       x5gOk && x2jCollapseOk && x2jSemOk && ingestInvOk && x3lFlatOk &&
       x3lAppendEqual && q12bAbOk && x3nOk && x4kStableOk && x4kDeltaOk &&
-      q52yOk && x2eAbOk && hhCadOk && bpe512Ok && x2lOk && prFixOk
+      q52yOk && x2eAbOk && hhCadOk && hhChurnOk && bpe512Ok && x2lOk &&
+      prFixOk
     val json = {
       val qs = rows.map { case (n, scale, b, s, r, sm, sd) =>
         f""""$n":{"scale":$scale,"base_sec":$b%.3f,"scaled_sec":$s%.3f,""" +
@@ -1562,6 +1659,22 @@ object ScaleBench {
         s"""firing AND jobs<=3 steady / <=6 at firings from batch 8 AND """ +
         s"""final artifact == exact recount",""" +
         s""""ok":$hhCadOk},""" +
+        s""""hh_churn_tiered_30x":{"batches":${hhChurnLedger.size},""" +
+        s""""recount_every":2,"firings":${hhChurnLedger.count(_.fired)},""" +
+        s""""churn":"fresh hot phrase per batch on every 6th doc — """ +
+        s"""entrants above the prune floor at EVERY firing",""" +
+        s""""entrants_per_firing":[${hhChurnLedger.filter(_.fired)
+          .map(_.entrants).mkString(",")}],""" +
+        s""""catchup_read_bytes_per_firing":[${hhChurnBytes.mkString(",")}],""" +
+        s""""raw_history_bytes_in_scope_per_firing":[${hhChurnRaw.mkString(",")}],""" +
+        s""""jobs_per_batch":[${hhChurnLedger.map(_.jobs).mkString(",")}],""" +
+        s""""serve_parity":$hhChurnParity,""" +
+        s""""gate":"24 batches AND 12 firings AND entrants>=1 AND """ +
+        s"""raw-history reads==0 at every firing AND catchup bytes flat """ +
+        s"""(max<=2*min after firing 3) AND raw-in-scope at last firing """ +
+        s""">= 3x tiered catchup bytes AND final artifact == exact """ +
+        s"""recount over the churned corpus",""" +
+        s""""ok":$hhChurnOk},""" +
         s""""x4k_512_budget_depth_30x":{"merges_trained":$bpe512N,""" +
         s""""budget":512,"rounds":48,"picks_per_round":16,"cand_limit":384,""" +
         s""""corpus":"morphology fixture: 18432 distinct words = 12 """ +

@@ -10,17 +10,21 @@ import graft.{Q, Tables}
   * with typed metadata, decode/feature-extract as per-partition batch
   * operators.
   *
-  * No real image/audio codecs exist in this container (and none may be
-  * added — BASELINE.json), so the DECODE step is a clearly-marked
-  * deterministic stub ([[Multimodal.stubDecode]]); everything around it —
-  * the binary column plumbing, the `mapPartitions` batch shape, the typed
-  * output schema (`ArrayType(FloatType)` features + scalar metadata), the
-  * partition-parallel execution — is real and under oracle test. Swapping
-  * the stub for a JNI/codec call changes no plan shape.
+  * Since r18 (VERDICT r17 #3) every registered "decode" runs a REAL
+  * JDK codec — `javax.imageio` for images, `javax.sound.sampled` for
+  * audio — over PLANTED payloads whose decoded content is pure doc_id
+  * arithmetic, so the DuckDB oracle states what a correct decode must
+  * recover without ever seeing a byte (the x5h closed-form-binary-oracle
+  * device; PNG and WAV PCM are lossless, making the planted content the
+  * unique correct answer). [[Multimodal.stubDecode]] remains only as the
+  * DECLARED fallback for undecodable payloads inside
+  * [[Multimodal.decodeFeaturesReal]]/[[Multimodal.decodeFeaturesAudited]],
+  * where `real_decoded` exposes every use of it to the gate.
   *
-  * The fixture has no binary column either, so bytes are synthesized by
-  * UTF-8-encoding `documents.text` (ASCII ⇒ byte i == char i, which is what
-  * lets DuckDB reproduce the "decode" arithmetic from the string side).
+  * The fixture has no binary column, so x5/x5c/x5g/x5h synthesize bytes
+  * by UTF-8-encoding `documents.text` (ASCII ⇒ byte i == char i, which is
+  * what lets DuckDB reproduce byte-level arithmetic from the string
+  * side); the real-codec rows plant PNG/WAV containers on executors.
   */
 object MultimodalQueries {
 
@@ -65,22 +69,31 @@ object MultimodalQueries {
         upper(hex(substr(text, 1, 8)::BLOB)) AS head_hex
         FROM documents""".stripMargin)),
 
-    // X5b: feature extraction via mapPartitions — the real batch-decode
-    // plumbing (imperative per-partition loop over byte arrays, typed
-    // output Dataset). The oracle reproduces the stub's arithmetic from
-    // the string side (ASCII payload ⇒ ord(char) == byte). r14: the
-    // REAL codec path exists as [[Multimodal.decodeFeaturesReal]]
-    // (javax.imageio, same plan shape, spec-pinned on constructed
-    // PNG/JPEG bytes); the registration stays on the stub because the
-    // fixture payloads are synthetic text bytes, not images — declared.
-    Q("x5b_decode_features",
-      (s, d) => Multimodal.decodeFeatures(media(s, d)),
+    // X5b (realified r18, VERDICT r17 #3 — replaces the r1 stub-math
+    // decode): REAL header-only metadata extraction over a MIXED-MODALITY
+    // corpus — the first op a crawl pipeline runs on opaque bytes after
+    // the x5h sniff: read the container HEADER (dimensions, sample rate,
+    // channel count, frame count) without paying a raster/sample decode.
+    // Even doc_ids get a planted PNG (x5i's arithmetic geometry), odd a
+    // planted WAV (x5j's arithmetic clip); the Spark side parses REAL
+    // headers — `ImageIO` reader `getWidth/getHeight(0)` (header chunk
+    // only, no pixel decode) and `AudioSystem.getAudioFileFormat` (fmt
+    // chunk only, no sample read) — and the oracle states every field
+    // from doc_id parity arithmetic without seeing a byte. real_parsed
+    // is in the oracle hash: a parse failure or a silent wrong-modality
+    // dispatch fails the gate. At 100 TB this is the cheap-scan shape:
+    // header parses touch O(100) bytes per blob regardless of blob size.
+    Q("x5b_real_header_meta",
+      (s, d) => Multimodal.realHeaderMeta(
+        Multimodal.plantMixedMedia(Tables.documents(s, d))),
       Some("""SELECT doc_id,
-        CAST(1 + ord(substr(text, 1, 1)) % 64 AS INTEGER) AS width,
-        CAST(1 + ord(substr(text, 2, 1)) % 64 AS INTEGER) AS height,
-        CAST(list_sum(list_transform(generate_series(1, length(text)), i -> ord(substr(text, i, 1)))) AS DOUBLE)
-          / CAST(length(text) AS DOUBLE) AS mean_byte,
-        CAST(length(text) AS INTEGER) AS n_bytes
+        CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS kind,
+        CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 4 ELSE 0 END AS INTEGER) AS width,
+        CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 3 ELSE 0 END AS INTEGER) AS height,
+        CAST(CASE WHEN doc_id % 2 = 1 THEN 8000 ELSE 0 END AS INTEGER) AS sample_rate,
+        CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS INTEGER) AS channels,
+        CAST(CASE WHEN doc_id % 2 = 1 THEN 8 + doc_id % 8 ELSE 0 END AS BIGINT) AS n_frames,
+        true AS real_parsed
         FROM documents""".stripMargin)),
 
     // X5c: binary histogram features. The kernel produces the
@@ -102,46 +115,54 @@ object MultimodalQueries {
           list_transform(generate_series(1, length(text)), i -> ord(substr(text, i, 1))) AS codes
         FROM documents)""".stripMargin)),
 
-    // X5e: frame sampling — the every-Nth-frame extraction a video
-    // training pipeline runs before feature extraction (the brief's
-    // "frame-sample" op). The payload is treated as a stream of 16-byte
-    // frames; every 4th frame is sampled and summarized in one
-    // mapPartitions pass (the loop where ffmpeg frame decode would sit —
-    // same stub-math/real-plumbing contract as x5b). The oracle recomputes
-    // frame boundaries and sampled sums with independent substring
-    // arithmetic.
+    // X5e (re-pointed r18, VERDICT r17 #3 — the stub 16-byte-frame walk
+    // is retired): frame sampling through the REAL x5k kernel at a
+    // DIFFERENT stride — every 3rd frame over the K = 2 + id%3 planted
+    // multi-frame PNG containers, so K ∈ {2,3} exercises the
+    // single-sample path (stride > remaining frames) and K = 4 the
+    // two-sample path — the stride geometry x5k's every-2nd never hits.
+    // Same structural chunk-grammar split + real codec; the oracle's
+    // generate_series steps by 3.
     Q("x5e_frame_sample",
-      (s, d) => Multimodal.sampleFrames(media(s, d), frameBytes = 16, every = 4),
+      (s, d) => Multimodal.realFrameSample(
+        Multimodal.plantPngFramesMedia(Tables.documents(s, d)), every = 3),
       Some("""SELECT doc_id,
-        CAST((length(text) + 15) // 16 AS INTEGER) AS n_frames,
-        CAST(((length(text) + 15) // 16 + 3) // 4 AS INTEGER) AS n_sampled,
-        CAST(list_sum(list_transform(generate_series(0, (length(text) + 15) // 16 - 1, 4),
-          f -> list_sum(list_transform(generate_series(16*f + 1, least(16*f + 16, length(text))),
-            i -> ord(substr(text, i, 1)))))) AS BIGINT) AS sampled_bytes_sum,
-        CAST(list_sum(list_transform(generate_series(0, (length(text) + 15) // 16 - 1, 4),
-          f -> least(16*f + 16, length(text)) - 16*f)) AS BIGINT) AS sampled_bytes_n
+        CAST(2 + doc_id % 3 AS INTEGER) AS n_frames,
+        CAST((4 + doc_id % 3) // 3 AS INTEGER) AS n_sampled,
+        CAST(list_sum(list_transform(
+          generate_series(0, CAST(1 + doc_id % 3 AS INTEGER), 3), f ->
+            (1 + (doc_id + f) % 4) * (1 + (doc_id + 2*f) % 3) *
+            ((doc_id + 11*f) % 256 + (doc_id*7 + 23*f) % 256 +
+             (doc_id*13 + 5*f) % 256))) AS BIGINT) AS channel_sum,
+        CAST(list_sum(list_transform(
+          generate_series(0, CAST(1 + doc_id % 3 AS INTEGER), 3), f ->
+            (1 + (doc_id + f) % 4) * (1 + (doc_id + 2*f) % 3)))
+          AS BIGINT) AS px_sum,
+        true AS real_decoded
         FROM documents""".stripMargin)),
 
-    // X5f: resize — the remaining kernel of the decode / feature-extract /
-    // resize / frame-sample quartet. The payload is treated as the w×h
-    // byte image the stub decode declares, nearest-neighbor-resampled to
-    // 8×8 in one mapPartitions pass (where a real resampler — stb_image,
-    // libvips — would sit). The oracle recomputes every sampled index from
-    // the string side; the full 64-pixel output crosses as CSV (exact
-    // integers; the driver's canonicalizer cannot sort raw array cells).
+    // X5f (re-pointed r18, VERDICT r17 #3 — the stub nearest-neighbor
+    // walk is retired): resize through the REAL x5l kernel at the
+    // IDENTITY geometry — 4×4 planted varied-pixel PNG box-filtered to
+    // 4×4, i.e. 1×1 blocks. Identity is the sharpest possible indexing
+    // probe: every one of the 48 planted channel values must come back
+    // through the real codec bit-exact in raster order, so any block
+    // extent / row-major / channel-order slip in the kernel shows as a
+    // hash mismatch (x5l's 2×2 averaging could mask a transposed read of
+    // a symmetric block; 1×1 cannot mask anything).
     Q("x5f_resize",
-      (s, d) => Multimodal.resizeNearest(media(s, d), outW = 8, outH = 8),
-      Some("""SELECT doc_id, 8 AS out_w, 8 AS out_h,
-        array_to_string(list_transform(generate_series(0, 63), i ->
-          CAST(CASE WHEN ((i // 8) * h // 8) * w + ((i % 8) * w // 8) < length(text)
-            THEN ord(substr(text, ((i // 8) * h // 8) * w + ((i % 8) * w // 8) + 1, 1))
-            ELSE 0 END AS VARCHAR)), ',') AS resized_csv,
-        CAST(list_sum(list_transform(generate_series(0, 63), i ->
-          CASE WHEN ((i // 8) * h // 8) * w + ((i % 8) * w // 8) < length(text)
-            THEN ord(substr(text, ((i // 8) * h // 8) * w + ((i % 8) * w // 8) + 1, 1))
-            ELSE 0 END)) AS BIGINT) AS pixel_sum
-        FROM (SELECT doc_id, text, 1 + ord(substr(text, 1, 1)) % 64 AS w,
-          1 + ord(substr(text, 2, 1)) % 64 AS h FROM documents)""".stripMargin)),
+      (s, d) => Multimodal.realBoxResize(
+        Multimodal.plantPngGridMedia(Tables.documents(s, d)),
+        outW = 4, outH = 4),
+      Some("""SELECT doc_id, 4 AS out_w, 4 AS out_h,
+        array_to_string(list_transform(generate_series(0, 47), i ->
+          CAST(((doc_id * (CASE i % 3 WHEN 0 THEN 1 WHEN 1 THEN 7 ELSE 13 END)
+            + ((i // 3) % 4) * 16 + ((i // 3) // 4) * 32) % 64) * 4 AS VARCHAR)), ',') AS resized_csv,
+        CAST(list_sum(list_transform(generate_series(0, 47), i ->
+          ((doc_id * (CASE i % 3 WHEN 0 THEN 1 WHEN 1 THEN 7 ELSE 13 END)
+            + ((i // 3) % 4) * 16 + ((i // 3) // 4) * 32) % 64) * 4)) AS BIGINT) AS pixel_sum,
+        true AS real_decoded
+        FROM documents""".stripMargin)),
 
     // X5g (r11): perceptual-hash near-dup over the media payloads — the
     // LAION-style image-dedup shape, completing the multimodal family
@@ -165,15 +186,22 @@ object MultimodalQueries {
     // equi-joins on the digest — quadratic rows only where the DECLARED
     // output is quadratic, never inside the candidate join.
     //
-    // The sf0.01 fixture has zero duplicate texts and a minimum pairwise
-    // aHash Hamming of 8, so the base oracle legitimately returns the
-    // EMPTY pair set (both engines agree on it through the same banded
-    // plan); the kernel + band-join + verify contract is positively
-    // witnessed on synthetic dup/near-dup payloads in MultimodalSpec, and
-    // the 30× replicated corpus (30-copy exact-dup groups) exercises the
-    // clique-expansion output shape under the scale gate.
+    // Verify threshold 12, not 3 (VERDICT r17 #2): the sf0.01 fixture has
+    // zero duplicate texts and a minimum pairwise aHash Hamming of 8, so
+    // at ≤ 3 the registered row hash-matched an EMPTY pair set since r10
+    // and asserted nothing. At ≤ 12 the same banded plan emits 59
+    // discriminating pairs (candidate Hammings span 9–30+, so the verify
+    // is a real filter). Semantics at 12: candidates are still band
+    // collisions only, and with 4 bands the pigeonhole guarantee is exact
+    // only for Hamming ≤ 3 — above that this is the standard LSH
+    // approximate-recall posture (exactly x2 MinHash's contract), which
+    // both engines compute identically through the same banding. The
+    // EXACT ≤ 3 contract stays positively witnessed on synthetic
+    // dup/near-dup payloads in MultimodalSpec, and the 30× replicated
+    // corpus (30-copy exact-dup groups) exercises the clique-expansion
+    // output shape under the scale gate.
     Q("x5g_phash_dedup",
-      (s, d) => Multimodal.phashDedupPlan(media(s, d)),
+      (s, d) => Multimodal.phashDedupPlan(media(s, d), maxHamming = 12),
       Some("""WITH g AS (SELECT doc_id, text, 1 + ord(substr(text, 1, 1)) % 64 AS w,
           1 + ord(substr(text, 2, 1)) % 64 AS h FROM documents),
         px AS (SELECT doc_id, list_transform(generate_series(0, 63), i ->
@@ -199,7 +227,7 @@ object MultimodalQueries {
         WHERE bit_count(xor(CAST(xa.bl[1] AS BIGINT), CAST(xb.bl[1] AS BIGINT))) +
           bit_count(xor(CAST(xa.bl[2] AS BIGINT), CAST(xb.bl[2] AS BIGINT))) +
           bit_count(xor(CAST(xa.bl[3] AS BIGINT), CAST(xb.bl[3] AS BIGINT))) +
-          bit_count(xor(CAST(xa.bl[4] AS BIGINT), CAST(xb.bl[4] AS BIGINT))) <= 3""".stripMargin)),
+          bit_count(xor(CAST(xa.bl[4] AS BIGINT), CAST(xb.bl[4] AS BIGINT))) <= 12""".stripMargin)),
 
     // X5h (r15): magic-byte FORMAT SNIFF — the container-integrity audit a
     // crawl pipeline runs before any decode: trust the bytes, not the
@@ -415,9 +443,12 @@ object Multimodal {
   final case class MediaFeature(doc_id: Long, width: Int, height: Int,
       mean_byte: Double, n_bytes: Int)
 
-  /** STUB DECODE — deterministic fake standing in for a real image decode
-    * (no codecs in this container). Real plumbing, fake math: "dimensions"
-    * from the first two bytes, "mean pixel" = mean byte value.
+  /** STUB DECODE — deterministic fake standing in for a real image decode.
+    * Since r18 it survives ONLY as the declared fallback for undecodable
+    * payloads inside [[decodeFeaturesReal]]/[[decodeFeaturesAudited]]
+    * (where `real_decoded` makes every use visible to the gate) and as
+    * x5g's content-dependent hash domain for non-image payloads; no
+    * registered query's primary decode runs it (VERDICT r17 #3).
     */
   def stubDecode(payload: Array[Byte]): (Int, Int, Double) = {
     val w = 1 + (payload(0) & 0xff) % 64
@@ -426,20 +457,6 @@ object Multimodal {
     var i = 0
     while (i < payload.length) { sum += (payload(i) & 0xff); i += 1 }
     (w, h, sum.toDouble / payload.length.toDouble)
-  }
-
-  def decodeFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.select(col("doc_id"), col("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { rows =>
-        rows.map { case (id, payload) =>
-          val (w, h, mean) = stubDecode(payload)
-          MediaFeature(id, w, h, mean, payload.length)
-        }
-      }
-      .toDF()
   }
 
   /** REAL image decode (r14, VERDICT r13 #7): `javax.imageio` — a JDK
@@ -472,15 +489,12 @@ object Multimodal {
     }
   }
 
-  /** [[decodeFeatures]] with the REAL codec — the identical mapPartitions
-    * plan shape (schema, partitioning, batch loop), with
-    * [[realDecode]] invoked per row and the stub as the declared fallback
-    * for undecodable payloads (the synthetic fixture's). Swapping the
-    * stub for a codec call changes no plan shape — this makes that
-    * contract literal instead of asserted. The registered x5b query stays
-    * on the stub path because the fixture payloads are synthetic text
-    * bytes, not images (declared); MultimodalSpec drives THIS path with
-    * constructed PNG/JPEG bytes end-to-end through executors.
+  /** Feature extraction with the REAL codec — [[realDecode]] invoked per
+    * row inside the canonical mapPartitions batch-decode shape, with the
+    * stub as the declared fallback for undecodable payloads.
+    * MultimodalSpec drives this path with constructed PNG/JPEG bytes
+    * end-to-end through executors; [[decodeFeaturesAudited]] (x5i) is
+    * this with the fallback made visible as `real_decoded`.
     */
   def decodeFeaturesReal(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -630,75 +644,77 @@ object Multimodal {
       .toDF("doc_id", "width", "height", "mean_rgb", "real_decoded")
   }
 
-  /** Frame sampling: split the payload into fixed-size frames, keep every
-    * `every`-th, summarize the kept bytes — one imperative pass per row,
-    * executor-parallel, zero driver involvement.
+  /** MIXED-MODALITY planted corpus for x5b (r18, VERDICT r17 #3): even
+    * doc_ids carry the x5i planted PNG, odd the x5j planted WAV — one
+    * binary column holding two container families, the shape a crawl
+    * table actually has. Union of the two executor-side planting passes;
+    * each side's decoded content stays pure doc_id arithmetic.
     */
-  def sampleFrames(media: DataFrame, frameBytes: Int, every: Int): DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.select(col("doc_id"), col("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { rows =>
-        rows.map { case (id, payload) =>
-          val nFrames = (payload.length + frameBytes - 1) / frameBytes
-          var sum = 0L
-          var nBytes = 0L
-          var sampled = 0
-          var f = 0
-          while (f < nFrames) {
-            val from = f * frameBytes
-            val until = math.min(from + frameBytes, payload.length)
-            var i = from
-            while (i < until) { sum += (payload(i) & 0xff); i += 1 }
-            nBytes += until - from
-            sampled += 1
-            f += every
-          }
-          (id, nFrames, sampled, sum, nBytes)
-        }
-      }
-      .toDF("doc_id", "n_frames", "n_sampled", "sampled_bytes_sum", "sampled_bytes_n")
-  }
+  def plantMixedMedia(docs: DataFrame): DataFrame =
+    plantPngMedia(docs.filter(pmod(col("doc_id"), lit(2L)) === 0L))
+      .unionByName(plantWavMedia(docs.filter(pmod(col("doc_id"), lit(2L)) === 1L)))
 
-  /** Nearest-neighbor resize of the stub-declared w×h byte image to
-    * outW×outH — the batch-resize kernel of an image pipeline (stub
-    * geometry, real per-partition execution). Out-of-image samples read 0
-    * (payloads are shorter than w*h for large declared dims — the stub's
-    * honest padding rule, reproduced by the oracle).
+  /** REAL header-only metadata extraction (r18, VERDICT r17 #3 — the op
+    * that replaced the stub x5b decode): dispatch on the container's
+    * leading bytes, then parse ONLY the header — `ImageIO`'s reader
+    * `getWidth(0)/getHeight(0)` reads the PNG IHDR (or JPEG SOF) without
+    * decoding a raster, and `AudioSystem.getAudioFileFormat` parses the
+    * WAV fmt chunk without reading a sample (the x5j parse, stopped at
+    * the header). This is the 100 TB cheap-scan op: O(100) bytes of work
+    * per blob regardless of payload size, where [[realDecode]] pays for
+    * every pixel. `real_parsed` = false (with all fields zeroed and kind
+    * "unknown") when no reader claims the bytes or the header is
+    * malformed — the declared fallback, visible to the gate.
     */
-  def resizeNearest(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+  def realHeaderMeta(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, payload) =>
-          val w = 1 + (payload(0) & 0xff) % 64
-          val h = 1 + (payload(1) & 0xff) % 64
-          val out = new Array[Int](outW * outH)
-          var sum = 0L
-          var r = 0
-          while (r < outH) {
-            var c = 0
-            while (c < outW) {
-              val idx = (r * h / outH) * w + (c * w / outW)
-              val v = if (idx < payload.length) payload(idx) & 0xff else 0
-              out(r * outW + c) = v
-              sum += v
-              c += 1
+          val none = (id, "unknown", 0, 0, 0, 0, 0L, false)
+          try {
+            val wav = payload.length >= 12 &&
+              payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+              payload(3) == 'F' && payload(8) == 'W' && payload(9) == 'A' &&
+              payload(10) == 'V' && payload(11) == 'E'
+            if (wav) {
+              val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+                new java.io.ByteArrayInputStream(payload))
+              val f = aff.getFormat
+              (id, "wav", 0, 0, f.getSampleRate.toInt, f.getChannels,
+                aff.getFrameLength.toLong, true)
+            } else {
+              val iis = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(payload))
+              val readers = javax.imageio.ImageIO.getImageReaders(iis)
+              if (!readers.hasNext) none
+              else {
+                val r = readers.next()
+                try {
+                  r.setInput(iis)
+                  (id, r.getFormatName.toLowerCase(java.util.Locale.ROOT),
+                    r.getWidth(0), r.getHeight(0), 0, 0, 0L, true)
+                } finally r.dispose()
+              }
             }
-            r += 1
+          } catch {
+            case _: java.io.IOException => none
+            case _: javax.sound.sampled.UnsupportedAudioFileException => none
           }
-          (id, outW, outH, out.mkString(","), sum)
         }
       }
-      .toDF("doc_id", "out_w", "out_h", "resized_csv", "pixel_sum")
+      .toDF("doc_id", "kind", "width", "height", "sample_rate", "channels",
+        "n_frames", "real_parsed")
   }
 
   /** Average-hash (aHash) bands — the perceptual-hash kernel of x5g:
-    * nearest-neighbor 8×8 resize of the stub-declared image (the x5f
-    * geometry), then bit i = pixel_i above the 64-pixel mean, packed as
+    * nearest-neighbor 8×8 resize of the stub-declared image (a hash
+    * DOMAIN, not a decode — the fingerprint only needs to be
+    * content-dependent and deterministic, which is why this kernel
+    * legitimately keeps the stub geometry after r18 retired the stub
+    * decode rows), then bit i = pixel_i above the 64-pixel mean, packed as
     * FOUR 16-bit band keys instead of one 64-bit word (pigeonhole:
     * Hamming ≤ 3 ⇒ at least one band identical — and no engine ever
     * touches the sign bit of a 64-bit pack). The mean threshold is the
@@ -760,7 +776,8 @@ object Multimodal {
     * (phashPairs reads it three times with differing projections that
     * defeat exchange reuse).
     */
-  private[graft] def phashDedupPlan(media: DataFrame): DataFrame = {
+  private[graft] def phashDedupPlan(media: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
     val withDig = media.select(col("doc_id"), col("payload"),
       md5(col("payload")).as("dig"))
     val membership = withDig.select(col("dig"), col("doc_id"))
@@ -770,7 +787,7 @@ object Multimodal {
         .select(col("rep").as("doc_id"), col("payload"))
       val hb = aHashBands(reps)
       Caching.withPersisted(hb) {
-        val repPairs = phashPairs(hb, maxHamming = 3)
+        val repPairs = phashPairs(hb, maxHamming)
         // within-group cliques: identical payload ⇒ Hamming 0
         val internal = membership.as("x").join(membership.as("y"), "dig")
           .where(col("x.doc_id") < col("y.doc_id"))
@@ -901,6 +918,9 @@ object Multimodal {
     * fallback pin).
     */
   def realFrameSample(media: DataFrame, every: Int): DataFrame = {
+    // a non-positive stride would never advance the frame cursor and hang
+    // executor tasks forever (ADVICE r17); fail on the driver instead
+    require(every > 0, s"frame-sample stride must be > 0, got $every")
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("doc_id"), col("payload"))

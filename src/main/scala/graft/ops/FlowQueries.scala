@@ -323,29 +323,41 @@ object FlowQueries {
         ORDER BY est_bytes DESC, src_addr LIMIT 10""".stripMargin),
       headline = true),
 
-    // Traffic matrix with time bucketing: per (proto, dst_port, minute).
+    // Traffic matrix with time bucketing: per (proto, dst_port, hour).
+    // Hour buckets, not minutes (VERDICT r17 #2: at sf0.01 no minute
+    // bucket exceeded 2 flows, so the HAVING made the row empty since r10
+    // and the oracle asserted nothing; hour buckets give ~1.3k discrimin-
+    // ating rows through the same grouped-HAVING plan). At 100 TB the
+    // bucket width only changes group cardinality, never the plan shape:
+    // one keyed shuffle with map-side partial aggregation either way.
     Q("qf2_traffic_matrix",
       (s, d) => flows(s, d)
         .groupBy(col("proto"), col("dst_port"),
-          ((col("time_received") / 60L).cast(LongType) * 60L).as("minute"))
+          ((col("time_received") / 3600L).cast(LongType) * 3600L).as("hour"))
         .agg(sum("bytes").as("sum_bytes"), count(lit(1)).as("n_flows"))
         .filter(col("n_flows") > 2),
-      Some(s"""$FlowsCte SELECT proto, dst_port, (time_received // 60) * 60 AS minute,
+      Some(s"""$FlowsCte SELECT proto, dst_port, (time_received // 3600) * 3600 AS hour,
         CAST(SUM(bytes) AS BIGINT) AS sum_bytes, count(*) AS n_flows
         FROM flows GROUP BY 1, 2, 3 HAVING count(*) > 2""".stripMargin)),
 
     // Port-scan detection: sources touching many distinct destination
     // (addr, port) pairs — count-distinct + HAVING shape.
+    // Threshold 3, not the production 50 (VERDICT r17 #2: sf0.01's max
+    // fanout is 5, so `> 50` made the row empty since r10 — trivially
+    // hash-satisfiable by any wrong plan that also returned nothing; at
+    // `> 3` the row emits the 5 widest-fanout sources and discriminates
+    // the count-distinct + HAVING machinery). The threshold is pure
+    // selectivity — a deployment tunes it without touching the plan.
     Q("qf3_port_scan",
       (s, d) => flows(s, d)
         .groupBy("src_addr")
         .agg(countDistinct(col("dst_addr"), col("dst_port")).as("fanout"),
           countDistinct(col("dst_port")).as("n_ports"))
-        .filter(col("fanout") > 50),
+        .filter(col("fanout") > 3),
       Some(s"""$FlowsCte SELECT src_addr,
         count(DISTINCT (dst_addr, dst_port)) AS fanout,
         count(DISTINCT dst_port) AS n_ports
-        FROM flows GROUP BY src_addr HAVING count(DISTINCT (dst_addr, dst_port)) > 50""".stripMargin)),
+        FROM flows GROUP BY src_addr HAVING count(DISTINCT (dst_addr, dst_port)) > 3""".stripMargin)),
 
     // TCP-flag analysis: SYN-without-ACK flows per source (tcp_flags is the
     // OR of flags over the flow, `main.go:71`; SYN=0x02, ACK=0x10).

@@ -34,6 +34,9 @@ final class MetricsServer(listener: FlowPipeline.MetricsListener, port: Int = 0)
        |# HELP graft_decoder_template_misses_total v9/IPFIX data packets refused while their template was unknown.
        |# TYPE graft_decoder_template_misses_total counter
        |graft_decoder_template_misses_total ${graft.sources.UdpFlowSource.templateMisses.sum()}
+       |# HELP graft_cadence_churn_alerts_total Heavy-hitter cadence writers that reported sustained candidate churn (entrants on ${graft.ops.StreamQueries.ChurnAlertFirings} consecutive firings).
+       |# TYPE graft_cadence_churn_alerts_total counter
+       |graft_cadence_churn_alerts_total ${graft.ops.StreamQueries.cadenceChurnAlerts.sum()}
        |# HELP graft_flows_last_rows_per_second Input rate at the last progress event.
        |# TYPE graft_flows_last_rows_per_second gauge
        |graft_flows_last_rows_per_second ${listener.lastRowsPerSecond}

@@ -41,19 +41,6 @@ class MultimodalSpec extends SparkSpec {
     assert(d3.getSeq[Float](2)(4) == 1.0f)
   }
 
-  test("decodeFeatures: stub decode arithmetic matches a direct computation") {
-    val feats = Multimodal.decodeFeatures(media).orderBy("doc_id").collect()
-    val h = "hello world".getBytes("UTF-8")
-    val f1 = feats(0)
-    assert(f1.getInt(1) == 1 + (h(0) & 0xff) % 64) // width from byte 0
-    assert(f1.getInt(2) == 1 + (h(1) & 0xff) % 64) // height from byte 1
-    assert(f1.getDouble(3) == h.map(_ & 0xff).sum.toDouble / h.length)
-    assert(f1.getInt(4) == h.length)
-    // high bytes stay unsigned through the kernel
-    val f2 = feats(1)
-    assert(f2.getDouble(3) == (0 + 16 + 32 + 127 + 255 + 240).toDouble / 6)
-  }
-
   test("realDecode: constructed PNG bytes decode to exact dimensions and channel mean") {
     // a 3×2 image with known channel values: PNG is lossless, so the
     // decoded raster — and therefore the R/G/B mean — is exact
@@ -101,46 +88,30 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(1).getInt(1) == 1 + (synthetic(0) & 0xff) % 64)
     assert(rows(1).getDouble(3) ==
       synthetic.map(_ & 0xff).sum.toDouble / synthetic.length)
-    // and the real path's schema/plan shape equals the stub path's
-    assert(Multimodal.decodeFeaturesReal(df).schema ==
-      Multimodal.decodeFeatures(df).schema)
   }
 
-  test("sampleFrames: boundary frames and sampling stride are exact") {
-    import org.apache.spark.sql.Row
-    val rows = Multimodal.sampleFrames(media, frameBytes = 4, every = 2)
-      .orderBy("doc_id").collect()
-    // doc 1: "hello world" = 11 bytes -> frames [0,4) [4,8) [8,11) = 3
-    // frames; sampled 0 and 2 -> 4 + 3 = 7 bytes
-    val h = "hello world".getBytes("UTF-8")
-    val d1 = rows(0)
-    assert(d1 == Row(1L, 3, 2,
-      (h.take(4) ++ h.drop(8)).map(_ & 0xff).map(_.toLong).sum, 7L), d1)
-    // doc 2: 6 bytes -> frames [0,4) [4,6); sampled frame 0 only
-    val d2 = rows(1)
-    assert(d2.getInt(1) == 2 && d2.getInt(2) == 1 && d2.getLong(4) == 4L)
-    // doc 3: 256 bytes of 'A' -> 64 exact frames, 32 sampled, all bytes 65
-    val d3 = rows(2)
-    assert(d3 == Row(3L, 64, 32, 32L * 4 * 65, 128L), d3)
-  }
-
-  test("resize kernel samples nearest-neighbor indices with zero padding") {
+  test("realHeaderMeta: header-only parse recovers planted PNG/WAV metadata, flags junk") {
     import spark.implicits._
-    // payload "ab..." declares w = 1 + 'a'%64 = 34, h = 1 + 'b'%64 = 35;
-    // an 11-byte payload leaves most samples out of image -> 0
-    val df = Seq((1L, "hello world".getBytes("UTF-8"))).toDF("doc_id", "payload")
-    val r = Multimodal.resizeNearest(df, outW = 8, outH = 8).collect()(0)
-    assert(r.getInt(1) == 8 && r.getInt(2) == 8)
-    val vals = r.getString(3).split(",").map(_.toInt)
-    assert(vals.length == 64)
-    val payload = "hello world".getBytes("UTF-8")
-    val (w, h) = (1 + (payload(0) & 0xff) % 64, 1 + (payload(1) & 0xff) % 64)
-    val expect = for (rr <- 0 until 8; cc <- 0 until 8) yield {
-      val idx = (rr * h / 8) * w + (cc * w / 8)
-      if (idx < payload.length) payload(idx) & 0xff else 0
-    }
-    assert(vals.toSeq == expect)
-    assert(r.getLong(4) == expect.map(_.toLong).sum)
+    // one planted PNG (x5i geometry at doc 4: 1+4%4=1 × 1+4%3=2), one
+    // planted WAV (x5j clip at doc 7: 8+7%8=15 frames @ 8 kHz mono), one
+    // junk payload — all through the executor-side kernel
+    val docs = Seq(4L, 7L).toDF("doc_id")
+    val planted = Multimodal.plantMixedMedia(docs)
+      .unionByName(Seq((9L, "not a container".getBytes("UTF-8")))
+        .toDF("doc_id", "payload"))
+      .repartition(3)
+    val rows = Multimodal.realHeaderMeta(planted).orderBy("doc_id").collect()
+    assert(rows(0).getString(1) == "png" && rows(0).getBoolean(7))
+    assert(rows(0).getInt(2) == 1 && rows(0).getInt(3) == 2) // w, h from header
+    assert(rows(0).getInt(4) == 0 && rows(0).getLong(6) == 0L)
+    assert(rows(1).getString(1) == "wav" && rows(1).getBoolean(7))
+    assert(rows(1).getInt(4) == 8000 && rows(1).getInt(5) == 1)
+    assert(rows(1).getLong(6) == 15L) // frame count from the fmt/data headers
+    assert(rows(2).getString(1) == "unknown" && !rows(2).getBoolean(7))
+    // the fallback row zeroes every metadata field
+    assert(rows(2).getInt(2) == 0 && rows(2).getInt(3) == 0 &&
+      rows(2).getInt(4) == 0 && rows(2).getInt(5) == 0 &&
+      rows(2).getLong(6) == 0L)
   }
 
   test("kernels distribute: mapPartitions output matches per-row recompute at fixture scale") {

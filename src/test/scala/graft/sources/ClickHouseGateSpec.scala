@@ -37,6 +37,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * re-probed (eleventh attempt): docker client 28.2.2 at
   * /usr/local/bin/docker only, `docker info` shows client context but no
   * reachable daemon, no /var/run/docker.sock, no dockerd/podman/
+  * clickhouse/clickhouse-server on PATH — unchanged; r18 — re-probed
+  * (twelfth attempt): docker client 28.2.2 at /usr/local/bin/docker,
+  * `docker info` still "Cannot connect to the Docker daemon at
+  * unix:///var/run/docker.sock", no socket on disk, no dockerd/podman/
   * clickhouse/clickhouse-server on PATH — unchanged.
   * What therefore stays unproven in-sandbox is exactly: live-server
   * type coercion and clickhouse-jdbc batching against a real 24.12; both

@@ -97,4 +97,37 @@ class MetricsServerSpec extends SparkSpec {
         (2L << 30).toDouble, m)
     } finally server.stop()
   }
+
+  test("cadence churn alert increments the scraped counter (VERDICT r17 #6)") {
+    import spark.implicits._
+    // the HhRecountCadenceSpec churn geometry, tuned so the alert MUST
+    // fire: capacity 16 / θinv 10 / recountEvery 2 over 16 batches, each
+    // batch dominated by a FRESH trigram ("c<b>x c<b>y c<b>z" × 6 docs —
+    // 16 distinct grams ≤ capacity, so the sketch is exact and every
+    // batch's gram clears the prune floor N/10 − N/17). All 8 firings
+    // then carry entrants, which is exactly ChurnAlertFirings — the
+    // one-shot alert fires at the last firing and must be visible at the
+    // /metrics scrape, not just on executor stderr.
+    val dir = s"${graft.Tmp.root}/metrics-churn"
+    FileUtils.deleteQuietly(new java.io.File(dir))
+    val listener = new FlowPipeline.MetricsListener
+    val server = new MetricsServer(listener)
+    try {
+      val before = scrape(server.boundPort)("graft_cadence_churn_alerts_total")
+      val writer = graft.ops.StreamQueries.heavyHitterSketchWriter(
+        s"$dir/sketch", s"$dir/rows", s"$dir/hh", 2, s"$dir/cum", null,
+        capacity = 16, thetaInv = 10L)
+      (0 until 16).foreach { b =>
+        val docs = (0 until 6)
+          .map(i => ((b * 6 + i).toLong, s"c${b}x c${b}y c${b}z"))
+          .toDF("doc_id", "text")
+        writer(docs, b.toLong)
+      }
+      // >= not ==: the adder is JVM-global and another concurrently
+      // running suite's writer could legitimately alert in the window
+      val after = scrape(server.boundPort)("graft_cadence_churn_alerts_total")
+      assert(after >= before + 1.0,
+        s"churn alert not scraped: before=$before after=$after")
+    } finally server.stop()
+  }
 }
