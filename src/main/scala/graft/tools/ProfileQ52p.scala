@@ -36,6 +36,7 @@ object ProfileQ52p {
       dur: Map[String, Long], stateCommitMs: Long, stateUpdateMs: Long,
       stateRemovalMs: Long, stateRowsTotal: Long, tsMs: Long)
     val events = mutable.Buffer.empty[P]
+    val lastSources = new java.util.concurrent.atomic.AtomicReference[String]("")
     val listener = new StreamingQueryListener {
       override def onQueryStarted(
           e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -51,6 +52,9 @@ object ProfileQ52p {
           m.toMap
         }
         val so = p.stateOperators.headOption
+        lastSources.set(p.sources.map(sp =>
+          s"desc=${sp.description.take(40)} start=${sp.startOffset} " +
+            s"end=${sp.endOffset} latest=${sp.latestOffset}").mkString(" | "))
         events.synchronized {
           events += P(p.batchId, p.numInputRows,
             dur.getOrElse("triggerExecution", 0L), dur,
@@ -78,6 +82,7 @@ object ProfileQ52p {
 
     val ps = events.synchronized(events.toVector).sortBy(_.tsMs)
     println(f"== $queryName total wall: $wallSec%.3f s, ${ps.size} micro-batches ==")
+    println(s"last-source offsets: ${lastSources.get()}")
     val durKeys = ps.flatMap(_.dur.keys).distinct.sorted
     println("batch  rows  " + durKeys.map(k => f"$k%-16s").mkString +
       "stCommit stUpdate stRemoval stRows")
