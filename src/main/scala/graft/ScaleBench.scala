@@ -1263,18 +1263,27 @@ object ScaleBench {
     // the opposite regime — planted UNBOUNDED key growth above the prune
     // floor. Every batch plants a fresh hot phrase (batch-id-derived, so
     // the planted trigrams are unique per batch) on every 6th doc of
-    // that batch: ~1k occurrences each, far above the prune floor, so
-    // EVERY firing has entrants and the untiered writer would re-read
-    // the entire raw history per firing — the O(T²) lifetime class the
-    // churn alert warns about. With tierDir on, the catch-up folds the
-    // generational summary store (q52y's machinery + an additive gram
-    // fold) instead: per-firing catch-up read BYTES (task inputMetrics —
-    // actual bytes, not planned file sizes) must go FLAT once the
-    // organic vocabulary saturates, while the raw-history counterfactual
-    // (rowsDir bytes in scope at each firing — a listing, not a scan)
-    // keeps growing linearly. Exactness under tiering: the final
-    // firing's artifact equals the sketch-free exact θ-recount over
-    // everything staged, planted churn included.
+    // that batch — far above the prune floor at its firing, so EVERY
+    // firing has entrants and the untiered writer would re-read the
+    // entire raw history per firing, the O(T²) lifetime class the churn
+    // alert warns about — PLUS the hhCad gate's STANDING hot phrase on
+    // every 30th doc, because without a standing θ-heavy gram the exact
+    // recount is empty at this θ (sf0.1's organic distribution has no
+    // θ-heavy member) and an empty-truth parity would assert nothing
+    // (the VERDICT r17 #2 lesson, applied here from day one — the first
+    // run of this gate caught exactly that). With tierDir on, the
+    // catch-up folds the generational summary store (q52y's machinery +
+    // an additive gram fold): per-firing catch-up read BYTES (task
+    // inputMetrics — actual bytes, not planned file sizes) must grow
+    // like the SUMMARY store — O(accumulated vocabulary), sub-linear in
+    // rows and sawtoothing down at cascade merges — while the
+    // raw-history counterfactual (rowsDir bytes in scope at each
+    // firing — a listing, not a scan) grows linearly in rows ingested.
+    // Absolute flatness is NOT the claim: text vocabulary grows with
+    // corpus size (Heaps' law), so the store and its probes grow too —
+    // strictly slower than raw, which is what tiering buys. Exactness
+    // under tiering: the final firing's artifact equals the sketch-free
+    // exact θ-recount over everything staged, planted churn included.
     val (hhChurnLedger, hhChurnBytes, hhChurnRaw, hhChurnParity, hhChurnOk) = {
       val dir = fixture(tiers.head._1)
       val base = graft.Tmp.sessionDir(spark, "hh_churn_tiered")
@@ -1294,10 +1303,17 @@ object ScaleBench {
       val churned = spark.read.parquet(s"$dir/documents.parquet")
         .filter(col("doc_id") < PlantDocBase)
         .select(col("doc_id"), bid.as("bid"),
-          when(pmod(col("doc_id"), lit(6L)) === 0L,
-            concat(lit("qq"), bid, lit("a qq"), bid, lit("b qq"), bid,
-              lit("c qq"), bid, lit("d qq"), bid, lit("e "),
-              col("text"))).otherwise(col("text")).as("text"))
+          when(pmod(col("doc_id"), lit(30L)) === 0L,
+            // the standing θ-heavy phrase (hhCad's plant — non-empty truth)
+            concat(lit("zzalpha zzbeta zzgamma zzdelta zzepsilon "),
+              col("text")))
+            .when(pmod(col("doc_id"), lit(6L)) === 1L,
+              // the per-batch churn phrase (disjoint residue class, so
+              // standing and churn plants never stack on one doc)
+              concat(lit("qq"), bid, lit("a qq"), bid, lit("b qq"), bid,
+                lit("c qq"), bid, lit("d qq"), bid, lit("e "),
+                col("text")))
+            .otherwise(col("text")).as("text"))
       (0 until nB).foreach { id =>
         writer(churned.filter(col("bid") === id.toLong)
           .select("doc_id", "text"), id.toLong)
@@ -1327,15 +1343,18 @@ object ScaleBench {
       // raw-history batch reads at ZERO while still measuring a catch-up
       val churny = firings.forall(r =>
         r.entrants >= 1 && r.histBatchesRead == 0L && r.catchupBytes >= 0L)
-      // flatness once the organic vocabulary saturates (skip the first 3
-      // firings — the store is still accreting the base vocab)
-      val tail = cb.drop(3)
-      val flat = tail.nonEmpty && tail.max <= 2L * tail.min
+      // scaling: from firing 4 to the last, tiered catch-up bytes must
+      // grow strictly slower than the raw history they replace (store
+      // grows with vocabulary — Heaps-sublinear — raw with rows; first
+      // run measured 1.6x vs 3.0x over this span)
+      val growthOk = cb.size > 4 && cb(3) > 0L && rawAt(3) > 0L &&
+        cb.last.toDouble / cb(3) <= 0.7 * (rawAt.last.toDouble / rawAt(3))
       // economics: the raw scan the untiered catch-up would pay at the
-      // LAST firing dwarfs what the tiered one actually read
-      val econ = rawAt.nonEmpty && cb.last > 0L && rawAt.last >= 3L * cb.last
+      // LAST firing dwarfs what the tiered one actually read (first run
+      // measured ~730x; 50x leaves an order of magnitude of margin)
+      val econ = rawAt.nonEmpty && cb.last > 0L && rawAt.last >= 50L * cb.last
       val ok = rowsL.size == nB && firings.size == nB / 2 &&
-        churny && flat && econ && parity
+        churny && growthOk && econ && parity
       System.err.println(s"[scale] hh churn-tiered at 30x: entrants " +
         s"${firings.map(_.entrants).mkString(",")}; catchup bytes " +
         s"${cb.mkString(",")}; raw-in-scope ${rawAt.mkString(",")}; jobs " +
@@ -1662,7 +1681,9 @@ object ScaleBench {
         s""""hh_churn_tiered_30x":{"batches":${hhChurnLedger.size},""" +
         s""""recount_every":2,"firings":${hhChurnLedger.count(_.fired)},""" +
         s""""churn":"fresh hot phrase per batch on every 6th doc — """ +
-        s"""entrants above the prune floor at EVERY firing",""" +
+        s"""entrants above the prune floor at EVERY firing — plus the """ +
+        s"""standing theta-heavy phrase on every 30th doc so the exact """ +
+        s"""recount is non-empty",""" +
         s""""entrants_per_firing":[${hhChurnLedger.filter(_.fired)
           .map(_.entrants).mkString(",")}],""" +
         s""""catchup_read_bytes_per_firing":[${hhChurnBytes.mkString(",")}],""" +
@@ -1670,10 +1691,12 @@ object ScaleBench {
         s""""jobs_per_batch":[${hhChurnLedger.map(_.jobs).mkString(",")}],""" +
         s""""serve_parity":$hhChurnParity,""" +
         s""""gate":"24 batches AND 12 firings AND entrants>=1 AND """ +
-        s"""raw-history reads==0 at every firing AND catchup bytes flat """ +
-        s"""(max<=2*min after firing 3) AND raw-in-scope at last firing """ +
-        s""">= 3x tiered catchup bytes AND final artifact == exact """ +
-        s"""recount over the churned corpus",""" +
+        s"""raw-history reads==0 at every firing AND catchup-bytes """ +
+        s"""growth (firing 4 -> last) <= 0.7x raw-history growth over """ +
+        s"""the same span (store grows with vocabulary, raw with rows) """ +
+        s"""AND raw-in-scope at last firing >= 50x tiered catchup bytes """ +
+        s"""AND final artifact == exact recount over the churned """ +
+        s"""corpus",""" +
         s""""ok":$hhChurnOk},""" +
         s""""x4k_512_budget_depth_30x":{"merges_trained":$bpe512N,""" +
         s""""budget":512,"rounds":48,"picks_per_round":16,"cand_limit":384,""" +

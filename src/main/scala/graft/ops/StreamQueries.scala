@@ -511,8 +511,9 @@ object StreamQueries {
       // per firing for nothing). Costs at firings: +1 window-summary
       // agg/write, +1 L0 fold, +amortized merges; steady-state non-
       // firing batches are untouched. The weighted (bytes-sum) writer
-      // keeps the untiered path only — same machinery applies if a
-      // deployment needs it (its summaries would carry sum(bytes)).
+      // carries the same device since r18 ([[topTalkerSketchWriter]]'s
+      // tierDir: summaries hold (src_addr, sum_bytes, n_flows) and the
+      // fold re-aggregates both sums on merge).
       tierDir: String = null)
       : (DataFrame, Long) => Unit = {
     require(recountEvery <= 0 ||
@@ -751,8 +752,11 @@ object StreamQueries {
             System.err.println(s"[cadence] $hhDir: entrants on " +
               s"${st.consecEntrantFirings} consecutive firings — candidate " +
               s"churn above the prune floor keeps re-reading " +
-              s"$rowsDir/batch=*; tier the history (q52y) if the " +
-              "vocabulary genuinely grows without bound")
+              (if (tierDir == null) s"$rowsDir/batch=*; set tierDir to " +
+                "fold the generational summary store instead if the " +
+                "vocabulary genuinely grows without bound"
+               else s"the $tierDir summary store (bounded, but nonzero " +
+                "per firing)"))
           }
         }
         if (ledger != null)
@@ -827,10 +831,18 @@ object StreamQueries {
 
   private[graft] def topTalkerSketchWriter(skDir: String, outDir: String,
       hhDir: String = null, recountEvery: Int = 0, cumDir: String = null,
-      ledger: CumLedger = null): (DataFrame, Long) => Unit = {
+      ledger: CumLedger = null,
+      // Opt-in TIERED entrant catch-up (r18) — [[heavyHitterSketchWriter]]'s
+      // device with weights: summary fragments carry the window's full
+      // per-src (sum_bytes, n_flows), the additive maintenance fold
+      // re-aggregates BOTH sums on merge, and entrant catch-up folds the
+      // generational store instead of the raw `outDir/batch=*` glob.
+      tierDir: String = null): (DataFrame, Long) => Unit = {
     require(recountEvery <= 0 || (hhDir != null && cumDir != null),
       "recountEvery > 0 needs hhDir and cumDir — the cadence folds " +
         "firing-window candidate partials and writes the hh artifact")
+    require(tierDir == null || recountEvery > 0,
+      "tierDir tiers the cadence catch-up — it needs the cadence on")
     val st = new TalkerCadenceState
     (batch: DataFrame, id: Long) => {
       val s = batch.sparkSession
@@ -907,6 +919,7 @@ object StreamQueries {
         var entrantsN = 0L
         var histRead = 0L
         var windowRead = 0L
+        var catchupBytes = -1L
         val fired = recountEvery > 0 && (id + 1) % recountEvery == 0
         if (fired) {
           // possibly-θ-heavy cut on sketch WEIGHT: W/θinv − W/(cap+1),
@@ -920,34 +933,93 @@ object StreamQueries {
           val survivors = pruned.keySet & prevCum.keySet
           val windowDirs = ((prevGenId + 1) to id)
             .map(k => s"$outDir/batch=$k")
-          // 0 when no window job runs (entrant-only firing): the ledger
-          // records READS performed, not dirs in scope (ADVICE r17)
-          windowRead = if (survivors.isEmpty) 0 else windowDirs.size
-          val survAgg: Map[String, (Long, Long)] =
-            if (survivors.isEmpty) Map.empty
-            else {
+          val (survAgg, catchup): (Map[String, (Long, Long)],
+              Map[String, (Long, Long)]) =
+            if (tierDir == null) {
+              // 0 when no window job runs (entrant-only firing): the
+              // ledger records READS performed, not dirs in scope
+              // (ADVICE r17)
+              windowRead = if (survivors.isEmpty) 0 else windowDirs.size
+              val sa: Map[String, (Long, Long)] =
+                if (survivors.isEmpty) Map.empty
+                else {
+                  jobs += 1
+                  s.read.parquet(windowDirs: _*)
+                    .select(col("src_addr"), col("bytes"))
+                    .join(broadcast(survivors.toSeq.toDF("src_addr")),
+                      Seq("src_addr"), "left_semi")
+                    .groupBy("src_addr")
+                    .agg(sum(col("bytes")).as("sb"), count(lit(1)).as("nf"))
+                    .as[(String, Long, Long)].collect()
+                    .map(t => t._1 -> (t._2, t._3)).toMap
+                }
+              val cu: Map[String, (Long, Long)] =
+                if (entrants.isEmpty) Map.empty
+                else {
+                  jobs += 1
+                  s.read.parquet(s"$outDir/batch=*")
+                    .select(col("src_addr"), col("bytes"))
+                    .join(broadcast(entrants.toSeq.toDF("src_addr")),
+                      Seq("src_addr"), "left_semi")
+                    .groupBy("src_addr")
+                    .agg(sum(col("bytes")).as("sb"), count(lit(1)).as("nf"))
+                    .as[(String, Long, Long)].collect()
+                    .map(t => t._1 -> (t._2, t._3)).toMap
+                }
+              (sa, cu)
+            } else {
+              // TIERED path — heavyHitterSketchWriter's r18 device with
+              // weights. Orphan sweep first: a fragment whose id lies
+              // strictly inside (prevGenId, id) is a crashed firing's
+              // (its window is re-covered by this firing's wider window)
+              // and folding it would double-count.
+              val (tfs, fragBase) = graft.ext.SimilarityQueries
+                .fsAndPath(s, s"$tierDir/frag")
+              if (tfs.exists(fragBase))
+                tfs.listStatus(fragBase).foreach { fst =>
+                  val n = fst.getPath.getName
+                  if (n.startsWith("batch=")) {
+                    val fid = n.stripPrefix("batch=").toLong
+                    if (fid > prevGenId && fid < id)
+                      tfs.delete(fst.getPath, true)
+                  }
+                }
               jobs += 1
+              windowRead = windowDirs.size
               s.read.parquet(windowDirs: _*)
-                .select(col("src_addr"), col("bytes"))
-                .join(broadcast(survivors.toSeq.toDF("src_addr")),
-                  Seq("src_addr"), "left_semi")
                 .groupBy("src_addr")
-                .agg(sum(col("bytes")).as("sb"), count(lit(1)).as("nf"))
-                .as[(String, Long, Long)].collect()
-                .map(t => t._1 -> (t._2, t._3)).toMap
-            }
-          val catchup: Map[String, (Long, Long)] =
-            if (entrants.isEmpty) Map.empty
-            else {
-              jobs += 1
-              s.read.parquet(s"$outDir/batch=*")
-                .select(col("src_addr"), col("bytes"))
-                .join(broadcast(entrants.toSeq.toDF("src_addr")),
-                  Seq("src_addr"), "left_semi")
-                .groupBy("src_addr")
-                .agg(sum(col("bytes")).as("sb"), count(lit(1)).as("nf"))
-                .as[(String, Long, Long)].collect()
-                .map(t => t._1 -> (t._2, t._3)).toMap
+                .agg(sum(col("bytes")).as("sum_bytes"),
+                  count(lit(1)).as("n_flows"))
+                .coalesce(1).sortWithinPartitions("src_addr")
+                .write.mode("overwrite")
+                .parquet(s"$tierDir/frag/batch=$id")
+              val sa: Map[String, (Long, Long)] =
+                if (survivors.isEmpty) Map.empty
+                else {
+                  jobs += 1
+                  s.read.parquet(s"$tierDir/frag/batch=$id")
+                    .filter(col("src_addr").isin(survivors.toSeq: _*))
+                    .as[(String, Long, Long)].collect()
+                    .map(t => t._1 -> (t._2, t._3)).toMap
+                }
+              val cu: Map[String, (Long, Long)] =
+                if (entrants.isEmpty) Map.empty
+                else {
+                  jobs += 1
+                  val (m, bytes) =
+                    org.apache.spark.sql.graftshim.Shim.bytesRead(s) {
+                      graft.ext.SimilarityQueries.readPqStore(s, tierDir)
+                        .filter(col("src_addr").isin(entrants.toSeq: _*))
+                        .groupBy("src_addr")
+                        .agg(sum(col("sum_bytes")).as("sb"),
+                          sum(col("n_flows")).as("nf"))
+                        .as[(String, Long, Long)].collect()
+                        .map(t => t._1 -> (t._2, t._3)).toMap
+                    }
+                  catchupBytes = bytes
+                  m
+                }
+              (sa, cu)
             }
           newCum = pruned.keysIterator.map { a =>
             a -> (if (entrants(a)) catchup.getOrElse(a, (0L, 0L))
@@ -958,7 +1030,9 @@ object StreamQueries {
           }.toMap
           newGenId = id
           entrantsN = entrants.size
-          histRead = if (entrants.isEmpty) 0L else id + 1
+          // raw history dirs read — the statistic the tier eliminates
+          histRead =
+            if (entrants.isEmpty || tierDir != null) 0L else id + 1
           (newCum.toSeq.map { case (a, (sb, nf)) => (a, sb, nf) } :+
             ((CumTotalKey, newTotals._1, newTotals._2)))
             .toDF("src_addr", "sum_bytes", "n_flows")
@@ -971,6 +1045,21 @@ object StreamQueries {
             .toDF("src_addr", "sum_bytes", "n_flows", "ppm")
             .coalesce(1).write.mode("overwrite").parquet(s"$hhDir/batch=$id")
           jobs += 1
+          // tier maintenance LAST — the cum gen is durable, so a crash
+          // in here leaves no orphan fragment (the sweep only fires for
+          // crashes BEFORE the cum write); the fold re-aggregates BOTH
+          // additive sums per src
+          if (tierDir != null) {
+            val stats = graft.ext.SimilarityQueries.maintainPqStore(
+              s, tierDir, id,
+              foldWith = Some((df: DataFrame, n: Int) =>
+                df.groupBy("src_addr")
+                  .agg(sum(col("sum_bytes")).as("sum_bytes"),
+                    sum(col("n_flows")).as("n_flows"))
+                  .repartitionByRange(n, col("src_addr"))
+                  .sortWithinPartitions("src_addr")))
+            jobs += 1 + stats.mergesFired
+          }
           if (entrants.nonEmpty) st.consecEntrantFirings += 1
           else st.consecEntrantFirings = 0
           if (st.consecEntrantFirings >= ChurnAlertFirings && !st.churnWarned) {
@@ -979,13 +1068,17 @@ object StreamQueries {
             System.err.println(s"[cadence] $hhDir: entrants on " +
               s"${st.consecEntrantFirings} consecutive firings — talker " +
               s"churn above the prune floor keeps re-reading " +
-              s"$outDir/batch=*; tier the history (q52y) if the talker " +
-              "space genuinely grows without bound")
+              (if (tierDir == null) s"$outDir/batch=*; set tierDir to " +
+                "fold the generational summary store instead if the " +
+                "talker space genuinely grows without bound"
+               else s"the $tierDir summary store (bounded, but nonzero " +
+                "per firing)"))
           }
         }
         if (ledger != null)
           ledger.rows += CumLedgerRow(id, entrantsN, histRead, fired,
-            windowBatchesRead = windowRead, jobs = jobs)
+            windowBatchesRead = windowRead, jobs = jobs,
+            catchupBytes = catchupBytes)
         st.sketch = merged
         st.totBytes = newTotals._1; st.totFlows = newTotals._2
         st.cum = newCum; st.cumGenId = newGenId

@@ -97,6 +97,54 @@ class HhCadenceTieredSpec extends SparkSpec {
     assert(ledger.rows.toSeq.filterNot(_.fired).forall(_.catchupBytes == -1L))
   }
 
+  test("the weighted writer's tierDir matches its untiered artifacts and the exact recount") {
+    import spark.implicits._
+    import graft.ops.StreamQueries.{topTalkerSketchWriter, FlowHhThetaInv}
+    // HhRecountCadenceSpec's skewed-talker corpus, long enough (12
+    // batches / 6 firings) that the store's fanout-4 cascade merges —
+    // the additive (sum_bytes, n_flows) double-sum re-aggregation runs
+    // on the tested path
+    def flowBatch(ids: Range) = ids.map(i =>
+      (if (i % 3 == 0) "10.0.0.1" else s"10.1.0.${i % 250}",
+        if (i % 3 == 0) 50000L else 100L + i)).toDF("src_addr", "bytes")
+    val dirT = s"${graft.Tmp.root}/talkertier-a"
+    val dirU = s"${graft.Tmp.root}/talkertier-b"
+    Seq(dirT, dirU).foreach(d => FileUtils.deleteQuietly(new java.io.File(d)))
+    val ledger = new graft.ops.StreamQueries.CumLedger
+    val tiered = topTalkerSketchWriter(s"$dirT/sketch", s"$dirT/rows",
+      s"$dirT/hh", 2, s"$dirT/cum", ledger, tierDir = s"$dirT/tier")
+    val untiered = topTalkerSketchWriter(s"$dirU/sketch", s"$dirU/rows",
+      s"$dirU/hh", 2, s"$dirU/cum")
+    (0 until 12).foreach { id =>
+      val b = flowBatch(id * 20 until id * 20 + 20)
+      tiered(b, id.toLong); untiered(b, id.toLong)
+    }
+    Seq(1, 3, 5, 7, 9, 11).foreach { id =>
+      val got = spark.read.parquet(s"$dirT/hh/batch=$id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val other = spark.read.parquet(s"$dirU/hh/batch=$id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val all = flowBatch(0 until (id + 1) * 20)
+        .groupBy("src_addr").agg(sum("bytes").as("sum_bytes"),
+          count(lit(1)).as("n_flows"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val total = all.map(_._2).sum
+      val want = all.filter(_._2 * FlowHhThetaInv >= total)
+        .map(t => (t._1, t._2, t._3, t._2 * 1000000L / total)).toSet
+      assert(want.nonEmpty, s"degenerate fixture at watermark $id")
+      assert(got == want, s"watermark $id not exact: $got != $want")
+      assert(got == other, s"watermark $id: tiered != untiered")
+    }
+    val gens = graft.ext.SimilarityQueries.completeGens(spark, s"$dirT/tier")
+    assert(gens.exists(_.level >= 1),
+      s"no level>=1 gen after 6 maintenance cycles: $gens")
+    val firings = ledger.rows.toSeq.filter(_.fired)
+    assert(firings.forall(_.histBatchesRead == 0L))
+    assert(firings.filter(_.entrants > 0).forall(_.catchupBytes >= 0L))
+  }
+
   test("a poison fragment from a crashed firing is swept before the next summary lands") {
     import spark.implicits._
     val batches = seededBatches(20260818L, 6)
