@@ -482,11 +482,17 @@ object Bench {
     // this round; repeated runs within a round overwrite the same archive
     // (last run wins, matching what the driver reports).
     val roundRe = "BENCH_r(\\d+)\\.json".r
-    val nextRound = Option(new java.io.File(".").list()).getOrElse(Array.empty)
+    val maxRound = Option(new java.io.File(".").list()).getOrElse(Array.empty)
       .flatMap(n => roundRe.findFirstMatchIn(n).map(_.group(1).toInt))
-      .foldLeft(0)(math.max) + 1
-    val archivePath = java.nio.file.Paths.get(f"BENCH_r$nextRound%02d_full.json")
-    java.nio.file.Files.write(archivePath, full.getBytes("UTF-8"))
+      .foldLeft(0)(math.max)
+    // archive ONLY when prior round files are visible (r18 review): a
+    // bench launched from a foreign cwd sees none and would otherwise
+    // stamp a bogus BENCH_r01_full.json into that directory
+    if (maxRound >= 1) {
+      val archivePath =
+        java.nio.file.Paths.get(f"BENCH_r${maxRound + 1}%02d_full.json")
+      java.nio.file.Files.write(archivePath, full.getBytes("UTF-8"))
+    }
     println(s"""{"metric":"total_all_queries","value":$total,"unit":"sec","n_queries":${ok.size},"calibration":$calibration,"x2d_fixed_point_rounds":$x2dRounds,"ingest":$ingest,"udp_ingest":$udpIngest,"udp_listeners":$udpListeners,"queries":$headline,"full":"${fullPath.toAbsolutePath}","sf":"$sfDir"}""")
     spark.stop()
   }

@@ -686,18 +686,24 @@ object Multimodal {
               (id, "wav", 0, 0, f.getSampleRate.toInt, f.getChannels,
                 aff.getFrameLength.toLong, true)
             } else {
+              // close the ImageInputStream explicitly (r18 review): with
+              // ImageIO's default useCache=true it is file-backed, and an
+              // unclosed instance leaks an FD + an imageio*.tmp per
+              // payload until GC — a per-row leak in a mapPartitions loop
               val iis = javax.imageio.ImageIO.createImageInputStream(
                 new java.io.ByteArrayInputStream(payload))
-              val readers = javax.imageio.ImageIO.getImageReaders(iis)
-              if (!readers.hasNext) none
-              else {
-                val r = readers.next()
-                try {
-                  r.setInput(iis)
-                  (id, r.getFormatName.toLowerCase(java.util.Locale.ROOT),
-                    r.getWidth(0), r.getHeight(0), 0, 0, 0L, true)
-                } finally r.dispose()
-              }
+              try {
+                val readers = javax.imageio.ImageIO.getImageReaders(iis)
+                if (!readers.hasNext) none
+                else {
+                  val r = readers.next()
+                  try {
+                    r.setInput(iis)
+                    (id, r.getFormatName.toLowerCase(java.util.Locale.ROOT),
+                      r.getWidth(0), r.getHeight(0), 0, 0, 0L, true)
+                  } finally r.dispose()
+                }
+              } finally iis.close()
             }
           } catch {
             case _: java.io.IOException => none

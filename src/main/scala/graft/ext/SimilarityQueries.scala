@@ -595,7 +595,7 @@ object SimilarityQueries {
   private[graft] def liveGens(gens: Seq[Gen]): Seq[Gen] =
     gens.filterNot(g => gens.exists(_.containsStrictly(g)))
 
-  private def fragDirs(s: SparkSession,
+  private[graft] def fragDirs(s: SparkSession,
       base: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
     val (fs, basePath) = fsAndPath(s, base)
     val fragBase = new org.apache.hadoop.fs.Path(basePath, "frag")

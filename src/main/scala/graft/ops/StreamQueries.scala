@@ -201,30 +201,40 @@ object StreamQueries {
   }
 
   /** The quiescence observation [[drainUntilQuiescent]] and the q52x
-    * pipeline drain share: a data batch followed by ONE empty one, AND
-    * every source that reports a latest offset committed through it
-    * (ADVICE r12). The empty batch is the authoritative signal for the
-    * file sources these drains actually run on (FileStreamSource reports
-    * `latestOffset = null`, measured r18): a 0-input micro-batch means
-    * the source LISTED its directory and found nothing new, and every
-    * drain in this module stages its fixture before starting — nothing
-    * can appear after an empty listing. The r12 trigger-splitting worry
-    * (a session-wide maxFilesPerTrigger parceling input across batches)
-    * is covered because a split trailing batch carries rows, so it is
-    * not empty and quiescence keeps waiting. r18 (VERDICT r17 #1): this
-    * was TWO trailing empty batches; the q52p profile showed each empty
-    * batch paying a full RocksDB snapshot commit per state partition —
-    * 0.5-0.9 s of pure drain tail — and the second empty asserted
-    * nothing the first did not. Stops the query; fails loudly on
-    * deadline.
+    * pipeline drain share: a data batch followed by ONE empty one when
+    * every source is AUTHORITATIVE — reports a latest offset (ADVICE
+    * r12), or is a file source, where a 0-input micro-batch means the
+    * source LISTED its pre-staged directory and found nothing new
+    * (FileStreamSource reports `latestOffset = null`, measured r18) —
+    * TWO trailing empties otherwise (a live UDP/flowgen source wired in
+    * here must not have a 50 ms packet gap truncate its drain). The r12
+    * trigger-splitting worry (a session-wide maxFilesPerTrigger
+    * parceling input across batches) is covered because a split
+    * trailing batch carries rows, so it is not empty and quiescence
+    * keeps waiting. r18 (VERDICT r17 #1): this was unconditionally TWO
+    * trailing empty batches; the q52p profile showed each empty batch
+    * paying a full RocksDB snapshot commit per state partition —
+    * 0.5-0.9 s of pure drain tail — and for authoritative sources the
+    * second empty asserted nothing the first did not. Stops the query;
+    * fails loudly on deadline.
     */
   private def awaitQuiescence(q: org.apache.spark.sql.streaming.StreamingQuery,
       name: String): Unit = {
     val deadline = System.nanoTime() + 300_000_000_000L
     def quiescent: Boolean = {
       val ps = q.recentProgress
-      ps.exists(_.numInputRows > 0) &&
-        ps.nonEmpty && ps.last.numInputRows == 0 &&
+      // the single-empty shortcut is mechanically gated (r18 review): a
+      // source must either report its latest offset (authoritative) or
+      // BE a file source (an empty batch is a fresh listing of the
+      // pre-staged dir). A live source (UDP, flowgen) with null
+      // latestOffset wired in here keeps the conservative two-empty
+      // window — a 50 ms gap between packets must not truncate a drain.
+      val authoritative = ps.nonEmpty && ps.last.sources.forall(sp =>
+        sp.latestOffset != null ||
+          sp.description.startsWith("FileStreamSource"))
+      val trailingEmpties = if (authoritative) 1 else 2
+      ps.exists(_.numInputRows > 0) && ps.length >= trailingEmpties &&
+        ps.takeRight(trailingEmpties).forall(_.numInputRows == 0) &&
         ps.last.sources.forall(sp =>
           sp.latestOffset == null || sp.endOffset == sp.latestOffset)
     }
@@ -488,6 +498,26 @@ object StreamQueries {
   private def genIdOf(path: String): Long =
     path.split("batch=").last.toLong
 
+  /** Delete summary fragments left by a CRASHED firing — any fragment id
+    * strictly inside (prevGenId, firingId): its window is re-covered by
+    * this firing's wider window, so folding it would double-count, and a
+    * fragment ≤ prevGenId belongs to a COMMITTED firing (its cum gen is
+    * durable) so it is never touched. ONE definition shared by the
+    * unweighted and weighted tiered writers (r18 review — the sweep
+    * boundaries are crash-safety critical, and two hand-maintained
+    * copies were the r15 withRocksDbStateStore mistake over again);
+    * lists through [[graft.ext.SimilarityQueries.fragDirs]], the same
+    * listing the store reader uses. Idempotent.
+    */
+  private def sweepOrphanFragments(s: SparkSession, tierDir: String,
+      prevGenId: Long, firingId: Long): Unit = {
+    val (tfs, _) = graft.ext.SimilarityQueries.fsAndPath(s, tierDir)
+    graft.ext.SimilarityQueries.fragDirs(s, tierDir).foreach {
+      case (fid, path) =>
+        if (fid > prevGenId && fid < firingId) tfs.delete(path, true)
+    }
+  }
+
   private[graft] def heavyHitterSketchWriter(skDir: String,
       rowsDir: String = null, hhDir: String = null, recountEvery: Int = 0,
       cumDir: String = null, ledger: CumLedger = null,
@@ -649,25 +679,9 @@ object StreamQueries {
                 }
               (sc, cu)
             } else {
-              // TIERED path (r18, VERDICT r17 #4). Orphan sweep first: a
-              // crash between a firing's summary-fragment write and its
-              // cum-gen write leaves a fragment whose window the NEXT
-              // firing's wider window re-covers — folding both would
-              // double-count, so any fragment id strictly inside
-              // (prevGenId, id) is a crashed attempt's and is deleted
-              // (idempotent; a fragment ≤ prevGenId has a durable cum
-              // gen, hence was a committed firing's).
-              val (tfs, fragBase) = graft.ext.SimilarityQueries
-                .fsAndPath(s, s"$tierDir/frag")
-              if (tfs.exists(fragBase))
-                tfs.listStatus(fragBase).foreach { fst =>
-                  val n = fst.getPath.getName
-                  if (n.startsWith("batch=")) {
-                    val fid = n.stripPrefix("batch=").toLong
-                    if (fid > prevGenId && fid < id)
-                      tfs.delete(fst.getPath, true)
-                  }
-                }
+              // TIERED path (r18, VERDICT r17 #4). Orphan sweep first —
+              // see [[sweepOrphanFragments]] for the crash window.
+              sweepOrphanFragments(s, tierDir, prevGenId, id)
               // the window's FULL per-gram counts become a summary
               // fragment — gram-sorted single shard, so later isin
               // probes prune row groups on min/max stats
@@ -969,21 +983,8 @@ object StreamQueries {
               (sa, cu)
             } else {
               // TIERED path — heavyHitterSketchWriter's r18 device with
-              // weights. Orphan sweep first: a fragment whose id lies
-              // strictly inside (prevGenId, id) is a crashed firing's
-              // (its window is re-covered by this firing's wider window)
-              // and folding it would double-count.
-              val (tfs, fragBase) = graft.ext.SimilarityQueries
-                .fsAndPath(s, s"$tierDir/frag")
-              if (tfs.exists(fragBase))
-                tfs.listStatus(fragBase).foreach { fst =>
-                  val n = fst.getPath.getName
-                  if (n.startsWith("batch=")) {
-                    val fid = n.stripPrefix("batch=").toLong
-                    if (fid > prevGenId && fid < id)
-                      tfs.delete(fst.getPath, true)
-                  }
-                }
+              // weights; shared orphan sweep (see [[sweepOrphanFragments]])
+              sweepOrphanFragments(s, tierDir, prevGenId, id)
               jobs += 1
               windowRead = windowDirs.size
               s.read.parquet(windowDirs: _*)
