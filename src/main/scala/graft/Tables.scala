@@ -64,4 +64,27 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Fan a narrow-split input out to every core before an expensive
+    * per-row kernel chain (r18, guide §2.5 "input skew"): the fixture
+    * tables arrive as ONE single-row-group parquet file, so everything
+    * upstream of the first exchange — explodes, codegen kernels, codec
+    * calls — runs in a SINGLE task regardless of cluster size (measured:
+    * 0.3–4.4 s one-task jobs across qf6, x3g, the x4 BPE family and the
+    * x5 codec family at sf0.1 on 32 cores). Conditional, so it stays
+    * honest at production scale: when
+    * the input already carries at least `defaultParallelism` partitions
+    * (a real multi-split scan), this is the identity and adds NO exchange
+    * — the repartition only exists to undo the degenerate one-split
+    * layout. Hash-partitioned on `key` — deterministic under task retry
+    * (guide §2.5's round-robin-repartition replay hazard does not apply).
+    */
+  def fanOut(df: DataFrame, key: Column): DataFrame = {
+    // streaming frames can't answer getNumPartitions (no batch RDD yet);
+    // their micro-batch parallelism is the source's admission knob, not a
+    // scan-split artifact — leave them untouched
+    if (df.isStreaming) return df
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p, key)
+  }
 }

@@ -440,8 +440,88 @@ object MultimodalQueries {
   */
 object Multimodal {
 
+  // ImageIO's default stream cache is FILE-backed: every ImageIO.read /
+  // write / createImageInputStream call creates (and deletes) a temp file
+  // on disk. Harmless-looking single-threaded, catastrophic once the
+  // codec kernels run one task per core (r18 fanOut): measured per-image
+  // cost rose ~60x under 32 concurrent tasks — temp-file create/delete
+  // churn serializing on the filesystem — making the parallel run SLOWER
+  // than the single-task one. Memory-cached streams are strictly better
+  // at these payload sizes (< 1 KiB) and remove the contention. JVM-wide,
+  // set at executor classload of this object (the closures below all
+  // reference it).
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaFeature(doc_id: Long, width: Int, height: Int,
       mean_byte: Double, n_bytes: Int)
+
+  /** The WAV SPI providers held directly (r18): every `AudioSystem` entry
+    * point (`write` / `getAudioInputStream` / `getAudioFileFormat`)
+    * re-runs provider discovery through a synchronized JDK static on each
+    * call, so a one-task-per-core codec stage convoys on that lock
+    * (measured ~24× per-payload degradation once fanOut parallelized
+    * these kernels — the audio analogue of the ImageIO file cache above).
+    * `ServiceLoader` is the public face of the same SPI; the JDK's
+    * `WaveFileReader`/`WaveFileWriter` register there. Identified by
+    * probing with a self-written 1-sample WAV (reader) and
+    * `isFileTypeSupported(WAVE)` (writer); both are stateless per call,
+    * so one shared instance per JVM is thread-safe. Falls back to the
+    * `AudioSystem` path when discovery finds nothing — behavior, not
+    * results, is the only thing this optimizes.
+    */
+  private lazy val wavProviders: (
+      Option[javax.sound.sampled.spi.AudioFileReader],
+      Option[javax.sound.sampled.spi.AudioFileWriter]) = {
+    import scala.jdk.CollectionConverters._
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](2)), fmt, 1L),
+      AudioFileFormat.Type.WAVE, bos) // once, at classload — no contention
+    val probe = bos.toByteArray
+    val r = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).asScala
+      .find { p =>
+        try { p.getAudioFileFormat(new java.io.ByteArrayInputStream(probe)); true }
+        catch { case _: Exception => false }
+      }
+    val w = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).asScala
+      .find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE))
+    (r, w)
+  }
+
+  private def writeWav(ais: javax.sound.sampled.AudioInputStream,
+      out: java.io.OutputStream): Unit = wavProviders._2 match {
+    case Some(w) =>
+      w.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    case None => javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+  }
+
+  private def wavAudioFileFormat(in: java.io.InputStream)
+      : javax.sound.sampled.AudioFileFormat = wavProviders._1 match {
+    case Some(r) => r.getAudioFileFormat(in)
+    case None => javax.sound.sampled.AudioSystem.getAudioFileFormat(in)
+  }
+
+  private def wavAudioInputStream(in: java.io.InputStream)
+      : javax.sound.sampled.AudioInputStream = wavProviders._1 match {
+    case Some(r) => r.getAudioInputStream(in)
+    case None => javax.sound.sampled.AudioSystem.getAudioInputStream(in)
+  }
+
+  /** Fan the planting input out to every core before the per-row codec
+    * pass (r18, guide §2.5 input skew): the corpus arrives as ONE parquet
+    * split, so every planting/decoding `mapPartitions` kernel below would
+    * otherwise run its whole ImageIO/AudioSystem workload in a SINGLE
+    * task (measured: x5e 1.24 s and x5k 1.44 s of 1-task jobs at sf0.1 on
+    * 32 cores). [[graft.Tables.fanOut]] carries the conditional-at-scale
+    * and determinism arguments.
+    */
+  private def fanOut(docs: DataFrame): DataFrame =
+    graft.Tables.fanOut(docs, col("doc_id"))
 
   /** STUB DECODE — deterministic fake standing in for a real image decode.
     * Since r18 it survives ONLY as the declared fallback for undecodable
@@ -523,7 +603,7 @@ object Multimodal {
   def plantPngMedia(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    fanOut(docs.select(col("doc_id"))).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val w = 1 + (id % 4).toInt
@@ -558,7 +638,7 @@ object Multimodal {
   def plantWavMedia(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    fanOut(docs.select(col("doc_id"))).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val n = 8 + (id % 8).toInt
@@ -572,8 +652,7 @@ object Multimodal {
           val ais = new javax.sound.sampled.AudioInputStream(
             new java.io.ByteArrayInputStream(pcm.array()), fmt, n.toLong)
           val bos = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(ais,
-            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          writeWav(ais, bos) // direct provider — see wavProviders
           (id, bos.toByteArray)
         }
       }
@@ -589,7 +668,7 @@ object Multimodal {
     */
   def realDecodeWav(payload: Array[Byte]): Option[(Int, Long, Long)] =
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      val ais = wavAudioInputStream( // direct provider — see wavProviders
         new java.io.ByteArrayInputStream(payload))
       val fmt = ais.getFormat
       // the sum arithmetic below assumes 16-bit signed PCM, one channel,
@@ -680,7 +759,7 @@ object Multimodal {
               payload(3) == 'F' && payload(8) == 'W' && payload(9) == 'A' &&
               payload(10) == 'V' && payload(11) == 'E'
             if (wav) {
-              val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+              val aff = wavAudioFileFormat( // see wavProviders
                 new java.io.ByteArrayInputStream(payload))
               val f = aff.getFormat
               (id, "wav", 0, 0, f.getSampleRate.toInt, f.getChannels,
@@ -847,7 +926,7 @@ object Multimodal {
   def plantPngFramesMedia(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    fanOut(docs.select(col("doc_id"))).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val k = 2 + (id % 3).toInt
@@ -981,7 +1060,7 @@ object Multimodal {
   def plantPngGridMedia(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    fanOut(docs.select(col("doc_id"))).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val img = new java.awt.image.BufferedImage(4, 4,

@@ -1894,7 +1894,11 @@ object SimilarityQueries {
     // >= -1.004, one wrong-by-one element per out-of-range coordinate).
     Q("x3g_sq8",
       (s, d) => {
-        val e = Tables.embeddings(s, d)
+        // fanOut: quantize + per-dim explode + the 8-query scoring probe
+        // all sit upstream of the first exchange, so the one-split fixture
+        // scan would run them in a single task (profiled: 2.6 s of a 3.6 s
+        // wall in one 1-task job at sf0.1) — see [[graft.Tables.fanOut]]
+        val e = Tables.fanOut(Tables.embeddings(s, d), col("vec_id"))
           .select(col("vec_id"), quant(col("embedding")).as("qe"))
         val dims = e.select(posexplode(col("qe")).as(Seq("pos", "v")))
           .groupBy("pos").agg(min(col("v")).as("lo"), max(col("v")).as("hi"))

@@ -111,7 +111,8 @@ object TextQueries {
   }
 
   /** Train the stupid-backoff bigram LM from `docs`' reference split. */
-  private[graft] def trainRefLm(docs: DataFrame): RefLm = {
+  private[graft] def trainRefLm(docs0: DataFrame): RefLm = {
+    val docs = graft.Tables.fanOut(docs0, col("doc_id")) // guide §2.5
     val ref = bigrams(docs.select(col("doc_id"), col("source"), col("text")))
       .filter(col("source").isin(RefLmSources: _*))
     val cb = ref.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
@@ -129,7 +130,8 @@ object TextQueries {
     * stupid backoff 0.4·P_uni(w2) — total by construction, so every doc
     * gets a finite bits-per-bigram and the keep verdict at 5.2 bits.
     */
-  private[graft] def lmScore(docs: DataFrame, lm: RefLm): DataFrame = {
+  private[graft] def lmScore(docs0: DataFrame, lm: RefLm): DataFrame = {
+    val docs = graft.Tables.fanOut(docs0, col("doc_id")) // guide §2.5
     val docbg = bigrams(docs.select(col("doc_id"), col("text")))
       .groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("occ"))
@@ -187,7 +189,7 @@ object TextQueries {
     // confusion counts.
     Q("x4_langid",
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        val docs = Tables.fanOut(Tables.documents(s, d), col("doc_id")) // §2.5
         val docTok = docs.select(col("doc_id"), col("lang"), explode(tokens).as("tok"))
         val profile = docTok.groupBy(col("lang").as("p_lang"), col("tok").as("p_tok"))
           .agg(count(lit(1)).as("w"))
@@ -353,7 +355,7 @@ object TextQueries {
     // (engine-identical); entropy sums c·log2(c) in engine-specific order,
     // so it ships as round(H·10⁴) BIGINT per the Registry float rules.
     Q("x4g_entropy",
-      (s, d) => Tables.documents(s, d)
+      (s, d) => Tables.fanOut(Tables.documents(s, d), col("doc_id")) // §2.5
         .select(col("doc_id"), col("lang"),
           graft.functions.Kernels.token_stats(col("text")).as("st"))
         .select(col("doc_id"), col("lang"),
@@ -387,7 +389,7 @@ object TextQueries {
     // aggregation keeps the output stable and the verdict hashable.
     Q("x4i_repetition",
       (s, d) => {
-        val base = Tables.documents(s, d)
+        val base = Tables.fanOut(Tables.documents(s, d), col("doc_id")) // §2.5
           .select(col("lang"), split(col("text"), " ").as("w"))
           .withColumn("bg", expr("CASE WHEN size(w) >= 2 THEN " +
             "transform(sequence(1, size(w)-1), i -> concat(element_at(w, i), ' ', element_at(w, i+1))) " +
@@ -472,7 +474,10 @@ object TextQueries {
     // outlier flag derives from the already-rounded value.
     Q("x4h_perplexity",
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        // fanOut: the bigram explode feeds THREE aggregation consumers,
+        // each re-running it from the one-split scan in a single task
+        // (profiled: 3 x ~0.5 s one-task jobs at sf0.1) — see Tables.fanOut
+        val docs = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
         val w = tokens
         val n = size(w)
         val bg = docs.select(col("doc_id"),
@@ -652,7 +657,9 @@ object TextQueries {
     Q("x4l_bpe_apply",
       (s, d) => {
         val merges = loadOrTrainMerges(s, d)
-        Tables.documents(s, d)
+        // fanOut: one kernel call per word must not serialize into the
+        // single fixture split (guide §2.5; see Tables.fanOut)
+        Tables.fanOut(Tables.documents(s, d), col("doc_id"))
           .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
           .filter(length(col("word")) > 0)
           .select(col("doc_id"), size(split(trim(
@@ -779,7 +786,7 @@ object TextQueries {
         val sym = trim(graft.functions.Kernels.bpe_apply(col("word"), merges,
           fromChars = true))
         val toks = split(sym, " ")
-        Tables.documents(s, d)
+        Tables.fanOut(Tables.documents(s, d), col("doc_id")) // guide §2.5
           .select(col("doc_id"), col("lang"),
             explode(split(col("text"), " ")).as("word"))
           .filter(length(col("word")) > 0)
@@ -861,7 +868,8 @@ object TextQueries {
     // the everything-fits degenerate case).
     Q("x4s_heavy_hitters",
       (s, d) => {
-        val grams = heavyHitterGrams(Tables.documents(s, d))
+        val grams = heavyHitterGrams(
+          Tables.fanOut(Tables.documents(s, d), col("doc_id"))) // §2.5
         // three consumers (sketch, recount, total) — one gram scan each is
         // fine at scale, but pinning the exploded frame keeps the fixture
         // run honest about which pass costs what
@@ -1557,7 +1565,10 @@ object TextQueries {
     val vocabIds = bpeVocab(s, d).groupBy(_._2)
       .map { case (t, xs) => (t, xs.map(_._1).min) }.toSeq
       .toDF("token", "token_id")
-    docs
+    // fan the doc frame out before the explode + per-word bpe_apply kernel
+    // chain (r18, guide §2.5): a one-split fixture scan would run the whole
+    // tokenize workload in a single task — see [[graft.Tables.fanOut]]
+    graft.Tables.fanOut(docs, col("doc_id"))
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .toDF("doc_id", "word_pos", "word")
       .filter(length(col("word")) > 0)

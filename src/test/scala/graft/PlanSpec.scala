@@ -116,17 +116,26 @@ class PlanSpec extends SparkSpec {
     assert(!physical(df).contains("Exchange"), physical(df))
   }
 
-  test("x4m token encoding: zero shuffles, ids via broadcast hash join") {
+  test("x4m token encoding: zero token-level shuffles, ids via broadcast hash join") {
     // the scaladoc's 100 TB claim — one kernel call per word, ids via a
     // BROADCAST hash join against the vocab frame (hashed O(1) per
     // subword; a plan-literal map pays GetMapValue's linear key scan), and
-    // never a shuffle; a regression that repartitions or plans the vocab
-    // as a shuffled join shows up as a shuffle Exchange here
+    // never a shuffle of TOKEN rows; a regression that repartitions the
+    // token stream or plans the vocab as a shuffled join shows up as a
+    // non-fan-out shuffle Exchange here. The one exchange the plan is
+    // ALLOWED (r18): Tables.fanOut's explicit REPARTITION_BY_NUM of the
+    // doc rows BELOW the explode — the conditional one-split-fixture
+    // fan-out (identity at production split counts), which moves doc
+    // rows, never tokens.
     val df = Registry.queries("x4m_bpe_encode")(spark, sf)
     val plan = physical(df)
-    assert(!plan.contains("Exchange hashpartitioning") &&
-      !plan.contains("Exchange rangepartitioning") &&
-      !plan.contains("Exchange RoundRobin"), plan)
+    val shuffles = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning") ||
+        l.contains("Exchange rangepartitioning") ||
+        l.contains("Exchange RoundRobin"))
+      .filterNot(_.contains("REPARTITION_BY_NUM"))
+      .toSeq
+    assert(shuffles.isEmpty, plan)
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
