@@ -128,7 +128,16 @@ object SeriesQueries {
   /** The full shortlist + rerank + recall-annotation plan over a series
     * frame; shared by the registration and the spec.
     */
-  private[graft] def seriesKnn(sf: DataFrame): DataFrame = {
+  private[graft] def seriesKnn(sf0: DataFrame): DataFrame = {
+    // pin the series frame ONCE (r18, guide §1/§5): this plan consumes it
+    // six times (query-id collect, PAA shortlist, z join-back, exact truth
+    // set), and each consumer otherwise re-executes the whole upstream
+    // pipeline — for q52p/q52r that is the drained memory sink + the
+    // latest-emission window per consumer (profiled: ~1.2 s of the q52p
+    // post-drain tail was exactly these re-executions). |users| rows of
+    // (z, paa); localCheckpoint blocks are the sanctioned survivor of the
+    // RegistrySpec leak audit.
+    val sf = sf0.localCheckpoint()
     val q = querySide(sf)
       .select(col("user_id").as("q_user"), col("z").as("q_z"), col("paa").as("q_paa"))
     val c = sf.select(col("user_id").as("c_user"), col("z").as("c_z"),
@@ -265,7 +274,8 @@ object SeriesQueries {
     * kernel call per shortlisted pair, exact top-K, recall annotated
     * against the all-candidate DTW truth set.
     */
-  private[ext] def dtwKnn(sf: DataFrame): DataFrame = {
+  private[ext] def dtwKnn(sf0: DataFrame): DataFrame = {
+    val sf = sf0.localCheckpoint() // same six-consumer pin as seriesKnn
     val q = querySide(sf)
       .select(col("user_id").as("q_user"), col("z").as("q_z"),
         envelope(col("z"), array_max).as("u_env"),

@@ -571,7 +571,12 @@ object CoreQueries {
 
     // Q22: multi count-distinct.
     Q("q22_count_distinct",
-      (s, d) => Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+      // fanOut (r18, guide §2.5): the count-distinct plan Expands the
+      // input 3x and partial-aggregates in the scan stage — on the
+      // one-split fixture that whole chain ran in a single task
+      // (profiled ~1 s of a 2 s wall); identity at real split counts
+      (s, d) => Tables.fanOut(Tables.lineitem(s, d), col("l_partkey"))
+        .groupBy("l_returnflag").agg(
         countDistinct(col("l_partkey")).as("n_parts"),
         countDistinct(col("l_suppkey")).as("n_supps"),
         countDistinct(col("l_partkey"), col("l_suppkey")).as("n_ps")),
@@ -581,7 +586,8 @@ object CoreQueries {
     // the declared contract is the tolerance itself: the oracle row matches
     // iff Spark's estimate is within 5% relative error of the exact count.
     Q("q23_approx_distinct",
-      (s, d) => Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+      (s, d) => Tables.fanOut(Tables.lineitem(s, d), col("l_partkey")) // §2.5
+        .groupBy("l_returnflag").agg(
         (abs(approx_count_distinct(col("l_partkey"), 0.02) - countDistinct(col("l_partkey")))
           .cast(DoubleType) / countDistinct(col("l_partkey")).cast(DoubleType) <= 0.05)
           .as("hll_within_5pct")),

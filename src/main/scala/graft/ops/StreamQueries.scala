@@ -148,18 +148,34 @@ object StreamQueries {
     * setting is restored before returning.
     */
   private def drain(df: DataFrame, name: String, mode: String,
-      statePartitions: Int = 8): DataFrame = {
+      statePartitions: Int = 8, noDataBatch: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     val cp = s"$tmpRoot/cp/$name"
     org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(cp).toFile)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNd = spark.conf.get(ndKey)
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    // noDataBatch = false skips the trailing WATERMARK-ADVANCE micro-batch
+    // AvailableNow otherwise schedules after the data is drained (r18,
+    // profiled: that empty batch costs 1.3–1.5 s — a full state-store
+    // commit + eviction sweep per partition — on q50/q52b). Only callers
+    // whose SINK provably does not depend on it may pass false: operators
+    // that EMIT on final watermark advance (append-mode aggregations à la
+    // q49, session windows) need the batch; update-mode dedup and eager
+    // inner stream-stream joins emit every row during data batches and
+    // use the final batch solely to evict state a stopped drain never
+    // reads again.
+    spark.conf.set(ndKey, noDataBatch.toString)
     try {
       val q = df.writeStream.format("memory").queryName(name)
         .outputMode(mode).option("checkpointLocation", cp)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set(ndKey, prevNd)
+    }
     df.sparkSession.table(name)
   }
 
@@ -256,12 +272,31 @@ object StreamQueries {
     */
   private[graft] def withRocksDbStateStore[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
+    // Changelog checkpointing (r18, guide §1/§5: the q52x/q52p profiles
+    // attributed 1.9–2.1 s PER MICRO-BATCH to state commits — RocksDB's
+    // default commit uploads a full SST snapshot per store per batch;
+    // with the changelog, a commit appends only the batch's changed keys
+    // and snapshots move to background maintenance). This is the
+    // documented production posture for RocksDB state stores at ANY
+    // scale — commit cost tracks change volume, not state size — not a
+    // local-mode trick. Fresh checkpoints every run, so no
+    // compatibility-with-old-checkpoint concern.
+    val clKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val prev = s.conf.getOption(key)
+    val prevCl = s.conf.getOption(clKey)
     s.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body finally prev match {
-      case Some(p) => s.conf.set(key, p)
-      case None => s.conf.unset(key)
+    s.conf.set(clKey, "true")
+    try body finally {
+      prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None => s.conf.unset(key)
+      }
+      prevCl match {
+        case Some(p) => s.conf.set(clKey, p)
+        case None => s.conf.unset(clKey)
+      }
     }
   }
 
@@ -1979,9 +2014,15 @@ object StreamQueries {
           col("user_id") === col("p_user_id") &&
             col("purchase_ts") >= col("click_ts") &&
             col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+        // noDataBatch = false (r18): inner-join matches emit eagerly in the
+        // data batches (the registration comment above — that is WHY the
+        // AvailableNow drain equals the batch join), so the trailing
+        // watermark-advance batch contributes NOTHING to the sink; it only
+        // evicts state this drain stops before ever reading. Profiled at
+        // 1.3 s (a full 4-stores-per-partition commit + eviction sweep).
         drain(joined.select(col("click_id"), col("purchase_id"),
           col("user_id"), cents(col("value")).as("purchase_cents")),
-          "q52b_sink", "append")
+          "q52b_sink", "append", noDataBatch = false)
       },
       Some("""SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
         CAST(round(b.value * 100) AS BIGINT) AS purchase_cents
