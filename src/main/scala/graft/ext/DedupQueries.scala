@@ -486,7 +486,11 @@ object DedupQueries {
     val shB = bGroups
       .select(col("dig").as("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), shingleSet(col("w")).as("sh")).persist()
-    val bB = lshBuckets(sigsOf(shB))
+    // bB pinned (r18): the cross-index and the within-batch candidate
+    // joins BOTH consume it (the self-join even twice), and each
+    // consumer otherwise re-runs the MinHash signature kernel over the
+    // cached shingle sets — the profile's two ~10 s-task-time jobs
+    val bB = lshBuckets(sigsOf(shB)).persist()
     // batch×index candidates colliding in ≥ 2 bands (x2's cutoff),
     // verified by exact Jaccard — never an all-pairs product
     val crossCand = bB.as("x").join(iBuckets.as("y"), Seq("band", "key"))
@@ -539,7 +543,7 @@ object DedupQueries {
         when(col("dup_of_index"), "dup_index")
           .when(col("dup_in_batch"), "dup_batch")
           .otherwise("new"))
-    (out, Seq(shB))
+    (out, Seq(shB, bB))
   }
 
   /** SimHash pigeonhole LSH pairs at Hamming ≤ 3 over a (doc_id, sim)
@@ -945,7 +949,11 @@ object DedupQueries {
         // join subtree executes once per consumer (measured: most of the
         // query's wall time at fixture scale was this second execution)
         val lshPairs = simhashLshPairs(simReps.unionByName(injected))
-        Caching.withPersistedAll(c.caches :+ lshPairs) {
+        // simReps pinned too (r18): the witness-injection branch otherwise
+        // re-runs the simhash kernel over every representative just to
+        // carry ONE row's signature (profiled: a second full 32-task
+        // kernel pass per run)
+        Caching.withPersistedAll(c.caches :+ simReps :+ lshPairs) {
         val witnessed = lshPairs
           .join(dupGroup.select(col("wa").as("a"), col("wb").as("b")),
             Seq("a", "b"), "left_semi")

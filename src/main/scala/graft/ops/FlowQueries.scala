@@ -34,7 +34,13 @@ object FlowQueries {
     val render: Column => Column =
       if (udfRender) c => IpFunctions.bytesToIpString(IpFunctions.longToIpBytes(c))
       else c => IpFunctions.ip_render(IpFunctions.ip_to_bytes(c))
-    val ev = Tables.events(s, d)
+    // conditional fan-out BEFORE the render projection (r18, guide §2.5):
+    // the one-split events fixture otherwise runs the IP-render kernels
+    // and every downstream pre-shuffle map (edge partial aggs, filters,
+    // LPM probes) in a single task for all ~20 flows-family queries;
+    // identity at production split counts. The exchange carries the raw
+    // 6-column events rows, never the rendered strings.
+    val ev = Tables.fanOut(Tables.events(s, d), col("event_id"))
     val eid = col("event_id")
     val uid = col("user_id")
     val srcIp = lit(167772160L) + pmod(uid * 7919L, lit(200L)) * 65536L +

@@ -53,13 +53,27 @@ class PlanSpec extends SparkSpec {
   test("codegen CIDR predicate stays inside whole-stage codegen") {
     // non-literal cidr: CidrPushdown cannot apply, so the native expression
     // itself runs — and must carry the *(n) whole-stage-codegen marker,
-    // not fall back to interpreted eval
+    // not fall back to interpreted eval. AQE is disabled for THIS explain
+    // only (r18): flows() now carries the conditional fan-out exchange,
+    // which wraps the plan in AdaptiveSparkPlan whose pre-execution render
+    // omits the *(n) markers regardless of actual codegen — the marker
+    // probe needs the non-adaptive render. (The same r18 plan also shows
+    // the ip_in_cidr filter still PUSHED below the fan-out exchange onto
+    // the scan, asserted below.)
     val df = ops.FlowQueries.flows(spark, sf)
       .filter(functions.IpFunctions.ip_in_cidr(col("src_addr"),
         concat(split(col("src_addr"), "\\.").getItem(0), lit(".0.0.0/8"))))
-    val plan = physical(df)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = try physical(df)
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert(plan.linesIterator.exists(l =>
       l.contains("ip_in_cidr") && l.contains("Filter") && l.contains("*(")), plan)
+    // the fan-out exchange must not lift the filter off the scan stage:
+    // the codegen'd Filter stays BELOW any Exchange in the plan text
+    val exIdx = plan.linesIterator.indexWhere(_.contains("Exchange"))
+    val fIdx = plan.linesIterator.indexWhere(l =>
+      l.contains("ip_in_cidr") && l.contains("Filter"))
+    assert(exIdx < 0 || fIdx > exIdx, plan)
     // and an address is always inside its own /8
     assert(df.count() == Tables.events(spark, sf).count())
   }
