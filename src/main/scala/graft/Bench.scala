@@ -493,7 +493,23 @@ object Bench {
         java.nio.file.Paths.get(f"BENCH_r${maxRound + 1}%02d_full.json")
       java.nio.file.Files.write(archivePath, full.getBytes("UTF-8"))
     }
-    println(s"""{"metric":"total_all_queries","value":$total,"unit":"sec","n_queries":${ok.size},"calibration":$calibration,"x2d_fixed_point_rounds":$x2dRounds,"ingest":$ingest,"udp_ingest":$udpIngest,"udp_listeners":$udpListeners,"queries":$headline,"full":"${fullPath.toAbsolutePath}","sf":"$sfDir"}""")
+    // The stdout `queries` map carries EVERY timed query as a PLAIN
+    // number (r19, VERDICT r18 #2): the declared driver contract is
+    // `"queries": {"name": sec}`, but r17/r18 printed only the 12-entry
+    // headline map with NESTED {median,min,max,sweep1} objects — the
+    // driver's per-query PERF comparison could not parse it
+    // (PERF_r18.json: per_query {}, prev/now_bench_ok false, empty
+    // scaling block despite an 8-core sweep). Values are min-of-sweeps
+    // rounded to 0.1 ms so the one-line JSON stays well under stdout
+    // truncation (~6 KB for 212 queries); the full-precision map and the
+    // nested headline evidence live in the full file, and the headline
+    // map ADDITIONALLY rides the line as `queries_headline` so no
+    // previously-printed number disappears.
+    val qsLine = results
+      .map { case (k, v) =>
+        "\"" + k + "\":" + (if (v < 0) "-1.0" else f"$v%.4f") }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total_all_queries","value":$total,"unit":"sec","n_queries":${ok.size},"calibration":$calibration,"x2d_fixed_point_rounds":$x2dRounds,"ingest":$ingest,"udp_ingest":$udpIngest,"udp_listeners":$udpListeners,"queries":$qsLine,"queries_headline":$headline,"full":"${fullPath.toAbsolutePath}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -763,8 +763,9 @@ object TextQueries {
               .join(verdict.filter(!col("contaminated")).select("doc_id"),
                 Seq("doc_id"))
               .select(col("doc_id"), col("text"))
+            // packTokenSeqs is eager (returns its own seq-sized
+            // localCheckpoint), so the caches can release on return
             packTokenSeqs(tokenStreamFrom(s, cleanDocs, d), 64L)
-              .localCheckpoint() // eager: caches release on return
           } finally vCaches.foreach(_.unpersist())
         } finally idxCaches.foreach(_.unpersist())
       },
@@ -1230,16 +1231,20 @@ object TextQueries {
             // substring containment of " l r " is whole-symbol adjacency
             val affPred = picks.map(p =>
               col("sym").contains(s" ${p._1} ${p._2} ")).reduce(_ || _)
-            // pin aff: it has three consumers (kernel rewrite, the
-            // delta's before-side recount — and without the pin each
-            // would re-scan the whole words frame for the filter)
-            val aff = words.filter(affPred).localCheckpoint()
-            pinned += aff
-            val newAff = aff.select(graft.functions.Kernels.bpe_apply(
-                col("sym"), picks.map(p => (p._1, p._2)),
-                fromChars = false).as("sym"),
-              col("cnt")).localCheckpoint()
-            pinned += newAff
+            // ONE fused checkpoint carrying both the affected rows and
+            // their rewrites (r19, VERDICT r18 #7 job-count cut): the
+            // r18 shape materialized `aff` and then `newAff` as two
+            // eager jobs per round; the delta's before-side reads
+            // (sym, cnt), the after-side and the vocab update read
+            // (nsym → sym, cnt) — both are projections of this one frame
+            val aff2 = words.filter(affPred)
+              .select(col("sym"), graft.functions.Kernels.bpe_apply(
+                  col("sym"), picks.map(p => (p._1, p._2)),
+                  fromChars = false).as("nsym"),
+                col("cnt")).localCheckpoint()
+            pinned += aff2
+            val aff = aff2.select(col("sym"), col("cnt"))
+            val newAff = aff2.select(col("nsym").as("sym"), col("cnt"))
             ledger.foreach(_ += ((round, newAff.count(), totalWords)))
             val delta = adjacentPairCounts(newAff).withColumnRenamed("c", "ca")
               .join(adjacentPairCounts(aff).withColumnRenamed("c", "cb"),
@@ -1682,39 +1687,49 @@ object TextQueries {
     * recomputing a cheap map beats materializing the token stream; the
     * prefix-sum side is doc-count-sized.
     */
-  private[graft] def packTokenSeqs(toks: DataFrame, L: Long): DataFrame = {
-    val wDoc = Window.partitionBy(col("doc_id"))
-      .orderBy(col("word_pos"), col("sub_pos"))
-    val wi = toks.withColumn("widx",
-      row_number().over(wDoc).cast(LongType) - 1L)
-    // deterministic interpolated buckets, not repartitionByRange +
-    // spark_partition_id (r14 review finding — see [[RangeBuckets]]):
-    // `counts` feeds two consumers, and sampled boundaries could diverge
-    // between them if the shuffle ever evaluated twice
-    val counts = RangeBuckets.longKey(
-      toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok")), "doc_id", 8)
-    val wOff = Window.orderBy(col("pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = counts.groupBy("pid").agg(sum(col("n_tok")).as("psum"))
-      .withColumn("offset", coalesce(sum(col("psum")).over(wOff), lit(0L)))
-      .select("pid", "offset") // ≤ #partitions rows — broadcastable
-    val wLocal = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val docOff = counts.join(broadcast(offsets), "pid")
-      .withColumn("doc_off",
-        coalesce(sum(col("n_tok")).over(wLocal), lit(0L)) + col("offset"))
-      .select("doc_id", "doc_off")
-    wi.join(docOff, "doc_id")
-      .withColumn("gidx", col("doc_off") + col("widx"))
-      .withColumn("seq_id", floor(col("gidx") / L))
-      .withColumn("pos", col("gidx") % L)
-      .groupBy("seq_id")
-      .agg(count(lit(1)).as("n_tok"),
-        countDistinct(col("doc_id")).as("n_docs"),
-        min(col("doc_id")).as("first_doc"),
-        sum(col("token_id").cast(LongType) * (col("pos") + 1L))
-          .as("order_checksum"))
-  }
+  private[graft] def packTokenSeqs(toks: DataFrame, L: Long): DataFrame =
+    // the token stream feeds TWO consumers — the per-doc counts for the
+    // prefix sum, and the window-indexed stream itself — and each would
+    // otherwise re-run the tokenize explode + per-word bpe_apply kernel
+    // chain, the composed pipeline's most expensive stage (r19 profile:
+    // two ~0.5–0.9 s / 14–22 s-task-time executions per x10c run). Pin it
+    // once; the returned frame is seq-count-sized (tokens/L rows) and
+    // eagerly checkpointed so the token-stream pin releases on return —
+    // the Caching.withLocalCheckpointed contract (guide §5).
+    Caching.withLocalCheckpointed(toks) { case Seq(tk) =>
+      val wDoc = Window.partitionBy(col("doc_id"))
+        .orderBy(col("word_pos"), col("sub_pos"))
+      val wi = tk.withColumn("widx",
+        row_number().over(wDoc).cast(LongType) - 1L)
+      // deterministic interpolated buckets, not repartitionByRange +
+      // spark_partition_id (r14 review finding — see [[RangeBuckets]]):
+      // `counts` feeds two consumers, and sampled boundaries could diverge
+      // between them if the shuffle ever evaluated twice
+      val counts = RangeBuckets.longKey(
+        tk.groupBy("doc_id").agg(count(lit(1)).as("n_tok")), "doc_id", 8)
+      val wOff = Window.orderBy(col("pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = counts.groupBy("pid").agg(sum(col("n_tok")).as("psum"))
+        .withColumn("offset", coalesce(sum(col("psum")).over(wOff), lit(0L)))
+        .select("pid", "offset") // ≤ #partitions rows — broadcastable
+      val wLocal = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val docOff = counts.join(broadcast(offsets), "pid")
+        .withColumn("doc_off",
+          coalesce(sum(col("n_tok")).over(wLocal), lit(0L)) + col("offset"))
+        .select("doc_id", "doc_off")
+      wi.join(docOff, "doc_id")
+        .withColumn("gidx", col("doc_off") + col("widx"))
+        .withColumn("seq_id", floor(col("gidx") / L))
+        .withColumn("pos", col("gidx") % L)
+        .groupBy("seq_id")
+        .agg(count(lit(1)).as("n_tok"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("first_doc"),
+          sum(col("token_id").cast(LongType) * (col("pos") + 1L))
+            .as("order_checksum"))
+        .localCheckpoint()
+    }
 
   private def packTokensOracle: String =
     s"""WITH $bpeTokenCtes,

@@ -30,17 +30,29 @@ object FlowQueries {
     * WholeStageCodegen span); `udfRender = true` switches to the Scala-UDF
     * chain — q54's declared UDF surface, under the same oracle.
     */
-  def flows(s: SparkSession, d: String, udfRender: Boolean = false): DataFrame = {
+  def flows(s: SparkSession, d: String, udfRender: Boolean = false,
+      fan: Boolean = true): DataFrame = {
     val render: Column => Column =
       if (udfRender) c => IpFunctions.bytesToIpString(IpFunctions.longToIpBytes(c))
       else c => IpFunctions.ip_render(IpFunctions.ip_to_bytes(c))
     // conditional fan-out BEFORE the render projection (r18, guide §2.5):
     // the one-split events fixture otherwise runs the IP-render kernels
     // and every downstream pre-shuffle map (edge partial aggs, filters,
-    // LPM probes) in a single task for all ~20 flows-family queries;
+    // LPM probes) in a single task for the kernel-heavy flows consumers;
     // identity at production split counts. The exchange carries the raw
     // 6-column events rows, never the rendered strings.
-    val ev = Tables.fanOut(Tables.events(s, d), col("event_id"))
+    //
+    // PER-CONSUMER, not blanket (r19, VERDICT r18 #1): a light
+    // groupBy-sum over the fixture doesn't have enough pre-shuffle kernel
+    // work to amortize the added exchange — the driver's cold bench showed
+    // qf1 0.60→0.86 s, qf2 0.58→0.76, qf4 0.43→0.69, q54c 0.22→0.30 under
+    // the r18 blanket fan-out while the heavies (qf6 3.16×, q22/q23
+    // 1.6–1.7×, q27c, qf11) won. Consumers whose per-row kernel chain IS
+    // the cost (percentile maps, explodes, the salted-join pair build,
+    // LPM probes, the NDJSON write) keep `fan = true`; the single-stage
+    // aggregates pass `fan = false` and keep their one-exchange plans.
+    val ev0 = Tables.events(s, d)
+    val ev = if (fan) Tables.fanOut(ev0, col("event_id")) else ev0
     val eid = col("event_id")
     val uid = col("user_id")
     val srcIp = lit(167772160L) + pmod(uid * 7919L, lit(200L)) * 65536L +
@@ -131,12 +143,33 @@ object FlowQueries {
       .foreach(_.unpersist(blocking = false))
 
   private def buildGraph(f: DataFrame): FlowGraph = {
+    // graph members checkpointed HASH-PARTITIONED AND SORTED on their
+    // iteration join key (r19, guide §2.4): localCheckpoint preserves
+    // outputPartitioning/ordering, so every round's edges ⋈ outW ⋈ ranks
+    // join on `u` plans with ZERO exchanges and ZERO sorts (ranks arrive
+    // hash(addr)-partitioned and addr-sorted from the previous round's
+    // sort-merge join — alias-aware under the addr→u rename), and the
+    // only per-round exchange left is the contribution groupBy(v) —
+    // the fundamental one. Previously the edge frame (the graph's
+    // biggest) re-shuffled by u every single round.
+    // explicit partition count (REPARTITION_BY_NUM): a bare
+    // repartition(col) is AQE-coalescible, and a coalesced checkpoint
+    // would record a partitioning the per-round joins can't line up with
+    val sc = f.sparkSession.sparkContext
+    val p = f.sparkSession.sessionState.conf.numShufflePartitions
+    sc.setJobDescription("pagerank: edges build") // §1.5 job labels
     val edges = f.groupBy(col("src_addr").as("u"), col("dst_addr").as("v"))
-      .agg(count(lit(1)).as("w")).localCheckpoint()
+      .agg(count(lit(1)).as("w"))
+      .repartition(p, col("u")).sortWithinPartitions("u").localCheckpoint()
+    // edges is already hash(u): the groupBy(u) below plans NO exchange
+    sc.setJobDescription("pagerank: out-weights")
     val outW = edges.groupBy(col("u")).agg(sum(col("w")).as("wu"))
-      .localCheckpoint()
+      .sortWithinPartitions("u").localCheckpoint()
+    sc.setJobDescription("pagerank: nodes")
     val nodes = edges.select(col("u").as("addr"))
-      .union(edges.select(col("v").as("addr"))).distinct().localCheckpoint()
+      .union(edges.select(col("v").as("addr"))).distinct()
+      .sortWithinPartitions("addr").localCheckpoint()
+    sc.setJobDescription(null)
     FlowGraph(edges, outW, nodes, nodes.agg(count(lit(1)).as("n")))
   }
 
@@ -147,13 +180,16 @@ object FlowQueries {
 
   private[graft] def pageRank(f: DataFrame, iters: Int): DataFrame = {
     val g = buildGraph(f)
+    val sc = f.sparkSession.sparkContext
     try {
       var r = initRanks(g)
-      for (_ <- 1 to iters) {
+      for (i <- 1 to iters) {
+        sc.setJobDescription(s"pagerank: round $i")
         val next = pageRankStep(r, g)
         releaseBacking(r) // next is eager — the previous round's blocks can go
         r = next
       }
+      sc.setJobDescription(null)
       r
     } finally g.release()
   }
@@ -262,7 +298,9 @@ object FlowQueries {
     // octet arithmetic, and keeps the hot normalize expression oracle-tested
     // in batch as well as through the q45c/d/e ingest paths.
     Q("q54c_native_ip",
-      (s, d) => flows(s, d)
+      // fan = false (r19): a pure render projection with no downstream
+      // shuffle — the fan-out exchange was pure tax (driver: 0.22→0.30 s)
+      (s, d) => flows(s, d, fan = false)
         .select("sequence_num", "src_addr", "dst_addr", "src_port", "dst_port"),
       Some(s"$FlowsCte SELECT sequence_num, src_addr, dst_addr, src_port, dst_port FROM flows")),
 
@@ -282,7 +320,9 @@ object FlowQueries {
     // tcp_flags (`main.go:71` semantics) per protocol; WeightedAvgAgg is a
     // packets-weighted mean of bytes with exact integer partials.
     Q("q55_udaf_bitor",
-      (s, d) => flows(s, d).groupBy("proto").agg(
+      // fan = false (r19): one keyed aggregation with capacity-bounded
+      // typed-UDAF partials — no kernel chain to amortize the exchange
+      (s, d) => flows(s, d, fan = false).groupBy("proto").agg(
         Aggregators.bit_or_agg(col("tcp_flags").cast(LongType)).as("flags_or"),
         Aggregators.weighted_avg(col("bytes"), col("packets")).as("w_avg_bytes")),
       Some(s"""$FlowsCte SELECT proto, bit_or(CAST(tcp_flags AS BIGINT)) AS flags_or,
@@ -315,7 +355,9 @@ object FlowQueries {
     // sampling-rate scale-up + hash agg + top-k, exactly the shape the
     // reference's ClickHouse deployment exists to serve.
     Q("qf1_top_talkers",
-      (s, d) => flows(s, d)
+      // fan = false (r19, VERDICT r18 #1): single groupBy-sum + top-k —
+      // the r18 blanket fan-out cost 0.60→0.86 s for nothing
+      (s, d) => flows(s, d, fan = false)
         .groupBy("src_addr")
         .agg(sum(col("bytes") * col("sampling_rate")).as("est_bytes"),
           sum(col("packets") * col("sampling_rate")).as("est_packets"),
@@ -337,7 +379,9 @@ object FlowQueries {
     // bucket width only changes group cardinality, never the plan shape:
     // one keyed shuffle with map-side partial aggregation either way.
     Q("qf2_traffic_matrix",
-      (s, d) => flows(s, d)
+      // fan = false (r19, VERDICT r18 #1): one keyed shuffle with
+      // map-side combine — the exchange bought nothing (0.58→0.76 s)
+      (s, d) => flows(s, d, fan = false)
         .groupBy(col("proto"), col("dst_port"),
           ((col("time_received") / 3600L).cast(LongType) * 3600L).as("hour"))
         .agg(sum("bytes").as("sum_bytes"), count(lit(1)).as("n_flows"))
@@ -368,7 +412,9 @@ object FlowQueries {
     // TCP-flag analysis: SYN-without-ACK flows per source (tcp_flags is the
     // OR of flags over the flow, `main.go:71`; SYN=0x02, ACK=0x10).
     Q("qf4_syn_no_ack",
-      (s, d) => flows(s, d)
+      // fan = false (r19, VERDICT r18 #1): filter + one keyed count —
+      // single-stage shape (0.43→0.69 s under the blanket fan-out)
+      (s, d) => flows(s, d, fan = false)
         .filter(col("proto") === 6 &&
           col("tcp_flags").bitwiseAND(2) =!= 0 &&
           col("tcp_flags").bitwiseAND(16) === 0)
@@ -755,7 +801,9 @@ object FlowQueries {
 
     // Flow direction × protocol rollup with sampling-rate scale-up.
     Q("qf5_direction_rollup",
-      (s, d) => flows(s, d)
+      // fan = false (r19, VERDICT r18 #1): tiny rollup over 8 groups —
+      // map-side partials collapse everything before the one exchange
+      (s, d) => flows(s, d, fan = false)
         .rollup("flow_direction", "proto")
         .agg(sum(col("bytes") * col("sampling_rate")).as("est_bytes"),
           grouping_id().as("gid")),

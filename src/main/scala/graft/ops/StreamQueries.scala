@@ -476,11 +476,14 @@ object StreamQueries {
     * The happy path reads NOTHING back from disk: the returned closure
     * carries the running sketch, the exact gram total, and the cum fold
     * in memory ([[HhCadenceState]]), used only when the incoming batch
-    * id is exactly lastId + 1. Steady-state cost per micro-batch is 3
-    * jobs + 2 capacity-bounded writes (rows, fused sketch+total agg,
-    * sketch gen), with 3 more at firings (window semi-join, cum gen, hh
-    * artifact) — roughly half r16's 6–7 jobs + 3 writes every batch; the
-    * ledger's `jobs` column is the measured evidence. A restart or
+    * id is exactly lastId + 1. Steady-state cost per micro-batch is 2
+    * Spark jobs (rows write, fused sketch+total agg) + one DRIVER-side
+    * parquet write of the capacity-bounded sketch gen ([[DriverParquet]],
+    * r19 — the r17 shape ran the sketch/cum/hh writes as single-task
+    * Spark jobs, one scheduling + commit-protocol round trip each for a
+    * couple of KB), with 1 more job at firings (window semi-join) plus
+    * two driver-side writes (cum gen, hh artifact); the ledger's `jobs`
+    * column is the measured evidence. A restart or
     * whole-batch replay misses the cache and rebuilds exactly: the
     * sketch from the per-batch generation strictly below id, the cum +
     * total from the newest durable cum generation plus a re-fold of the
@@ -650,9 +653,10 @@ object StreamQueries {
         val batchTotal = skRow.getLong(1)
         val merged = agg.merge(prev, sk)
         val newTotal = prevTotal + batchTotal
-        merged.toSeq.toDF("gram", "cnt")
-          .coalesce(1).write.mode("overwrite").parquet(s"$skDir/batch=$id")
-        jobs += 1
+        // capacity-bounded driver map → driver-side parquet (r19, VERDICT
+        // r18 #3): no Spark job, no commit protocol — see [[DriverParquet]]
+        DriverParquet.overwriteKV(s, s"$skDir/batch=$id", "gram", "cnt",
+          merged.toSeq)
         var newCum = prevCum
         var newGenId = prevGenId
         var entrantsN = 0L
@@ -766,17 +770,18 @@ object StreamQueries {
           // raw history dirs read — the statistic the tier eliminates
           histRead =
             if (entrants.isEmpty || tierDir != null) 0L else id + 1
-          (newCum.toSeq :+ (CumTotalKey -> newTotal)).toDF("gram", "cnt")
-            .coalesce(1).write.mode("overwrite").parquet(s"$cumDir/batch=$id")
-          jobs += 1
+          // driver-resident fold → driver-side parquet writes (r19): the
+          // cum generation and the θ-filtered hh artifact are ≤
+          // capacity+1 rows already in memory — two Spark jobs per firing
+          // replaced by two local file writes (see [[DriverParquet]])
+          DriverParquet.overwriteKV(s, s"$cumDir/batch=$id", "gram", "cnt",
+            newCum.toSeq :+ (CumTotalKey -> newTotal))
           // the artifact is a pure θ-filter of the fold
-          newCum.toSeq
-            .filter { case (_, c) => c * thetaInv >= newTotal }
-            .map { case (g, c) => (g, c, c * 1000000L / newTotal) }
-            .toDF("gram", "cnt", "ppm")
-            .coalesce(1).write.mode("overwrite")
-            .parquet(s"$hhDir/batch=$id")
-          jobs += 1
+          DriverParquet.overwrite(s, s"$hhDir/batch=$id", "gram",
+            Seq("cnt", "ppm"),
+            newCum.toSeq
+              .filter { case (_, c) => c * thetaInv >= newTotal }
+              .map { case (g, c) => (g, Seq(c, c * 1000000L / newTotal)) })
           // tier maintenance LAST — the cum gen is durable, so a crash
           // anywhere in here leaves no orphan fragment (the sweep above
           // only fires for crashes BEFORE the cum write), and maintain's
@@ -833,8 +838,10 @@ object StreamQueries {
     * the firing fold read (≤ recountEvery crash-free, ≤ 2·recountEvery−1
     * on the crash path — the gate only observes crash-free runs; ADVICE
     * r17 wording), and how many Spark jobs the batch cost end to end
-    * (the r17 happy-path budget: 3 steady, 6 at firings — VERDICT r16
-    * #2's "roughly halved" evidence vs r16's 6–7 every batch).
+    * (the r19 happy-path budget: 2 steady, 3 at firings — the
+    * capacity-bounded artifact writes moved to the driver-side
+    * [[DriverParquet]] path and cost no job at all; r17 ran 3/6, r16 ran
+    * 6–7 every batch).
     */
   private[graft] final case class CumLedgerRow(batchId: Long, entrants: Long,
       histBatchesRead: Long, fired: Boolean,
@@ -951,9 +958,10 @@ object StreamQueries {
             }
           }
         val merged = agg.merge(prev, sk)
-        merged.toSeq.toDF("src_addr", "w")
-          .coalesce(1).write.mode("overwrite").parquet(s"$skDir/batch=$id")
-        jobs += 1
+        // capacity-bounded driver map → driver-side parquet (r19, VERDICT
+        // r18 #3) — see [[DriverParquet]]
+        DriverParquet.overwriteKV(s, s"$skDir/batch=$id", "src_addr", "w",
+          merged.toSeq)
         val newTotals = (prevTB + bt._1, prevTF + bt._2)
         // firing-granularity cadence fold, heavyHitterSketchWriter's r17
         // device on the flows domain (weights replace unit increments):
@@ -1069,18 +1077,19 @@ object StreamQueries {
           // raw history dirs read — the statistic the tier eliminates
           histRead =
             if (entrants.isEmpty || tierDir != null) 0L else id + 1
-          (newCum.toSeq.map { case (a, (sb, nf)) => (a, sb, nf) } :+
-            ((CumTotalKey, newTotals._1, newTotals._2)))
-            .toDF("src_addr", "sum_bytes", "n_flows")
-            .coalesce(1).write.mode("overwrite").parquet(s"$cumDir/batch=$id")
-          jobs += 1
-          newCum.toSeq
-            .filter { case (_, (sb, _)) => sb * FlowHhThetaInv >= newTotals._1 }
-            .map { case (a, (sb, nf)) =>
-              (a, sb, nf, sb * 1000000L / newTotals._1) }
-            .toDF("src_addr", "sum_bytes", "n_flows", "ppm")
-            .coalesce(1).write.mode("overwrite").parquet(s"$hhDir/batch=$id")
-          jobs += 1
+          // driver-resident fold → driver-side parquet writes (r19) —
+          // see [[DriverParquet]]
+          DriverParquet.overwrite(s, s"$cumDir/batch=$id", "src_addr",
+            Seq("sum_bytes", "n_flows"),
+            newCum.toSeq.map { case (a, (sb, nf)) => (a, Seq(sb, nf)) } :+
+              ((CumTotalKey, Seq(newTotals._1, newTotals._2))))
+          DriverParquet.overwrite(s, s"$hhDir/batch=$id", "src_addr",
+            Seq("sum_bytes", "n_flows", "ppm"),
+            newCum.toSeq
+              .filter { case (_, (sb, _)) =>
+                sb * FlowHhThetaInv >= newTotals._1 }
+              .map { case (a, (sb, nf)) =>
+                (a, Seq(sb, nf, sb * 1000000L / newTotals._1)) })
           // tier maintenance LAST — the cum gen is durable, so a crash
           // in here leaves no orphan fragment (the sweep only fires for
           // crashes BEFORE the cum write); the fold re-aggregates BOTH
@@ -2540,9 +2549,11 @@ object StreamQueries {
         val cand = s.read.parquet(fin).select(col("gram"))
         // pin the gram frame across the recount's two consumers (counts +
         // total) like x4s does — without it each consumer re-runs the
-        // corpus-sized trigram explode (r14 review finding)
-        val grams = graft.ext.TextQueries
-          .heavyHitterGrams(Tables.documents(s, d))
+        // corpus-sized trigram explode (r14 review finding); fanOut like
+        // x4s too (r19 — profiled: the recount ran as two ~370 ms
+        // ONE-task jobs on the one-split fixture scan, guide §2.5)
+        val grams = graft.ext.TextQueries.heavyHitterGrams(
+          Tables.fanOut(Tables.documents(s, d), col("doc_id")))
         graft.ext.Caching.withPersisted(grams) {
           graft.ext.TextQueries.heavyHitterRecount(grams, cand)
             .localCheckpoint() // ≤ 1/θ rows; eager so the cache can go

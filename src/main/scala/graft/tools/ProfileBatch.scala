@@ -60,10 +60,16 @@ object ProfileBatch {
         jobStart.remove(e.jobId).foreach { case (t0, site, desc) =>
           val sids = stageOfJob.filter(_._2 == e.jobId).keys
           val infos = sids.flatMap(stageInfo.get)
-          rows += JobRow(e.jobId, site,
-            (System.nanoTime() - t0) / 1000000L,
-            infos.map(_._1).sum, infos.map(_._2).sum,
-            infos.map(_._3).sum, desc)
+          // rows is read/cleared by the main thread under rows' own
+          // monitor — use the SAME lock here (ADVICE r18: the listener
+          // callbacks held the listener's monitor instead, so there was
+          // no mutual exclusion with the main thread at all)
+          rows.synchronized {
+            rows += JobRow(e.jobId, site,
+              (System.nanoTime() - t0) / 1000000L,
+              infos.map(_._1).sum, infos.map(_._2).sum,
+              infos.map(_._3).sum, desc)
+          }
         }
       }
     }
@@ -87,8 +93,13 @@ object ProfileBatch {
         f"driver gap ${wall - rs.map(_.wallMs).sum / 1000.0}%.3f s ==")
       println("  wallMs tasks taskTimeMs shufMB  site")
       rs.sortBy(-_.wallMs).take(30).foreach { r =>
+        // the §1.5 job description, when set, names the phase far better
+        // than the submitting call site (AQE stage jobs all share the
+        // withThreadLocalCaptured site)
+        val label = (if (r.desc.nonEmpty) r.desc else r.site)
+          .replace('\n', ' ') // streaming batch descriptions are multi-line
         println(f"  ${r.wallMs}%6d ${r.tasks}%5d ${r.taskTimeMs}%10d " +
-          f"${r.shuffleReadMB}%6.1f  ${r.site.take(90)}%s")
+          f"${r.shuffleReadMB}%6.1f  ${label.take(90)}%s")
       }
     }
     spark.stop()
