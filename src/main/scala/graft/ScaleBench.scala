@@ -1241,11 +1241,14 @@ object ScaleBench {
       // crash between a firing's rows write and its cum-gen write widens
       // the NEXT window to ≤ 2·recountEvery−1 — still bounded, still
       // exact; ADVICE r17 wording), and the happy-path job budget holds —
-      // 3 jobs on non-firing batches, ≤ 6 at firings (+1 only while
-      // entrants still catch up), vs r16's 6–7 every batch
+      // r19: 2 jobs on non-firing batches (rows write + fused agg; the
+      // capacity-bounded sketch gen moved to the driver-side
+      // DriverParquet path and costs no job), ≤ 4 at firings (+ window
+      // semi-join, +1 only while entrants still catch up), vs r17's 3/6
+      // and r16's 6–7 every batch
       val windowOk = rowsL.forall(r =>
         r.windowBatchesRead <= (if (r.fired) 2L else 0L))
-      val jobsOk = tail.forall(r => r.jobs <= (if (r.fired) 6L else 3L))
+      val jobsOk = tail.forall(r => r.jobs <= (if (r.fired) 4L else 2L))
       val ok = rowsL.size == nB && rowsL.count(_.fired) == nB / 2 &&
         tail.forall(r => r.entrants == 0L && r.histBatchesRead == 0L) &&
         windowOk && jobsOk && parity
@@ -1675,7 +1678,7 @@ object ScaleBench {
         s""""serve_parity":$hhCadParity,""" +
         s""""gate":"20 batches AND 10 firings AND entrants==0 AND """ +
         s"""hist_reads==0 from batch 8 AND window<=recountEvery at every """ +
-        s"""firing AND jobs<=3 steady / <=6 at firings from batch 8 AND """ +
+        s"""firing AND jobs<=2 steady / <=4 at firings from batch 8 AND """ +
         s"""final artifact == exact recount",""" +
         s""""ok":$hhCadOk},""" +
         s""""hh_churn_tiered_30x":{"batches":${hhChurnLedger.size},""" +

@@ -27,6 +27,24 @@ object Caching {
     try build finally frames.foreach(_.unpersist())
   }
 
+  /** Persist `df` and materialize the cache NOW (r19, guide §5): a
+    * LAZILY persisted kernel frame whose first action is a self-join (the
+    * LSH candidate shape — buckets.as("x") ⋈ buckets.as("y")) populates
+    * the cache from BOTH join stages concurrently, and InMemoryRelation's
+    * get-or-compute has no cross-task dedup — each side's task recomputes
+    * any partition the other side hasn't finished, so the expensive
+    * signature kernel runs ~twice (profiled on x2b/x2e: duplicated
+    * 8–15 s-task-time kernel passes inside the band-join job). One cheap
+    * count() materializes every partition exactly once with full
+    * parallelism; the join stages then only read. Release stays the
+    * caller's withPersisted/unpersist responsibility.
+    */
+  def eager(df: DataFrame): DataFrame = {
+    df.persist()
+    df.count()
+    df
+  }
+
   /** The same lifecycle discipline for `localCheckpoint` pins (ADVICE
     * r12): checkpoint `frames` eagerly, hand the pinned frames to
     * `build` — which must return an EAGERLY materialized result that no

@@ -235,10 +235,12 @@ object DedupQueries {
     val reps = docs.groupBy("dig")
       .agg(min(struct(col("doc_id"), col("text"))).as("r"))
       .select(col("dig"), col("r.doc_id").as("doc_id"), col("r.text").as("text"))
-    val shReps = reps
+    // EAGER pin (r19, guide §5 / Caching.eager): the first consumer is
+    // the LSH band SELF-join — a lazy persist would populate this cache
+    // from both join stages concurrently and run the shingle kernel ~2×
+    val shReps = Caching.eager(reps
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), shingleSet(col("w")).as("sh"))
-      .persist()
+      .select(col("doc_id"), shingleSet(col("w")).as("sh")))
     val repPairs = verifyPairs(lshCandidates(minhashSigs(shReps)), shReps, 0.8)
     // membership ((digest, doc_id) per doc) sits on every reconstruction
     // path — clique pairs, cross expansion, star edges — and is re-joined
@@ -413,9 +415,12 @@ object DedupQueries {
     val iGroups = index.groupBy("dig")
       .agg(min(struct(col("doc_id"), col("text"))).as("r"))
       .select(col("dig"), col("r.text").as("text"))
-    val shI = iGroups
+    // eager (r19, Caching.eager): iBuckets and shIdx both read this
+    // inside one verdict job — a lazy persist races them into the
+    // shingle kernel twice
+    val shI = Caching.eager(iGroups
       .select(col("dig").as("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), shingleSet(col("w")).as("sh")).persist()
+      .select(col("doc_id"), shingleSet(col("w")).as("sh")))
     val iBuckets = lshBuckets(sigsOf(shI)).withColumnRenamed("doc_id", "idig")
     val shIdx = shI.select(col("doc_id").as("b"), col("sh").as("shb"))
     (indexDigs, iBuckets, shIdx, Seq(shI))
@@ -453,9 +458,11 @@ object DedupQueries {
     val bGroups = batch.groupBy("dig")
       .agg(min(struct(col("doc_id"), col("text"))).as("r"))
       .select(col("dig"), col("r.text").as("text"))
-    val shB = bGroups
+    // eager (r19, Caching.eager): the candidate join and the verify
+    // join's sha side read this in one job — lazy persist = kernel ×2
+    val shB = Caching.eager(bGroups
       .select(col("dig").as("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), shingleSet(col("w")).as("sh")).persist()
+      .select(col("doc_id"), shingleSet(col("w")).as("sh")))
     val bB = lshBuckets(sigsOf(shB))
     val crossCand = bB.as("x").join(iBuckets.as("y"), Seq("band", "key"))
       .groupBy(col("x.doc_id").as("a"), col("idig").as("b"))
@@ -483,13 +490,15 @@ object DedupQueries {
       .select(col("dig"), col("gmin"), col("r.text").as("text"))
     // near-dup stage: LSH over distinct texts (dig as the key; the
     // sig/bucket helpers key on a "doc_id" column, so alias)
-    val shB = bGroups
+    val shB = Caching.eager(bGroups
       .select(col("dig").as("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), shingleSet(col("w")).as("sh")).persist()
+      .select(col("doc_id"), shingleSet(col("w")).as("sh")))
     // bB pinned (r18): the cross-index and the within-batch candidate
-    // joins BOTH consume it (the self-join even twice), and each
-    // consumer otherwise re-runs the MinHash signature kernel over the
-    // cached shingle sets — the profile's two ~10 s-task-time jobs
+    // joins BOTH consume it. LAZY on purpose (r19): the expensive kernel
+    // sits under shB — which IS eager now — so bB's own population is a
+    // cheap explode over cached shingles, and racing it across the
+    // concurrent candidate stages overlaps on idle cores, where an eager
+    // count would serialize an extra pass in front of them
     val bB = lshBuckets(sigsOf(shB)).persist()
     // batch×index candidates colliding in ≥ 2 bands (x2's cutoff),
     // verified by exact Jaccard — never an all-pairs product
@@ -931,8 +940,10 @@ object DedupQueries {
         // must produce it; a dropped band-key column, a broken chunk
         // extraction, or a lost collapse all fail the witness.
         val c = collapsedLsh(s, d)
-        val simReps = c.shReps.select(col("doc_id"),
-          graft.functions.Kernels.simhash_sig(col("sh")).as("sim"))
+        // eager (r19): the pigeonhole chunk SELF-join would otherwise
+        // race both band stages into the simhash kernel (Caching.eager)
+        val simReps = Caching.eager(c.shReps.select(col("doc_id"),
+          graft.functions.Kernels.simhash_sig(col("sh")).as("sim")))
         // deterministic witness group: smallest digest among duplicate
         // groups; (min, max) doc_ids form a real pair and min IS the
         // group representative (reps take the min-doc_id struct)
@@ -944,10 +955,12 @@ object DedupQueries {
         val injected = dupGroup
           .join(simReps, col("doc_id") === col("wa"))
           .select(col("wb").as("doc_id"), col("sim"))
-        // persisted: consumed TWICE below (the witness semi-join and the
-        // full pair-count anchor) — without the pin the simhash + band
-        // join subtree executes once per consumer (measured: most of the
-        // query's wall time at fixture scale was this second execution)
+        // persisted (r18): consumed TWICE below (the witness semi-join
+        // and the full pair-count anchor). LAZY on purpose (r19
+        // measured): an eager count here serializes a full extra
+        // band-join pass in front of the final job, and the two
+        // consumers' concurrent cache population overlaps on idle cores
+        // — the eager variant regressed x2b 3.50→4.12 s
         val lshPairs = simhashLshPairs(simReps.unionByName(injected))
         // simReps pinned too (r18): the witness-injection branch otherwise
         // re-runs the simhash kernel over every representative just to

@@ -710,6 +710,9 @@ object PipelineQueries {
           .select(col("doc_id"),
             md5(when(pmod(col("doc_id"), lit(10)) === 7,
               substring(col("text"), 1, 40)).otherwise(col("text"))).as("old_dg"))
+        // NOT cached (r19 measured: an eager pin here made the query
+        // ~1.3 s SLOWER — the diff join is cheap to recompute, and the
+        // pin serialized the downstream consumers behind one populate)
         val classified = newS.join(oldS, Seq("doc_id"), "left")
           .select(col("doc_id"), col("text"), col("dig"),
             when(col("old_dg").isNull, "added")

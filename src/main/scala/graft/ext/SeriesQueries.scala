@@ -128,16 +128,25 @@ object SeriesQueries {
   /** The full shortlist + rerank + recall-annotation plan over a series
     * frame; shared by the registration and the spec.
     */
-  private[graft] def seriesKnn(sf0: DataFrame): DataFrame = {
+  private[graft] def seriesKnn(sf0: DataFrame): DataFrame =
     // pin the series frame ONCE (r18, guide §1/§5): this plan consumes it
     // six times (query-id collect, PAA shortlist, z join-back, exact truth
     // set), and each consumer otherwise re-executes the whole upstream
     // pipeline — for q52p/q52r that is the drained memory sink + the
     // latest-emission window per consumer (profiled: ~1.2 s of the q52p
-    // post-drain tail was exactly these re-executions). |users| rows of
-    // (z, paa); localCheckpoint blocks are the sanctioned survivor of the
-    // RegistrySpec leak audit.
-    val sf = sf0.localCheckpoint()
+    // post-drain tail was exactly these re-executions). Routed through
+    // Caching's checkpoint lifecycle (r19, ADVICE r18): the result is
+    // K-row and eagerly pinned, so the |users|-row series blocks release
+    // on return instead of accumulating until RDD GC.
+    Caching.withLocalCheckpointed(sf0) { case Seq(sf) =>
+      seriesKnnOver(sf).localCheckpoint()
+    }
+
+  /** The lazy kNN plan over an already-pinned series frame — exposed so
+    * PlanSpec can audit the join/broadcast shape (the registered query's
+    * own plan is the eager checkpoint's RDD scan).
+    */
+  private[graft] def seriesKnnOver(sf: DataFrame): DataFrame = {
     val q = querySide(sf)
       .select(col("user_id").as("q_user"), col("z").as("q_z"), col("paa").as("q_paa"))
     val c = sf.select(col("user_id").as("c_user"), col("z").as("c_z"),
@@ -274,8 +283,14 @@ object SeriesQueries {
     * kernel call per shortlisted pair, exact top-K, recall annotated
     * against the all-candidate DTW truth set.
     */
-  private[ext] def dtwKnn(sf0: DataFrame): DataFrame = {
-    val sf = sf0.localCheckpoint() // same six-consumer pin as seriesKnn
+  private[ext] def dtwKnn(sf0: DataFrame): DataFrame =
+    // same six-consumer pin as seriesKnn, same r19 lifecycle: release the
+    // series blocks once the K-row result is pinned
+    Caching.withLocalCheckpointed(sf0) { case Seq(sf) =>
+      dtwKnnOver(sf).localCheckpoint()
+    }
+
+  private def dtwKnnOver(sf: DataFrame): DataFrame = {
     val q = querySide(sf)
       .select(col("user_id").as("q_user"), col("z").as("q_z"),
         envelope(col("z"), array_max).as("u_env"),

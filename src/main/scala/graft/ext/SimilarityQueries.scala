@@ -249,11 +249,13 @@ object SimilarityQueries {
     val keyed = e.select(col("vec_id"), col("qe"),
       md5(col("qe").cast("string")).as("vkey"))
     val membership = keyed.select(col("vkey"), col("vec_id")).persist()
-    val vecs = keyed.groupBy(col("vkey"))
+    // EAGER pin (r19, Caching.eager): the band SELF-join below reads this
+    // from both stages at once — a lazy persist runs the 64-plane
+    // signature kernel ~twice inside that job
+    val vecs = Caching.eager(keyed.groupBy(col("vkey"))
       .agg(min(struct(col("vec_id"), col("qe"))).as("r"))
       .select(col("vkey"), col("r.qe").as("qe"))
-      .select(col("vkey"), col("qe"), lshSigStruct(col("qe")).as("sig"))
-      .persist()
+      .select(col("vkey"), col("qe"), lshSigStruct(col("qe")).as("sig")))
     val distinctSig = vecs.select(col("sig")).distinct()
     val bands = distinctSig.select(col("sig"), explode(array(
         (0 until LshNumBands).map(b =>

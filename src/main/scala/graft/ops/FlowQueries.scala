@@ -143,32 +143,24 @@ object FlowQueries {
       .foreach(_.unpersist(blocking = false))
 
   private def buildGraph(f: DataFrame): FlowGraph = {
-    // graph members checkpointed HASH-PARTITIONED AND SORTED on their
-    // iteration join key (r19, guide §2.4): localCheckpoint preserves
-    // outputPartitioning/ordering, so every round's edges ⋈ outW ⋈ ranks
-    // join on `u` plans with ZERO exchanges and ZERO sorts (ranks arrive
-    // hash(addr)-partitioned and addr-sorted from the previous round's
-    // sort-merge join — alias-aware under the addr→u rename), and the
-    // only per-round exchange left is the contribution groupBy(v) —
-    // the fundamental one. Previously the edge frame (the graph's
-    // biggest) re-shuffled by u every single round.
-    // explicit partition count (REPARTITION_BY_NUM): a bare
-    // repartition(col) is AQE-coalescible, and a coalesced checkpoint
-    // would record a partitioning the per-round joins can't line up with
+    // NOT checkpoint-co-partitioned on the iteration key (r19 measured:
+    // pinning edges/outW/nodes hash-partitioned + sorted on u/addr to
+    // make the per-round joins exchange-free REGRESSED qf13 3.97→4.72 s
+    // at bench scale — the graph frames are small enough that the extra
+    // build-time exchange + three sorts cost more than the per-round
+    // exchanges they remove; revisit only if the per-round join ever
+    // dominates a profile at real scale)
     val sc = f.sparkSession.sparkContext
-    val p = f.sparkSession.sessionState.conf.numShufflePartitions
     sc.setJobDescription("pagerank: edges build") // §1.5 job labels
     val edges = f.groupBy(col("src_addr").as("u"), col("dst_addr").as("v"))
-      .agg(count(lit(1)).as("w"))
-      .repartition(p, col("u")).sortWithinPartitions("u").localCheckpoint()
-    // edges is already hash(u): the groupBy(u) below plans NO exchange
+      .agg(count(lit(1)).as("w")).localCheckpoint()
     sc.setJobDescription("pagerank: out-weights")
     val outW = edges.groupBy(col("u")).agg(sum(col("w")).as("wu"))
-      .sortWithinPartitions("u").localCheckpoint()
+      .localCheckpoint()
     sc.setJobDescription("pagerank: nodes")
     val nodes = edges.select(col("u").as("addr"))
       .union(edges.select(col("v").as("addr"))).distinct()
-      .sortWithinPartitions("addr").localCheckpoint()
+      .localCheckpoint()
     sc.setJobDescription(null)
     FlowGraph(edges, outW, nodes, nodes.agg(count(lit(1)).as("n")))
   }

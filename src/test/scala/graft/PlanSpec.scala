@@ -63,9 +63,13 @@ class PlanSpec extends SparkSpec {
     val df = ops.FlowQueries.flows(spark, sf)
       .filter(functions.IpFunctions.ip_in_cidr(col("src_addr"),
         concat(split(col("src_addr"), "\\.").getItem(0), lit(".0.0.0/8"))))
+    // save/restore the session value (ADVICE r18): hardcoding "true" in
+    // the finally would pollute the shared session if the harness default
+    // ever differs — the SkewJoinSpec discipline
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val plan = try physical(df)
-      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      finally spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
     assert(plan.linesIterator.exists(l =>
       l.contains("ip_in_cidr") && l.contains("Filter") && l.contains("*(")), plan)
     // the fan-out exchange must not lift the filter off the scan stage:
@@ -143,13 +147,22 @@ class PlanSpec extends SparkSpec {
     // rows, never tokens.
     val df = Registry.queries("x4m_bpe_encode")(spark, sf)
     val plan = physical(df)
-    val shuffles = plan.linesIterator
+    val allShuffles = plan.linesIterator
       .filter(l => l.contains("Exchange hashpartitioning") ||
         l.contains("Exchange rangepartitioning") ||
         l.contains("Exchange RoundRobin"))
-      .filterNot(_.contains("REPARTITION_BY_NUM"))
       .toSeq
+    val (fanOuts, shuffles) =
+      allShuffles.partition(_.contains("REPARTITION_BY_NUM"))
     assert(shuffles.isEmpty, plan)
+    // the exemption is exactly ONE fan-out exchange, and it must move
+    // DOC rows (hash on doc_id), not token columns — a future accidental
+    // explicit-numPartitions repartition of the token stream must not
+    // hide behind the fan-out allowance (ADVICE r18)
+    assert(fanOuts.size <= 1, plan)
+    fanOuts.foreach { l =>
+      assert(l.contains("doc_id") && !l.contains("token"), l)
+    }
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
@@ -591,10 +604,14 @@ class PlanSpec extends SparkSpec {
       ext.SeriesQueries.seriesFrame(Tables.events(spark, sf)))
     assert(build.contains("row_number"), s"first-N prune missing:\n$build")
     assert(build.contains("collect_list"), build)
-    val plan = physical(Registry.queries("x11_series_knn")(spark, sf))
-    assert(plan.contains("BroadcastNestedLoopJoin") ||
-      plan.contains("BroadcastHashJoin"), s"query side not broadcast:\n$plan")
-    assert(!plan.contains("CartesianProduct"), plan)
+    // the registered query is eagerly checkpointed (r19 — the series pin
+    // releases on return), so audit the LAZY kNN plan over a pinned frame
+    val lazyPlan = physical(ext.SeriesQueries.seriesKnnOver(
+      ext.SeriesQueries.seriesFrame(Tables.events(spark, sf)).localCheckpoint()))
+    assert(lazyPlan.contains("BroadcastNestedLoopJoin") ||
+      lazyPlan.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$lazyPlan")
+    assert(!lazyPlan.contains("CartesianProduct"), lazyPlan)
   }
 
   test("x3t scores on a prefix slice; query side broadcasts; no sort-merge or cartesian") {

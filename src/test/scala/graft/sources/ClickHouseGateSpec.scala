@@ -41,7 +41,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * (twelfth attempt): docker client 28.2.2 at /usr/local/bin/docker,
   * `docker info` still "Cannot connect to the Docker daemon at
   * unix:///var/run/docker.sock", no socket on disk, no dockerd/podman/
-  * clickhouse/clickhouse-server on PATH — unchanged.
+  * clickhouse/clickhouse-server on PATH — unchanged; r19 — re-probed
+  * (thirteenth attempt): docker client 28.2.2 at /usr/local/bin/docker,
+  * client context only with no reachable daemon, no
+  * /var/run/docker.sock, no dockerd/podman/clickhouse/clickhouse-server
+  * on PATH — unchanged.
   * What therefore stays unproven in-sandbox is exactly: live-server
   * type coercion and clickhouse-jdbc batching against a real 24.12; both
   * replay-gated (ClickHouseReplaySpec over the recorded transcript,
