@@ -110,19 +110,36 @@ object TextQueries {
       .select(carried :+ col("z.w1").as("w1") :+ col("z.w2").as("w2"): _*)
   }
 
-  /** Train the stupid-backoff bigram LM from `docs`' reference split. */
-  private[graft] def trainRefLm(docs0: DataFrame): RefLm = {
+  /** Train the stupid-backoff bigram LM from `docs`' reference split and
+    * hand the PINNED LM tables to `build`, releasing every pin after.
+    *
+    * Lifecycle (r19, guide §5): cb/cu both fold the reference BIGRAM
+    * explode and uni/tot both fold the reference TOKEN explode — handed
+    * out lazily (the r18 shape), every downstream consumer re-ran the
+    * corpus-wide explode per LM table (profiled in q52s: four 8–14
+    * s-task-time stages, two bigram + two token re-explosions; x4t's
+    * score plan embedded the same subtrees). The two explodes are now
+    * checkpointed ONCE, the four LM tables fold off them eagerly, and
+    * `build` — which must return an eagerly materialized result — runs
+    * against checkpoint-rooted LM frames; all six pins release on exit.
+    */
+  private[graft] def withRefLm[T](docs0: DataFrame)(build: RefLm => T): T = {
     val docs = graft.Tables.fanOut(docs0, col("doc_id")) // guide §2.5
-    val ref = bigrams(docs.select(col("doc_id"), col("source"), col("text")))
-      .filter(col("source").isin(RefLmSources: _*))
-    val cb = ref.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-    val cu = ref.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
-    val refTok = docs.filter(col("source").isin(RefLmSources: _*))
-      .select(explode(tokens).as("t"))
-    val uni = refTok.groupBy(col("t")).agg(count(lit(1)).as("u"))
-      .withColumnRenamed("t", "w2")
-    val tot = refTok.agg(count(lit(1)).as("tt"), countDistinct(col("t")).as("v"))
-    RefLm(cb, cu, uni, tot)
+    Caching.withLocalCheckpointed(
+        bigrams(docs.select(col("doc_id"), col("source"), col("text")))
+          .filter(col("source").isin(RefLmSources: _*)),
+        docs.filter(col("source").isin(RefLmSources: _*))
+          .select(explode(tokens).as("t"))) { case Seq(ref, refTok) =>
+      Caching.withLocalCheckpointed(
+          ref.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb")),
+          ref.groupBy(col("w1")).agg(count(lit(1)).as("cu")),
+          refTok.groupBy(col("t")).agg(count(lit(1)).as("u"))
+            .withColumnRenamed("t", "w2"),
+          refTok.agg(count(lit(1)).as("tt"),
+            countDistinct(col("t")).as("v"))) {
+        case Seq(cb, cu, uni, tot) => build(RefLm(cb, cu, uni, tot))
+      }
+    }
   }
 
   /** Score every multi-token document in `docs` against the frozen LM:
@@ -480,29 +497,37 @@ object TextQueries {
         val docs = Tables.fanOut(Tables.documents(s, d), col("doc_id"))
         val w = tokens
         val n = size(w)
-        val bg = docs.select(col("doc_id"),
-          explode(zip_with(slice(w, lit(1), n - 1), slice(w, lit(2), n - 1),
-            (a, b) => struct(a.as("w1"), b.as("w2")))).as("z"))
-          .select(col("doc_id"), col("z.w1").as("w1"), col("z.w2").as("w2"))
-        val uni = bg.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
-        val bgc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-        val vocab = docs.select(explode(w).as("t"))
-          .agg(countDistinct(col("t")).as("v"))
-        val lp = bgc.join(uni, Seq("w1")).crossJoin(broadcast(vocab))
-          .select(col("w1"), col("w2"),
-            log2((col("cb").cast(DoubleType) + lit(0.5)) /
-              (col("cu").cast(DoubleType) + lit(0.5) * col("v").cast(DoubleType)))
-              .as("logp"))
-        val docbg = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
-          .agg(count(lit(1)).as("occ"))
-        docbg.join(lp, Seq("w1", "w2"))
-          .groupBy(col("doc_id"))
-          .agg(sum(col("occ")).as("n_bigrams"),
-            ((sum(col("occ").cast(DoubleType) * col("logp")) * lit(-1.0)) /
-              sum(col("occ")).cast(DoubleType)).as("bits"))
-          .select(col("doc_id"), col("n_bigrams"),
-            round(col("bits") * 10000).cast(LongType).as("bits_e4"),
-            (round(col("bits") * 10000).cast(LongType) > lit(50000L)).as("is_outlier"))
+        // the bigram explode feeds THREE fold consumers (uni, bgc,
+        // docbg) in one final job — pinned ONCE (r19, guide §5; lazily
+        // shared it re-exploded the corpus per consumer), result is
+        // doc-count-sized and eager so the pin releases on return
+        Caching.withLocalCheckpointed(docs.select(col("doc_id"),
+            explode(zip_with(slice(w, lit(1), n - 1), slice(w, lit(2), n - 1),
+              (a, b) => struct(a.as("w1"), b.as("w2")))).as("z"))
+            .select(col("doc_id"), col("z.w1").as("w1"), col("z.w2").as("w2"))) {
+          case Seq(bg) =>
+            val uni = bg.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+            val bgc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+            val vocab = docs.select(explode(w).as("t"))
+              .agg(countDistinct(col("t")).as("v"))
+            val lp = bgc.join(uni, Seq("w1")).crossJoin(broadcast(vocab))
+              .select(col("w1"), col("w2"),
+                log2((col("cb").cast(DoubleType) + lit(0.5)) /
+                  (col("cu").cast(DoubleType) + lit(0.5) * col("v").cast(DoubleType)))
+                  .as("logp"))
+            val docbg = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
+              .agg(count(lit(1)).as("occ"))
+            docbg.join(lp, Seq("w1", "w2"))
+              .groupBy(col("doc_id"))
+              .agg(sum(col("occ")).as("n_bigrams"),
+                ((sum(col("occ").cast(DoubleType) * col("logp")) * lit(-1.0)) /
+                  sum(col("occ")).cast(DoubleType)).as("bits"))
+              .select(col("doc_id"), col("n_bigrams"),
+                round(col("bits") * 10000).cast(LongType).as("bits_e4"),
+                (round(col("bits") * 10000).cast(LongType) > lit(50000L))
+                  .as("is_outlier"))
+              .localCheckpoint()
+        }
       },
       Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         bg AS (SELECT doc_id, z[1] AS w1, z[2] AS w2
@@ -540,7 +565,9 @@ object TextQueries {
     Q("x4t_lm_filter",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        lmScore(docs, trainRefLm(docs))
+        // per-doc result frame is corpus-doc-count-sized; eager so the
+        // LM pins release on return (withRefLm's contract)
+        withRefLm(docs)(lm => lmScore(docs, lm).localCheckpoint())
       },
       Some(LmFilterOracle)),
 

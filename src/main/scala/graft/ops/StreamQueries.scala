@@ -2478,14 +2478,15 @@ object StreamQueries {
     // score-at-ingest ≡ batch score under any micro-batch split.
     Q("q52s_stream_lm_filter",
       (s, d) => {
-        val lm = graft.ext.TextQueries.trainRefLm(Tables.documents(s, d))
         val out = s"$tmpRoot/q52s_out"
         val cp = s"$tmpRoot/cp/q52s_sink"
         org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(out).toFile)
         org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(cp).toFile)
-        graft.ext.Caching.withLocalCheckpointed(lm.frames: _*) {
-          case Seq(cb, cu, uni, tot) =>
-            val pinned = graft.ext.TextQueries.RefLm(cb, cu, uni, tot)
+        // withRefLm pins the LM tables for the stream's lifetime and
+        // releases them once the read-back below is checkpointed (r19 —
+        // training no longer re-runs the reference explodes per LM table)
+        graft.ext.TextQueries.withRefLm(Tables.documents(s, d)) {
+          pinned =>
             val q = documentsStream(s, d)
               .select(col("doc_id"), col("text"))
               .writeStream
