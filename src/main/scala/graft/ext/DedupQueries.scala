@@ -940,10 +940,15 @@ object DedupQueries {
         // must produce it; a dropped band-key column, a broken chunk
         // extraction, or a lost collapse all fail the witness.
         val c = collapsedLsh(s, d)
-        // eager (r19): the pigeonhole chunk SELF-join would otherwise
-        // race both band stages into the simhash kernel (Caching.eager)
-        val simReps = Caching.eager(c.shReps.select(col("doc_id"),
-          graft.functions.Kernels.simhash_sig(col("sh")).as("sim")))
+        // persisted LAZILY on purpose (r19 measured): an eager count
+        // here — meant to stop the chunk self-join's two band stages
+        // racing into the simhash kernel — regressed x2b 3.5→4.2 s
+        // across matched-calibration sweeps; the racing duplication
+        // overlaps on idle cores (the simhash pass over CACHED shingles
+        // is only ~1 s task time), while the eager form serializes an
+        // extra job. Same one-shot-fan-in rule as x4t/x4h.
+        val simReps = c.shReps.select(col("doc_id"),
+          graft.functions.Kernels.simhash_sig(col("sh")).as("sim")).persist()
         // deterministic witness group: smallest digest among duplicate
         // groups; (min, max) doc_ids form a real pair and min IS the
         // group representative (reps take the min-doc_id struct)

@@ -123,6 +123,28 @@ object TextQueries {
     * `build` — which must return an eagerly materialized result — runs
     * against checkpoint-rooted LM frames; all six pins release on exit.
     */
+  /** Lazy LM tables — the right shape for a ONE-SHOT consumer (x4t):
+    * the score plan embeds the reference explodes redundantly, but they
+    * run CONCURRENTLY inside the single score job on otherwise-idle
+    * cores, and r19's full sweeps showed the eager [[withRefLm]] form
+    * 0.7 s SLOWER there (2.2→3.0 s — six serialized checkpoint jobs in
+    * front of one consumption). Streams that re-consume the tables per
+    * micro-batch use [[withRefLm]].
+    */
+  private[graft] def trainRefLm(docs0: DataFrame): RefLm = {
+    val docs = graft.Tables.fanOut(docs0, col("doc_id")) // guide §2.5
+    val ref = bigrams(docs.select(col("doc_id"), col("source"), col("text")))
+      .filter(col("source").isin(RefLmSources: _*))
+    val cb = ref.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cu = ref.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val refTok = docs.filter(col("source").isin(RefLmSources: _*))
+      .select(explode(tokens).as("t"))
+    val uni = refTok.groupBy(col("t")).agg(count(lit(1)).as("u"))
+      .withColumnRenamed("t", "w2")
+    val tot = refTok.agg(count(lit(1)).as("tt"), countDistinct(col("t")).as("v"))
+    RefLm(cb, cu, uni, tot)
+  }
+
   private[graft] def withRefLm[T](docs0: DataFrame)(build: RefLm => T): T = {
     val docs = graft.Tables.fanOut(docs0, col("doc_id")) // guide §2.5
     Caching.withLocalCheckpointed(
@@ -498,36 +520,34 @@ object TextQueries {
         val w = tokens
         val n = size(w)
         // the bigram explode feeds THREE fold consumers (uni, bgc,
-        // docbg) in one final job — pinned ONCE (r19, guide §5; lazily
-        // shared it re-exploded the corpus per consumer), result is
-        // doc-count-sized and eager so the pin releases on return
-        Caching.withLocalCheckpointed(docs.select(col("doc_id"),
-            explode(zip_with(slice(w, lit(1), n - 1), slice(w, lit(2), n - 1),
-              (a, b) => struct(a.as("w1"), b.as("w2")))).as("z"))
-            .select(col("doc_id"), col("z.w1").as("w1"), col("z.w2").as("w2"))) {
-          case Seq(bg) =>
-            val uni = bg.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
-            val bgc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-            val vocab = docs.select(explode(w).as("t"))
-              .agg(countDistinct(col("t")).as("v"))
-            val lp = bgc.join(uni, Seq("w1")).crossJoin(broadcast(vocab))
-              .select(col("w1"), col("w2"),
-                log2((col("cb").cast(DoubleType) + lit(0.5)) /
-                  (col("cu").cast(DoubleType) + lit(0.5) * col("v").cast(DoubleType)))
-                  .as("logp"))
-            val docbg = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
-              .agg(count(lit(1)).as("occ"))
-            docbg.join(lp, Seq("w1", "w2"))
-              .groupBy(col("doc_id"))
-              .agg(sum(col("occ")).as("n_bigrams"),
-                ((sum(col("occ").cast(DoubleType) * col("logp")) * lit(-1.0)) /
-                  sum(col("occ")).cast(DoubleType)).as("bits"))
-              .select(col("doc_id"), col("n_bigrams"),
-                round(col("bits") * 10000).cast(LongType).as("bits_e4"),
-                (round(col("bits") * 10000).cast(LongType) > lit(50000L))
-                  .as("is_outlier"))
-              .localCheckpoint()
-        }
+        // docbg) — LAZY on purpose (r19 measured): the redundant
+        // explodes overlap inside the one final job on idle cores, and
+        // an eager checkpoint pin regressed the full sweep 1.7→2.4 s
+        // (the x4t/withRefLm finding — eager pays only under re-USE,
+        // as in q52s's per-micro-batch scoring)
+        val bg = docs.select(col("doc_id"),
+          explode(zip_with(slice(w, lit(1), n - 1), slice(w, lit(2), n - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("z"))
+          .select(col("doc_id"), col("z.w1").as("w1"), col("z.w2").as("w2"))
+        val uni = bg.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+        val bgc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+        val vocab = docs.select(explode(w).as("t"))
+          .agg(countDistinct(col("t")).as("v"))
+        val lp = bgc.join(uni, Seq("w1")).crossJoin(broadcast(vocab))
+          .select(col("w1"), col("w2"),
+            log2((col("cb").cast(DoubleType) + lit(0.5)) /
+              (col("cu").cast(DoubleType) + lit(0.5) * col("v").cast(DoubleType)))
+              .as("logp"))
+        val docbg = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
+          .agg(count(lit(1)).as("occ"))
+        docbg.join(lp, Seq("w1", "w2"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("occ")).as("n_bigrams"),
+            ((sum(col("occ").cast(DoubleType) * col("logp")) * lit(-1.0)) /
+              sum(col("occ")).cast(DoubleType)).as("bits"))
+          .select(col("doc_id"), col("n_bigrams"),
+            round(col("bits") * 10000).cast(LongType).as("bits_e4"),
+            (round(col("bits") * 10000).cast(LongType) > lit(50000L)).as("is_outlier"))
       },
       Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         bg AS (SELECT doc_id, z[1] AS w1, z[2] AS w2
@@ -563,11 +583,12 @@ object TextQueries {
     // split is ~1% of the corpus, so training cost is a keyed shuffle
     // over that slice, and scoring is two hash joins per corpus bigram.
     Q("x4t_lm_filter",
+      // LAZY LM on purpose (r19 measured — see trainRefLm's scaladoc):
+      // the one-shot score job overlaps the redundant reference explodes
+      // on idle cores; the eager withRefLm form was 0.7 s slower here
       (s, d) => {
         val docs = Tables.documents(s, d)
-        // per-doc result frame is corpus-doc-count-sized; eager so the
-        // LM pins release on return (withRefLm's contract)
-        withRefLm(docs)(lm => lmScore(docs, lm).localCheckpoint())
+        lmScore(docs, trainRefLm(docs))
       },
       Some(LmFilterOracle)),
 
